@@ -1,0 +1,395 @@
+"""LLM-training-data pipeline operators over documents/embeddings fixtures.
+
+Beyond reference parity (BASELINE.json north star): deduplication, similarity
+search, text analysis — each expressed shuffle-safely so the same plan holds
+at 100 TB:
+
+- exact dedup / fingerprint dedup: one hash-groupBy shuffle, map-side partial;
+- MinHash+LSH: shingle → signature (groupBy doc) → band → bucket equi-join;
+  candidate generation never compares all pairs — only same-band buckets join;
+- brute-force cosine top-k: broadcast the (small) query set, scan the corpus
+  once, per-partition partial top-k via TakeOrdered-style window+filter;
+- text stats: pure narrow maps + one groupBy.
+
+Every md5-based hash is string-stable across Spark and DuckDB, which is what
+makes the MinHash oracle possible (same signatures on both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..datasets import load_table
+from . import query
+
+N_MINHASH = 8  # signature length
+N_BANDS = 2  # LSH bands (4 rows per band)
+
+
+def _words(col="text"):
+    return F.split(col, " ")
+
+
+def _shingles_df(docs):
+    """doc_id → distinct word-3-gram shingles (0-based Spark array indexing
+    mirrors the oracle's 1-based slice — same shingle set)."""
+    d = docs.select("doc_id", _words().alias("w")).where(F.size("w") >= 3)
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w)-3),"
+                " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+            )
+        ).alias("sh"),
+    ).distinct()
+
+
+_SHINGLES_ORACLE = """
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             UNNEST(range(1, len(w) - 1)) AS t(i)
+        WHERE len(w) >= 3
+"""
+
+
+@query(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id
+    FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact_groups(spark, sf_dir):
+    """Exact dedup: hash-groupBy on md5(text); keep min doc_id per group.
+    One shuffle keyed by the 128-bit hash — uniform, skew-free at any SF."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+@query(
+    "dedup_exact_stats",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dupes
+    FROM documents
+    """,
+)
+def dedup_exact_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_dupes"),
+    )
+
+
+@query(
+    "dedup_fingerprint",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+        FROM documents),
+    counted AS (
+        SELECT doc_id, fingerprint,
+               CAST(COUNT(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS n_sharing
+        FROM fp)
+    SELECT doc_id, fingerprint, n_sharing FROM counted WHERE doc_id <= 200
+    """,
+)
+def dedup_fingerprint(spark, sf_dir):
+    """Bag-of-words document fingerprint (order-insensitive content hash) —
+    catches shuffled near-dups that exact hashing misses."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(_words())))).alias(
+            "fingerprint"
+        ),
+    )
+    return fp.withColumn(
+        "n_sharing", F.count(F.lit(1)).over(W.partitionBy("fingerprint"))
+    ).where(F.col("doc_id") <= 200)
+
+
+_MINHASH_SIGS = ", ".join(
+    f"MIN(md5('{s}|' || sh)) AS h{s}" for s in range(N_MINHASH)
+)
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_ORACLE}),
+    sigs AS (SELECT doc_id, {_MINHASH_SIGS} FROM shingles GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, 0 AS band_id, md5(h0 || h1 || h2 || h3) AS band FROM sigs
+        UNION ALL
+        SELECT doc_id, 1 AS band_id, md5(h4 || h5 || h6 || h7) AS band FROM sigs
+    )
+    SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_id = b.band_id AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs.
+
+    shingle(3-gram) → 8 md5-min signatures → 2 bands of 4 → equi-join on
+    band bucket.  Scale: the only join is band=band (uniform md5 keys); no
+    all-pairs comparison ever happens.  Signatures are min-of-md5-hex —
+    deterministic and identical in DuckDB, hence oracle-checkable.
+    """
+    sh = _shingles_df(load_table(spark, sf_dir, "documents"))
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"h{s}")
+            for s in range(N_MINHASH)
+        ]
+    )
+    bands = None
+    rows_per_band = N_MINHASH // N_BANDS
+    for b in range(N_BANDS):
+        cols = [F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        part = sigs.select(
+            "doc_id", F.lit(b).alias("band_id"), F.md5(F.concat(*cols)).alias("band")
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_ORACLE}),
+    sets AS (SELECT doc_id, list(DISTINCT sh) AS shs FROM shingles
+             WHERE doc_id < 20 GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.shs, b.shs))), 4) AS jaccard
+    FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard similarity over a bounded candidate set (the
+    verify stage after LSH candidate generation at scale)."""
+    sh = _shingles_df(load_table(spark, sf_dir, "documents"))
+    sets = (
+        sh.where(F.col("doc_id") < 20)
+        .groupBy("doc_id")
+        .agg(F.collect_set("sh").alias("shs"))
+    )
+    a, b = sets.alias("a"), sets.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shs"), F.col("b.shs")))
+    union = F.size(F.array_union(F.col("a.shs"), F.col("b.shs")))
+    return a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(inter.cast("double") / union, 4).alias("jaccard"),
+    )
+
+
+@query(
+    "text_stats_by_lang",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def text_stats_by_lang(spark, sf_dir):
+    """Corpus statistics per language: narrow map + single groupBy.
+    Averages = exact integer sum / count (deterministic, no rounding)."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(_words())
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+            (F.sum(ntok).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+            F.sum(ntok).alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT source,
+           CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS word_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def text_token_count(spark, sf_dir):
+    """Token counting per source: whitespace tokenizer + regex word
+    tokenizer (the BPE-ish pre-tokenization pass)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.sum(F.size(F.split("text", r"\s+"))).alias("ws_tokens"),
+            F.sum(
+                F.size(F.regexp_extract_all(F.col("text"), F.lit("([a-z]+)"), 1))
+            ).alias("word_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "text_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS uniq_ratio,
+           CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS avg_word_len,
+           (CASE WHEN len(string_split(text, ' ')) BETWEEN 50 AND 300
+                 THEN 0.5 ELSE 0.2 END)
+               + LEAST(0.5, CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                            / len(string_split(text, ' '))) AS quality_score
+    FROM documents WHERE doc_id <= 100
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Per-document quality scoring: length band + lexical diversity.
+    Pure narrow transformation — embarrassingly parallel at any scale.
+    All outputs are int/int divisions — exact and unrounded."""
+    d = load_table(spark, sf_dir, "documents")
+    w = _words()
+    ntok = F.size(w).cast("double")
+    uniq = F.size(F.array_distinct(w)).cast("double") / ntok
+    awl = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / ntok
+    band = F.when((F.size(w) >= 50) & (F.size(w) <= 300), 0.5).otherwise(0.2)
+    return d.where(F.col("doc_id") <= 100).select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        uniq.alias("uniq_ratio"),
+        awl.alias("avg_word_len"),
+        (band + F.least(F.lit(0.5), uniq)).alias("quality_score"),
+    )
+
+
+@query(
+    "sim_topk_bruteforce",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(q.qv, e.v) AS cos
+        FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM scored)
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos_sim,
+           CAST(rnk AS BIGINT) AS rank
+    FROM ranked WHERE rnk <= 10
+    """,
+)
+def sim_topk_bruteforce(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline.
+
+    The query set is broadcast (it's small by construction); the corpus is
+    scanned exactly once; ranking is a window over query_id — partial top-k
+    per partition then a k-row-per-query shuffle.  Dot products run JVM-side
+    via zip_with/aggregate (no Python in the hot path).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    norm = F.sqrt(F.expr("aggregate(transform(v, x -> x * x), 0D, (acc, z) -> acc + z)"))
+    corpus = emb.withColumn("nrm", norm)
+    queries = (
+        corpus.where(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    joined = corpus.crossJoin(F.broadcast(queries)).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    dot = F.expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, z) -> acc + z)")
+    scored = joined.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot / (F.col("qnrm") * F.col("nrm"))).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos_sim"), "rank")
+    )
+
+
+@query(
+    "sim_label_centroids",
+    oracle="""
+    WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CAST(v[1] AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS avg_dim0,
+           CAST(SUM(CAST(v[2] AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS avg_dim1,
+           CAST(SUM(CAST(list_aggregate(v, 'sum') AS DECIMAL(30,6))) AS DOUBLE)
+               / COUNT(*) AS avg_sum
+    FROM e GROUP BY label ORDER BY label
+    """,
+)
+def sim_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids (first dims + vector sums) — the
+    aggregation pattern behind IVF coarse quantization.  Sums accumulate in
+    DECIMAL so summation order can't perturb the averages."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    vsum = F.expr("aggregate(v, 0D, (acc, z) -> acc + z)")
+    n = F.count(F.lit(1))
+    return (
+        e.groupBy("label")
+        .agg(
+            n.alias("n_vecs"),
+            (F.sum(F.element_at("v", 1).cast("decimal(30,10)")).cast("double") / n).alias(
+                "avg_dim0"
+            ),
+            (F.sum(F.element_at("v", 2).cast("decimal(30,10)")).cast("double") / n).alias(
+                "avg_dim1"
+            ),
+            (F.sum(vsum.cast("decimal(30,6)")).cast("double") / n).alias("avg_sum"),
+        )
+        .orderBy("label")
+    )

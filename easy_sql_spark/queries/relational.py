@@ -1,0 +1,983 @@
+"""Relational SQL surface — SURVEY.md §2E declared queries (J/A/W/S/F rows).
+
+The reference delegates all relational execution to the engine
+(easy_sql/sql_processor/backend/spark.py:146-148 — a single ``spark.sql``
+call site); this module declares the concrete oracle-checkable query set our
+engine answers.  Everything is the DataFrame API / Spark SQL — Catalyst picks
+the physical strategy; the only explicit physical hints are ``broadcast`` on
+genuinely-small dimensions (j6) which at 100 TB is exactly the hint you want.
+
+Cross-engine float parity discipline (vs the DuckDB oracle):
+- sums/avgs over doubles go through exact DECIMAL accumulation and are cast
+  back to double (summation order then cannot perturb the value);
+- per-row arithmetic on identical inputs is bit-identical across engines
+  (IEEE ops are correctly rounded) so it is emitted unrounded;
+- libm functions (ln, pow) are rounded per-row before the decimal sum;
+- ROUND on doubles is avoided: Spark rounds the shortest decimal repr
+  half-up while DuckDB rounds the binary value — they disagree on ties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..datasets import load_table
+from . import query
+
+
+def _dsum(col, scale=6):
+    """Exact sum of a double expression: accumulate in DECIMAL, emit double.
+
+    ``scale`` must equal the exact decimal scale of the summand (so the cast
+    never rounds — rounding ties are where engines disagree), and small
+    enough that the summed unscaled value stays < 2^53 at gate scale (then
+    both engines' decimal→double conversions are exact-int-then-one-division,
+    i.e. correctly rounded and identical).
+    """
+    return F.sum(col.cast(f"decimal(30,{scale})")).cast("double")
+
+
+def _davg(col, count_col, scale=6):
+    """avg = exact-decimal sum / count — one deterministic double division."""
+    return _dsum(col, scale) / F.count(count_col)
+
+
+# Oracle-side twins (DuckDB syntax).
+def _osum(expr, scale=6):
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,{scale}))) AS DOUBLE)"
+
+
+def _oavg(expr, count_expr, scale=6):
+    return f"{_osum(expr, scale)} / COUNT({count_expr})"
+
+
+# ---------------------------------------------------------------------------
+# Aggregation (A1-A6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_osum('l_quantity', 2)} AS sum_qty,
+           {_osum('l_extendedprice', 2)} AS sum_base_price,
+           {_osum('CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))', 4)} AS sum_disc_price,
+           {_osum('CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))', 6)} AS sum_charge,
+           {_oavg('l_quantity', 'l_quantity', 2)} AS avg_qty,
+           {_oavg('l_extendedprice', 'l_extendedprice', 2)} AS avg_price,
+           {_oavg('l_discount', 'l_discount', 2)} AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def a1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary (flagship). A1: group-by hash agg.
+
+    Scale notes: single shuffle on (returnflag, linestatus) — 6 groups; the
+    partial aggregation runs map-side so the shuffle is tiny at any SF.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    # factors cast to decimal FIRST (each is a clean 2-decimal value, so the
+    # cast is exact on both engines); products then stay exact decimals.
+    disc_price = F.expr("cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(3,0)) - cast(l_discount as decimal(4,2)))")
+    charge = F.expr("cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(3,0)) - cast(l_discount as decimal(4,2))) * (cast(1 as decimal(3,0)) + cast(l_tax as decimal(4,2)))")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            _dsum(disc_price, 4).alias("sum_disc_price"),
+            _dsum(charge, 6).alias("sum_charge"),
+            _davg(F.col("l_quantity"), "l_quantity", 2).alias("avg_qty"),
+            _davg(F.col("l_extendedprice"), "l_extendedprice", 2).alias("avg_price"),
+            _davg(F.col("l_discount"), "l_discount", 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "a2_global_agg",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {_osum('l_extendedprice', 2)} AS total_price,
+           {_oavg('l_discount', 'l_discount', 2)} AS avg_discount,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty
+    FROM lineitem
+    """,
+)
+def a2_global_agg(spark, sf_dir):
+    """A2: aggregation without grouping — Spark plans a 1-partition final agg
+    fed by map-side partials, no full shuffle of data rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _dsum(F.col("l_extendedprice"), 2).alias("total_price"),
+        _davg(F.col("l_discount"), "l_discount", 2).alias("avg_discount"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+@query(
+    "a3_distinct_agg",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(COUNT(DISTINCT l_returnflag || '|' || l_linestatus) AS BIGINT) AS n_flag_status
+    FROM lineitem
+    """,
+)
+def a3_distinct_agg(spark, sf_dir):
+    """A3: distinct aggregation (Spark expands to partial-distinct shuffles)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(
+            F.concat_ws("|", F.col("l_returnflag"), F.col("l_linestatus"))
+        ).alias("n_flag_status"),
+    )
+
+
+@query("a4_approx_distinct")  # rows-only: HLL sketches differ across engines
+def a4_approx_distinct(spark, sf_dir):
+    """A4: approx_count_distinct (HyperLogLog++). No oracle — sketch values
+    are engine-specific; the driver records a rows-only check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+    )
+
+
+@query(
+    "a5_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_osum('l_quantity', 2)} AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a5_rollup(spark, sf_dir):
+    """A5: rollup (grouping sets). Spark expands grouping sets before the
+    hash agg — still one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        _dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "a5_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_osum('l_extendedprice', 2)} AS sum_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a5_cube(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        _dsum(F.col("l_extendedprice"), 2).alias("sum_price")
+    )
+
+
+@query(
+    "a6_having",
+    oracle=f"""
+    SELECT l_partkey, {_osum('l_quantity', 2)} AS sum_qty
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING {_osum('l_quantity', 2)} > 300
+    """,
+)
+def a6_having(spark, sf_dir):
+    """A6: post-aggregation filter (HAVING)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(_dsum(F.col("l_quantity"), 2).alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j1_inner_equi",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {_osum('CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))', 4)} AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def j1_inner_equi(spark, sf_dir):
+    """J1: inner equi-join lineitem⋈orders. AQE picks broadcast vs SMJ by
+    runtime stats; both sides shuffle on orderkey otherwise — at 100 TB this
+    is the canonical co-partitioned fact-fact join (bucket both by orderkey
+    to eliminate the shuffle entirely)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dsum(F.expr("cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(3,0)) - cast(l_discount as decimal(4,2)))"), 4).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "j2_left_outer",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+           {_oavg('o.o_totalprice', 'o.o_totalprice', 2)} AS avg_price
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def j2_left_outer(spark, sf_dir):
+    """J2: left outer join preserving customers without orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_orderkey").alias("n_orders"),
+            _davg(F.col("o_totalprice"), "o_totalprice", 2).alias("avg_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "j3_full_outer",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey),
+         sn AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(cn.nk, sn.nk) AS nationkey,
+           CAST(COALESCE(cn.n_cust, 0) AS BIGINT) AS n_cust,
+           CAST(COALESCE(sn.n_supp, 0) AS BIGINT) AS n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    """,
+)
+def j3_full_outer(spark, sf_dir):
+    """J3: full outer join of per-nation customer vs supplier counts."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cn = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    sn = s.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    return cn.join(sn, cn.nk == sn.nk, "full").select(
+        F.coalesce(cn.nk, sn.nk).alias("nationkey"),
+        F.coalesce(cn.n_cust, F.lit(0)).alias("n_cust"),
+        F.coalesce(sn.n_supp, F.lit(0)).alias("n_supp"),
+    )
+
+
+@query(
+    "j4_semi_anti",
+    oracle="""
+    SELECT 'with_orders' AS tag, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'without_orders' AS tag, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def j4_semi_anti(spark, sf_dir):
+    """J4: left-semi (EXISTS) and left-anti (NOT EXISTS) joins."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("with_orders").alias("tag"), "c_mktsegment", "n")
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("without_orders").alias("tag"), "c_mktsegment", "n")
+    )
+    return semi.unionAll(anti)
+
+
+@query(
+    "j5_cross",
+    oracle="""
+    SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM region r CROSS JOIN nation n
+    GROUP BY r.r_name ORDER BY r_name
+    """,
+)
+def j5_cross(spark, sf_dir):
+    """J5: cartesian product (dimension-sized only — a cross join of fact
+    tables is never the right plan at scale)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        r.crossJoin(n)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("r_name")
+    )
+
+
+@query(
+    "j6_broadcast",
+    oracle=f"""
+    SELECT p.p_brand,
+           {_osum('l.l_quantity', 2)} AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand ORDER BY p_brand
+    """,
+)
+def j6_broadcast(spark, sf_dir):
+    """J6: explicit broadcast of the small dimension (the reference's
+    ``broadcast`` step, backend/spark.py:136-140).  At 100 TB the part dim
+    stays MBs-scale → broadcast avoids shuffling the fact table entirely."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            _dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "j7_range_theta",
+    oracle="""
+    SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey < r.r_regionkey
+    GROUP BY r.r_name ORDER BY r_name
+    """,
+)
+def j7_range_theta(spark, sf_dir):
+    """J7: non-equi (theta/range) join → broadcast nested-loop join.  Only
+    sane with a broadcastable side; range joins on big tables should be
+    rewritten to banded equi-joins at scale."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(r, n.n_regionkey < r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+        .orderBy("r_name")
+    )
+
+
+@query(
+    "j8_nullsafe",
+    oracle="""
+    SELECT NULLIF(c.c_nationkey % 5, 0) AS nk_mod,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM customer c JOIN supplier s
+      ON NULLIF(c.c_nationkey % 5, 0) IS NOT DISTINCT FROM NULLIF(s.s_nationkey % 5, 0)
+    GROUP BY NULLIF(c.c_nationkey % 5, 0)
+    """,
+)
+def j8_nullsafe(spark, sf_dir):
+    """J8: null-safe equality join (``<=>``, docs/easy_sql/syntax.md:262-264).
+    NULL keys match each other — Spark still plans this as an equi-join
+    (hash on the null-safe key), unlike a theta join."""
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "c_mod", F.expr("nullif(c_nationkey % 5, 0)")
+    )
+    s = load_table(spark, sf_dir, "supplier").withColumn(
+        "s_mod", F.expr("nullif(s_nationkey % 5, 0)")
+    )
+    return (
+        c.join(s, c.c_mod.eqNullSafe(s.s_mod))
+        .groupBy(F.col("c_mod").alias("nk_mod"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (W1-W3) — events.ts is read as bigint nanos (see
+# datasets.load_table); ordering by it is identical to timestamp ordering.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w1_ranking",
+    oracle="""
+    SELECT event_id, user_id, rn, rnk, drnk FROM (
+        SELECT event_id, user_id,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+               CAST(RANK() OVER w AS BIGINT) AS rnk,
+               CAST(DENSE_RANK() OVER (PARTITION BY user_id ORDER BY event_type) AS BIGINT) AS drnk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) WHERE rn <= 5
+    """,
+)
+def w1_ranking(spark, sf_dir):
+    """W1: ranking window functions; one shuffle on the partition key, sort
+    within partitions.  (event_id tie-breaks ts for determinism.)"""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w2 = W.partitionBy("user_id").orderBy("event_type")
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w2).cast("bigint").alias("drnk"),
+        )
+        .where(F.col("rn") <= 5)
+    )
+
+
+@query(
+    "w2_analytic",
+    oracle="""
+    SELECT event_id, user_id,
+           LAG(value) OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value,
+           FIRST_VALUE(value) OVER w AS first_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def w2_analytic(spark, sf_dir):
+    """W2: lag/lead/first_value analytic windows (raw values — exact)."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(w).alias("first_val"),
+    )
+
+
+@query(
+    "w3_framed",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(20,2))) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_sum,
+           CAST(SUM(CAST(value AS DECIMAL(20,2))) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(value) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_avg
+    FROM events
+    """,
+)
+def w3_framed(spark, sf_dir):
+    """W3: explicit ROWS frames (rolling and running aggregates), decimal
+    accumulation for cross-engine exactness."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dec = F.col("value").cast("decimal(20,2)")
+    roll = F.sum(dec).over(w.rowsBetween(-2, 0)).cast("double")
+    run_sum = F.sum(dec).over(w.rowsBetween(W.unboundedPreceding, 0)).cast("double")
+    run_cnt = F.count("value").over(w.rowsBetween(W.unboundedPreceding, 0))
+    return e.select(
+        "event_id",
+        "user_id",
+        roll.alias("rolling_sum"),
+        (run_sum / run_cnt).alias("running_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / set ops / projection (S1-S10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s1_project_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_quantity > 45
+    """,
+)
+def s1_project_filter(spark, sf_dir):
+    """S1: projection + filter — both push down to the parquet scan
+    (PushedFilters / ReadSchema visible in .explain)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where((F.col("l_returnflag") == "R") & (F.col("l_quantity") > 45))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        )
+    )
+
+
+@query(
+    "s2_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def s2_topk(spark, sf_dir):
+    """S2/S3: top-k = orderBy + limit; Spark plans TakeOrderedAndProject —
+    no global sort materialization, each partition keeps only k rows."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.orderBy(F.col("o_totalprice").desc(), "o_orderkey").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).limit(10)
+
+
+@query(
+    "s4_union_all",
+    oracle="""
+    SELECT kind, key_id, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT 'cust' AS kind, c_nationkey AS key_id FROM customer
+        UNION ALL
+        SELECT 'supp' AS kind, s_nationkey AS key_id FROM supplier
+    ) GROUP BY kind, key_id
+    """,
+)
+def s4_union_all(spark, sf_dir):
+    """S4: bag union (the sample ETL's core op, test/sample_etl.spark.sql)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.lit("cust").alias("kind"), F.col("c_nationkey").alias("key_id")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.lit("supp").alias("kind"), F.col("s_nationkey").alias("key_id")
+    )
+    return c.unionAll(s).groupBy("kind", "key_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "s5_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def s5_union_distinct(spark, sf_dir):
+    """S5: set union (union + dedup shuffle)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.union(s).distinct()
+
+
+@query(
+    "s6_intersect_except",
+    oracle="""
+    SELECT 'both' AS tag, nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'nation_only' AS tag, nationkey FROM (
+        SELECT n_nationkey AS nationkey FROM nation
+        EXCEPT SELECT c_nationkey FROM customer)
+    """,
+)
+def s6_intersect_except(spark, sf_dir):
+    """S6: intersect / except (set semantics)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey")
+    )
+    both = c.intersect(s).select(F.lit("both").alias("tag"), "nationkey")
+    only = n.exceptAll(c.distinct()).distinct().select(
+        F.lit("nation_only").alias("tag"), "nationkey"
+    )
+    return both.unionAll(only)
+
+
+@query(
+    "s7_cte",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {_osum('CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))', 4)} AS total_rev
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s.s_name, r.total_rev
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+    """,
+)
+def s7_cte(spark, sf_dir):
+    """S7+S8: CTE + scalar subquery (TPC-H Q15 shape) via spark.sql."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                 * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                                 AS DECIMAL(30,4))) AS DOUBLE) AS total_rev
+            FROM lineitem GROUP BY l_suppkey
+        )
+        SELECT s.s_name, r.total_rev
+        FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+        """
+    )
+
+
+@query(
+    "s8_correlated_subquery",
+    oracle="""
+    SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_above_avg
+    FROM part p1
+    WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part p2
+                           WHERE p2.p_brand = p1.p_brand)
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def s8_correlated_subquery(spark, sf_dir):
+    """S8: correlated scalar subquery — Catalyst decorrelates to an
+    aggregate + join (no per-row re-execution).
+
+    Note: AVG here stays double on both engines; it is only *compared
+    against*, so last-ulp differences could flip rows right at the boundary —
+    p_retailprice values sit well away from per-brand means in this data.
+    """
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_brand, COUNT(*) AS n_above_avg
+        FROM part p1
+        WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part p2
+                               WHERE p2.p_brand = p1.p_brand)
+        GROUP BY p_brand ORDER BY p_brand
+        """
+    )
+
+
+@query(
+    "s9_values_inline",
+    oracle="""
+    SELECT t.tier, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    JOIN (VALUES ('1-URGENT', 'hot'), ('2-HIGH', 'hot'), ('3-MEDIUM', 'warm'),
+                 ('4-NOT SPECIFIED', 'cold'), ('5-LOW', 'cold')) AS t(prio, tier)
+      ON o.o_orderpriority = t.prio
+    GROUP BY t.tier ORDER BY tier
+    """,
+)
+def s9_values_inline(spark, sf_dir):
+    """S9: inline VALUES relation joined to a fact (broadcast — it's tiny)."""
+    o = load_table(spark, sf_dir, "orders")
+    tiers = spark.createDataFrame(
+        [
+            ("1-URGENT", "hot"),
+            ("2-HIGH", "hot"),
+            ("3-MEDIUM", "warm"),
+            ("4-NOT SPECIFIED", "cold"),
+            ("5-LOW", "cold"),
+        ],
+        ["prio", "tier"],
+    )
+    return (
+        o.join(F.broadcast(tiers), o.o_orderpriority == tiers.prio)
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("tier")
+    )
+
+
+@query(
+    "s10_explode",
+    oracle="""
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT UNNEST(string_split(p_type, ' ')) AS word FROM part)
+    GROUP BY word ORDER BY word
+    """,
+)
+def s10_explode(spark, sf_dir):
+    """S10: lateral view / explode (docs/easy_sql/syntax.md:447-449)."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split("p_type", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("word")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function families (F1-F8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f1_string",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS name_upper,
+           LOWER(c_mktsegment) AS seg_lower,
+           TRIM(CONCAT('  ', c_name, '  ')) AS name_trim,
+           REPLACE(c_name, '#', '-') AS name_repl,
+           regexp_replace(c_name, '[0-9]+', 'N', 'g') AS name_nodigit,
+           SUBSTR(c_name, 1, 8) AS name_prefix,
+           CAST(LENGTH(c_name) AS INT) AS name_len
+    FROM customer WHERE c_custkey <= 50
+    """,
+)
+def f1_string(spark, sf_dir):
+    """F1: string functions (reference exposes split/trim/translate/... as
+    UDFs, udf/udfs.py:29-60 — all Spark builtins here)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.where(F.col("c_custkey") <= 50).select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias("name_trim"),
+        F.regexp_replace("c_name", "#", "-").alias("name_repl"),
+        F.regexp_replace("c_name", "[0-9]+", "N").alias("name_nodigit"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+    )
+
+
+@query(
+    "f2_datetime",
+    oracle=f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_ym,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {_osum('o_totalprice', 2)} AS month_rev,
+           CAST(MIN(CAST(year(o_orderdate) AS INT)) AS INT) AS order_year
+    FROM orders GROUP BY strftime(o_orderdate, '%Y-%m') ORDER BY order_ym
+    """,
+)
+def f2_datetime(spark, sf_dir):
+    """F2: date/time functions (date_format / year — reference udfs.py:63-80).
+    Output as strings/ints, never raw timestamps (tz-stable hashing)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_ym"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice"), 2).alias("month_rev"),
+            F.min(F.year("o_orderdate")).cast("int").alias("order_year"),
+        )
+        .orderBy("order_ym")
+    )
+
+
+@query(
+    "f3_math",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(ROUND(SQRT(l_quantity), 6) AS DECIMAL(20,6))) AS DOUBLE) AS sum_sqrt_qty,
+           CAST(SUM(CAST(ROUND(LN(l_extendedprice), 6) AS DECIMAL(20,6))) AS DOUBLE) AS sum_ln_price,
+           CAST(SUM(CAST(ABS(CAST(l_discount AS DECIMAL(4,2)) - 0.05) AS DECIMAL(20,6))) AS DOUBLE) AS sum_abs_disc,
+           CAST(SUM(CAST(CAST(l_tax AS DECIMAL(4,2)) * CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(20,6))) AS DOUBLE) AS sum_tax_sq,
+           CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_floor_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def f3_math(spark, sf_dir):
+    """F3: math functions inside whole-stage codegen.  libm outputs (ln) are
+    rounded per-row before the exact decimal sum — JVM vs C libm may differ
+    in the last ulp; sqrt is IEEE-exact but gets the same treatment."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec6 = "decimal(20,6)"
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.round(F.sqrt("l_quantity"), 6).cast(dec6))
+            .cast("double")
+            .alias("sum_sqrt_qty"),
+            F.sum(F.round(F.log("l_extendedprice"), 6).cast(dec6))
+            .cast("double")
+            .alias("sum_ln_price"),
+            F.sum(
+                F.expr("abs(cast(l_discount as decimal(4,2)) - 0.05)").cast(dec6)
+            )
+            .cast("double")
+            .alias("sum_abs_disc"),
+            F.sum(
+                F.expr(
+                    "cast(l_tax as decimal(4,2)) * cast(l_tax as decimal(4,2))"
+                ).cast(dec6)
+            )
+            .cast("double")
+            .alias("sum_tax_sq"),
+            F.sum(F.floor("l_quantity").cast("bigint")).alias("sum_floor_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "f4_json",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def f4_json(spark, sf_dir):
+    """F4: JSON extraction (reference ships get_json_object as a UDF,
+    udf/udfs.py:83-90 — Spark builtin here)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "f5_hash",
+    oracle="""
+    SELECT c_custkey, md5(c_name) AS name_md5, sha256(c_name) AS name_sha256
+    FROM customer WHERE c_custkey <= 20
+    """,
+)
+def f5_hash(spark, sf_dir):
+    """F5: hash functions (reference sha1 UDF, udf/udfs.py:92-103)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.where(F.col("c_custkey") <= 20).select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2("c_name", 256).alias("name_sha256"),
+    )
+
+
+@query(
+    "f6_array",
+    oracle="""
+    SELECT p_partkey,
+           CAST(len(string_split(p_type, ' ')) AS INT) AS n_words,
+           array_to_string(list_sort(string_split(p_type, ' ')), ',') AS words_sorted,
+           string_split(p_type, ' ')[1] AS first_word,
+           CAST(list_contains(string_split(p_type, ' '), 'brushed') AS BOOLEAN) AS has_brushed
+    FROM part WHERE p_partkey <= 50
+    """,
+)
+def f6_array(spark, sf_dir):
+    """F6: array functions (size/sort/contains/element_at; reference uses
+    size() in profiling, funcs_common.py:449-450)."""
+    p = load_table(spark, sf_dir, "part")
+    words = F.split("p_type", " ")
+    return p.where(F.col("p_partkey") <= 50).select(
+        "p_partkey",
+        F.size(words).alias("n_words"),
+        F.array_join(F.array_sort(words), ",").alias("words_sorted"),
+        F.element_at(words, 1).alias("first_word"),
+        F.array_contains(words, "brushed").alias("has_brushed"),
+    )
+
+
+@query(
+    "f7_conversion",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS INT) AS qty_int,
+           CAST(CAST(l_quantity AS INT) AS VARCHAR) AS qty_str,
+           CAST(l_orderkey AS DOUBLE) AS key_dbl,
+           CAST(l_shipdate AS DATE)::VARCHAR AS ship_day
+    FROM lineitem WHERE l_orderkey <= 20
+    """,
+)
+def f7_conversion(spark, sf_dir):
+    """F7: casts across types (incl. the reference's cast(null as T) schema
+    trick territory, sql_tester.py:198-204)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_orderkey") <= 20).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_quantity").cast("int").cast("string").alias("qty_str"),
+        F.col("l_orderkey").cast("double").alias("key_dbl"),
+        F.col("l_shipdate").cast("date").cast("string").alias("ship_day"),
+    )
+
+
+@query(
+    "f8_conditional",
+    oracle="""
+    SELECT CASE WHEN o_orderstatus = 'F' THEN 'finished'
+                WHEN o_orderstatus = 'O' THEN 'open'
+                ELSE 'other' END AS status_label,
+           COALESCE(NULLIF(o_orderpriority, '4-NOT SPECIFIED'), 'unspecified') AS prio,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1, 2 ORDER BY status_label, prio
+    """,
+)
+def f8_conditional(spark, sf_dir):
+    """F8: CASE WHEN / COALESCE / NULLIF."""
+    o = load_table(spark, sf_dir, "orders")
+    status = (
+        F.when(F.col("o_orderstatus") == "F", "finished")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("other")
+        .alias("status_label")
+    )
+    prio = F.coalesce(
+        F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED")),
+        F.lit("unspecified"),
+    ).alias("prio")
+    return (
+        o.groupBy(status, prio)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status_label", "prio")
+    )

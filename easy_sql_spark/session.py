@@ -1,0 +1,78 @@
+"""SparkSession construction with the engine's tuning defaults.
+
+Mirrors the session defaults the reference installs at launch
+(easy_sql/spark_optimizer.py:30-58): AQE on, 128MB post-shuffle target,
+dynamic-partition nonstrict — re-expressed with Spark 3/4-native conf names
+(``partitionOverwriteMode=dynamic`` instead of the Hive workaround).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Defaults applied when *we* build the session.  When the session is handed
+#: to us (library mode / the driver's verify harness) we only apply the
+#: runtime-settable subset via :func:`tune_session`.
+SESSION_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "134217728",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+}
+
+# Conf keys that are safe to set on a live session.
+_RUNTIME_SETTABLE = {
+    "spark.sql.adaptive.enabled",
+    "spark.sql.adaptive.coalescePartitions.enabled",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    "spark.sql.adaptive.skewJoin.enabled",
+    "spark.sql.sources.partitionOverwriteMode",
+}
+
+
+def build_session(
+    app_name: str = "easy_sql_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build a SparkSession with the engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``)
+    when no cluster master is configured; on a real cluster the master comes
+    from spark-submit and this arg is left None.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    conf = dict(SESSION_DEFAULTS)
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus) if cpus and cpus.isdigit() else 32
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable engine defaults to an existing session."""
+    for k in _RUNTIME_SETTABLE:
+        try:
+            spark.conf.set(k, SESSION_DEFAULTS[k])
+        except Exception:  # pragma: no cover - conf locked down
+            pass
+    return spark
