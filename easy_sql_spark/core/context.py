@@ -1,0 +1,212 @@
+"""Variable and template contexts — the text macro system.
+
+Semantics replicated from the reference (easy_sql/sql_processor/context.py):
+
+- ``${name}``: case-insensitive variable reference; values may themselves
+  contain ``${...}`` and are re-resolved to a fixpoint (context.py:109-111).
+- ``${name:default}``: default when the variable is undefined.
+- ``${func(a, ${b})}``: run a registered Python function, splice str(result);
+  inner variable references resolve first (context.py:74-97).
+- ``@{tmpl}`` / ``@{tmpl(p1=v1, p2=${v})}``: template expansion with ``#{p}``
+  placeholders; templates cannot nest; variables written inside a template
+  body resolve at the use site (templates run before variables,
+  step.py:289-292).
+- Comments are shielded from all substitution (utils/sql_expr.py).
+
+Everything here is driver-side text processing — by design: the output is a
+single SQL string handed to ``spark.sql`` so Catalyst sees a plain query.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable
+
+from .sql_text import substitute_outside_comments
+
+VAR_PATTERN = re.compile(r"\$\{([^${}]+)\}")
+FUNC_CALL_PATTERN = re.compile(r"^(\w+)\((.*)\)$", re.DOTALL)
+# template args may contain ${var} references (templates expand BEFORE
+# variables, step.py:289-292), so the arg body admits balanced ${...} chunks
+TEMPLATE_PATTERN = re.compile(r"@\{(\w+)(?:\(((?:[^{}()]|\$\{[^}]*\})*)\))?\}")
+TEMPLATE_PARAM_PATTERN = re.compile(r"#\{(\w+)\}")
+
+MAX_RESOLVE_PASSES = 16
+
+
+class VarsContext:
+    """Scalar + list variables with case-insensitive names."""
+
+    def __init__(
+        self,
+        vars: dict[str, Any] | None = None,
+        list_vars: dict[str, list] | None = None,
+    ) -> None:
+        self.vars: dict[str, Any] = {}
+        self.list_vars: dict[str, list] = {}
+        if vars:
+            self.add_vars(vars)
+        if list_vars:
+            self.add_list_vars(list_vars)
+        self.func_runner: "FuncRunner | None" = None  # set by processor
+
+    # -- mutation ---------------------------------------------------------
+    def add_vars(self, vars: dict[str, Any]) -> None:
+        for k, v in vars.items():
+            self.vars[k.lower()] = v
+
+    def add_list_vars(self, list_vars: dict[str, list]) -> None:
+        for k, v in list_vars.items():
+            self.list_vars[k.lower()] = v
+
+    def set_var(self, name: str, value: Any) -> None:
+        self.vars[name.lower()] = value
+
+    # -- lookup -----------------------------------------------------------
+    def has_var(self, name: str) -> bool:
+        return name.lower() in self.vars
+
+    def get_var(self, name: str, default: Any = None) -> Any:
+        return self.vars.get(name.lower(), default)
+
+    def is_truthy(self, name: str) -> bool:
+        v = self.vars.get(name.lower())
+        return v not in (None, "", "0", "false", "False", 0, False)
+
+    # -- substitution -----------------------------------------------------
+    def replace_variables(self, text: str) -> str:
+        """Resolve ``${...}`` references to a fixpoint, comments shielded."""
+        return substitute_outside_comments(text, self._resolve_to_fixpoint)
+
+    def _resolve_to_fixpoint(self, text: str) -> str:
+        for _ in range(MAX_RESOLVE_PASSES):
+            new = VAR_PATTERN.sub(self._resolve_one, text)
+            if new == text:
+                return new
+            text = new
+        return text
+
+    def _resolve_one(self, m: re.Match) -> str:
+        inner = m.group(1).strip()
+        func_m = FUNC_CALL_PATTERN.match(inner)
+        if func_m and self.func_runner is not None:
+            result = self.func_runner.run_func_call(
+                func_m.group(1), func_m.group(2), self
+            )
+            return "" if result is None else str(result)
+        if ":" in inner:
+            name, default = inner.split(":", 1)
+            name = name.strip()
+            if self.has_var(name):
+                return self._render(self.get_var(name))
+            return default
+        if self.has_var(inner):
+            return self._render(self.get_var(inner))
+        raise KeyError(f"undefined variable: ${{{inner}}}")
+
+    @staticmethod
+    def _render(value: Any) -> str:
+        """Variables render as bare strings (the reference stringifies all
+        variable values at substitution time, step.py:313-317)."""
+        if value is None:
+            return "null"
+        if isinstance(value, bool):
+            return str(value).lower()
+        return str(value)
+
+
+class TemplatesContext:
+    """Named SQL fragments with ``#{param}`` placeholders."""
+
+    def __init__(self) -> None:
+        self.templates: dict[str, str] = {}
+
+    def add_template(self, name: str, body: str) -> None:
+        self.templates[name] = body
+
+    def replace_templates(self, text: str) -> str:
+        return substitute_outside_comments(text, self._expand_all)
+
+    def _expand_all(self, text: str) -> str:
+        return TEMPLATE_PATTERN.sub(self._expand_one, text)
+
+    def _expand_one(self, m: re.Match) -> str:
+        name, arg_text = m.group(1), m.group(2)
+        if name not in self.templates:
+            raise KeyError(f"undefined template: @{{{name}}}")
+        body = self.templates[name]
+        params: dict[str, str] = {}
+        if arg_text:
+            for part in arg_text.split(","):
+                if "=" not in part:
+                    raise ValueError(
+                        f"template argument must be k=v: {part!r} in @{{{name}}}"
+                    )
+                k, v = part.split("=", 1)
+                params[k.strip()] = v.strip()
+        return TEMPLATE_PARAM_PATTERN.sub(
+            lambda pm: params.get(pm.group(1), pm.group(0)), body
+        )
+
+
+class FuncRunner:
+    """Registry + invoker for Python functions callable from SQL text.
+
+    Reference parity (funcs.py:12-52, 216-247): ``builtins`` and ``operator``
+    modules auto-registered, plus comparison helpers; arguments are
+    comma-split strings with variables substituted; no nested parens/commas
+    in literals.
+    """
+
+    def __init__(self, funcs: dict[str, Callable] | None = None) -> None:
+        import builtins
+        import operator as op_mod
+
+        self.funcs: dict[str, Callable] = {}
+        for mod in (builtins, op_mod):
+            for fname in dir(mod):
+                fn = getattr(mod, fname)
+                if callable(fn) and not fname.startswith("_"):
+                    self.funcs[fname] = fn
+        self.funcs.update(
+            {
+                "equal": lambda a, b: a == b,
+                "equal_ignore_case": lambda a, b: str(a).lower() == str(b).lower(),
+                "is_greater_or_equal": lambda a, b: float(a) >= float(b),
+            }
+        )
+        if funcs:
+            self.funcs.update(funcs)
+
+    def register(self, name: str, fn: Callable) -> None:
+        self.funcs[name] = fn
+
+    def register_all(self, funcs: dict[str, Callable]) -> None:
+        self.funcs.update(funcs)
+
+    def has(self, name: str) -> bool:
+        return name in self.funcs
+
+    def split_args(self, arg_text: str, vars_context: VarsContext) -> list[str]:
+        if arg_text.strip() == "":
+            return []
+        return [
+            vars_context._resolve_to_fixpoint(a.strip())
+            for a in arg_text.split(",")
+        ]
+
+    def run_func_call(
+        self, name: str, arg_text: str, vars_context: VarsContext
+    ) -> Any:
+        if name not in self.funcs:
+            raise KeyError(f"unregistered function: {name}")
+        args = self.split_args(arg_text, vars_context)
+        resolved_args = [self._expand_list_var(a, vars_context) for a in args]
+        return self.funcs[name](*resolved_args)
+
+    @staticmethod
+    def _expand_list_var(arg: str, vars_context: VarsContext):
+        """List variables are usable only as function args (context.py:126-130)."""
+        if arg.lower() in vars_context.list_vars:
+            return vars_context.list_vars[arg.lower()]
+        return arg

@@ -1,0 +1,20 @@
+"""Python function library callable via ``${f(...)}`` / ``func.`` / ``if=`` /
+``check.`` steps (reference registry: easy_sql/sql_processor/funcs.py:152-214).
+
+``build_registry(processor)`` binds every function to the live processor so
+they can reach the backend/vars the way the reference's singletons do
+(sql_processor.py:193-222).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from . import funcs_io, funcs_partition, funcs_quality, funcs_spark
+
+
+def build_registry(processor) -> dict[str, Callable]:
+    registry: dict[str, Callable] = {}
+    for mod in (funcs_partition, funcs_spark, funcs_io, funcs_quality):
+        registry.update(mod.build(processor))
+    return registry

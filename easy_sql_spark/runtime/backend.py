@@ -1,0 +1,250 @@
+"""Spark backend: table management semantics of the step language.
+
+Re-expresses the reference's Spark backend behaviors
+(easy_sql/sql_processor/backend/spark.py) on modern Spark:
+
+- temp/cache/broadcast views (spark.py:128-140)
+- partition-aware saves: static/dynamic ``INSERT OVERWRITE`` with
+  ``spark.sql.sources.partitionOverwriteMode=dynamic`` instead of the
+  Hive-workaround the reference carries for Spark 2 (spark.py:267-293)
+- auto table creation as parquet CTAS (spark.py:158-185)
+- column alignment + schema verification (spark.py:187-220, 271-279)
+- read-write-same-table lineage break via localCheckpoint (spark.py:295-309)
+- temp-view lifecycle cleanup (spark.py:116-121, 324-328)
+
+All data movement is declarative SQL/DataFrame — Catalyst owns the physical
+plan; nothing here collects data to the driver.
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Partition:
+    field: str
+    value: object | None = None  # None => dynamic partition
+
+    @property
+    def is_dynamic(self) -> bool:
+        return self.value is None or self.value == ""
+
+
+@dataclass
+class TableMeta:
+    """``[catalog.]db.table`` plus partition spec."""
+
+    name: str
+    partitions: list[Partition] = field(default_factory=list)
+
+    @classmethod
+    def parse(cls, name: str, partitions: list[Partition] | None = None):
+        parts = name.split(".")
+        if len(parts) not in (2, 3):
+            raise ValueError(f"table name must be [catalog.]db.table: {name!r}")
+        return cls(name=name, partitions=partitions or [])
+
+    @property
+    def db(self) -> str:
+        return self.name.split(".")[-2]
+
+    @property
+    def table(self) -> str:
+        return self.name.split(".")[-1]
+
+    def static_partitions(self) -> list[Partition]:
+        return [p for p in self.partitions if not p.is_dynamic]
+
+    def partition_cols(self) -> list[str]:
+        return [p.field for p in self.partitions]
+
+
+class SchemaMismatchError(RuntimeError):
+    pass
+
+
+class SparkBackend:
+    """The single backend of this engine (the reference's Backend interface
+    collapses: base.py:21-120 → one Spark implementation)."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+        self._temp_views: list[str] = []
+
+    # ------------------------------------------------------------------ sql
+    def exec_sql(self, sql: str) -> DataFrame:
+        return self.spark.sql(sql)
+
+    def exec_native_sql(self, sql: str) -> None:
+        """DDL / side-effect statements (action step, prepare-sql)."""
+        self.spark.sql(sql)
+
+    # ---------------------------------------------------------------- views
+    def create_temp_view(self, df: DataFrame, name: str) -> None:
+        df.createOrReplaceTempView(name)
+        self._temp_views.append(name)
+
+    def create_cached_view(self, df: DataFrame, name: str) -> None:
+        df.createOrReplaceTempView(name)
+        self.spark.catalog.cacheTable(name)
+        self._temp_views.append(name)
+
+    def create_broadcast_view(self, df: DataFrame, name: str) -> None:
+        F.broadcast(df).createOrReplaceTempView(name)
+        self._temp_views.append(name)
+
+    def clean_temp_views(self) -> None:
+        for name in self._temp_views:
+            try:
+                self.spark.catalog.dropTempView(name)
+            except Exception:
+                pass
+        self._temp_views.clear()
+        try:
+            self.spark.catalog.clearCache()
+        except Exception:
+            pass
+
+    # --------------------------------------------------------------- tables
+    def table_exists(self, table: TableMeta) -> bool:
+        return self.spark.catalog.tableExists(table.name)
+
+    def refresh_table_partitions(self, table: TableMeta) -> None:
+        """Re-derive partition columns from the catalog so later saves use
+        the real partitioning (reference spark.py:312-322)."""
+        if not self.table_exists(table):
+            return
+        part_cols = [
+            c.name
+            for c in self.spark.catalog.listColumns(table.name)
+            if c.isPartition
+        ]
+        if part_cols:
+            known = {p.field: p for p in table.partitions}
+            table.partitions = [
+                known.get(c, Partition(field=c)) for c in part_cols
+            ]
+
+    def create_table_like_query(self, df: DataFrame, table: TableMeta) -> None:
+        """CTAS an empty parquet table matching the query schema
+        (+ partition columns), reference spark.py:158-185."""
+        part_cols = table.partition_cols()
+        view = f"__schema_probe_{uuid.uuid4().hex}"
+        df.limit(0).createOrReplaceTempView(view)
+        cols = [c for c in df.columns if c not in part_cols] + part_cols
+        col_list = ", ".join(f"`{c}`" for c in cols)
+        partitioned = (
+            f" PARTITIONED BY ({', '.join(f'`{c}`' for c in part_cols)})"
+            if part_cols
+            else ""
+        )
+        try:
+            self.spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {table.name} USING PARQUET"
+                f"{partitioned} AS SELECT {col_list} FROM {view} WHERE 1=0"
+            )
+        finally:
+            self.spark.catalog.dropTempView(view)
+
+    def verify_schema(
+        self, df: DataFrame, table: TableMeta, check_types: bool = False
+    ) -> None:
+        """Target columns must all exist in the source; surplus source
+        columns are dropped silently on save (reference spark.py:187-220)."""
+        target_fields = {
+            c.name: c.dataType for c in self.spark.catalog.listColumns(table.name)
+        }
+        source_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        missing = [c for c in target_fields if c not in source_fields]
+        if missing:
+            raise SchemaMismatchError(
+                f"save to {table.name}: source query lacks target columns "
+                f"{missing}; source has {sorted(source_fields)}"
+            )
+        if check_types:
+            mismatched = {
+                c: (source_fields[c], target_fields[c])
+                for c in target_fields
+                if target_fields[c]
+                and source_fields[c] != str(target_fields[c]).lower()
+            }
+            if mismatched:
+                raise SchemaMismatchError(
+                    f"save to {table.name}: column type mismatches {mismatched}"
+                )
+
+    # ----------------------------------------------------------------- save
+    def save_table(
+        self,
+        df: DataFrame,
+        table: TableMeta,
+        save_mode: str = "overwrite",
+        create_table: bool = False,
+    ) -> None:
+        """Materialize a query into a warehouse table.
+
+        Static partition values are injected as literal columns when absent
+        (reference spark.py:269-284); the write is always a dynamic-partition
+        insert under ``partitionOverwriteMode=dynamic`` — at scale this only
+        rewrites the partitions present in the data, exactly the semantics
+        the reference emulates around SPARK-31605.
+        """
+        for p in table.static_partitions():
+            if p.field not in df.columns:
+                df = df.withColumn(p.field, F.lit(p.value))
+
+        if not self.table_exists(table):
+            if not create_table:
+                raise RuntimeError(
+                    f"target table {table.name} does not exist and "
+                    "__create_output_table__ is not set"
+                )
+            self.create_table_like_query(df, table)
+        else:
+            self.refresh_table_partitions(table)
+            for p in table.static_partitions():
+                if p.field not in df.columns:
+                    df = df.withColumn(p.field, F.lit(p.value))
+        self.verify_schema(df, table)
+
+        # column alignment: target order, surplus source columns dropped
+        target_cols = [c.name for c in self.spark.catalog.listColumns(table.name)]
+        aligned = df.select(*[F.col(c) for c in target_cols])
+
+        overwrite = save_mode.lower() != "append"
+        try:
+            aligned.write.insertInto(table.name, overwrite=overwrite)
+        except Exception as e:  # read-write same table: break lineage, retry
+            if "Cannot overwrite" in str(e) or "is also being read" in str(e):
+                aligned.localCheckpoint(eager=True).write.insertInto(
+                    table.name, overwrite=overwrite
+                )
+            else:
+                raise
+
+    # ----------------------------------------------------- partition probes
+    def list_partitions(self, table_name: str) -> list[str]:
+        """SHOW PARTITIONS values (first partition column), sorted.  Used by
+        the partition function library (reference funcs_spark.py:174-178)."""
+        try:
+            rows = self.spark.sql(f"SHOW PARTITIONS {table_name}").collect()
+        except Exception:
+            return []
+        values = []
+        for r in rows:
+            spec = r[0]  # e.g. "dt=2021-01-01/hr=00"
+            first = spec.split("/")[0]
+            values.append(first.split("=", 1)[1])
+        return sorted(set(values))
+
+    def partition_columns(self, table_name: str) -> list[str]:
+        return [
+            c.name
+            for c in self.spark.catalog.listColumns(table_name)
+            if c.isPartition
+        ]

@@ -1,0 +1,300 @@
+"""SqlProcessor — the step execution loop.
+
+Mirrors the reference's driver semantics (easy_sql/sql_processor/
+sql_processor.py:50-222, step.py:258-538) on the Spark backend:
+
+- sequential step loop; all parallelism lives inside Spark;
+- ``if=func(args)`` conditions and the ``__skip_all__`` kill switch;
+- 12 step types incl. variables/list_variables capture, template
+  registration, func execution, log/check steps with their row caps,
+  output-step save semantics with ``__partition__<col>`` /
+  ``__save_mode__`` / ``__create_output_table__`` variables;
+- dry-run output materialization to ``{db}_{table}_{hex}_output`` temp
+  views (the test harness contract, reference step.py:445-466);
+- ``__exception_handler__`` hook (sql_processor.py:174-183).
+"""
+
+from __future__ import annotations
+
+import re
+import uuid
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..core.config import EtlConfig
+from ..core.context import FuncRunner, TemplatesContext, VarsContext
+from ..core.step import IncludeResolver, Step, parse_steps
+from .backend import Partition, SparkBackend, TableMeta
+from .report import RunReport, StepStatus
+
+LOG_ROW_CAP = 20  # reference step.py:484
+CHECK_ROW_CAP = 100  # reference step.py:512
+
+PARTITION_VAR_RE = re.compile(r"^__partition__(.+)$")
+FUNC_CALL_RE = re.compile(r"^(\w+)\((.*)\)$", re.DOTALL)
+
+
+class StepFailedError(RuntimeError):
+    pass
+
+
+class CheckFailedError(StepFailedError):
+    pass
+
+
+class SqlProcessor:
+    def __init__(
+        self,
+        spark: SparkSession,
+        sql: str,
+        variables: dict[str, Any] | None = None,
+        includes: dict[str, str] | None = None,
+        base_dir: str = ".",
+        extra_cols: dict[str, Any] | None = None,
+        funcs: dict[str, Callable] | None = None,
+        udfs: dict[str, Callable] | None = None,
+        logger: Callable[[str], None] | None = None,
+    ) -> None:
+        self.spark = spark
+        self.backend = SparkBackend(spark)
+        self.config = EtlConfig.parse(sql)
+        self.vars_context = VarsContext(vars=variables or {})
+        self.templates_context = TemplatesContext()
+        self.func_runner = FuncRunner()
+        self.vars_context.func_runner = self.func_runner
+        self.extra_cols = extra_cols or {}
+        self.report = RunReport()
+        self.log = logger or print
+        self._output_views: dict[str, str] = {}  # table name -> dry-run view
+
+        from ..functions import build_registry
+
+        self.func_runner.register_all(build_registry(self))
+        if funcs:
+            self.func_runner.register_all(funcs)
+
+        from ..functions.udfs import register_udfs
+
+        register_udfs(spark, udfs)
+
+        for k, v in self.config.engine_conf.items():
+            try:
+                spark.conf.set(k, v)
+            except Exception:
+                self.log(f"warn: conf {k} not settable at runtime")
+
+        resolver = IncludeResolver(includes=includes or {}, base_dir=base_dir)
+        self.steps: list[Step] = parse_steps(sql, resolver)
+
+    # ---------------------------------------------------------------- public
+    def run(self, dry_run: bool = False) -> RunReport:
+        for stmt in self.config.prepare_sql:
+            self.backend.exec_native_sql(stmt)
+        try:
+            for step in self.steps:
+                self._run_step(step, dry_run)
+        finally:
+            self.log(self.report.render())
+        return self.report
+
+    def set_var(self, name: str, value: Any) -> None:
+        self.vars_context.set_var(name, value)
+
+    def get_var(self, name: str, default: Any = None) -> Any:
+        return self.vars_context.get_var(name, default)
+
+    def output_view_for(self, table_name: str) -> str | None:
+        """Dry-run materialized view name for an output table (test harness)."""
+        return self._output_views.get(table_name)
+
+    # --------------------------------------------------------------- private
+    def _run_step(self, step: Step, dry_run: bool) -> None:
+        target = step.target_type + (
+            f".{step.target_name}" if step.target_name else ""
+        )
+        report = self.report.new_step(step.id, target)
+        if not self._should_run(step):
+            report.finish(StepStatus.SKIPPED)
+            return
+        report.start()
+        self._inject_meta_vars(step)
+        try:
+            self._execute(step, dry_run, report)
+            report.finish(StepStatus.SUCCEEDED)
+        except Exception as e:
+            report.finish(StepStatus.FAILED, f"{type(e).__name__}: {e}")
+            handler = self.vars_context.get_var("__exception_handler__")
+            if handler:
+                m = FUNC_CALL_RE.match(str(handler))
+                if m:
+                    args = self.func_runner.split_args(m.group(2), self.vars_context)
+                    self.func_runner.funcs[m.group(1)](*args, e)
+                    return
+            raise
+
+    def _should_run(self, step: Step) -> bool:
+        if self.vars_context.is_truthy("__skip_all__"):
+            return False
+        if step.config.condition is None:
+            return True
+        m = FUNC_CALL_RE.match(step.config.condition)
+        assert m, f"invalid if= condition: {step.config.condition}"
+        result = self.func_runner.run_func_call(
+            m.group(1), m.group(2), self.vars_context
+        )
+        return bool(result) and str(result).lower() != "false"
+
+    def _inject_meta_vars(self, step: Step) -> None:
+        self.vars_context.add_vars(
+            {
+                "__step__": str(step.id),
+                "__target__": step.target_type,
+            }
+        )
+
+    def _preprocessed(self, step: Step) -> str:
+        return step.preprocess_sql(self.templates_context, self.vars_context)
+
+    def _execute(self, step: Step, dry_run: bool, report) -> None:
+        t = step.target_type
+        if t == "template":
+            # body registered raw: vars inside resolve at use-site
+            self.templates_context.add_template(step.target_name, step.sql)
+            return
+        if t == "func":
+            self._run_named_func(step.target_name)
+            return
+        if t == "action":
+            sql = self._preprocessed(step)
+            if sql:
+                self.backend.exec_native_sql(sql)
+            return
+        if t == "check" and FUNC_CALL_RE.match(step.target_name or ""):
+            if self.vars_context.is_truthy("__no_check__"):
+                return
+            result = self._run_named_func(step.target_name)
+            if not result or str(result).lower() == "false":
+                raise CheckFailedError(
+                    f"check failed: {step.target_name} -> {result!r}"
+                )
+            return
+
+        sql = self._preprocessed(step)
+        df = self.backend.exec_sql(sql)
+
+        if t == "temp":
+            self.backend.create_temp_view(df, step.target_name)
+        elif t == "cache":
+            if self.vars_context.is_truthy("__no_cache__"):
+                self.backend.create_temp_view(df, step.target_name)
+            else:
+                self.backend.create_cached_view(df, step.target_name)
+        elif t == "broadcast":
+            self.backend.create_broadcast_view(df, step.target_name)
+        elif t == "variables":
+            row = df.first()
+            if row is not None:
+                self.vars_context.add_vars(
+                    {k: self._stringify(v) for k, v in row.asDict().items()}
+                )
+        elif t == "list_variables":
+            rows = df.collect()
+            lists: dict[str, list] = {c: [] for c in df.columns}
+            for r in rows:
+                d = r.asDict()
+                for c in df.columns:
+                    lists[c].append(d[c])
+            self.vars_context.add_list_vars(lists)
+        elif t == "log":
+            if not self.vars_context.is_truthy("__no_log__"):
+                for r in df.limit(LOG_ROW_CAP).collect():
+                    self.log(f"log[{step.target_name}]: {r.asDict()}")
+                    report.add_message(str(r.asDict()))
+        elif t == "check":
+            self._data_check(step, df)
+        elif t == "output":
+            self._save_output(step, df, dry_run)
+        else:  # pragma: no cover
+            raise StepFailedError(f"unhandled step type: {t}")
+
+    @staticmethod
+    def _stringify(v: Any) -> Any:
+        """Variables are string-typed at substitution (reference
+        step.py:313-317); ints/floats render without quotes naturally."""
+        if v is None:
+            return "null"
+        if isinstance(v, bool):
+            return str(v).lower()
+        return str(v)
+
+    def _run_named_func(self, call_text: str | None):
+        m = FUNC_CALL_RE.match(call_text or "")
+        if not m:
+            raise StepFailedError(f"func step needs f(args), got {call_text!r}")
+        return self.func_runner.run_func_call(
+            m.group(1), m.group(2), self.vars_context
+        )
+
+    def _data_check(self, step: Step, df: DataFrame) -> None:
+        """Every row must have actual == expected; ≥1 row required
+        (reference step.py:512-538)."""
+        if self.vars_context.is_truthy("__no_check__"):
+            return
+        cols = [c.lower() for c in df.columns]
+        if "actual" not in cols or "expected" not in cols:
+            raise CheckFailedError(
+                f"check step {step.target_name}: query must produce "
+                f"'actual' and 'expected' columns, got {df.columns}"
+            )
+        rows = df.limit(CHECK_ROW_CAP).collect()
+        if not rows:
+            raise CheckFailedError(
+                f"check step {step.target_name}: no rows returned"
+            )
+        for r in rows:
+            d = {k.lower(): v for k, v in r.asDict().items()}
+            if d["actual"] != d["expected"]:
+                raise CheckFailedError(
+                    f"check step {step.target_name}: actual={d['actual']!r} "
+                    f"!= expected={d['expected']!r}"
+                )
+
+    def _save_output(self, step: Step, df: DataFrame, dry_run: bool) -> None:
+        for col, value in self.extra_cols.items():
+            from pyspark.sql import functions as F
+
+            df = df.withColumn(col, F.lit(value))
+
+        partitions = []
+        for key, value in list(self.vars_context.vars.items()):
+            m = PARTITION_VAR_RE.match(key)
+            if m:
+                partitions.append(
+                    Partition(field=m.group(1), value=value or None)
+                )
+        table = TableMeta.parse(step.target_name, partitions)
+        save_mode = str(
+            self.vars_context.get_var(
+                "__save_mode__", self.vars_context.get_var("save_mode", "overwrite")
+            )
+        )
+        create_table = self.vars_context.is_truthy(
+            "__create_output_table__"
+        ) or self.vars_context.is_truthy("__create_hive_table__")
+
+        if self.vars_context.is_truthy("__dry_run_verify_output_schema__"):
+            if self.backend.table_exists(table):
+                self.backend.verify_schema(df, table)
+
+        if dry_run:
+            from pyspark.sql import functions as F
+
+            for p in table.static_partitions():
+                if p.field not in df.columns:
+                    df = df.withColumn(p.field, F.lit(p.value))
+            view = f"{table.db}_{table.table}_{uuid.uuid4().hex}_output"
+            self.backend.create_temp_view(df, view)
+            self._output_views[table.name] = view
+            return
+        self.backend.save_table(df, table, save_mode, create_table)

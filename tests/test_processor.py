@@ -1,0 +1,265 @@
+"""Integration tests: full ETLs through SqlProcessor on local Spark.
+
+Mirrors the reference's processor integration suite
+(sql_processor_test.py:15-357): multi-step ETL with variables/log/check/
+temp/output, exception handler, failing check, action step, dry-run
+partition semantics, partition-guard functions.
+"""
+
+import pytest
+
+from easy_sql_spark.runtime.processor import (
+    CheckFailedError,
+    SqlProcessor,
+)
+
+SAMPLE_ETL = """-- backend: spark
+-- prepare-sql: drop database if exists sample cascade
+-- prepare-sql: create database sample
+-- prepare-sql: create table sample.test using parquet as select 1 as id, '1' as val
+
+-- target=variables
+select true as __create_output_table__
+
+-- target=variables
+select 1 as a
+
+-- target=log.a
+select '${a}' as a
+
+-- target=check.should_equal
+select 1 as actual, 1 as expected
+
+-- target=temp.result
+select
+    ${a} as id, ${a} + 1 as val
+union all
+select id, val from sample.test
+
+-- target=output.sample.result
+select * from result
+
+-- target=log.sample_result
+select * from result
+"""
+
+
+def test_sample_etl_end_to_end(spark):
+    p = SqlProcessor(spark, SAMPLE_ETL, logger=lambda m: None)
+    report = p.run()
+    assert all(r.status.value in ("SUCCEEDED", "SKIPPED") for r in report.steps)
+    # Spark 4 ANSI union coerces int∪string to int (Spark 3 gave strings);
+    # compare values type-agnostically.
+    rows = {tuple(str(v) for v in r) for r in spark.table("sample.result").collect()}
+    assert rows == {("1", "2"), ("1", "1")}
+    # output table was auto-created as parquet
+    assert spark.catalog.tableExists("sample.result")
+
+
+def test_variables_and_list_variables(spark):
+    sql = """-- target=variables
+select 2 as a, 'x' as b
+
+-- target=list_variables
+select explode(array(1, 2, 3)) as xs
+
+-- target=check.len_is_3, if=equal(${b}, x)
+select ${len(xs)} as actual, 3 as expected
+"""
+    p = SqlProcessor(spark, sql, logger=lambda m: None)
+    report = p.run()
+    assert p.get_var("a") == "2"
+    assert p.vars_context.list_vars["xs"] == [1, 2, 3]
+    assert report.steps[-1].status.value == "SUCCEEDED"
+
+
+def test_failing_check_raises(spark):
+    sql = "-- target=check.bad\nselect 1 as actual, 2 as expected"
+    p = SqlProcessor(spark, sql, logger=lambda m: None)
+    with pytest.raises(CheckFailedError):
+        p.run()
+
+
+def test_check_func_form_and_no_check(spark):
+    sql = "-- target=check.equal(${a}, 1)\n"
+    p = SqlProcessor(spark, sql, variables={"a": "1"}, logger=lambda m: None)
+    p.run()
+    bad = SqlProcessor(spark, sql, variables={"a": "2"}, logger=lambda m: None)
+    with pytest.raises(CheckFailedError):
+        bad.run()
+    skipped = SqlProcessor(
+        spark, sql, variables={"a": "2", "__no_check__": "1"}, logger=lambda m: None
+    )
+    skipped.run()  # no raise
+
+
+def test_skip_all_and_if_condition(spark):
+    sql = """-- target=variables
+select 1 as __skip_all__
+
+-- target=temp.never
+select 1 as v
+"""
+    p = SqlProcessor(spark, sql, logger=lambda m: None)
+    report = p.run()
+    assert report.steps[1].status.value == "SKIPPED"
+
+    sql2 = """-- target=temp.maybe, if=equal(${flag}, yes)
+select 1 as v
+"""
+    p2 = SqlProcessor(spark, sql2, variables={"flag": "no"}, logger=lambda m: None)
+    assert p2.run().steps[0].status.value == "SKIPPED"
+
+
+def test_exception_handler(spark):
+    captured = []
+    sql = """-- target=temp.boom
+select * from table_that_does_not_exist_xyz
+"""
+    p = SqlProcessor(
+        spark,
+        sql,
+        variables={"__exception_handler__": "grab_error()"},
+        funcs={"grab_error": lambda e: captured.append(e)},
+        logger=lambda m: None,
+    )
+    p.run()  # handler swallows
+    assert len(captured) == 1
+
+
+def test_action_and_broadcast_and_cache(spark):
+    sql = """-- target=action.setup
+drop database if exists asample cascade
+
+-- target=action.mk
+create database asample
+
+-- target=cache.c1
+select 1 as id
+
+-- target=broadcast.b1
+select 2 as id
+
+-- target=temp.joined
+select c1.id a, b1.id b from c1 cross join b1
+"""
+    p = SqlProcessor(spark, sql, logger=lambda m: None)
+    p.run()
+    assert spark.table("joined").collect()[0].asDict() == {"a": 1, "b": 2}
+
+
+def test_dry_run_output_with_static_partition(spark):
+    sql = """-- target=variables
+select '2024-01-01' as __partition__dt
+
+-- target=output.nodb.notable
+select 7 as id
+"""
+    p = SqlProcessor(spark, sql, logger=lambda m: None)
+    p.run(dry_run=True)
+    view = p.output_view_for("nodb.notable")
+    assert view is not None and view.endswith("_output")
+    row = spark.table(view).collect()[0]
+    assert row.id == 7 and row.dt == "2024-01-01"
+
+
+def test_output_partitioned_table_overwrite_and_append(spark):
+    setup = """-- backend: spark
+-- prepare-sql: drop database if exists psample cascade
+-- prepare-sql: create database psample
+
+-- target=variables
+select true as __create_output_table__, '2024-01-01' as __partition__dt
+
+-- target=output.psample.t
+select 1 as id
+"""
+    SqlProcessor(spark, setup, logger=lambda m: None).run()
+    assert spark.table("psample.t").collect()[0].dt == "2024-01-01"
+
+    # dynamic-partition overwrite of a second partition leaves the first alone
+    second = """-- target=variables
+select '2024-01-02' as __partition__dt
+
+-- target=output.psample.t
+select 2 as id
+"""
+    SqlProcessor(spark, second, logger=lambda m: None).run()
+    rows = {(r.id, r.dt) for r in spark.table("psample.t").collect()}
+    assert rows == {(1, "2024-01-01"), (2, "2024-01-02")}
+
+    # append into the same partition
+    third = """-- target=variables
+select '2024-01-02' as __partition__dt, 'append' as __save_mode__
+
+-- target=output.psample.t
+select 3 as id
+"""
+    SqlProcessor(spark, third, logger=lambda m: None).run()
+    rows = {(r.id, r.dt) for r in spark.table("psample.t").collect()}
+    assert rows == {
+        (1, "2024-01-01"),
+        (2, "2024-01-02"),
+        (3, "2024-01-02"),
+    }
+
+    # overwrite partition 2 again: partition 1 must survive
+    fourth = """-- target=variables
+select '2024-01-02' as __partition__dt
+
+-- target=output.psample.t
+select 9 as id
+"""
+    SqlProcessor(spark, fourth, logger=lambda m: None).run()
+    rows = {(r.id, r.dt) for r in spark.table("psample.t").collect()}
+    assert rows == {(1, "2024-01-01"), (9, "2024-01-02")}
+
+
+def test_column_alignment_drops_surplus_and_errors_on_missing(spark):
+    setup = """-- prepare-sql: drop database if exists csample cascade
+-- prepare-sql: create database csample
+-- prepare-sql: create table csample.t (id int, val string) using parquet
+
+-- target=output.csample.t
+select 'v' as val, 1 as id, 99 as surplus
+"""
+    SqlProcessor(spark, setup, logger=lambda m: None).run()
+    assert spark.table("csample.t").columns == ["id", "val"]
+
+    missing = "-- target=output.csample.t\nselect 1 as id"
+    with pytest.raises(Exception, match="lacks target columns"):
+        SqlProcessor(spark, missing, logger=lambda m: None).run()
+
+
+def test_partition_funcs(spark):
+    setup = """-- prepare-sql: drop database if exists fsample cascade
+-- prepare-sql: create database fsample
+
+-- target=variables
+select true as __create_output_table__, '2024-01-01' as __partition__dt
+
+-- target=output.fsample.pt
+select 1 as id
+"""
+    SqlProcessor(spark, setup, logger=lambda m: None).run()
+    sql = """-- target=variables
+select 1 as one
+
+-- target=check.partition_exists(fsample.pt, 2024-01-01)
+
+-- target=check.partition_not_exists(fsample.pt, 2024-09-09)
+
+-- target=temp.guarded, if=partition_exists(fsample.pt, 2024-01-01)
+select '${get_last_partition(fsample.pt)}' as last_pt
+"""
+    p = SqlProcessor(spark, sql, logger=lambda m: None)
+    p.run()
+    assert spark.table("guarded").collect()[0].last_pt == "2024-01-01"
+
+
+def test_udfs_registered(spark):
+    SqlProcessor(spark, "-- target=temp.u\nselect 1", logger=lambda m: None)
+    row = spark.sql(
+        "select remove_all_whitespaces(' a b\tc ') as a, trim_all('  x  ') as b"
+    ).collect()[0]
+    assert row.a == "abc" and row.b == "x"
