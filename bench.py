@@ -1,0 +1,77 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR on local Spark.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced through the ``noop`` sink — the full plan runs JVM-side
+(scan → shuffle → agg) without driver collect overhead, which is what a
+cluster job would measure.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "a1_pricing_summary",
+    "a3_distinct_agg",
+    "a5_rollup",
+    "j1_inner_equi",
+    "j2_left_outer",
+    "j6_broadcast",
+    "w1_ranking",
+    "w3_framed",
+    "s2_topk",
+    "f3_math",
+    "f4_json",
+    "s10_explode",
+    "dedup_fingerprint",
+    "dedup_minhash_lsh",
+    "text_token_count",
+    "sim_topk_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    from easy_sql_spark.queries import QUERIES
+    from easy_sql_spark.session import build_session
+
+    spark = build_session(
+        "bench", extra_conf={"spark.ui.enabled": "false"}
+    )
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    run("a1_pricing_summary")  # warmup: JVM/codegen/parquet footer caches
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run(name), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
