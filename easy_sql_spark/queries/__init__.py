@@ -38,3 +38,4 @@ def query(name: str, oracle: str | None = None):
 # Importing the modules populates the registry.
 from . import relational  # noqa: E402,F401
 from . import llm_ops  # noqa: E402,F401
+from . import advanced  # noqa: E402,F401

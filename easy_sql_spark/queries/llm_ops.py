@@ -393,3 +393,179 @@ def sim_label_centroids(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+N_SIMHASH_BITS = 32
+
+
+def _simhash_expr_spark(docs):
+    """doc_id → 32-bit simhash as a bitstring, built from md5 nibbles of
+    each word: bit i is +1 when hex digit i of md5(word) has its high bit
+    set.  Explodes words × 32 bit-positions, one groupBy — shuffle keyed by
+    (doc_id, bit) stays uniform at any corpus size."""
+    words = docs.select(
+        "doc_id", F.explode(F.array_distinct(_words())).alias("word")
+    )
+    bits = words.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.lit(N_SIMHASH_BITS))).alias("i"),
+        F.md5("word").alias("h"),
+    ).select(
+        "doc_id",
+        "i",
+        F.when(
+            F.substring("h", F.col("i"), F.lit(1)).isin(list("89abcdef")), 1
+        )
+        .otherwise(-1)
+        .alias("w"),
+    )
+    sums = bits.groupBy("doc_id", "i").agg(F.sum("w").alias("s"))
+    return (
+        sums.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("i"), F.col("s")))
+                    ),
+                    lambda x: F.when(x["s"] >= 0, "1").otherwise("0"),
+                ),
+            ).alias("simhash")
+        )
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH words AS (
+        SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS word
+        FROM documents),
+    bits AS (
+        SELECT doc_id, i,
+               CASE WHEN strpos('89abcdef', substr(md5(word), i, 1)) > 0
+                    THEN 1 ELSE -1 END AS w
+        FROM words, UNNEST(range(1, 33)) AS t(i)),
+    sums AS (SELECT doc_id, i, SUM(w) AS s FROM bits GROUP BY doc_id, i),
+    fp AS (
+        SELECT doc_id,
+               string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+                          ORDER BY i) AS simhash
+        FROM sums GROUP BY doc_id)
+    SELECT doc_id, simhash FROM fp WHERE doc_id <= 100
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash fingerprints (32-bit) — near-dup detection robust to small
+    edits; md5-nibble bit derivation is engine-portable."""
+    d = load_table(spark, sf_dir, "documents")
+    return _simhash_expr_spark(d).where(F.col("doc_id") <= 100)
+
+
+_LANG_MARKERS = {
+    "en": ["the", "a", "fast", "slow"],
+    "es": ["data", "table", "row"],
+    "de": ["spark", "merge", "batch"],
+}
+
+
+def _marker_list_sql(words):
+    return ", ".join(f"'{w}'" for w in words)
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(text, ' '),
+                   x -> x IN ({_marker_list_sql(_LANG_MARKERS['en'])}))) AS s_en,
+               len(list_filter(string_split(text, ' '),
+                   x -> x IN ({_marker_list_sql(_LANG_MARKERS['es'])}))) AS s_es,
+               len(list_filter(string_split(text, ' '),
+                   x -> x IN ({_marker_list_sql(_LANG_MARKERS['de'])}))) AS s_de
+        FROM documents),
+    pred AS (
+        SELECT doc_id, lang,
+               CASE WHEN s_de >= s_en AND s_de >= s_es THEN 'de'
+                    WHEN s_en >= s_es THEN 'en'
+                    ELSE 'es' END AS predicted
+        FROM scored)
+    SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY lang, predicted ORDER BY lang, predicted
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    """Marker-word language-ID heuristic (n-gram-lite): per-row narrow map,
+    one small groupBy — the confusion-matrix query a real lang-ID pass
+    would emit.  Tie-break order fixed (de > en > es) for determinism."""
+    d = load_table(spark, sf_dir, "documents")
+    w = _words()
+
+    def score(markers):
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(w, lambda x: F.array_contains(arr, x)))
+
+    s_en = score(_LANG_MARKERS["en"])
+    s_es = score(_LANG_MARKERS["es"])
+    s_de = score(_LANG_MARKERS["de"])
+    predicted = (
+        F.when((s_de >= s_en) & (s_de >= s_es), "de")
+        .when(s_en >= s_es, "en")
+        .otherwise("es")
+    )
+    return (
+        d.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+@query(
+    "sim_neardup_pairs",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id < 300),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_cosine_similarity(a.v, b.v) AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, ROUND(cos, 4) AS cos_sim
+    FROM pairs WHERE cos > 0.35
+    """,
+)
+def sim_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs over a bounded candidate set —
+    the exact-verify stage after LSH bucketing at scale (the bucketing
+    variant keeps candidates per-bucket; here the set is pre-bounded)."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 300)
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        )
+    )
+    norm = F.sqrt(
+        F.expr("aggregate(transform(v, x -> x * x), 0D, (acc, z) -> acc + z)")
+    )
+    e = emb.withColumn("nrm", norm)
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, z) -> acc + z)")
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            (dot / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
+        .where(F.col("cos") > 0.35)
+        .select("vec_a", "vec_b", F.round("cos", 4).alias("cos_sim"))
+    )

@@ -1,0 +1,71 @@
+"""Tests for custom operators: as-of join and multimodal plumbing."""
+
+import pytest
+
+from easy_sql_spark.operators.asof import asof_join
+from easy_sql_spark.operators.multimodal import (
+    decode_media,
+    frame_sample_stub,
+    resize_stub,
+    synth_media_df,
+)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 10, "d"), (3, 10, "e")],
+        ["k", "t", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "r10"), (1, 15, "r15"), (2, 11, "r11")],
+        ["k", "t", "val"],
+    )
+    out = asof_join(
+        left, right, "k", "k", "t", "t", right_values=["val"]
+    ).collect()
+    got = {(r.k, r.t): r.val for r in out}
+    assert got == {
+        (1, 10): "r10",  # equal timestamps match (<= semantics)
+        (1, 20): "r15",  # latest at-or-before
+        (1, 5): None,  # nothing before
+        (2, 10): None,  # right row is after
+        (3, 10): None,  # key absent on right
+    }
+    inner = asof_join(
+        left, right, "k", "k", "t", "t", right_values=["val"], how="inner"
+    ).collect()
+    assert len(inner) == 2
+
+
+def test_multimodal_fake_decode(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en", "s1", 11), (2, "xy", "de", "s2", 2)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    media = synth_media_df(spark, docs)
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    decoded = {r.media_id: r for r in decode_media(media, "fake").collect()}
+    assert decoded[1].n_bytes == 11
+    assert decoded[1].width == 12 and decoded[1].height == 12
+    assert sum(decoded[1].byte_histogram) == 11
+    assert len(decoded[2].byte_histogram) == 16
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    docs = spark.createDataFrame(
+        [(1, "x", "en", "s", 1)], ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    media = synth_media_df(spark, docs)
+    with pytest.raises(Exception, match="NotImplementedError|real media"):
+        decode_media(media, "real").collect()
+
+
+def test_resize_and_frame_sample_stubs(spark):
+    docs = spark.createDataFrame(
+        [(1, "abc", "en", "s", 3)], ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    media = synth_media_df(spark, docs, kind="video")
+    resized = resize_stub(media, 64, 64).collect()[0]
+    assert resized.meta["resized_to"] == "64x64"
+    frames = frame_sample_stub(media, 2).collect()
+    assert [f.frame_idx for f in frames] == [0, 2, 4]
