@@ -55,6 +55,7 @@ class SqlProcessor:
         funcs: dict[str, Callable] | None = None,
         udfs: dict[str, Callable] | None = None,
         logger: Callable[[str], None] | None = None,
+        streaming_config: dict | None = None,
     ) -> None:
         self.spark = spark
         self.backend = SparkBackend(spark)
@@ -83,6 +84,27 @@ class SqlProcessor:
                 spark.conf.set(k, v)
             except Exception:
                 self.log(f"warn: conf {k} not settable at runtime")
+
+        # ---- streaming mode (reference: etl_type=streaming + Flink
+        # statement sets, flink.py:94-130; ours: Structured Streaming with
+        # deferred writeStream starts) ----
+        self.streaming_tables = None
+        self._pending_inserts: list[tuple[Any, str]] = []
+        self.streaming_queries: list[Any] = []
+        cfg_path = self.config.easy_sql_conf.get("streaming_tables_config_path")
+        if streaming_config is not None or cfg_path or self.config.etl_type == "streaming":
+            from ..streaming.tables import StreamingTables
+
+            if streaming_config is not None:
+                self.streaming_tables = StreamingTables(spark, streaming_config)
+            elif cfg_path:
+                self.streaming_tables = StreamingTables.from_yaml(spark, cfg_path)
+            else:
+                self.streaming_tables = StreamingTables(spark, {})
+            self.streaming_tables.register_sources()
+            self.func_runner.register(
+                "execute_streaming_inserts", self._execute_streaming_inserts
+            )
 
         resolver = IncludeResolver(includes=includes or {}, base_dir=base_dir)
         self.steps: list[Step] = parse_steps(sql, resolver)
@@ -260,7 +282,27 @@ class SqlProcessor:
                     f"!= expected={d['expected']!r}"
                 )
 
+    def _execute_streaming_inserts(self, wait: str = "true"):
+        """Start all deferred streaming inserts as one set (the Flink
+        statement-set analogue, flink.py:122-130, funcs_flink.py:49-60);
+        ``__dry_run__`` suppresses execution."""
+        if self.vars_context.is_truthy("__dry_run__"):
+            self.log("dry run: skipping streaming inserts")
+            self._pending_inserts.clear()
+            return True
+        for df, sink_name in self._pending_inserts:
+            q = self.streaming_tables.start_insert(df, sink_name)
+            self.streaming_queries.append(q)
+        self._pending_inserts.clear()
+        if str(wait).lower() != "false":
+            for q in self.streaming_queries:
+                q.awaitTermination()
+        return True
+
     def _save_output(self, step: Step, df: DataFrame, dry_run: bool) -> None:
+        if df.isStreaming:
+            self._pending_inserts.append((df, step.target_name))
+            return
         for col, value in self.extra_cols.items():
             from pyspark.sql import functions as F
 

@@ -1,0 +1,112 @@
+"""Streaming source/sink table configuration.
+
+YAML shape (the Spark-native re-expression of the reference's Flink
+connector YAML, test/sample_etl.flink_tables_file.yml)::
+
+    sources:
+      - name: events_stream
+        format: rate            # rate | parquet | json | csv | kafka | socket
+        options: {rowsPerSecond: "50"}
+        schema: "a int, b string"      # required for file formats
+        watermark: {column: ts, delay: "10 seconds"}   # optional extension
+    sinks:
+      - name: out1
+        format: parquet         # parquet | memory | console | kafka | noop
+        path: /tmp/out1
+        checkpoint: /tmp/ck1
+        output_mode: append     # append | update | complete
+        trigger: availableNow   # availableNow | "N seconds" | continuous
+
+Every source registers as a temp view so step SQL reads it like any table;
+state stays inside Spark's streaming state store (RocksDB-able via conf) —
+nothing driver-side grows with the stream.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class SinkConfig:
+    name: str
+    format: str = "noop"
+    path: str | None = None
+    checkpoint: str | None = None
+    output_mode: str = "append"
+    trigger: str | None = "availableNow"
+    options: dict[str, str] = field(default_factory=dict)
+
+
+class StreamingTables:
+    def __init__(self, spark: SparkSession, config: dict) -> None:
+        self.spark = spark
+        self.config = config or {}
+        self.sinks: dict[str, SinkConfig] = {}
+        for s in self.config.get("sinks", []):
+            self.sinks[s["name"]] = SinkConfig(
+                name=s["name"],
+                format=s.get("format", "noop"),
+                path=s.get("path"),
+                checkpoint=s.get("checkpoint"),
+                output_mode=s.get("output_mode", "append"),
+                trigger=s.get("trigger", "availableNow"),
+                options=dict(s.get("options", {})),
+            )
+
+    @classmethod
+    def from_yaml(cls, spark: SparkSession, path: str) -> "StreamingTables":
+        import yaml
+
+        with open(path, encoding="utf-8") as f:
+            return cls(spark, yaml.safe_load(f))
+
+    def register_sources(self) -> list[str]:
+        names = []
+        for src in self.config.get("sources", []):
+            df = self._read_source(src)
+            df.createOrReplaceTempView(src["name"])
+            names.append(src["name"])
+        return names
+
+    def _read_source(self, src: dict) -> DataFrame:
+        fmt = src.get("format", "rate")
+        reader = self.spark.readStream.format(fmt)
+        if "schema" in src and fmt not in ("rate", "kafka", "socket"):
+            reader = reader.schema(src["schema"])
+        for k, v in src.get("options", {}).items():
+            reader = reader.option(k, str(v))
+        if "path" in src:
+            reader = reader.option("path", src["path"])
+        df = reader.load()
+        wm = src.get("watermark")
+        if wm:
+            df = df.withWatermark(wm["column"], wm["delay"])
+        return df
+
+    def start_insert(self, df: DataFrame, sink_name: str):
+        """Start one streaming insert into a configured sink; returns the
+        StreamingQuery."""
+        sink = self.sinks.get(sink_name)
+        if sink is None:
+            # default sink: noop with trigger availableNow (dry pipes)
+            sink = SinkConfig(name=sink_name)
+        writer = df.writeStream.format(sink.format).outputMode(sink.output_mode)
+        if sink.path:
+            writer = writer.option("path", sink.path)
+        if sink.checkpoint:
+            writer = writer.option("checkpointLocation", sink.checkpoint)
+        for k, v in sink.options.items():
+            writer = writer.option(k, str(v))
+        if sink.format == "memory":
+            # memory sink registers a temp view — single-part names only
+            writer = writer.queryName(sink_name.replace(".", "_"))
+        if sink.trigger == "availableNow":
+            writer = writer.trigger(availableNow=True)
+        elif sink.trigger == "continuous":
+            writer = writer.trigger(continuous="1 second")
+        elif sink.trigger:
+            writer = writer.trigger(processingTime=sink.trigger)
+        return writer.start()

@@ -1,0 +1,159 @@
+"""Streaming-mode integration tests: file source → step SQL → sinks,
+deferred multi-sink start, watermarked windowed aggregation."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from easy_sql_spark.runtime.processor import SqlProcessor
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        {"id": i, "kind": "a" if i % 2 == 0 else "b", "amount": float(i)}
+        for i in range(100)
+    ]
+    with open(src / "batch1.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return {"src": str(src), "out": str(tmp_path / "out"), "ck": str(tmp_path / "ck")}
+
+
+def test_streaming_etl_multi_sink(spark, stream_dirs):
+    config = {
+        "sources": [
+            {
+                "name": "raw_stream",
+                "format": "json",
+                "schema": "id long, kind string, amount double",
+                "path": stream_dirs["src"],
+            }
+        ],
+        "sinks": [
+            {
+                "name": "sdb.agg_out",
+                "format": "memory",
+                "output_mode": "complete",
+                "trigger": "availableNow",
+            },
+            {
+                "name": "sdb.raw_out",
+                "format": "parquet",
+                "path": stream_dirs["out"],
+                "checkpoint": stream_dirs["ck"],
+                "output_mode": "append",
+                "trigger": "availableNow",
+            },
+        ],
+    }
+    sql = """-- backend: spark
+-- config: easy_sql.etl_type=streaming
+
+-- target=temp.enriched
+select id, kind, amount * 2 as doubled from raw_stream
+
+-- target=output.sdb.agg_out
+select kind, count(*) as n, cast(sum(cast(amount as decimal(20,2))) as double) as total
+from raw_stream group by kind
+
+-- target=output.sdb.raw_out
+select * from enriched
+
+-- target=func.execute_streaming_inserts()
+"""
+    p = SqlProcessor(
+        spark, sql, streaming_config=config, logger=lambda m: None
+    )
+    report = p.run()
+    assert all(r.status.value in ("SUCCEEDED", "SKIPPED") for r in report.steps)
+    # memory sink: complete-mode aggregate
+    agg = {r.kind: (r.n, r.total) for r in spark.sql("select * from sdb_agg_out").collect()}
+    assert agg == {"a": (50, 2450.0), "b": (50, 2500.0)}
+    # parquet sink: transformed rows
+    out = spark.read.parquet(stream_dirs["out"])
+    assert out.count() == 100
+    assert out.where("doubled = 198.0").count() == 1
+
+
+def test_streaming_dry_run_guard(spark, stream_dirs):
+    config = {
+        "sources": [
+            {
+                "name": "raw_stream",
+                "format": "json",
+                "schema": "id long, kind string, amount double",
+                "path": stream_dirs["src"],
+            }
+        ],
+        "sinks": [],
+    }
+    sql = """-- config: easy_sql.etl_type=streaming
+
+-- target=variables
+select 1 as __dry_run__
+
+-- target=output.sdb.never
+select * from raw_stream
+
+-- target=func.execute_streaming_inserts()
+"""
+    p = SqlProcessor(spark, sql, streaming_config=config, logger=lambda m: None)
+    p.run()
+    assert p.streaming_queries == []
+
+
+def test_streaming_watermark_window(spark, tmp_path):
+    """Extension beyond reference parity (SURVEY.md §2H): watermarks +
+    tumbling event-time windows."""
+    src = tmp_path / "wsrc"
+    src.mkdir()
+    with open(src / "b.json", "w") as f:
+        for i in range(60):
+            f.write(
+                json.dumps(
+                    {"ts": f"2024-01-01 00:{i:02d}:00", "v": 1.0}
+                )
+                + "\n"
+            )
+    config = {
+        "sources": [
+            {
+                "name": "timed",
+                "format": "json",
+                "schema": "ts timestamp, v double",
+                "path": str(src),
+                "watermark": {"column": "ts", "delay": "5 minutes"},
+            }
+        ],
+        "sinks": [
+            {
+                "name": "w.out",
+                "format": "memory",
+                "output_mode": "append",
+                "trigger": "availableNow",
+            }
+        ],
+    }
+    sql = """-- config: easy_sql.etl_type=streaming
+
+-- target=output.w.out
+select window(ts, '15 minutes').start as win_start, count(*) as n
+from timed group by window(ts, '15 minutes')
+
+-- target=func.execute_streaming_inserts()
+"""
+    p = SqlProcessor(spark, sql, streaming_config=config, logger=lambda m: None)
+    p.run()
+    rows = spark.sql("select * from w_out order by win_start").collect()
+    # append mode emits only watermark-closed windows: 00:00,00:15,00:30 (15
+    # each); the 00:45 window stays open at watermark 00:54
+    assert [(str(r.win_start), r.n) for r in rows] == [
+        ("2024-01-01 00:00:00", 15),
+        ("2024-01-01 00:15:00", 15),
+        ("2024-01-01 00:30:00", 15),
+    ]
