@@ -98,6 +98,29 @@ class SparkBackend:
         F.broadcast(df).createOrReplaceTempView(name)
         self._temp_views.append(name)
 
+    def temp_tables(self) -> list[str]:
+        """Current temp views in the session catalog (reference
+        spark.py:116-121)."""
+        return [
+            t.name for t in self.spark.catalog.listTables() if t.isTemporary
+        ]
+
+    def clear_temp_tables(self, exclude: list[str] | None = None) -> None:
+        keep = set(exclude or [])
+        for name in self.temp_tables():
+            if name not in keep:
+                try:
+                    self.spark.catalog.dropTempView(name)
+                except Exception:
+                    pass
+        self._temp_views = [v for v in self._temp_views if v in keep]
+
+    def clear_cache(self) -> None:
+        try:
+            self.spark.catalog.clearCache()
+        except Exception:
+            pass
+
     def clean_temp_views(self) -> None:
         for name in self._temp_views:
             try:

@@ -120,6 +120,11 @@ class SqlProcessor:
             self.log(self.report.render())
         return self.report
 
+    def run_step(self, step: Step, dry_run: bool = False) -> None:
+        """Run a single step (the debugger's entry point, reference
+        sql_processor_debugger.py:178-183)."""
+        self._run_step(step, dry_run)
+
     def set_var(self, name: str, value: Any) -> None:
         self.vars_context.set_var(name, value)
 
