@@ -40,6 +40,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Round-robin repartition a coarsely-partitioned input before a
+    CPU-heavy per-row expansion (explode / heavy hashing / Pandas UDF).
+
+    Partition sizing by bytes (AQE's REBALANCE) keeps small-but-
+    expansion-heavy inputs in one task — a 5 MB scan that explodes 200× is
+    CPU-bound long before it is byte-bound.  This helper only shuffles when
+    the scan has fewer than half the cluster's cores worth of partitions,
+    so at real scale (inputs with many splits) it is a no-op and costs
+    nothing."""
+    sc = df.sparkSession.sparkContext
+    target = parallelism or sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:

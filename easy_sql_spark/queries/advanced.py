@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from ..datasets import load_table
 from ..operators.asof import asof_join
 from . import query
+from .relational import _dsum
 
 US_PER_DAY = 86_400_000_000
 
@@ -93,10 +94,7 @@ def q3_shipping_priority(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     cutoff = F.lit("1998-06-01 00:00:00").cast("timestamp")
-    rev = F.expr(
-        "cast(l_extendedprice as decimal(18,2))"
-        " * (cast(1 as decimal(3,0)) - cast(l_discount as decimal(4,2)))"
-    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
@@ -106,7 +104,7 @@ def q3_shipping_priority(spark, sf_dir):
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             "o_orderpriority",
         )
-        .agg(F.sum(rev.cast("decimal(30,4)")).cast("double").alias("revenue"))
+        .agg(_dsum(rev, 4).alias("revenue"))
         .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
@@ -141,10 +139,7 @@ def q5_local_supplier_volume(spark, sf_dir):
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
-    rev = F.expr(
-        "cast(l_extendedprice as decimal(18,2))"
-        " * (cast(1 as decimal(3,0)) - cast(l_discount as decimal(4,2)))"
-    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
@@ -156,7 +151,7 @@ def q5_local_supplier_volume(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.sum(rev.cast("decimal(30,4)")).cast("double").alias("revenue"),
+            _dsum(rev, 4).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy("r_name", "n_name")

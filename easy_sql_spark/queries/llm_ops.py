@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..datasets import load_table
+from ..datasets import load_table, spread
 from . import query
 
 N_MINHASH = 8  # signature length
@@ -32,9 +32,13 @@ def _words(col="text"):
 
 
 def _shingles_df(docs):
-    """doc_id → distinct word-3-gram shingles (0-based Spark array indexing
-    mirrors the oracle's 1-based slice — same shingle set)."""
-    d = docs.select("doc_id", _words().alias("w")).where(F.size("w") >= 3)
+    """doc_id → word-3-gram shingles (0-based Spark array indexing mirrors
+    the oracle's 1-based slice — same shingle set).
+
+    Deliberately NOT deduplicated: both consumers (MIN minhash aggs,
+    collect_set) are duplicate-insensitive, and a distinct here would add a
+    full shuffle of the widest dataset in the pipeline."""
+    d = spread(docs).select("doc_id", _words().alias("w")).where(F.size("w") >= 3)
     return d.select(
         "doc_id",
         F.explode(
@@ -43,7 +47,7 @@ def _shingles_df(docs):
                 " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
             )
         ).alias("sh"),
-    ).distinct()
+    )
 
 
 _SHINGLES_ORACLE = """
@@ -158,14 +162,21 @@ def dedup_minhash_lsh(spark, sf_dir):
             for s in range(N_MINHASH)
         ]
     )
-    bands = None
+    # one posexplode projection instead of a unionAll per band — the
+    # signature aggregation subtree exists once in the plan, and the band
+    # table is |docs| × N_BANDS rows (tiny: AQE broadcasts the self-join).
     rows_per_band = N_MINHASH // N_BANDS
-    for b in range(N_BANDS):
-        cols = [F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        part = sigs.select(
-            "doc_id", F.lit(b).alias("band_id"), F.md5(F.concat(*cols)).alias("band")
+    band_hashes = [
+        F.md5(
+            F.concat(
+                *[F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+            )
         )
-        bands = part if bands is None else bands.unionAll(part)
+        for b in range(N_BANDS)
+    ]
+    bands = sigs.select(
+        "doc_id", F.posexplode(F.array(*band_hashes)).alias("band_id", "band")
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -27,15 +27,23 @@ from . import query
 
 
 def _dsum(col, scale=6):
-    """Exact sum of a double expression: accumulate in DECIMAL, emit double.
+    """Exact sum of a double expression via scaled-long accumulation.
 
-    ``scale`` must equal the exact decimal scale of the summand (so the cast
-    never rounds — rounding ties are where engines disagree), and small
-    enough that the summed unscaled value stays < 2^53 at gate scale (then
-    both engines' decimal→double conversions are exact-int-then-one-division,
-    i.e. correctly rounded and identical).
+    ``scale`` must equal the exact decimal scale of the summand's true value
+    (e.g. 2 for prices).  Then ``round(col * 10^scale)`` recovers the exact
+    unscaled integer per row — the true value has ≤ ``scale`` decimals and
+    the double's accumulated error is orders of magnitude below 0.5 — and a
+    LONG sum stays in whole-stage codegen at ~2× the throughput of a wide
+    DECIMAL sum (decimal >18 digits falls off the long-backed fast path).
+    While the unscaled sum is < 2^53 the final long→double cast is exact and
+    the single division correctly rounded, i.e. bit-identical to the
+    oracle's DECIMAL-accumulate-then-cast; that bound holds through sf0.1
+    for every declared summand (verified by tools/check_queries.py).
     """
-    return F.sum(col.cast(f"decimal(30,{scale})")).cast("double")
+    factor = 10**scale
+    return F.sum(F.round(col * factor, 0).cast("long")).cast("double") / float(
+        factor
+    )
 
 
 def _davg(col, count_col, scale=6):
@@ -82,10 +90,10 @@ def a1_pricing_summary(spark, sf_dir):
     partial aggregation runs map-side so the shuffle is tiny at any SF.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    # factors cast to decimal FIRST (each is a clean 2-decimal value, so the
-    # cast is exact on both engines); products then stay exact decimals.
-    disc_price = F.expr("cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(3,0)) - cast(l_discount as decimal(4,2)))")
-    charge = F.expr("cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(3,0)) - cast(l_discount as decimal(4,2))) * (cast(1 as decimal(3,0)) + cast(l_tax as decimal(4,2)))")
+    # true values are exact 4-/6-decimal products; the double expressions
+    # land within ~1e-5 of them, so _dsum's scaled-long round is exact.
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
     return (
         li.where(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -242,7 +250,7 @@ def j1_inner_equi(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            _dsum(F.expr("cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(3,0)) - cast(l_discount as decimal(4,2)))"), 4).alias("revenue"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
         )
         .orderBy("o_orderpriority")
     )
@@ -831,28 +839,13 @@ def f3_math(spark, sf_dir):
     rounded per-row before the exact decimal sum — JVM vs C libm may differ
     in the last ulp; sqrt is IEEE-exact but gets the same treatment."""
     li = load_table(spark, sf_dir, "lineitem")
-    dec6 = "decimal(20,6)"
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.sum(F.round(F.sqrt("l_quantity"), 6).cast(dec6))
-            .cast("double")
-            .alias("sum_sqrt_qty"),
-            F.sum(F.round(F.log("l_extendedprice"), 6).cast(dec6))
-            .cast("double")
-            .alias("sum_ln_price"),
-            F.sum(
-                F.expr("abs(cast(l_discount as decimal(4,2)) - 0.05)").cast(dec6)
-            )
-            .cast("double")
-            .alias("sum_abs_disc"),
-            F.sum(
-                F.expr(
-                    "cast(l_tax as decimal(4,2)) * cast(l_tax as decimal(4,2))"
-                ).cast(dec6)
-            )
-            .cast("double")
-            .alias("sum_tax_sq"),
+            _dsum(F.round(F.sqrt("l_quantity"), 6), 6).alias("sum_sqrt_qty"),
+            _dsum(F.round(F.log("l_extendedprice"), 6), 6).alias("sum_ln_price"),
+            _dsum(F.abs(F.col("l_discount") - 0.05), 6).alias("sum_abs_disc"),
+            _dsum(F.col("l_tax") * F.col("l_tax"), 6).alias("sum_tax_sq"),
             F.sum(F.floor("l_quantity").cast("bigint")).alias("sum_floor_qty"),
         )
         .orderBy("l_returnflag")
