@@ -34,6 +34,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_token_count",
     "sim_topk_bruteforce",
+    "sim_ivf_topk",
+    "q6_forecast_revenue",
+    "a5_grouping_sets",
+    "mm_decode_stats",
 ]
 
 

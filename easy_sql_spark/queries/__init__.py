@@ -39,3 +39,4 @@ def query(name: str, oracle: str | None = None):
 from . import relational  # noqa: E402,F401
 from . import llm_ops  # noqa: E402,F401
 from . import advanced  # noqa: E402,F401
+from . import multimodal  # noqa: E402,F401

@@ -580,3 +580,122 @@ def sim_neardup_pairs(spark, sf_dir):
         .where(F.col("cos") > 0.35)
         .select("vec_a", "vec_b", F.round("cos", 4).alias("cos_sim"))
     )
+
+
+N_PROBE = 2  # IVF cells searched per query
+IVF_TOPK = 5
+
+
+@query(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (SELECT label, i AS dim, v[i] AS x
+             FROM e, UNNEST(range(1, len(v) + 1)) AS t(i)),
+    cd AS (SELECT label, dim,
+                  CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS c
+           FROM dims GROUP BY label, dim),
+    cent AS (SELECT label, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    probe AS (
+        SELECT query_id, label FROM (
+            SELECT q.query_id, cent.label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qv, cent.cv) DESC,
+                                cent.label) AS pr
+            FROM q CROSS JOIN cent)
+        WHERE pr <= {N_PROBE}),
+    cand AS (
+        SELECT p.query_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(q.qv, e.v) AS cos
+        FROM probe p
+        JOIN e ON e.label = p.label
+        JOIN q ON q.query_id = p.query_id
+        WHERE e.vec_id <> p.query_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM cand)
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos_sim,
+           CAST(rnk AS BIGINT) AS rank
+    FROM ranked WHERE rnk <= {IVF_TOPK}
+    """,
+)
+def sim_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN — the scale path beyond brute force.
+
+    Coarse cells = per-label centroids (decimal-exact per-dim means, so both
+    engines derive identical centroids); each query probes its N_PROBE
+    nearest cells and scores ONLY vectors in those cells.  At 100 TB the
+    corpus join is an equi-join on cell id against a broadcast probe list —
+    the scan covers nprobe/ncells of the data instead of all of it, and no
+    all-pairs crossJoin ever exists.  Cosine math mirrors
+    sim_topk_bruteforce (JVM-side fold, no Python).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    norm_of = lambda c: F.sqrt(
+        F.expr(f"aggregate(transform({c}, x -> x * x), 0D, (acc, z) -> acc + z)")
+    )
+    corpus = emb.withColumn("nrm", norm_of("v"))
+
+    # per-label centroids: decimal-exact per-dim mean, assembled in dim order
+    cd = (
+        emb.select("label", F.posexplode("v").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(30,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+    )
+    cent = cd.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+    cent = cent.withColumn("cnrm", norm_of("cv"))
+
+    qs = corpus.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    qdot_c = F.expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, z) -> acc + z)"
+    )
+    pw = W.partitionBy("query_id").orderBy(
+        (qdot_c / (F.col("qnrm") * F.col("cnrm"))).desc(), "label"
+    )
+    probe = (
+        qs.crossJoin(F.broadcast(cent))
+        .withColumn("pr", F.row_number().over(pw))
+        .where(F.col("pr") <= N_PROBE)
+        .select("query_id", "label", "qv", "qnrm")
+    )
+
+    cand = corpus.join(F.broadcast(probe), "label").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, z) -> acc + z)"
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot / (F.col("qnrm") * F.col("nrm"))).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= IVF_TOPK)
+        .select(
+            "query_id", "neighbor_id", F.round("cos", 4).alias("cos_sim"), "rank"
+        )
+    )

@@ -204,6 +204,29 @@ def a5_cube(spark, sf_dir):
 
 
 @query(
+    "a5_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {_osum('l_quantity', 2)} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def a5_grouping_sets(spark, sf_dir):
+    """A5: non-hierarchical GROUPING SETS — a shape neither rollup nor cube
+    expresses.  Spark expands to one Expand + single hash aggregate: rows
+    duplicate per set map-side, still one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
     "a6_having",
     oracle=f"""
     SELECT l_partkey, {_osum('l_quantity', 2)} AS sum_qty
@@ -576,6 +599,53 @@ def s2_topk(spark, sf_dir):
     return o.orderBy(F.col("o_totalprice").desc(), "o_orderkey").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     ).limit(10)
+
+
+@query(
+    "s3_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10 OFFSET 100
+    """,
+)
+def s3_limit_offset(spark, sf_dir):
+    """S3: paginated ordered limit — OFFSET pushes k+offset into the same
+    TakeOrdered machinery (each partition keeps 110 rows; no global sort)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .select("o_orderkey", "o_totalprice")
+        .offset(100)
+        .limit(10)
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {_osum('l_extendedprice * l_discount', 4)} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: tight-filter global aggregate.  Both predicates push
+    down to the parquet scan (min/max rowgroup skipping at scale); the agg
+    is map-partial + 1-row final — no data shuffle at any SF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            F.col("l_discount").between(0.03, 0.07) & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
 
 
 @query(
