@@ -1,0 +1,134 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The reference's streaming mode has no stateful operators beyond engine SQL
+(SURVEY.md §2H — Flink statement sets only); these are the extension a
+training-data pipeline actually needs, expressed on Spark's Arrow-batched
+state API so per-key state lives in the executor state store (RocksDB-able
+via ``spark.sql.streaming.stateStore.providerClass``) and nothing grows on
+the driver.
+
+- :func:`stream_dedupe` — exact streaming dedup: the first row per key ever
+  seen survives, duplicates in the same or any later micro-batch drop.
+  State per key is a single marker (~bytes), so the operator scales to
+  billions of keys bounded only by the state store.
+- :func:`sessionize` — event sessionization with a gap timeout: rows are
+  grouped per user, sorted by event time inside the Arrow batch, split at
+  ``gap`` boundaries; completed sessions emit, the trailing open session is
+  carried in state to the next micro-batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stream_dedupe(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Keep the first row per key across the whole stream.
+
+    Batch-compatible: on a non-streaming frame falls back to
+    ``dropDuplicates`` (same semantics, no state store needed).
+    """
+    if not df.isStreaming:
+        return df.dropDuplicates(key_cols)
+
+    out_schema = df.schema
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+
+    def _dedupe(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            return  # key already emitted in an earlier batch; drop all rows
+        first = None
+        for pdf in batches:
+            if len(pdf) and first is None:
+                first = pdf.iloc[[0]]
+        if first is not None:
+            state.update((True,))
+            yield first
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        _dedupe,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user", T.LongType()),
+        T.StructField("session_start", T.LongType()),
+        T.StructField("session_end", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+_SESSION_STATE = T.StructType(
+    [
+        T.StructField("start", T.LongType()),
+        T.StructField("last", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def sessionize(df: DataFrame, user_col: str, ts_col: str, gap: int) -> DataFrame:
+    """Split each user's event stream into sessions separated by more than
+    ``gap`` time units (``ts_col`` is a numeric event time, e.g. epoch
+    seconds).
+
+    Emits one row per COMPLETED session (a later event arrived more than
+    ``gap`` after the session's last event); the open trailing session stays
+    in state and completes in a later micro-batch — or never, if the stream
+    ends (flush-on-timeout can be layered with an event-time timeout once a
+    watermark is attached upstream).
+    """
+    assert df.isStreaming, "sessionize operates on streaming DataFrames"
+
+    def _sessionize(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        ts = pd.concat([pdf[ts_col] for pdf in batches]).sort_values()
+        if not len(ts):
+            return
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        completed: list[tuple[int, int, int, int]] = []
+        user = key[0]
+        for t in ts:
+            t = int(t)
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap:
+                completed.append((user, start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        state.update((start, last, n))
+        if completed:
+            yield pd.DataFrame(
+                completed,
+                columns=["user", "session_start", "session_end", "n_events"],
+            )
+
+    return df.groupBy(user_col).applyInPandasWithState(
+        _sessionize,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

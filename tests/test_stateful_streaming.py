@@ -1,0 +1,82 @@
+"""Tests for custom stateful streaming operators (applyInPandasWithState)."""
+
+import json
+import time
+
+from easy_sql_spark.streaming.stateful import sessionize, stream_dedupe
+
+
+def _write_batch(path, rows):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _run_to_memory(df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_dedupe_across_batches(spark, tmp_path):
+    src = tmp_path / "dsrc"
+    # two files -> two micro-batches (maxFilesPerTrigger=1); doc 2 repeats
+    _write_batch(src / "a.json", [
+        {"h": "k1", "doc": 1}, {"h": "k2", "doc": 2}, {"h": "k2", "doc": 2},
+    ])
+    time.sleep(1.1)  # file source orders batches by mod time
+    _write_batch(src / "b.json", [
+        {"h": "k2", "doc": 2}, {"h": "k3", "doc": 3},
+    ])
+    stream = (
+        spark.readStream.schema("h string, doc long")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    deduped = stream_dedupe(stream, ["h"])
+    _run_to_memory(deduped, "dedup_out")
+    rows = {r.h: r.doc for r in spark.sql("select * from dedup_out").collect()}
+    assert rows == {"k1": 1, "k2": 2, "k3": 3}
+    n = spark.sql("select count(*) as n from dedup_out").first()["n"]
+    assert n == 3  # duplicates within AND across batches dropped
+
+
+def test_stream_dedupe_batch_fallback(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k int, v string")
+    assert stream_dedupe(df, ["k"]).count() == 2
+
+
+def test_sessionize_gap_split_and_cross_batch(spark, tmp_path):
+    src = tmp_path / "ssrc"
+    # batch 1: user 7 events at t=0,10 (one open session)
+    _write_batch(src / "a.json", [
+        {"user": 7, "t": 0}, {"user": 7, "t": 10},
+    ])
+    time.sleep(1.1)
+    # batch 2: t=15 continues the session; t=100 closes it (gap 30)
+    _write_batch(src / "b.json", [
+        {"user": 7, "t": 15}, {"user": 7, "t": 100}, {"user": 8, "t": 5},
+    ])
+    stream = (
+        spark.readStream.schema("user long, t long")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    sessions = sessionize(stream, "user", "t", gap=30)
+    _run_to_memory(sessions, "sess_out")
+    rows = [
+        (r.user, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql(
+            "select * from sess_out order by user, session_start"
+        ).collect()
+    ]
+    # only user 7's first session completed (closed by t=100);
+    # the open sessions (7 @ t=100, 8 @ t=5) remain in state
+    assert rows == [(7, 0, 15, 3)]
