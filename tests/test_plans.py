@@ -1,0 +1,99 @@
+"""Physical-plan assertions: the scale-critical plan shapes must hold.
+
+These lock in what `.explain("formatted")` showed during tuning — if a
+refactor reintroduces a cartesian product, loses a broadcast hint, breaks
+parquet filter pushdown, or materializes a global sort for a top-k, these
+fail before any benchmark notices.
+"""
+
+import contextlib
+import io
+
+import pytest
+
+from easy_sql_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode="formatted"):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    plan = plan_of(QUERIES["s1_project_filter"](spark, SF))
+    assert "PushedFilters: [" in plan
+    # at least one real pushed predicate, not an empty list
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), f"no predicates pushed to scan: {plan}"
+    # projection pruned: the scan must not read every lineitem column (11)
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert read_schema.count(",") < 8
+
+
+def test_explicit_broadcast_join(spark):
+    plan = plan_of(QUERIES["j6_broadcast"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    plan = plan_of(QUERIES["q5_local_supplier_volume"](spark, SF))
+    # supplier, nation, region explicitly broadcast
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_never_global_sorts(spark):
+    plan = plan_of(QUERIES["s2_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    plan3 = plan_of(QUERIES["s3_limit_offset"](spark, SF))
+    assert "TakeOrderedAndProject" in plan3
+
+
+def test_agg_has_mapside_partial(spark):
+    plan = plan_of(QUERIES["a1_pricing_summary"](spark, SF))
+    # partial + final hash aggregate; only the group-by and order-by
+    # exchanges exist (formatted mode lists each node in tree + detail —
+    # count the numbered detail entries)
+    assert plan.count("HashAggregate") >= 2
+    import re
+
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)
+    assert len(exchanges) <= 2, plan
+
+
+def test_minhash_join_is_equi_not_cartesian(spark):
+    plan = plan_of(QUERIES["dedup_minhash_lsh"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bruteforce_ann_broadcasts_queries(spark):
+    plan = plan_of(QUERIES["sim_topk_bruteforce"](spark, SF))
+    # the query set rides a broadcast; corpus is scanned, never shuffled whole
+    assert "Broadcast" in plan
+
+
+def test_whole_stage_codegen_covers_agg(spark):
+    # codegen mode lists generated subtrees even under un-finalized AQE
+    plan = plan_of(QUERIES["a1_pricing_summary"](spark, SF), mode="codegen")
+    assert "WholeStageCodegen" in plan
+    # the scaled-long rounds/sums must live INSIDE codegen'd stages, and the
+    # map-side partial aggregate must exist
+    simple = plan_of(QUERIES["a1_pricing_summary"](spark, SF), mode="simple")
+    assert "partial_sum" in simple
+
+
+@pytest.mark.parametrize(
+    "name,max_cols",
+    [("q6_forecast_revenue", 3), ("f3_math", 5)],
+)
+def test_scans_prune_columns(spark, name, max_cols):
+    plan = plan_of(QUERIES[name](spark, SF))
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    n_cols = read_schema.count(",") + 1
+    assert n_cols <= max_cols, f"{name} scans {n_cols} cols: {read_schema}"
