@@ -1044,3 +1044,129 @@ def f8_conditional(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("status_label", "prio")
     )
+
+
+@query(
+    "a7_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75,
+           MAX(l_quantity) AS max_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def a7_percentiles(spark, sf_dir):
+    """A-family extension: exact interpolated percentiles.  Both engines
+    interpolate linearly at rank (n-1)*p over the sorted values, so the
+    doubles match bit-for-bit.  (At 100 TB you'd switch to approx_percentile
+    — declared here as the exact baseline the sketch must approximate.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+            F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+            F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "a8_derived_moments",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS DOUBLE) AS sx,
+               CAST(CAST(SUM(CAST(ROUND(l_quantity * l_quantity * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS DOUBLE) AS sxx,
+               CAST(CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100 AS DOUBLE) AS sy,
+               CAST(CAST(SUM(CAST(ROUND(l_discount * l_discount * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS DOUBLE) AS syy,
+               CAST(CAST(SUM(CAST(ROUND(l_quantity * l_discount * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           SQRT((n * sxx - sx * sx) / (n * (n - 1))) AS stddev_qty,
+           (n * sxy - sx * sy)
+             / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS corr_qty_disc
+    FROM s ORDER BY l_returnflag
+    """,
+)
+def a8_derived_moments(spark, sf_dir):
+    """A-family extension: stddev/corr via exact scaled-long power sums and
+    an IDENTICAL closed-form derivation on both engines — native stddev/corr
+    implementations differ (Welford vs two-pass) in final ulps, so the
+    moments are accumulated exactly and the float math happens once, in the
+    same expression shape, on identical inputs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        _dsum(F.col("l_quantity"), 2).alias("sx"),
+        _dsum(F.col("l_quantity") * F.col("l_quantity"), 4).alias("sxx"),
+        _dsum(F.col("l_discount"), 2).alias("sy"),
+        _dsum(F.col("l_discount") * F.col("l_discount"), 4).alias("syy"),
+        _dsum(F.col("l_quantity") * F.col("l_discount"), 4).alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_returnflag",
+        F.sqrt((n * sxx - sx * sx) / (n * (n - 1))).alias("stddev_qty"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_qty_disc"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "f9_string_agg",
+    oracle="""
+    SELECT l_returnflag,
+           string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+           CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS n_statuses
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def f9_string_agg(spark, sf_dir):
+    """F-family extension: ordered distinct string aggregation —
+    collect_set is unordered by contract, so determinism comes from
+    array_sort before the join (same total order as the oracle's ORDER BY)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_set("l_linestatus"))
+            ).alias("statuses"),
+            F.countDistinct("l_linestatus").alias("n_statuses"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "w4_distribution",
+    oracle="""
+    SELECT event_id,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def w4_distribution(spark, sf_dir):
+    """W-family extension: distribution window functions.  percent_rank and
+    cume_dist are (rank-1)/(n-1) and rank/n on identical orderings — exact
+    cross-engine parity."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return e.select(
+        "event_id",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
