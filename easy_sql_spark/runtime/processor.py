@@ -16,6 +16,7 @@ sql_processor.py:50-222, step.py:258-538) on the Spark backend:
 
 from __future__ import annotations
 
+import os
 import re
 import uuid
 from typing import Any, Callable
@@ -33,6 +34,22 @@ CHECK_ROW_CAP = 100  # reference step.py:512
 
 PARTITION_VAR_RE = re.compile(r"^__partition__(.+)$")
 FUNC_CALL_RE = re.compile(r"^(\w+)\((.*)\)$", re.DOTALL)
+
+
+def _load_pyfile_callables(path: str) -> dict[str, Callable]:
+    import importlib.util
+
+    name = os.path.splitext(os.path.basename(path))[0]
+    spec = importlib.util.spec_from_file_location(name, path)
+    if spec is None or spec.loader is None:
+        raise FileNotFoundError(f"cannot load python file: {path}")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return {
+        k: v
+        for k, v in vars(mod).items()
+        if callable(v) and not k.startswith("_") and getattr(v, "__module__", None) == name
+    }
 
 
 class StepFailedError(RuntimeError):
@@ -69,6 +86,8 @@ class SqlProcessor:
         self.log = logger or print
         self._output_views: dict[str, str] = {}  # table name -> dry-run view
 
+        self.sql_collector: list[str] = []  # executed-SQL audit (ref step.py:189-220)
+
         from ..functions import build_registry
 
         self.func_runner.register_all(build_registry(self))
@@ -78,6 +97,17 @@ class SqlProcessor:
         from ..functions.udfs import register_udfs
 
         register_udfs(spark, udfs)
+
+        # file-based registration (reference sql_processor.py:140-149 +
+        # config easy_sql.udf_file_path / func_file_path)
+        if self.config.func_file_path:
+            self.register_funcs_from_pyfile(
+                os.path.join(base_dir, self.config.func_file_path)
+            )
+        if self.config.udf_file_path:
+            self.register_udfs_from_pyfile(
+                os.path.join(base_dir, self.config.udf_file_path)
+            )
 
         for k, v in self.config.engine_conf.items():
             try:
@@ -119,6 +149,23 @@ class SqlProcessor:
         finally:
             self.log(self.report.render())
         return self.report
+
+    def register_funcs_from_pyfile(self, path: str) -> None:
+        """Register every public callable of a python file as step/macro
+        functions (reference sql_processor.py:144-149)."""
+        self.func_runner.register_all(_load_pyfile_callables(path))
+
+    def register_udfs_from_pyfile(self, path: str) -> None:
+        """Register every public callable of a python file as Spark SQL UDFs
+        (reference sql_processor.py:140-143, spark.py:99-104)."""
+        from ..functions.udfs import register_udfs
+
+        register_udfs(self.spark, _load_pyfile_callables(path))
+
+    def collected_sql(self) -> str:
+        """The effective SQL of every executed step, reconstructed for
+        audit/lineage (reference SqlCollector, sql_processor.py:32-40)."""
+        return ";\n".join(self.sql_collector)
 
     def run_step(self, step: Step, dry_run: bool = False) -> None:
         """Run a single step (the debugger's entry point, reference
@@ -195,6 +242,7 @@ class SqlProcessor:
         if t == "action":
             sql = self._preprocessed(step)
             if sql:
+                self.sql_collector.append(sql)
                 self.backend.exec_native_sql(sql)
             return
         if t == "check" and FUNC_CALL_RE.match(step.target_name or ""):
@@ -209,6 +257,7 @@ class SqlProcessor:
 
         sql = self._preprocessed(step)
         df = self.backend.exec_sql(sql)
+        self._collect_effective_sql(step, sql)
 
         if t == "temp":
             self.backend.create_temp_view(df, step.target_name)
@@ -244,6 +293,26 @@ class SqlProcessor:
             self._save_output(step, df, dry_run)
         else:  # pragma: no cover
             raise StepFailedError(f"unhandled step type: {t}")
+
+    def _collect_effective_sql(self, step: Step, sql: str) -> None:
+        """Render the step's effective SQL for the audit trail (reference
+        ExecutedSqlTransformer, step.py:189-220)."""
+        t, name = step.target_type, step.target_name
+        if t in ("temp", "cache", "broadcast"):
+            self.sql_collector.append(
+                f"CREATE OR REPLACE TEMPORARY VIEW {name} AS\n{sql}"
+            )
+        elif t == "output":
+            mode = str(
+                self.vars_context.get_var(
+                    "__save_mode__",
+                    self.vars_context.get_var("save_mode", "overwrite"),
+                )
+            ).lower()
+            verb = "INSERT INTO" if mode == "append" else "INSERT OVERWRITE TABLE"
+            self.sql_collector.append(f"{verb} {name}\n{sql}")
+        else:  # variables/list_variables/log/check: the bare query
+            self.sql_collector.append(f"-- {t}.{name or ''}\n{sql}")
 
     @staticmethod
     def _stringify(v: Any) -> Any:

@@ -301,7 +301,12 @@ class SqlTester:
                 udfs=self.udfs,
                 logger=lambda _msg: None,
             )
+            for p in case.func_file_paths:
+                processor.register_funcs_from_pyfile(os.path.join(self.work_dir, p))
+            for p in case.udf_file_paths:
+                processor.register_udfs_from_pyfile(os.path.join(self.work_dir, p))
             processor.run(dry_run=self.dry_run)
+            self.collected_sql = processor.collected_sql()
             for output in case.outputs:
                 view = self._find_output_view(processor, output)
                 self._verify_output(output, view)

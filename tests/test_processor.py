@@ -263,3 +263,35 @@ def test_udfs_registered(spark):
         "select remove_all_whitespaces(' a b\tc ') as a, trim_all('  x  ') as b"
     ).collect()[0]
     assert row.a == "abc" and row.b == "x"
+
+
+def test_pyfile_registration_and_sql_collector(spark, tmp_path):
+    """File-based func/udf registration (easy_sql.udf_file_path /
+    func_file_path configs) + executed-SQL reconstruction."""
+    (tmp_path / "my_funcs.py").write_text(
+        "def double_it(x):\n    return int(x) * 2\n"
+    )
+    (tmp_path / "my_udfs.py").write_text(
+        "def shout(s):\n    return (s or '').upper()\n"
+    )
+    sql = """-- backend: spark
+-- config: easy_sql.func_file_path=my_funcs.py
+-- config: easy_sql.udf_file_path=my_udfs.py
+
+-- target=variables
+select ${double_it(21)} as fortytwo
+
+-- target=temp.t
+select shout('abc') as s, ${fortytwo} as v
+
+-- target=check.vals
+select (select s from t) = 'ABC' and (select v from t) = 42 as actual,
+       true as expected
+"""
+    from easy_sql_spark.runtime.processor import SqlProcessor
+
+    p = SqlProcessor(spark, sql, base_dir=str(tmp_path), logger=lambda m: None)
+    p.run(dry_run=True)
+    collected = p.collected_sql()
+    assert "CREATE OR REPLACE TEMPORARY VIEW t AS" in collected
+    assert "-- variables." in collected and "-- check.vals" in collected

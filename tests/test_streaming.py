@@ -157,3 +157,47 @@ from timed group by window(ts, '15 minutes')
         ("2024-01-01 00:15:00", 15),
         ("2024-01-01 00:30:00", 15),
     ]
+
+
+def test_streaming_agg_update_mode(spark, tmp_path):
+    """§2H streaming upsert row: continuous group-by with changelog
+    semantics — update mode emits only groups changed in each micro-batch."""
+    import json as _json
+
+    src = tmp_path / "usrc"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        for i in range(10):
+            f.write(_json.dumps({"k": "a" if i < 7 else "b", "v": i}) + "\n")
+    config = {
+        "sources": [
+            {
+                "name": "updates_stream",
+                "format": "json",
+                "schema": "k string, v long",
+                "path": str(src),
+            }
+        ],
+        "sinks": [
+            {
+                "name": "sdb.upd_out",
+                "format": "memory",
+                "output_mode": "update",
+                "trigger": "availableNow",
+            }
+        ],
+    }
+    sql = """-- config: easy_sql.etl_type=streaming
+
+-- target=output.sdb.upd_out
+select k, count(*) as n, sum(v) as total from updates_stream group by k
+
+-- target=func.execute_streaming_inserts()
+"""
+    p = SqlProcessor(spark, sql, streaming_config=config, logger=lambda m: None)
+    p.run()
+    rows = {
+        r.k: (r.n, r.total)
+        for r in spark.sql("select * from sdb_upd_out").collect()
+    }
+    assert rows == {"a": (7, 21), "b": (3, 24)}
