@@ -81,21 +81,33 @@ def substitute_outside_comments(sql: str, fn) -> str:
 
 
 def strip_trailing_semicolon(sql: str) -> str:
-    """Remove a trailing ``;`` that sits outside quotes/comments."""
+    """Remove every ``;`` that sits outside quotes/comments (the reference
+    removes ALL such semicolons, not just trailing ones — a step body is a
+    single statement and the engine rejects stray separators;
+    utils/sql_expr.py:140-168)."""
     spans = _scan_comment_spans(sql)
 
     def in_comment(pos: int) -> bool:
         return any(s <= pos < e for s, e in spans)
 
-    i = len(sql) - 1
-    while i >= 0 and (sql[i].isspace() or in_comment_tail(sql, i, spans)):
-        i -= 1
-    if i >= 0 and sql[i] == ";" and not in_comment(i):
-        return sql[:i] + sql[i + 1 :]
-    return sql
+    out = []
+    quote: str | None = None
+    for i, ch in enumerate(sql):
+        if quote is not None:
+            if ch == quote or ch == "\n":
+                quote = None
+            out.append(ch)
+            continue
+        if in_comment(i):
+            out.append(ch)
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+            out.append(ch)
+            continue
+        if ch == ";":
+            continue
+        out.append(ch)
+    return "".join(out)
 
 
-def in_comment_tail(sql: str, pos: int, spans: list[tuple[int, int]]) -> bool:
-    """True when ``pos`` is inside a comment span (helper for the strip scan:
-    skip over whole trailing comments when looking for the semicolon)."""
-    return any(s <= pos < e for s, e in spans)
