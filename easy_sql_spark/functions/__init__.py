@@ -10,11 +10,11 @@ from __future__ import annotations
 
 from typing import Callable
 
-from . import funcs_io, funcs_partition, funcs_quality, funcs_spark
+from . import funcs_io, funcs_llm, funcs_partition, funcs_quality, funcs_spark
 
 
 def build_registry(processor) -> dict[str, Callable]:
     registry: dict[str, Callable] = {}
-    for mod in (funcs_partition, funcs_spark, funcs_io, funcs_quality):
+    for mod in (funcs_partition, funcs_spark, funcs_io, funcs_quality, funcs_llm):
         registry.update(mod.build(processor))
     return registry

@@ -274,3 +274,38 @@ def q18_large_orders(spark, sf_dir):
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    WITH j AS (
+        SELECT p.p_type,
+               CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                    AS BIGINT) AS rev_scaled
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+    SELECT 100.0 * (CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                                  THEN rev_scaled ELSE 0 END) AS DOUBLE) / 10000)
+               / (CAST(SUM(rev_scaled) AS DOUBLE) / 10000) AS promo_revenue_pct,
+           CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_promo_items
+    FROM j
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share — conditional aggregation over a
+    fact⋈dim join.  part broadcasts; the percent is one double division over
+    exact scaled-long sums (identical on both engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    is_promo = F.col("p_type").startswith("PROMO")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return j.agg(
+        (
+            100.0
+            * _dsum(F.when(is_promo, rev).otherwise(0.0), 4)
+            / _dsum(rev, 4)
+        ).alias("promo_revenue_pct"),
+        F.sum(F.when(is_promo, 1).otherwise(0)).alias("n_promo_items"),
+    )

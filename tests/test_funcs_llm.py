@@ -1,0 +1,71 @@
+"""LLM-data operators as step-language functions — an ETL composing
+dedup → candidate pairs → anti-join cleanup (SURVEY §7.2 M6)."""
+
+from easy_sql_spark.runtime.processor import SqlProcessor
+
+ETL = """-- backend: spark
+
+-- target=temp.docs
+select doc_id, text from raw_docs
+
+-- target=func.dedupe_exact(docs, docs_unique, text)
+
+-- target=func.minhash_candidates(docs_unique, dup_pairs, text, doc_id)
+
+-- target=func.text_stats(docs_unique, docs_stats, text)
+
+-- target=temp.clean
+select d.doc_id from docs_unique d
+left anti join dup_pairs p on d.doc_id = p.doc_b
+
+-- target=check.kept_some
+select (select count(*) from clean) > 0 as actual, true as expected
+"""
+
+
+def test_llm_etl_pipeline(spark, tmp_path):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat today"),  # near dup
+        (4, "completely different content about spark engines here"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView(
+        "raw_docs"
+    )
+    p = SqlProcessor(spark, ETL, logger=lambda m: None)
+    p.run(dry_run=True)
+
+    uniq = {r.doc_id for r in spark.table("docs_unique").collect()}
+    assert uniq == {1, 3, 4}  # exact dup removed, min id kept
+
+    pairs = {(r.doc_a, r.doc_b) for r in spark.table("dup_pairs").collect()}
+    assert (1, 3) in pairs  # near-dup candidate found
+    assert all(a < b for a, b in pairs)
+
+    stats = {r.doc_id: r.n_tokens for r in spark.table("docs_stats").collect()}
+    assert stats[1] == 9 and stats[3] == 10
+
+    clean = {r.doc_id for r in spark.table("clean").collect()}
+    assert clean == {1, 4}
+    p.backend.clean_temp_views()
+
+
+def test_ann_topk_function(spark):
+    vecs = [(i, [float(i), 1.0]) for i in range(6)]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>"
+    ).createOrReplaceTempView("corpus_vecs")
+    spark.sql("select * from corpus_vecs where vec_id = 0").createOrReplaceTempView(
+        "query_vecs"
+    )
+    etl = "-- target=func.ann_topk(corpus_vecs, query_vecs, knn, 3)"
+    p = SqlProcessor(spark, etl, logger=lambda m: None)
+    p.run()
+    rows = [
+        (r.neighbor_id, r.rank)
+        for r in spark.table("knn").orderBy("rank").collect()
+    ]
+    # query (0,1): cosine = 1/sqrt(i^2+1) -> nearest are smallest i > 0
+    assert rows == [(1, 1), (2, 2), (3, 3)]
+    p.backend.clean_temp_views()
