@@ -1170,3 +1170,70 @@ def w4_distribution(spark, sf_dir):
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@query(
+    "s11_pivot",
+    oracle=f"""
+    SELECT l_returnflag,
+           {_osum("CASE WHEN l_linestatus = 'F' THEN l_quantity END", 2)} AS qty_f,
+           {_osum("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 2)} AS qty_o,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def s11_pivot(spark, sf_dir):
+    """S-family extension: pivot (wide conditional aggregation).  Explicit
+    pivot values keep the plan a single pass — Spark needs no
+    value-discovery pre-query, and the agg stays one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pivoted = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            _dsum(F.col("l_quantity"), 2).alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return pivoted.select(
+        "l_returnflag",
+        F.col("F_qty").alias("qty_f"),
+        F.col("O_qty").alias("qty_o"),
+        (F.coalesce(F.col("F_n"), F.lit(0)) + F.coalesce(F.col("O_n"), F.lit(0))).alias("n_rows"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "f10_map_ops",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k_via_map
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def f10_map_ops(spark, sf_dir):
+    """F-family extension: MapType operations (the fixtures never use maps —
+    sql_tester.py:252-255 rejects them in TEST DATA — but query support is
+    declared in SURVEY §1.3).  The Spark side routes values through a real
+    MapType column (from_json → element_at / map_keys); the oracle computes
+    the same values from the JSON directly."""
+    e = load_table(spark, sf_dir, "events")
+    m = e.select(
+        "event_type",
+        F.from_json("props", "map<string,string>").alias("pm"),
+    ).select(
+        "event_type",
+        F.element_at("pm", "k").cast("int").alias("k_val"),
+        F.size(F.map_keys(F.col("pm"))).alias("n_keys"),
+    )
+    return (
+        m.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k_val").alias("sum_k"),
+            F.max("k_val").cast("int").alias("max_k_via_map"),
+        )
+        .orderBy("event_type")
+    )
