@@ -1237,3 +1237,43 @@ def f10_map_ops(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "f11_struct_ops",
+    oracle="""
+    WITH s AS (
+        SELECT {'flag': l_returnflag, 'status': l_linestatus,
+                'qty': l_quantity} AS item
+        FROM lineitem)
+    SELECT item.flag AS flag,
+           item.status AS status,
+           CAST(SUM(CAST(ROUND(item.qty * 100) AS BIGINT)) AS DOUBLE) / 100
+               AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM s GROUP BY item.flag, item.status ORDER BY flag, status
+    """,
+)
+def f11_struct_ops(spark, sf_dir):
+    """F-family extension: StructType round-trip (pack → field access →
+    aggregate).  Catalyst collapses CreateNamedStruct + GetStructField to
+    the raw columns, so the struct costs nothing physically — the point is
+    the TYPE surface (SURVEY §1.3 declares struct support)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.struct(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_linestatus").alias("status"),
+            F.col("l_quantity").alias("qty"),
+        ).alias("item")
+    )
+    return (
+        s.groupBy(
+            F.col("item.flag").alias("flag"), F.col("item.status").alias("status")
+        )
+        .agg(
+            _dsum(F.col("item.qty"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("flag", "status")
+    )

@@ -201,3 +201,46 @@ select k, count(*) as n, sum(v) as total from updates_stream group by k
         for r in spark.sql("select * from sdb_upd_out").collect()
     }
     assert rows == {"a": (7, 21), "b": (3, 24)}
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """Extension: event-time SESSION windows with watermark — gaps > 5 min
+    split sessions (Spark-native analogue of streaming/stateful.sessionize
+    for when SQL semantics suffice)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    with open(src / "b.json", "w") as f:
+        for minute in [0, 2, 3, 20, 21]:  # two sessions: [0-3], [20-21]
+            f.write(
+                _json.dumps({"u": 1, "ts": f"2024-01-01 00:{minute:02d}:00"})
+                + "\n"
+            )
+    stream = (
+        spark.readStream.schema("u long, ts string")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withWatermark("ts", "10 minutes")
+    )
+    agg = stream.groupBy(
+        F.session_window("ts", "5 minutes").alias("w"), "u"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        agg.select("u", "n", F.col("w.start").cast("string").alias("start"))
+        .writeStream.format("memory")
+        .queryName("sess_win_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r.start: r.n
+        for r in spark.sql("select * from sess_win_out").collect()
+    }
+    # only the FIRST session is closed by the watermark (last event 00:21,
+    # watermark 00:11 > session1's end 00:08); session2 stays open in state
+    assert rows == {"2024-01-01 00:00:00": 3}
