@@ -58,6 +58,11 @@ def main() -> None:
         return time.time() - t0
 
     run("a1_pricing_summary")  # warmup: JVM/codegen/parquet footer caches
+    # warm the Python/Arrow worker pool so mapInPandas queries measure the
+    # operator, not the one-time interpreter forks (32 workers ≈ seconds)
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
