@@ -108,6 +108,20 @@ def cast_value(col_type: str, value: Any) -> Any:
         return _parse_dt(value).date()
     if col_type in ("timestamp", "datetime"):
         return _parse_dt(value)
+    if base.startswith("struct<"):
+        # single-level struct, |-separated values typed per field
+        # (reference sql_tester.py:273-306)
+        inner = base[len("struct<"):-1]
+        fields = [f.split(":") for f in inner.split(",")]
+        parts = [s.strip() for s in str(value).split("|")]
+        if len(parts) != len(fields):
+            raise AssertionError(
+                f"struct value needs {len(fields)} fields, got {len(parts)}: "
+                f"{value!r} for {col_type}"
+            )
+        return tuple(
+            cast_value(ftype, v) for (_, ftype), v in zip(fields, parts)
+        )
     # unknown type: keep raw; schema probe decides (sql_tester.py:198-204)
     return value
 

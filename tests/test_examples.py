@@ -1,0 +1,32 @@
+"""Golden sample ETL (reference §5 layer 3: test/sample_etl.spark.sql
+equivalents) — run via the real processor against testdata views, and via
+the JSON tester with fixture inputs."""
+
+import os
+
+from easy_sql_spark.datasets import register_views
+from easy_sql_spark.runtime.processor import SqlProcessor
+from easy_sql_spark.testing import SqlTester
+
+EXAMPLES = os.path.join(os.path.dirname(os.path.dirname(__file__)), "examples")
+
+
+def test_sample_etl_runs_on_testdata(spark):
+    register_views(spark, "/root/testdata/sf0.001", ("customer",))
+    with open(os.path.join(EXAMPLES, "sample_etl.spark.sql")) as f:
+        sql = f.read()
+    p = SqlProcessor(spark, sql, base_dir=EXAMPLES, logger=lambda m: None)
+    p.run(dry_run=True)
+    view = p.output_view_for("sample.segment_report")
+    rows = spark.table(view).collect()
+    assert len(rows) >= 3  # several market segments
+    for r in rows:
+        assert abs(r.doubled_balance - 2 * r.total_balance) < 1e-9
+    p.backend.clean_temp_views()
+
+
+def test_sample_etl_json_case(spark):
+    tester = SqlTester(spark, work_dir=EXAMPLES)
+    result = tester.run_file(os.path.join(EXAMPLES, "sample_etl_test.json"))
+    assert result.ok, result.render()
+    assert "INSERT OVERWRITE TABLE sample.segment_report" in tester.collected_sql

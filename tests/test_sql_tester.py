@@ -148,3 +148,10 @@ def test_cast_value_types():
     assert cast_value("int", "null") is None
     with pytest.raises(AssertionError):
         cast_value("map<string,int>", "a")
+
+
+def test_cast_value_struct():
+    v = cast_value("struct<name:string,n:int,d:double>", "bob|3|1.5")
+    assert v == ("bob", 3, 1.5)
+    with pytest.raises(AssertionError):
+        cast_value("struct<a:int,b:int>", "1")
