@@ -201,6 +201,26 @@ class SparkBackend:
                     f"save to {table.name}: column type mismatches {mismatched}"
                 )
 
+    def create_bucketed_table(
+        self,
+        df: DataFrame,
+        table: TableMeta,
+        bucket_cols: list[str],
+        n_buckets: int,
+        save_mode: str = "overwrite",
+    ) -> None:
+        """Write a bucketed (+sorted) parquet table — the layout that lets
+        two fact tables join WITHOUT a shuffle (Catalyst elides both
+        exchanges when bucket specs match).  At 100 TB this is the single
+        biggest cost lever for repeated fact-fact joins; see SCALE.md."""
+        (
+            df.write.mode(save_mode)
+            .format("parquet")
+            .bucketBy(n_buckets, *bucket_cols)
+            .sortBy(*bucket_cols)
+            .saveAsTable(table.name)
+        )
+
     # ----------------------------------------------------------------- save
     def save_table(
         self,

@@ -403,6 +403,15 @@ class SqlProcessor:
             if self.backend.table_exists(table):
                 self.backend.verify_schema(df, table)
 
+        # scale extension: __bucket_by__ / __bucket_count__ write the output
+        # as a bucketed+sorted table (shuffle-free joins on the bucket key)
+        bucket_by = self.vars_context.get_var("__bucket_by__")
+        if bucket_by and not dry_run:
+            cols = [c.strip() for c in str(bucket_by).split("|") if c.strip()]
+            n = int(self.vars_context.get_var("__bucket_count__", "8"))
+            self.backend.create_bucketed_table(df, table, cols, n, save_mode)
+            return
+
         if dry_run:
             from pyspark.sql import functions as F
 
