@@ -1,0 +1,119 @@
+"""Function-library integration tests (SURVEY §2G) — IO, column
+expressions, parallelism, and quality functions driven through ETL steps."""
+
+import csv
+import json
+import os
+
+import pytest
+
+from easy_sql_spark.runtime.processor import (
+    CheckFailedError,
+    SqlProcessor,
+)
+
+
+def run_etl(spark, sql, **kw):
+    p = SqlProcessor(spark, sql, logger=lambda m: None, **kw)
+    p.run(**{k: v for k, v in kw.items() if k == "dry_run"})
+    return p
+
+
+def test_io_functions_csv_json(spark, tmp_path):
+    out_dir = str(tmp_path / "csv_out")
+    csv_file = str(tmp_path / "final" / "report.csv")
+    json_file = str(tmp_path / "rows.json")
+    sql = f"""-- backend: spark
+
+-- target=temp.report
+select id, id * 10 as v from range(5)
+
+-- target=func.write_csv(report, {out_dir})
+
+-- target=func.rename_csv_output({out_dir}, {csv_file})
+
+-- target=func.write_json_local(report, {json_file})
+"""
+    p = SqlProcessor(spark, sql, logger=lambda m: None)
+    p.run()
+    with open(csv_file) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 5 and rows[0]["v"] in ("0", "0.0")
+    with open(json_file) as f:
+        data = json.load(f)
+    assert len(data) == 5
+    p.backend.clean_temp_views()
+
+
+def test_column_expr_functions(spark):
+    spark.createDataFrame(
+        [(1, "a", 2.0)], "id int, name string, score double"
+    ).createOrReplaceTempView("wide_t")
+    sql = """-- target=temp.narrowed
+select ${all_cols_without_one_expr(wide_t, name)} from wide_t
+
+-- target=temp.prefixed
+select ${all_cols_prefixed_with_exclusion_expr(wide_t, p_, id)} from wide_t
+"""
+    p = SqlProcessor(spark, sql, logger=lambda m: None)
+    p.run(dry_run=True)
+    assert spark.table("narrowed").columns == ["id", "score"]
+    assert spark.table("prefixed").columns == ["p_name", "p_score"]
+    p.backend.clean_temp_views()
+
+
+def test_parallelism_functions(spark):
+    sql = """-- target=temp.t
+select id from range(100)
+
+-- target=func.repartition(t, 7)
+
+-- target=func.set_shuffle_partitions(16)
+"""
+    p = SqlProcessor(spark, sql, logger=lambda m: None)
+    p.run(dry_run=True)
+    assert spark.table("t").rdd.getNumPartitions() == 7
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "16"
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    p.backend.clean_temp_views()
+
+
+def test_quality_functions(spark):
+    spark.createDataFrame(
+        [(1, "x"), (2, None)], "id int, name string"
+    ).createOrReplaceTempView("qt")
+    p = SqlProcessor(spark, "-- target=temp.noop\nselect 1", logger=lambda m: None)
+    funcs = p.func_runner.funcs
+    assert funcs["check_not_null_column_in_table"]("qt", "id") is True
+    assert funcs["check_not_null_column_in_table"]("qt", "name") is False
+    with pytest.raises(RuntimeError):
+        funcs["ensure_no_null_data_in_table"]("qt", "name")
+    assert funcs["data_profiling_report"]("qt", "100") is True
+    p.backend.clean_temp_views()
+
+
+def test_alert_and_failing_if_condition(spark):
+    logs = []
+    # func-step args cannot contain nested `,()` (reference funcs.py:234-247)
+    # — the alert condition is a falsy VARIABLE here
+    sql = """-- target=variables
+select '' as check_passed
+
+-- target=func.alert(my_rule, check_passed, something broke)
+
+-- target=temp.never, if=equal(a, b)
+select 1 as x
+"""
+    p = SqlProcessor(spark, sql, logger=logs.append)
+    p.run(dry_run=True)
+    assert any("ALERT[my_rule]" in str(m) for m in logs)
+    assert not spark.catalog.tableExists("never")
+
+
+def test_check_func_failure_raises(spark):
+    with pytest.raises(CheckFailedError):
+        SqlProcessor(
+            spark,
+            "-- target=check.equal(1, 2)\n",
+            logger=lambda m: None,
+        ).run()
