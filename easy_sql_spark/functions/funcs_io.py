@@ -11,6 +11,7 @@ import shutil
 
 def build(processor):
     spark = processor.spark
+    backend = processor.backend
 
     def write_csv(table: str, path: str):
         """Single-file CSV with header.  coalesce(1) is a deliberate
@@ -39,6 +40,23 @@ def build(processor):
         with open(path, "w", encoding="utf-8") as f:
             json.dump(rows, f, default=str)
 
+    def read_csv(path: str, view: str, header: str = "true"):
+        """Register a CSV file/dir as a temp view (schema inferred).  At
+        scale prefer an explicit schema — inference scans the data twice —
+        but the step stays one line either way."""
+        df = (
+            spark.read.option("header", header)
+            .option("inferSchema", True)
+            .csv(path)
+        )
+        backend.create_temp_view(df, view)
+
+    def read_json(path: str, view: str):
+        backend.create_temp_view(spark.read.json(path), view)
+
+    def read_parquet(path: str, view: str):
+        backend.create_temp_view(spark.read.parquet(path), view)
+
     def update_json_local(attr: str, path: str):
         """Merge current vars/list-vars into one attribute of a JSON file."""
         data = {}
@@ -55,5 +73,5 @@ def build(processor):
     return {
         k: v
         for k, v in locals().items()
-        if callable(v) and not k.startswith("_") and k not in ("processor", "spark")
+        if callable(v) and not k.startswith("_") and k not in ("processor", "spark", "backend")
     }

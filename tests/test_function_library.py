@@ -117,3 +117,24 @@ def test_check_func_failure_raises(spark):
             "-- target=check.equal(1, 2)\n",
             logger=lambda m: None,
         ).run()
+
+
+def test_file_source_functions(spark, tmp_path):
+    csv_p = tmp_path / "in.csv"
+    csv_p.write_text("id,name\n1,a\n2,b\n")
+    json_p = tmp_path / "in.json"
+    json_p.write_text('{"id": 3, "name": "c"}\n')
+    sql = f"""-- target=func.read_csv({csv_p}, csv_view)
+
+-- target=func.read_json({json_p}, json_view)
+
+-- target=temp.combined
+select id, name from csv_view union all select id, name from json_view
+
+-- target=check.n_rows
+select (select count(*) from combined) as actual, 3 as expected
+"""
+    p = SqlProcessor(spark, sql, logger=lambda m: None)
+    p.run(dry_run=True)
+    assert {r.id for r in spark.table("combined").collect()} == {1, 2, 3}
+    p.backend.clean_temp_views()
