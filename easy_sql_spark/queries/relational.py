@@ -1277,3 +1277,60 @@ def f11_struct_ops(spark, sf_dir):
         )
         .orderBy("flag", "status")
     )
+
+
+@query(
+    "f2b_date_arith",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           date_diff('day', DATE '1995-01-01', o_orderdate::DATE) AS days_since_95,
+           strftime(o_orderdate::DATE + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+           CAST(date_part('month', o_orderdate) AS INT) AS order_month,
+           CAST(date_part('dow', o_orderdate) AS INT) AS order_dow
+    FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey
+    """,
+)
+def f2b_date_arith(spark, sf_dir):
+    """F2 extension: date arithmetic — datediff / date_add / extract.
+    Spark dayofweek is 1=Sunday; DuckDB dow is 0=Sunday — normalized here."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        o.where(F.col("o_orderkey") <= 100)
+        .select(
+            "o_orderkey",
+            F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+            F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due_date"),
+            F.month(d).alias("order_month"),
+            (F.dayofweek(d) - 1).alias("order_dow"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "s12_unpivot",
+    oracle="""
+    WITH sums AS (
+        SELECT CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS qty,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS price,
+               CAST(SUM(CAST(ROUND(l_tax * 100) AS BIGINT)) AS DOUBLE) / 100 AS tax
+        FROM lineitem)
+    SELECT metric, value FROM (UNPIVOT sums ON qty, price, tax
+                               INTO NAME metric VALUE value)
+    ORDER BY metric
+    """,
+)
+def s12_unpivot(spark, sf_dir):
+    """S-family extension: unpivot (wide → long).  Spark plans an Expand —
+    rows × n_metrics map-side, no extra shuffle beyond the aggregate's."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sums = li.agg(
+        _dsum(F.col("l_quantity"), 2).alias("qty"),
+        _dsum(F.col("l_extendedprice"), 2).alias("price"),
+        _dsum(F.col("l_tax"), 2).alias("tax"),
+    )
+    return sums.unpivot(
+        ids=[], values=["qty", "price", "tax"],
+        variableColumnName="metric", valueColumnName="value",
+    ).orderBy("metric")
