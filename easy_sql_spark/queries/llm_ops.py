@@ -699,3 +699,84 @@ def sim_ivf_topk(spark, sf_dir):
             "query_id", "neighbor_id", F.round("cos", 4).alias("cos_sim"), "rank"
         )
     )
+
+
+@query(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE shingles AS ({_SHINGLES_ORACLE}),
+    sigs AS (SELECT doc_id, {_MINHASH_SIGS} FROM shingles GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, 0 AS band_id, md5(h0 || h1 || h2 || h3) AS band FROM sigs
+        UNION ALL
+        SELECT doc_id, 1 AS band_id, md5(h4 || h5 || h6 || h7) AS band FROM sigs),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_id = b.band_id
+             AND a.doc_id < b.doc_id),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(u, v) AS (
+        SELECT DISTINCT u, u FROM edges
+        UNION
+        SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
+    SELECT CAST(u AS BIGINT) AS doc_id, CAST(MIN(v) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY u ORDER BY doc_id
+    """,
+)
+def dedup_components(spark, sf_dir):
+    """Near-dup CLUSTERING: connected components over the MinHash candidate
+    graph — the step that turns pairs into keep/drop groups (keep the min
+    doc_id per component, drop the rest).
+
+    Iterative min-label propagation on DataFrames: each round every node
+    takes the min of its own label and its neighbors' labels; converged when
+    no label changes.  Rounds needed = graph diameter (near-dup components
+    are tiny, so a handful); every round is one broadcast-or-shuffle join +
+    aggregate, and ``localCheckpoint`` truncates the growing lineage — the
+    standard Spark pattern for iterative algorithms (Pregel-style).  The
+    oracle replays the same closure with a recursive CTE.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    edges = pairs.selectExpr("doc_a as u", "doc_b as v").unionAll(
+        pairs.selectExpr("doc_b as u", "doc_a as v")
+    )
+    edges = edges.localCheckpoint(eager=True)
+
+    labels = edges.select("u").distinct().select(
+        "u", F.col("u").alias("label")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(20):
+        neighbor_min = (
+            edges.alias("e")
+            .join(labels.alias("l"), F.col("e.v") == F.col("l.u"))
+            .groupBy(F.col("e.u").alias("nu"))
+            .agg(F.min(F.col("l.label")).alias("nmin"))
+        )
+        updated = (
+            labels.alias("l2")
+            .join(neighbor_min, F.col("l2.u") == F.col("nu"), "left")
+            .select(
+                F.col("l2.u").alias("u"),
+                F.least(
+                    F.col("l2.label"),
+                    F.coalesce(F.col("nmin"), F.col("l2.label")),
+                ).alias("label"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = (
+            updated.alias("n")
+            .join(labels.alias("o"), F.col("n.u") == F.col("o.u"))
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+
+    return labels.select(
+        F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
