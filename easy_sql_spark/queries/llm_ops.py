@@ -780,3 +780,96 @@ def dedup_components(spark, sf_dir):
     return labels.select(
         F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
     ).orderBy("doc_id")
+
+
+@query(
+    "sim_quantize_int8",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id < 50),
+    scaled AS (
+        SELECT vec_id,
+               list_max(list_transform(v, x -> abs(x))) AS amax,
+               v
+        FROM e)
+    SELECT vec_id,
+           amax,
+           list_transform(v, x -> CAST(FLOOR(x * 127.0 / amax + 0.5) AS INT))
+               AS q,
+           CAST(list_sum(list_transform(v,
+                x -> abs(x - FLOOR(x * 127.0 / amax + 0.5) * amax / 127.0)))
+                / len(v) AS DOUBLE) AS mean_abs_err
+    FROM scaled ORDER BY vec_id
+    """,
+)
+def sim_quantize_int8(spark, sf_dir):
+    """Embedding int8 quantization (symmetric, per-vector absmax scale) —
+    the 4× storage lever for 100 TB embedding corpora.  Pure JVM
+    ``transform`` lambdas; ``floor(x+0.5)`` instead of round() because both
+    engines floor identically while round() half-up ties can differ on
+    doubles.  Also emits mean reconstruction error per vector."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 50)
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        )
+    )
+    amax = F.expr("array_max(transform(v, x -> abs(x)))")
+    scaled = e.withColumn("amax", amax)
+    q = F.expr("transform(v, x -> cast(floor(x * 127.0 / amax + 0.5) as int))")
+    err = F.expr(
+        "aggregate(transform(v,"
+        " x -> abs(x - floor(x * 127.0 / amax + 0.5) * amax / 127.0)),"
+        " 0D, (acc, z) -> acc + z) / size(v)"
+    )
+    return scaled.select(
+        "vec_id", "amax", q.alias("q"), err.cast("double").alias("mean_abs_err")
+    ).orderBy("vec_id")
+
+
+@query(
+    "py_groupwise_mad",
+    oracle="""
+    WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+               FROM events GROUP BY event_type),
+    d AS (SELECT e.event_type, abs(e.value - m.med) AS dev, m.med
+          FROM events e JOIN m ON e.event_type = m.event_type)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ANY_VALUE(med) AS median_value,
+           quantile_cont(dev, 0.5) AS mad
+    FROM d GROUP BY event_type ORDER BY event_type
+    """,
+)
+def py_groupwise_mad(spark, sf_dir):
+    """Grouped-map Pandas UDF (``applyInPandas``): per-group median absolute
+    deviation — robust statistics that need the whole group in memory at
+    once, the canonical batch grouped-UDF shape.  Each group arrives as ONE
+    Arrow batch (group sizes must fit an executor — true for per-type event
+    groups; salt first if not).  numpy's interpolated median matches
+    quantile_cont exactly on identical values."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+
+    def mad(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy(dtype="float64")
+        med = float(np.median(v))
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n": [len(v)],
+                "median_value": [med],
+                "mad": [float(np.median(np.abs(v - med)))],
+            }
+        )
+
+    out_schema = (
+        "event_type string, n long, median_value double, mad double"
+    )
+    return (
+        e.groupBy("event_type").applyInPandas(mad, out_schema).orderBy("event_type")
+    )
