@@ -244,3 +244,62 @@ def test_streaming_session_window(spark, tmp_path):
     # only the FIRST session is closed by the watermark (last event 00:21,
     # watermark 00:11 > session1's end 00:08); session2 stays open in state
     assert rows == {"2024-01-01 00:00:00": 3}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks and an event-time interval
+    condition — Spark buffers both sides in state, bounded by the
+    watermark + interval (the scale-safe configuration)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    imp_dir = tmp_path / "impressions"
+    clk_dir = tmp_path / "clicks"
+    imp_dir.mkdir()
+    clk_dir.mkdir()
+    with open(imp_dir / "b.json", "w") as f:
+        for i, minute in [(1, 0), (2, 10), (3, 40)]:
+            f.write(
+                _json.dumps({"ad": i, "its": f"2024-01-01 00:{minute:02d}:00"})
+                + "\n"
+            )
+    with open(clk_dir / "b.json", "w") as f:
+        # ad1 clicked 5min after; ad2 clicked 25min after (outside window);
+        # ad3 never clicked
+        for i, minute in [(1, 5), (2, 35)]:
+            f.write(
+                _json.dumps({"ad": i, "cts": f"2024-01-01 00:{minute:02d}:00"})
+                + "\n"
+            )
+
+    imps = (
+        spark.readStream.schema("ad long, its string")
+        .json(str(imp_dir))
+        .withColumn("its", F.to_timestamp("its"))
+        .withWatermark("its", "1 hour")
+    )
+    clicks = (
+        spark.readStream.schema("ad long, cts string")
+        .json(str(clk_dir))
+        .withColumn("cts", F.to_timestamp("cts"))
+        .withWatermark("cts", "1 hour")
+    )
+    joined = imps.join(
+        clicks,
+        (imps.ad == clicks.ad)
+        & (clicks.cts >= imps.its)
+        & (clicks.cts <= imps.its + F.expr("interval 15 minutes")),
+        "inner",
+    )
+    q = (
+        joined.select(imps.ad, "its", "cts")
+        .writeStream.format("memory")
+        .queryName("ss_join_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [(r.ad,) for r in spark.sql("select * from ss_join_out").collect()]
+    assert rows == [(1,)]  # only ad1's click landed inside the 15-min window
