@@ -295,6 +295,42 @@ class SqlTester:
     def run_files(self, test_files: list[str]) -> list[TestResult]:
         return [self.run_file(f) for f in test_files]
 
+    def generate_pytest_file(self, test_file: str, out_path: str | None = None) -> str:
+        """Write a pytest module that runs every case of a JSON test file
+        (reference generate_python_unittest_file, sql_tester.py:1013-1059 —
+        pytest-style instead of unittest, no jinja dependency)."""
+        cases = self.parse_cases(test_file)
+        if out_path is None:
+            base = os.path.basename(test_file).replace(".", "__")
+            out_path = os.path.join(
+                os.path.dirname(test_file), base.replace("__json", "_test.py")
+            )
+        test_file_literal = repr(os.path.abspath(test_file))
+        work_dir_literal = repr(os.path.abspath(self.work_dir))
+        lines = [
+            '"""Generated by easy_sql_spark.testing.SqlTester — do not edit."""',
+            "",
+            "import pytest",
+            "",
+            "from easy_sql_spark.testing import SqlTester",
+            "",
+            f"TEST_FILE = {test_file_literal}",
+            f"WORK_DIR = {work_dir_literal}",
+            "",
+            "",
+            "@pytest.mark.parametrize(\"case_idx\", "
+            f"{list(range(len(cases)))!r})",
+            "def test_etl_case(spark, case_idx):",
+            "    result = SqlTester(spark, work_dir=WORK_DIR).run_file(",
+            "        TEST_FILE, case_idx=case_idx",
+            "    )",
+            "    assert result.ok, result.render()",
+            "",
+        ]
+        with open(out_path, "w", encoding="utf-8") as f:
+            f.write("\n".join(lines))
+        return out_path
+
     # ------------------------------------------------------------- case run
     def run_case(self, case: TestCase) -> None:
         from ..runtime.processor import SqlProcessor

@@ -155,3 +155,15 @@ def test_cast_value_struct():
     assert v == ("bob", 3, 1.5)
     with pytest.raises(AssertionError):
         cast_value("struct<a:int,b:int>", "1")
+
+
+def test_generate_pytest_file(spark, tmp_path, work_dir):
+    test_file = write_cases(tmp_path, [case_dict()])
+    tester = SqlTester(spark, work_dir=work_dir)
+    out = tester.generate_pytest_file(test_file)
+    src = open(out).read()
+    assert "def test_etl_case(spark, case_idx):" in src
+    assert repr(work_dir) in src
+    # the case the generated module would run passes through the same API
+    result = tester.run_file(test_file, case_idx=0)
+    assert result.ok
