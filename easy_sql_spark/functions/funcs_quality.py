@@ -51,6 +51,24 @@ def build(processor):
             processor.log(f"ALERT[{rule_name}]: {message_template}")
         return True
 
+    def alert_with_backend(rule_name: str, check_table: str, message: str = ""):
+        """Alert variant fed by a TABLE (reference funcs_common.py:271-321):
+        fires when the table is non-empty, rendering ≤10 rows into the
+        message."""
+        rows = spark.table(check_table).limit(10).collect()
+        if rows:
+            rendered = "; ".join(str(r.asDict()) for r in rows)
+            processor.log(f"ALERT[{rule_name}]: {message} {rendered}")
+        return True
+
+    def alert_exception_handler(rule_name: str, *args):
+        """``__exception_handler__`` target: last positional arg is the
+        exception the failed step raised (reference
+        funcs_common.py:309-321)."""
+        exc = args[-1] if args else None
+        processor.log(f"ALERT[{rule_name}]: step failed: {exc}")
+        return True
+
     def data_profiling_report(table: str, max_count: str = "10000"):
         """Lightweight dataset profile (the reference shells out to
         ydata-profiling, funcs_common.py:340-453 — not available here, so we

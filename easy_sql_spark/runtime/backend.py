@@ -75,6 +75,9 @@ class SparkBackend:
     def __init__(self, spark: SparkSession) -> None:
         self.spark = spark
         self._temp_views: list[str] = []
+        #: callbacks invoked around save_table (reference spark.py:222-243):
+        #: fn(event, table_name) with event in {"start", "end"}
+        self.save_hooks: list = []
 
     # ------------------------------------------------------------------ sql
     def exec_sql(self, sql: str) -> DataFrame:
@@ -237,6 +240,8 @@ class SparkBackend:
         rewrites the partitions present in the data, exactly the semantics
         the reference emulates around SPARK-31605.
         """
+        for hook in self.save_hooks:
+            hook("start", table.name)
         for p in table.static_partitions():
             if p.field not in df.columns:
                 df = df.withColumn(p.field, F.lit(p.value))
@@ -269,6 +274,8 @@ class SparkBackend:
                 )
             else:
                 raise
+        for hook in self.save_hooks:
+            hook("end", table.name)
 
     # ----------------------------------------------------- partition probes
     def list_partitions(self, table_name: str) -> list[str]:

@@ -138,3 +138,46 @@ select (select count(*) from combined) as actual, 3 as expected
     p.run(dry_run=True)
     assert {r.id for r in spark.table("combined").collect()} == {1, 2, 3}
     p.backend.clean_temp_views()
+
+
+def test_save_hooks_and_alert_variants(spark, tmp_path):
+    events = []
+    logs = []
+    sql = """-- target=variables
+select true as __create_output_table__
+
+-- target=temp.bad_rows
+select 1 as id where 1 = 0
+
+-- target=func.alert_with_backend(empty_rule, bad_rows, should not fire)
+
+-- target=temp.found_rows
+select 42 as id
+
+-- target=func.alert_with_backend(full_rule, found_rows, rows found)
+
+-- target=output.hooks_db.out
+select id from found_rows
+"""
+    spark.sql("create database if not exists hooks_db")
+    p = SqlProcessor(spark, sql, logger=logs.append)
+    p.backend.save_hooks.append(lambda ev, name: events.append((ev, name)))
+    p.run()
+    assert events == [("start", "hooks_db.out"), ("end", "hooks_db.out")]
+    alerts = [m for m in logs if "ALERT[" in str(m)]
+    assert len(alerts) == 1 and "full_rule" in alerts[0] and "42" in alerts[0]
+    spark.sql("drop table if exists hooks_db.out")
+    p.backend.clean_temp_views()
+
+
+def test_alert_exception_handler(spark):
+    logs = []
+    sql = """-- target=variables
+select 'alert_exception_handler(etl_failed)' as __exception_handler__
+
+-- target=temp.boom
+select undefined_column_xyz from range(1)
+"""
+    p = SqlProcessor(spark, sql, logger=logs.append)
+    p.run(dry_run=True)  # handler swallows the failure
+    assert any("etl_failed" in str(m) and "step failed" in str(m) for m in logs)
