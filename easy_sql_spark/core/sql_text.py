@@ -92,22 +92,36 @@ def strip_trailing_semicolon(sql: str) -> str:
 
     out = []
     quote: str | None = None
-    for i, ch in enumerate(sql):
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
         if quote is not None:
+            # same escape handling as _scan_comment_spans so both scanners
+            # agree on quote state for inputs like 'don\'t; stop'
+            if ch == "\\" and i + 1 < n:
+                out.append(ch)
+                out.append(sql[i + 1])
+                i += 2
+                continue
             if ch == quote or ch == "\n":
                 quote = None
             out.append(ch)
+            i += 1
             continue
         if in_comment(i):
             out.append(ch)
+            i += 1
             continue
         if ch in ("'", '"'):
             quote = ch
             out.append(ch)
+            i += 1
             continue
         if ch == ";":
+            i += 1
             continue
         out.append(ch)
+        i += 1
     return "".join(out)
 
 

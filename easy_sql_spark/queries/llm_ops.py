@@ -748,7 +748,9 @@ def dedup_components(spark, sf_dir):
         "u", F.col("u").alias("label")
     ).localCheckpoint(eager=True)
 
-    for _ in range(20):
+    max_rounds = 20
+    changed = 0
+    for _ in range(max_rounds):
         neighbor_min = (
             edges.alias("e")
             .join(labels.alias("l"), F.col("e.v") == F.col("l.u"))
@@ -776,6 +778,13 @@ def dedup_components(spark, sf_dir):
         labels = updated
         if changed == 0:
             break
+    if changed != 0:
+        # a component with diameter > max_rounds would otherwise silently
+        # get wrong cluster ids; fail loudly instead
+        raise RuntimeError(
+            f"dedup_components: label propagation did not converge within "
+            f"{max_rounds} rounds (component diameter exceeds the cap)"
+        )
 
     return labels.select(
         F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")

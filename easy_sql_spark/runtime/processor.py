@@ -213,7 +213,10 @@ class SqlProcessor:
         if step.config.condition is None:
             return True
         m = FUNC_CALL_RE.match(step.config.condition)
-        assert m, f"invalid if= condition: {step.config.condition}"
+        if not m:
+            raise StepFailedError(
+                f"invalid if= condition: {step.config.condition}"
+            )
         result = self.func_runner.run_func_call(
             m.group(1), m.group(2), self.vars_context
         )
@@ -407,6 +410,13 @@ class SqlProcessor:
         # as a bucketed+sorted table (shuffle-free joins on the bucket key)
         bucket_by = self.vars_context.get_var("__bucket_by__")
         if bucket_by and not dry_run:
+            from pyspark.sql import functions as F
+
+            # static partition values must land in the written table here
+            # too, not only in save_table's path
+            for p in table.static_partitions():
+                if p.field not in df.columns:
+                    df = df.withColumn(p.field, F.lit(p.value))
             cols = [c.strip() for c in str(bucket_by).split("|") if c.strip()]
             n = int(self.vars_context.get_var("__bucket_count__", "8"))
             self.backend.create_bucketed_table(df, table, cols, n, save_mode)

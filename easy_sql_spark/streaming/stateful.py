@@ -92,6 +92,12 @@ def sessionize(df: DataFrame, user_col: str, ts_col: str, gap: int) -> DataFrame
     in state and completes in a later micro-batch — or never, if the stream
     ends (flush-on-timeout can be layered with an event-time timeout once a
     watermark is attached upstream).
+
+    Late data: there is no watermark at this layer, so an event older than
+    the stored session's last timestamp (delivered by a later micro-batch)
+    is merged into the open session without moving ``last`` backwards — it
+    extends ``n`` and can only pull ``start`` earlier, never shorten the
+    gap window for subsequent in-order events.
     """
     assert df.isStreaming, "sessionize operates on streaming DataFrames"
 
@@ -117,7 +123,10 @@ def sessionize(df: DataFrame, user_col: str, ts_col: str, gap: int) -> DataFrame
                 completed.append((user, start, last, n))
                 start, last, n = t, t, 1
             else:
-                last, n = t, n + 1
+                # max() guards against cross-batch late events: t can be
+                # older than the stored `last`, and moving `last` backwards
+                # would spuriously split the session at the next event
+                start, last, n = min(start, t), max(last, t), n + 1
         state.update((start, last, n))
         if completed:
             yield pd.DataFrame(

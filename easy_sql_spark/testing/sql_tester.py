@@ -68,6 +68,26 @@ def _parse_dt(value: Any) -> dt.datetime:
     )
 
 
+def _split_top_level(spec: str) -> list[str]:
+    """Split a type-spec list on commas that sit at bracket depth 0, so
+    parameterized field types like ``a:decimal(10,2),b:int`` keep their
+    internal commas."""
+    parts, depth, cur = [], 0, []
+    for ch in spec:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
 def cast_value(col_type: str, value: Any) -> Any:
     """Cast one JSON cell to the python value for its declared column type
     (reference cast_as_type, sql_tester.py:208-317)."""
@@ -112,7 +132,14 @@ def cast_value(col_type: str, value: Any) -> Any:
         # single-level struct, |-separated values typed per field
         # (reference sql_tester.py:273-306)
         inner = base[len("struct<"):-1]
-        fields = [f.split(":") for f in inner.split(",")]
+        fields = []
+        for spec in _split_top_level(inner):
+            if ":" not in spec:
+                raise AssertionError(
+                    f"bad struct field spec {spec!r} in {col_type!r}: "
+                    "expected name:type"
+                )
+            fields.append(spec.split(":", 1))
         parts = [s.strip() for s in str(value).split("|")]
         if len(parts) != len(fields):
             raise AssertionError(

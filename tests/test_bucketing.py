@@ -60,3 +60,30 @@ def test_bucketed_outputs_join_without_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("drop table if exists bkt.facts_l")
         spark.sql("drop table if exists bkt.facts_r")
+
+
+ETL_PART = """-- backend: spark
+-- prepare-sql: create database if not exists bkt
+
+-- target=variables
+select 'k' as __bucket_by__, 4 as __bucket_count__,
+       '2024-01-01' as __partition__dt
+
+-- target=output.bkt.facts_p
+select id as k, id * 3 as v from part_src
+"""
+
+
+def test_bucketed_output_keeps_static_partition(spark):
+    """__partition__* static values must be injected into a bucketed output
+    too, not only in the plain save_table path (ADVICE r1)."""
+    spark.range(20).createOrReplaceTempView("part_src")
+    p = SqlProcessor(spark, ETL_PART, logger=lambda m: None)
+    p.run()
+    p.backend.clean_temp_views()
+    try:
+        df = spark.table("bkt.facts_p")
+        assert "dt" in df.columns
+        assert df.where(F.col("dt") == "2024-01-01").count() == 20
+    finally:
+        spark.sql("drop table if exists bkt.facts_p")

@@ -41,6 +41,15 @@ def test_strip_trailing_semicolon():
     assert strip_trailing_semicolon("select 1 -- c;\n") == "select 1 -- c;\n"
 
 
+def test_strip_semicolon_escaped_quote():
+    # backslash-escaped quote must not close the literal (ADVICE r1)
+    sql = r"select 'don\'t; stop' as v;"
+    assert strip_trailing_semicolon(sql) == r"select 'don\'t; stop' as v"
+    # escaped backslash right before the closing quote DOES close it
+    sql2 = "select 'a\\\\'; -- x\n"
+    assert strip_trailing_semicolon(sql2) == "select 'a\\\\' -- x\n"
+
+
 # ----------------------------------------------------------------- context
 def test_vars_case_insensitive_and_recursive():
     ctx = VarsContext(vars={"A": "x", "b": "${a}_${a}"})

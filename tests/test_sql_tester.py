@@ -157,6 +157,14 @@ def test_cast_value_struct():
         cast_value("struct<a:int,b:int>", "1")
 
 
+def test_cast_value_struct_parameterized_field_types():
+    # commas inside decimal(10,2) are not field separators (ADVICE r1)
+    v = cast_value("struct<a:decimal(10,2),b:int>", "1.25|7")
+    assert v == (1.25, 7)
+    with pytest.raises(AssertionError, match="name:type"):
+        cast_value("struct<abc,b:int>", "1|2")
+
+
 def test_generate_pytest_file(spark, tmp_path, work_dir):
     test_file = write_cases(tmp_path, [case_dict()])
     tester = SqlTester(spark, work_dir=work_dir)

@@ -80,3 +80,36 @@ def test_sessionize_gap_split_and_cross_batch(spark, tmp_path):
     # only user 7's first session completed (closed by t=100);
     # the open sessions (7 @ t=100, 8 @ t=5) remain in state
     assert rows == [(7, 0, 15, 3)]
+
+
+def test_sessionize_late_event_does_not_split(spark, tmp_path):
+    """A later micro-batch delivering an event OLDER than the stored
+    session's last timestamp must not move `last` backwards (ADVICE r1) —
+    otherwise the next in-order event spuriously splits the session."""
+    src = tmp_path / "lsrc"
+    _write_batch(src / "a.json", [
+        {"user": 1, "t": 0}, {"user": 1, "t": 20},
+    ])
+    time.sleep(1.1)
+    # t=10 is late (older than last=20); t=40 is within gap of last=20 and
+    # must continue the session; t=200 closes it
+    _write_batch(src / "b.json", [
+        {"user": 1, "t": 10}, {"user": 1, "t": 40}, {"user": 1, "t": 200},
+    ])
+    stream = (
+        spark.readStream.schema("user long, t long")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    sessions = sessionize(stream, "user", "t", gap=30)
+    _run_to_memory(sessions, "late_sess_out")
+    rows = [
+        (r.user, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql(
+            "select * from late_sess_out order by session_start"
+        ).collect()
+    ]
+    # one completed session covering 0..40 with 4 events (late t=10 merged;
+    # without the max() guard, last would move back to 10 and t=40 would
+    # spuriously split)
+    assert rows == [(1, 0, 40, 4)]
