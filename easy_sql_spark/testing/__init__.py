@@ -6,6 +6,12 @@ from .sql_tester import (
     cast_value,
     spark_schema_for,
 )
+from .xlsx import (
+    convert_xlsx_to_json,
+    parse_xlsx_cases,
+    read_xlsx,
+    write_xlsx,
+)
 
 __all__ = [
     "SqlTester",
@@ -14,4 +20,8 @@ __all__ = [
     "TestResult",
     "cast_value",
     "spark_schema_for",
+    "convert_xlsx_to_json",
+    "parse_xlsx_cases",
+    "read_xlsx",
+    "write_xlsx",
 ]

@@ -8,8 +8,9 @@ order-insensitively against the materialized view.
 
 Reference parity (easy_sql/sql_tester.py):
 - JSON case format: the twin format the reference generates from xlsx
-  (``convert_cases_to_json``, sql_tester.py:1003-1011); xlsx itself is
-  intentionally not supported (SURVEY.md §7.2 M3).
+  (``convert_cases_to_json``, sql_tester.py:1003-1011); xlsx files are
+  parsed by the stdlib reader in :mod:`easy_sql_spark.testing.xlsx`
+  (no openpyxl in this container) and run through the same case runner.
 - type system: ``cast_as_type`` (sql_tester.py:208-317) — int/tinyint/
   bigint/double/float/decimal(p,s)→double/boolean/string/date/timestamp/
   ``array<T>`` with ``|``-separated literals; unknown types fall back to a
@@ -302,6 +303,14 @@ class SqlTester:
 
     # ------------------------------------------------------------- file API
     def parse_cases(self, test_file: str) -> list[TestCase]:
+        if test_file.endswith(".xlsx"):
+            from .xlsx import parse_xlsx_cases
+
+            return parse_xlsx_cases(test_file)
+        if not test_file.endswith(".json"):
+            raise AssertionError(
+                f"unsupported format of test file: {test_file}"
+            )
         with open(test_file) as f:
             data = json.load(f)
         return [TestCase.from_dict(d) for d in data]
