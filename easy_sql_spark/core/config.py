@@ -34,6 +34,7 @@ class EtlConfig:
     prepare_sql: list[str] = field(default_factory=list)
     udf_file_path: str | None = None
     func_file_path: str | None = None
+    scala_udf_initializer: str | None = None
 
     @classmethod
     def parse(cls, sql: str) -> "EtlConfig":
@@ -65,6 +66,8 @@ class EtlConfig:
                         cfg.udf_file_path = v
                     elif short == "func_file_path":
                         cfg.func_file_path = v
+                    elif short == "scala_udf_initializer":
+                        cfg.scala_udf_initializer = v
                 else:
                     cfg.engine_conf[k] = v
         return cfg

@@ -57,6 +57,91 @@ def build(processor):
     def read_parquet(path: str, view: str):
         backend.create_temp_view(spark.read.parquet(path), view)
 
+    def read_jdbc(
+        url: str,
+        table: str,
+        view: str,
+        user: str = "",
+        password: str = "",
+        driver: str = "",
+        partition_column: str = "",
+        num_partitions: str = "",
+    ):
+        """Register an RDB table (or a ``(select ...) t`` pushdown query)
+        as a temp view via Spark's JDBC source (reference
+        funcs_rdb.py:139-148 option handling: driver/url/user/password/
+        dbtable).
+
+        Scale: without ``partition_column`` the read is a SINGLE connection
+        — fine for dim tables, wrong for facts.  Passing
+        ``partition_column`` + ``num_partitions`` turns it into a
+        range-partitioned parallel read (lower/upper bounds probed with one
+        min/max query first).
+        """
+        reader = spark.read.format("jdbc").option("url", url).option(
+            "dbtable", table
+        )
+        if user:
+            reader = reader.option("user", user)
+        if password:
+            reader = reader.option("password", password)
+        if driver:
+            reader = reader.option("driver", driver)
+        if partition_column and num_partitions:
+            bounds = (
+                spark.read.format("jdbc")
+                .option("url", url)
+                .option(
+                    "dbtable",
+                    f"(select min({partition_column}) as lo, "
+                    f"max({partition_column}) as hi from {table}) b",
+                )
+                .options(
+                    **({"user": user} if user else {}),
+                    **({"password": password} if password else {}),
+                    **({"driver": driver} if driver else {}),
+                )
+                .load()
+                .first()
+            )
+            reader = (
+                reader.option("partitionColumn", partition_column)
+                .option("lowerBound", str(bounds["lo"]))
+                .option("upperBound", str(bounds["hi"]))
+                .option("numPartitions", num_partitions)
+            )
+        backend.create_temp_view(reader.load(), view)
+
+    def write_jdbc(
+        table: str,
+        url: str,
+        dbtable: str,
+        user: str = "",
+        password: str = "",
+        driver: str = "",
+        save_mode: str = "append",
+        truncate: str = "",
+    ):
+        """Write a temp view/table to an RDB table (reference
+        funcs_rdb.py:158-168: format/mode/driver/truncate/url/user/
+        password/dbtable)."""
+        writer = (
+            spark.table(table)
+            .write.format("jdbc")
+            .mode(save_mode)
+            .option("url", url)
+            .option("dbtable", dbtable)
+        )
+        if user:
+            writer = writer.option("user", user)
+        if password:
+            writer = writer.option("password", password)
+        if driver:
+            writer = writer.option("driver", driver)
+        if truncate:
+            writer = writer.option("truncate", truncate)
+        writer.save()
+
     def update_json_local(attr: str, path: str):
         """Merge current vars/list-vars into one attribute of a JSON file."""
         data = {}

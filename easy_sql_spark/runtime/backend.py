@@ -79,6 +79,31 @@ class SparkBackend:
         #: fn(event, table_name) with event in {"start", "end"}
         self.save_hooks: list = []
 
+    # ----------------------------------------------------------------- udfs
+    def init_scala_udfs(self, scala_udf_initializer: str) -> None:
+        """Call ``<class>.initUdfs(sparkSession)`` on a JVM class via py4j
+        (reference backend/spark.py:89-97) — the session-init hook for
+        Scala/Java UDF jars shipped with ``--jars``.
+
+        Raises a descriptive error when the class is absent from the
+        session's classpath instead of an opaque py4j traceback.
+        """
+        from py4j.java_gateway import java_import
+
+        gw = self.spark.sparkContext._gateway  # type: ignore[attr-defined]
+        java_import(gw.jvm, scala_udf_initializer)
+        target = gw.jvm
+        for part in scala_udf_initializer.split("."):
+            target = getattr(target, part)
+        try:
+            target.initUdfs(self.spark._jsparkSession)  # type: ignore[attr-defined]
+        except TypeError as e:
+            raise RuntimeError(
+                f"scala_udf_initializer class not found on the session "
+                f"classpath (add its jar via spark.jars): "
+                f"{scala_udf_initializer}"
+            ) from e
+
     # ------------------------------------------------------------------ sql
     def exec_sql(self, sql: str) -> DataFrame:
         return self.spark.sql(sql)

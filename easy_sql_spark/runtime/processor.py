@@ -73,6 +73,8 @@ class SqlProcessor:
         udfs: dict[str, Callable] | None = None,
         logger: Callable[[str], None] | None = None,
         streaming_config: dict | None = None,
+        report_task_id: str | None = None,
+        report_sinks: list | None = None,
     ) -> None:
         self.spark = spark
         self.backend = SparkBackend(spark)
@@ -83,6 +85,8 @@ class SqlProcessor:
         self.vars_context.func_runner = self.func_runner
         self.extra_cols = extra_cols or {}
         self.report = RunReport()
+        self.report_task_id = report_task_id or f"etl_{uuid.uuid4().hex[:8]}"
+        self.report_sinks = report_sinks or []
         self.log = logger or print
         self._output_views: dict[str, str] = {}  # table name -> dry-run view
 
@@ -108,6 +112,8 @@ class SqlProcessor:
             self.register_udfs_from_pyfile(
                 os.path.join(base_dir, self.config.udf_file_path)
             )
+        if self.config.scala_udf_initializer:
+            self.backend.init_scala_udfs(self.config.scala_udf_initializer)
 
         for k, v in self.config.engine_conf.items():
             try:
@@ -148,6 +154,13 @@ class SqlProcessor:
                 self._run_step(step, dry_run)
         finally:
             self.log(self.report.render())
+            for sink in self.report_sinks:
+                try:
+                    sink.write(self.report_task_id, self.report)
+                except Exception as e:  # noqa: BLE001 — a sink outage must
+                    # not fail the ETL (reference prints and continues)
+                    self.log(f"warn: report sink {type(sink).__name__} "
+                             f"failed: {e}")
         return self.report
 
     def register_funcs_from_pyfile(self, path: str) -> None:

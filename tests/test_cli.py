@@ -61,3 +61,26 @@ def test_print_spark_submit_command(tmp_path):
 def test_parse_vars():
     assert parse_vars("a=1,b=x=y") == {"a": "1", "b": "x=y"}
     assert parse_vars(None) == {}
+
+
+def test_scala_udf_initializer_config_parsed():
+    cfg = EtlConfig.parse(
+        "-- backend: spark\n"
+        "-- config: easy_sql.scala_udf_initializer=com.example.UdfInit\n"
+    )
+    assert cfg.scala_udf_initializer == "com.example.UdfInit"
+
+
+def test_scala_udf_initializer_missing_class_raises(spark):
+    """No UDF jar ships in this container; the session-init path must fail
+    with a descriptive error, not an opaque py4j traceback."""
+    import pytest
+
+    from easy_sql_spark.runtime.processor import SqlProcessor
+
+    sql = (
+        "-- config: easy_sql.scala_udf_initializer=com.example.NoSuchUdfs\n"
+        "\n-- target=temp.t\nselect 1 as a\n"
+    )
+    with pytest.raises(RuntimeError, match="scala_udf_initializer"):
+        SqlProcessor(spark, sql, logger=lambda m: None)

@@ -140,6 +140,23 @@ select (select count(*) from combined) as actual, 3 as expected
     p.backend.clean_temp_views()
 
 
+def test_jdbc_functions_registered_and_wired(spark):
+    """No JDBC driver jar ships in this container, so a real round-trip
+    can't run; verify the functions are registered and that read_jdbc
+    reaches Spark's JDBC source (which then fails with a driver-class
+    error, not a missing-function error)."""
+    p = SqlProcessor(spark, "-- target=temp.t\nselect 1 as a\n",
+                     logger=lambda m: None)
+    assert "read_jdbc" in p.func_runner.funcs
+    assert "write_jdbc" in p.func_runner.funcs
+    sql = """-- target=func.read_jdbc(jdbc:postgresql://localhost/x, tbl, v)
+"""
+    with pytest.raises(Exception) as exc_info:
+        SqlProcessor(spark, sql, logger=lambda m: None).run(dry_run=True)
+    msg = str(exc_info.value)
+    assert "JDBC" in msg or "driver" in msg.lower() or "connect" in msg.lower()
+
+
 def test_save_hooks_and_alert_variants(spark, tmp_path):
     events = []
     logs = []

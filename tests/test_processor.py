@@ -295,3 +295,37 @@ select (select s from t) = 'ABC' and (select v from t) = 42 as actual,
     collected = p.collected_sql()
     assert "CREATE OR REPLACE TEMPORARY VIEW t AS" in collected
     assert "-- variables." in collected and "-- check.vals" in collected
+
+
+def test_report_sinks_file_and_app_status(spark, tmp_path):
+    """Pluggable report sinks (reference report.py:87-143): the file sink
+    writes text + JSON document; a failing sink must not fail the run."""
+    from easy_sql_spark.runtime.report import (
+        FileReportSink,
+        ReportSink,
+        StepStatus,
+    )
+
+    class BoomSink(ReportSink):
+        def write(self, task_id, report):
+            raise RuntimeError("sink down")
+
+    logs = []
+    rpt_dir = tmp_path / "reports"
+    p = SqlProcessor(
+        spark,
+        "-- target=temp.t\nselect 1 as a\n",
+        logger=logs.append,
+        report_task_id="job1",
+        report_sinks=[FileReportSink(str(rpt_dir)), BoomSink()],
+    )
+    report = p.run(dry_run=True)
+    assert report.app_status == StepStatus.SUCCEEDED
+    txt = (rpt_dir / "job1.txt").read_text()
+    assert "temp.t" in txt and "SUCCEEDED" in txt
+    import json as _json
+
+    doc = _json.loads((rpt_dir / "job1.json").read_text())
+    assert doc["task_id"] == "job1" and doc["status"] == "SUCCEEDED"
+    assert doc["steps"][0]["target"] == "temp.t"
+    assert any("BoomSink failed" in str(m) for m in logs)
