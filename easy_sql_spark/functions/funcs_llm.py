@@ -48,62 +48,24 @@ def build(processor):
         out_view: str,
         text_col: str = "text",
         id_col: str = "doc_id",
+        n_hashes: str = "8",
+        n_bands: str = "2",
+        max_bucket: str = "64",
     ):
         """Near-dup candidate pairs (id_a < id_b) via MinHash+LSH — same
-        plan as the declared dedup_minhash_lsh query."""
+        plan as the declared dedup_minhash_lsh query (shared helpers), with
+        configurable signature length, band count and band-bucket cap.
+        Oversized buckets expand as a linear star instead of a quadratic
+        pairwise join (see llm_ops._lsh_capped_pairs)."""
         from pyspark.sql import functions as F
 
-        from ..queries.llm_ops import N_BANDS, N_MINHASH
+        from ..queries.llm_ops import _lsh_capped_pairs, minhash_bands
 
         df = spark.table(table).select(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
         )
-        d = df.select(
-            "doc_id", F.split("text", " ").alias("w")
-        ).where(F.size("w") >= 3)
-        sh = d.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(w)-3),"
-                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
-                )
-            ).alias("sh"),
-        )
-        sigs = sh.groupBy("doc_id").agg(
-            *[
-                F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"h{s}")
-                for s in range(N_MINHASH)
-            ]
-        )
-        rows_per_band = N_MINHASH // N_BANDS
-        band_hashes = [
-            F.md5(
-                F.concat(
-                    *[
-                        F.col(f"h{i}")
-                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                    ]
-                )
-            )
-            for b in range(N_BANDS)
-        ]
-        bands = sigs.select(
-            "doc_id", F.posexplode(F.array(*band_hashes)).alias("band_id", "band")
-        )
-        a, b = bands.alias("a"), bands.alias("b")
-        pairs = (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.band_id") == F.col("b.band_id"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-            )
-            .distinct()
-        )
+        bands = minhash_bands(df, int(n_hashes), int(n_bands))
+        pairs = _lsh_capped_pairs(bands, int(max_bucket))
         backend.create_temp_view(pairs, out_view)
         return True
 

@@ -25,6 +25,7 @@ from . import query
 
 N_MINHASH = 8  # signature length
 N_BANDS = 2  # LSH bands (4 rows per band)
+LSH_MAX_BUCKET = 64  # band-bucket size cap (see _lsh_capped_pairs)
 
 
 def _words(col="text"):
@@ -56,6 +57,79 @@ _SHINGLES_ORACLE = """
              UNNEST(range(1, len(w) - 1)) AS t(i)
         WHERE len(w) >= 3
 """
+
+
+def minhash_bands(
+    docs, n_hashes: int = N_MINHASH, n_bands: int = N_BANDS
+):
+    """(doc_id, text) → (doc_id, band_id, band) LSH band table.
+
+    shingle(3-gram) → ``n_hashes`` md5-min signatures → ``n_bands`` bands
+    hashed via one posexplode projection, so the signature aggregation
+    subtree exists once in the plan.  Signatures are min-of-md5-hex —
+    deterministic and identical in DuckDB, hence oracle-checkable.
+    """
+    sh = _shingles_df(docs)
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"h{s}")
+            for s in range(n_hashes)
+        ]
+    )
+    rows_per_band = n_hashes // n_bands
+    band_hashes = [
+        F.md5(
+            F.concat(
+                *[
+                    F.col(f"h{i}")
+                    for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                ]
+            )
+        )
+        for b in range(n_bands)
+    ]
+    return sigs.select(
+        "doc_id", F.posexplode(F.array(*band_hashes)).alias("band_id", "band")
+    )
+
+
+def _lsh_capped_pairs(bands, max_bucket: int = LSH_MAX_BUCKET):
+    """Band table → distinct candidate pairs (doc_a < doc_b), with a
+    bucket-size cap that bounds pair expansion on duplicate-heavy corpora.
+
+    Buckets of ≤ ``max_bucket`` members join pairwise as usual.  An
+    OVERSIZED bucket (in practice a cluster of exact/near-exact dups —
+    thousands of identical docs land in one band bucket) would expand
+    quadratically; instead only its min-doc_id representative pairs with
+    every other member (a star), which is LINEAR in bucket size and
+    preserves connected components exactly — downstream clustering
+    (dedup_components) produces identical keep/drop groups.
+
+    Cost: one extra window over the same (band_id, band) key the join
+    shuffles on, so no additional exchange at scale.
+    """
+    bw = W.partitionBy("band_id", "band")
+    sized = bands.select(
+        "doc_id",
+        "band_id",
+        "band",
+        F.count(F.lit(1)).over(bw).alias("bsz"),
+        F.min("doc_id").over(bw).alias("bmin"),
+    )
+    left = sized.where(
+        (F.col("bsz") <= max_bucket) | (F.col("doc_id") == F.col("bmin"))
+    )
+    a, b = left.alias("a"), sized.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
 
 
 @query(
@@ -141,10 +215,17 @@ _MINHASH_SIGS = ", ".join(
         SELECT doc_id, 0 AS band_id, md5(h0 || h1 || h2 || h3) AS band FROM sigs
         UNION ALL
         SELECT doc_id, 1 AS band_id, md5(h4 || h5 || h6 || h7) AS band FROM sigs
+    ),
+    sized AS (
+        SELECT doc_id, band_id, band,
+               COUNT(*) OVER (PARTITION BY band_id, band) AS bsz,
+               MIN(doc_id) OVER (PARTITION BY band_id, band) AS bmin
+        FROM bands
     )
     SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b
-    FROM bands a JOIN bands b
+    FROM sized a JOIN sized b
       ON a.band = b.band AND a.band_id = b.band_id AND a.doc_id < b.doc_id
+    WHERE a.bsz <= {LSH_MAX_BUCKET} OR a.doc_id = a.bmin
     """,
 )
 def dedup_minhash_lsh(spark, sf_dir):
@@ -152,43 +233,14 @@ def dedup_minhash_lsh(spark, sf_dir):
 
     shingle(3-gram) → 8 md5-min signatures → 2 bands of 4 → equi-join on
     band bucket.  Scale: the only join is band=band (uniform md5 keys); no
-    all-pairs comparison ever happens.  Signatures are min-of-md5-hex —
-    deterministic and identical in DuckDB, hence oracle-checkable.
+    all-pairs comparison ever happens, and oversized band buckets
+    (exact-dup clusters on a duplicate-heavy corpus) are capped to a
+    linear star expansion instead of a quadratic pairwise one — see
+    :func:`_lsh_capped_pairs`.  The oracle replicates the cap rule, so the
+    production scale path is exactly what the gate verifies.
     """
-    sh = _shingles_df(load_table(spark, sf_dir, "documents"))
-    sigs = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"h{s}")
-            for s in range(N_MINHASH)
-        ]
-    )
-    # one posexplode projection instead of a unionAll per band — the
-    # signature aggregation subtree exists once in the plan, and the band
-    # table is |docs| × N_BANDS rows (tiny: AQE broadcasts the self-join).
-    rows_per_band = N_MINHASH // N_BANDS
-    band_hashes = [
-        F.md5(
-            F.concat(
-                *[F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-            )
-        )
-        for b in range(N_BANDS)
-    ]
-    bands = sigs.select(
-        "doc_id", F.posexplode(F.array(*band_hashes)).alias("band_id", "band")
-    )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    bands = minhash_bands(load_table(spark, sf_dir, "documents"))
+    return _lsh_capped_pairs(bands)
 
 
 @query(

@@ -51,6 +51,40 @@ def test_llm_etl_pipeline(spark, tmp_path):
     p.backend.clean_temp_views()
 
 
+def test_lsh_bucket_cap_bounds_pair_expansion(spark):
+    """A duplicate-heavy corpus (one giant band bucket) must expand
+    LINEARLY (star with the min doc_id), not quadratically — the 100 TB
+    hardening for dedup_minhash_lsh/minhash_candidates.  Components are
+    preserved: every member still connects to the representative."""
+    n_dupes = 200
+    rows = [(i, "all these documents share exactly the same text content")
+            for i in range(n_dupes)]
+    rows.append((900, "a totally different document about spark plans here"))
+    spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView(
+        "heavy_docs"
+    )
+    etl = "-- target=func.minhash_candidates(heavy_docs, capped_pairs, text, doc_id, 8, 2, 16)"
+    p = SqlProcessor(spark, etl, logger=lambda m: None)
+    p.run(dry_run=True)
+    pairs = {(r.doc_a, r.doc_b) for r in spark.table("capped_pairs").collect()}
+    # star: min doc_id (0) pairs with each of the other 199 — not 19900
+    assert len(pairs) == n_dupes - 1
+    assert pairs == {(0, i) for i in range(1, n_dupes)}
+    p.backend.clean_temp_views()
+
+    # below the cap, behavior is the usual full pairwise candidate set
+    small = [(i, "identical small cluster of documents right here now")
+             for i in range(5)]
+    spark.createDataFrame(small, "doc_id long, text string").createOrReplaceTempView(
+        "small_docs"
+    )
+    etl2 = "-- target=func.minhash_candidates(small_docs, small_pairs, text, doc_id)"
+    p2 = SqlProcessor(spark, etl2, logger=lambda m: None)
+    p2.run(dry_run=True)
+    assert spark.table("small_pairs").count() == 5 * 4 // 2
+    p2.backend.clean_temp_views()
+
+
 def test_ann_topk_function(spark):
     vecs = [(i, [float(i), 1.0]) for i in range(6)]
     spark.createDataFrame(
