@@ -64,6 +64,7 @@ def main(argv: list[str] | None = None) -> int:
     with open(args.sql_file, encoding="utf-8") as f:
         sql = f.read()
     config = EtlConfig.parse(sql)
+    config.abs_sql_file_path = os.path.abspath(args.sql_file)
 
     if args.print_command:
         print(spark_submit_command(args.sql_file, config, args.vars))
@@ -84,6 +85,7 @@ def main(argv: list[str] | None = None) -> int:
         sql,
         variables=parse_vars(args.vars),
         base_dir=os.path.dirname(os.path.abspath(args.sql_file)),
+        sql_file_path=args.sql_file,
     )
     report = processor.run(dry_run=args.dry_run)
     failed = any(r.status.value == "FAILED" for r in report.steps)

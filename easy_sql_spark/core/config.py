@@ -35,6 +35,9 @@ class EtlConfig:
     udf_file_path: str | None = None
     func_file_path: str | None = None
     scala_udf_initializer: str | None = None
+    # set by the CLI / test_run_etl when the ETL came from a file; lets
+    # funcs resolve sibling ETL paths (reference EasySqlConfig.abs_sql_file_path)
+    abs_sql_file_path: str | None = None
 
     @classmethod
     def parse(cls, sql: str) -> "EtlConfig":

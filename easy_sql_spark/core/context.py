@@ -44,6 +44,11 @@ class VarsContext:
     ) -> None:
         self.vars: dict[str, Any] = {}
         self.list_vars: dict[str, list] = {}
+        # object-valued variables usable ONLY as whole function args:
+        # ``${__step__}`` / ``${__config__}`` resolve to the live Step /
+        # EtlConfig objects (reference funcs_flink.py:68,89 take them), while
+        # the same names still stringify inside SQL text via self.vars
+        self.obj_vars: dict[str, Any] = {}
         if vars:
             self.add_vars(vars)
         if list_vars:
@@ -187,13 +192,20 @@ class FuncRunner:
     def has(self, name: str) -> bool:
         return name in self.funcs
 
-    def split_args(self, arg_text: str, vars_context: VarsContext) -> list[str]:
+    _OBJ_ARG_RE = re.compile(r"^\$\{(\w+)\}$")
+
+    def split_args(self, arg_text: str, vars_context: VarsContext) -> list[Any]:
         if arg_text.strip() == "":
             return []
-        return [
-            vars_context._resolve_to_fixpoint(a.strip())
-            for a in arg_text.split(",")
-        ]
+        out: list[Any] = []
+        for a in arg_text.split(","):
+            a = a.strip()
+            obj_m = self._OBJ_ARG_RE.match(a)
+            if obj_m and obj_m.group(1).lower() in vars_context.obj_vars:
+                out.append(vars_context.obj_vars[obj_m.group(1).lower()])
+                continue
+            out.append(vars_context._resolve_to_fixpoint(a))
+        return out
 
     def run_func_call(
         self, name: str, arg_text: str, vars_context: VarsContext
@@ -201,7 +213,10 @@ class FuncRunner:
         if name not in self.funcs:
             raise KeyError(f"unregistered function: {name}")
         args = self.split_args(arg_text, vars_context)
-        resolved_args = [self._expand_list_var(a, vars_context) for a in args]
+        resolved_args = [
+            self._expand_list_var(a, vars_context) if isinstance(a, str) else a
+            for a in args
+        ]
         return self.funcs[name](*resolved_args)
 
     @staticmethod

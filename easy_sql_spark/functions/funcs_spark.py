@@ -84,6 +84,101 @@ def build(processor):
             obj = getattr(obj, part)
         return getattr(obj, method)(*args)
 
+    def set_config(key: str, value: str):
+        """Set a runtime SQL config (reference funcs_flink.py:33-34
+        ``SetConfigFuncs.set_config``, re-expressed on spark.conf)."""
+        spark.conf.set(key, value)
+
+    def set_parallelism(partitions: str):
+        """Reference funcs_flink.py:41-46 sets Flink's default parallelism;
+        the Spark analog of that knob is shuffle partition count.  Kept as a
+        distinct name (with the reference's int validation + error wording)
+        so reference ETL files run unmodified."""
+        try:
+            int(partitions)
+        except ValueError:
+            raise ValueError(
+                f"partitions must be an int when repartition a table, "
+                f"got `{partitions}`"
+            )
+        set_shuffle_partitions(partitions)
+
+    def _jdbc_conn_info(connector: str) -> tuple[str, str, str]:
+        """A connector is either a literal ``jdbc:`` URL or the name of a
+        variable group ``<connector>_url`` / ``_user`` / ``_password``
+        (our replacement for the reference's Flink catalog YAML)."""
+        if connector.startswith("jdbc:"):
+            return connector, "", ""
+        v = processor.vars_context
+        url = v.get_var(f"{connector}_url")
+        if not url:
+            raise ValueError(
+                f"connector {connector!r}: set variable `{connector}_url` "
+                f"to a jdbc: URL (plus optional `{connector}_user`/"
+                f"`{connector}_password`)"
+            )
+        return url, v.get_var(f"{connector}_user", ""), v.get_var(
+            f"{connector}_password", ""
+        )
+
+    def exec_sql_in_source(step, db: str, connector: str):
+        """Execute the step body's statements directly in a source RDB over
+        JDBC (reference funcs_flink.py:68-87): one statement per non-comment
+        line, run inside a single connection via the JVM's DriverManager
+        (py4j — no Python DB driver needed; the jar must be on the Spark
+        classpath, same requirement as read_jdbc).  ``db`` is the logical
+        source name, kept for signature parity and logging."""
+        body = processor.vars_context.replace_variables(step.sql)
+        stmts = [
+            ln.strip().rstrip(";")
+            for ln in body.split("\n")
+            if ln.strip() and not ln.strip().startswith("--")
+        ]
+        url, user, password = _jdbc_conn_info(connector)
+        jvm = spark.sparkContext._jvm
+        conn = (
+            jvm.java.sql.DriverManager.getConnection(url, user, password)
+            if user
+            else jvm.java.sql.DriverManager.getConnection(url)
+        )
+        try:
+            st = conn.createStatement()
+            for s in stmts:
+                processor.log(f"exec sql in source {db}.{connector}: {s}")
+                st.execute(s)
+            st.close()
+        finally:
+            conn.close()
+
+    def test_run_etl(config, etl_file: str):
+        """Run another ETL file end-to-end (reference funcs_flink.py:89-117
+        shells out to ``python -m easy_sql.data_process``; Spark-first we run
+        it in-process on the SAME session, so the inner ETL sees this ETL's
+        temp views and writes to the same catalog — which is also what the
+        subprocess achieved against the shared Flink cluster).  ``config``
+        is the live EtlConfig (pass ``${__config__}``) used to resolve
+        ``etl_file`` relative to the calling ETL's own file."""
+        import os
+
+        rel_base = processor.base_dir
+        if config is not None and getattr(config, "abs_sql_file_path", None):
+            rel_base = os.path.dirname(config.abs_sql_file_path)
+        path = (
+            etl_file
+            if os.path.isabs(etl_file)
+            else os.path.join(rel_base, etl_file)
+        )
+        with open(path, encoding="utf-8") as f:
+            inner_sql = f.read()
+        inner = type(processor)(
+            spark,
+            inner_sql,
+            base_dir=os.path.dirname(path) or ".",
+            logger=processor.log,
+            sql_file_path=path,
+        )
+        inner.run()
+
     return {
         k: v
         for k, v in locals().items()

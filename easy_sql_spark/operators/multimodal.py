@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -97,10 +98,10 @@ def decode_media(df: DataFrame, mode: str = "fake") -> DataFrame:
 
 
 def _hist16(payload: bytes) -> list[int]:
-    hist = [0] * 16
-    for b in payload:
-        hist[b >> 4] += 1
-    return hist
+    # vectorized: high nibble of every byte, counted in one bincount pass —
+    # keeps the decode stage Arrow/NumPy-speed at real media payload sizes
+    nib = np.frombuffer(payload, dtype=np.uint8) >> 4
+    return np.bincount(nib, minlength=16).astype(np.int64).tolist()
 
 
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:

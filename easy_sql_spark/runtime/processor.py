@@ -75,10 +75,14 @@ class SqlProcessor:
         streaming_config: dict | None = None,
         report_task_id: str | None = None,
         report_sinks: list | None = None,
+        sql_file_path: str | None = None,
     ) -> None:
         self.spark = spark
         self.backend = SparkBackend(spark)
         self.config = EtlConfig.parse(sql)
+        if sql_file_path:
+            self.config.abs_sql_file_path = os.path.abspath(sql_file_path)
+        self.base_dir = base_dir
         self.vars_context = VarsContext(vars=variables or {})
         self.templates_context = TemplatesContext()
         self.func_runner = FuncRunner()
@@ -242,6 +246,10 @@ class SqlProcessor:
                 "__target__": step.target_type,
             }
         )
+        # as whole func args, ${__step__}/${__config__} pass the live
+        # objects (reference exec_sql_in_source/test_run_etl signatures)
+        self.vars_context.obj_vars["__step__"] = step
+        self.vars_context.obj_vars["__config__"] = self.config
 
     def _preprocessed(self, step: Step) -> str:
         return step.preprocess_sql(self.templates_context, self.vars_context)

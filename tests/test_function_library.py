@@ -198,3 +198,92 @@ select undefined_column_xyz from range(1)
     p = SqlProcessor(spark, sql, logger=logs.append)
     p.run(dry_run=True)  # handler swallows the failure
     assert any("etl_failed" in str(m) and "step failed" in str(m) for m in logs)
+
+
+def test_flink_registry_set_config_and_parallelism(spark):
+    """Reference funcs_flink.py:33-46 conveniences on the Spark session."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    sql = """-- target=func.set_config(spark.sql.shuffle.partitions, 7)
+
+-- target=func.set_parallelism(9)
+"""
+    p = SqlProcessor(spark, sql, logger=lambda m: None)
+    p.run(dry_run=True)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "9"
+    spark.conf.set("spark.sql.shuffle.partitions", before)
+
+    sql_bad = "-- target=func.set_parallelism(not_a_number)"
+    with pytest.raises(Exception, match="must be an int"):
+        SqlProcessor(spark, sql_bad, logger=lambda m: None).run(dry_run=True)
+
+
+def test_exec_sql_in_source_and_jdbc_roundtrip(spark):
+    """exec_sql_in_source runs the step body in a source RDB via the JVM
+    DriverManager (reference funcs_flink.py:68-87); Spark's bundled Derby
+    serves as the embedded source.  read_jdbc then reads the result back —
+    a full JDBC round-trip through both functions."""
+    url = "jdbc:derby:memory:estest;create=true"
+    sql = f"""-- target=variables
+select 'src' as SRC_NAME
+
+-- target=func.exec_sql_in_source(${{__step__}}, db_derby, {url})
+-- prepare data in the source
+create table jt (id int, name varchar(20))
+insert into jt values (1, 'a'), (2, 'b')
+insert into jt values (3, '${{SRC_NAME}}')
+
+-- target=func.read_jdbc({url}, jt, jt_view)
+
+-- target=temp.jt_summary
+select count(*) as n, max(name) as mx from jt_view
+"""
+    p = SqlProcessor(spark, sql, logger=lambda m: None)
+    p.run(dry_run=True)
+    row = spark.table("jt_summary").first()
+    assert row.n == 3 and row.mx == "src"
+    p.backend.clean_temp_views()
+
+
+def test_exec_sql_in_source_connector_vars(spark):
+    """Connector given by name resolves <name>_url/_user/_password vars."""
+    sql = """-- target=func.exec_sql_in_source(${__step__}, db_derby, my_src)
+create table jt2 (id int)
+"""
+    p = SqlProcessor(
+        spark,
+        sql,
+        variables={"my_src_url": "jdbc:derby:memory:estest2;create=true"},
+        logger=lambda m: None,
+    )
+    p.run(dry_run=True)
+    with pytest.raises(ValueError, match="my_missing_url"):
+        SqlProcessor(
+            spark,
+            "-- target=func.exec_sql_in_source(${__step__}, d, my_missing)\nselect 1",
+            logger=lambda m: None,
+        ).run(dry_run=True)
+
+
+def test_test_run_etl(spark, tmp_path):
+    """test_run_etl runs a sibling ETL in-process (reference
+    funcs_flink.py:89-117), resolved relative to the caller's file."""
+    inner = tmp_path / "inner.sql"
+    inner.write_text(
+        "-- target=temp.inner_result\nselect 41 + 1 as answer\n",
+        encoding="utf-8",
+    )
+    outer = tmp_path / "outer.sql"
+    outer.write_text(
+        "-- target=func.test_run_etl(${__config__}, inner.sql)\n",
+        encoding="utf-8",
+    )
+    p = SqlProcessor(
+        spark,
+        outer.read_text(encoding="utf-8"),
+        base_dir=str(tmp_path),
+        sql_file_path=str(outer),
+        logger=lambda m: None,
+    )
+    p.run(dry_run=True)
+    assert spark.table("inner_result").first().answer == 42
+    p.backend.clean_temp_views()
