@@ -17,28 +17,28 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-HEADLINE = [
-    "a1_pricing_summary",
-    "a3_distinct_agg",
-    "a5_rollup",
-    "j1_inner_equi",
-    "j2_left_outer",
-    "j6_broadcast",
-    "w1_ranking",
-    "w3_framed",
-    "s2_topk",
-    "f3_math",
-    "f4_json",
-    "s10_explode",
-    "dedup_fingerprint",
-    "dedup_minhash_lsh",
-    "text_token_count",
-    "sim_topk_bruteforce",
-    "sim_ivf_topk",
-    "q6_forecast_revenue",
-    "a5_grouping_sets",
-    "mm_decode_stats",
-]
+# one family per query class (SURVEY §2E/§2 LLM-ops), so a regression in
+# any class is visible round-over-round; supersets round-1's 20 headliners
+FAMILIES: dict[str, list[str]] = {
+    "agg": ["a1_pricing_summary", "a3_distinct_agg", "a5_rollup", "a5_grouping_sets"],
+    "join": ["j1_inner_equi", "j2_left_outer", "j6_broadcast"],
+    "window": ["w1_ranking", "w3_framed", "w4_distribution"],
+    "setop": ["s4_union_all", "s6_intersect_except"],
+    "shape": ["s2_topk", "s10_explode", "s11_pivot"],
+    "funcs": ["f3_math", "f4_json"],
+    "tpch": ["q3_shipping_priority", "q6_forecast_revenue", "q18_large_orders"],
+    "dedup": [
+        "dedup_fingerprint",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_components",
+    ],
+    "text": ["text_token_count", "text_lang_id"],
+    "sim": ["sim_topk_bruteforce", "sim_ivf_topk"],
+    "asof": ["asof_events_orders"],
+    "multimodal": ["mm_decode_stats"],
+}
+HEADLINE = [q for fam in FAMILIES.values() for q in fam]
 
 
 def main() -> None:
@@ -69,6 +69,10 @@ def main() -> None:
         timings[name] = round(run(name), 3)
 
     total = round(sum(timings.values()), 3)
+    families = {
+        fam: round(sum(timings[q] for q in qs), 3)
+        for fam, qs in FAMILIES.items()
+    }
     print(
         json.dumps(
             {
@@ -76,6 +80,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "families": families,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

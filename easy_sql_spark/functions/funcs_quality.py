@@ -69,27 +69,221 @@ def build(processor):
         processor.log(f"ALERT[{rule_name}]: step failed: {exc}")
         return True
 
-    def data_profiling_report(table: str, max_count: str = "10000"):
-        """Lightweight dataset profile (the reference shells out to
-        ydata-profiling, funcs_common.py:340-453 — not available here, so we
-        compute summary() + null counts Spark-side; sampling keeps the
-        driver-side result bounded)."""
-        from pyspark.sql import functions as F
+    def _profile_read_data(table: str, query: str, max_count: int):
+        """Reference _read_data_spark (funcs_common.py:428-453): count →
+        sample to ≤ max_count → cache → decimal→double cast and
+        array/map→``<col>__size`` companion columns → toPandas.  The scan
+        and the sampling run distributed; only the bounded sample crosses
+        to the driver."""
+        from pyspark.sql.functions import expr
+        from pyspark.sql.types import ArrayType, DecimalType, MapType
 
-        df = spark.table(table)
-        n = df.count()
-        cap = int(max_count)
-        if n > cap:
-            df = df.sample(fraction=cap / n, seed=42)
-        for line in df.summary().collect():
-            processor.log(f"profile[{table}]: {line.asDict()}")
-        nulls = df.agg(
-            *[
-                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(c)
-                for c in df.columns
-            ]
-        ).first()
-        processor.log(f"profile[{table}] nulls: {nulls.asDict()}")
+        condition_sql = f"where {query}" if query else ""
+        count = spark.sql(f"select count(*) from {table} {condition_sql}").collect()[
+            0
+        ][0]
+        fraction = 1.0 if count < max_count else float(max_count) / float(count)
+        sdf = spark.sql(f"select * from {table} {condition_sql}").sample(
+            fraction=fraction
+        )
+        sdf.cache()
+        if sdf.count() == 0:
+            processor.log(f"{table} is empty, no report generated")
+            return None
+        for field in sdf.schema.fields:
+            if isinstance(field.dataType, DecimalType):
+                sdf = sdf.withColumn(
+                    field.name, expr(f"cast(`{field.name}` as double)")
+                )
+            if isinstance(field.dataType, (ArrayType, MapType)):
+                sdf = sdf.withColumn(
+                    field.name + "__size", expr(f"size(`{field.name}`)")
+                )
+        return sdf.toPandas()
+
+    def _profile_json(df, table: str, include_correlations: bool) -> dict:
+        """ydata-compatible report subset (analysis/table/variables/
+        correlations top-level keys, ydata's field names) computed with
+        pandas — used when ydata-profiling itself is absent."""
+        import numpy as np
+        import pandas as pd
+
+        n = len(df)
+        variables = {}
+        for col in df.columns:
+            s = df[col]
+            scalar = s.map(lambda v: not isinstance(v, (list, dict, set))).all()
+            n_missing = int(s.isna().sum())
+            try:
+                n_distinct = int(s.nunique(dropna=True)) if scalar else 0
+            except TypeError:
+                scalar, n_distinct = False, 0
+            v = {
+                "n": n,
+                "n_missing": n_missing,
+                "p_missing": n_missing / n if n else 0.0,
+                "n_distinct": n_distinct,
+                "p_distinct": n_distinct / n if n else 0.0,
+                "is_unique": bool(n_distinct == n - n_missing and n_missing == 0),
+                "memory_size": int(s.memory_usage(deep=False)),
+            }
+            if pd.api.types.is_numeric_dtype(s) and not pd.api.types.is_bool_dtype(s):
+                v["type"] = "Numeric"
+                clean = s.dropna()
+                if len(clean):
+                    v.update(
+                        {
+                            "mean": float(clean.mean()),
+                            "std": float(clean.std()) if len(clean) > 1 else 0.0,
+                            "min": float(clean.min()),
+                            "max": float(clean.max()),
+                            "5%": float(clean.quantile(0.05)),
+                            "25%": float(clean.quantile(0.25)),
+                            "50%": float(clean.quantile(0.50)),
+                            "75%": float(clean.quantile(0.75)),
+                            "95%": float(clean.quantile(0.95)),
+                            "n_zeros": int((clean == 0).sum()),
+                            "n_negative": int((clean < 0).sum()),
+                        }
+                    )
+            elif pd.api.types.is_bool_dtype(s):
+                v["type"] = "Boolean"
+            elif pd.api.types.is_datetime64_any_dtype(s):
+                v["type"] = "DateTime"
+            elif not scalar:
+                v["type"] = "Unsupported"
+            else:
+                v["type"] = "Categorical"
+                lens = s.dropna().map(lambda x: len(str(x)))
+                if len(lens):
+                    v.update(
+                        {
+                            "max_length": int(lens.max()),
+                            "min_length": int(lens.min()),
+                            "mean_length": float(lens.mean()),
+                        }
+                    )
+            variables[col] = v
+        type_counts: dict[str, int] = {}
+        for v in variables.values():
+            type_counts[v["type"]] = type_counts.get(v["type"], 0) + 1
+        report = {
+            "analysis": {"title": f"Profiling Report for {table}"},
+            "table": {
+                "n": n,
+                "n_var": len(df.columns),
+                "n_cells_missing": int(df.isna().sum().sum()),
+                "p_cells_missing": (
+                    float(df.isna().sum().sum()) / (n * len(df.columns))
+                    if n and len(df.columns)
+                    else 0.0
+                ),
+                "types": type_counts,
+            },
+            "variables": variables,
+        }
+        if include_correlations:
+            num = df.select_dtypes(include=[np.number])
+            report["correlations"] = {
+                "pearson": num.corr().fillna(0).to_dict() if num.shape[1] >= 2 else {}
+            }
+        return report
+
+    def _profile_html(report: dict) -> str:
+        import html as html_mod
+        import json as json_mod
+
+        rows = "".join(
+            f"<tr><td>{html_mod.escape(c)}</td><td>{v['type']}</td>"
+            f"<td>{v['n_missing']}</td><td>{v['n_distinct']}</td></tr>"
+            for c, v in report["variables"].items()
+        )
+        return (
+            f"<html><head><title>{html_mod.escape(report['analysis']['title'])}"
+            f"</title></head><body><h1>{html_mod.escape(report['analysis']['title'])}"
+            f"</h1><table border='1'><tr><th>column</th><th>type</th>"
+            f"<th>missing</th><th>distinct</th></tr>{rows}</table>"
+            f"<pre>{html_mod.escape(json_mod.dumps(report, indent=2, default=str))}"
+            f"</pre></body></html>"
+        )
+
+    def data_profiling_report(
+        table: str,
+        query: str = "",
+        output_folder: str = ".",
+        max_count: str = "50000",
+        include_correlations: str = "true",
+        types: str = "html",
+        file_name: str = "",
+    ):
+        """Dataset profiling report (reference funcs_common.py:344-453):
+        same signature, sampling, preprocessing (decimal→double,
+        array/map→size) and output-path scheme.  Uses ydata-profiling when
+        importable; otherwise emits a ydata-shaped JSON subset (and a
+        minimal HTML rendering) computed with pandas — same keys, so
+        downstream consumers parse either."""
+        import json as json_mod
+        import os
+
+        type_list = [t.strip() for t in types.split(",") if t.strip()]
+        for t in type_list:
+            if t not in ("html", "json"):
+                raise ValueError(
+                    f"Found unknown type {t}, all supported are: html/json"
+                )
+        df = _profile_read_data(table, query, int(max_count))
+        if df is None:
+            return True
+        _corr = include_correlations.lower() in ("1", "true", "y", "yes")
+
+        if "." in table:
+            db, tbl = table.split(".", 1)
+            base = (
+                f"{output_folder}/{db}/{tbl}"
+                if not file_name
+                else f"{output_folder}/{file_name}"
+            )
+        else:
+            base = (
+                f"{output_folder}/{table}"
+                if not file_name
+                else f"{output_folder}/{file_name}"
+            )
+        os.makedirs(os.path.dirname(f"{base}.html") or ".", exist_ok=True)
+
+        try:  # the reference's own engine, if present in the environment
+            from ydata_profiling import ProfileReport  # type: ignore
+
+            profile = ProfileReport(
+                df,
+                title=f"Profiling Report for {table}",
+                **(
+                    {}
+                    if _corr
+                    else {
+                        "correlations": None,
+                        "interactions": {"targets": [], "continuous": False},
+                    }
+                ),
+            )
+            if "html" in type_list:
+                profile.to_file(f"{base}.html")
+            if "json" in type_list:
+                with open(f"{base}.json", "w", encoding="utf-8") as f:
+                    f.write(profile.to_json())
+            return True
+        except ModuleNotFoundError:
+            pass
+
+        report = _profile_json(df, table, _corr)
+        if "html" in type_list:
+            with open(f"{base}.html", "w", encoding="utf-8") as f:
+                f.write(_profile_html(report))
+            processor.log(f"generated file: {base}.html")
+        if "json" in type_list:
+            with open(f"{base}.json", "w", encoding="utf-8") as f:
+                json_mod.dump(report, f, indent=2, default=str)
+            processor.log(f"generated file: {base}.json")
         return True
 
     return {

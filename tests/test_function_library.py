@@ -88,7 +88,45 @@ def test_quality_functions(spark):
     assert funcs["check_not_null_column_in_table"]("qt", "name") is False
     with pytest.raises(RuntimeError):
         funcs["ensure_no_null_data_in_table"]("qt", "name")
-    assert funcs["data_profiling_report"]("qt", "100") is True
+    p.backend.clean_temp_views()
+
+
+def test_data_profiling_report(spark, tmp_path):
+    """Reference-parity profiling (funcs_common.py:344-453): sampling,
+    decimal→double, array→__size preprocessing, db.table output path, and
+    the ydata-shaped JSON keys."""
+    import json
+
+    spark.sql(
+        "select id, cast(id as decimal(10,2)) as amount, "
+        "array(id, id+1) as arr, "
+        "case when id % 3 = 0 then null else concat('n', id) end as name "
+        "from range(100)"
+    ).createOrReplaceTempView("profile_t")
+    p = SqlProcessor(spark, "-- target=temp.noop\nselect 1", logger=lambda m: None)
+    fn = p.func_runner.funcs["data_profiling_report"]
+    assert (
+        fn("profile_t", "id < 50", str(tmp_path), "1000", "true", "html,json")
+        is True
+    )
+    with open(tmp_path / "profile_t.json") as f:
+        rep = json.load(f)
+    assert set(rep) >= {"analysis", "table", "variables", "correlations"}
+    assert rep["table"]["n"] == 50 and rep["table"]["n_var"] == 5  # arr__size added
+    assert rep["variables"]["amount"]["type"] == "Numeric"  # decimal → double
+    assert rep["variables"]["arr__size"]["type"] == "Numeric"
+    assert rep["variables"]["name"]["n_missing"] > 0
+    assert "mean" in rep["variables"]["id"] and rep["variables"]["id"]["is_unique"]
+    html = (tmp_path / "profile_t.html").read_text()
+    assert "Profiling Report for profile_t" in html
+
+    # empty source → no files, clean return (reference behavior)
+    spark.sql("select 1 as x where 1=0").createOrReplaceTempView("empty_t")
+    assert fn("empty_t", "", str(tmp_path / "e")) is True
+    assert not (tmp_path / "e" / "empty_t.html").exists()
+
+    with pytest.raises(ValueError, match="unknown type"):
+        fn("profile_t", "", str(tmp_path), "10", "true", "pdf")
     p.backend.clean_temp_views()
 
 
