@@ -26,7 +26,13 @@ FAMILIES: dict[str, list[str]] = {
     "setop": ["s4_union_all", "s6_intersect_except"],
     "shape": ["s2_topk", "s10_explode", "s11_pivot"],
     "funcs": ["f3_math", "f4_json"],
-    "tpch": ["q3_shipping_priority", "q6_forecast_revenue", "q18_large_orders"],
+    "tpch": [
+        "q3_shipping_priority",
+        "q6_forecast_revenue",
+        "q9_product_profit",
+        "q18_large_orders",
+        "q21_waiting_suppliers",
+    ],
     "dedup": [
         "dedup_fingerprint",
         "dedup_minhash_lsh",

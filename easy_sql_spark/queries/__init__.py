@@ -40,3 +40,5 @@ from . import relational  # noqa: E402,F401
 from . import llm_ops  # noqa: E402,F401
 from . import advanced  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
+from . import tpch  # noqa: E402,F401  (imported last: keeps pre-existing
+#                    queries() positions stable for the driver gate)

@@ -817,6 +817,9 @@ def dedup_components(spark, sf_dir):
             .groupBy(F.col("e.u").alias("nu"))
             .agg(F.min(F.col("l.label")).alias("nmin"))
         )
+        # carry a per-row moved flag so convergence detection is a filter
+        # over the materialized checkpoint instead of an extra old-vs-new
+        # join per round (one fewer shuffle join per iteration)
         updated = (
             labels.alias("l2")
             .join(neighbor_min, F.col("l2.u") == F.col("nu"), "left")
@@ -826,16 +829,14 @@ def dedup_components(spark, sf_dir):
                     F.col("l2.label"),
                     F.coalesce(F.col("nmin"), F.col("l2.label")),
                 ).alias("label"),
+                (
+                    F.coalesce(F.col("nmin"), F.col("l2.label"))
+                    < F.col("l2.label")
+                ).alias("moved"),
             )
         ).localCheckpoint(eager=True)
-        changed = (
-            updated.alias("n")
-            .join(labels.alias("o"), F.col("n.u") == F.col("o.u"))
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
+        changed = updated.where("moved").limit(1).count()
+        labels = updated.drop("moved")
         if changed == 0:
             break
     if changed != 0:

@@ -1,0 +1,688 @@
+"""TPC-H query-shape completion — the 14 shapes not yet in advanced.py.
+
+The testdata schema is a REDUCED TPC-H (no partsupp, no commit/receipt
+dates, no shipmode/phone/comment columns), so each query here keeps the
+classic query's SHAPE — the join topology, subquery structure and physical
+plan it exercises — while substituting honest equivalents for the missing
+columns (each substitution is documented on the query).  What matters for
+the engine is the plan family: correlated aggregate subqueries (q2, q17),
+EXISTS/NOT-EXISTS semi/anti joins (q4, q21, q22), scalar-subquery
+thresholds (q11, q15), many-table star joins (q7, q8, q9), OR-of-ANDs
+pushdown (q19), and distinct-count rollups (q16).
+
+Float parity follows the module discipline in relational.py: money sums go
+through exact scaled-long/decimal accumulation on BOTH engines; per-row
+arithmetic and min/max on doubles are bit-deterministic and left raw.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..datasets import load_table
+from . import query
+from .relational import _dsum
+
+# the _dsum oracle twin (see relational._osum: ROUND(expr*10^s) summed as
+# BIGINT then divided back — bit-identical to Spark's scaled-long sum)
+def _orsum(expr: str, scale: int = 4) -> str:
+    f = 10**scale
+    return (
+        f"CAST(SUM(CAST(ROUND(({expr}) * {f}) AS BIGINT)) AS DOUBLE) / {f}"
+    )
+
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey),
+    cand AS (
+        SELECT p.p_partkey, s.s_name, s.s_acctbal, n.n_name, ps.cost,
+               MIN(ps.cost) OVER (PARTITION BY p.p_partkey) AS mc
+        FROM ps
+        JOIN part p ON ps.l_partkey = p.p_partkey
+        JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE' AND p.p_size < 10 AND p.p_type = 'SMALL')
+    SELECT p_partkey, s_name, n_name, s_acctbal, cost
+    FROM cand WHERE cost = mc
+    ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT 20
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: min-cost supplier per part (correlated MIN subquery).
+    partsupp is absent, so supply cost is derived from lineitem as the
+    minimum observed unit price per (part, supplier) — one fact-sized
+    groupBy.  The correlated MIN becomes a window over partkey AFTER the
+    broadcast dimension filters prune to European suppliers of small parts,
+    so the window's shuffle carries only the surviving slice.  Unit-price
+    division and MIN on doubles are bit-deterministic (no accumulation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+    )
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .where(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    small = p.where((F.col("p_size") < 10) & (F.col("p_type") == "SMALL")).select(
+        "p_partkey"
+    )
+    cand = ps.join(F.broadcast(small), ps.l_partkey == small.p_partkey).join(
+        F.broadcast(eu), ps.l_suppkey == eu.s_suppkey
+    )
+    mc = F.min("cost").over(W.partitionBy("p_partkey"))
+    return (
+        cand.withColumn("mc", mc)
+        .where(F.col("cost") == F.col("mc"))
+        .select("p_partkey", "s_name", "n_name", "s_acctbal", "cost")
+        .orderBy(F.col("s_acctbal").desc(), "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS semi-join + priority rollup.  The classic
+    late-delivery predicate (commitdate < receiptdate) has no source
+    columns here, so "late" is a lineitem shipped >60 days after the order
+    date — same correlated-EISTS-with-inequality plan.  Spark executes it
+    as a LeftSemi join on orderkey with the date predicate in the join
+    condition; the quarter filter pushes to the orders scan."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    quarter = o.where(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    late = quarter.join(
+        li,
+        (quarter.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.expr("o_orderdate + INTERVAL 60 DAYS")),
+        "leftsemi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(strftime(l.l_shipdate, '%Y') AS BIGINT) AS l_year,
+           {_orsum(_REV)} AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7: bilateral trade volume by year between two nations.
+    nation joins broadcast twice under different aliases; the
+    nation-pair disjunction applies after both — Catalyst pushes each
+    half-predicate into the respective dimension filter.  The only big
+    shuffle is lineitem⋈orders."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pair = (F.col("supp_nation") == "NATION_1") & (
+        F.col("cust_nation") == "NATION_2"
+    ) | (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(_dsum(rev, 4).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    WITH all_sales AS (
+        SELECT CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) AS o_year,
+               {_REV} AS volume, n2.n_name AS supp_nation
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        JOIN region r ON n1.n_regionkey = r.r_regionkey
+        JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO')
+    SELECT o_year,
+           ({_orsum("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END")})
+             / ({_orsum("volume")}) AS mkt_share
+    FROM all_sales GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8: national market share within a region's PROMO-part sales.
+    Eight-table star — every dimension broadcasts; the share is a ratio of
+    two exact decimal sums per year (single division on identical doubles,
+    so cross-engine deterministic)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_reg")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat_vol = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_reg") == r.r_regionkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((_dsum(nat_vol, 4) / _dsum(vol, 4)).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) AS o_year,
+           {_orsum("l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity")}
+             AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY nation, o_year ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9: profit by supplier nation and year for a part family.
+    ps_supplycost is absent; cost is proxied as half the part list price ×
+    quantity (documented adaptation — the plan is unchanged: LIKE filter on
+    part pushes down, part/supplier/nation broadcast, lineitem⋈orders is
+    the one big shuffle).  Profit has ≤4 true decimals (prices 2, retail
+    0.5×1 decimal, qty integral) → scaled-long sum at 1e4."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.5 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(_dsum(profit, 4).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle=f"""
+    WITH natl AS (
+        SELECT l.l_partkey, {_orsum("l_extendedprice", 2)} AS value
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_5'
+        GROUP BY l.l_partkey)
+    SELECT l_partkey, value FROM natl
+    WHERE value > (SELECT 0.001 * CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                                       AS DOUBLE) / 100 FROM natl)
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: per-part value with a global-total scalar-subquery
+    threshold.  partsupp's supplycost×availqty is proxied by shipped
+    extendedprice volume from one nation's suppliers.  The scalar total is
+    a 1-row aggregate crossJoin-broadcast back onto the per-part rollup —
+    no second scan of the fact (the rollup is reused), no driver collect."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_5")
+    natl = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(_dsum(F.col("l_extendedprice"), 2).alias("value"))
+    )
+    # exact re-accumulation of the per-part values (2 true decimals), so the
+    # threshold is order-independent — a raw double SUM here could differ
+    # from the oracle's in the last ulp and flip a borderline part
+    total = natl.agg((_dsum(F.col("value"), 2) * 0.001).alias("threshold"))
+    return (
+        natl.crossJoin(F.broadcast(total))
+        .where(F.col("value") > F.col("threshold"))
+        .select("l_partkey", "value")
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+@query(
+    "q12_shipping_lag",
+    oracle="""
+    SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) < 30
+                THEN 'FAST'
+                WHEN date_diff('day', o.o_orderdate, l.l_shipdate) < 90
+                THEN 'MEDIUM' ELSE 'SLOW' END AS lag_bucket,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY lag_bucket ORDER BY lag_bucket
+    """,
+)
+def q12_shipping_lag(spark, sf_dir):
+    """TPC-H Q12 shape: priority split by shipping class.  l_shipmode is
+    absent; the class is derived from the order→ship lag (days), keeping
+    the conditional-aggregation plan (two CASE sums in one pass)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(lag < 30, "FAST").when(lag < 90, "MEDIUM").otherwise("SLOW")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(bucket.alias("lag_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("lag_bucket")
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey, {_orsum(_REV)} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00'
+        GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM revenue r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: supplier(s) with maximum quarterly revenue — aggregate of
+    an aggregate via scalar subquery.  The MAX is a 1-row crossJoin
+    broadcast against the (small) per-supplier rollup; equality on the
+    exact-decimal revenue doubles is safe because both sides pick from the
+    identical value set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(_dsum(rev, 4).alias("total_revenue"))
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q16_supplier_part_cnt",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_cnt(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per part class with a
+    NOT-IN exclusion subquery.  The classic excludes complaint suppliers
+    via comment LIKE; absent, negative-balance suppliers stand in.  NOT IN
+    over a non-null key is a LeftAnti broadcast join; the distinct count
+    shuffles on the (brand, type, size) group key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "leftanti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q17_small_qty_revenue",
+    oracle="""
+    WITH brand_li AS (
+        SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#2'),
+    avgq AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) AS aq
+        FROM brand_li GROUP BY l_partkey)
+    SELECT CAST(SUM(CAST(ROUND(b.l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100 / 7.0 AS avg_yearly
+    FROM brand_li b JOIN avgq a ON b.l_partkey = a.l_partkey
+    WHERE b.l_quantity < 0.2 * a.aq
+    """,
+)
+def q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17: revenue from small-quantity orders of one brand — the
+    correlated per-part AVG subquery.  Executed as a self-agg + rejoin on
+    partkey over the ALREADY brand-pruned slice (the broadcast part filter
+    applies before both the average and the probe, so the heavy fact is
+    read once into a reused exchange).  Quantities are integral doubles →
+    their sum is exact in any order; the final /7.0 is one deterministic
+    division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#2")
+    brand_li = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avgq = brand_li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.round("l_quantity", 0).cast("long")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("aq")
+    )
+    return (
+        brand_li.join(avgq, "l_partkey")
+        .where(F.col("l_quantity") < 0.2 * F.col("aq"))
+        .agg((_dsum(F.col("l_extendedprice"), 2) / 7.0).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q19_discounted_revenue",
+    oracle=f"""
+    SELECT {_orsum(_REV)} AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19: OR-of-ANDs predicate spanning both join sides.  Catalyst
+    derives the per-side implied filters (brand∈{...} pushes to the part
+    scan, quantity range union to the lineitem scan) before the broadcast
+    join — the disjunction itself evaluates post-join in codegen."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+        | (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+        | (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.where(cond).agg(_dsum(rev, 4).alias("revenue"))
+
+
+@query(
+    "q20_part_promotion",
+    oracle="""
+    WITH sp AS (
+        SELECT l.l_suppkey, l.l_partkey,
+               CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE 'small%'
+          AND l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY l.l_suppkey, l.l_partkey),
+    tot AS (SELECT l_partkey, SUM(qty) AS total_qty FROM sp GROUP BY l_partkey)
+    SELECT DISTINCT s.s_name, n.n_name
+    FROM sp JOIN tot ON sp.l_partkey = tot.l_partkey
+    JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE sp.qty > 0.3 * tot.total_qty
+    ORDER BY s_name
+    """,
+)
+def q20_part_promotion(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers dominating a part's annual volume
+    (classic: availqty > half of shipped; absent partsupp, the predicate
+    becomes >30% share of the part's shipped quantity).  The nested-IN
+    chain becomes two rollups of the same pruned slice joined on partkey —
+    integral-quantity sums are exact, and the share threshold is one
+    deterministic multiply-compare."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    sp = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.round("l_quantity", 0).cast("long")).alias("qty"))
+    )
+    tot = sp.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
+    return (
+        sp.join(tot, "l_partkey")
+        .where(F.col("qty") > 0.3 * F.col("total_qty"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name")
+        .distinct()
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH ls AS (
+        SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS smax
+        FROM lineitem GROUP BY l_orderkey, l_suppkey)
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM ls l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM ls l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM ls l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.smax >= l1.smax)
+    GROUP BY s.s_name ORDER BY numwait DESC, s_name LIMIT 10
+    """,
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: the supplier who held up each multi-supplier order
+    (strictly latest shipper; receipt/commit dates absent, shipdate stands
+    in).  The classic EXISTS / NOT-EXISTS pair over the same fact is
+    re-expressed as ONE window over orderkey (supplier count, max, and
+    max-tie count in a single pass) — two self-joins removed; the oracle
+    keeps the EXISTS formulation as an independent derivation of the same
+    predicate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    ls = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("smax")
+    )
+    ow = W.partitionBy("l_orderkey")
+    sized = ls.select(
+        "l_orderkey",
+        "l_suppkey",
+        "smax",
+        F.count(F.lit(1)).over(ow).alias("nsupp"),
+        F.max("smax").over(ow).alias("omax"),
+    )
+    # second pass over the SAME partitioning (no extra exchange): how many
+    # suppliers tie the order's max ship date
+    flagged = sized.withColumn(
+        "nmax",
+        F.sum(F.when(F.col("smax") == F.col("omax"), 1).otherwise(0)).over(ow),
+    )
+    return (
+        flagged.where(
+            (F.col("nsupp") >= 2)
+            & (F.col("smax") == F.col("omax"))
+            & (F.col("nmax") == 1)
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+@query(
+    "q22_global_sales_opportunity",
+    oracle="""
+    WITH pos AS (
+        SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                 / 100 / COUNT(*) AS avg_bal
+        FROM customer
+        WHERE c_acctbal > 0.0
+          AND c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE'))
+    SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+             / 100 AS totacctbal
+    FROM customer c, pos
+    WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+      AND c.c_acctbal > pos.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+)
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22: well-funded customers gone inactive.  Phone country codes
+    are absent (segments partition customers instead), and every customer
+    in this data has SOME order, so "never ordered" becomes "no order
+    since 2000" — the anti-join shape is identical and the result
+    non-empty.  The positive-balance average is a scalar-subquery
+    broadcast; the anti join's build side is the orders key projection
+    only (date filter + column pruning push to the scan)."""
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY", "AUTOMOBILE")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    pos = c.where(F.col("c_acctbal") > 0.0).agg(
+        (_dsum(F.col("c_acctbal"), 2) / F.count(F.lit(1))).alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "leftanti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dsum(F.col("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
