@@ -40,7 +40,7 @@ FAMILIES: dict[str, list[str]] = {
         "dedup_components",
     ],
     "text": ["text_token_count", "text_lang_id"],
-    "sim": ["sim_topk_bruteforce", "sim_ivf_topk"],
+    "sim": ["sim_topk_bruteforce", "sim_ivf_topk", "sim_lsh_topk"],
     "asof": ["asof_events_orders"],
     "multimodal": ["mm_decode_stats"],
 }

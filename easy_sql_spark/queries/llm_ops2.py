@@ -1,0 +1,169 @@
+"""Round-2 LLM-pipeline additions: random-hyperplane LSH ANN.
+
+Separate module (imported after tpch) so pre-existing ``queries()``
+positions stay stable for the driver gate; thematically these belong with
+llm_ops.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..datasets import load_table
+from . import query
+
+LSH_DIM = 64  # testdata embedding dimensionality (all sf dirs)
+LSH_PLANES = 16  # hyperplanes = LSH_TABLES tables × LSH_BITS bits
+LSH_TABLES = 4
+LSH_BITS = 4
+LSH_TOPK = 5
+_SCALE = 10_000_000_000  # 1e10 scaled-long accumulation for plane sums
+
+
+def _lsh_weights() -> list[list[float]]:
+    """±1 Rademacher hyperplane entries derived from md5 — deterministic,
+    well-mixed, and reproducible as literals in BOTH engines (a plain LCG's
+    low bit alternates with (p+d) parity — structurally useless planes)."""
+    return [
+        [
+            1.0
+            if hashlib.md5(f"lshw|{p}|{d}".encode()).digest()[0] % 2 == 0
+            else -1.0
+            for d in range(LSH_DIM)
+        ]
+        for p in range(LSH_PLANES)
+    ]
+
+
+_W = _lsh_weights()
+
+_ORACLE_WEIGHT_ROWS = ", ".join(
+    f"({p}, {d}, {w})" for p, row in enumerate(_W) for d, w in enumerate(row)
+)
+
+
+def _sig_expr(p: int) -> str:
+    """Plane-p signed projection as a per-row JVM fold: products rounded to
+    scaled longs and summed exactly (order-independent, so the DuckDB
+    oracle's SUM over exploded dims reproduces it bit-for-bit)."""
+    arr = ", ".join(f"{w}D" for w in _W[p])
+    return (
+        f"aggregate(zip_with(v, array({arr}), (x, w) -> x * w), 0L, "
+        f"(acc, z) -> acc + cast(round(z * {_SCALE}) as bigint))"
+    )
+
+
+@query(
+    "sim_lsh_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (SELECT vec_id, i - 1 AS d, v[i] AS x
+             FROM e, UNNEST(range(1, {LSH_DIM} + 1)) AS t(i)),
+    weights(p, d, w) AS (VALUES {_ORACLE_WEIGHT_ROWS}),
+    sigs AS (
+        SELECT dims.vec_id, weights.p,
+               SUM(CAST(ROUND(x * w * {_SCALE}) AS BIGINT)) AS s
+        FROM dims JOIN weights ON weights.d = dims.d
+        GROUP BY dims.vec_id, weights.p),
+    buckets AS (
+        SELECT vec_id, CAST(p // {LSH_BITS} AS INTEGER) AS t,
+               SUM(CASE WHEN s >= 0
+                        THEN (1 << CAST(p % {LSH_BITS} AS INTEGER))
+                        ELSE 0 END) AS bucket
+        FROM sigs GROUP BY vec_id, p // {LSH_BITS}),
+    cand AS (
+        SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+        FROM buckets qb
+        JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+        WHERE qb.vec_id < 5 AND cb.vec_id <> qb.vec_id),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               list_cosine_similarity(q.v, n.v) AS cos
+        FROM cand c
+        JOIN e q ON q.vec_id = c.query_id
+        JOIN e n ON n.vec_id = c.neighbor_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM scored)
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos_sim,
+           CAST(rnk AS BIGINT) AS rank
+    FROM ranked WHERE rnk <= {LSH_TOPK}
+    """,
+)
+def sim_lsh_topk(spark, sf_dir):
+    """Random-hyperplane LSH ANN — the bucketed scale path beside IVF
+    (sim_ivf_topk): LSH_TABLES=4 tables × LSH_BITS=4 sign bits per vector.
+
+    Scale design: signatures are a PER-ROW JVM fold over the embedding
+    (zip_with + aggregate — no explode, no shuffle, no Python), so the
+    corpus pass is a narrow projection; the only join is the
+    (table, bucket) equi-join between query and corpus bucket tables —
+    candidates are bounded by bucket occupancy (expected corpus/2^bits per
+    table), never all-pairs.  Exact cosine re-ranks candidates and a
+    per-query window keeps the top LSH_TOPK.  Hyperplane entries are
+    md5-derived ±1 literals baked into both engines' plans; plane sums use
+    scaled-long accumulation so bucket assignment is bit-identical
+    cross-engine.  Docstring refs: reference has no ANN operator — this is
+    a brief-mandated extension (SURVEY.md §2 LLM-ops)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    sigs = emb.select(
+        "vec_id",
+        "v",
+        *[F.expr(_sig_expr(p)).alias(f"s{p}") for p in range(LSH_PLANES)],
+    )
+    bucket_cols = [
+        sum(
+            F.when(F.col(f"s{t * LSH_BITS + i}") >= 0, 1 << i).otherwise(0)
+            for i in range(LSH_BITS)
+        )
+        for t in range(LSH_TABLES)
+    ]
+    buckets = sigs.select(
+        "vec_id", F.posexplode(F.array(*bucket_cols)).alias("t", "bucket")
+    )
+    qb = buckets.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "t", "bucket"
+    )
+    cand = (
+        buckets.join(F.broadcast(qb), ["t", "bucket"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    norm_of = lambda c: F.sqrt(
+        F.expr(f"aggregate(transform({c}, x -> x * x), 0D, (acc, z) -> acc + z)")
+    )
+    qv = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    ).withColumn("qnrm", norm_of("qv"))
+    nv = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv")
+    ).withColumn("nnrm", norm_of("nv"))
+    dot = F.expr(
+        "aggregate(zip_with(qv, nv, (x, y) -> x * y), 0D, (acc, z) -> acc + z)"
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot / (F.col("qnrm") * F.col("nnrm"))).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= LSH_TOPK)
+        .select(
+            "query_id", "neighbor_id", F.round("cos", 4).alias("cos_sim"), "rank"
+        )
+    )
