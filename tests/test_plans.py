@@ -97,3 +97,46 @@ def test_scans_prune_columns(spark, name, max_cols):
     read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
     n_cols = read_schema.count(",") + 1
     assert n_cols <= max_cols, f"{name} scans {n_cols} cols: {read_schema}"
+
+def test_tpch_q19_or_predicate_pushes_down(spark):
+    """The OR-of-ANDs must still yield pushed per-side filters (brand set
+    to the part scan) and a broadcast join, not a nested-loop."""
+    plan = plan_of(QUERIES["q19_discounted_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), "lineitem scan lost its pushed quantity bounds"
+
+
+def test_tpch_q4_is_semi_join(spark):
+    plan = plan_of(QUERIES["q4_order_priority"](spark, SF))
+    assert "LeftSemi" in plan
+    # the quarter filter must reach the orders scan
+    assert "PushedFilters: [" in plan
+
+
+def test_tpch_q16_not_in_is_anti_join(spark):
+    plan = plan_of(QUERIES["q16_supplier_part_cnt"](spark, SF))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q21_single_window_pass(spark):
+    """The EXISTS/NOT-EXISTS pair must stay collapsed into window passes
+    over one shuffle on orderkey — no self-joins of the rollup."""
+    import re
+
+    plan = plan_of(QUERIES["q21_waiting_suppliers"](spark, SF))
+    assert "CartesianProduct" not in plan
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)
+    # orderkey window + groupBy(s_name); broadcast exchanges excluded
+    assert len(exchanges) <= 3, plan
+
+
+def test_lsh_ann_no_allpairs(spark):
+    plan = plan_of(QUERIES["sim_lsh_topk"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # bucket join keys, not a full corpus self-shuffle
+    assert "bucket" in plan
