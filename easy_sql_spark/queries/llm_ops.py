@@ -65,16 +65,32 @@ def minhash_bands(
     """(doc_id, text) → (doc_id, band_id, band) LSH band table.
 
     shingle(3-gram) → ``n_hashes`` md5-min signatures → ``n_bands`` bands
-    hashed via one posexplode projection, so the signature aggregation
-    subtree exists once in the plan.  Signatures are min-of-md5-hex —
-    deterministic and identical in DuckDB, hence oracle-checkable.
-    """
-    sh = _shingles_df(docs)
-    sigs = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"h{s}")
-            for s in range(n_hashes)
-        ]
+    hashed via one posexplode projection.  Signatures are computed as a
+    PER-ROW JVM fold — ``array_min(transform(shingles, md5))`` over the
+    row's own shingle array — so the whole signature stage is a narrow
+    map: no explode, no groupBy shuffle of the (widest-in-pipeline)
+    shingle rows.  min-of-md5 over the same shingle set is what the
+    explode+groupBy formulation (and the DuckDB oracle) computes, so
+    results are identical; at 100 TB this removes the one fact-sized
+    shuffle the previous plan had."""
+    sh_arr = (
+        "transform(sequence(0, size(w)-3),"
+        " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+    )
+    sigs = (
+        spread(docs)
+        .select("doc_id", _words().alias("w"))
+        .where(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            *[
+                F.expr(
+                    f"array_min(transform({sh_arr},"
+                    f" x -> md5(concat('{s}|', x))))"
+                ).alias(f"h{s}")
+                for s in range(n_hashes)
+            ],
+        )
     )
     rows_per_band = n_hashes // n_bands
     band_hashes = [
