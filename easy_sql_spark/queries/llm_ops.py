@@ -488,38 +488,29 @@ N_SIMHASH_BITS = 32
 def _simhash_expr_spark(docs):
     """doc_id → 32-bit simhash as a bitstring, built from md5 nibbles of
     each word: bit i is +1 when hex digit i of md5(word) has its high bit
-    set.  Explodes words × 32 bit-positions, one groupBy — shuffle keyed by
-    (doc_id, bit) stays uniform at any corpus size."""
-    words = docs.select(
-        "doc_id", F.explode(F.array_distinct(_words())).alias("word")
+    set.
+
+    Computed as a PER-ROW JVM fold: each word maps to a ±1 vector of its
+    32 nibble signs, and the row's vectors are summed with a
+    ``zip_with`` accumulator — a single narrow projection with NO explode
+    and NO shuffle (the previous formulation exploded words × 32 bit
+    positions through two groupBys).  Integer sums are order-independent,
+    so the exploded DuckDB oracle computes the identical fingerprint."""
+    word_bits = (
+        "transform(sequence(1, 32), i -> "
+        "if(instr('89abcdef', substring(md5(x), i, 1)) > 0, 1, -1))"
     )
-    bits = words.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.lit(N_SIMHASH_BITS))).alias("i"),
-        F.md5("word").alias("h"),
-    ).select(
-        "doc_id",
-        "i",
-        F.when(
-            F.substring("h", F.col("i"), F.lit(1)).isin(list("89abcdef")), 1
-        )
-        .otherwise(-1)
-        .alias("w"),
+    sums = (
+        f"aggregate(array_distinct(split(text, ' ')), "
+        f"array_repeat(0, 32), "
+        f"(acc, x) -> zip_with(acc, {word_bits}, (a, b) -> a + b))"
     )
-    sums = bits.groupBy("doc_id", "i").agg(F.sum("w").alias("s"))
-    return (
-        sums.groupBy("doc_id")
-        .agg(
-            F.concat_ws(
-                "",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("i"), F.col("s")))
-                    ),
-                    lambda x: F.when(x["s"] >= 0, "1").otherwise("0"),
-                ),
-            ).alias("simhash")
-        )
+    return spread(docs).select(
+        "doc_id",
+        F.expr(
+            f"concat_ws('', transform({sums}, "
+            f"v -> if(v >= 0, '1', '0')))"
+        ).alias("simhash"),
     )
 
 
