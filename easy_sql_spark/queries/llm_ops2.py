@@ -12,7 +12,7 @@ import hashlib
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..datasets import load_table
+from ..datasets import load_table, spread
 from . import query
 
 LSH_DIM = 64  # testdata embedding dimensionality (all sf dirs)
@@ -166,4 +166,84 @@ def sim_lsh_topk(spark, sf_dir):
         .select(
             "query_id", "neighbor_id", F.round("cos", 4).alias("cos_sim"), "rank"
         )
+    )
+
+
+WINNOW_W = 4  # winnowing window (consecutive shingle hashes per window)
+
+
+@query(
+    "text_winnow_pairs",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents WHERE doc_id <= 300),
+    g AS (SELECT doc_id,
+                 list_transform(range(1, len(w) - 1),
+                     i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS h
+          FROM d WHERE len(w) >= 3),
+    fp AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(h) - 2),
+                      j -> list_min(h[j:j+3]))) AS fps
+           FROM g WHERE len(h) >= 4),
+    e AS (SELECT doc_id, UNNEST(fps) AS fp FROM fp)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+    ORDER BY doc_a, doc_b
+    """,
+)
+def text_winnow_pairs(spark, sf_dir):
+    """Winnowing document fingerprints (the rolling-hash fingerprinting of
+    Schleimer/Wilkerson/Aiken's MOSS): per doc, hash every 3-shingle, take
+    the minimum of each WINNOW_W-length window of consecutive hashes, and
+    keep the distinct minima as the doc's fingerprint set — guaranteed to
+    share a fingerprint with any doc that shares a sufficiently long run.
+
+    Scale: the entire fingerprint derivation is ONE narrow per-row
+    projection (shingle-hash array → windowed minima → distinct) — no
+    explode until the final small fingerprint set, and the only shuffle is
+    the fingerprint equi-join, whose md5 keys are uniform.  Pairs sharing
+    ≥2 fingerprints are plagiarism/near-dup candidates for downstream
+    exact verification (dedup_ngram_jaccard)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") <= 300)
+    h_arr = (
+        "transform(sequence(0, size(w)-3),"
+        " i -> md5(concat_ws(' ', w[i], w[i+1], w[i+2])))"
+    )
+    fps = (
+        spread(docs)
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .where(F.size("w") >= 3)
+        .select("doc_id", F.expr(h_arr).alias("h"))
+        .where(F.size("h") >= WINNOW_W)
+        .select(
+            "doc_id",
+            F.expr(
+                # j = 1..n-(W-1): W-length windows; DuckDB's h[j:j+3] is a
+                # 1-based INCLUSIVE slice (4 elements) = slice(h, j, 4)
+                f"array_distinct(transform(sequence(1, size(h) - {WINNOW_W - 1}),"
+                f" j -> array_min(slice(h, j, {WINNOW_W}))))"
+            ).alias("fps"),
+        )
+    )
+    # materialize the narrow per-doc fingerprint arrays BEFORE exploding:
+    # Generate re-evaluates its (projection-collapsed, md5-heavy) generator
+    # expression per emitted element, turning the O(len) derivation into
+    # O(len² · md5) — measured 23s vs 0.2s at sf0.01.  The checkpoint also
+    # feeds both self-join sides from one materialization (same rationale
+    # as _lsh_capped_pairs' band table).
+    e = fps.localCheckpoint(eager=True).select(
+        "doc_id", F.explode("fps").alias("fp")
+    )
+    a = e.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = e.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, ["fp"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+        .orderBy("doc_a", "doc_b")
     )
