@@ -32,25 +32,6 @@ def _words(col="text"):
     return F.split(col, " ")
 
 
-def _shingles_df(docs):
-    """doc_id → word-3-gram shingles (0-based Spark array indexing mirrors
-    the oracle's 1-based slice — same shingle set).
-
-    Deliberately NOT deduplicated: both consumers (MIN minhash aggs,
-    collect_set) are duplicate-insensitive, and a distinct here would add a
-    full shuffle of the widest dataset in the pipeline."""
-    d = spread(docs).select("doc_id", _words().alias("w")).where(F.size("w") >= 3)
-    return d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(w)-3),"
-                " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
-            )
-        ).alias("sh"),
-    )
-
-
 _SHINGLES_ORACLE = """
         SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -285,12 +266,19 @@ def dedup_minhash_lsh(spark, sf_dir):
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard similarity over a bounded candidate set (the
-    verify stage after LSH candidate generation at scale)."""
-    sh = _shingles_df(load_table(spark, sf_dir, "documents"))
+    verify stage after LSH candidate generation at scale).  Shingle sets
+    are built per-row (array_distinct over the row's own shingle array) —
+    no explode, no collect_set shuffle; the only join is the bounded
+    candidate pairing."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    sh_arr = (
+        "transform(sequence(0, size(w)-3),"
+        " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+    )
     sets = (
-        sh.where(F.col("doc_id") < 20)
-        .groupBy("doc_id")
-        .agg(F.collect_set("sh").alias("shs"))
+        docs.select("doc_id", _words().alias("w"))
+        .where(F.size("w") >= 3)
+        .select("doc_id", F.expr(f"array_distinct({sh_arr})").alias("shs"))
     )
     a, b = sets.alias("a"), sets.alias("b")
     inter = F.size(F.array_intersect(F.col("a.shs"), F.col("b.shs")))
