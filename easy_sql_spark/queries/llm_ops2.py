@@ -114,11 +114,13 @@ def sim_lsh_topk(spark, sf_dir):
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
     )
+    # materialized before the bucket posexplode: Generate re-evaluates its
+    # generator per emitted element, which would run all 16 plane folds
+    # once per table row emitted (4×)
     sigs = emb.select(
         "vec_id",
-        "v",
         *[F.expr(_sig_expr(p)).alias(f"s{p}") for p in range(LSH_PLANES)],
-    )
+    ).localCheckpoint(eager=True)
     bucket_cols = [
         sum(
             F.when(F.col(f"s{t * LSH_BITS + i}") >= 0, 1 << i).otherwise(0)
