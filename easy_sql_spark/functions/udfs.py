@@ -25,6 +25,29 @@ def trim_all(value: str | None) -> str | None:
     return value.strip(" \t\r\n\x00​ ")
 
 
+class UDF:
+    """Callable + explicit Spark return type (reference udf/check.py:10-17);
+    register one to get a non-string return type."""
+
+    def __init__(self, func: Callable, return_type) -> None:
+        self.func = func
+        self.return_type = return_type
+
+    def __call__(self, *args, **kwargs):
+        return self.func(*args, **kwargs)
+
+
+def check_regex_func(pattern: str) -> Callable:
+    """Value-or-NULL regex gate (reference udf/check.py:19-20): keeps the
+    value when it matches, nulls it otherwise — the building block of the
+    reference's column-check UDFs."""
+    import re
+
+    return lambda any_str: (
+        any_str if any_str and re.match(pattern, any_str) else None
+    )
+
+
 BUILTIN_UDFS: dict[str, Callable] = {
     "remove_all_whitespaces": remove_all_whitespaces,
     "trim_all": trim_all,
@@ -34,8 +57,16 @@ BUILTIN_UDFS: dict[str, Callable] = {
 def register_udfs(spark, extra: dict[str, Callable] | None = None) -> None:
     """Plain Python UDFs — fine here because these run on tiny dimension
     strings; bulk text paths in this engine use builtin functions or Arrow
-    (pandas) UDFs instead."""
+    (pandas) UDFs instead.  Accepted values: plain callables (string
+    return), :class:`UDF` wrappers (explicit return type), or
+    already-decorated ``@pandas_udf``/``udf`` objects (registered as-is —
+    the Arrow path for heavier per-row logic)."""
     from pyspark.sql import types as T
 
     for name, fn in {**BUILTIN_UDFS, **(extra or {})}.items():
-        spark.udf.register(name, fn, T.StringType())
+        if isinstance(fn, UDF):
+            spark.udf.register(name, fn.func, fn.return_type)
+        elif hasattr(fn, "returnType"):  # UserDefinedFunction (incl. pandas)
+            spark.udf.register(name, fn)
+        else:
+            spark.udf.register(name, fn, T.StringType())

@@ -325,3 +325,28 @@ def test_test_run_etl(spark, tmp_path):
     p.run(dry_run=True)
     assert spark.table("inner_result").first().answer == 42
     p.backend.clean_temp_views()
+
+
+def test_udf_wrapper_and_regex_check(spark):
+    """UDF wrapper carries an explicit return type; check_regex_func nulls
+    non-matching values (reference udf/check.py)."""
+    from pyspark.sql import types as T
+
+    from easy_sql_spark.functions.udfs import UDF, check_regex_func
+
+    udfs = {
+        "double_it": UDF(lambda x: x * 2, T.IntegerType()),
+        "only_digits": check_regex_func(r"^\d+$"),
+    }
+    p = SqlProcessor(
+        spark,
+        "-- target=temp.u\n"
+        "select double_it(21) as v, only_digits('123') as ok,"
+        " only_digits('x1') as bad",
+        udfs=udfs,
+        logger=lambda m: None,
+    )
+    p.run(dry_run=True)
+    row = spark.table("u").first()
+    assert row.v == 42 and row.ok == "123" and row.bad is None
+    p.backend.clean_temp_views()
