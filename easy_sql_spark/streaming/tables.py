@@ -93,6 +93,8 @@ class StreamingTables:
         if sink is None:
             # default sink: noop with trigger availableNow (dry pipes)
             sink = SinkConfig(name=sink_name)
+        if sink.format == "foreach_batch":
+            return self._start_foreach_batch(df, sink)
         writer = df.writeStream.format(sink.format).outputMode(sink.output_mode)
         if sink.path:
             writer = writer.option("path", sink.path)
@@ -110,3 +112,52 @@ class StreamingTables:
         elif sink.trigger:
             writer = writer.trigger(processingTime=sink.trigger)
         return writer.start()
+
+    def _start_foreach_batch(self, df: DataFrame, sink: SinkConfig):
+        """``foreach_batch`` sink: run a step-language ETL per micro-batch —
+        Structured Streaming's idiomatic escape hatch (arbitrary sinks,
+        merges, multi-table writes), here carrying the FULL step language
+        the way the reference's Flink statement sets carry SQL inserts.
+
+        Sink config keys (``options``): ``etl`` (path to a ``.sql`` ETL
+        file) or ``etl_sql`` (inline text); ``view`` (temp-view name the
+        micro-batch registers as; default ``<sink>_batch``).  The ETL sees
+        ``${__batch_id__}`` and runs ON THE DRIVER per batch — executors
+        only see the DataFrame work the ETL declares, so state and
+        parallelism behave exactly as in batch mode."""
+        etl_path = sink.options.get("etl")
+        etl_sql = sink.options.get("etl_sql")
+        if not etl_path and not etl_sql:
+            raise ValueError(
+                f"foreach_batch sink `{sink.name}` needs an `etl` path or "
+                f"`etl_sql` text in options"
+            )
+        if etl_path:
+            with open(etl_path, encoding="utf-8") as f:
+                etl_sql = f.read()
+        # temp views take single-part names only — sanitize db.table sinks
+        view = sink.options.get(
+            "view", f"{sink.name.replace('.', '_')}_batch"
+        )
+
+        def _run_batch(batch_df: DataFrame, batch_id: int) -> None:
+            from ..runtime.processor import SqlProcessor
+
+            # foreachBatch hands the batch a CLONED session; the view and
+            # the ETL must both live on it, not on the outer session
+            batch_df.createOrReplaceTempView(view)
+            SqlProcessor(
+                batch_df.sparkSession,
+                etl_sql,
+                variables={"__batch_id__": str(batch_id)},
+                logger=lambda m: None,
+            ).run()
+
+        writer = df.writeStream.foreachBatch(_run_batch)
+        if sink.checkpoint:
+            writer = writer.option("checkpointLocation", sink.checkpoint)
+        if sink.trigger == "availableNow":
+            writer = writer.trigger(availableNow=True)
+        elif sink.trigger:
+            writer = writer.trigger(processingTime=sink.trigger)
+        return writer.queryName(sink.name.replace(".", "_")).start()

@@ -303,3 +303,54 @@ def test_stream_stream_interval_join(spark, tmp_path):
     q.awaitTermination(120)
     rows = [(r.ad,) for r in spark.sql("select * from ss_join_out").collect()]
     assert rows == [(1,)]  # only ad1's click landed inside the 15-min window
+
+
+def test_foreach_batch_sink_runs_step_etl(spark, stream_dirs, tmp_path):
+    """foreach_batch sink: each micro-batch runs a FULL step-language ETL
+    on the driver (the statement-set analogue with step semantics)."""
+    out_json = str(tmp_path / "batch_agg.json")
+    etl = f"""-- target=temp.batch_agg
+select count(*) as n, sum(amount) as total, ${{__batch_id__}} as bid
+from fb_batch
+
+-- target=func.write_json_local(batch_agg, {out_json})
+"""
+    config = {
+        "sources": [
+            {
+                "name": "raw_stream2",
+                "format": "json",
+                "schema": "id long, kind string, amount double",
+                "path": stream_dirs["src"],
+            }
+        ],
+        "sinks": [
+            {
+                "name": "sdb.fb",
+                "format": "foreach_batch",
+                "trigger": "availableNow",
+                "checkpoint": stream_dirs["ck"] + "_fb",
+                "options": {"etl_sql": etl, "view": "fb_batch"},
+            }
+        ],
+    }
+    sql = """-- backend: spark
+-- config: easy_sql.etl_type=streaming
+
+-- target=temp.enriched
+select id, kind, amount from raw_stream2 where amount >= 0
+
+-- target=output.sdb.fb
+select * from enriched
+
+-- target=func.execute_streaming_inserts()
+"""
+    p = SqlProcessor(spark, sql, streaming_config=config, logger=lambda m: None)
+    p.run()
+    for q in p.streaming_queries:
+        q.awaitTermination(60)
+    with open(out_json) as f:
+        rows = json.load(f)
+    assert rows[0]["n"] == 100 and rows[0]["total"] == sum(float(i) for i in range(100))
+    assert rows[0]["bid"] == 0
+    p.backend.clean_temp_views()
