@@ -30,3 +30,17 @@ def test_sample_etl_json_case(spark):
     result = tester.run_file(os.path.join(EXAMPLES, "sample_etl_test.json"))
     assert result.ok, result.render()
     assert "INSERT OVERWRITE TABLE sample.segment_report" in tester.collected_sql
+
+
+def test_round2_features_etl(spark):
+    """Round-2 feature tour ETL: Derby source prep via exec_sql_in_source,
+    JDBC read-back, configurable minhash_candidates, object-arg injection."""
+    with open(os.path.join(EXAMPLES, "round2_features.sql")) as f:
+        sql = f.read()
+    p = SqlProcessor(spark, sql, base_dir=EXAMPLES, logger=lambda m: None)
+    p.run(dry_run=True)
+    pairs = {
+        (r.doc_a, r.doc_b) for r in spark.table("candidate_pairs").collect()
+    }
+    assert (1, 3) in pairs  # exact dup must collide
+    p.backend.clean_temp_views()
