@@ -18,3 +18,15 @@ def build_registry(processor) -> dict[str, Callable]:
     for mod in (funcs_partition, funcs_spark, funcs_io, funcs_quality, funcs_llm):
         registry.update(mod.build(processor))
     return registry
+
+
+def library_function_names() -> frozenset[str]:
+    """Names the library registers, derivable WITHOUT a live session —
+    build() only closes over the processor, nothing executes until a
+    function is called (used by the linter's unknown-function rule)."""
+
+    class _Dummy:
+        spark = backend = func_runner = vars_context = log = None
+        base_dir = "."
+
+    return frozenset(build_registry(_Dummy()))

@@ -116,6 +116,9 @@ class SqlLinter:
         seen_views: set[str] = set()
         seen_templates: set[str] = set()
         default_funcs = FuncRunner()
+        from .functions import library_function_names
+
+        known = library_function_names() | {"execute_streaming_inserts"}
         for step in steps:
             t, name, line_no = (
                 step.target_type, step.config.name, step.config.line_no,
@@ -148,7 +151,9 @@ class SqlLinter:
                     )
             if t in ("func",) or (t == "check" and name and _FUNC_STEP_RE.match(name)):
                 fm = _FUNC_STEP_RE.match(name or "")
-                if fm and not default_funcs.has(fm.group(1)):
+                if fm and not default_funcs.has(fm.group(1)) and fm.group(
+                    1
+                ) not in known:
                     self._report(
                         "ESQL09", "info", line_no,
                         f"function `{fm.group(1)}` is not in the default "
