@@ -39,7 +39,12 @@ FAMILIES: dict[str, list[str]] = {
         "dedup_simhash",
         "dedup_components",
     ],
-    "text": ["text_token_count", "text_lang_id", "text_winnow_pairs"],
+    "text": [
+        "text_token_count",
+        "text_lang_id",
+        "text_winnow_pairs",
+        "text_source_cap",
+    ],
     "sim": ["sim_topk_bruteforce", "sim_ivf_topk", "sim_lsh_topk"],
     "asof": ["asof_events_orders"],
     "multimodal": ["mm_decode_stats"],

@@ -249,3 +249,60 @@ def text_winnow_pairs(spark, sf_dir):
         .where(F.col("n_shared") >= 2)
         .orderBy("doc_a", "doc_b")
     )
+
+
+SOURCE_CAP = 60  # per-source document quota for the declared query
+
+
+@query(
+    "text_source_cap",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT source, n_chars, text,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n_total
+        FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(MAX(n_total) AS BIGINT) AS n_total,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens_kept
+    FROM ranked WHERE rn <= {SOURCE_CAP}
+    GROUP BY source ORDER BY source
+    """,
+)
+def text_source_cap(spark, sf_dir):
+    """Deterministic per-source quota sampling — the source-mix rebalancing
+    step of a training-data pipeline (cap over-represented sources while
+    keeping selection reproducible across runs and engines).
+
+    Selection order is md5(doc_id) — a uniform, engine-portable shuffle of
+    each source's docs — with doc_id as tiebreak, so the kept set is a
+    deterministic uniform sample of exactly min(cap, n) docs per source.
+    Scale: one window shuffle keyed by source.  A heavy-hitter source
+    makes that key skewed; the production recipe for that case is a
+    two-phase select (approximate md5-prefix threshold pre-filter sized
+    from counts, then the exact window on the survivors), which keeps the
+    per-key row volume bounded; at the declared cap the single window is
+    the right plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.select(
+        "source",
+        "text",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("source")).alias("n_total"),
+    )
+    return (
+        ranked.where(F.col("rn") <= SOURCE_CAP)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max("n_total").alias("n_total"),
+            F.sum(F.size(F.split("text", " "))).alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )
