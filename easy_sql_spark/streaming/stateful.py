@@ -64,6 +64,26 @@ def stream_dedupe(df: DataFrame, key_cols: list[str]) -> DataFrame:
     )
 
 
+def stream_dedupe_watermarked(
+    df: DataFrame, key_cols: list[str], ts_col: str, delay: str
+) -> DataFrame:
+    """Bounded-state streaming dedup — the production default.
+
+    ``withWatermark`` + ``dropDuplicatesWithinWatermark`` keeps per-key
+    state only until the watermark passes (built-in operator, state store
+    sized by the delay window, no Python on the executors), versus
+    :func:`stream_dedupe`'s whole-stream semantics whose state grows with
+    distinct-key cardinality.  Prefer this whenever "duplicate" means
+    "same key within the lateness window" — which is what dedup means in
+    practice once a stream is unbounded.  Batch-compatible fallback:
+    plain ``dropDuplicates``."""
+    if not df.isStreaming:
+        return df.dropDuplicates(key_cols)
+    return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 SESSION_SCHEMA = T.StructType(
     [
         T.StructField("user", T.LongType()),

@@ -113,3 +113,28 @@ def test_sessionize_late_event_does_not_split(spark, tmp_path):
     # without the max() guard, last would move back to 10 and t=40 would
     # spuriously split)
     assert rows == [(1, 0, 40, 4)]
+
+
+def test_stream_dedupe_watermarked(spark, tmp_path):
+    """Built-in bounded-state dedup: withWatermark +
+    dropDuplicatesWithinWatermark (state sized by the delay window)."""
+    from easy_sql_spark.streaming.stateful import stream_dedupe_watermarked
+
+    src = tmp_path / "wsrc"
+    _write_batch(src / "a.json", [
+        {"h": "k1", "doc": 1, "ts": "2026-01-01 00:00:00"},
+        {"h": "k1", "doc": 1, "ts": "2026-01-01 00:00:05"},
+        {"h": "k2", "doc": 2, "ts": "2026-01-01 00:00:10"},
+    ])
+    stream = (
+        spark.readStream.schema("h string, doc long, ts timestamp")
+        .json(str(src))
+    )
+    deduped = stream_dedupe_watermarked(stream, ["h"], "ts", "10 minutes")
+    _run_to_memory(deduped, "wdedup_out")
+    rows = spark.sql("select h from wdedup_out").collect()
+    assert sorted(r.h for r in rows) == ["k1", "k2"]
+
+    # batch fallback
+    df = spark.createDataFrame([("a", 1), ("a", 2)], "k string, v int")
+    assert stream_dedupe_watermarked(df, ["k"], "k", "1 minute").count() == 1
