@@ -52,6 +52,27 @@ def _load_pyfile_callables(path: str) -> dict[str, Callable]:
     }
 
 
+class ProcessorContext:
+    """Vars + templates handle passed to functions as ``${__context__}``
+    (reference ProcessorContext, context.py — functions read and set
+    variables through it)."""
+
+    def __init__(
+        self, vars_context: VarsContext, templates_context: TemplatesContext
+    ) -> None:
+        self.vars_context = vars_context
+        self.templates_context = templates_context
+
+    def add_vars(self, vars: dict[str, Any]) -> None:
+        self.vars_context.add_vars(vars)
+
+    def set_var(self, name: str, value: Any) -> None:
+        self.vars_context.set_var(name, value)
+
+    def get_var(self, name: str, default: Any = None) -> Any:
+        return self.vars_context.get_var(name, default)
+
+
 class StepFailedError(RuntimeError):
     pass
 
@@ -246,10 +267,15 @@ class SqlProcessor:
                 "__target__": step.target_type,
             }
         )
-        # as whole func args, ${__step__}/${__config__} pass the live
-        # objects (reference exec_sql_in_source/test_run_etl signatures)
+        # as whole func args, ${__step__}/${__config__}/${__backend__}/
+        # ${__context__} pass the live objects (reference
+        # docs/easy_sql/variables.md "Variables for function calling")
         self.vars_context.obj_vars["__step__"] = step
         self.vars_context.obj_vars["__config__"] = self.config
+        self.vars_context.obj_vars["__backend__"] = self.backend
+        self.vars_context.obj_vars["__context__"] = ProcessorContext(
+            self.vars_context, self.templates_context
+        )
 
     def _preprocessed(self, step: Step) -> str:
         return step.preprocess_sql(self.templates_context, self.vars_context)

@@ -329,3 +329,35 @@ def test_report_sinks_file_and_app_status(spark, tmp_path):
     assert doc["task_id"] == "job1" and doc["status"] == "SUCCEEDED"
     assert doc["steps"][0]["target"] == "temp.t"
     assert any("BoomSink failed" in str(m) for m in logs)
+
+
+def test_object_variables_for_function_calls(spark):
+    """${__backend__}/${__context__}/${__step__}/${__config__} pass live
+    objects as whole function args (reference docs variables.md)."""
+    captured = {}
+
+    def grab(backend, context, step, config):
+        captured["backend"] = backend
+        captured["context"] = context
+        captured["step"] = step
+        captured["config"] = config
+        context.set_var("set_by_func", "yes")
+        return True
+
+    sql = """-- target=func.grab(${__backend__}, ${__context__}, ${__step__}, ${__config__})
+
+-- target=temp.uses_var
+select '${set_by_func}' as v
+"""
+    p = SqlProcessor(spark, sql, funcs={"grab": grab}, logger=lambda m: None)
+    p.run(dry_run=True)
+    from easy_sql_spark.runtime.backend import SparkBackend
+    from easy_sql_spark.core.config import EtlConfig
+    from easy_sql_spark.core.step import Step
+
+    assert isinstance(captured["backend"], SparkBackend)
+    assert isinstance(captured["config"], EtlConfig)
+    assert isinstance(captured["step"], Step)
+    assert captured["context"].get_var("set_by_func") == "yes"
+    assert spark.table("uses_var").first().v == "yes"
+    p.backend.clean_temp_views()
