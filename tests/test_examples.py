@@ -44,3 +44,11 @@ def test_round2_features_etl(spark):
     }
     assert (1, 3) in pairs  # exact dup must collide
     p.backend.clean_temp_views()
+
+
+def test_sql_test_cli(spark, tmp_path):
+    """The run-test CLI surface (reference python -m easy_sql.sql_test)."""
+    from easy_sql_spark.sql_test import main
+
+    rc = main(["run-test", "-f", os.path.join(EXAMPLES, "sample_etl_test.json")])
+    assert rc == 0
