@@ -306,3 +306,62 @@ def text_source_cap(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_repetition_filter",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents
+               WHERE doc_id <= 200 AND len(string_split(text, ' ')) >= 2),
+    s AS (SELECT doc_id,
+                 1.0 - CAST(len(list_distinct(list_transform(
+                           range(1, len(w)), i -> w[i] || ' ' || w[i+1])))
+                       AS DOUBLE) / (len(w) - 1) AS dup_bigram_frac,
+                 CAST(list_max(list_transform(list_distinct(w),
+                           x -> len(list_filter(w, y -> y = x))))
+                       AS DOUBLE) / len(w) AS top_word_frac
+          FROM d)
+    SELECT doc_id, dup_bigram_frac, top_word_frac,
+           (dup_bigram_frac <= 0.05 AND top_word_frac <= 0.12) AS keep
+    FROM s ORDER BY doc_id
+    """,
+)
+def text_repetition_filter(spark, sf_dir):
+    """Gopher/C4-style repetition quality filter — the heaviest-used class
+    of LLM training-data filters: drop documents dominated by repeated
+    n-grams or a single over-represented token.
+
+    Signals per doc (pure per-row folds, no explode, no shuffle):
+    duplicate-bigram fraction (1 − distinct/total bigrams) and top-word
+    dominance (mode count / length).  Both are ratios of exact integers,
+    so the doubles are bit-identical cross-engine and the keep verdict is
+    deterministic.  At 100 TB this is a narrow map over the corpus —
+    embarrassingly parallel, zero state."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") <= 200)
+    base = (
+        spread(docs)
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .where(F.size("w") >= 2)
+    )
+    bigrams = "transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))"
+    dup_frac = F.expr(
+        f"1.0D - cast(size(array_distinct({bigrams})) as double)"
+        f" / (size(w) - 1)"
+    )
+    top_frac = F.expr(
+        "cast(array_max(transform(array_distinct(w),"
+        " x -> size(filter(w, y -> y = x)))) as double) / size(w)"
+    )
+    return (
+        base.select(
+            "doc_id",
+            dup_frac.alias("dup_bigram_frac"),
+            top_frac.alias("top_word_frac"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("dup_bigram_frac") <= 0.05) & (F.col("top_word_frac") <= 0.12),
+        )
+        .orderBy("doc_id")
+    )
