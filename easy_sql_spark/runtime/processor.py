@@ -450,8 +450,20 @@ class SqlProcessor:
         ) or self.vars_context.is_truthy("__create_hive_table__")
 
         if self.vars_context.is_truthy("__dry_run_verify_output_schema__"):
-            if self.backend.table_exists(table):
-                self.backend.verify_schema(df, table)
+            # reference semantics (docs variables.md): fail when the target
+            # is absent; __dry_run_verify_output_schema_type__ adds types
+            if not self.backend.table_exists(table):
+                raise StepFailedError(
+                    f"__dry_run_verify_output_schema__: target table "
+                    f"{table.name} does not exist"
+                )
+            self.backend.verify_schema(
+                df,
+                table,
+                check_types=self.vars_context.is_truthy(
+                    "__dry_run_verify_output_schema_type__"
+                ),
+            )
 
         # scale extension: __bucket_by__ / __bucket_count__ write the output
         # as a bucketed+sorted table (shuffle-free joins on the bucket key)

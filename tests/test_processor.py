@@ -361,3 +361,39 @@ select '${set_by_func}' as v
     assert captured["context"].get_var("set_by_func") == "yes"
     assert spark.table("uses_var").first().v == "yes"
     p.backend.clean_temp_views()
+
+
+def test_dry_run_verify_output_schema(spark):
+    """__dry_run_verify_output_schema__(+_type_): fail on missing target,
+    verify columns, and optionally types (reference docs variables.md)."""
+    spark.sql("create database if not exists vos_db")
+    spark.sql("drop table if exists vos_db.out")
+
+    base = """-- target=variables
+select true as __dry_run_verify_output_schema__{extra}
+
+-- target=output.vos_db.out
+select 1 as id, 'x' as name
+"""
+    # missing target table -> hard failure
+    with pytest.raises(Exception, match="does not exist"):
+        SqlProcessor(
+            spark, base.format(extra=""), logger=lambda m: None
+        ).run(dry_run=True)
+
+    spark.sql("create table vos_db.out (id int, name string) using parquet")
+    SqlProcessor(spark, base.format(extra=""), logger=lambda m: None).run(
+        dry_run=True
+    )  # columns match -> green
+
+    # type check: bigint source vs int target fails only with _type_
+    typed = """-- target=variables
+select true as __dry_run_verify_output_schema__,
+       true as __dry_run_verify_output_schema_type__
+
+-- target=output.vos_db.out
+select cast(1 as bigint) as id, 'x' as name
+"""
+    with pytest.raises(Exception, match="type"):
+        SqlProcessor(spark, typed, logger=lambda m: None).run(dry_run=True)
+    spark.sql("drop table vos_db.out")
