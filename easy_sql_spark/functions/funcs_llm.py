@@ -132,6 +132,70 @@ def build(processor):
         backend.create_temp_view(out, out_view)
         return True
 
+    def sample_per_source(
+        table: str,
+        out_view: str,
+        source_col: str = "source",
+        cap: str = "1000",
+        id_col: str = "doc_id",
+    ):
+        """Deterministic per-source quota sampling (the declared
+        text_source_cap plan as a reusable step): keep exactly
+        min(cap, n) rows per source, selected by md5(id) order so the
+        sample is uniform and reproducible across runs and engines."""
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        w = W.partitionBy(source_col).orderBy(
+            F.md5(F.col(id_col).cast("string")), id_col
+        )
+        out = (
+            spark.table(table)
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= int(cap))
+            .drop("__rn")
+        )
+        backend.create_temp_view(out, out_view)
+        return True
+
+    def repetition_signals(
+        table: str, out_view: str, text_col: str = "text"
+    ):
+        """Gopher-style repetition signals per row (duplicate-bigram
+        fraction + top-word dominance, pure per-row folds — the declared
+        text_repetition_filter plan as a reusable step).  Adds
+        ``dup_bigram_frac``/``top_word_frac`` columns; thresholding is the
+        caller's WHERE clause."""
+        from pyspark.sql import functions as F
+
+        bigrams = (
+            "transform(sequence(0, size(__w)-2),"
+            " i -> concat(__w[i], ' ', __w[i+1]))"
+        )
+        out = (
+            spark.table(table)
+            .withColumn("__w", F.split(text_col, " "))
+            .where(F.size("__w") >= 2)
+            .withColumn(
+                "dup_bigram_frac",
+                F.expr(
+                    f"1.0D - cast(size(array_distinct({bigrams})) as double)"
+                    f" / (size(__w) - 1)"
+                ),
+            )
+            .withColumn(
+                "top_word_frac",
+                F.expr(
+                    "cast(array_max(transform(array_distinct(__w),"
+                    " x -> size(filter(__w, y -> y = x)))) as double)"
+                    " / size(__w)"
+                ),
+            )
+            .drop("__w")
+        )
+        backend.create_temp_view(out, out_view)
+        return True
+
     return {
         k: v
         for k, v in locals().items()

@@ -103,3 +103,42 @@ def test_ann_topk_function(spark):
     # query (0,1): cosine = 1/sqrt(i^2+1) -> nearest are smallest i > 0
     assert rows == [(1, 1), (2, 2), (3, 3)]
     p.backend.clean_temp_views()
+
+
+def test_sample_per_source_and_repetition_signals(spark):
+    rows = [(i, f"src{i % 3}", "words vary here number %d ok fine" % i)
+            for i in range(30)]
+    rows.append((100, "src0", "dup dup dup dup dup dup dup dup"))
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).createOrReplaceTempView("mix_docs")
+    etl = """-- target=func.sample_per_source(mix_docs, capped, source, 4)
+
+-- target=func.repetition_signals(mix_docs, sig_view)
+
+-- target=temp.kept
+select doc_id from sig_view
+where dup_bigram_frac <= 0.05 and top_word_frac <= 0.2
+"""
+    p = SqlProcessor(spark, etl, logger=lambda m: None)
+    p.run(dry_run=True)
+    by_src = {
+        r.source: r.n
+        for r in spark.sql(
+            "select source, count(*) as n from capped group by source"
+        ).collect()
+    }
+    assert all(n <= 4 for n in by_src.values()) and len(by_src) == 3
+    # run twice -> identical deterministic sample
+    p2 = SqlProcessor(
+        spark,
+        "-- target=func.sample_per_source(mix_docs, capped2, source, 4)",
+        logger=lambda m: None,
+    )
+    p2.run(dry_run=True)
+    ids = lambda v: sorted(r.doc_id for r in spark.table(v).collect())
+    assert ids("capped") == ids("capped2")
+    kept = {r.doc_id for r in spark.table("kept").collect()}
+    assert 100 not in kept and len(kept) >= 25  # repeated doc filtered out
+    p.backend.clean_temp_views()
+    p2.backend.clean_temp_views()
