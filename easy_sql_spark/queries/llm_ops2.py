@@ -365,3 +365,33 @@ def text_repetition_filter(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "s6b_setops_all",
+    oracle="""
+    WITH a AS (SELECT o_custkey FROM orders WHERE o_totalprice > 1000),
+         b AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT 'intersect_all' AS op, CAST(COUNT(*) AS BIGINT) AS n FROM
+        (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b)
+    UNION ALL
+    SELECT 'except_all' AS op, CAST(COUNT(*) AS BIGINT) AS n FROM
+        (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b)
+    ORDER BY op
+    """,
+)
+def s6b_setops_all(spark, sf_dir):
+    """Multiset set operations (INTERSECT ALL / EXCEPT ALL) — the
+    bag-semantics complement of s6's distinct forms.  Spark lowers both to
+    a single aggregate with per-side counts then a generate — one shuffle
+    on the compare key, no join."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_totalprice") > 1000).select("o_custkey")
+    b = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    inter = a.intersectAll(b).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("intersect_all").alias("op"), "n"
+    )
+    exc = a.exceptAll(b).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("except_all").alias("op"), "n"
+    )
+    return inter.unionAll(exc).orderBy("op")
