@@ -112,7 +112,7 @@ def q4_order_priority(spark, sf_dir):
     """TPC-H Q4 shape: EXISTS semi-join + priority rollup.  The classic
     late-delivery predicate (commitdate < receiptdate) has no source
     columns here, so "late" is a lineitem shipped >60 days after the order
-    date — same correlated-EISTS-with-inequality plan.  Spark executes it
+    date — same correlated-EXISTS-with-inequality plan.  Spark executes it
     as a LeftSemi join on orderkey with the date predicate in the join
     condition; the quarter filter pushes to the orders scan."""
     o = load_table(spark, sf_dir, "orders")
