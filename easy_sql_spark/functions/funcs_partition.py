@@ -31,11 +31,24 @@ def build(processor):
         vals = _values(table)
         return any(v < str(value) for v in vals)
 
+    def get_first_partition_optional(table: str) -> str | None:
+        """First partition value or None (reference funcs_common.py:241-243)."""
+        vals = _values(table)
+        return vals[0] if vals else None
+
     def get_first_partition(table: str) -> str:
         vals = _values(table)
         if not vals:
             raise ValueError(f"no partitions in {table}")
         return vals[0]
+
+    def count_partitions(table: str) -> int:
+        """Partition count (reference funcs_common.py)."""
+        return len(_values(table))
+
+    def has_partition_col(table: str) -> bool:
+        """Whether the table is partitioned (funcs_common.py:267-268)."""
+        return len(backend.partition_columns(table)) > 0
 
     def get_last_partition(table: str) -> str:
         vals = _values(table)

@@ -249,12 +249,18 @@ select 1 as one
 
 -- target=check.partition_not_exists(fsample.pt, 2024-09-09)
 
+-- target=check.has_partition_col(fsample.pt)
+
 -- target=temp.guarded, if=partition_exists(fsample.pt, 2024-01-01)
-select '${get_last_partition(fsample.pt)}' as last_pt
+select '${get_last_partition(fsample.pt)}' as last_pt,
+       '${get_first_partition_optional(fsample.pt)}' as first_opt,
+       ${count_partitions(fsample.pt)} as n_parts
 """
     p = SqlProcessor(spark, sql, logger=lambda m: None)
     p.run()
-    assert spark.table("guarded").collect()[0].last_pt == "2024-01-01"
+    row = spark.table("guarded").collect()[0]
+    assert row.last_pt == "2024-01-01"
+    assert row.first_opt == "2024-01-01" and row.n_parts == 1
 
 
 def test_udfs_registered(spark):
