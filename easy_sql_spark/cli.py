@@ -39,8 +39,20 @@ def spark_submit_command(sql_file: str, config: EtlConfig, vars_text: str | None
         f"--conf {shlex.quote(f'{k}={v}')}" for k, v in config.engine_conf.items()
     )
     vars_arg = f" --vars {shlex.quote(vars_text)}" if vars_text else ""
+    # -- config: easy_sql.spark_submit=<binary> overrides the launcher
+    # (reference config/sql_config.py:298-306); udf/func pyfiles ship with
+    # the job via --files so executors/driver can re-register them
+    submit = config.easy_sql_conf.get("spark_submit", "spark-submit")
+    extra_files = [
+        os.path.join(os.path.dirname(os.path.abspath(sql_file)), f)
+        for f in (config.udf_file_path, config.func_file_path)
+        if f
+    ]
+    files_arg = (
+        " --files " + shlex.quote(",".join(extra_files)) if extra_files else ""
+    )
     return (
-        f"spark-submit --deploy-mode client {confs} "
+        f"{submit} --deploy-mode client {confs}{files_arg} "
         f"{shlex.quote(os.path.abspath(__file__))} -f {shlex.quote(sql_file)}"
         f"{vars_arg}"
     )

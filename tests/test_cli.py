@@ -84,3 +84,23 @@ def test_scala_udf_initializer_missing_class_raises(spark):
     )
     with pytest.raises(RuntimeError, match="scala_udf_initializer"):
         SqlProcessor(spark, sql, logger=lambda m: None)
+
+
+def test_custom_spark_submit_and_files(tmp_path):
+    """easy_sql.spark_submit overrides the launcher; udf/func pyfiles ride
+    --files (reference config/sql_config.py:298-306)."""
+    (tmp_path / "my_udfs.py").write_text("def f(x):\n    return x\n")
+    f = tmp_path / "job.sql"
+    f.write_text(
+        "-- backend: spark\n"
+        "-- config: easy_sql.spark_submit=/opt/spark3/bin/spark-submit\n"
+        "-- config: easy_sql.udf_file_path=my_udfs.py\n"
+        "-- target=temp.t\nselect 1 as x\n"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["-f", str(f), "-p"])
+    cmd = buf.getvalue()
+    assert rc == 0
+    assert cmd.startswith("/opt/spark3/bin/spark-submit --deploy-mode client")
+    assert "--files" in cmd and "my_udfs.py" in cmd
