@@ -33,9 +33,10 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized reader
-    # rejects; read nanos as bigint (ordering-equivalent).  Cheap runtime conf
-    # set here so the driver's own session gets it too.
+    # Some testdata generations store events.ts as TIMESTAMP(NANOS), which
+    # Spark's vectorized reader rejects; reading nanos as bigint is
+    # ordering-equivalent and a no-op on timestamp[us] data, so set it
+    # unconditionally (cheap runtime conf, covers the driver's own session).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
@@ -47,14 +48,37 @@ def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     Partition sizing by bytes (AQE's REBALANCE) keeps small-but-
     expansion-heavy inputs in one task — a 5 MB scan that explodes 200× is
     CPU-bound long before it is byte-bound.  This helper only shuffles when
-    the scan has fewer than half the cluster's cores worth of partitions,
-    so at real scale (inputs with many splits) it is a no-op and costs
-    nothing."""
-    sc = df.sparkSession.sparkContext
+    the scan has fewer than half the cluster's cores worth of splits, so at
+    real scale (inputs with many splits) it is a no-op and costs nothing.
+
+    Split count comes from driver-side scan metadata (``inputFiles`` plus
+    file lengths against ``files.maxPartitionBytes``) — no ``df.rdd``
+    conversion, so calling this never forces plan-to-RDD translation."""
+    spark = df.sparkSession
+    sc = spark.sparkContext
     target = parallelism or sc.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 <= target:
+    files = df.inputFiles()  # leaf-relation metadata; runs no job
+    if len(files) * 2 > target:  # each file is at least one split
+        return df
+    if not files:
+        # non-file source (inline/local relation): these are tiny; spread.
         return df.repartition(target)
-    return df
+    jvm = sc._jvm
+    hconf = sc._jsc.hadoopConfiguration()
+    max_bytes = int(
+        jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+        )
+    )
+    splits = 0
+    for f in files:
+        path = jvm.org.apache.hadoop.fs.Path(f)
+        fs = path.getFileSystem(hconf)
+        size = fs.getFileStatus(path).getLen()
+        splits += max(1, -(-size // max_bytes))
+        if splits * 2 > target:  # already parallel enough; stop stat-ing
+            return df
+    return df.repartition(target)
 
 
 def register_views(

@@ -41,7 +41,7 @@ def asof_events_orders(spark, sf_dir):
         "event_id",
         "user_id",
         "event_type",
-        F.expr("ts div 1000").alias("t"),  # ts is bigint nanos -> micros
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("t"),
     )
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey",

@@ -69,7 +69,7 @@ def test_recursive_resolution_reaches_fixpoint(depth, value):
 @settings(max_examples=200, deadline=None)
 def test_substitution_never_fires_inside_comments(body, comment):
     # ensure no accidental comment/quote structure in the generated parts
-    body = body.replace("--", "").replace("'", "").replace('"', "")
+    body = body.replace("'", "").replace('"', "").replace("--", "")
     comment = comment.replace("\n", " ").replace("'", "").replace('"', "")
     sql = f"select REPLACEME from t {body}\n-- REPLACEME {comment}\nwhere x = 1"
     out = substitute_outside_comments(sql, lambda s: s.replace("REPLACEME", "X"))
@@ -81,7 +81,9 @@ def test_substitution_never_fires_inside_comments(body, comment):
 @given(stmt=sql_fragment, n_semis=st.integers(0, 3), ws=st.sampled_from(["", " ", "\n", "\t "]))
 @settings(max_examples=200, deadline=None)
 def test_strip_trailing_semicolon_idempotent(stmt, n_semis, ws):
-    stmt = stmt.replace(";", "").replace("--", "").replace("'", "").replace('"', "")
+    # strip quotes BEFORE dashes: removing a quote can join two lone dashes
+    # into a line comment (e.g. "-'-" -> "--"), which is a different case
+    stmt = stmt.replace(";", "").replace("'", "").replace('"', "").replace("--", "")
     sql = stmt + ";" * n_semis + ws
     out = strip_trailing_semicolon(sql)
     assert not re.search(r";\s*$", out)

@@ -2,17 +2,25 @@
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB at the given sf dir; compares row count, sorted column names, and
-order-insensitive stringified values.  Usage:
+order-insensitive stringified values.  Importable (``run_checks``) so the
+test suite can enforce the full-registry gate — the driver-side file only
+ever covers the first 50 entries.  Usage:
 
     python tools/check_queries.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
 
 
 def canon(rows, cols):
@@ -40,67 +48,84 @@ def _s(v):
     return str(v)
 
 
+def oracle_connection(sf_dir):
+    """DuckDB connection with the standard tables registered as views."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def check_one(spark, con, sf_dir, name, fn, oracle):
+    """Compare one query against its oracle.
+
+    Returns ``(status, detail)`` where status is "pass", "fail", or
+    "rows-only" (no oracle declared — count-only signal).
+    """
+    t0 = time.time()
+    try:
+        df = fn(spark, sf_dir)
+        scols = df.columns
+        srows = [tuple(r) for r in df.collect()]
+    except Exception as e:
+        return "fail", f"spark error: {e}"
+    dt = time.time() - t0
+    if oracle is None:
+        return "rows-only", f"{len(srows)} rows ({dt:.1f}s)"
+    try:
+        res = con.execute(oracle)
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+    except Exception as e:
+        return "fail", f"duckdb error: {e}"
+    sc, sv = canon(srows, scols)
+    dc, dv = canon(drows, dcols)
+    if sc != dc:
+        return "fail", f"schema {sc} != {dc}"
+    if len(sv) != len(dv):
+        return "fail", f"rowcount {len(sv)} != {len(dv)}"
+    if sv != dv:
+        diffs = [(a, b) for a, b in zip(sv, dv) if a != b][:3]
+        return "fail", f"values differ; first diffs: {diffs}"
+    return "pass", f"{len(sv)} rows ({dt:.1f}s)"
+
+
+def run_checks(spark, sf_dir, only=None, verbose=True):
+    """Run the oracle comparison over all ``queries()`` entries.
+
+    Returns a list of ``(name, status, detail)`` triples covering every
+    entry (filtered by ``only`` when given).
+    """
+    import __spark_entry__ as se
+
+    con = oracle_connection(sf_dir)
+    qs, oracles = se.queries(), se.oracle_sql()
+    results = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        status, detail = check_one(spark, con, sf_dir, name, fn, oracles.get(name))
+        results.append((name, status, detail))
+        if verbose:
+            tag = {"pass": "PASS", "fail": "FAIL", "rows-only": "rows-only"}[status]
+            print(f"{tag} {name}: {detail}")
+    con.close()
+    return results
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 
-    import duckdb
-
-    import __spark_entry__ as se
     from easy_sql_spark.session import build_session
 
     spark = build_session("check_queries")
-    con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings".split()
-    ):
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
-
-    qs, oracles = se.queries(), se.oracle_sql()
-    n_pass = n_fail = n_rows_only = 0
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
-        t0 = time.time()
-        try:
-            df = fn(spark, sf_dir)
-            scols = df.columns
-            srows = [tuple(r) for r in df.collect()]
-        except Exception as e:
-            print(f"FAIL {name}: spark error: {e}")
-            n_fail += 1
-            continue
-        dt = time.time() - t0
-        if name not in oracles:
-            print(f"rows-only {name}: {len(srows)} rows ({dt:.1f}s)")
-            n_rows_only += 1
-            continue
-        try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
-        except Exception as e:
-            print(f"FAIL {name}: duckdb error: {e}")
-            n_fail += 1
-            continue
-        sc, sv = canon(srows, scols)
-        dc, dv = canon(drows, dcols)
-        if sc != dc:
-            print(f"FAIL {name}: schema {sc} != {dc}")
-            n_fail += 1
-        elif len(sv) != len(dv):
-            print(f"FAIL {name}: rowcount {len(sv)} != {len(dv)}")
-            n_fail += 1
-        elif sv != dv:
-            diffs = [(a, b) for a, b in zip(sv, dv) if a != b][:3]
-            print(f"FAIL {name}: values differ; first diffs: {diffs}")
-            n_fail += 1
-        else:
-            print(f"PASS {name}: {len(sv)} rows ({dt:.1f}s)")
-            n_pass += 1
+    results = run_checks(spark, sf_dir, only=only or None)
+    n_pass = sum(1 for _, s, _ in results if s == "pass")
+    n_fail = sum(1 for _, s, _ in results if s == "fail")
+    n_rows_only = sum(1 for _, s, _ in results if s == "rows-only")
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     sys.exit(1 if n_fail else 0)
 
