@@ -142,19 +142,12 @@ def build(processor):
         """Deterministic per-source quota sampling (the declared
         text_source_cap plan as a reusable step): keep exactly
         min(cap, n) rows per source, selected by md5(id) order so the
-        sample is uniform and reproducible across runs and engines."""
-        from pyspark.sql import Window as W
-        from pyspark.sql import functions as F
+        sample is uniform and reproducible across runs and engines.
+        Uses the skew-safe two-phase plan (operators/skew.capped_per_key),
+        so a heavy-hitter source never lands in one window task."""
+        from ..operators.skew import capped_per_key
 
-        w = W.partitionBy(source_col).orderBy(
-            F.md5(F.col(id_col).cast("string")), id_col
-        )
-        out = (
-            spark.table(table)
-            .withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") <= int(cap))
-            .drop("__rn")
-        )
+        out = capped_per_key(spark.table(table), source_col, id_col, int(cap))
         backend.create_temp_view(out, out_view)
         return True
 

@@ -21,10 +21,79 @@ dedups correctly at scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SALT_COL = "__salt__"
+
+#: Selection keys live in the first 15 hex chars (60 bits) of md5 — numeric
+#: prefix order is consistent with full-hex string order, so a prefix
+#: threshold keeps a superset of any full-order smallest-k selection.
+_KEYSPACE = float(2**60)
+
+
+def _sel_key(id_col: str):
+    return F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def presample_for_cap(
+    df: DataFrame, key_col: str, id_col: str, cap: int, margin: int | None = None
+) -> DataFrame:
+    """Phase 1+2 of the skew-safe per-key cap: aggregate per-key counts
+    (map-side combinable — skew-immune), broadcast them back, and keep only
+    rows whose md5 selection key falls in the smallest ``(cap+margin)/n``
+    fraction of the keyspace for their key.
+
+    The output carries ``__n_key`` (the exact per-key row count) and is a
+    deterministic superset of the ``cap`` first rows per key in
+    ``(md5(id), id)`` order, provided the superset event holds: survivors
+    per key are Binomial(n, (cap+margin)/n); with the default margin of
+    ``6*sqrt(cap)+64`` the probability that fewer than ``cap`` survive is
+    below ~1e-11 per key (Chernoff), and the outcome is deterministic for
+    fixed ids — a passing run stays passing.
+    """
+    if margin is None:
+        margin = int(6 * cap**0.5) + 64
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n_key"))
+    frac = F.least(F.lit(1.0), F.lit(float(cap + margin)) / F.col("__n_key"))
+    return df.join(F.broadcast(counts), key_col).where(
+        _sel_key(id_col) <= frac * F.lit(_KEYSPACE)
+    )
+
+
+def capped_per_key(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    cap: int,
+    margin: int | None = None,
+    count_col: str | None = None,
+) -> DataFrame:
+    """Skew-safe deterministic per-key quota: exactly ``min(cap, n)`` rows
+    per key, selected in ``(md5(id), id)`` order — the two-phase
+    heavy-hitter plan for per-source training-data caps.
+
+    A single ``row_number`` window keyed by a skewed column puts one
+    heavy key's entire row set in one task; here the window only ever sees
+    the pre-sampled survivors (~``cap+margin`` rows per key regardless of
+    the key's true size), so the plan survives a 90%%-one-source corpus.
+    Cost: one map-side-combined count agg + broadcast join + bounded
+    window, versus the naive plan's one unbounded window shuffle.
+    """
+    pre = presample_for_cap(df, key_col, id_col, cap, margin)
+    w = Window.partitionBy(key_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    )
+    out = (
+        pre.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= int(cap))
+        .drop("__rn")
+    )
+    if count_col:
+        return out.withColumnRenamed("__n_key", count_col)
+    return out.drop("__n_key")
 
 
 def salted_join(

@@ -13,6 +13,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..datasets import load_table, spread
+from ..operators.skew import capped_per_key
 from . import query
 
 LSH_DIM = 64  # testdata embedding dimensionality (all sf dirs)
@@ -280,25 +281,18 @@ def text_source_cap(spark, sf_dir):
     Selection order is md5(doc_id) — a uniform, engine-portable shuffle of
     each source's docs — with doc_id as tiebreak, so the kept set is a
     deterministic uniform sample of exactly min(cap, n) docs per source.
-    Scale: one window shuffle keyed by source.  A heavy-hitter source
-    makes that key skewed; the production recipe for that case is a
-    two-phase select (approximate md5-prefix threshold pre-filter sized
-    from counts, then the exact window on the survivors), which keeps the
-    per-key row volume bounded; at the declared cap the single window is
-    the right plan."""
-    docs = load_table(spark, sf_dir, "documents")
-    w = W.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
-    )
-    ranked = docs.select(
-        "source",
-        "text",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy("source")).alias("n_total"),
+    Scale: the skew-safe two-phase plan (operators/skew.py
+    ``capped_per_key``) — per-source counts broadcast back as an
+    md5-prefix threshold pre-filter, then the exact window runs only on
+    ~cap+margin survivors per source — so a source holding 90% of a
+    100 TB corpus never lands in one window task.  The per-source totals
+    ride along from the phase-1 counts (no COUNT window)."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    kept = capped_per_key(
+        docs, "source", "doc_id", SOURCE_CAP, count_col="n_total"
     )
     return (
-        ranked.where(F.col("rn") <= SOURCE_CAP)
-        .groupBy("source")
+        kept.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
             F.max("n_total").alias("n_total"),

@@ -3,7 +3,12 @@
 import pytest
 from pyspark.sql import functions as F
 
-from easy_sql_spark.operators.skew import explode_skewed_agg, salted_join
+from easy_sql_spark.operators.skew import (
+    capped_per_key,
+    explode_skewed_agg,
+    presample_for_cap,
+    salted_join,
+)
 
 
 @pytest.fixture()
@@ -67,3 +72,77 @@ def test_explode_skewed_agg_rejects_nonalgebraic(spark, skewed):
     large, _ = skewed
     with pytest.raises(ValueError):
         explode_skewed_agg(large, ["k"], {"v": "avg"})
+
+
+@pytest.fixture()
+def heavy_docs(spark):
+    # one source holds 90% of 5000 docs — the heavy-hitter corpus shape
+    return spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 4500, "common_crawl")
+        .when(F.col("id") < 4800, "wiki")
+        .otherwise("books")
+        .alias("source"),
+    )
+
+
+def _naive_cap(df, cap):
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
+def test_capped_per_key_matches_naive_window(spark, heavy_docs):
+    cap = 20
+    naive = sorted(
+        (r.source, r.doc_id) for r in _naive_cap(heavy_docs, cap).collect()
+    )
+    fast = sorted(
+        (r.source, r.doc_id)
+        for r in capped_per_key(heavy_docs, "source", "doc_id", cap).collect()
+    )
+    assert fast == naive
+    counts = {}
+    for s, _ in fast:
+        counts[s] = counts.get(s, 0) + 1
+    assert counts == {"common_crawl": cap, "wiki": cap, "books": cap}
+
+
+def test_capped_per_key_keeps_small_keys_whole(spark, heavy_docs):
+    # cap above the small sources' sizes: they must survive untouched
+    out = capped_per_key(
+        heavy_docs, "source", "doc_id", 300, count_col="n_total"
+    )
+    rows = {(r.source): r for r in out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.max("n_total").alias("t")).collect()}
+    assert (rows["wiki"].n, rows["wiki"].t) == (300, 300)
+    assert (rows["books"].n, rows["books"].t) == (200, 200)
+    assert (rows["common_crawl"].n, rows["common_crawl"].t) == (300, 4500)
+
+
+def test_presample_bounds_window_input(spark, heavy_docs):
+    cap = 20
+    margin = int(6 * cap**0.5) + 64  # the default
+    pre = presample_for_cap(heavy_docs, "source", "doc_id", cap)
+    per_key = {
+        r.source: r.n
+        for r in pre.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # the heavy key's window input is bounded near cap+margin, NOT its
+    # true 4500 rows — that is the whole point of the two-phase plan
+    assert cap <= per_key["common_crawl"] <= 3 * (cap + margin)
+    assert per_key["common_crawl"] < 450  # ≪ the naive window's 4500
+    # counts ride along exactly
+    assert {r["source"]: r["__n_key"] for r in pre.select("source", "__n_key")
+            .distinct().collect()} == {
+        "common_crawl": 4500, "wiki": 300, "books": 200}
+    # phase-1 counts come back via a broadcast join — no extra skewed shuffle
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
