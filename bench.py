@@ -52,6 +52,62 @@ FAMILIES: dict[str, list[str]] = {
 HEADLINE = [q for fam in FAMILIES.values() for q in fam]
 
 
+def write_benches(spark, sf_dir):
+    """The `write` family: output-step saves, the hottest op in a real ETL.
+
+    Covers the two layouts that matter at scale — dynamic-partition
+    INSERT OVERWRITE (only the partitions present in the data are
+    rewritten) and bucketed CTAS (the shuffle-free fact-fact join
+    layout).  Each callable performs one complete save through the same
+    backend code path the output step uses; the partitioned table is
+    pre-created (untimed) so the timed run measures the steady-state
+    overwrite, not first-run DDL.
+    """
+    from pyspark.sql import functions as F
+
+    from easy_sql_spark.datasets import load_table
+    from easy_sql_spark.runtime.backend import Partition, SparkBackend, TableMeta
+
+    backend = SparkBackend(spark)
+    # the in-memory catalog forgets tables between runs but their files
+    # persist — stale dirs make CREATE TABLE fail with LOCATION_ALREADY_EXISTS
+    spark.sql("drop database if exists bench_w cascade")
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(os.path.join(wh, "bench_w.db"), ignore_errors=True)
+    spark.sql("create database if not exists bench_w")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_shipdate",
+    ).withColumn("ship_ym", F.date_format("l_shipdate", "yyyy-MM"))
+    part_meta = TableMeta.parse(
+        "bench_w.lineitem_p", [Partition(field="ship_ym")]
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    bkt_meta = TableMeta.parse("bench_w.orders_b")
+
+    # steady-state target for the overwrite bench (untimed first write)
+    backend.save_table(li, part_meta, "overwrite", create_table=True)
+
+    def write_partitioned_overwrite():
+        backend.save_table(li, part_meta, "overwrite", create_table=True)
+
+    def write_bucketed_ctas():
+        spark.sql("drop table if exists bench_w.orders_b")
+        backend.create_bucketed_table(orders, bkt_meta, ["o_orderkey"], 8)
+
+    return {
+        "write_partitioned_overwrite": write_partitioned_overwrite,
+        "write_bucketed_ctas": write_bucketed_ctas,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -79,11 +135,18 @@ def main() -> None:
     for name in HEADLINE:
         timings[name] = round(run(name), 3)
 
+    writes = write_benches(spark, sf_dir)
+    for name, fn in writes.items():
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     families = {
         fam: round(sum(timings[q] for q in qs), 3)
         for fam, qs in FAMILIES.items()
     }
+    families["write"] = round(sum(timings[n] for n in writes), 3)
     print(
         json.dumps(
             {
