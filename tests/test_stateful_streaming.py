@@ -115,6 +115,83 @@ def test_sessionize_late_event_does_not_split(spark, tmp_path):
     assert rows == [(1, 0, 40, 4)]
 
 
+def _run_checkpointed(df, out_dir, checkpoint):
+    # file sink, not memory: only fault-tolerant sinks support restarting
+    # from a checkpoint (memory raises "does not support recovering")
+    q = (
+        df.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(checkpoint))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    return q
+
+
+def test_stream_dedupe_state_survives_restart(spark, tmp_path):
+    """Stop/restart with the same checkpoint dir: per-key state must come
+    back from the state store — a key emitted before the restart stays
+    deduped after it.  This is the first thing a real streaming user hits
+    (every deploy is a restart)."""
+    src = tmp_path / "rsrc"
+    ckpt = tmp_path / "rckpt"
+    out = tmp_path / "rout"
+    _write_batch(src / "a.json", [{"h": "k1", "doc": 1}, {"h": "k2", "doc": 2}])
+
+    def build():
+        stream = spark.readStream.schema("h string, doc long").json(str(src))
+        return stream_dedupe(stream, ["h"])
+
+    _run_checkpointed(build(), out, ckpt)
+    assert sorted(r.h for r in spark.read.parquet(str(out)).collect()) == [
+        "k1",
+        "k2",
+    ]
+
+    # new data after shutdown: k1 repeats (must drop — state restored),
+    # k3 is new (must emit)
+    time.sleep(1.1)
+    _write_batch(src / "b.json", [{"h": "k1", "doc": 1}, {"h": "k3", "doc": 3}])
+    _run_checkpointed(build(), out, ckpt)
+    # cumulative sink holds exactly one row per key ever seen — k1 NOT
+    # re-emitted after the restart proves its state marker was restored
+    assert sorted(r.h for r in spark.read.parquet(str(out)).collect()) == [
+        "k1",
+        "k2",
+        "k3",
+    ]
+
+
+def test_sessionize_state_survives_restart(spark, tmp_path):
+    """An open session carried in state before shutdown must complete from
+    the restored state after restart — start/last/n all survive."""
+    src = tmp_path / "rssrc"
+    ckpt = tmp_path / "rsckpt"
+    out = tmp_path / "rsout"
+    _write_batch(src / "a.json", [{"user": 7, "t": 0}, {"user": 7, "t": 10}])
+
+    def build():
+        stream = spark.readStream.schema("user long, t long").json(str(src))
+        return sessionize(stream, "user", "t", gap=30)
+
+    _run_checkpointed(build(), out, ckpt)
+    assert spark.read.parquet(str(out)).count() == 0  # still open
+
+    time.sleep(1.1)
+    _write_batch(src / "b.json", [{"user": 7, "t": 100}])
+    _run_checkpointed(build(), out, ckpt)
+    rows = [
+        (r.user, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(str(out)).collect()
+    ]
+    # t=100 closes the restored 0..10 session; both its bounds and its
+    # event count prove the full state tuple survived the restart
+    assert rows == [(7, 0, 10, 2)]
+
+
 def test_stream_dedupe_watermarked(spark, tmp_path):
     """Built-in bounded-state dedup: withWatermark +
     dropDuplicatesWithinWatermark (state sized by the delay window)."""
