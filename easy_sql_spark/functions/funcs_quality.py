@@ -183,10 +183,16 @@ def build(processor):
             "variables": variables,
         }
         if include_correlations:
+            # both matrices ydata computes by default (reference passes them
+            # through to ProfileReport, funcs_common.py:384-395)
             num = df.select_dtypes(include=[np.number])
-            report["correlations"] = {
-                "pearson": num.corr().fillna(0).to_dict() if num.shape[1] >= 2 else {}
-            }
+            if num.shape[1] >= 2:
+                report["correlations"] = {
+                    "pearson": num.corr().fillna(0).to_dict(),
+                    "spearman": num.corr(method="spearman").fillna(0).to_dict(),
+                }
+            else:
+                report["correlations"] = {"pearson": {}, "spearman": {}}
         return report
 
     def _profile_html(report: dict) -> str:

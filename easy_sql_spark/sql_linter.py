@@ -39,6 +39,9 @@ from .core.context import FuncRunner, TEMPLATE_PATTERN, VAR_PATTERN
 from .core.step import Step, StepParseError, parse_steps
 
 SUPPORTED_BACKENDS = ("spark",)  # reference lists 5; this engine is Spark
+
+#: rules fix() actually rewrites (missing backend header, trailing semicolon)
+FIXABLE_RULES = frozenset({"ESQL01", "ESQL08"})
 _BACKEND_RE = re.compile(r"^--\s*backend:\s*(.*)$")
 _CHECK_ALIAS_RE = re.compile(r"\b(?:as\s+)?(actual|expected)\b", re.IGNORECASE)
 _FUNC_STEP_RE = re.compile(r"^(\w+)\(")
@@ -242,6 +245,10 @@ def main(argv: list[str] | None = None) -> int:
             "--spark", action="store_true",
             help="also syntax-check bodies through a local SparkSession",
         )
+        p.add_argument(
+            "--report", choices=("text", "json"), default="text",
+            help="json emits one machine-readable document for CI gating",
+        )
         if cmd == "fix":
             p.add_argument("--inplace", action="store_true")
     args = ap.parse_args(argv)
@@ -261,8 +268,11 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = build_session("sql_linter")
     issues = linter.lint(backend=args.backend, spark=spark)
-    for issue in issues:
-        print(issue.render())
+    as_json = args.report == "json"
+    if not as_json:
+        for issue in issues:
+            print(issue.render())
+    target = None
     if args.cmd == "fix":
         fixed = linter.fix(backend=args.backend)
         target = args.path if args.inplace else args.path.replace(
@@ -270,8 +280,38 @@ def main(argv: list[str] | None = None) -> int:
         )
         with open(target, "w", encoding="utf-8") as f:
             f.write(fixed)
-        print(f"wrote {target}")
-    return 1 if any(i.level == "error" for i in issues) else 0
+        if not as_json:
+            print(f"wrote {target}")
+    exit_code = 1 if any(i.level == "error" for i in issues) else 0
+    if as_json:
+        import json
+
+        counts: dict[str, int] = {}
+        for i in issues:
+            counts[i.level] = counts.get(i.level, 0) + 1
+        print(
+            json.dumps(
+                {
+                    "path": args.path,
+                    "issues": [
+                        {
+                            "rule": i.rule,
+                            "level": i.level,
+                            "line": i.line_no,
+                            "message": i.message,
+                            "fixable": i.rule in FIXABLE_RULES,
+                            "fixed": args.cmd == "fix"
+                            and i.rule in FIXABLE_RULES,
+                        }
+                        for i in issues
+                    ],
+                    "counts": counts,
+                    "fixed_path": target,
+                    "exit": exit_code,
+                }
+            )
+        )
+    return exit_code
 
 
 if __name__ == "__main__":

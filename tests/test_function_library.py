@@ -120,6 +120,26 @@ def test_data_profiling_report(spark, tmp_path):
     html = (tmp_path / "profile_t.html").read_text()
     assert "Profiling Report for profile_t" in html
 
+    # correlation matrices carry real values (not a stub key): amount is
+    # id cast to decimal→double, so pearson(id, amount) = 1 exactly, and
+    # both ydata-default methods are present
+    corr = rep["correlations"]
+    assert set(corr) >= {"pearson", "spearman"}
+    assert corr["pearson"]["id"]["amount"] == pytest.approx(1.0)
+    assert corr["spearman"]["id"]["amount"] == pytest.approx(1.0)
+    assert corr["pearson"]["id"]["id"] == pytest.approx(1.0)
+
+    # a nonlinear-but-monotone pair separates the two methods
+    spark.sql(
+        "select cast(id as double) as x, cast(id*id*id as double) as y "
+        "from range(50)"
+    ).createOrReplaceTempView("mono_t")
+    assert fn("mono_t", "", str(tmp_path / "m"), "1000", "true", "json") is True
+    with open(tmp_path / "m" / "mono_t.json") as f:
+        mono = json.load(f)["correlations"]
+    assert mono["spearman"]["x"]["y"] == pytest.approx(1.0)
+    assert 0.8 < mono["pearson"]["x"]["y"] < 1.0
+
     # empty source → no files, clean return (reference behavior)
     spark.sql("select 1 as x where 1=0").createOrReplaceTempView("empty_t")
     assert fn("empty_t", "", str(tmp_path / "e")) is True

@@ -91,6 +91,39 @@ def test_fix_adds_backend_and_strips_semicolons(tmp_path):
     )
 
 
+def test_cli_json_report(tmp_path, capsys):
+    """--report json: one machine-readable document (rule/line/fixed per
+    issue + level counts + exit) so CI can gate on the linter, mirroring
+    the reference's sqlfluff CLI surface."""
+    import json
+
+    from easy_sql_spark.sql_linter import main
+
+    f = tmp_path / "etl.sql"
+    f.write_text("-- target=temp.a\nselect 1 as x;\n", encoding="utf-8")
+
+    rc = main(["lint", "--path", str(f), "--report", "json"])
+    rep = json.loads(capsys.readouterr().out)
+    assert rc == rep["exit"] == 0
+    by_rule = {i["rule"]: i for i in rep["issues"]}
+    # missing backend header + trailing semicolon, both flagged fixable
+    # but nothing fixed in lint mode
+    assert by_rule["ESQL01"]["fixable"] and not by_rule["ESQL01"]["fixed"]
+    assert by_rule["ESQL08"]["fixable"] and not by_rule["ESQL08"]["fixed"]
+    assert by_rule["ESQL08"]["line"] == 1
+    assert rep["counts"] == {"warning": 1, "info": 1}
+    assert rep["fixed_path"] is None
+
+    rc = main(["fix", "--path", str(f), "--report", "json"])
+    rep = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    assert all(i["fixed"] for i in rep["issues"] if i["fixable"])
+    assert rep["fixed_path"] == str(tmp_path / "etl.fixed.sql")
+    # and the written file really carries both fixes
+    fixed = (tmp_path / "etl.fixed.sql").read_text(encoding="utf-8")
+    assert fixed.startswith("-- backend: spark") and ";" not in fixed
+
+
 def test_fix_is_idempotent_property():
     """fix(fix(x)) == fix(x) over generated step files."""
     from hypothesis import given, settings
