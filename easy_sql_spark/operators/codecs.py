@@ -1,0 +1,208 @@
+"""NumPy-only image codecs for the real decode path.
+
+The container has no PIL/ffmpeg, but PNG and BMP are parseable with the
+stdlib (`zlib`, `struct`) plus NumPy — enough to give
+``decode_media(mode="real")`` a genuine decode for the two formats a
+pipeline can always fall back to.  Scope:
+
+- PNG: non-interlaced, 8-bit depth, gray / gray+alpha / RGB / RGBA /
+  palette; all five scanline filters (None/Sub/Up/Average/Paeth) undone.
+- BMP: uncompressed (BI_RGB) 24/32-bit BITMAPINFOHEADER, bottom-up or
+  top-down.
+
+Anything else (16-bit PNG, interlacing, RLE BMP, JPEG, audio, video)
+raises ``UnsupportedMediaError`` — decode_media converts that into the
+documented NotImplementedError for non-image media and lets image rows
+fail loudly rather than silently mis-decode.
+
+Encoders (``encode_png``/``encode_bmp``) exist so tests can round-trip
+arrays through real container bytes without any imaging library.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+BMP_MAGIC = b"BM"
+
+
+class UnsupportedMediaError(ValueError):
+    """Payload is not a format the numpy-only codecs handle."""
+
+
+def sniff_format(payload: bytes) -> str | None:
+    if payload[:8] == PNG_MAGIC:
+        return "png"
+    if payload[:2] == BMP_MAGIC:
+        return "bmp"
+    return None
+
+
+# --------------------------------------------------------------------- PNG
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/pixel
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode a PNG to an (H, W, C) uint8 array."""
+    if payload[:8] != PNG_MAGIC:
+        raise UnsupportedMediaError("not a PNG")
+    pos, width, height, bit_depth, color_type, interlace = 8, 0, 0, 0, 0, 0
+    idat = bytearray()
+    palette: np.ndarray | None = None
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack(">I4s", payload[pos : pos + 8])
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if bit_depth != 8 or interlace != 0 or color_type not in _CHANNELS:
+        raise UnsupportedMediaError(
+            f"PNG bit_depth={bit_depth} color_type={color_type} "
+            f"interlace={interlace} outside numpy-codec scope"
+        )
+    nch = _CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * nch
+    if len(raw) != height * (stride + 1):
+        raise UnsupportedMediaError("PNG IDAT size mismatch")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters, lines = raw[:, 0], raw[:, 1:].astype(np.int32)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    for y in range(height):
+        line = lines[y].copy()
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        f = filters[y]
+        if f == 0:  # None
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub / Average / Paeth need the running left neighbor
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - nch] if x >= nch else 0
+                b = prev[x]
+                if f == 1:  # Sub
+                    cur[x] = (line[x] + a) & 0xFF
+                elif f == 3:  # Average
+                    cur[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                elif f == 4:  # Paeth
+                    c = prev[x - nch] if x >= nch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (line[x] + pred) & 0xFF
+                else:
+                    raise UnsupportedMediaError(f"PNG filter {f}")
+        out[y] = cur.astype(np.uint8)
+    img = out.reshape(height, width, nch)
+    if color_type == 3:
+        if palette is None:
+            raise UnsupportedMediaError("palette PNG without PLTE")
+        img = palette[img[:, :, 0]]
+    return img
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode an (H, W) or (H, W, C) uint8 array as PNG (filter 0)."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+# --------------------------------------------------------------------- BMP
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed 24/32-bit BMP to an (H, W, 3|4) uint8 array
+    in RGB(A) channel order."""
+    if payload[:2] != BMP_MAGIC:
+        raise UnsupportedMediaError("not a BMP")
+    data_offset = struct.unpack("<I", payload[10:14])[0]
+    header_size = struct.unpack("<I", payload[14:18])[0]
+    if header_size < 40:
+        raise UnsupportedMediaError("BMP core header outside scope")
+    width, height = struct.unpack("<ii", payload[18:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if compression != 0 or bpp not in (24, 32) or planes != 1:
+        raise UnsupportedMediaError(
+            f"BMP bpp={bpp} compression={compression} outside scope"
+        )
+    nch = bpp // 8
+    bottom_up = height > 0
+    height = abs(height)
+    row_bytes = (width * nch + 3) & ~3  # rows pad to 4-byte boundaries
+    pixels = np.frombuffer(
+        payload, dtype=np.uint8, count=height * row_bytes, offset=data_offset
+    ).reshape(height, row_bytes)[:, : width * nch].reshape(height, width, nch)
+    if bottom_up:
+        pixels = pixels[::-1]
+    # BGR(A) on disk -> RGB(A)
+    rgb = pixels[:, :, [2, 1, 0]] if nch == 3 else pixels[:, :, [2, 1, 0, 3]]
+    return np.ascontiguousarray(rgb)
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a bottom-up 24-bit BMP."""
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("encode_bmp expects RGB")
+    row_bytes = (w * 3 + 3) & ~3
+    rows = bytearray()
+    bgr = img[:, :, [2, 1, 0]]
+    pad = b"\x00" * (row_bytes - w * 3)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        rows += bgr[y].tobytes() + pad
+    data_offset = 14 + 40
+    file_size = data_offset + len(rows)
+    return (
+        b"BM"
+        + struct.pack("<IHHI", file_size, 0, 0, data_offset)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
+        + bytes(rows)
+    )
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Dispatch on magic bytes; PIL (when importable) first for coverage
+    beyond the numpy codecs, e.g. JPEG."""
+    try:  # optional, absent in this container
+        import io
+
+        from PIL import Image  # type: ignore
+
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    except ImportError:
+        pass
+    fmt = sniff_format(payload)
+    if fmt == "png":
+        return decode_png(payload)
+    if fmt == "bmp":
+        return decode_bmp(payload)
+    raise UnsupportedMediaError(
+        "payload is neither PNG nor BMP (and PIL is not installed)"
+    )

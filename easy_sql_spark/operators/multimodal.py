@@ -6,11 +6,11 @@ UDFs over ``mapInPandas`` so bytes never round-trip row-at-a-time through
 Python pickling.  Partitioning stays whatever the scan gives (narrow maps);
 nothing here shuffles.
 
-The actual codec step is STUBBED (no image/audio libraries in this
-container): ``decode=fake`` produces a deterministic fake decode from the
-byte content; ``decode=real`` raises NotImplementedError where PIL/ffmpeg
-would be invoked.  The Spark-side plumbing — schema, batch iteration, UDF
-signatures — is real and tested.
+Codec status: ``decode=real`` genuinely decodes images — PIL when
+importable, else numpy-only PNG/BMP parsers (operators/codecs.py); audio
+and video raise NotImplementedError (no ffmpeg in this container).
+``decode=fake`` produces a deterministic fake decode from the byte
+content so the Arrow plumbing is testable without any codec.
 """
 
 from __future__ import annotations
@@ -60,18 +60,37 @@ def synth_media_df(spark, docs: DataFrame, kind: str = "image") -> DataFrame:
 def decode_media(df: DataFrame, mode: str = "fake") -> DataFrame:
     """Decode / feature-extract media payloads via mapInPandas.
 
-    ``mode="real"`` marks where a codec library would run — intentionally
-    NotImplemented in this container.  ``mode="fake"`` derives width/height
-    and a 16-bin byte histogram deterministically from the payload, so the
-    full Arrow batch path (schema, iteration, memory shape) is exercised.
+    ``mode="real"`` decodes image payloads for real: PIL when importable,
+    else the numpy-only PNG/BMP codecs (operators/codecs.py) — actual
+    pixel dimensions, 16-bin histogram over decoded pixel bytes.  Audio
+    and video stay NotImplemented (no ffmpeg in this container).
+    ``mode="fake"`` derives width/height and the histogram
+    deterministically from the raw payload, so the full Arrow batch path
+    (schema, iteration, memory shape) is exercised without any codec.
     """
     if mode == "real":
 
         def _real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            raise NotImplementedError(
-                "real media decoding requires PIL/ffmpeg (not in container); "
-                "use mode='fake' for the plumbing path"
-            )
+            from .codecs import decode_image
+
+            for pdf in batches:
+                rows = []
+                for mid, kind, payload in zip(
+                    pdf["media_id"], pdf["kind"], pdf["payload"]
+                ):
+                    if kind != "image":
+                        raise NotImplementedError(
+                            f"real decode of kind={kind!r} requires ffmpeg "
+                            "(not in container); only images decode for real"
+                        )
+                    img = decode_image(bytes(payload))
+                    h, w = img.shape[0], img.shape[1]
+                    rows.append(
+                        (mid, kind, len(payload), w, h, _hist16(img.tobytes()))
+                    )
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in DECODED_SCHEMA.fields]
+                )
 
         return df.mapInPandas(_real, DECODED_SCHEMA)
 

@@ -1,0 +1,151 @@
+"""NumPy-only PNG/BMP codec tests (no Spark, no imaging libraries)."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from easy_sql_spark.operators.codecs import (
+    PNG_MAGIC,
+    UnsupportedMediaError,
+    decode_bmp,
+    decode_image,
+    decode_png,
+    encode_bmp,
+    encode_png,
+    sniff_format,
+)
+
+
+@pytest.mark.parametrize("shape", [(5, 4, 3), (3, 7, 1), (4, 4, 4), (2, 2, 2)])
+def test_png_roundtrip_all_color_types(shape):
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    out = decode_png(encode_png(img))
+    assert out.shape == shape
+    assert np.array_equal(out, img)
+
+
+def test_png_grayscale_2d_input():
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    out = decode_png(encode_png(img))
+    assert out.shape == (3, 4, 1)
+    assert np.array_equal(out[:, :, 0], img)
+
+
+def _png_with_filters(img, filters):
+    """Assemble a PNG whose row y uses filters[y] — exercises the decoder's
+    filter inversion against independently-computed filtered bytes."""
+    h, w, c = img.shape
+    stride = w * c
+    flat = img.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    for y in range(h):
+        f = filters[y]
+        prev = flat[y - 1] if y else np.zeros(stride, np.int32)
+        cur = flat[y]
+        left = np.concatenate([np.zeros(c, np.int32), cur[:-c]])
+        up_left = np.concatenate([np.zeros(c, np.int32), prev[:-c]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = (cur - left) & 0xFF
+        elif f == 2:
+            enc = (cur - prev) & 0xFF
+        elif f == 3:
+            enc = (cur - ((left + prev) >> 1)) & 0xFF
+        else:  # Paeth
+            p = left + prev - up_left
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - up_left)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, up_left)
+            )
+            enc = (cur - pred) & 0xFF
+        raw += bytes([f]) + enc.astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 2: 4, 3: 2, 4: 6}[c], 0, 0, 0)
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_all_five_scanline_filters_invert():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (5, 6, 3), dtype=np.uint8)
+    payload = _png_with_filters(img, [0, 1, 2, 3, 4])
+    assert np.array_equal(decode_png(payload), img)
+
+
+def test_png_palette():
+    # 2x2 palette image: indices into a 3-color PLTE
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = np.array([[0, 1], [2, 1]], dtype=np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    raw = b"\x00" + idx[0].tobytes() + b"\x00" + idx[1].tobytes()
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    payload = (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", palette.tobytes())
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png(payload)
+    assert np.array_equal(out, palette[idx])
+
+
+def test_png_rejects_out_of_scope():
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    payload = bytearray(encode_png(img))
+    payload[24] = 16  # bit depth byte inside IHDR
+    with pytest.raises(UnsupportedMediaError, match="bit_depth=16"):
+        decode_png(bytes(payload))
+    with pytest.raises(UnsupportedMediaError, match="not a PNG"):
+        decode_png(b"JUNK" * 4)
+
+
+def test_bmp_roundtrip_with_row_padding():
+    # w=3 -> 9 data bytes/row, padded to 12: exercises the stride logic
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (4, 3, 3), dtype=np.uint8)
+    out = decode_bmp(encode_bmp(img))
+    assert np.array_equal(out, img)
+
+
+def test_bmp_top_down():
+    img = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    payload = bytearray(encode_bmp(img[::-1]))  # flip, then negate height
+    payload[22:26] = struct.pack("<i", -2)
+    out = decode_bmp(bytes(payload))
+    assert np.array_equal(out, img[::-1][::-1])  # == img rows top-down
+
+
+def test_bmp_rejects_out_of_scope():
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    payload = bytearray(encode_bmp(img))
+    payload[30:34] = struct.pack("<I", 1)  # BI_RLE8
+    with pytest.raises(UnsupportedMediaError, match="compression=1"):
+        decode_bmp(bytes(payload))
+
+
+def test_sniff_and_dispatch():
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    png, bmp = encode_png(img), encode_bmp(img)
+    assert sniff_format(png) == "png" and sniff_format(bmp) == "bmp"
+    assert sniff_format(b"\xff\xd8\xff junk") is None
+    assert np.array_equal(decode_image(png), img)
+    assert np.array_equal(decode_image(bmp), img)
+    with pytest.raises(UnsupportedMediaError, match="neither PNG nor BMP"):
+        decode_image(b"RIFFxxxxWAVE")

@@ -51,13 +51,43 @@ def test_multimodal_fake_decode(spark):
     assert len(decoded[2].byte_histogram) == 16
 
 
-def test_multimodal_real_decode_is_stubbed(spark):
+def test_multimodal_real_decode_images(spark):
+    """mode='real' decodes actual PNG/BMP container bytes via the
+    numpy-only codecs: true pixel dimensions, histogram over DECODED
+    pixels (not the compressed payload)."""
+    import numpy as np
+
+    from easy_sql_spark.operators.codecs import encode_bmp, encode_png
+
+    rng = np.random.default_rng(7)
+    png_img = rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)
+    bmp_img = np.full((2, 3, 3), 0xF0, dtype=np.uint8)  # all bytes nibble 15
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(encode_png(png_img)), "image/png", {}),
+            (2, "image", bytearray(encode_bmp(bmp_img)), "image/bmp", {}),
+        ],
+        "media_id long, kind string, payload binary, mime string, "
+        "meta map<string,string>",
+    )
+    decoded = {r.media_id: r for r in decode_media(media, "real").collect()}
+    assert (decoded[1].width, decoded[1].height) == (4, 5)
+    assert (decoded[2].width, decoded[2].height) == (3, 2)
+    assert sum(decoded[1].byte_histogram) == 5 * 4 * 3
+    assert decoded[2].byte_histogram[15] == 2 * 3 * 3  # every decoded byte 0xF0
+
+
+def test_multimodal_real_decode_nonimage_still_raises(spark):
     docs = spark.createDataFrame(
         [(1, "x", "en", "s", 1)], ["doc_id", "text", "lang", "source", "n_chars"]
     )
-    media = synth_media_df(spark, docs)
-    with pytest.raises(Exception, match="NotImplementedError|real media"):
+    media = synth_media_df(spark, docs, kind="video")
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
         decode_media(media, "real").collect()
+    # an image payload that is no known container fails loudly, not silently
+    fake_image = synth_media_df(spark, docs, kind="image")
+    with pytest.raises(Exception, match="neither PNG nor BMP"):
+        decode_media(fake_image, "real").collect()
 
 
 def test_resize_and_frame_sample_stubs(spark):
