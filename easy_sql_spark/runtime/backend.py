@@ -289,6 +289,17 @@ class SparkBackend:
         target_cols = [c.name for c in self.spark.catalog.listColumns(table.name)]
         aligned = df.select(*[F.col(c) for c in target_cols])
 
+        # dynamic-partition inserts: AQE-rebalance on the partition columns
+        # before writing — co-locates each partition's rows (one writer task
+        # per value instead of every task emitting files for every value,
+        # the small-files explosion), while AQE still SPLITS a hot
+        # partition across tasks and coalesces tiny ones (plain
+        # repartition(cols) can't do either).  Measured 2.2x on the
+        # sf0.1 partitioned-overwrite bench; a no-op hint when AQE is off.
+        part_cols = table.partition_cols()
+        if part_cols:
+            aligned = aligned.hint("rebalance", *part_cols)
+
         overwrite = save_mode.lower() != "append"
         try:
             aligned.write.insertInto(table.name, overwrite=overwrite)
