@@ -48,6 +48,12 @@ FAMILIES: dict[str, list[str]] = {
     "sim": ["sim_topk_bruteforce", "sim_ivf_topk", "sim_lsh_topk"],
     "asof": ["asof_events_orders"],
     "multimodal": ["mm_decode_stats"],
+    "pipeline": [
+        "text_pii_redact",
+        "data_shard_split",
+        "seq_pack_bins",
+        "contamination_ngram",
+    ],
 }
 HEADLINE = [q for fam in FAMILIES.values() for q in fam]
 

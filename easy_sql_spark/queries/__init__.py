@@ -40,6 +40,6 @@ from . import relational  # noqa: E402,F401
 from . import llm_ops  # noqa: E402,F401
 from . import advanced  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
-from . import tpch  # noqa: E402,F401  (round-2 modules imported last: keeps
+from . import tpch  # noqa: E402,F401  (newer modules imported last: keeps
 from . import llm_ops2  # noqa: E402,F401  pre-existing queries() positions
-#                        stable for the driver gate)
+from . import llm_ops3  # noqa: E402,F401  stable for the driver gate)
