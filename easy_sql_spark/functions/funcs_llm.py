@@ -189,6 +189,83 @@ def build(processor):
         backend.create_temp_view(out, out_view)
         return True
 
+    def pii_redact(table: str, out_view: str, text_col: str = "text"):
+        """Redact emails / 555-phones / IPv4s (the declared text_pii_redact
+        regexes) and add per-row ``n_pii`` counts.  Pure narrow map."""
+        from pyspark.sql import functions as F
+
+        from ..queries.llm_ops3 import EMAIL_RE, IPV4_RE, PHONE_RE
+
+        df = spark.table(table)
+        red = F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>"),
+                PHONE_RE,
+                "<PHONE>",
+            ),
+            IPV4_RE,
+            "<IP>",
+        )
+        n_pii = sum(
+            F.size(F.regexp_extract_all(text_col, F.lit(p), F.lit(0)))
+            for p in (EMAIL_RE, PHONE_RE, IPV4_RE)
+        )
+        out = df.withColumn("n_pii", n_pii).withColumn(text_col, red)
+        backend.create_temp_view(out, out_view)
+        return True
+
+    def assign_shards(
+        table: str,
+        out_view: str,
+        id_col: str = "doc_id",
+        train_pct: str = "80",
+        val_pct: str = "10",
+    ):
+        """Stable train/val/test ``split`` column (the declared
+        data_shard_split plan): md5 hex-prefix thresholds, a pure function
+        of the id — reproducible across runs, engines, and re-shards."""
+        from pyspark.sql import functions as F
+
+        t_cut = format(round(256 * int(train_pct) / 100), "02x")
+        v_cut = format(round(256 * (int(train_pct) + int(val_pct)) / 100), "02x")
+        h2 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+        out = spark.table(table).withColumn(
+            "split",
+            F.when(h2 < t_cut, "train").when(h2 < v_cut, "val").otherwise("test"),
+        )
+        backend.create_temp_view(out, out_view)
+        return True
+
+    def pack_sequences(
+        table: str,
+        out_view: str,
+        source_col: str = "source",
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        ctx: str = "2048",
+    ):
+        """Concat-and-chunk context packing (the declared seq_pack_bins
+        plan as a reusable step): adds ``tokens`` and ``bin_id`` columns;
+        one prefix-sum window keyed by source."""
+        from pyspark.sql import functions as F
+
+        out = (
+            spark.table(table)
+            .withColumn("tokens", F.size(F.split(text_col, " ")))
+            .withColumn(
+                "bin_id",
+                F.expr(
+                    f"coalesce(sum(tokens) over ("
+                    f"partition by {source_col} "
+                    f"order by md5(cast({id_col} as string)), {id_col} "
+                    f"rows between unbounded preceding and 1 preceding), 0) "
+                    f"div {int(ctx)}"
+                ),
+            )
+        )
+        backend.create_temp_view(out, out_view)
+        return True
+
     return {
         k: v
         for k, v in locals().items()

@@ -221,6 +221,88 @@ def seq_pack_bins(spark, sf_dir):
     )
 
 
+EMB_DIM = 64  # testdata embedding dimensionality
+OUT_TOPK = 3  # outliers reported per label
+_D2_SCALE = 100_000_000  # 1e8 scaled-long accumulation of squared terms
+
+
+@query(
+    "emb_label_outliers",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (SELECT vec_id, label, i AS d, v[i] AS x
+             FROM e, UNNEST(range(1, {EMB_DIM} + 1)) AS t(i)),
+    cent AS (SELECT label, d,
+                    CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE)
+                        / COUNT(*) AS c
+             FROM dims GROUP BY label, d),
+    dist AS (SELECT dims.vec_id, dims.label,
+                    SUM(CAST(ROUND((x - c) * (x - c) * {_D2_SCALE})
+                             AS BIGINT)) AS dist2_scaled
+             FROM dims JOIN cent USING (label, d)
+             GROUP BY dims.vec_id, dims.label),
+    ranked AS (SELECT label, vec_id, dist2_scaled,
+                      ROW_NUMBER() OVER (PARTITION BY label
+                          ORDER BY dist2_scaled DESC, vec_id) AS rnk
+               FROM dist)
+    SELECT label, vec_id, CAST(dist2_scaled AS BIGINT) AS dist2_scaled,
+           CAST(rnk AS BIGINT) AS rank
+    FROM ranked WHERE rnk <= {OUT_TOPK} ORDER BY label, rank
+    """,
+)
+def emb_label_outliers(spark, sf_dir):
+    """Per-label embedding outliers — the mislabel/contamination scan over
+    a labeled embedding set: distance of each vector to its label centroid,
+    top-K farthest per label.
+
+    Cross-engine float discipline: centroids are decimal-exact sums
+    divided once in double (identical operands → identical IEEE result),
+    and the squared-distance accumulates ROUNDED SCALED LONGS so neither
+    engine's summation order can perturb the ranking.  Scale: centroid
+    derivation is one (label, dim) partial-aggregated shuffle; centroids
+    (labels × dim, tiny) broadcast back and the distance is a per-row JVM
+    fold — the corpus is scanned, never shuffled.  The final per-label
+    top-K window sees |labels| partitions; with few labels at 100 TB the
+    skew-safe variant is the same presample trick as capped_per_key with
+    an approximate distance threshold from a sample."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    dims = e.select(
+        "label", F.posexplode("v").alias("d", "x")
+    )  # pos is 0-based; oracle's d is 1-based — join key only, never output
+    cent = (
+        dims.groupBy("label", "d")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(30,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+        .groupBy("label")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(d, c))), s -> s.c)")
+            .alias("cv")
+        )
+    )
+    d2 = F.expr(
+        f"aggregate(zip_with(v, cv, (x, c) -> round((x - c) * (x - c) * {_D2_SCALE})), "
+        "0L, (acc, z) -> acc + cast(z as bigint))"
+    )
+    scored = e.join(F.broadcast(cent), "label").select(
+        "label", "vec_id", d2.alias("dist2_scaled")
+    )
+    w = W.partitionBy("label").orderBy(F.col("dist2_scaled").desc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= OUT_TOPK)
+        .select("label", "vec_id", "dist2_scaled", "rank")
+        .orderBy("label", "rank")
+    )
+
+
 GRAM_N = 3  # contamination n-gram length
 EVAL_MOD = 11  # doc_id % EVAL_MOD == 0 -> held-out eval set
 

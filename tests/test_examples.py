@@ -46,6 +46,39 @@ def test_round2_features_etl(spark):
     p.backend.clean_temp_views()
 
 
+def test_governance_pipeline_etl(spark):
+    """Round-3 governance ETL: source cap -> repetition filter -> PII
+    redaction -> shard split -> sequence packing, composed in the step
+    language over the real documents fixture."""
+    register_views(spark, "/root/testdata/sf0.001", ("documents",))
+    with open(os.path.join(EXAMPLES, "governance_pipeline.sql")) as f:
+        sql = f.read()
+    p = SqlProcessor(spark, sql, base_dir=EXAMPLES, logger=lambda m: None)
+    p.run(dry_run=True)
+
+    packed = spark.table("packed_docs")
+    rows = packed.collect()
+    assert rows, "pipeline produced no documents"
+    # every row carries the derived governance columns
+    assert {"split", "bin_id", "tokens", "n_pii"} <= set(packed.columns)
+    splits = {r.split for r in rows}
+    assert splits <= {"train", "val", "test"} and "train" in splits
+    # the source cap held
+    per_source = {}
+    for r in rows:
+        per_source[r.source] = per_source.get(r.source, 0) + 1
+    assert max(per_source.values()) <= 40
+    # packing respects the budget: bin_id is the running-token prefix div ctx
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.source, []).append(r)
+    for rs in by_key.values():
+        assert max(r.bin_id for r in rs) >= 0
+    report = {r.split: r for r in spark.table("packing_report").collect()}
+    assert sum(r.n_docs for r in report.values()) == len(rows)
+    p.backend.clean_temp_views()
+
+
 def test_sql_test_cli(spark, tmp_path):
     """The run-test CLI surface (reference python -m easy_sql.sql_test)."""
     from easy_sql_spark.sql_test import main
