@@ -1,0 +1,78 @@
+"""Global plan hygiene over the ENTIRE query registry.
+
+The per-query plan tests (test_plans.py) lock individual shapes; this
+gate sweeps every registered query so a future addition can't quietly
+ship a scale-killing plan: no CartesianProduct anywhere, BNLJ only where
+it is the intended physical plan, and no driver-side collect in any
+query/operator source.
+"""
+
+import contextlib
+import io
+
+from easy_sql_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+# BroadcastNestedLoopJoin is the CORRECT plan exactly here:
+BNLJ_OK = {
+    "j5_cross",  # declared cross-join semantics
+    "j7_range_theta",  # non-equi band join, small side broadcast
+    "dedup_ngram_jaccard",  # bounded candidate set broadcast for verify
+    "sim_topk_bruteforce",  # brute-force baseline: query set broadcast
+    "sim_neardup_pairs",  # ditto (threshold variant)
+    "sim_ivf_topk",  # probe list broadcast against pruned cells
+    "q11_important_stock",  # 1-row scalar threshold crossJoin-broadcast
+    "q22_global_sales_opportunity",  # ditto
+}
+
+
+def test_no_cartesian_or_unexpected_bnlj_anywhere(spark):
+    flagged = {}
+    for name, fn in QUERIES.items():
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            fn(spark, SF).explain("formatted")
+        plan = buf.getvalue()
+        if "CartesianProduct" in plan:
+            flagged[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            flagged[name] = "BroadcastNestedLoopJoin (not whitelisted)"
+    assert not flagged, f"scale-killing plans: {flagged}"
+
+
+def test_bnlj_whitelist_is_not_stale(spark):
+    """Every whitelisted query must still NEED its entry — a stale
+    whitelist hides a future regression behind an old exemption."""
+    for name in sorted(BNLJ_OK):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            QUERIES[name](spark, SF).explain("formatted")
+        assert "BroadcastNestedLoopJoin" in buf.getvalue(), (
+            f"{name} no longer produces a BNLJ; drop it from BNLJ_OK"
+        )
+
+
+def test_no_driver_collect_in_query_or_operator_sources():
+    """Driver discipline, statically: no collect/toPandas/RDD access in
+    any query or operator module (the step language's bounded collects
+    live in runtime/, by contract)."""
+    import os
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "easy_sql_spark",
+    )
+    banned = (".collect(", ".toPandas(", ".rdd")
+    hits = []
+    for sub in ("queries", "operators"):
+        d = os.path.join(root, sub)
+        for fname in sorted(os.listdir(d)):
+            if not fname.endswith(".py"):
+                continue
+            with open(os.path.join(d, fname), encoding="utf-8") as f:
+                for no, line in enumerate(f, 1):
+                    code = line.split("#", 1)[0]
+                    if any(b in code for b in banned):
+                        hits.append(f"{sub}/{fname}:{no}: {line.strip()}")
+    assert not hits, "driver-side access in declarative modules:\n" + "\n".join(hits)
