@@ -140,6 +140,41 @@ def test_bmp_rejects_out_of_scope():
         decode_bmp(bytes(payload))
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        c=st.sampled_from([1, 2, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+        filters=st.lists(st.integers(0, 4), min_size=12, max_size=12),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_png_roundtrip_property(h, w, c, seed, filters):
+        img = np.random.default_rng(seed).integers(
+            0, 256, (h, w, c), dtype=np.uint8
+        )
+        assert np.array_equal(decode_png(encode_png(img)), img)
+        # and with arbitrary per-row filter choices
+        payload = _png_with_filters(img, filters[:h])
+        assert np.array_equal(decode_png(payload), img)
+
+    @given(
+        h=st.integers(1, 12), w=st.integers(1, 12), seed=st.integers(0, 2**31 - 1)
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_bmp_roundtrip_property(h, w, seed):
+        img = np.random.default_rng(seed).integers(
+            0, 256, (h, w, 3), dtype=np.uint8
+        )
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+except ImportError:  # hypothesis is baked in, but stay import-safe
+    pass
+
+
 def test_sniff_and_dispatch():
     img = np.zeros((2, 2, 3), dtype=np.uint8)
     png, bmp = encode_png(img), encode_bmp(img)
