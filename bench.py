@@ -53,6 +53,8 @@ FAMILIES: dict[str, list[str]] = {
         "data_shard_split",
         "seq_pack_bins",
         "contamination_ngram",
+        "events_sessionize_batch",
+        "emb_label_outliers",
     ],
 }
 HEADLINE = [q for fam in FAMILIES.values() for q in fam]

@@ -221,6 +221,78 @@ def seq_pack_bins(spark, sf_dir):
     )
 
 
+SESSION_GAP_S = 1800  # 30-minute session gap
+
+
+@query(
+    "events_sessionize_batch",
+    oracle=f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS t FROM events),
+    m AS (SELECT user_id, t,
+                 CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+                           > {SESSION_GAP_S}
+                      OR LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM e),
+    s AS (SELECT user_id, t,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_no
+          FROM m)
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           CAST(MIN(t) AS BIGINT) AS session_start,
+           CAST(MAX(t) AS BIGINT) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, session_no
+    ORDER BY user_id, session_no
+    """,
+)
+def events_sessionize_batch(spark, sf_dir):
+    """Gap-based sessionization as a BATCH query — the classic
+    lag-flag-cumsum window idiom (new-session marker where the gap from
+    the previous event exceeds the threshold, prefix-summed into session
+    numbers).  Semantically the batch twin of streaming/stateful.py's
+    ``sessionize``; having both lets a pipeline backfill history with
+    this query and tail the live stream with the stateful operator.
+
+    Scale: one shuffle on user_id feeds both windows AND the final
+    groupBy (same key, Catalyst reuses the partitioning); per-user event
+    counts are human-scale, so no skew mitigation needed."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp_ltz)) div 1000000").alias("t"),
+    )
+    w = W.partitionBy("user_id").orderBy("t")
+    flagged = e.select(
+        "user_id",
+        "t",
+        F.when(
+            F.lag("t").over(w).isNull()
+            | ((F.col("t") - F.lag("t").over(w)) > SESSION_GAP_S),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.select(
+        "user_id",
+        "t",
+        F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("bigint")
+        .alias("session_no"),
+    )
+    return (
+        sessions.groupBy("user_id", "session_no")
+        .agg(
+            F.min("t").alias("session_start"),
+            F.max("t").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
 EMB_DIM = 64  # testdata embedding dimensionality
 OUT_TOPK = 3  # outliers reported per label
 _D2_SCALE = 100_000_000  # 1e8 scaled-long accumulation of squared terms
