@@ -1,0 +1,92 @@
+"""Differential fuzzing: randomly-generated relational pipelines must
+agree between Spark and DuckDB on the same parquet.
+
+The fixed oracle gate (test_oracle_all) checks 90+ curated queries; this
+generalizes it — Hypothesis draws filter predicates, a grouping column,
+and aggregates over lineitem, and both engines must produce identical
+results.  Everything generated is integer-exact (counts, int sums,
+min/max), so comparison is equality, not tolerance.
+"""
+
+import os
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+PARQUET = os.path.join(SF_DIR, "lineitem.parquet")
+
+# integer-valued / categorical lineitem columns only: cross-engine exact
+INT_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+CAT_COLS = ["l_returnflag", "l_linestatus"]
+OPS = ["<", "<=", ">", ">=", "=", "<>"]
+
+predicate = st.tuples(
+    st.sampled_from(INT_COLS),
+    st.sampled_from(OPS),
+    st.integers(0, 4000),
+)
+
+
+@pytest.fixture(scope="module")
+def ducks():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{PARQUET}'")
+    yield con
+    con.close()
+
+
+@given(
+    preds=st.lists(predicate, min_size=1, max_size=3),
+    conj=st.sampled_from(["AND", "OR"]),
+    group=st.sampled_from(CAT_COLS),
+    agg_col=st.sampled_from(INT_COLS),
+)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_filter_group_agg_agree(spark, ducks, preds, conj, group, agg_col):
+    where_sql = f" {conj} ".join(f"{c} {op} {v}" for c, op, v in preds)
+    sql = (
+        f"SELECT {group}, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(SUM({agg_col}) AS BIGINT) AS s, "
+        f"CAST(MIN({agg_col}) AS BIGINT) AS mn, "
+        f"CAST(MAX({agg_col}) AS BIGINT) AS mx "
+        f"FROM lineitem WHERE {where_sql} GROUP BY {group}"
+    )
+    expected = {
+        r[0]: r[1:] for r in ducks.execute(sql).fetchall()
+    }
+
+    li = spark.read.parquet(PARQUET)
+    cond = None
+    for c, op, v in preds:
+        col = F.col(c)
+        term = {
+            "<": col < v, "<=": col <= v, ">": col > v,
+            ">=": col >= v, "=": col == v, "<>": col != v,
+        }[op]
+        if cond is None:
+            cond = term
+        elif conj == "AND":
+            cond = cond & term
+        else:
+            cond = cond | term
+    got = {
+        r[0]: tuple(r[1:])
+        for r in li.where(cond)
+        .groupBy(group)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(agg_col).alias("s"),
+            F.min(agg_col).cast("bigint").alias("mn"),
+            F.max(agg_col).cast("bigint").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == expected, f"divergence on: {sql}"
