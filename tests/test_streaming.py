@@ -305,6 +305,71 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert rows == [(1,)]  # only ad1's click landed inside the 15-min window
 
 
+def test_foreach_batch_restart_skips_processed_batches(spark, stream_dirs, tmp_path):
+    """Restarting a foreach_batch query on the same checkpoint must NOT
+    re-run the ETL for already-committed batches — exactly-once step-ETL
+    execution across deploys, the property a production micro-batch
+    pipeline stands on."""
+    import time
+
+    out_dir = tmp_path / "fbr"
+    out_dir.mkdir()
+    etl = f"""-- target=temp.batch_agg
+select count(*) as n, ${{__batch_id__}} as bid from fbr_batch
+
+-- target=func.write_json_local(batch_agg, {out_dir}/batch_${{__batch_id__}}.json)
+"""
+
+    def run_once():
+        config = {
+            "sources": [
+                {
+                    "name": "raw_stream_r",
+                    "format": "json",
+                    "schema": "id long, kind string, amount double",
+                    "path": stream_dirs["src"],
+                }
+            ],
+            "sinks": [
+                {
+                    "name": "sdb.fbr",
+                    "format": "foreach_batch",
+                    "trigger": "availableNow",
+                    "checkpoint": stream_dirs["ck"] + "_fbr",
+                    "options": {"etl_sql": etl, "view": "fbr_batch"},
+                }
+            ],
+        }
+        sql = """-- backend: spark
+-- config: easy_sql.etl_type=streaming
+
+-- target=output.sdb.fbr
+select id, kind, amount from raw_stream_r
+
+-- target=func.execute_streaming_inserts()
+"""
+        p = SqlProcessor(spark, sql, streaming_config=config, logger=lambda m: None)
+        p.run()
+        for q in p.streaming_queries:
+            q.awaitTermination(60)
+            q.stop()
+        p.backend.clean_temp_views()
+
+    run_once()
+    assert json.load(open(out_dir / "batch_0.json"))[0]["n"] == 100
+
+    # new data lands after shutdown; restart on the same checkpoint
+    time.sleep(1.1)
+    with open(stream_dirs["src"] + "/batch2.json", "w") as f:
+        for i in range(100, 130):
+            f.write(json.dumps({"id": i, "kind": "c", "amount": float(i)}) + "\n")
+    run_once()
+    # batch 0 was NOT reprocessed (its file still reports the first run),
+    # and the restarted query saw ONLY the 30 new rows
+    assert json.load(open(out_dir / "batch_0.json"))[0]["n"] == 100
+    assert json.load(open(out_dir / "batch_1.json"))[0]["n"] == 30
+
+
 def test_foreach_batch_sink_runs_step_etl(spark, stream_dirs, tmp_path):
     """foreach_batch sink: each micro-batch runs a FULL step-language ETL
     on the driver (the statement-set analogue with step semantics)."""
