@@ -35,6 +35,10 @@ predicate = st.tuples(
 def ducks():
     con = duckdb.connect()
     con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{PARQUET}'")
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"'{os.path.join(SF_DIR, 'orders.parquet')}'"
+    )
     yield con
     con.close()
 
@@ -87,6 +91,47 @@ def test_random_filter_group_agg_agree(spark, ducks, preds, conj, group, agg_col
             F.min(agg_col).cast("bigint").alias("mn"),
             F.max(agg_col).cast("bigint").alias("mx"),
         )
+        .collect()
+    }
+    assert got == expected, f"divergence on: {sql}"
+
+
+@given(
+    pred=predicate,
+    how=st.sampled_from(["inner", "left"]),
+    agg_col=st.sampled_from(["l_suppkey", "l_linenumber"]),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_join_agg_agree(spark, ducks, pred, how, agg_col):
+    c, op, v = pred
+    join_sql = "JOIN" if how == "inner" else "LEFT JOIN"
+    sql = (
+        f"SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(SUM(l.{agg_col}) AS BIGINT) AS s "
+        f"FROM orders o {join_sql} lineitem l ON l.l_orderkey = o.o_orderkey "
+        f"AND l.{c} {op} {v} "
+        f"GROUP BY o.o_orderpriority"
+    )
+    expected = {r[0]: r[1:] for r in ducks.execute(sql).fetchall()}
+
+    li = spark.read.parquet(PARQUET)
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    col = F.col(c)
+    term = {
+        "<": col < v, "<=": col <= v, ">": col > v,
+        ">=": col >= v, "=": col == v, "<>": col != v,
+    }[op]
+    joined = orders.join(
+        li, (li.l_orderkey == orders.o_orderkey) & term, how
+    )
+    got = {
+        r[0]: (r[1], r[2])
+        for r in joined.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(agg_col).alias("s"))
         .collect()
     }
     assert got == expected, f"divergence on: {sql}"
