@@ -110,9 +110,47 @@ def write_benches(spark, sf_dir):
         spark.sql("drop table if exists bench_w.orders_b")
         backend.create_bucketed_table(orders, bkt_meta, ["o_orderkey"], 8)
 
+    # the read-side payoff of the bucketed layout: same-key fact-fact join
+    # with ZERO exchanges (setup untimed; both sides bucketed on orderkey)
+    li_bkt_meta = TableMeta.parse("bench_w.lineitem_b")
+    backend.create_bucketed_table(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice"
+        ),
+        li_bkt_meta,
+        ["l_orderkey"],
+        8,
+    )
+    spark.sql("drop table if exists bench_w.orders_b")
+    backend.create_bucketed_table(orders, bkt_meta, ["o_orderkey"], 8)
+
+    def bucketed_join_zero_shuffle():
+        from pyspark.sql import functions as F
+
+        # disable auto-broadcast so the measured plan is the bucketed SMJ
+        # (the layout's actual payoff), not a small-side broadcast
+        thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            (
+                spark.table("bench_w.orders_b")
+                .join(
+                    spark.table("bench_w.lineitem_b"),
+                    F.col("o_orderkey") == F.col("l_orderkey"),
+                )
+                .groupBy("o_orderpriority")
+                .agg(F.sum("l_quantity"), F.count(F.lit(1)))
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
     return {
         "write_partitioned_overwrite": write_partitioned_overwrite,
         "write_bucketed_ctas": write_bucketed_ctas,
+        "bucketed_join_zero_shuffle": bucketed_join_zero_shuffle,
     }
 
 
