@@ -1,0 +1,93 @@
+"""The oracle comparator must itself detect mismatches — a silently
+lenient comparator would green every query and void the whole gate."""
+
+import duckdb
+import pytest
+
+from tools.check_queries import canon, check_one, oracle_connection
+
+
+@pytest.fixture()
+def con():
+    c = duckdb.connect()
+    yield c
+    c.close()
+
+
+def _fn(df):
+    return lambda spark, sf_dir: df
+
+
+def test_pass_on_identical(spark, con):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    status, _ = check_one(
+        spark, con, "", "t", _fn(df), "SELECT 1 AS k, 'a' AS v UNION ALL SELECT 2, 'b'"
+    )
+    assert status == "pass"
+
+
+def test_fail_on_value_difference(spark, con):
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    status, detail = check_one(
+        spark, con, "", "t", _fn(df), "SELECT 1 AS k, 'X' AS v"
+    )
+    assert status == "fail" and "values differ" in detail
+
+
+def test_fail_on_rowcount_difference(spark, con):
+    df = spark.createDataFrame([(1,), (2,)], "k int")
+    status, detail = check_one(spark, con, "", "t", _fn(df), "SELECT 1 AS k")
+    assert status == "fail" and "rowcount" in detail
+
+
+def test_fail_on_schema_difference(spark, con):
+    df = spark.createDataFrame([(1,)], "k int")
+    status, detail = check_one(
+        spark, con, "", "t", _fn(df), "SELECT 1 AS wrong_name"
+    )
+    assert status == "fail" and "schema" in detail
+
+
+def test_fail_on_spark_error_and_oracle_error(spark, con):
+    def boom(spark, sf_dir):
+        raise RuntimeError("query exploded")
+
+    status, detail = check_one(spark, con, "", "t", boom, "SELECT 1")
+    assert status == "fail" and "spark error" in detail
+
+    df = spark.createDataFrame([(1,)], "k int")
+    status, detail = check_one(spark, con, "", "t", _fn(df), "SELECT FROM nope")
+    assert status == "fail" and "duckdb error" in detail
+
+
+def test_rows_only_when_no_oracle(spark, con):
+    df = spark.createDataFrame([(1,)], "k int")
+    status, _ = check_one(spark, con, "", "t", _fn(df), None)
+    assert status == "rows-only"
+
+
+def test_canon_is_column_order_and_row_order_insensitive():
+    cols_a, rows_a = canon([(1, "x"), (2, "y")], ["k", "v"])
+    cols_b, rows_b = canon([("y", 2), ("x", 1)], ["v", "k"])
+    assert cols_a == cols_b and rows_a == rows_b
+
+
+def test_canon_distinguishes_null_nan_and_string():
+    _, a = canon([(None,)], ["x"])
+    _, b = canon([(float("nan"),)], ["x"])
+    _, c = canon([("NULL",)], ["x"])
+    assert len({a[0], b[0], c[0]}) == 3
+
+
+def test_oracle_connection_registers_views(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        pq.write_table(pa.table({"a": [1]}), str(tmp_path / f"{t}.parquet"))
+    c = oracle_connection(str(tmp_path))
+    assert c.execute("SELECT a FROM lineitem").fetchall() == [(1,)]
+    c.close()

@@ -37,11 +37,12 @@ def _s(v):
     import datetime
     import math
 
+    # \x00 sentinels: a data string can never collide with NULL/NaN markers
     if v is None:
-        return "NULL"
+        return "\x00NULL"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return "\x00NaN"
         return repr(v)
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
