@@ -38,6 +38,7 @@ FAMILIES: dict[str, list[str]] = {
         "dedup_minhash_lsh",
         "dedup_simhash",
         "dedup_components",
+        "dedup_substring_spans",
     ],
     "text": [
         "text_token_count",

@@ -221,6 +221,71 @@ def seq_pack_bins(spark, sf_dir):
     )
 
 
+SPAN_W = 32  # char window for substring dedup
+SPAN_STRIDE = 16  # stride between sampled windows (detects dups >= W+STRIDE-1)
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text FROM documents
+               WHERE doc_id <= 300 AND len(text) >= {SPAN_W}),
+    g AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                     range(0, (len(text) - {SPAN_W}) // {SPAN_STRIDE} + 1),
+                     i -> md5(substr(text, i * {SPAN_STRIDE} + 1, {SPAN_W}))))
+                 AS hs
+          FROM d),
+    e AS (SELECT doc_id, UNNEST(hs) AS h FROM g)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_spans
+    FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_substring_spans(spark, sf_dir):
+    """Exact-substring duplication between documents — the character-level
+    dedup the "Deduplicating Training Data Makes Language Models Better"
+    line of work targets (suffix arrays there; strided rolling windows
+    here).  Hash a SPAN_W-char window every SPAN_STRIDE chars; any
+    repeated substring of length >= W+STRIDE-1 is guaranteed to produce a
+    colliding sampled window in both copies, so pairs sharing >=2 span
+    hashes are exact-duplication candidates (word-level ops miss these
+    when tokenization differs).
+
+    Scale: linear in corpus bytes (len/STRIDE hashes per doc, distinct'd
+    per row before explode), equi-join on uniform md5 keys — the same
+    bucketed-never-all-pairs shape as winnowing."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where((F.col("doc_id") <= 300) & (F.length("text") >= SPAN_W))
+        .select("doc_id", "text")
+    )
+    hashes = spread(docs).select(
+        "doc_id",
+        F.expr(
+            f"array_distinct(transform("
+            f"sequence(0, (length(text) - {SPAN_W}) div {SPAN_STRIDE}),"
+            f" i -> md5(substring(text, i * {SPAN_STRIDE} + 1, {SPAN_W}))))"
+        ).alias("hs"),
+    )
+    e = hashes.localCheckpoint(eager=True).select(
+        "doc_id", F.explode("hs").alias("h")
+    )
+    a = e.select(F.col("doc_id").alias("doc_a"), "h")
+    b = e.select(F.col("doc_id").alias("doc_b"), "h")
+    return (
+        a.join(b, ["h"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_spans"))
+        .where(F.col("n_spans") >= 2)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 SESSION_GAP_S = 1800  # 30-minute session gap
 
 
