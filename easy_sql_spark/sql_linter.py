@@ -27,6 +27,7 @@ ESQL06      warning  ``check.<name>`` body lacks actual/expected aliases
 ESQL07      error    ``@{template}`` used before any definition
 ESQL08      info     trailing semicolon in a step body (auto-fixed)
 ESQL09      info     func-step function not in the default registry
+ESQL10      warning  temp/cache/broadcast view never referenced afterwards
 ==========  =======  ====================================================
 """
 
@@ -176,6 +177,31 @@ class SqlLinter:
                         "ESQL05", "warning", line_no,
                         f"Spark cannot parse step body: {err}",
                     )
+
+        # ESQL10: a registered view nothing later reads is either dead
+        # weight or a typo'd reference elsewhere.  Heuristic word-boundary
+        # search over later step bodies AND later target names (func-step
+        # args live in the target), so dynamic `${var}` references can
+        # only ever produce a warning, never an error.
+        for i, step in enumerate(steps):
+            if step.target_type not in ("temp", "cache", "broadcast"):
+                continue
+            if i == len(steps) - 1:
+                continue  # the final view IS the ETL's result (dry-run use)
+            name = step.config.name or ""
+            if not name:
+                continue
+            pat = re.compile(rf"\b{re.escape(name)}\b", re.IGNORECASE)
+            used = any(
+                pat.search(later.sql) or pat.search(later.config.name or "")
+                for later in steps[i + 1 :]
+            )
+            if not used:
+                self._report(
+                    "ESQL10", "warning", step.config.line_no,
+                    f"{step.target_type} view `{name}` is never referenced "
+                    f"by any later step",
+                )
         return self.issues
 
     # -- fixing ------------------------------------------------------------

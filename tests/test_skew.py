@@ -127,6 +127,45 @@ def test_capped_per_key_keeps_small_keys_whole(spark, heavy_docs):
     assert (rows["common_crawl"].n, rows["common_crawl"].t) == (300, 4500)
 
 
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        sizes=st.lists(st.integers(1, 400), min_size=1, max_size=5),
+        cap=st.integers(1, 60),
+        offset=st.integers(0, 10_000),
+    )
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_capped_per_key_equals_naive_property(spark, sizes, cap, offset):
+        """Exact equality with the naive window for ARBITRARY key-size
+        distributions, caps, and id ranges — the margin analysis says the
+        superset event always holds in practice; this hunts for the
+        counterexample."""
+        rows = []
+        doc_id = offset
+        for k, n in enumerate(sizes):
+            for _ in range(n):
+                rows.append((doc_id, f"src{k}"))
+                doc_id += 1
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        naive = sorted(
+            (r.source, r.doc_id) for r in _naive_cap(df, cap).collect()
+        )
+        fast = sorted(
+            (r.source, r.doc_id)
+            for r in capped_per_key(df, "source", "doc_id", cap).collect()
+        )
+        assert fast == naive
+
+except ImportError:
+    pass
+
+
 def test_presample_bounds_window_input(spark, heavy_docs):
     cap = 20
     margin = int(6 * cap**0.5) + 64  # the default

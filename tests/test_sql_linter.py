@@ -38,10 +38,29 @@ a, b
 select @{cols} from src
 
 -- target=check.ok
-select 1 as actual, 1 as expected
+select count(*) as actual, 1 as expected from t
 """
     issues = SqlLinter(sql).lint()
     assert issues == []
+
+
+def test_unused_view_rule():
+    sql = """-- backend: spark
+-- target=temp.dead
+select 1 as x
+
+-- target=temp.alive
+select 2 as y
+
+-- target=output.db.final
+select * from alive
+"""
+    issues = SqlLinter(sql).lint()
+    assert [i.rule for i in issues] == ["ESQL10"]
+    assert "dead" in issues[0].message
+    # the FINAL step's view is exempt — it is the ETL's dry-run result
+    tail = "-- backend: spark\n-- target=temp.result\nselect 1 as x\n"
+    assert SqlLinter(tail).lint() == []
 
 
 def test_include_exclude_rules():
