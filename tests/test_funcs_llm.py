@@ -142,3 +142,44 @@ where dup_bigram_frac <= 0.05 and top_word_frac <= 0.2
     assert 100 not in kept and len(kept) >= 25  # repeated doc filtered out
     p.backend.clean_temp_views()
     p2.backend.clean_temp_views()
+
+
+def test_governance_step_functions(spark):
+    """pii_redact / assign_shards / pack_sequences unit behavior."""
+    from easy_sql_spark.runtime.processor import SqlProcessor
+
+    spark.createDataFrame(
+        [
+            (i, f"doc {i} mail a{i}@x.io ip 1.2.3.{i % 250} words " + "w " * 10, "s1")
+            for i in range(2000)
+        ],
+        "doc_id long, text string, source string",
+    ).createOrReplaceTempView("gov_docs")
+    etl = """-- backend: spark
+-- target=func.pii_redact(gov_docs, gov_red, text)
+-- target=func.assign_shards(gov_red, gov_sh, doc_id, 80, 10)
+-- target=func.pack_sequences(gov_sh, gov_packed, source, doc_id, text, 64)
+"""
+    p = SqlProcessor(spark, etl, logger=lambda m: None)
+    p.run(dry_run=True)
+
+    red = spark.table("gov_red")
+    assert red.where("text like '%@%'").count() == 0  # every email redacted
+    assert red.where("n_pii < 2").count() == 0  # email + ip found per row
+    assert red.where("text like '%<EMAIL>%'").count() == 2000
+
+    sh = {r.split: r.n for r in spark.sql(
+        "select split, count(*) n from gov_sh group by split").collect()}
+    assert set(sh) == {"train", "val", "test"}
+    # md5 is uniform: 80/10/10 within generous tolerance at n=2000
+    assert 0.70 <= sh["train"] / 2000 <= 0.90
+    assert 0.05 <= sh["val"] / 2000 <= 0.15
+
+    packed = spark.table("gov_packed")
+    # 13 tokens per doc, 64-token bins -> every bin holds ceil-ish docs;
+    # bin ids are dense from 0 and bins hold >= 1 doc
+    assert packed.where("bin_id < 0").count() == 0
+    n_bins = packed.select("bin_id").distinct().count()
+    total_tokens = packed.groupBy().sum("tokens").first()[0]
+    assert n_bins >= total_tokens // 64  # no bin overstuffed past budget+1 doc
+    p.backend.clean_temp_views()
