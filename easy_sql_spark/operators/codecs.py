@@ -187,6 +187,68 @@ def encode_bmp(img: np.ndarray) -> bytes:
     )
 
 
+# --------------------------------------------------------------------- WAV
+def decode_wav(payload: bytes) -> dict:
+    """Parse a RIFF/WAVE PCM payload: format metadata plus per-channel
+    samples as an (n_frames, n_channels) array.
+
+    Scope: uncompressed PCM (format tag 1) at 8/16/32-bit depth — the
+    interchange format a pipeline can always fall back to.  Compressed
+    audio (MP3/AAC/FLAC...) raises ``UnsupportedMediaError``; with no
+    ffmpeg in the container that part stays an honest stub.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise UnsupportedMediaError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack("<4sI", payload[pos : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise UnsupportedMediaError("WAV missing fmt/data chunk")
+    tag, n_ch, rate, _byte_rate, block, bits = fmt
+    if tag != 1 or bits not in (8, 16, 32) or n_ch < 1:
+        raise UnsupportedMediaError(
+            f"WAV format tag={tag} bits={bits} outside PCM scope"
+        )
+    dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
+    n_frames = len(data) // block
+    samples = np.frombuffer(
+        data, dtype=dtype, count=n_frames * n_ch
+    ).reshape(n_frames, n_ch)
+    return {
+        "sample_rate": rate,
+        "n_channels": n_ch,
+        "bits": bits,
+        "n_frames": n_frames,
+        "duration_s": n_frames / rate if rate else 0.0,
+        "samples": samples,
+    }
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode an (n_frames, n_channels) int16 array as PCM WAV."""
+    if samples.dtype != np.int16:
+        raise ValueError("encode_wav expects int16 samples")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n_frames, n_ch = samples.shape
+    data = samples.astype("<i2").tobytes()
+    block = n_ch * 2
+    fmt = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, n_ch, sample_rate, sample_rate * block, block, 16)
+    )
+    return fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Dispatch on magic bytes; PIL (when importable) first for coverage
     beyond the numpy codecs, e.g. JPEG."""

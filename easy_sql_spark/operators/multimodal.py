@@ -6,9 +6,10 @@ UDFs over ``mapInPandas`` so bytes never round-trip row-at-a-time through
 Python pickling.  Partitioning stays whatever the scan gives (narrow maps);
 nothing here shuffles.
 
-Codec status: ``decode=real`` genuinely decodes images — PIL when
-importable, else numpy-only PNG/BMP parsers (operators/codecs.py); audio
-and video raise NotImplementedError (no ffmpeg in this container).
+Codec status: ``decode=real`` genuinely decodes images (PIL when
+importable, else numpy-only PNG/BMP parsers in operators/codecs.py) and
+PCM WAV audio (RIFF parse, per-channel samples); video and compressed
+audio raise NotImplementedError (no ffmpeg in this container).
 ``decode=fake`` produces a deterministic fake decode from the byte
 content so the Arrow plumbing is testable without any codec.
 """
@@ -71,23 +72,40 @@ def decode_media(df: DataFrame, mode: str = "fake") -> DataFrame:
     if mode == "real":
 
         def _real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            from .codecs import decode_image
+            from .codecs import decode_image, decode_wav
 
             for pdf in batches:
                 rows = []
                 for mid, kind, payload in zip(
                     pdf["media_id"], pdf["kind"], pdf["payload"]
                 ):
-                    if kind != "image":
+                    payload = bytes(payload)
+                    if kind == "image":
+                        img = decode_image(payload)
+                        h, w = img.shape[0], img.shape[1]
+                        rows.append(
+                            (mid, kind, len(payload), w, h, _hist16(img.tobytes()))
+                        )
+                    elif kind == "audio":
+                        # width/height carry rate/frames for audio rows;
+                        # histogram is over the raw sample bytes
+                        wav = decode_wav(payload)
+                        rows.append(
+                            (
+                                mid,
+                                kind,
+                                len(payload),
+                                int(wav["sample_rate"]),
+                                int(wav["n_frames"]),
+                                _hist16(wav["samples"].tobytes()),
+                            )
+                        )
+                    else:
                         raise NotImplementedError(
                             f"real decode of kind={kind!r} requires ffmpeg "
-                            "(not in container); only images decode for real"
+                            "(not in container); images and PCM WAV decode "
+                            "for real"
                         )
-                    img = decode_image(bytes(payload))
-                    h, w = img.shape[0], img.shape[1]
-                    rows.append(
-                        (mid, kind, len(payload), w, h, _hist16(img.tobytes()))
-                    )
                 yield pd.DataFrame(
                     rows, columns=[f.name for f in DECODED_SCHEMA.fields]
                 )

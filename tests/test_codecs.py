@@ -184,3 +184,31 @@ def test_sniff_and_dispatch():
     assert np.array_equal(decode_image(bmp), img)
     with pytest.raises(UnsupportedMediaError, match="neither PNG nor BMP"):
         decode_image(b"RIFFxxxxWAVE")
+
+
+def test_wav_roundtrip_and_metadata():
+    from easy_sql_spark.operators.codecs import decode_wav, encode_wav
+
+    rng = np.random.default_rng(5)
+    samples = rng.integers(-30000, 30000, (1600, 2), dtype=np.int16)
+    wav = decode_wav(encode_wav(samples, 16000))
+    assert (wav["sample_rate"], wav["n_channels"], wav["bits"]) == (16000, 2, 16)
+    assert wav["n_frames"] == 1600
+    assert wav["duration_s"] == pytest.approx(0.1)
+    assert np.array_equal(wav["samples"], samples)
+    # mono 1-D input
+    mono = decode_wav(encode_wav(samples[:, 0], 8000))
+    assert mono["n_channels"] == 1 and np.array_equal(
+        mono["samples"][:, 0], samples[:, 0]
+    )
+
+
+def test_wav_rejects_out_of_scope():
+    from easy_sql_spark.operators.codecs import decode_wav, encode_wav
+
+    with pytest.raises(UnsupportedMediaError, match="not a RIFF"):
+        decode_wav(b"ID3 some mp3-ish bytes")
+    payload = bytearray(encode_wav(np.zeros((8, 1), dtype=np.int16), 8000))
+    payload[20:22] = struct.pack("<H", 85)  # format tag: MP3
+    with pytest.raises(UnsupportedMediaError, match="tag=85"):
+        decode_wav(bytes(payload))

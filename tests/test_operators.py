@@ -59,13 +59,19 @@ def test_multimodal_real_decode_images(spark):
 
     from easy_sql_spark.operators.codecs import encode_bmp, encode_png
 
+    from easy_sql_spark.operators.codecs import encode_wav
+
     rng = np.random.default_rng(7)
     png_img = rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)
     bmp_img = np.full((2, 3, 3), 0xF0, dtype=np.uint8)  # all bytes nibble 15
+    wav = encode_wav(
+        rng.integers(-1000, 1000, (800, 1), dtype=np.int16), 16000
+    )
     media = spark.createDataFrame(
         [
             (1, "image", bytearray(encode_png(png_img)), "image/png", {}),
             (2, "image", bytearray(encode_bmp(bmp_img)), "image/bmp", {}),
+            (3, "audio", bytearray(wav), "audio/wav", {}),
         ],
         "media_id long, kind string, payload binary, mime string, "
         "meta map<string,string>",
@@ -75,6 +81,9 @@ def test_multimodal_real_decode_images(spark):
     assert (decoded[2].width, decoded[2].height) == (3, 2)
     assert sum(decoded[1].byte_histogram) == 5 * 4 * 3
     assert decoded[2].byte_histogram[15] == 2 * 3 * 3  # every decoded byte 0xF0
+    # audio rows carry rate/frames and a histogram over the PCM samples
+    assert (decoded[3].width, decoded[3].height) == (16000, 800)
+    assert sum(decoded[3].byte_histogram) == 800 * 2
 
 
 def test_multimodal_real_decode_nonimage_still_raises(spark):
@@ -88,6 +97,10 @@ def test_multimodal_real_decode_nonimage_still_raises(spark):
     fake_image = synth_media_df(spark, docs, kind="image")
     with pytest.raises(Exception, match="neither PNG nor BMP"):
         decode_media(fake_image, "real").collect()
+    # compressed audio (non-RIFF payload) fails loudly too
+    fake_audio = synth_media_df(spark, docs, kind="audio")
+    with pytest.raises(Exception, match="not a RIFF"):
+        decode_media(fake_audio, "real").collect()
 
 
 def test_resize_and_frame_sample_stubs(spark):
