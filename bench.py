@@ -48,7 +48,7 @@ FAMILIES: dict[str, list[str]] = {
     ],
     "sim": ["sim_topk_bruteforce", "sim_ivf_topk", "sim_lsh_topk"],
     "asof": ["asof_events_orders"],
-    "multimodal": ["mm_decode_stats"],
+    "multimodal": ["mm_decode_stats", "mm_wav_roundtrip_stats"],
     "pipeline": [
         "text_pii_redact",
         "data_shard_split",

@@ -221,6 +221,74 @@ def seq_pack_bins(spark, sf_dir):
     )
 
 
+WAV_RATE = 8000
+WAV_MAX_FRAMES = 200
+
+
+@query(
+    "mm_wav_roundtrip_stats",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           {WAV_RATE} AS sample_rate,
+           CAST(LEAST(len(text), {WAV_MAX_FRAMES}) AS BIGINT) AS n_frames,
+           CAST(list_sum(list_transform(
+               range(1, CAST(LEAST(len(text), {WAV_MAX_FRAMES}) AS INTEGER) + 1),
+               i -> ascii(substr(text, i, 1)))) AS BIGINT) AS sum_samples
+    FROM documents WHERE doc_id <= 200 ORDER BY media_id
+    """,
+)
+def mm_wav_roundtrip_stats(spark, sf_dir):
+    """REAL-codec multimodal query: deterministic PCM WAV payloads are
+    synthesized per document (samples = char codes of the first
+    WAV_MAX_FRAMES chars), then parsed back by the RIFF decoder
+    (operators/codecs.decode_wav) — so actual container bytes flow through
+    the Arrow batch path and the emitted metadata comes from the PARSER,
+    not the construction.  The oracle recomputes the expected metadata
+    from the same deterministic construction in SQL; a byte-level bug in
+    either the encoder or the decoder breaks the match.
+
+    Scale: one mapInPandas stage, payloads never shuffle — the same
+    narrow-decode shape as the image path."""
+    import pandas as pd
+
+    from ..operators.codecs import decode_wav, encode_wav
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 200)
+        .select("doc_id", "text")
+    )
+
+    def _roundtrip(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                samples = np.frombuffer(
+                    text[:WAV_MAX_FRAMES].encode("ascii", "replace"),
+                    dtype=np.uint8,
+                ).astype(np.int16)
+                wav = decode_wav(encode_wav(samples, WAV_RATE))
+                rows.append(
+                    (
+                        int(doc_id),
+                        wav["sample_rate"],
+                        wav["n_frames"],
+                        int(wav["samples"].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "n_frames", "sum_samples"],
+            )
+
+    return spread(docs).mapInPandas(
+        _roundtrip,
+        "media_id long, sample_rate int, n_frames long, sum_samples long",
+    ).orderBy("media_id")
+
+
 SPAN_W = 32  # char window for substring dedup
 SPAN_STRIDE = 16  # stride between sampled windows (detects dups >= W+STRIDE-1)
 
