@@ -96,6 +96,64 @@ def capped_per_key(
     return out.drop("__n_key")
 
 
+def sharded_prefix_bins(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    tokens_col: str,
+    ctx: int,
+    shard_chars: int = 1,
+) -> DataFrame:
+    """Skew-safe concat-and-chunk bin assignment — the two-level
+    prefix-sum plan for sequence packing when one key holds most of the
+    corpus (the mitigation seq_pack_bins documents).
+
+    Rows order globally by ``(md5(id), id)`` per key; the md5 HEX PREFIX
+    partitions that order into 16^shard_chars contiguous shards, so the
+    global running sum decomposes exactly: a window prefix-sum WITHIN
+    (key, shard) plus a per-shard token-total offset (a tiny aggregate —
+    |keys|·16^shard_chars rows — prefix-summed and broadcast back).  Bin
+    ids are IDENTICAL to the single-window plan's, but the big window's
+    partition key gains md5 fan-out, so a 90%%-one-source corpus spreads
+    over 16^shard_chars tasks instead of one.
+
+    Adds ``bin_id``; one bounded window + one broadcast join replace the
+    single skew-prone window.
+    """
+    sel = F.md5(F.col(id_col).cast("string"))
+    shard = F.substring(sel, 1, shard_chars)
+    with_shard = df.withColumn("__shard", shard)
+    totals = with_shard.groupBy(key_col, "__shard").agg(
+        F.sum(tokens_col).alias("__shard_tokens")
+    )
+    w_off = (
+        Window.partitionBy(key_col)
+        .orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        key_col,
+        "__shard",
+        F.coalesce(F.sum("__shard_tokens").over(w_off), F.lit(0)).alias(
+            "__offset"
+        ),
+    )
+    w_in = (
+        Window.partitionBy(key_col, "__shard")
+        .orderBy(sel, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        with_shard.join(F.broadcast(offsets), [key_col, "__shard"])
+        .withColumn(
+            "__cum", F.coalesce(F.sum(tokens_col).over(w_in), F.lit(0))
+        )
+        # integer div, not float floor: exact at any corpus token total
+        .withColumn("bin_id", F.expr(f"(__offset + __cum) div {int(ctx)}"))
+        .drop("__shard", "__offset", "__cum")
+    )
+
+
 def salted_join(
     large: DataFrame,
     small: DataFrame,

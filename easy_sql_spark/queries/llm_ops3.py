@@ -187,10 +187,10 @@ def seq_pack_bins(spark, sf_dir):
     Scale: ONE window shuffle keyed by source (prefix sums are
     partition-local) + a groupBy that reuses the same key.  A heavy
     source is the same skew case as text_source_cap; the two-phase
-    pre-filter does not apply (every row is kept), so the mitigation at
-    100 TB is sub-sharding the source key into (source, md5-range)
-    chunks whose bin ids are offset by the chunk's token prefix — the
-    same prefix-sum-of-prefix-sums trick distributed scan-sum uses."""
+    pre-filter does not apply (every row is kept), so the 100 TB path is
+    ``operators/skew.sharded_prefix_bins`` — md5-hex-prefix sub-shards
+    whose within-shard prefix sums recompose exactly via broadcast
+    offsets (pytest asserts bit-identical bin ids to this plan)."""
     docs = load_table(spark, sf_dir, "documents")
     w = (
         W.partitionBy("source")
@@ -219,6 +219,117 @@ def seq_pack_bins(spark, sf_dir):
         )
         .orderBy("source", "bin_id")
     )
+
+
+INC_MOD = 10  # doc_id % INC_MOD == 7 -> the "incoming batch"; rest = corpus
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w
+               FROM documents WHERE doc_id <= 400),
+    g AS (SELECT doc_id,
+                 list_transform(range(1, len(w) - 1),
+                     i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS h
+          FROM d WHERE len(w) >= 3),
+    fp AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(h) - 2),
+                      j -> list_min(h[j:j+3]))) AS fps
+           FROM g WHERE len(h) >= 4),
+    e AS (SELECT doc_id, UNNEST(fps) AS fp FROM fp),
+    newb AS (SELECT * FROM d WHERE doc_id % {INC_MOD} = 7),
+    corp AS (SELECT * FROM d WHERE doc_id % {INC_MOD} <> 7),
+    exact_hit AS (
+        SELECT DISTINCT n.doc_id FROM newb n
+        JOIN corp c ON md5(n.text) = md5(c.text)),
+    fp_hit AS (
+        SELECT ne.doc_id FROM e ne
+        JOIN e ce ON ne.fp = ce.fp
+        JOIN newb n ON n.doc_id = ne.doc_id
+        JOIN corp c ON c.doc_id = ce.doc_id
+        GROUP BY ne.doc_id, ce.doc_id HAVING COUNT(*) >= 2)
+    SELECT n.doc_id,
+           n.doc_id IN (SELECT doc_id FROM exact_hit) AS exact_dup,
+           n.doc_id IN (SELECT doc_id FROM fp_hit) AS near_dup,
+           NOT (n.doc_id IN (SELECT doc_id FROM exact_hit)
+                OR n.doc_id IN (SELECT doc_id FROM fp_hit)) AS admit
+    FROM newb n ORDER BY n.doc_id
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental dedup — admit an incoming batch against the EXISTING
+    corpus, the shape every production ingestion pipeline actually runs
+    (full-corpus self-dedup happens once; batch-vs-corpus happens daily).
+    A new doc is rejected if it exactly matches a corpus doc (md5) or
+    shares >=2 winnowing fingerprints with one (near-dup).
+
+    Scale: the corpus side's md5/fingerprint tables are exactly what the
+    full-corpus dedup already materialized — at 100 TB they are PERSISTED
+    once and only the (small) batch side is computed per run, joined on
+    uniform hash keys; the corpus is never rescanned per batch (here both
+    sides derive inline because the fixture has no persisted state)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 400)
+        .select("doc_id", "text", F.split("text", " ").alias("w"))
+    )
+    h_arr = (
+        "transform(sequence(0, size(w)-3),"
+        " i -> md5(concat_ws(' ', w[i], w[i+1], w[i+2])))"
+    )
+    fps = (
+        spread(docs)
+        .where(F.size("w") >= 3)
+        .select("doc_id", F.expr(h_arr).alias("h"))
+        .where(F.size("h") >= 4)
+        .select(
+            "doc_id",
+            F.expr(
+                # DuckDB h[j:j+3] is a 1-based INCLUSIVE slice (4 elements)
+                "array_distinct(transform(sequence(1, size(h) - 3),"
+                " j -> array_min(slice(h, j, 4))))"
+            ).alias("fps"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e = fps.select("doc_id", F.explode("fps").alias("fp"))
+    is_new = F.col("doc_id") % INC_MOD == 7
+    newb = docs.where(is_new).select("doc_id", F.md5("text").alias("th"))
+    corp = docs.where(~is_new).select(
+        F.col("doc_id").alias("c_id"), F.md5("text").alias("th")
+    )
+    exact_hit = (
+        newb.join(corp, "th", "left_semi").select("doc_id").distinct()
+    )
+    ne = e.where(F.col("doc_id") % INC_MOD == 7)
+    ce = e.where(F.col("doc_id") % INC_MOD != 7).select(
+        F.col("doc_id").alias("c_id"), "fp"
+    )
+    fp_hit = (
+        ne.join(ce, "fp")
+        .groupBy("doc_id", "c_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("doc_id")
+        .distinct()
+    )
+    verdicts = (
+        newb.select("doc_id")
+        .join(exact_hit.withColumn("exact_dup", F.lit(True)), "doc_id", "left")
+        .join(fp_hit.withColumn("near_dup", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
+            F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
+        )
+    )
+    return verdicts.select(
+        "doc_id",
+        "exact_dup",
+        "near_dup",
+        (~(F.col("exact_dup") | F.col("near_dup"))).alias("admit"),
+    ).orderBy("doc_id")
 
 
 WAV_RATE = 8000

@@ -166,6 +166,30 @@ except ImportError:
     pass
 
 
+def test_sharded_prefix_bins_equals_single_window(spark, heavy_docs):
+    """The two-level prefix-sum must assign IDENTICAL bin ids to the
+    single-window plan — the md5 hex prefix shards the global order into
+    contiguous ranges, so offsets + within-shard sums recompose exactly."""
+    from easy_sql_spark.operators.skew import sharded_prefix_bins
+
+    docs = heavy_docs.withColumn("tokens", (F.col("doc_id") % 37) + 1)
+    single = docs.withColumn(
+        "bin_id",
+        F.expr("coalesce(sum(tokens) over ("
+               "partition by source "
+               "order by md5(cast(doc_id as string)), doc_id "
+               "rows between unbounded preceding and 1 preceding), 0) div 256"),
+    )
+    sharded = sharded_prefix_bins(docs, "source", "doc_id", "tokens", 256)
+    a = {(r.source, r.doc_id): r.bin_id for r in single.collect()}
+    b = {(r.source, r.doc_id): r.bin_id for r in sharded.collect()}
+    assert a == b
+    # and the heavy window really is sharded: partition key includes the
+    # md5 prefix, giving the hot source 16-way fan-out
+    plan = sharded._jdf.queryExecution().executedPlan().toString()
+    assert "__shard" in plan
+
+
 def test_presample_bounds_window_input(spark, heavy_docs):
     cap = 20
     margin = int(6 * cap**0.5) + 64  # the default
