@@ -39,6 +39,7 @@ FAMILIES: dict[str, list[str]] = {
         "dedup_simhash",
         "dedup_components",
         "dedup_substring_spans",
+        "dedup_incremental",
     ],
     "text": [
         "text_token_count",
