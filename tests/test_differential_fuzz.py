@@ -97,6 +97,41 @@ def test_random_filter_group_agg_agree(spark, ducks, preds, conj, group, agg_col
 
 
 @given(
+    part=st.sampled_from(CAT_COLS),
+    val=st.sampled_from(INT_COLS),
+    frame_rows=st.integers(0, 5),
+    pred=predicate,
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_window_prefix_sums_agree(spark, ducks, part, val, frame_rows, pred):
+    """Framed window sums, integer-exact.  (orderkey, linenumber) is NOT
+    unique in the synthetic data, so the summed column joins the ORDER BY:
+    remaining ties are rows identical in (partition, order keys, value),
+    which are interchangeable — the output MULTISET is order-independent
+    and any divergence is an engine disagreement, not tie noise."""
+    c, op, v = pred
+    frame = (
+        f"ROWS BETWEEN {frame_rows} PRECEDING AND CURRENT ROW"
+        if frame_rows
+        else "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    )
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"CAST(SUM({val}) OVER (PARTITION BY {part} "
+        f"ORDER BY l_orderkey, l_linenumber, {val} {frame}) AS BIGINT) AS ws "
+        f"FROM lineitem WHERE {c} {op} {v}"
+    )
+    expected = sorted(map(tuple, ducks.execute(sql).fetchall()))
+    spark.read.parquet(PARQUET).createOrReplaceTempView("lineitem")
+    got = sorted(tuple(r) for r in spark.sql(sql).collect())
+    assert got == expected, f"divergence on: {sql}"
+
+
+@given(
     pred=predicate,
     how=st.sampled_from(["inner", "left"]),
     agg_col=st.sampled_from(["l_suppkey", "l_linenumber"]),
