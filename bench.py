@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # one family per query class (SURVEY §2E/§2 LLM-ops), so a regression in
 # any class is visible round-over-round; supersets round-1's 20 headliners
 FAMILIES: dict[str, list[str]] = {
-    "agg": ["a1_pricing_summary", "a3_distinct_agg", "a5_rollup", "a5_grouping_sets"],
+    "agg": ["a1_pricing_summary", "a3_distinct_agg", "a5_rollup", "a5_grouping_sets", "a9_approx_quantiles"],
     "join": ["j1_inner_equi", "j2_left_outer", "j6_broadcast"],
     "window": ["w1_ranking", "w3_framed", "w4_distribution"],
     "setop": ["s4_union_all", "s6_intersect_except"],

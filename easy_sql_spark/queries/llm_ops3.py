@@ -221,6 +221,28 @@ def seq_pack_bins(spark, sf_dir):
     )
 
 
+@query("a9_approx_quantiles")  # rows-only: sketch values are engine-specific
+def a9_approx_quantiles(spark, sf_dir):
+    """Distribution summary via the Greenwald-Khanna sketch
+    (percentile_approx) — the quantile path that SCALES: exact percentiles
+    need a full sort per group, the sketch is one pass with map-side
+    partial merges.  No DuckDB oracle by design (sketch internals are
+    engine-specific); tests/test_approx_quality.py bounds every reported
+    quantile against the exact value at the sketch's advertised accuracy,
+    which is the check that actually matters for a sketch."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000
+            ).alias("price_quantiles"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 INC_MOD = 10  # doc_id % INC_MOD == 7 -> the "incoming batch"; rest = corpus
 
 

@@ -27,6 +27,29 @@ def test_hll_distinct_within_advertised_error(spark):
     assert abs(approx - exact) / exact <= 0.10
 
 
+def test_approx_quantiles_within_rank_error(spark):
+    """Every sketched quantile must land within the Greenwald-Khanna
+    rank-error bound (1/accuracy = 1e-4 relative rank, padded for the
+    grouped merge) of the exact percentile."""
+    rows = {
+        r.l_returnflag: r
+        for r in QUERIES["a9_approx_quantiles"](spark, SF).collect()
+    }
+    li = load_table(spark, SF, "lineitem")
+    for flag, r in rows.items():
+        vals = sorted(
+            x.l_extendedprice
+            for x in li.where(F.col("l_returnflag") == flag)
+            .select("l_extendedprice")
+            .collect()
+        )
+        n = len(vals)
+        for q, approx in zip([0.25, 0.5, 0.75, 0.95], r.price_quantiles):
+            lo = vals[max(0, int((q - 0.01) * n))]
+            hi = vals[min(n - 1, int((q + 0.01) * n))]
+            assert lo <= approx <= hi, (flag, q, approx, lo, hi)
+
+
 def _pairs(name, spark):
     return {
         (r.query_id, r.neighbor_id) for r in QUERIES[name](spark, SF).collect()
