@@ -24,6 +24,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -81,6 +82,39 @@ def stream_dedupe_watermarked(
         return df.dropDuplicates(key_cols)
     return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
         key_cols
+    )
+
+
+def sessionize_builtin(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap: str,
+    delay: str | None = None,
+) -> DataFrame:
+    """Gap sessionization on Spark's built-in ``session_window`` — the
+    JVM-native path beside the custom ``sessionize`` operator (which
+    exists for semantics the built-in can't express: late-event merge
+    policy, open-session carry).  ``ts_col`` must be a timestamp; on a
+    stream a watermark (``delay``) bounds state and append-mode emits a
+    session once the watermark passes its close.
+
+    Batch frames work too (no watermark needed) — the same call
+    backfills history, and tests cross-validate it against the
+    lag-flag-cumsum batch query."""
+    if df.isStreaming:
+        if not delay:
+            raise ValueError("streaming sessionize_builtin needs a watermark delay")
+        df = df.withWatermark(ts_col, delay)
+    return (
+        df.groupBy(user_col, F.session_window(ts_col, gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
     )
 
 

@@ -215,3 +215,55 @@ def test_stream_dedupe_watermarked(spark, tmp_path):
     # batch fallback
     df = spark.createDataFrame([("a", 1), ("a", 2)], "k string, v int")
     assert stream_dedupe_watermarked(df, ["k"], "k", "1 minute").count() == 1
+
+
+def test_sessionize_builtin_matches_batch_query_semantics(spark):
+    """The built-in session_window path must produce the same sessions as
+    the lag-flag-cumsum batch query on real events data (same 30-min
+    gap)."""
+    from pyspark.sql import functions as F
+
+    from easy_sql_spark.datasets import load_table
+    from easy_sql_spark.queries import QUERIES
+    from easy_sql_spark.streaming.stateful import sessionize_builtin
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    built = {
+        (r.user_id, int(r.session_start.timestamp()), r.n_events)
+        for r in sessionize_builtin(ev, "user_id", "ts", "30 minutes").collect()
+    }
+    batch = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in QUERIES["events_sessionize_batch"](spark, sf).collect()
+    }
+    assert built == batch
+
+
+def test_sessionize_builtin_streaming_append(spark, tmp_path):
+    """Streaming mode: watermark + session_window emits a session once the
+    watermark passes its close."""
+    from easy_sql_spark.streaming.stateful import sessionize_builtin
+
+    src = tmp_path / "swsrc"
+    _write_batch(src / "a.json", [
+        {"user": 1, "ts": "2026-01-01 00:00:00"},
+        {"user": 1, "ts": "2026-01-01 00:10:00"},
+    ])
+    time.sleep(1.1)
+    # far-future event pushes the watermark past the first session's close
+    _write_batch(src / "b.json", [{"user": 1, "ts": "2026-01-02 00:00:00"}])
+    stream = (
+        spark.readStream.schema("user long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    out = sessionize_builtin(stream, "user", "ts", "30 minutes", "10 minutes")
+    _run_to_memory(out, "sw_out")
+    rows = [
+        (r.user, str(r.session_start), r.n_events)
+        for r in spark.sql("select * from sw_out").collect()
+    ]
+    assert rows == [(1, "2026-01-01 00:00:00", 2)]
