@@ -249,6 +249,22 @@ class SparkBackend:
             .saveAsTable(table.name)
         )
 
+    def prepare_for_insert(self, df: DataFrame, table: TableMeta) -> DataFrame:
+        """Align columns to the target's order (surplus source columns
+        dropped) and, for partitioned targets, AQE-rebalance on the
+        partition columns — co-locates each partition's rows (one writer
+        task per value instead of every task emitting files for every
+        value, the small-files explosion), while AQE still SPLITS a hot
+        partition across tasks and coalesces tiny ones (plain
+        ``repartition(cols)`` can do neither).  Measured 2.2× on the
+        sf0.1 partitioned-overwrite bench; a no-op hint when AQE is off."""
+        target_cols = [c.name for c in self.spark.catalog.listColumns(table.name)]
+        aligned = df.select(*[F.col(c) for c in target_cols])
+        part_cols = table.partition_cols()
+        if part_cols:
+            aligned = aligned.hint("rebalance", *part_cols)
+        return aligned
+
     # ----------------------------------------------------------------- save
     def save_table(
         self,
@@ -284,21 +300,7 @@ class SparkBackend:
                 if p.field not in df.columns:
                     df = df.withColumn(p.field, F.lit(p.value))
         self.verify_schema(df, table)
-
-        # column alignment: target order, surplus source columns dropped
-        target_cols = [c.name for c in self.spark.catalog.listColumns(table.name)]
-        aligned = df.select(*[F.col(c) for c in target_cols])
-
-        # dynamic-partition inserts: AQE-rebalance on the partition columns
-        # before writing — co-locates each partition's rows (one writer task
-        # per value instead of every task emitting files for every value,
-        # the small-files explosion), while AQE still SPLITS a hot
-        # partition across tasks and coalesces tiny ones (plain
-        # repartition(cols) can't do either).  Measured 2.2x on the
-        # sf0.1 partitioned-overwrite bench; a no-op hint when AQE is off.
-        part_cols = table.partition_cols()
-        if part_cols:
-            aligned = aligned.hint("rebalance", *part_cols)
+        aligned = self.prepare_for_insert(df, table)
 
         overwrite = save_mode.lower() != "append"
         try:

@@ -200,6 +200,39 @@ from pp_src
         spark.sql("drop table if exists pp.sales_p")
 
 
+def test_partitioned_insert_is_rebalanced(spark):
+    """The prepared insert plan for a partitioned target must carry the
+    AQE REBALANCE on the partition columns (the anti-small-files /
+    writer-parallelism shape save_table writes with)."""
+    from easy_sql_spark.runtime.backend import (
+        Partition,
+        SparkBackend,
+        TableMeta,
+    )
+
+    backend = SparkBackend(spark)
+    spark.sql("create database if not exists pp")
+    spark.sql("drop table if exists pp.reb_t")
+    df = spark.range(10).selectExpr("id as k", "cast(id % 3 as string) as dt")
+    meta = TableMeta.parse("pp.reb_t", [Partition(field="dt")])
+    try:
+        backend.create_table_like_query(df, meta)
+        prepared = backend.prepare_for_insert(df, meta)
+        logical = prepared._jdf.queryExecution().optimizedPlan().toString()
+        assert "RebalancePartitions" in logical, logical
+        # unpartitioned targets must NOT pick up a shuffle
+        spark.sql("drop table if exists pp.reb_u")
+        umeta = TableMeta.parse("pp.reb_u")
+        backend.create_table_like_query(df, umeta)
+        plain = backend.prepare_for_insert(df, umeta)
+        assert "RebalancePartitions" not in (
+            plain._jdf.queryExecution().optimizedPlan().toString()
+        )
+    finally:
+        spark.sql("drop table if exists pp.reb_t")
+        spark.sql("drop table if exists pp.reb_u")
+
+
 def test_repetition_filter_is_narrow_map(spark):
     plan = plan_of(QUERIES["text_repetition_filter"](spark, SF))
     assert "Exchange hashpartitioning" not in plan.split("Sort", 1)[0] or True
