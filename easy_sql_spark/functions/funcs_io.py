@@ -57,6 +57,15 @@ def build(processor):
     def read_parquet(path: str, view: str):
         backend.create_temp_view(spark.read.parquet(path), view)
 
+    def read_orc(path: str, view: str):
+        backend.create_temp_view(spark.read.orc(path), view)
+
+    def write_orc(table: str, path: str, mode: str = "overwrite"):
+        """Write a view/table as ORC (the columnar format Hive warehouses
+        commonly carry; same pushdown/pruning behavior as parquet)."""
+        spark.table(table).write.mode(mode).orc(path)
+        return True
+
     def read_jdbc(
         url: str,
         table: str,

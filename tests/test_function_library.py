@@ -195,6 +195,18 @@ select (select count(*) from combined) as actual, 3 as expected
     p = SqlProcessor(spark, sql, logger=lambda m: None)
     p.run(dry_run=True)
     assert {r.id for r in spark.table("combined").collect()} == {1, 2, 3}
+
+    # ORC round-trip through the step functions
+    orc_p = tmp_path / "out.orc"
+    sql2 = f"""-- target=func.write_orc(combined, {orc_p})
+
+-- target=func.read_orc({orc_p}, orc_view)
+
+-- target=check.orc_roundtrip
+select (select count(*) from orc_view) as actual, 3 as expected
+"""
+    SqlProcessor(spark, sql2, logger=lambda m: None).run(dry_run=True)
+    assert {r.id for r in spark.table("orc_view").collect()} == {1, 2, 3}
     p.backend.clean_temp_views()
 
 
