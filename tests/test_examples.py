@@ -79,6 +79,37 @@ def test_governance_pipeline_etl(spark):
     p.backend.clean_temp_views()
 
 
+def test_streaming_example_etl(spark):
+    """Streaming example: rate source + YAML catalog + continuous
+    aggregate to a memory sink; runs a few micro-batches then stops."""
+    import time
+
+    import yaml
+
+    with open(os.path.join(EXAMPLES, "streaming_tables.yml")) as f:
+        config = yaml.safe_load(f)
+    with open(os.path.join(EXAMPLES, "streaming_etl.sql")) as f:
+        sql = f.read()
+    p = SqlProcessor(spark, sql, streaming_config=config, logger=lambda m: None)
+    p.run()
+    try:
+        rows = {}
+        # rate source needs a couple of wall-clock seconds to emit
+        for _ in range(20):
+            time.sleep(0.5)
+            rows = {
+                r.parity: r.n
+                for r in spark.sql("select * from sdemo_tick_agg").collect()
+            }
+            if rows.get("even", 0) > 0 and rows.get("odd", 0) > 0:
+                break
+        assert rows.get("even", 0) > 0 and rows.get("odd", 0) > 0
+    finally:
+        for q in p.streaming_queries:
+            q.stop()
+    p.backend.clean_temp_views()
+
+
 def test_sql_test_cli(spark, tmp_path):
     """The run-test CLI surface (reference python -m easy_sql.sql_test)."""
     from easy_sql_spark.sql_test import main
