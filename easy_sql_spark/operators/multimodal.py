@@ -155,6 +155,52 @@ def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
     )
 
 
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL image resize: decode (PNG/BMP via the numpy codecs, PIL when
+    importable), nearest-neighbor resample with pure index arithmetic,
+    re-encode as PNG.  Payloads stay inside the Arrow batch; the output
+    schema matches the input (payload replaced, mime -> image/png, meta
+    tagged) so resize stages compose with decode/feature stages.
+
+    Nearest-neighbor is the right default for a data pipeline (no new
+    pixel values, so downstream dedup/fingerprint hashes stay within the
+    source palette); bilinear belongs in the model's own preprocessing."""
+    import numpy as np
+
+    out_schema = df.schema
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import decode_image, encode_png
+
+        for pdf in batches:
+            payloads, mimes, metas = [], [], []
+            for kind, payload, meta in zip(
+                pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                if kind != "image":
+                    raise NotImplementedError(
+                        f"resize of kind={kind!r} requires ffmpeg"
+                    )
+                img = decode_image(bytes(payload))
+                h0, w0 = img.shape[0], img.shape[1]
+                ys = (np.arange(height) * h0 // height).clip(0, h0 - 1)
+                xs = (np.arange(width) * w0 // width).clip(0, w0 - 1)
+                resized = img[ys][:, xs]
+                payloads.append(bytearray(encode_png(resized)))
+                mimes.append("image/png")
+                meta = dict(meta or {})
+                meta["resized_from"] = f"{w0}x{h0}"
+                meta["resized_to"] = f"{width}x{height}"
+                metas.append(meta)
+            out = pdf.copy()
+            out["payload"] = payloads
+            out["mime"] = mimes
+            out["meta"] = metas
+            yield out
+
+    return df.mapInPandas(_resize, out_schema)
+
+
 def frame_sample_stub(df: DataFrame, every_n: int) -> DataFrame:
     """Video frame-sampling plumbing: produces one row per sampled frame
     index (explode is the real shape; frame extraction itself is stubbed)."""

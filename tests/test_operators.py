@@ -103,6 +103,33 @@ def test_multimodal_real_decode_nonimage_still_raises(spark):
         decode_media(fake_audio, "real").collect()
 
 
+def test_resize_images_real(spark):
+    """Real nearest-neighbor resize: decoded output pixels must be exact
+    index-arithmetic picks from the source image."""
+    import numpy as np
+
+    from easy_sql_spark.operators.codecs import decode_png, encode_png
+    from easy_sql_spark.operators.multimodal import resize_images
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(encode_png(img)), "image/png", {"k": "v"})],
+        "media_id long, kind string, payload binary, mime string, "
+        "meta map<string,string>",
+    )
+    row = resize_images(media, 12, 8).collect()[0]
+    out = decode_png(bytes(row.payload))
+    assert out.shape == (8, 12, 3)
+    # 2x upscale by NN = each source pixel replicated 2x2
+    assert np.array_equal(out, img.repeat(2, axis=0).repeat(2, axis=1))
+    assert row.meta["resized_from"] == "6x4" and row.meta["resized_to"] == "12x8"
+    assert row.meta["k"] == "v" and row.mime == "image/png"
+    # downscale roundtrip: picks rows/cols 0,2 and 0,2,4
+    small = decode_png(bytes(resize_images(media, 3, 2).collect()[0].payload))
+    assert np.array_equal(small, img[::2][:, ::2])
+
+
 def test_resize_and_frame_sample_stubs(spark):
     docs = spark.createDataFrame(
         [(1, "abc", "en", "s", 3)], ["doc_id", "text", "lang", "source", "n_chars"]
