@@ -249,6 +249,170 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     return fmt + b"data" + struct.pack("<I", len(data)) + data
 
 
+# --------------------------------------------------------------------- GIF
+GIF_MAGIC = b"GIF8"
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """GIF-variant LZW: LSB-first bit packing, dynamic code width,
+    CLEAR/EOI codes.  Returns exactly ``n_pixels`` palette indices."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = np.empty(n_pixels, dtype=np.uint8)
+    n_out = 0
+    # bit reader over the whole stream
+    bits = np.unpackbits(
+        np.frombuffer(data, dtype=np.uint8), bitorder="little"
+    )
+    pos = 0
+
+    def reset_table():
+        return {i: bytes([i]) for i in range(clear)}, clear + 2, min_code_size + 1
+
+    table, next_code, width = reset_table()
+    prev: bytes | None = None
+    while pos + width <= len(bits):
+        code = int(np.packbits(bits[pos : pos + width], bitorder="little")[0]) \
+            if width <= 8 else int.from_bytes(
+                np.packbits(
+                    np.pad(bits[pos : pos + width], (0, 16 - width)),
+                    bitorder="little",
+                ).tobytes(),
+                "little",
+            )
+        pos += width
+        if code == clear:
+            table, next_code, width = reset_table()
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise UnsupportedMediaError(f"GIF LZW bad code {code}")
+        take = min(len(entry), n_pixels - n_out)
+        out[n_out : n_out + take] = np.frombuffer(entry[:take], dtype=np.uint8)
+        n_out += take
+        if n_out >= n_pixels:
+            break
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if n_out != n_pixels:
+        raise UnsupportedMediaError(
+            f"GIF LZW produced {n_out} of {n_pixels} pixels"
+        )
+    return out
+
+
+def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
+    """Decode a GIF87a/89a into a list of (H, W, 3) uint8 frames.
+
+    Scope: global color table, full-frame images, no interlace, no
+    transparency compositing (each frame decodes standalone) — the shape
+    our encoder writes and typical screen-capture GIFs use."""
+    if payload[:4] != GIF_MAGIC:
+        raise UnsupportedMediaError("not a GIF")
+    width, height = struct.unpack("<HH", payload[6:10])
+    packed = payload[10]
+    gct_size = 2 << (packed & 0x07)
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        palette = np.frombuffer(
+            payload, dtype=np.uint8, count=gct_size * 3, offset=pos
+        ).reshape(-1, 3)
+        pos += gct_size * 3
+    frames: list[np.ndarray] = []
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise UnsupportedMediaError(f"GIF unknown block 0x{b:02x}")
+        x, y, w, h = struct.unpack("<HHHH", payload[pos + 1 : pos + 9])
+        ipacked = payload[pos + 9]
+        pos += 10
+        if ipacked & 0x40:
+            raise UnsupportedMediaError("interlaced GIF outside scope")
+        pal = palette
+        if ipacked & 0x80:  # local color table
+            lct_size = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(
+                payload, dtype=np.uint8, count=lct_size * 3, offset=pos
+            ).reshape(-1, 3)
+            pos += lct_size * 3
+        if pal is None:
+            raise UnsupportedMediaError("GIF without color table")
+        if (x, y, w, h) != (0, 0, width, height):
+            raise UnsupportedMediaError("partial-frame GIF outside scope")
+        min_code_size = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos] != 0:
+            n = payload[pos]
+            data += payload[pos + 1 : pos + 1 + n]
+            pos += 1 + n
+        pos += 1
+        idx = _lzw_decode(bytes(data), min_code_size, width * height)
+        frames.append(pal[idx.reshape(height, width)])
+    if not frames:
+        raise UnsupportedMediaError("GIF contains no image blocks")
+    return frames
+
+
+def encode_gif(frames: list[np.ndarray]) -> bytes:
+    """Encode (H, W) uint8 PALETTE-INDEX frames (grayscale palette) as an
+    animated GIF using 'uncompressed' LZW (literal codes, CLEAR emitted
+    before the code width would grow) — real container bytes without a
+    compression implementation."""
+    h, w = frames[0].shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | 0x07, 0, 0])  # GCT present, 256 entries
+    for i in range(256):  # grayscale palette
+        out += bytes([i, i, i])
+    for frame in frames:
+        if frame.shape != (h, w):
+            raise ValueError("all frames must share dimensions")
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out += bytes([8])  # LZW min code size (palette indices are bytes)
+        clear, width_bits = 256, 9
+        bits: list[int] = []
+
+        def emit(code: int) -> None:
+            for k in range(width_bits):
+                bits.append((code >> k) & 1)
+
+        emit(clear)
+        for j, px in enumerate(frame.flatten()):
+            # re-CLEAR before the decoder's table reaches a width bump:
+            # after CLEAR the table holds 258 codes; each literal adds one
+            if j % 250 == 0 and j:
+                emit(clear)
+            emit(int(px))
+        emit(clear + 1)  # EOI
+        arr = np.array(bits, dtype=np.uint8)
+        data = np.packbits(arr, bitorder="little").tobytes()
+        for off in range(0, len(data), 255):
+            chunk = data[off : off + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Dispatch on magic bytes; PIL (when importable) first for coverage
     beyond the numpy codecs, e.g. JPEG."""

@@ -201,6 +201,51 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     return df.mapInPandas(_resize, out_schema)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("byte_histogram", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def frame_sample_real(df: DataFrame, every_n: int) -> DataFrame:
+    """REAL frame sampling for animated GIF payloads: parse the container
+    (numpy LZW, operators/codecs.py), keep every ``every_n``-th frame, and
+    emit per-frame dimensions + a 16-bin histogram over decoded pixels —
+    one row per sampled frame, the explode shape video pipelines use.
+    Non-GIF video still raises (ffmpeg absent)."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import decode_gif_frames
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = decode_gif_frames(bytes(payload))
+                for i in range(0, len(frames), every_n):
+                    f = frames[i]
+                    rows.append(
+                        (
+                            int(mid),
+                            i,
+                            len(frames),
+                            f.shape[1],
+                            f.shape[0],
+                            _hist16(f.tobytes()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEMA.fields]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(_frames, FRAME_SCHEMA)
+
+
 def frame_sample_stub(df: DataFrame, every_n: int) -> DataFrame:
     """Video frame-sampling plumbing: produces one row per sampled frame
     index (explode is the real shape; frame extraction itself is stubbed)."""

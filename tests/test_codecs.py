@@ -212,3 +212,35 @@ def test_wav_rejects_out_of_scope():
     payload[20:22] = struct.pack("<H", 85)  # format tag: MP3
     with pytest.raises(UnsupportedMediaError, match="tag=85"):
         decode_wav(bytes(payload))
+
+
+def test_gif_roundtrip_multiframe():
+    from easy_sql_spark.operators.codecs import decode_gif_frames, encode_gif
+
+    rng = np.random.default_rng(21)
+    frames = [
+        rng.integers(0, 256, (7, 9), dtype=np.uint8) for _ in range(4)
+    ]
+    decoded = decode_gif_frames(encode_gif(frames))
+    assert len(decoded) == 4
+    for orig, out in zip(frames, decoded):
+        assert out.shape == (7, 9, 3)
+        # grayscale palette: every channel equals the source index
+        for c in range(3):
+            assert np.array_equal(out[:, :, c], orig)
+
+
+def test_gif_large_frame_crosses_clear_boundary():
+    # >250 pixels forces the encoder's periodic CLEAR path
+    from easy_sql_spark.operators.codecs import decode_gif_frames, encode_gif
+
+    img = (np.arange(20 * 30, dtype=np.int64) % 256).astype(np.uint8).reshape(20, 30)
+    out = decode_gif_frames(encode_gif([img]))[0]
+    assert np.array_equal(out[:, :, 0], img)
+
+
+def test_gif_rejects_out_of_scope():
+    from easy_sql_spark.operators.codecs import decode_gif_frames
+
+    with pytest.raises(UnsupportedMediaError, match="not a GIF"):
+        decode_gif_frames(b"RIFF....AVI LIST")

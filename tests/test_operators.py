@@ -57,9 +57,7 @@ def test_multimodal_real_decode_images(spark):
     pixels (not the compressed payload)."""
     import numpy as np
 
-    from easy_sql_spark.operators.codecs import encode_bmp, encode_png
-
-    from easy_sql_spark.operators.codecs import encode_wav
+    from easy_sql_spark.operators.codecs import encode_bmp, encode_png, encode_wav
 
     rng = np.random.default_rng(7)
     png_img = rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)
@@ -139,3 +137,29 @@ def test_resize_and_frame_sample_stubs(spark):
     assert resized.meta["resized_to"] == "64x64"
     frames = frame_sample_stub(media, 2).collect()
     assert [f.frame_idx for f in frames] == [0, 2, 4]
+
+
+def test_frame_sample_real_gif(spark):
+    """Real GIF frame sampling: container parsed on executors, every-Nth
+    frame emitted with true dims and a decoded-pixel histogram."""
+    import numpy as np
+
+    from easy_sql_spark.operators.codecs import encode_gif
+    from easy_sql_spark.operators.multimodal import frame_sample_real
+
+    # 5 frames, each filled with a single distinct byte value
+    frames = [np.full((4, 6), v, dtype=np.uint8) for v in (0, 16, 32, 48, 64)]
+    media = spark.createDataFrame(
+        [(9, "video", bytearray(encode_gif(frames)), "image/gif", {})],
+        "media_id long, kind string, payload binary, mime string, "
+        "meta map<string,string>",
+    )
+    rows = sorted(
+        (r.frame_idx, r.n_frames, r.width, r.height, list(r.byte_histogram))
+        for r in frame_sample_real(media, 2).collect()
+    )
+    assert [r[0] for r in rows] == [0, 2, 4]  # every 2nd frame of 5
+    assert all((r[1], r[2], r[3]) == (5, 6, 4) for r in rows)
+    # frame k is all value 16k -> all 72 decoded bytes in nibble k
+    for (idx, _, _, _, hist), nib in zip(rows, (0, 2, 4)):
+        assert hist[nib] == 4 * 6 * 3, (idx, hist)
