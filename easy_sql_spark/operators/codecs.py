@@ -39,6 +39,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "png"
     if payload[:2] == BMP_MAGIC:
         return "bmp"
+    if payload[:4] == b"GIF8":
+        return "gif"
     return None
 
 
@@ -429,6 +431,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_png(payload)
     if fmt == "bmp":
         return decode_bmp(payload)
+    if fmt == "gif":
+        return decode_gif_frames(payload)[0]
     raise UnsupportedMediaError(
-        "payload is neither PNG nor BMP (and PIL is not installed)"
+        "payload is neither PNG nor BMP nor GIF (and PIL is not installed)"
     )
