@@ -49,7 +49,7 @@ FAMILIES: dict[str, list[str]] = {
     ],
     "sim": ["sim_topk_bruteforce", "sim_ivf_topk", "sim_lsh_topk"],
     "asof": ["asof_events_orders"],
-    "multimodal": ["mm_decode_stats", "mm_wav_roundtrip_stats"],
+    "multimodal": ["mm_decode_stats", "mm_wav_roundtrip_stats", "mm_gif_frames_stats"],
     "pipeline": [
         "text_pii_redact",
         "data_shard_split",

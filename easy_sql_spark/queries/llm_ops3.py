@@ -243,6 +243,91 @@ def a9_approx_quantiles(spark, sf_dir):
     )
 
 
+GIF_FRAMES = 3
+GIF_H, GIF_W = 4, 5  # frame dims; each frame packs 20 chars of text
+
+
+@query(
+    "mm_gif_frames_stats",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id, k,
+               rpad(substr(text, k * {GIF_H * GIF_W} + 1, {GIF_H * GIF_W}),
+                    {GIF_H * GIF_W}, '?') AS chunk
+        FROM documents, UNNEST(range(0, {GIF_FRAMES})) AS t(k)
+        WHERE doc_id <= 150)
+    SELECT doc_id AS media_id, CAST(k AS INTEGER) AS frame_idx,
+           {GIF_FRAMES} AS n_frames, {GIF_W} AS width, {GIF_H} AS height,
+           CAST(3 * list_sum(list_transform(range(1, {GIF_H * GIF_W} + 1),
+               i -> ascii(substr(chunk, i, 1)))) AS BIGINT) AS pixel_sum
+    FROM f ORDER BY media_id, frame_idx
+    """,
+)
+def mm_gif_frames_stats(spark, sf_dir):
+    """REAL-codec animated-GIF query: per document, GIF_FRAMES frames are
+    packed from consecutive text chunks ('?'-padded), encoded as an
+    animated GIF (uncompressed LZW), then the frames come back through
+    the REAL container parse (decode_gif_frames' LZW decoder) and each
+    decoded frame reports its pixel sum (×3 for the grayscale RGB
+    expansion).  The oracle recomputes the expected stats from the same
+    deterministic construction — an LZW bug on either side breaks the
+    match.  Same narrow mapInPandas shape as the image/WAV paths."""
+    import pandas as pd
+
+    from ..operators.codecs import decode_gif_frames, encode_gif
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 150)
+        .select("doc_id", "text")
+    )
+    n_px = GIF_H * GIF_W
+
+    def _roundtrip(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                frames = []
+                for k in range(GIF_FRAMES):
+                    chunk = text[k * n_px : (k + 1) * n_px].ljust(n_px, "?")
+                    frames.append(
+                        np.frombuffer(
+                            chunk.encode("ascii", "replace"), dtype=np.uint8
+                        ).reshape(GIF_H, GIF_W)
+                    )
+                decoded = decode_gif_frames(encode_gif(frames))
+                for k, fr in enumerate(decoded):
+                    rows.append(
+                        (
+                            int(doc_id),
+                            k,
+                            len(decoded),
+                            fr.shape[1],
+                            fr.shape[0],
+                            int(fr.sum(dtype=np.int64)),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "frame_idx",
+                    "n_frames",
+                    "width",
+                    "height",
+                    "pixel_sum",
+                ],
+            )
+
+    return spread(docs).mapInPandas(
+        _roundtrip,
+        "media_id long, frame_idx int, n_frames int, width int, height int, "
+        "pixel_sum long",
+    ).orderBy("media_id", "frame_idx")
+
+
 INC_MOD = 10  # doc_id % INC_MOD == 7 -> the "incoming batch"; rest = corpus
 
 
