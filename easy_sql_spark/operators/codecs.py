@@ -1,22 +1,26 @@
-"""NumPy-only image codecs for the real decode path.
+"""NumPy-only media codecs for the real decode paths.
 
-The container has no PIL/ffmpeg, but PNG and BMP are parseable with the
-stdlib (`zlib`, `struct`) plus NumPy — enough to give
-``decode_media(mode="real")`` a genuine decode for the two formats a
-pipeline can always fall back to.  Scope:
+The container has no PIL/ffmpeg, but four real container formats are
+parseable with the stdlib (`zlib`, `struct`) plus NumPy — enough to give
+``decode_media(mode="real")`` / ``frame_sample_real`` genuine decodes
+for the formats a pipeline can always fall back to.  Scope:
 
 - PNG: non-interlaced, 8-bit depth, gray / gray+alpha / RGB / RGBA /
   palette; all five scanline filters (None/Sub/Up/Average/Paeth) undone.
 - BMP: uncompressed (BI_RGB) 24/32-bit BITMAPINFOHEADER, bottom-up or
   top-down.
+- WAV: RIFF PCM 8/16/32-bit, any channel count (audio).
+- GIF: 87a/89a full-frame animations — own LZW decoder (dynamic code
+  widths, CLEAR/EOI), global/local palettes (video frame sampling).
 
-Anything else (16-bit PNG, interlacing, RLE BMP, JPEG, audio, video)
-raises ``UnsupportedMediaError`` — decode_media converts that into the
-documented NotImplementedError for non-image media and lets image rows
-fail loudly rather than silently mis-decode.
+Anything else (16-bit PNG, interlacing, RLE BMP, JPEG, compressed
+audio, MP4-class video) raises ``UnsupportedMediaError`` — callers
+convert that into the documented NotImplementedError and rows fail
+loudly rather than silently mis-decode.
 
-Encoders (``encode_png``/``encode_bmp``) exist so tests can round-trip
-arrays through real container bytes without any imaging library.
+Encoders (``encode_png``/``encode_bmp``/``encode_wav``/``encode_gif``)
+exist so tests can round-trip arrays through real container bytes
+without any media library.
 """
 
 from __future__ import annotations

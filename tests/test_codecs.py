@@ -244,3 +244,49 @@ def test_gif_rejects_out_of_scope():
 
     with pytest.raises(UnsupportedMediaError, match="not a GIF"):
         decode_gif_frames(b"RIFF....AVI LIST")
+
+
+try:
+    from hypothesis import given as _given, settings as _settings
+    from hypothesis import strategies as _st
+
+    @_given(
+        h=_st.integers(1, 10),
+        w=_st.integers(1, 10),
+        n=_st.integers(1, 4),
+        seed=_st.integers(0, 2**31 - 1),
+    )
+    @_settings(max_examples=25, deadline=None)
+    def test_gif_roundtrip_property(h, w, n, seed):
+        from easy_sql_spark.operators.codecs import (
+            decode_gif_frames,
+            encode_gif,
+        )
+
+        rng = np.random.default_rng(seed)
+        frames = [
+            rng.integers(0, 256, (h, w), dtype=np.uint8) for _ in range(n)
+        ]
+        decoded = decode_gif_frames(encode_gif(frames))
+        assert len(decoded) == n
+        for orig, out in zip(frames, decoded):
+            assert np.array_equal(out[:, :, 0], orig)
+
+    @_given(
+        n=_st.integers(1, 500),
+        ch=_st.integers(1, 3),
+        rate=_st.sampled_from([8000, 16000, 44100]),
+        seed=_st.integers(0, 2**31 - 1),
+    )
+    @_settings(max_examples=25, deadline=None)
+    def test_wav_roundtrip_property(n, ch, rate, seed):
+        from easy_sql_spark.operators.codecs import decode_wav, encode_wav
+
+        rng = np.random.default_rng(seed)
+        samples = rng.integers(-32768, 32768, (n, ch), dtype=np.int16)
+        wav = decode_wav(encode_wav(samples, rate))
+        assert wav["sample_rate"] == rate and wav["n_frames"] == n
+        assert np.array_equal(wav["samples"], samples)
+
+except ImportError:
+    pass
