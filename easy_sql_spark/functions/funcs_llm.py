@@ -226,9 +226,14 @@ def build(processor):
         of the id — reproducible across runs, engines, and re-shards."""
         from pyspark.sql import functions as F
 
-        t_cut = format(round(256 * int(train_pct) / 100), "02x")
-        v_cut = format(round(256 * (int(train_pct) + int(val_pct)) / 100), "02x")
-        h2 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+        # Numeric compare (not lexicographic hex): at train_pct=100 the cut
+        # is 256 > any byte, so every row lands in train instead of the
+        # 3-char string '100' breaking the hex comparison.
+        t_cut = round(256 * int(train_pct) / 100)
+        v_cut = round(256 * (int(train_pct) + int(val_pct)) / 100)
+        h2 = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 2), 16, 10
+        ).cast("int")
         out = spark.table(table).withColumn(
             "split",
             F.when(h2 < t_cut, "train").when(h2 < v_cut, "val").otherwise("test"),

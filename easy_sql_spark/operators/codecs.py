@@ -25,6 +25,7 @@ without any media library.
 
 from __future__ import annotations
 
+import functools
 import struct
 import zlib
 
@@ -36,6 +37,25 @@ BMP_MAGIC = b"BM"
 
 class UnsupportedMediaError(ValueError):
     """Payload is not a format the numpy-only codecs handle."""
+
+
+def _classified(fn):
+    """Re-raise truncation/garbage errors from offset walks (IndexError,
+    struct.error, zlib.error, short np.frombuffer) as UnsupportedMediaError
+    so callers get the one documented fail-loudly exception class."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except UnsupportedMediaError:
+            raise
+        except (IndexError, KeyError, ValueError, struct.error, zlib.error) as e:
+            raise UnsupportedMediaError(
+                f"truncated or malformed payload ({type(e).__name__}: {e})"
+            ) from e
+
+    return wrapper
 
 
 def sniff_format(payload: bytes) -> str | None:
@@ -52,6 +72,7 @@ def sniff_format(payload: bytes) -> str | None:
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/pixel
 
 
+@_classified
 def decode_png(payload: bytes) -> np.ndarray:
     """Decode a PNG to an (H, W, C) uint8 array."""
     if payload[:8] != PNG_MAGIC:
@@ -142,6 +163,7 @@ def encode_png(img: np.ndarray) -> bytes:
 
 
 # --------------------------------------------------------------------- BMP
+@_classified
 def decode_bmp(payload: bytes) -> np.ndarray:
     """Decode an uncompressed 24/32-bit BMP to an (H, W, 3|4) uint8 array
     in RGB(A) channel order."""
@@ -194,6 +216,7 @@ def encode_bmp(img: np.ndarray) -> bytes:
 
 
 # --------------------------------------------------------------------- WAV
+@_classified
 def decode_wav(payload: bytes) -> dict:
     """Parse a RIFF/WAVE PCM payload: format metadata plus per-channel
     samples as an (n_frames, n_channels) array.
@@ -316,6 +339,7 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
     return out
 
 
+@_classified
 def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
     """Decode a GIF87a/89a into a list of (H, W, 3) uint8 frames.
 
@@ -421,15 +445,21 @@ def encode_gif(frames: list[np.ndarray]) -> bytes:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Dispatch on magic bytes; PIL (when importable) first for coverage
-    beyond the numpy codecs, e.g. JPEG."""
+    beyond the numpy codecs.  A PIL failure on a corrupt or out-of-scope
+    payload falls through to the numpy codecs, so callers always get the
+    documented UnsupportedMediaError classification rather than a
+    library-specific exception."""
     try:  # optional, absent in this container
         import io
 
         from PIL import Image  # type: ignore
-
-        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
     except ImportError:
-        pass
+        Image = None
+    if Image is not None:
+        try:
+            return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+        except Exception:
+            pass  # let the numpy codecs classify the payload below
     fmt = sniff_format(payload)
     if fmt == "png":
         return decode_png(payload)
@@ -438,5 +468,5 @@ def decode_image(payload: bytes) -> np.ndarray:
     if fmt == "gif":
         return decode_gif_frames(payload)[0]
     raise UnsupportedMediaError(
-        "payload is neither PNG nor BMP nor GIF (and PIL is not installed)"
+        "payload is not a format the available codecs handle"
     )

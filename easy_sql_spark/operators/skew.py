@@ -32,10 +32,14 @@ SALT_COL = "__salt__"
 _KEYSPACE = float(2**60)
 
 
+def _id_md5(id_col: str):
+    # NULL ids get a fixed md5("") selection key so they order the same way
+    # in the presample filter and the exact window — never silently dropped.
+    return F.md5(F.coalesce(F.col(id_col).cast("string"), F.lit("")))
+
+
 def _sel_key(id_col: str):
-    return F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
-    ).cast("bigint")
+    return F.conv(F.substring(_id_md5(id_col), 1, 15), 16, 10).cast("bigint")
 
 
 def presample_for_cap(
@@ -58,9 +62,13 @@ def presample_for_cap(
         margin = int(6 * cap**0.5) + 64
     counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n_key"))
     frac = F.least(F.lit(1.0), F.lit(float(cap + margin)) / F.col("__n_key"))
-    return df.join(F.broadcast(counts), key_col).where(
-        _sel_key(id_col) <= frac * F.lit(_KEYSPACE)
-    )
+    # eqNullSafe: a NULL key forms its own group (as groupBy/window both
+    # treat it) instead of vanishing through an equi-join.
+    joined = df.join(
+        F.broadcast(counts.withColumnRenamed(key_col, "__cap_key")),
+        F.col(key_col).eqNullSafe(F.col("__cap_key")),
+    ).drop("__cap_key")
+    return joined.where(_sel_key(id_col) <= frac * F.lit(_KEYSPACE))
 
 
 def capped_per_key(
@@ -83,8 +91,11 @@ def capped_per_key(
     window, versus the naive plan's one unbounded window shuffle.
     """
     pre = presample_for_cap(df, key_col, id_col, cap, margin)
+    # Same NULL-tolerant md5 as the presample filter; a NULL key is one
+    # window partition, NULL ids order at md5("")'s position (ties among
+    # multiple NULL-id rows are arbitrary, as in the naive plan).
     w = Window.partitionBy(key_col).orderBy(
-        F.md5(F.col(id_col).cast("string")), id_col
+        _id_md5(id_col), F.col(id_col).asc_nulls_first()
     )
     out = (
         pre.withColumn("__rn", F.row_number().over(w))

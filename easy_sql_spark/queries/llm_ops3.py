@@ -449,9 +449,9 @@ WAV_MAX_FRAMES = 200
     SELECT doc_id AS media_id,
            {WAV_RATE} AS sample_rate,
            CAST(LEAST(len(text), {WAV_MAX_FRAMES}) AS BIGINT) AS n_frames,
-           CAST(list_sum(list_transform(
+           CAST(COALESCE(list_sum(list_transform(
                range(1, CAST(LEAST(len(text), {WAV_MAX_FRAMES}) AS INTEGER) + 1),
-               i -> ascii(substr(text, i, 1)))) AS BIGINT) AS sum_samples
+               i -> ascii(substr(text, i, 1)))), 0) AS BIGINT) AS sum_samples
     FROM documents WHERE doc_id <= 200 ORDER BY media_id
     """,
 )

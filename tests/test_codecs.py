@@ -182,7 +182,7 @@ def test_sniff_and_dispatch():
     assert sniff_format(b"\xff\xd8\xff junk") is None
     assert np.array_equal(decode_image(png), img)
     assert np.array_equal(decode_image(bmp), img)
-    with pytest.raises(UnsupportedMediaError, match="neither PNG nor BMP"):
+    with pytest.raises(UnsupportedMediaError, match="not a format"):
         decode_image(b"RIFFxxxxWAVE")
 
 
@@ -290,3 +290,37 @@ try:
 
 except ImportError:
     pass
+
+
+def test_truncated_payloads_classified_not_raw_errors():
+    """ADVICE r3: truncation must surface as UnsupportedMediaError, never a
+    raw IndexError/struct.error/zlib.error escaping the offset walks."""
+    from easy_sql_spark.operators.codecs import (
+        decode_gif_frames,
+        decode_wav,
+        encode_gif,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    png, bmp = encode_png(img), encode_bmp(img)
+    wav = encode_wav(np.arange(100, dtype=np.int16), 8000)
+    gif = encode_gif([rng.integers(0, 256, (6, 5), dtype=np.uint8)])
+    cases = [
+        (decode_png, png[: len(png) // 2]),  # mid-IDAT: zlib/size error
+        (decode_bmp, bmp[:20]),  # header cut: struct.error
+        (decode_bmp, bmp[: len(bmp) // 2]),  # pixel data cut: frombuffer
+        (decode_wav, wav[:30]),  # fmt chunk cut: struct.error
+        (decode_gif_frames, gif[: len(gif) // 2]),  # sub-block walk off end
+    ]
+    for fn, payload in cases:
+        with pytest.raises(UnsupportedMediaError):
+            fn(payload)
+
+
+def test_decode_image_classifies_garbage_payload():
+    """Even when PIL is installed, a corrupt payload must come back as
+    UnsupportedMediaError, not a library-specific exception."""
+    with pytest.raises(UnsupportedMediaError):
+        decode_image(b"\xff\xd8\xffgarbage that is not a real image")

@@ -183,3 +183,22 @@ def test_governance_step_functions(spark):
     total_tokens = packed.groupBy().sum("tokens").first()[0]
     assert n_bins >= total_tokens // 64  # no bin overstuffed past budget+1 doc
     p.backend.clean_temp_views()
+
+
+def test_assign_shards_train_pct_100_boundary(spark):
+    """ADVICE r3: at train_pct=100 the old lexicographic hex compare against
+    the 3-char string '100' sent most rows to val/test; the numeric compare
+    must put every row in train."""
+    from easy_sql_spark.runtime.processor import SqlProcessor
+
+    spark.createDataFrame(
+        [(i,) for i in range(500)], "doc_id long"
+    ).createOrReplaceTempView("sh100_docs")
+    etl = """-- backend: spark
+-- target=func.assign_shards(sh100_docs, sh100_out, doc_id, 100, 0)
+"""
+    p = SqlProcessor(spark, etl, logger=lambda m: None)
+    p.run(dry_run=True)
+    splits = {r.split for r in spark.table("sh100_out").select("split").distinct().collect()}
+    assert splits == {"train"}
+    p.backend.clean_temp_views()

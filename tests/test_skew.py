@@ -209,3 +209,29 @@ def test_presample_bounds_window_input(spark, heavy_docs):
     # phase-1 counts come back via a broadcast join — no extra skewed shuffle
     plan = pre._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_capped_per_key_null_keys_and_ids(spark):
+    """ADVICE r3: NULL join keys must form their own capped group (not be
+    dropped by the count join), and a NULL id must survive the presample."""
+    from pyspark.sql import Window
+
+    data = [(None if i % 3 == 0 else f"k{i % 2}", i) for i in range(300)]
+    data.append(("k1", None))  # NULL id in a non-null key group
+    df = spark.createDataFrame(data, "k string, id integer")
+    out = capped_per_key(df, "k", "id", cap=20)
+
+    sel = F.md5(F.coalesce(F.col("id").cast("string"), F.lit("")))
+    w = Window.partitionBy("k").orderBy(sel, F.col("id").asc_nulls_first())
+    naive = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where("__rn <= 20")
+        .drop("__rn")
+    )
+    assert sorted(
+        map(tuple, out.collect()), key=str
+    ) == sorted(map(tuple, naive.collect()), key=str)
+    # NULL-key group capped, not dropped
+    assert out.where(F.col("k").isNull()).count() == 20
+    # presample keeps NULL ids (cap 2000 > group size -> everything kept)
+    assert presample_for_cap(df, "k", "id", cap=2000).count() == 301

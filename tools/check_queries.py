@@ -24,13 +24,16 @@ TABLES = (
 
 
 def canon(rows, cols):
-    """Sort columns by name, stringify, sort rows — order-insensitive form."""
+    """Stringify values in name-sorted column order (matching the driver's
+    hash), sort rows — but return the ORDERED column list so the schema
+    compare is position-strict: a query emitting the right columns in the
+    wrong order fails here even though the value hash would still match."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for row in rows:
         out.append(tuple(_s(row[i]) for i in order))
     out.sort()
-    return sorted(c for c in cols), out
+    return list(cols), out
 
 
 def _s(v):
