@@ -149,10 +149,38 @@ def write_benches(spark, sf_dir):
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
 
+    # keyed upsert (r4): steady-state merge of a one-partition CDC batch
+    # into a month-partitioned orders table — half the batch updates
+    # existing keys, half inserts new ones; the copy-on-write plan reads
+    # back ONLY the touched partition (see backend._merge_upsert_frame)
+    op_meta = TableMeta.parse("bench_w.orders_p", [Partition(field="order_ym")])
+    o = orders.withColumn(
+        "order_ym", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    backend.save_table(o, op_meta, "overwrite", create_table=True)
+    max_ym = o.agg(F.max("order_ym")).first()[0]
+    month = o.where(F.col("order_ym") == max_ym)
+    upsert_batch = (
+        month.withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .unionByName(
+            month.withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(10**9)
+            )
+        )
+        .localCheckpoint(eager=True)  # timed run measures the MERGE, not
+        # recomputing the batch from source parquet
+    )
+
+    def write_upsert_merge():
+        backend.save_table(
+            upsert_batch, op_meta, "upsert", merge_keys=["o_orderkey"]
+        )
+
     return {
         "write_partitioned_overwrite": write_partitioned_overwrite,
         "write_bucketed_ctas": write_bucketed_ctas,
         "bucketed_join_zero_shuffle": bucketed_join_zero_shuffle,
+        "write_upsert_merge": write_upsert_merge,
     }
 
 

@@ -272,6 +272,8 @@ class SparkBackend:
         table: TableMeta,
         save_mode: str = "overwrite",
         create_table: bool = False,
+        merge_keys: list[str] | None = None,
+        precombine: str | None = None,
     ) -> None:
         """Materialize a query into a warehouse table.
 
@@ -280,6 +282,14 @@ class SparkBackend:
         insert under ``partitionOverwriteMode=dynamic`` — at scale this only
         rewrites the partitions present in the data, exactly the semantics
         the reference emulates around SPARK-31605.
+
+        ``save_mode="upsert"`` with ``merge_keys`` is the keyed MERGE the
+        reference expresses through Hudi/CDC sinks
+        (reference backend/flink.py:196-204, test/sample_etl.flink.postgres-
+        cdc.sql:35-37): SCD1 copy-on-write — matched target rows are
+        replaced by incoming rows, unmatched incoming rows insert, and
+        untouched target rows survive.  See ``_merge_upsert_frame`` for the
+        partition-pruned plan.
         """
         for hook in self.save_hooks:
             hook("start", table.name)
@@ -300,9 +310,19 @@ class SparkBackend:
                 if p.field not in df.columns:
                     df = df.withColumn(p.field, F.lit(p.value))
         self.verify_schema(df, table)
+
+        if save_mode.lower() == "upsert":
+            if not merge_keys:
+                raise ValueError(
+                    "__save_mode__=upsert requires __merge_keys__ "
+                    "(e.g. __merge_keys__=id or id|dt)"
+                )
+            df = self._merge_upsert_frame(df, table, merge_keys, precombine)
+            overwrite = True
+        else:
+            overwrite = save_mode.lower() != "append"
         aligned = self.prepare_for_insert(df, table)
 
-        overwrite = save_mode.lower() != "append"
         try:
             aligned.write.insertInto(table.name, overwrite=overwrite)
         except Exception as e:  # read-write same table: break lineage, retry
@@ -312,8 +332,99 @@ class SparkBackend:
                 )
             else:
                 raise
+        if overwrite:
+            # an overwrite replaces files under the table path; REFRESH
+            # clears the (app-shared) file-status cache so OTHER sessions —
+            # e.g. the main session after a foreachBatch clone wrote — don't
+            # read the stale listing and hit FILE_NOT_EXIST
+            try:
+                self.spark.sql(f"REFRESH TABLE {table.name}")
+            except Exception:
+                pass
         for hook in self.save_hooks:
             hook("end", table.name)
+
+    def _merge_upsert_frame(
+        self,
+        df: DataFrame,
+        table: TableMeta,
+        merge_keys: list[str],
+        precombine: str | None = None,
+    ) -> DataFrame:
+        """Build the merged frame for a keyed SCD1 upsert and eagerly
+        localCheckpoint it (the target is both read and overwritten — the
+        checkpoint breaks that lineage once, before the write starts).
+
+        Partition-pruned copy-on-write: only partitions TOUCHED by the batch
+        are read back and rewritten — touched = partitions present in the
+        incoming rows ∪ partitions holding a matched key (keys may move
+        between partitions; discovering those costs one column-pruned scan
+        of (merge keys + partition cols) semi-joined against the batch's
+        distinct keys, the parquet-level analogue of Hudi's index lookup).
+        Under ``partitionOverwriteMode=dynamic`` the final insert then
+        rewrites exactly the touched partitions; a 100 TB table with a
+        1-partition batch reads and writes one partition, not the table.
+
+        Incoming batches must be unique per merge key; ``precombine``
+        (a column name) resolves duplicates by keeping the row with the
+        greatest precombine value (ties broken by a row hash) — the Hudi
+        precombine-field contract.  Without it, duplicate keys raise.
+        """
+        target = self.spark.table(table.name)
+        for k in merge_keys:
+            if k not in target.columns or k not in df.columns:
+                raise ValueError(
+                    f"merge key {k!r} missing from "
+                    f"{'target' if k not in target.columns else 'source'}"
+                )
+        incoming = df.select(*target.columns)
+        keys = list(merge_keys)
+
+        if precombine:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*keys).orderBy(
+                F.col(precombine).desc(),
+                F.md5(F.concat_ws("\x00", *[
+                    F.col(c).cast("string") for c in incoming.columns
+                ])),
+            )
+            incoming = (
+                incoming.withColumn("__pc_rn", F.row_number().over(w))
+                .where(F.col("__pc_rn") == 1)
+                .drop("__pc_rn")
+            )
+        else:
+            dup = (
+                incoming.groupBy(*keys)
+                .count()
+                .where(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    f"upsert batch has duplicate rows per merge key {keys}; "
+                    "set __upsert_precombine__ to resolve them"
+                )
+
+        inc_keys = incoming.select(*keys).distinct()
+        part_cols = table.partition_cols()
+        if part_cols:
+            touched = incoming.select(*part_cols).distinct()
+            scan_cols = list(dict.fromkeys([*part_cols, *keys]))
+            matched_parts = (
+                target.select(*scan_cols)
+                .join(inc_keys, keys, "left_semi")
+                .select(*part_cols)
+                .distinct()
+            )
+            touched = touched.unionByName(matched_parts).distinct()
+            scoped = target.join(F.broadcast(touched), part_cols, "left_semi")
+        else:
+            scoped = target
+        kept = scoped.join(inc_keys, keys, "left_anti")
+        return kept.unionByName(incoming).localCheckpoint(eager=True)
 
     # ----------------------------------------------------- partition probes
     def list_partitions(self, table_name: str) -> list[str]:

@@ -359,7 +359,10 @@ class SqlProcessor:
                     self.vars_context.get_var("save_mode", "overwrite"),
                 )
             ).lower()
-            verb = "INSERT INTO" if mode == "append" else "INSERT OVERWRITE TABLE"
+            verb = {
+                "append": "INSERT INTO",
+                "upsert": "MERGE INTO",
+            }.get(mode, "INSERT OVERWRITE TABLE")
             self.sql_collector.append(f"{verb} {name}\n{sql}")
         else:  # variables/list_variables/log/check: the bare query
             self.sql_collector.append(f"-- {t}.{name or ''}\n{sql}")
@@ -491,4 +494,20 @@ class SqlProcessor:
             self.backend.create_temp_view(df, view)
             self._output_views[table.name] = view
             return
-        self.backend.save_table(df, table, save_mode, create_table)
+        # keyed upsert/MERGE (reference CDC/Hudi semantics): |-separated
+        # merge keys, optional precombine column for intra-batch dedup
+        merge_keys_var = self.vars_context.get_var("__merge_keys__")
+        merge_keys = (
+            [c.strip() for c in str(merge_keys_var).split("|") if c.strip()]
+            if merge_keys_var
+            else None
+        )
+        precombine = self.vars_context.get_var("__upsert_precombine__")
+        self.backend.save_table(
+            df,
+            table,
+            save_mode,
+            create_table,
+            merge_keys=merge_keys,
+            precombine=str(precombine) if precombine else None,
+        )

@@ -124,7 +124,14 @@ class StreamingTables:
         micro-batch registers as; default ``<sink>_batch``).  The ETL sees
         ``${__batch_id__}`` and runs ON THE DRIVER per batch — executors
         only see the DataFrame work the ETL declares, so state and
-        parallelism behave exactly as in batch mode."""
+        parallelism behave exactly as in batch mode.
+
+        With an output step in ``__save_mode__=upsert`` this is the
+        streaming keyed-merge (CDC apply) path.  Note foreachBatch hands
+        the ETL a CLONED session: a warehouse table it overwrites must be
+        ``REFRESH TABLE``-ed by any OTHER session that cached it earlier
+        (standard Spark cross-session metadata semantics; save_table
+        refreshes its own session automatically)."""
         etl_path = sink.options.get("etl")
         etl_sql = sink.options.get("etl_sql")
         if not etl_path and not etl_sql:

@@ -403,3 +403,118 @@ select cast(1 as bigint) as id, 'x' as name
     with pytest.raises(Exception, match="type"):
         SqlProcessor(spark, typed, logger=lambda m: None).run(dry_run=True)
     spark.sql("drop table vos_db.out")
+
+
+def test_output_upsert_unpartitioned(spark):
+    setup = """-- prepare-sql: drop database if exists usample cascade
+-- prepare-sql: create database usample
+
+-- target=variables
+select true as __create_output_table__, 'upsert' as __save_mode__, 'id' as __merge_keys__
+
+-- target=output.usample.t
+select * from (values (1, 'a'), (2, 'b')) as v(id, val)
+"""
+    SqlProcessor(spark, setup, logger=lambda m: None).run()
+    assert {(r.id, r.val) for r in spark.table("usample.t").collect()} == {
+        (1, "a"),
+        (2, "b"),
+    }
+
+    merge = """-- target=variables
+select 'upsert' as __save_mode__, 'id' as __merge_keys__
+
+-- target=output.usample.t
+select * from (values (2, 'B'), (3, 'C')) as v(id, val)
+"""
+    p = SqlProcessor(spark, merge, logger=lambda m: None)
+    p.run()
+    assert {(r.id, r.val) for r in spark.table("usample.t").collect()} == {
+        (1, "a"),
+        (2, "B"),
+        (3, "C"),
+    }
+    # audit trail renders the merge, not an overwrite
+    assert "MERGE INTO usample.t" in p.collected_sql()
+
+
+def test_output_upsert_partitioned_prunes_and_handles_key_moves(spark):
+    setup = """-- prepare-sql: drop database if exists upart cascade
+-- prepare-sql: create database upart
+
+-- target=variables
+select true as __create_output_table__, '' as __partition__dt
+
+-- target=output.upart.t
+select * from (values
+    (1, 'a', 'd1'), (2, 'b', 'd1'), (3, 'c', 'd2'), (9, 'z', 'd4')
+) as v(id, val, dt)
+"""
+    SqlProcessor(spark, setup, logger=lambda m: None).run()
+    untouched_before = sorted(
+        f for f in spark.table("upart.t").inputFiles() if "dt=d4" in f
+    )
+
+    # update 2 in place, MOVE key 3 from d2 to d3, insert 5 into d2
+    merge = """-- target=variables
+select 'upsert' as __save_mode__, 'id' as __merge_keys__
+
+-- target=output.upart.t
+select * from (values
+    (2, 'B', 'd1'), (3, 'c', 'd3'), (5, 'e', 'd2')
+) as v(id, val, dt)
+"""
+    SqlProcessor(spark, merge, logger=lambda m: None).run()
+    rows = {(r.id, r.val, r.dt) for r in spark.table("upart.t").collect()}
+    assert rows == {
+        (1, "a", "d1"),
+        (2, "B", "d1"),
+        (3, "c", "d3"),  # moved: exactly one copy, in the new partition
+        (5, "e", "d2"),
+        (9, "z", "d4"),
+    }
+    # copy-on-write pruning: the untouched partition's files are untouched
+    untouched_after = sorted(
+        f for f in spark.table("upart.t").inputFiles() if "dt=d4" in f
+    )
+    assert untouched_after == untouched_before
+
+
+def test_output_upsert_duplicate_keys_and_precombine(spark):
+    setup = """-- prepare-sql: drop database if exists udup cascade
+-- prepare-sql: create database udup
+-- prepare-sql: create table udup.t (id int, val string, ts int) using parquet
+
+-- target=variables
+select 'upsert' as __save_mode__, 'id' as __merge_keys__
+
+-- target=output.udup.t
+select * from (values (1, 'x', 10), (1, 'y', 20)) as v(id, val, ts)
+"""
+    with pytest.raises(Exception, match="duplicate rows per merge key"):
+        SqlProcessor(spark, setup, logger=lambda m: None).run()
+
+    resolved = """-- target=variables
+select 'upsert' as __save_mode__, 'id' as __merge_keys__, 'ts' as __upsert_precombine__
+
+-- target=output.udup.t
+select * from (values (1, 'x', 10), (1, 'y', 20), (2, 'z', 5)) as v(id, val, ts)
+"""
+    SqlProcessor(spark, resolved, logger=lambda m: None).run()
+    rows = {(r.id, r.val, r.ts) for r in spark.table("udup.t").collect()}
+    assert rows == {(1, "y", 20), (2, "z", 5)}
+
+
+def test_output_upsert_requires_merge_keys(spark):
+    etl = """-- prepare-sql: drop database if exists unokey cascade
+-- prepare-sql: create database unokey
+-- prepare-sql: create table unokey.t (id int) using parquet
+
+-- target=variables
+select 'upsert' as __save_mode__
+
+-- target=output.unokey.t
+select 1 as id
+"""
+    with pytest.raises(Exception, match="requires __merge_keys__"):
+        SqlProcessor(spark, etl, logger=lambda m: None).run()

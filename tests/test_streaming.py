@@ -419,3 +419,75 @@ select * from enriched
     assert rows[0]["n"] == 100 and rows[0]["total"] == sum(float(i) for i in range(100))
     assert rows[0]["bid"] == 0
     p.backend.clean_temp_views()
+
+
+def test_foreach_batch_streaming_upsert_with_restart(spark, stream_dirs):
+    """The streaming twin of __save_mode__=upsert: a foreach_batch ETL
+    merges each micro-batch into a warehouse table on its keys (the
+    reference's CDC/Hudi upsert shape), and a checkpoint restart applies
+    only the new batch — no replays, no duplicate keys."""
+    import time
+
+    spark.sql("drop database if exists sdbup cascade")
+    spark.sql("create database sdbup")
+    etl = """-- target=variables
+select true as __create_output_table__, 'upsert' as __save_mode__, 'id' as __merge_keys__
+
+-- target=output.sdbup.t
+select id, kind, amount from fbu_batch
+"""
+
+    def run_once():
+        config = {
+            "sources": [
+                {
+                    "name": "raw_stream_u",
+                    "format": "json",
+                    "schema": "id long, kind string, amount double",
+                    "path": stream_dirs["src"],
+                }
+            ],
+            "sinks": [
+                {
+                    "name": "sdb.fbu",
+                    "format": "foreach_batch",
+                    "trigger": "availableNow",
+                    "checkpoint": stream_dirs["ck"] + "_fbu",
+                    "options": {"etl_sql": etl, "view": "fbu_batch"},
+                }
+            ],
+        }
+        sql = """-- backend: spark
+-- config: easy_sql.etl_type=streaming
+
+-- target=output.sdb.fbu
+select id, kind, amount from raw_stream_u
+
+-- target=func.execute_streaming_inserts()
+"""
+        p = SqlProcessor(spark, sql, streaming_config=config, logger=lambda m: None)
+        p.run()
+        for q in p.streaming_queries:
+            q.awaitTermination(60)
+            q.stop()
+        p.backend.clean_temp_views()
+
+    run_once()
+    t = spark.table("sdbup.t")
+    assert t.count() == 100
+
+    # late CDC batch: updates ids 50..99, inserts 100..149
+    time.sleep(1.1)
+    with open(stream_dirs["src"] + "/batch2.json", "w") as f:
+        for i in range(50, 150):
+            f.write(json.dumps({"id": i, "kind": "u", "amount": 0.0}) + "\n")
+    run_once()
+    # the batch ETL wrote via foreachBatch's cloned session; this session
+    # cached the relation at the first read — standard Spark cross-session
+    # semantics: readers refresh after another session overwrites
+    spark.catalog.refreshTable("sdbup.t")
+    rows = {r.id: r.kind for r in spark.table("sdbup.t").collect()}
+    assert len(rows) == 150  # one row per key, never a duplicate
+    assert all(k == "u" for i, k in rows.items() if i >= 50)
+    assert all(k in ("a", "b") for i, k in rows.items() if i < 50)
+    spark.sql("drop database if exists sdbup cascade")
