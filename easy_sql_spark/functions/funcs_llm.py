@@ -190,27 +190,21 @@ def build(processor):
         return True
 
     def pii_redact(table: str, out_view: str, text_col: str = "text"):
-        """Redact emails / 555-phones / IPv4s (the declared text_pii_redact
-        regexes) and add per-row ``n_pii`` counts.  Pure narrow map."""
+        """Redact the full PII_PATTERNS set (emails, IBANs, SSNs, US +
+        international phones, IPv4s — queries/llm_ops3.py) and add per-row
+        ``n_pii`` counts.  Pure narrow map."""
         from pyspark.sql import functions as F
 
-        from ..queries.llm_ops3 import EMAIL_RE, IPV4_RE, PHONE_RE
+        from ..queries.llm_ops3 import PII_PATTERNS, pii_redact_expr
 
         df = spark.table(table)
-        red = F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>"),
-                PHONE_RE,
-                "<PHONE>",
-            ),
-            IPV4_RE,
-            "<IP>",
-        )
         n_pii = sum(
             F.size(F.regexp_extract_all(text_col, F.lit(p), F.lit(0)))
-            for p in (EMAIL_RE, PHONE_RE, IPV4_RE)
+            for _name, p, _tok in PII_PATTERNS
         )
-        out = df.withColumn("n_pii", n_pii).withColumn(text_col, red)
+        out = df.withColumn("n_pii", n_pii).withColumn(
+            text_col, pii_redact_expr(text_col)
+        )
         backend.create_temp_view(out, out_view)
         return True
 

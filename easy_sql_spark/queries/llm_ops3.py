@@ -15,10 +15,42 @@ from ..datasets import load_table, spread
 from . import query
 
 # Java regex and DuckDB's RE2 agree on this subset: character classes,
-# bounded repetition, non-capturing groups, \b word boundaries.
+# bounded repetition, ordered alternation (both leftmost-first), \b word
+# boundaries, non-capturing groups.  NO lookaround/backrefs — RE2 lacks
+# them.  Any new pattern must stay inside this subset.
 EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
-PHONE_RE = r"\b555-[0-9]{4}\b"
+#: Phones, ordered most-specific first: +cc international with 2-4 digit
+#: groups; (NNN) NNN[-]NNNN; NNN[ -]NNN[ -]?NNNN; bare NNN-NNNN.  Digit
+#: runs need separators, so year ranges (2024-2025), IPs, and long ids
+#: don't false-positive (adversarial-tested in tests/test_funcs_llm.py).
+PHONE_RE = (
+    r"\+[0-9]{1,3}[ -]?[0-9]{1,4}(?:[ -][0-9]{2,4}){1,3}\b"
+    r"|\([0-9]{3}\) ?[0-9]{3}[ -]?[0-9]{4}\b"
+    r"|\b[0-9]{3}[ -][0-9]{3}[ -]?[0-9]{4}\b"
+    r"|\b[0-9]{3}-[0-9]{4}\b"
+)
+SSN_RE = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
 IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+#: IBAN shape: 2-letter country, 2 check digits, 11-30 alphanumerics.
+IBAN_RE = r"\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b"
+
+#: (name, pattern, replacement) — redaction applies in this order; SSN
+#: precedes PHONE so an SSN is never half-eaten by a phone alternative.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", EMAIL_RE, "<EMAIL>"),
+    ("iban", IBAN_RE, "<IBAN>"),
+    ("ssn", SSN_RE, "<SSN>"),
+    ("phone", PHONE_RE, "<PHONE>"),
+    ("ip", IPV4_RE, "<IP>"),
+)
+
+
+def pii_redact_expr(col):
+    """Column expression redacting every PII_PATTERNS class, in order."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _name, pat, tok in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, tok)
+    return c
 
 
 @query(
@@ -29,19 +61,32 @@ IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
                text || ' contact user' || doc_id ||
                '@mail.example.com or 555-' ||
                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
-               ' ip 10.' || doc_id % 256 || '.0.' || (doc_id * 7) % 256
+               ' ip 10.' || doc_id % 256 || '.0.' || (doc_id * 7) % 256 ||
+               ' tel +' || (doc_id % 90 + 10) || ' ' || (doc_id % 80 + 10) ||
+               ' ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+               ' ' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') ||
+               ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+               '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+               '-' || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0') ||
+               ' iban DE' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+               'BANK' || lpad(CAST(doc_id AS VARCHAR), 10, '0')
                AS t
         FROM documents WHERE doc_id <= 300),
     red AS (
         SELECT doc_id, t,
-               regexp_replace(regexp_replace(regexp_replace(t,
+               regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(t,
                    '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{IBAN_RE}', '<IBAN>', 'g'),
+                   '{SSN_RE}', '<SSN>', 'g'),
                    '{PHONE_RE}', '<PHONE>', 'g'),
                    '{IPV4_RE}', '<IP>', 'g') AS r
         FROM aug)
     SELECT doc_id,
            CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
            CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(t, '{SSN_RE}')) AS BIGINT) AS n_ssns,
+           CAST(len(regexp_extract_all(t, '{IBAN_RE}')) AS BIGINT) AS n_ibans,
            CAST(len(regexp_extract_all(t, '{IPV4_RE}')) AS BIGINT) AS n_ips,
            CAST(len(r) AS BIGINT) AS redacted_len,
            md5(r) AS redacted_hash
@@ -51,15 +96,17 @@ IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
 def text_pii_redact(spark, sf_dir):
     """PII detection + redaction — the compliance pass every training-data
     pipeline runs before anything else.  The fixture text is synthetic word
-    soup, so each row is deterministically augmented with an email, a
-    phone, and an IP derived from doc_id (both engines build the identical
-    string); the operator under test is the regex extraction/redaction.
+    soup, so each row is deterministically augmented with an email, a US
+    and an international phone, an SSN, an IBAN, and an IP derived from
+    doc_id (both engines build the identical string); the operator under
+    test is the regex extraction/redaction over the full PII_PATTERNS set.
 
-    Scale: a pure per-row narrow map (three regexes, no shuffle, no
+    Scale: a pure per-row narrow map (five regexes, no shuffle, no
     state) — embarrassingly parallel; Java regexes run inside codegen.
     Both engines' regex dialects agree on the pattern subset used
-    (classes, bounded repeats, non-capturing groups, word boundaries);
-    DuckDB needs the 'g' flag to match Spark's replace-all."""
+    (classes, bounded repeats, ordered alternation, non-capturing groups,
+    word boundaries — no lookaround, RE2 lacks it); DuckDB needs the 'g'
+    flag to match Spark's replace-all."""
     aug = (
         F.concat(
             F.col("text"),
@@ -71,6 +118,24 @@ def text_pii_redact(spark, sf_dir):
             (F.col("doc_id") % 256).cast("string"),
             F.lit(".0."),
             ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit(" tel +"),
+            (F.col("doc_id") % 90 + 10).cast("string"),
+            F.lit(" "),
+            (F.col("doc_id") % 80 + 10).cast("string"),
+            F.lit(" "),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" "),
+            F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+            F.lit(" ssn "),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad(((F.col("doc_id") * 3) % 10000).cast("string"), 4, "0"),
+            F.lit(" iban DE"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit("BANK"),
+            F.lpad(F.col("doc_id").cast("string"), 10, "0"),
         )
     )
     docs = (
@@ -78,29 +143,25 @@ def text_pii_redact(spark, sf_dir):
         .where(F.col("doc_id") <= 300)
         .select("doc_id", aug.alias("t"))
     )
-    red = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("t"), EMAIL_RE, "<EMAIL>"),
-            PHONE_RE,
-            "<PHONE>",
-        ),
-        IPV4_RE,
-        "<IP>",
-    )
+    red = pii_redact_expr("t")
+
+    def n(pat, alias):
+        # column-API regexp_extract_all: the pattern is NOT re-parsed as
+        # a SQL string literal, so \b survives (F.expr would eat it)
+        return (
+            F.size(F.regexp_extract_all("t", F.lit(pat), F.lit(0)))
+            .cast("bigint")
+            .alias(alias)
+        )
+
     return (
         docs.select(
             "doc_id",
-            # column-API regexp_extract_all: the pattern is NOT re-parsed as
-            # a SQL string literal, so \b survives (F.expr would eat it)
-            F.size(F.regexp_extract_all("t", F.lit(EMAIL_RE), F.lit(0)))
-            .cast("bigint")
-            .alias("n_emails"),
-            F.size(F.regexp_extract_all("t", F.lit(PHONE_RE), F.lit(0)))
-            .cast("bigint")
-            .alias("n_phones"),
-            F.size(F.regexp_extract_all("t", F.lit(IPV4_RE), F.lit(0)))
-            .cast("bigint")
-            .alias("n_ips"),
+            n(EMAIL_RE, "n_emails"),
+            n(PHONE_RE, "n_phones"),
+            n(SSN_RE, "n_ssns"),
+            n(IBAN_RE, "n_ibans"),
+            n(IPV4_RE, "n_ips"),
             F.length(red).cast("bigint").alias("redacted_len"),
             F.md5(red.cast("binary")).alias("redacted_hash"),
         )

@@ -202,3 +202,34 @@ def test_assign_shards_train_pct_100_boundary(spark):
     splits = {r.split for r in spark.table("sh100_out").select("split").distinct().collect()}
     assert splits == {"train"}
     p.backend.clean_temp_views()
+
+
+def test_pii_patterns_adversarial(spark):
+    """Positive: every PII class redacts. Negative: year ranges, version
+    strings, page ranges, long ids, and split IBANs survive untouched
+    (the false-positive shapes the broadened patterns must not eat)."""
+    from easy_sql_spark.queries.llm_ops3 import pii_redact_expr
+
+    cases = [
+        ("call +44 20 7946 0958 now", "call <PHONE> now"),
+        ("dial +1 415 555 0134", "dial <PHONE>"),
+        ("(415) 555-0134", "<PHONE>"),
+        ("415-555-0134 or 415 555 0134", "<PHONE> or <PHONE>"),
+        ("just 555-0042", "just <PHONE>"),
+        ("ssn 078-05-1120 here", "ssn <SSN> here"),
+        ("iban DE89370400440532013000 ok", "iban <IBAN> ok"),
+        ("GB29NWBK60161331926819 pays", "<IBAN> pays"),
+        ("mail a.b+c@x-y.co", "mail <EMAIL>"),
+        ("host 10.0.0.1 up", "host <IP> up"),
+        # negatives — must survive untouched
+        ("meeting 2024-2025 budget", None),
+        ("version 1.2.3.4000 build 12345678", None),
+        ("pages 100-200 and 3-4", None),
+        ("order id 1234567890123456", None),
+        ("DE12 space breaks the iban", None),
+        ("temperature -40 to 120", None),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "t string")
+    got = [r.r for r in df.select(pii_redact_expr("t").alias("r")).collect()]
+    for (t, want), r in zip(cases, got):
+        assert r == (want if want is not None else t), (t, r)
