@@ -14,9 +14,13 @@ hash-derived salt column, so one hot key spreads over ``salt`` partitions:
 
     large ⋈ small on k  →  (large + salt_l) ⋈ (small × salt) on (k, salt)
 
-Only inner and left joins are offered: right/full-outer would produce
-``salt`` copies of unmatched small-side rows, which no cheap post-fix
-dedups correctly at scale.
+Inner/left join directly on the salted keys.  Right/full-outer need more
+care — naive replication would emit ``salt`` copies of unmatched
+small-side rows (and replicas that matched nothing would null-extend
+spuriously even when ANOTHER replica matched) — so they decompose into
+salted-inner ∪ null-extended anti-join remainders, preserving exact
+multiplicity and NULL-key semantics (NULL keys never match, unmatched
+rows survive null-extended once).
 """
 
 from __future__ import annotations
@@ -183,14 +187,18 @@ def salted_join(
     literal — no shuffle, the replication happens map-side on (usually)
     a broadcast.
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if how not in ("inner", "left", "right", "full"):
+        raise ValueError(
+            f"salted_join supports inner/left/right/full, got {how!r}"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     for k in keys:
         if k not in large.columns or k not in small.columns:
             raise ValueError(f"join key {k!r} missing from one side")
     if SALT_COL in large.columns or SALT_COL in small.columns:
         raise ValueError(f"{SALT_COL} already present")
+    if how in ("right", "full"):
+        return _salted_outer(large, small, keys, how, salt, deterministic)
 
     if deterministic:
         scatter = F.pmod(F.hash(*[F.col(c) for c in large.columns]), F.lit(salt))
@@ -203,6 +211,64 @@ def salted_join(
     )
     joined = salted_large.join(replicated_small, keys + [SALT_COL], how)
     return joined.drop(SALT_COL)
+
+
+def _salted_outer(
+    large: DataFrame,
+    small: DataFrame,
+    keys: list[str],
+    how: str,
+    salt: int,
+    deterministic: bool,
+) -> DataFrame:
+    """Right/full-outer as salted-inner ∪ null-extended remainders.
+
+    A row-id tags each small row (frozen by an eager localCheckpoint so
+    ``monotonically_increasing_id`` cannot shift under recomputation); the
+    matched side comes from the skew-protected salted inner join, the
+    unmatched small rows from a row-id anti-join against the match set
+    (so a row that matched through ANY replica is never null-extended and
+    duplicates keep exact multiplicity), and — for full outer — the
+    unmatched large rows from a BROADCAST key anti-join, which never
+    shuffles the large side and is skew-immune by construction.  NULL
+    join keys never match and survive null-extended, exactly SQL outer
+    semantics."""
+    rid = "__salted_rid__"
+    if rid in small.columns:
+        raise ValueError(f"{rid} already present")
+    tagged = small.withColumn(
+        rid, F.monotonically_increasing_id()
+    ).localCheckpoint(eager=True)
+    inner = salted_join(large, tagged, keys, "inner", salt, deterministic)
+    large_rest = [c for c in large.columns if c not in keys]
+    small_rest = [c for c in small.columns if c not in keys]
+    out_cols = keys + large_rest + small_rest
+
+    matched_rids = inner.select(rid).distinct()
+    unmatched_small = tagged.join(matched_rids, rid, "left_anti")
+    null_extended_small = unmatched_small.select(
+        *keys,
+        *[
+            F.lit(None).cast(large.schema[c].dataType).alias(c)
+            for c in large_rest
+        ],
+        *small_rest,
+    )
+    res = inner.select(*out_cols).unionByName(null_extended_small)
+    if how == "full":
+        unmatched_large = large.join(
+            F.broadcast(small.select(*keys).distinct()), keys, "left_anti"
+        )
+        null_extended_large = unmatched_large.select(
+            *keys,
+            *large_rest,
+            *[
+                F.lit(None).cast(small.schema[c].dataType).alias(c)
+                for c in small_rest
+            ],
+        )
+        res = res.unionByName(null_extended_large)
+    return res
 
 
 def explode_skewed_agg(

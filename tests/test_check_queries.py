@@ -66,10 +66,15 @@ def test_rows_only_when_no_oracle(spark, con):
     assert status == "rows-only"
 
 
-def test_canon_is_column_order_and_row_order_insensitive():
+def test_canon_rows_order_insensitive_but_schema_position_strict():
+    # values canonicalize identically regardless of row/column order...
     cols_a, rows_a = canon([(1, "x"), (2, "y")], ["k", "v"])
     cols_b, rows_b = canon([("y", 2), ("x", 1)], ["v", "k"])
-    assert cols_a == cols_b and rows_a == rows_b
+    assert rows_a == rows_b
+    # ...but the returned column list is ORDERED: emitting the right
+    # columns in the wrong order must fail the schema compare (r3 advice)
+    assert cols_a == ["k", "v"] and cols_b == ["v", "k"]
+    assert cols_a != cols_b
 
 
 def test_canon_distinguishes_null_nan_and_string():

@@ -93,7 +93,7 @@ def test_multimodal_real_decode_nonimage_still_raises(spark):
         decode_media(media, "real").collect()
     # an image payload that is no known container fails loudly, not silently
     fake_image = synth_media_df(spark, docs, kind="image")
-    with pytest.raises(Exception, match="neither PNG nor BMP"):
+    with pytest.raises(Exception, match="not a format"):
         decode_media(fake_image, "real").collect()
     # compressed audio (non-RIFF payload) fails loudly too
     fake_audio = synth_media_df(spark, docs, kind="audio")
