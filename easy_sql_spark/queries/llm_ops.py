@@ -795,56 +795,20 @@ def dedup_components(spark, sf_dir):
     are tiny, so a handful); every round is one broadcast-or-shuffle join +
     aggregate, and ``localCheckpoint`` truncates the growing lineage — the
     standard Spark pattern for iterative algorithms (Pregel-style).  The
-    oracle replays the same closure with a recursive CTE.
+    oracle replays the same closure with a recursive CTE.  A component
+    whose diameter exceeds the round cap no longer fails: the loop
+    escalates to the alternating large-star/small-star algorithm
+    (O(log n) rounds, operators/components.py).
     """
+    from ..operators.components import label_propagation_components
+
     pairs = dedup_minhash_lsh(spark, sf_dir)
     edges = pairs.selectExpr("doc_a as u", "doc_b as v").unionAll(
         pairs.selectExpr("doc_b as u", "doc_a as v")
     )
-    edges = edges.localCheckpoint(eager=True)
-
-    labels = edges.select("u").distinct().select(
-        "u", F.col("u").alias("label")
-    ).localCheckpoint(eager=True)
-
-    max_rounds = 20
-    changed = 0
-    for _ in range(max_rounds):
-        neighbor_min = (
-            edges.alias("e")
-            .join(labels.alias("l"), F.col("e.v") == F.col("l.u"))
-            .groupBy(F.col("e.u").alias("nu"))
-            .agg(F.min(F.col("l.label")).alias("nmin"))
-        )
-        # carry a per-row moved flag so convergence detection is a filter
-        # over the materialized checkpoint instead of an extra old-vs-new
-        # join per round (one fewer shuffle join per iteration)
-        updated = (
-            labels.alias("l2")
-            .join(neighbor_min, F.col("l2.u") == F.col("nu"), "left")
-            .select(
-                F.col("l2.u").alias("u"),
-                F.least(
-                    F.col("l2.label"),
-                    F.coalesce(F.col("nmin"), F.col("l2.label")),
-                ).alias("label"),
-                (
-                    F.coalesce(F.col("nmin"), F.col("l2.label"))
-                    < F.col("l2.label")
-                ).alias("moved"),
-            )
-        ).localCheckpoint(eager=True)
-        changed = updated.where("moved").limit(1).count()
-        labels = updated.drop("moved")
-        if changed == 0:
-            break
-    if changed != 0:
-        # a component with diameter > max_rounds would otherwise silently
-        # get wrong cluster ids; fail loudly instead
-        raise RuntimeError(
-            f"dedup_components: label propagation did not converge within "
-            f"{max_rounds} rounds (component diameter exceeds the cap)"
-        )
+    # diameter-bound propagation; a pathological graph escalates to the
+    # O(log n) large-star/small-star algorithm (operators/components.py)
+    labels = label_propagation_components(edges, max_rounds=20)
 
     return labels.select(
         F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
