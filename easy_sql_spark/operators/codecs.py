@@ -12,9 +12,11 @@ for the formats a pipeline can always fall back to.  Scope:
 - WAV: RIFF PCM 8/16/32-bit, any channel count (audio).
 - GIF: 87a/89a full-frame animations — own LZW decoder (dynamic code
   widths, CLEAR/EOI), global/local palettes (video frame sampling).
+- JPEG: baseline sequential DCT, Huffman, 4:4:4/4:2:2/4:2:0, restart
+  markers — full codec in the sibling ``jpeg`` module.
 
-Anything else (16-bit PNG, interlacing, RLE BMP, JPEG, compressed
-audio, MP4-class video) raises ``UnsupportedMediaError`` — callers
+Anything else (16-bit PNG, interlacing, RLE BMP, progressive JPEG,
+compressed audio, MP4-class video) raises ``UnsupportedMediaError`` — callers
 convert that into the documented NotImplementedError and rows fail
 loudly rather than silently mis-decode.
 
@@ -65,6 +67,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "bmp"
     if payload[:4] == b"GIF8":
         return "gif"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 
@@ -467,6 +471,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if fmt == "gif":
         return decode_gif_frames(payload)[0]
+    if fmt == "jpeg":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise UnsupportedMediaError(
         "payload is not a format the available codecs handle"
     )

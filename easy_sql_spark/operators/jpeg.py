@@ -1,0 +1,600 @@
+"""NumPy-only baseline JPEG codec (ITU T.81 sequential DCT, Huffman).
+
+Real image corpora are overwhelmingly JPEG, and this container has no
+PIL/ffmpeg — so the decode path that `decode_media(mode="real")` and the
+multimodal queries run on needs a genuine JPEG implementation, same as
+the PNG/BMP/GIF/WAV codecs in `codecs.py` (reference parity: the
+reference ships no codecs at all; this backs the training-data-pipeline
+multimodal surface).
+
+Scope — baseline sequential DCT process only:
+
+- decode: SOF0/SOF1 frames, 8-bit precision, 1 or 3 components, any
+  sampling factors up to 2x2 (4:4:4, 4:2:2, 4:2:0 and transposed),
+  Huffman entropy coding with tables read from DHT, restart markers
+  (DRI/RSTn), byte-stuffed entropy data.  Output is (H, W, 3) uint8 RGB
+  for color frames, (H, W, 1) for grayscale.
+- encode: quality-scaled Annex-K quantization tables, standard Annex-K
+  Huffman tables (embedded in DHT so any conformant decoder can read
+  the output), 4:4:4 or 4:2:0 subsampling, optional restart interval.
+
+Progressive (SOF2), arithmetic coding, 12-bit precision and hierarchical
+frames raise ``UnsupportedMediaError`` — rows fail loudly rather than
+silently mis-decode (same contract as codecs.py).
+
+JPEG is lossy: round-trip tests assert bounded per-pixel error at high
+quality, not bit equality (see tests/test_codecs.py).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .codecs import UnsupportedMediaError, _classified
+
+JPEG_MAGIC = b"\xff\xd8\xff"
+
+# ----------------------------------------------------------- shared tables
+
+# Zigzag scan order: position k in the scan -> (row, col) in the block.
+_ZZ: list[tuple[int, int]] = []
+for _s in range(15):
+    _rng = range(max(0, _s - 7), min(_s, 7) + 1)
+    for _r in _rng if _s % 2 else reversed(_rng):
+        _ZZ.append((_r, _s - _r))
+_ZZ_ROWS = np.array([r for r, _ in _ZZ])
+_ZZ_COLS = np.array([c for _, c in _ZZ])
+
+# Orthonormal 8-point DCT-II matrix: F = _DCT_M @ f @ _DCT_M.T
+_DCT_M = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _c = (1 / np.sqrt(2)) if _u == 0 else 1.0
+        _DCT_M[_u, _x] = 0.5 * _c * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+# Annex K.1 quantization tables (quality 50), in natural (row-major) order.
+_Q_LUMA = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.int32)
+_Q_CHROMA = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.int32)
+
+# Annex K.3 Huffman table specs: (bits[1..16], huffval).
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _build_huff_lut(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """Canonical JPEG Huffman codes: (code_length, code) -> symbol."""
+    lut: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if k >= len(vals):
+                raise UnsupportedMediaError("DHT bits/vals mismatch")
+            lut[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return lut
+
+
+def _build_huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Encoder direction: symbol -> (code, code_length)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return codes
+
+
+# ----------------------------------------------------------------- decoder
+
+
+class _BitReader:
+    """MSB-first bit reader over byte-stuffed entropy-coded data."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            else:
+                # A real marker inside entropy data (premature EOI/RST):
+                # per T.81 the decoder treats missing bits as an error.
+                raise UnsupportedMediaError(
+                    f"marker 0xFF{nxt:02X} inside entropy-coded segment"
+                )
+        self.buf = b
+        self.nbits = 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.buf >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume an RSTn marker."""
+        self.nbits = 0
+        if self.data[self.pos] != 0xFF or not (0xD0 <= self.data[self.pos + 1] <= 0xD7):
+            raise UnsupportedMediaError("expected restart marker")
+        self.pos += 2
+
+
+def _read_huff(reader: _BitReader, lut: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = lut.get((length, code))
+        if sym is not None:
+            return sym
+    raise UnsupportedMediaError("invalid Huffman code in entropy data")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t-bit magnitude to signed value."""
+    if t == 0:
+        return 0
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
+def _decode_block(
+    reader: _BitReader,
+    dc_lut: dict[tuple[int, int], int],
+    ac_lut: dict[tuple[int, int], int],
+    pred: int,
+) -> tuple[np.ndarray, int]:
+    zz = np.zeros(64, dtype=np.int32)
+    t = _read_huff(reader, dc_lut)
+    pred += _extend(reader.read_bits(t), t)
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        rs = _read_huff(reader, ac_lut)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise UnsupportedMediaError("AC run past end of block")
+        zz[k] = _extend(reader.read_bits(s), s)
+        k += 1
+    return zz, pred
+
+
+def _dezigzag_idct(zz: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    block = np.zeros((8, 8), dtype=np.float64)
+    block[_ZZ_ROWS, _ZZ_COLS] = zz
+    block *= qtab
+    pixels = _DCT_M.T @ block @ _DCT_M + 128.0
+    return np.clip(np.round(pixels), 0, 255).astype(np.uint8)
+
+
+@_classified
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline JPEG to (H, W, 3) RGB (or (H, W, 1) grayscale)."""
+    if payload[:3] != JPEG_MAGIC:
+        raise UnsupportedMediaError("not a JPEG (no SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    dc_luts: dict[int, dict] = {}
+    ac_luts: dict[int, dict] = {}
+    frame = None  # (H, W, comps) where comps = [(id, h, v, tq)]
+    restart_interval = 0
+    scan = None
+
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise UnsupportedMediaError("expected marker")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD8:  # stray SOI
+            continue
+        if marker == 0xD9:  # EOI before SOS
+            break
+        (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
+        seg = payload[pos + 2:pos + seglen]
+        if len(seg) != seglen - 2:
+            raise UnsupportedMediaError("truncated segment")
+        if marker == 0xDB:  # DQT — possibly several tables
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if pq != 0:
+                    raise UnsupportedMediaError("16-bit quant tables unsupported")
+                tab = np.zeros((8, 8), dtype=np.int32)
+                tab[_ZZ_ROWS, _ZZ_COLS] = np.frombuffer(seg[p:p + 64], dtype=np.uint8)
+                qtabs[tq] = tab
+                p += 64
+        elif marker == 0xC4:  # DHT — possibly several tables
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1:p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17:p + 17 + n])
+                lut = _build_huff_lut(bits, vals)
+                (ac_luts if tc else dc_luts)[th] = lut
+                p += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline sequential
+            precision, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if precision != 8:
+                raise UnsupportedMediaError("only 8-bit precision supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise UnsupportedMediaError(
+                f"non-baseline JPEG process (SOF marker 0xFF{marker:02X})"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan.append((cs, tables >> 4, tables & 0x0F))
+            pos += seglen
+            break
+        # APPn / COM / anything else: skip
+        pos += seglen
+
+    if frame is None or scan is None:
+        raise UnsupportedMediaError("missing SOF or SOS")
+    height, width, comps = frame
+    if height == 0 or width == 0:
+        raise UnsupportedMediaError("zero-sized frame")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+
+    # Per-component plane buffers at sampled resolution (MCU-padded).
+    planes = {
+        cid: np.zeros((mcus_y * v * 8, mcus_x * h * 8), dtype=np.uint8)
+        for cid, h, v, _ in comps
+    }
+    comp_info = {cid: (h, v, tq) for cid, h, v, tq in comps}
+    preds = {cid: 0 for cid, *_ in comps}
+
+    reader = _BitReader(payload, pos)
+    mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                reader.restart()
+                preds = {cid: 0 for cid in preds}
+            for cs, td, ta in scan:
+                h, v, tq = comp_info[cs]
+                for by in range(v):
+                    for bx in range(h):
+                        zz, preds[cs] = _decode_block(
+                            reader, dc_luts[td], ac_luts[ta], preds[cs]
+                        )
+                        px = _dezigzag_idct(zz, qtabs[tq])
+                        y0 = (my * v + by) * 8
+                        x0 = (mx * h + bx) * 8
+                        planes[cs][y0:y0 + 8, x0:x0 + 8] = px
+            mcu += 1
+
+    # Upsample each component to full resolution and crop.
+    full = []
+    for cid, h, v, _ in comps:
+        p = planes[cid]
+        p = np.repeat(np.repeat(p, vmax // v, axis=0), hmax // h, axis=1)
+        full.append(p[:height, :width].astype(np.float64))
+
+    if len(full) == 1:
+        return full[0][:, :, None].astype(np.uint8)
+    if len(full) != 3:
+        raise UnsupportedMediaError(f"{len(full)}-component JPEG unsupported")
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ----------------------------------------------------------------- encoder
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.nbits) - 1
+
+    def pad_to_byte(self) -> None:
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)  # 1-fill
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _scaled_qtab(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+def _encode_plane_block(
+    writer: _BitWriter,
+    block: np.ndarray,
+    qtab: np.ndarray,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+    pred: int,
+) -> int:
+    coeffs = _DCT_M @ (block.astype(np.float64) - 128.0) @ _DCT_M.T
+    quant = np.round(coeffs / qtab).astype(np.int32)
+    zz = quant[_ZZ_ROWS, _ZZ_COLS]
+
+    diff = int(zz[0]) - pred
+    t = _category(diff)
+    code, length = dc_codes[t]
+    writer.write(code, length)
+    if t:
+        writer.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zcode, zlen = ac_codes[0xF0]  # ZRL
+            writer.write(zcode, zlen)
+            run -= 16
+        s = _category(v)
+        acode, alen = ac_codes[(run << 4) | s]
+        writer.write(acode, alen)
+        writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        eob, elen = ac_codes[0x00]
+        writer.write(eob, elen)
+    return int(zz[0])
+
+
+def _pad_to_multiple(plane: np.ndarray, my: int, mx: int) -> np.ndarray:
+    h, w = plane.shape
+    ph = (-h) % my
+    pw = (-w) % mx
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode (H, W, 3) RGB or (H, W)/(H, W, 1) grayscale to baseline JPEG.
+
+    Uses the standard Annex-K Huffman tables (written to DHT) and
+    quality-scaled Annex-K quantization tables, so output decodes in any
+    conformant JPEG decoder, not just :func:`decode_jpeg`.
+    """
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.ndim != 3 or img.shape[2] not in (1, 3):
+        raise ValueError("expected (H, W), (H, W, 1) or (H, W, 3) uint8")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError("subsampling must be '4:4:4' or '4:2:0'")
+    height, width = img.shape[:2]
+    if height == 0 or width == 0:
+        raise ValueError("cannot encode an empty image")
+    gray = img.shape[2] == 1
+
+    q_luma = _scaled_qtab(_Q_LUMA, quality)
+    q_chroma = _scaled_qtab(_Q_CHROMA, quality)
+
+    if gray:
+        planes = [img[:, :, 0].astype(np.float64)]
+        samplings = [(1, 1)]
+    else:
+        rf = img.astype(np.float64)
+        r, g, b = rf[:, :, 0], rf[:, :, 1], rf[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsampling == "4:2:0":
+            cbp = _pad_to_multiple(cb, 2, 2)
+            crp = _pad_to_multiple(cr, 2, 2)
+            cb = (cbp[0::2, 0::2] + cbp[0::2, 1::2]
+                  + cbp[1::2, 0::2] + cbp[1::2, 1::2]) / 4.0
+            cr = (crp[0::2, 0::2] + crp[0::2, 1::2]
+                  + crp[1::2, 0::2] + crp[1::2, 1::2]) / 4.0
+            samplings = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samplings = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+
+    hmax = max(h for h, _ in samplings)
+    vmax = max(v for _, v in samplings)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    padded = [
+        _pad_to_multiple(np.clip(np.round(p), 0, 255),
+                         mcus_y * v * 8, mcus_x * h * 8)
+        for p, (h, v) in zip(planes, samplings)
+    ]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DQT
+    zz_luma = q_luma[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8).tobytes()
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_luma
+    if not gray:
+        zz_chroma = q_chroma[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + zz_chroma
+    # SOF0
+    nc = 1 if gray else 3
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, height, width, nc)
+    for i, (h, v) in enumerate(samplings):
+        out += bytes([i + 1, (h << 4) | v, 0 if i == 0 else 1])
+    # DHT
+    for tc_th, bits, vals in (
+        (0x00, _DC_LUMA_BITS, _DC_LUMA_VALS),
+        (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS),
+        (0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+        (0x11, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+    ):
+        if gray and tc_th in (0x01, 0x11):
+            continue
+        out += (b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+                + bytes([tc_th]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for i in range(nc):
+        out += bytes([i + 1, 0x00 if i == 0 else 0x11])
+    out += b"\x00\x3f\x00"  # Ss=0, Se=63, Ah/Al=0
+
+    dc_l = _build_huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_l = _build_huff_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_c = _build_huff_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_c = _build_huff_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    tables = [(q_luma, dc_l, ac_l)] + [(q_chroma, dc_c, ac_c)] * (nc - 1)
+
+    writer = _BitWriter()
+    preds = [0] * nc
+    mcu = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.pad_to_byte()
+                out += writer.out
+                writer = _BitWriter()
+                out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                preds = [0] * nc
+            for ci in range(nc):
+                h, v = samplings[ci]
+                qtab, dcc, acc = tables[ci]
+                for by in range(v):
+                    for bx in range(h):
+                        y0 = (my * v + by) * 8
+                        x0 = (mx * h + bx) * 8
+                        block = padded[ci][y0:y0 + 8, x0:x0 + 8]
+                        preds[ci] = _encode_plane_block(
+                            writer, block, qtab, dcc, acc, preds[ci]
+                        )
+            mcu += 1
+    writer.pad_to_byte()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

@@ -62,9 +62,11 @@ def decode_media(df: DataFrame, mode: str = "fake") -> DataFrame:
     """Decode / feature-extract media payloads via mapInPandas.
 
     ``mode="real"`` decodes image payloads for real: PIL when importable,
-    else the numpy-only PNG/BMP codecs (operators/codecs.py) — actual
-    pixel dimensions, 16-bin histogram over decoded pixel bytes.  Audio
-    and video stay NotImplemented (no ffmpeg in this container).
+    else the numpy-only PNG/BMP/GIF/JPEG codecs (operators/codecs.py,
+    operators/jpeg.py) — actual pixel dimensions, 16-bin histogram over
+    decoded pixel bytes.  Compressed audio and MP4-class video stay
+    NotImplemented (no ffmpeg in this container); PCM WAV decodes for
+    real.
     ``mode="fake"`` derives width/height and the histogram
     deterministically from the raw payload, so the full Arrow batch path
     (schema, iteration, memory shape) is exercised without any codec.

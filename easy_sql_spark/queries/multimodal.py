@@ -108,6 +108,90 @@ def mm_hist_profile(spark, sf_dir):
     )
 
 
+# JPEG roundtrip grid: JPG_BY x JPG_BX blocks of 8x8 constant pixels, one
+# text byte per block.  Block-constant content survives baseline JPEG
+# EXACTLY: every AC coefficient is 0 and the DC reconstruction error is
+# (dc_quant/2)/8 < 0.5 whenever dc_quant < 8 (true at quality 90, where the
+# scaled Annex-K luma DC step is 3) — so a lossy codec still admits an
+# exact DuckDB oracle.  r=g=b also makes the color transform exact
+# (Cb=Cr=128 identically, zero after level shift).
+JPG_BY, JPG_BX = 4, 6
+
+
+@query(
+    "mm_jpeg_roundtrip_stats",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id,
+               ascii(substr(rpad(substr(text, 1, {JPG_BY * JPG_BX}),
+                                 {JPG_BY * JPG_BX}, '?'),
+                            CAST(i AS INT), 1)) AS v
+        FROM documents, UNNEST(range(1, {JPG_BY * JPG_BX} + 1)) AS t(i)
+        WHERE doc_id <= 150)
+    SELECT doc_id AS media_id,
+           {JPG_BX * 8} AS width, {JPG_BY * 8} AS height,
+           CAST(3 * 64 * SUM(v) AS BIGINT) AS pixel_sum
+    FROM b GROUP BY doc_id ORDER BY media_id
+    """,
+)
+def mm_jpeg_roundtrip_stats(spark, sf_dir):
+    """REAL-codec JPEG query: per document, a block-constant RGB image is
+    built from text bytes, encoded as baseline JPEG (4:2:0, restart
+    markers) by operators/jpeg.py's own encoder, decoded back through the
+    full Huffman/IDCT path, and the decoded pixel sum is reported.  The
+    construction keeps the lossy codec pixel-exact (see JPG_BY comment),
+    so the oracle recomputes the sum from the text — a Huffman, DCT,
+    quantization, subsampling or byte-stuffing bug on either side breaks
+    the match.  Same narrow mapInPandas shape as the GIF/WAV paths:
+    payloads never shuffle, one row out per document."""
+    import pandas as pd
+
+    from ..operators.jpeg import decode_jpeg, encode_jpeg
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 150)
+        .select("doc_id", "text")
+    )
+    n_blocks = JPG_BY * JPG_BX
+
+    def _roundtrip(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                chunk = text[:n_blocks].ljust(n_blocks, "?")
+                grid = np.frombuffer(
+                    chunk.encode("ascii", "replace"), dtype=np.uint8
+                ).reshape(JPG_BY, JPG_BX)
+                gray = np.repeat(np.repeat(grid, 8, axis=0), 8, axis=1)
+                img = np.stack([gray] * 3, axis=-1)
+                payload = encode_jpeg(
+                    img, quality=90, subsampling="4:2:0", restart_interval=3
+                )
+                out = decode_jpeg(payload)
+                rows.append(
+                    (
+                        int(doc_id),
+                        out.shape[1],
+                        out.shape[0],
+                        int(out.sum(dtype=np.int64)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "pixel_sum"]
+            )
+
+    return (
+        spread(docs)
+        .mapInPandas(
+            _roundtrip, "media_id long, width int, height int, pixel_sum long"
+        )
+        .orderBy("media_id")
+    )
+
+
 @query(
     "mm_frame_sample",
     oracle="""

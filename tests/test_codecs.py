@@ -179,7 +179,8 @@ def test_sniff_and_dispatch():
     img = np.zeros((2, 2, 3), dtype=np.uint8)
     png, bmp = encode_png(img), encode_bmp(img)
     assert sniff_format(png) == "png" and sniff_format(bmp) == "bmp"
-    assert sniff_format(b"\xff\xd8\xff junk") is None
+    assert sniff_format(b"\xff\xd8\xff junk") == "jpeg"  # JPEG SOI + marker
+    assert sniff_format(b"\xff\xd8 no third ff") is None
     assert np.array_equal(decode_image(png), img)
     assert np.array_equal(decode_image(bmp), img)
     with pytest.raises(UnsupportedMediaError, match="not a format"):

@@ -1,0 +1,138 @@
+"""Baseline JPEG codec tests (operators/jpeg.py).
+
+JPEG is lossy, so round-trips assert bounded per-pixel error rather than
+bit equality; the bounds are tight at high quality because the only loss
+sources are quantization (≈1 at q100), chroma rounding and IDCT float
+rounding.  Structural properties (dimensions, component count, restart
+markers, error classification) are exact.
+"""
+
+import numpy as np
+import pytest
+
+from easy_sql_spark.operators.codecs import (
+    UnsupportedMediaError,
+    decode_image,
+    sniff_format,
+)
+from easy_sql_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+            (xx * 255 // max(w - 1, 1)).astype(np.uint8),
+            ((yy + xx) * 255 // max(h + w - 2, 1)).astype(np.uint8),
+        ],
+        axis=-1,
+    )
+
+
+@pytest.mark.parametrize("subsampling,tol", [("4:4:4", 4), ("4:2:0", 8)])
+def test_roundtrip_smooth_image_high_quality(subsampling, tol):
+    img = _gradient(41, 57)  # non-multiple-of-8/16 dims exercise padding
+    out = decode_jpeg(encode_jpeg(img, quality=95, subsampling=subsampling))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= tol
+
+
+def test_roundtrip_noise_q100_bounded():
+    # Worst case for DCT compaction; q100 quant tables are mostly 1s so
+    # the error is rounding only.
+    noise = np.random.default_rng(7).integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(noise, quality=100))
+    assert np.abs(out.astype(int) - noise.astype(int)).max() <= 6
+
+
+def test_grayscale_roundtrip():
+    yy = np.mgrid[0:17, 0:23][0]
+    g = (yy * 255 // 16).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(g, quality=95))
+    assert out.shape == (17, 23, 1)
+    assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).max() <= 2
+
+
+def test_restart_markers_roundtrip():
+    img = _gradient(33, 49)
+    plain = decode_jpeg(encode_jpeg(img, quality=92, subsampling="4:2:0"))
+    with_rst = decode_jpeg(
+        encode_jpeg(img, quality=92, subsampling="4:2:0", restart_interval=2)
+    )
+    # Restart markers change the byte stream but not the decoded pixels.
+    assert np.array_equal(plain, with_rst)
+
+
+def test_quality_monotone_size():
+    img = _gradient(40, 40)
+    sizes = [len(encode_jpeg(img, quality=q)) for q in (30, 60, 90)]
+    assert sizes == sorted(sizes)
+
+
+def test_sniff_and_decode_image_dispatch():
+    img = _gradient(16, 16)
+    payload = encode_jpeg(img, quality=95)
+    assert sniff_format(payload) == "jpeg"
+    out = decode_image(payload)
+    assert out.shape == (16, 16, 3)
+
+
+def test_single_pixel_and_tiny_images():
+    for shape in [(1, 1), (1, 9), (8, 1), (3, 3)]:
+        img = np.full((*shape, 3), 200, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=95))
+        assert out.shape == (*shape, 3)
+        assert np.abs(out.astype(int) - 200).max() <= 3
+
+
+def test_progressive_rejected():
+    # Take a valid baseline stream and flip SOF0 (0xFFC0) to SOF2 (0xFFC2):
+    # the decoder must classify, not mis-decode.
+    payload = bytearray(encode_jpeg(_gradient(8, 8)))
+    idx = payload.find(b"\xff\xc0")
+    payload[idx + 1] = 0xC2
+    with pytest.raises(UnsupportedMediaError, match="non-baseline"):
+        decode_jpeg(bytes(payload))
+
+
+def test_truncation_classified():
+    payload = encode_jpeg(_gradient(24, 24), quality=90)
+    for cut in (4, 20, len(payload) // 2, len(payload) - 3):
+        with pytest.raises(UnsupportedMediaError):
+            decode_jpeg(payload[:cut])
+
+
+def test_garbage_classified():
+    with pytest.raises(UnsupportedMediaError):
+        decode_jpeg(b"\xff\xd8\xff\xe0not really a jpeg at all")
+    with pytest.raises(UnsupportedMediaError):
+        decode_jpeg(b"PK\x03\x04zipfile")
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        h=st.integers(1, 20),
+        w=st.integers(1, 20),
+        seed=st.integers(0, 2**31 - 1),
+        subsampling=st.sampled_from(["4:4:4", "4:2:0"]),
+        rst=st.sampled_from([0, 1, 3]),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_jpeg_roundtrip_property(h, w, seed, subsampling, rst):
+        # Low-frequency content (block-constant) keeps the q95 error bound
+        # tight for arbitrary shapes/subsampling/restart combinations.
+        rng = np.random.default_rng(seed)
+        coarse = rng.integers(32, 224, (-(-h // 8), -(-w // 8), 3), dtype=np.uint8)
+        img = np.repeat(np.repeat(coarse, 8, axis=0), 8, axis=1)[:h, :w]
+        out = decode_jpeg(
+            encode_jpeg(img, quality=95, subsampling=subsampling, restart_interval=rst)
+        )
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 12
+
+except ImportError:  # hypothesis is baked in, but stay import-safe
+    pass
