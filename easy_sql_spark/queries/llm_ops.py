@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..datasets import load_table, spread
+from ..datasets import SPREAD_MODERATE, load_table, spread
 from . import query
 
 N_MINHASH = 8  # signature length
@@ -199,7 +199,7 @@ def dedup_exact_stats(spark, sf_dir):
 def dedup_fingerprint(spark, sf_dir):
     """Bag-of-words document fingerprint (order-insensitive content hash) —
     catches shuffled near-dups that exact hashing misses."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"), min_bytes=SPREAD_MODERATE)
     fp = d.select(
         "doc_id",
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(_words())))).alias(
@@ -304,7 +304,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
 def text_stats_by_lang(spark, sf_dir):
     """Corpus statistics per language: narrow map + single groupBy.
     Averages = exact integer sum / count (deterministic, no rounding)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"), min_bytes=SPREAD_MODERATE)
     ntok = F.size(_words())
     return (
         d.groupBy("lang")
@@ -331,7 +331,7 @@ def text_stats_by_lang(spark, sf_dir):
 def text_token_count(spark, sf_dir):
     """Token counting per source: whitespace tokenizer + regex word
     tokenizer (the BPE-ish pre-tokenization pass)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"), min_bytes=SPREAD_MODERATE)
     return (
         d.groupBy("source")
         .agg(
@@ -407,7 +407,7 @@ def sim_topk_bruteforce(spark, sf_dir):
     per partition then a k-row-per-query shuffle.  Dot products run JVM-side
     via zip_with/aggregate (no Python in the hot path).
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
     )
     norm = F.sqrt(F.expr("aggregate(transform(v, x -> x * x), 0D, (acc, z) -> acc + z)"))
@@ -453,7 +453,7 @@ def sim_label_centroids(spark, sf_dir):
     """Per-label embedding centroids (first dims + vector sums) — the
     aggregation pattern behind IVF coarse quantization.  Sums accumulate in
     DECIMAL so summation order can't perturb the averages."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread(load_table(spark, sf_dir, "embeddings"), min_bytes=SPREAD_MODERATE).select(
         "label", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
     )
     vsum = F.expr("aggregate(v, 0D, (acc, z) -> acc + z)")
@@ -570,7 +570,7 @@ def text_lang_id(spark, sf_dir):
     """Marker-word language-ID heuristic (n-gram-lite): per-row narrow map,
     one small groupBy — the confusion-matrix query a real lang-ID pass
     would emit.  Tie-break order fixed (de > en > es) for determinism."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"), min_bytes=SPREAD_MODERATE)
     w = _words()
 
     def score(markers):
@@ -693,7 +693,7 @@ def sim_ivf_topk(spark, sf_dir):
     all-pairs crossJoin ever exists.  Cosine math mirrors
     sim_topk_bruteforce (JVM-side fold, no Python).
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings"), min_bytes=SPREAD_MODERATE).select(
         "vec_id",
         "label",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),

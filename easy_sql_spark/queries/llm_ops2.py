@@ -12,7 +12,7 @@ import hashlib
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..datasets import load_table, spread
+from ..datasets import SPREAD_MODERATE, load_table, spread
 from ..operators.skew import capped_per_key
 from . import query
 
@@ -111,7 +111,7 @@ def sim_lsh_topk(spark, sf_dir):
     scaled-long accumulation so bucket assignment is bit-identical
     cross-engine.  Docstring refs: reference has no ANN operator — this is
     a brief-mandated extension (SURVEY.md §2 LLM-ops)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
     )
@@ -287,7 +287,7 @@ def text_source_cap(spark, sf_dir):
     ~cap+margin survivors per source — so a source holding 90% of a
     100 TB corpus never lands in one window task.  The per-source totals
     ride along from the phase-1 counts (no COUNT window)."""
-    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    docs = spread(load_table(spark, sf_dir, "documents"), min_bytes=SPREAD_MODERATE).select("source", "doc_id", "text")
     kept = capped_per_key(
         docs, "source", "doc_id", SOURCE_CAP, count_col="n_total"
     )

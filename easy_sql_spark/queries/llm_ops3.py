@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..datasets import load_table, spread
+from ..datasets import SPREAD_MODERATE, load_table, spread
 from . import query
 
 # Java regex and DuckDB's RE2 agree on this subset: character classes,
@@ -749,7 +749,7 @@ def emb_label_outliers(spark, sf_dir):
     top-K window sees |labels| partitions; with few labels at 100 TB the
     skew-safe variant is the same presample trick as capped_per_key with
     an approximate distance threshold from a sample."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread(load_table(spark, sf_dir, "embeddings"), min_bytes=SPREAD_MODERATE).select(
         "vec_id",
         "label",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
