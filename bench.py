@@ -49,7 +49,12 @@ FAMILIES: dict[str, list[str]] = {
     ],
     "sim": ["sim_topk_bruteforce", "sim_ivf_topk", "sim_lsh_topk"],
     "asof": ["asof_events_orders"],
-    "multimodal": ["mm_decode_stats", "mm_wav_roundtrip_stats", "mm_gif_frames_stats"],
+    "multimodal": [
+        "mm_decode_stats",
+        "mm_wav_roundtrip_stats",
+        "mm_gif_frames_stats",
+        "mm_jpeg_roundtrip_stats",
+    ],
     "pipeline": [
         "text_pii_redact",
         "data_shard_split",
@@ -176,11 +181,40 @@ def write_benches(spark, sf_dir):
             upsert_batch, op_meta, "upsert", merge_keys=["o_orderkey"]
         )
 
+    # SCD2 history merge (r4): the same CDC batch shape applied with
+    # history retention — a 10%-of-keys attribute change against a
+    # customer dimension; measures close+insert+no-op-change detection
+    customer = load_table(spark, sf_dir, "customer")
+    scd_meta = TableMeta.parse("bench_w.cust_scd2")
+    scd2_opts = {"ts": "ts"}
+    seed = customer.withColumn("ts", F.lit(1))
+    backend.save_table(
+        seed, scd_meta, "scd2", create_table=True,
+        merge_keys=["c_custkey"], scd2=scd2_opts,
+    )
+    scd2_batch = (
+        customer.withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("c_custkey") % 10 == 0, F.col("c_acctbal") + 1
+            ).otherwise(F.col("c_acctbal")),
+        )
+        .withColumn("ts", F.lit(2))
+        .localCheckpoint(eager=True)
+    )
+
+    def write_scd2_merge():
+        backend.save_table(
+            scd2_batch, scd_meta, "scd2",
+            merge_keys=["c_custkey"], scd2=scd2_opts,
+        )
+
     return {
         "write_partitioned_overwrite": write_partitioned_overwrite,
         "write_bucketed_ctas": write_bucketed_ctas,
         "bucketed_join_zero_shuffle": bucketed_join_zero_shuffle,
         "write_upsert_merge": write_upsert_merge,
+        "write_scd2_merge": write_scd2_merge,
     }
 
 

@@ -274,6 +274,7 @@ class SparkBackend:
         create_table: bool = False,
         merge_keys: list[str] | None = None,
         precombine: str | None = None,
+        scd2: dict | None = None,
     ) -> None:
         """Materialize a query into a warehouse table.
 
@@ -293,6 +294,13 @@ class SparkBackend:
         """
         for hook in self.save_hooks:
             hook("start", table.name)
+        if save_mode.lower() == "scd2":
+            if not merge_keys:
+                raise ValueError(
+                    "__save_mode__=scd2 requires __merge_keys__ "
+                    "(the natural/business key, e.g. id or id|region)"
+                )
+            df = self._augment_scd2(df, scd2 or {})
         for p in table.static_partitions():
             if p.field not in df.columns:
                 df = df.withColumn(p.field, F.lit(p.value))
@@ -318,6 +326,9 @@ class SparkBackend:
                     "(e.g. __merge_keys__=id or id|dt)"
                 )
             df = self._merge_upsert_frame(df, table, merge_keys, precombine)
+            overwrite = True
+        elif save_mode.lower() == "scd2":
+            df = self._merge_scd2_frame(df, table, merge_keys, scd2 or {})
             overwrite = True
         else:
             overwrite = save_mode.lower() != "append"
@@ -409,22 +420,204 @@ class SparkBackend:
                 )
 
         inc_keys = incoming.select(*keys).distinct()
-        part_cols = table.partition_cols()
-        if part_cols:
-            touched = incoming.select(*part_cols).distinct()
-            scan_cols = list(dict.fromkeys([*part_cols, *keys]))
-            matched_parts = (
-                target.select(*scan_cols)
-                .join(inc_keys, keys, "left_semi")
-                .select(*part_cols)
-                .distinct()
-            )
-            touched = touched.unionByName(matched_parts).distinct()
-            scoped = target.join(F.broadcast(touched), part_cols, "left_semi")
-        else:
-            scoped = target
+        scoped = self._scope_touched_partitions(
+            target, incoming, inc_keys, keys, table.partition_cols()
+        )
         kept = scoped.join(inc_keys, keys, "left_anti")
         return kept.unionByName(incoming).localCheckpoint(eager=True)
+
+    @staticmethod
+    def _scope_touched_partitions(
+        target: DataFrame,
+        incoming: DataFrame,
+        inc_keys: DataFrame,
+        keys: list[str],
+        part_cols: list[str],
+    ) -> DataFrame:
+        """Restrict a merge's copy-on-write to TOUCHED partitions: those the
+        incoming rows land in plus those holding a matched key (keys can
+        move between partitions).  Costs one column-pruned scan of
+        (partition cols + keys); under dynamic partition overwrite the
+        untouched partitions are then never read or rewritten — the
+        parquet-level analogue of Hudi's index lookup."""
+        if not part_cols:
+            return target
+        touched = incoming.select(*part_cols).distinct()
+        scan_cols = list(dict.fromkeys([*part_cols, *keys]))
+        matched_parts = (
+            target.select(*scan_cols)
+            .join(inc_keys, keys, "left_semi")
+            .select(*part_cols)
+            .distinct()
+        )
+        touched = touched.unionByName(matched_parts).distinct()
+        return target.join(F.broadcast(touched), part_cols, "left_semi")
+
+    @staticmethod
+    def _scd2_cols(scd2: dict) -> tuple[str, str, str, str]:
+        return (
+            scd2.get("ts") or "",
+            scd2.get("start") or "__start_at",
+            scd2.get("end") or "__end_at",
+            scd2.get("current") or "__is_current",
+        )
+
+    def _augment_scd2(self, df: DataFrame, scd2: dict) -> DataFrame:
+        """Add SCD2 metadata columns to an incoming batch: the effective
+        timestamp column (``__scd2_ts__``) becomes the start column, the
+        end column is NULL (open interval), and the current flag is true.
+        The ts column is CONSUMED (it is the start column, not an
+        attribute) — keeping it as a business column would make every
+        batch look like an attribute change and churn history forever."""
+        ts, start, end, cur = self._scd2_cols(scd2)
+        if not ts:
+            raise ValueError(
+                "__save_mode__=scd2 requires __scd2_ts__ (the incoming "
+                "column holding each row's effective timestamp)"
+            )
+        if ts not in df.columns:
+            raise ValueError(f"__scd2_ts__ column {ts!r} missing from the batch")
+        ts_type = dict(df.dtypes)[ts]
+        out = df.withColumn(start, F.col(ts))
+        if ts != start:
+            out = out.drop(ts)
+        return out.withColumn(end, F.lit(None).cast(ts_type)).withColumn(
+            cur, F.lit(True)
+        )
+
+    def _merge_scd2_frame(
+        self,
+        df: DataFrame,
+        table: TableMeta,
+        merge_keys: list[str],
+        scd2: dict,
+    ) -> DataFrame:
+        """Type-2 slowly-changing-dimension merge (keyed history keeping),
+        the CDC-apply semantics one step past the SCD1 upsert: instead of
+        replacing a matched row, the old version is CLOSED (end = new
+        start, current = false) and the new version inserts as current —
+        reference analogue: the Hudi/CDC streaming upserts
+        (backend/flink.py:196-204) applied with history retention.
+
+        Semantics per incoming key (after intra-batch collapse to the
+        latest row by start ts):
+        - new key → insert as current (open interval);
+        - matched current row with DIFFERENT attributes → close it at the
+          incoming start ts and insert the new version as current;
+        - matched current row with IDENTICAL attributes → no-op, so
+          re-running the same batch is idempotent and history never
+          churns on no-change loads;
+        - historical (non-current) rows are never read back for matching
+          and survive untouched.
+
+        Attribute comparison is a null-safe md5 over every non-key,
+        non-metadata column.  Batches are assumed to arrive in effective-
+        ts order per key (the standard SCD2 loader contract); out-of-order
+        history requires a rebuild, not a merge.  Same partition-pruned
+        copy-on-write scoping as the SCD1 upsert."""
+        from pyspark.sql import Window
+
+        _, start, end, cur = self._scd2_cols(scd2)
+        target = self.spark.table(table.name)
+        meta = {start, end, cur}
+        for k in merge_keys:
+            if k in meta:
+                raise ValueError(f"merge key {k!r} collides with an SCD2 column")
+            if k not in target.columns or k not in df.columns:
+                raise ValueError(
+                    f"merge key {k!r} missing from "
+                    f"{'target' if k not in target.columns else 'source'}"
+                )
+        for c in meta:
+            if c not in target.columns:
+                raise ValueError(
+                    f"SCD2 target {table.name} lacks column {c!r}; create it "
+                    "through an scd2 save with __create_output_table__"
+                )
+        keys = list(merge_keys)
+        incoming = df.select(*target.columns)
+
+        # collapse intra-batch duplicates to the latest version per key
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(start).desc(),
+            F.md5(
+                F.concat_ws(
+                    "\x00", *[F.col(c).cast("string") for c in incoming.columns]
+                )
+            ),
+        )
+        incoming = (
+            incoming.withColumn("__scd2_rn", F.row_number().over(w))
+            .where(F.col("__scd2_rn") == 1)
+            .drop("__scd2_rn")
+        )
+
+        attr_cols = [c for c in target.columns if c not in meta and c not in keys]
+        part_cols = table.partition_cols()
+        attr_cols = [c for c in attr_cols if c not in part_cols] + [
+            c for c in attr_cols if c in part_cols
+        ]
+
+        def attr_hash(prefix_cols: list[str]) -> F.Column:
+            return F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    *[
+                        F.coalesce(F.col(c).cast("string"), F.lit("\x00<null>"))
+                        for c in prefix_cols
+                    ],
+                )
+            )
+
+        inc_keys = incoming.select(*keys).distinct()
+        scoped = self._scope_touched_partitions(
+            target, incoming, inc_keys, keys, part_cols
+        )
+        cur_rows = scoped.where(F.coalesce(F.col(cur), F.lit(False)))
+        hist_rows = scoped.where(~F.coalesce(F.col(cur), F.lit(False)))
+
+        inc_info = incoming.select(
+            *keys,
+            F.col(start).alias("__new_start"),
+            attr_hash(attr_cols).alias("__new_hash"),
+        )
+        j = cur_rows.withColumn("__cur_hash", attr_hash(attr_cols)).join(
+            inc_info, keys, "left"
+        )
+        changed = F.col("__new_hash").isNotNull() & (
+            F.col("__new_hash") != F.col("__cur_hash")
+        )
+        closed = j.where(changed).select(
+            *[
+                F.col("__new_start").alias(c)
+                if c == end
+                else F.lit(False).alias(c)
+                if c == cur
+                else F.col(c)
+                for c in target.columns
+            ]
+        )
+        stay = j.where(~changed).select(*target.columns)
+
+        inserts = (
+            incoming.join(
+                cur_rows.select(*keys, attr_hash(attr_cols).alias("__t_hash")),
+                keys,
+                "left",
+            )
+            .where(
+                F.col("__t_hash").isNull()
+                | (F.col("__t_hash") != attr_hash(attr_cols))
+            )
+            .drop("__t_hash")
+            .select(*target.columns)
+        )
+        return (
+            hist_rows.unionByName(stay)
+            .unionByName(closed)
+            .unionByName(inserts)
+            .localCheckpoint(eager=True)
+        )
 
     # ----------------------------------------------------- partition probes
     def list_partitions(self, table_name: str) -> list[str]:

@@ -362,6 +362,7 @@ class SqlProcessor:
             verb = {
                 "append": "INSERT INTO",
                 "upsert": "MERGE INTO",
+                "scd2": "MERGE INTO /* SCD2 */",
             }.get(mode, "INSERT OVERWRITE TABLE")
             self.sql_collector.append(f"{verb} {name}\n{sql}")
         else:  # variables/list_variables/log/check: the bare query
@@ -503,6 +504,16 @@ class SqlProcessor:
             else None
         )
         precombine = self.vars_context.get_var("__upsert_precombine__")
+        # SCD2 history-keeping merge: __scd2_ts__ names the effective-ts
+        # column; metadata column names are overridable
+        scd2 = None
+        if save_mode.lower() == "scd2":
+            scd2 = {
+                "ts": self.vars_context.get_var("__scd2_ts__"),
+                "start": self.vars_context.get_var("__scd2_start_col__"),
+                "end": self.vars_context.get_var("__scd2_end_col__"),
+                "current": self.vars_context.get_var("__scd2_current_col__"),
+            }
         self.backend.save_table(
             df,
             table,
@@ -510,4 +521,5 @@ class SqlProcessor:
             create_table,
             merge_keys=merge_keys,
             precombine=str(precombine) if precombine else None,
+            scd2=scd2,
         )

@@ -518,3 +518,169 @@ select 1 as id
 """
     with pytest.raises(Exception, match="requires __merge_keys__"):
         SqlProcessor(spark, etl, logger=lambda m: None).run()
+
+
+def test_output_scd2_full_lifecycle(spark):
+    """SCD2 merge: create -> change (close+insert) -> no-change (idempotent)
+    -> new key; history rows survive, intervals chain correctly."""
+    setup = """-- prepare-sql: drop database if exists scd2s cascade
+-- prepare-sql: create database scd2s
+
+-- target=variables
+select true as __create_output_table__, 'scd2' as __save_mode__,
+       'id' as __merge_keys__, 'ts' as __scd2_ts__
+
+-- target=output.scd2s.dim
+select * from (values (1, 'alice', 'NY', 100), (2, 'bob', 'LA', 100)) as v(id, name, city, ts)
+"""
+    SqlProcessor(spark, setup, logger=lambda m: None).run()
+    t = lambda: {
+        (r.id, r.name, r.city, r["__start_at"], r["__end_at"], r["__is_current"])
+        for r in spark.table("scd2s.dim").collect()
+    }
+    assert t() == {
+        (1, "alice", "NY", 100, None, True),
+        (2, "bob", "LA", 100, None, True),
+    }
+
+    # batch 2: alice moves to SF (change), bob unchanged, carol new
+    batch2 = """-- target=variables
+select 'scd2' as __save_mode__, 'id' as __merge_keys__, 'ts' as __scd2_ts__
+
+-- target=output.scd2s.dim
+select * from (values (1, 'alice', 'SF', 200), (2, 'bob', 'LA', 200), (3, 'carol', 'TX', 200)) as v(id, name, city, ts)
+"""
+    p = SqlProcessor(spark, batch2, logger=lambda m: None)
+    p.run()
+    assert t() == {
+        (1, "alice", "NY", 100, 200, False),  # closed at the change ts
+        (1, "alice", "SF", 200, None, True),
+        (2, "bob", "LA", 100, None, True),  # unchanged: no churn
+        (3, "carol", "TX", 200, None, True),
+    }
+    assert "MERGE INTO /* SCD2 */ scd2s.dim" in p.collected_sql()
+
+    # batch 2 re-run: idempotent (same ts, same attributes -> no-op)
+    SqlProcessor(spark, batch2, logger=lambda m: None).run()
+    assert t() == {
+        (1, "alice", "NY", 100, 200, False),
+        (1, "alice", "SF", 200, None, True),
+        (2, "bob", "LA", 100, None, True),
+        (3, "carol", "TX", 200, None, True),
+    }
+
+    # batch 3: alice changes again -> two history rows chain
+    batch3 = """-- target=variables
+select 'scd2' as __save_mode__, 'id' as __merge_keys__, 'ts' as __scd2_ts__
+
+-- target=output.scd2s.dim
+select * from (values (1, 'alice', 'CHI', 300)) as v(id, name, city, ts)
+"""
+    SqlProcessor(spark, batch3, logger=lambda m: None).run()
+    assert t() == {
+        (1, "alice", "NY", 100, 200, False),
+        (1, "alice", "SF", 200, 300, False),
+        (1, "alice", "CHI", 300, None, True),
+        (2, "bob", "LA", 100, None, True),
+        (3, "carol", "TX", 200, None, True),
+    }
+
+
+def test_output_scd2_intra_batch_collapse_and_nulls(spark):
+    """Duplicate keys inside one batch collapse to the latest by ts;
+    NULL attribute values compare null-safely (no phantom changes)."""
+    setup = """-- prepare-sql: drop database if exists scd2b cascade
+-- prepare-sql: create database scd2b
+
+-- target=variables
+select true as __create_output_table__, 'scd2' as __save_mode__,
+       'id' as __merge_keys__, 'ts' as __scd2_ts__
+
+-- target=output.scd2b.dim
+select * from (values (1, cast(null as string), 10), (1, 'v2', 20)) as v(id, val, ts)
+"""
+    SqlProcessor(spark, setup, logger=lambda m: None).run()
+    rows = {
+        (r.id, r.val, r["__start_at"], r["__is_current"])
+        for r in spark.table("scd2b.dim").collect()
+    }
+    assert rows == {(1, "v2", 20, True)}  # collapsed to latest, once
+
+    # null attribute stays null -> re-run is a no-op (null-safe compare)
+    nullb = """-- target=variables
+select 'scd2' as __save_mode__, 'id' as __merge_keys__, 'ts' as __scd2_ts__
+
+-- target=output.scd2b.dim
+select * from (values (2, cast(null as string), 30)) as v(id, val, ts)
+"""
+    SqlProcessor(spark, nullb, logger=lambda m: None).run()
+    SqlProcessor(spark, nullb, logger=lambda m: None).run()
+    rows = {
+        (r.id, r.val, r["__start_at"], r["__is_current"])
+        for r in spark.table("scd2b.dim").collect()
+    }
+    assert rows == {(1, "v2", 20, True), (2, None, 30, True)}
+
+
+def test_output_scd2_partitioned_untouched_partitions_survive(spark):
+    """Copy-on-write scoping: partitions with no incoming or matched keys
+    keep their exact files."""
+    setup = """-- prepare-sql: drop database if exists scd2p cascade
+-- prepare-sql: create database scd2p
+
+-- target=variables
+select true as __create_output_table__, '' as __partition__region,
+       'scd2' as __save_mode__, 'id' as __merge_keys__, 'ts' as __scd2_ts__
+
+-- target=output.scd2p.dim
+select * from (values
+    (1, 'a', 10, 'east'), (2, 'b', 10, 'west'), (9, 'z', 10, 'south')
+) as v(id, val, ts, region)
+"""
+    SqlProcessor(spark, setup, logger=lambda m: None).run()
+    before = sorted(
+        f for f in spark.table("scd2p.dim").inputFiles() if "region=south" in f
+    )
+    merge = """-- target=variables
+select 'scd2' as __save_mode__, 'id' as __merge_keys__, 'ts' as __scd2_ts__
+
+-- target=output.scd2p.dim
+select * from (values (1, 'A', 20, 'east')) as v(id, val, ts, region)
+"""
+    SqlProcessor(spark, merge, logger=lambda m: None).run()
+    rows = {
+        (r.id, r.val, r.region, r["__start_at"], r["__end_at"], r["__is_current"])
+        for r in spark.table("scd2p.dim").collect()
+    }
+    assert rows == {
+        (1, "a", "east", 10, 20, False),
+        (1, "A", "east", 20, None, True),
+        (2, "b", "west", 10, None, True),
+        (9, "z", "south", 10, None, True),
+    }
+    after = sorted(
+        f for f in spark.table("scd2p.dim").inputFiles() if "region=south" in f
+    )
+    assert after == before
+
+
+def test_output_scd2_requires_ts_and_keys(spark):
+    base = """-- prepare-sql: drop database if exists scd2e cascade
+-- prepare-sql: create database scd2e
+
+-- target=variables
+select true as __create_output_table__, 'scd2' as __save_mode__{vars}
+
+-- target=output.scd2e.t
+select 1 as id, 'x' as val, 5 as ts
+"""
+    with pytest.raises(Exception, match="requires __merge_keys__"):
+        SqlProcessor(
+            spark, base.format(vars=""), logger=lambda m: None
+        ).run()
+    with pytest.raises(Exception, match="requires __scd2_ts__"):
+        SqlProcessor(
+            spark,
+            base.format(vars=", 'id' as __merge_keys__"),
+            logger=lambda m: None,
+        ).run()

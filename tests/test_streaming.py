@@ -491,3 +491,76 @@ select id, kind, amount from raw_stream_u
     assert all(k == "u" for i, k in rows.items() if i >= 50)
     assert all(k in ("a", "b") for i, k in rows.items() if i < 50)
     spark.sql("drop database if exists sdbup cascade")
+
+
+def test_foreach_batch_streaming_scd2(spark, stream_dirs):
+    """Streaming SCD2: each micro-batch applies as a history-keeping merge
+    (close changed versions, insert new ones) — the CDC-apply-with-history
+    shape, riding the same foreach_batch + checkpoint machinery as the
+    streaming upsert."""
+    import time
+
+    spark.sql("drop database if exists sdbs2 cascade")
+    spark.sql("create database sdbs2")
+    etl = """-- target=variables
+select true as __create_output_table__, 'scd2' as __save_mode__,
+       'id' as __merge_keys__, 'ts' as __scd2_ts__
+
+-- target=output.sdbs2.dim
+select id, kind, cast(amount as bigint) as ts from fbs2_batch
+"""
+
+    def run_once():
+        config = {
+            "sources": [
+                {
+                    "name": "raw_stream_s2",
+                    "format": "json",
+                    "schema": "id long, kind string, amount double",
+                    "path": stream_dirs["src"],
+                }
+            ],
+            "sinks": [
+                {
+                    "name": "sdb.fbs2",
+                    "format": "foreach_batch",
+                    "trigger": "availableNow",
+                    "checkpoint": stream_dirs["ck"] + "_fbs2",
+                    "options": {"etl_sql": etl, "view": "fbs2_batch"},
+                }
+            ],
+        }
+        sql = """-- backend: spark
+-- config: easy_sql.etl_type=streaming
+
+-- target=output.sdb.fbs2
+select id, kind, amount from raw_stream_s2
+
+-- target=func.execute_streaming_inserts()
+"""
+        p = SqlProcessor(spark, sql, streaming_config=config, logger=lambda m: None)
+        p.run()
+        for q in p.streaming_queries:
+            q.awaitTermination(60)
+            q.stop()
+        p.backend.clean_temp_views()
+
+    run_once()
+    spark.catalog.refreshTable("sdbs2.dim")
+    assert spark.table("sdbs2.dim").count() == 100  # all current, no history
+
+    # CDC batch: ids 0..9 flip kind at ts=1000 -> close + insert
+    time.sleep(1.1)
+    with open(stream_dirs["src"] + "/batch2.json", "w") as f:
+        for i in range(10):
+            f.write(json.dumps({"id": i, "kind": "FLIP", "amount": 1000.0}) + "\n")
+    run_once()
+    spark.catalog.refreshTable("sdbs2.dim")
+    t = spark.table("sdbs2.dim")
+    assert t.count() == 110  # 100 original + 10 new versions
+    closed = {
+        r.id for r in t.where("__is_current = false").collect()
+    }
+    assert closed == set(range(10))
+    cur_flip = t.where("__is_current and kind = 'FLIP'")
+    assert cur_flip.count() == 10
