@@ -179,6 +179,20 @@ def build(processor):
         )
         inner.run()
 
+    def compact_table(table: str, target_mb: str = "128", min_files: str = "4"):
+        """Maintenance: rewrite fragmented partitions into ~target_mb files
+        (see backend.compact_table) — `func.compact_table(db.t)` after
+        append-heavy or streaming loads."""
+        report = processor.backend.compact_table(
+            table, target_mb=int(target_mb), min_files=int(min_files)
+        )
+        processor.log(
+            f"compact_table({table}): {report['partitions_compacted']} "
+            f"partitions, {report['files_before']} -> "
+            f"{report['files_after']} files"
+        )
+        return report
+
     return {
         k: v
         for k, v in locals().items()

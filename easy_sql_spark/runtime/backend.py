@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import uuid
 from dataclasses import dataclass, field
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -618,6 +619,121 @@ class SparkBackend:
             .unionByName(inserts)
             .localCheckpoint(eager=True)
         )
+
+    # ------------------------------------------------------------ compaction
+    def table_file_stats(self, table_name: str) -> dict[str, dict]:
+        """File count + bytes per partition spec ('' for unpartitioned),
+        from scan metadata + driver-side FS stats — no job runs."""
+        df = self.spark.table(table_name)
+        sc = self.spark.sparkContext
+        jvm = sc._jvm
+        hconf = sc._jsc.hadoopConfiguration()
+        stats: dict[str, dict] = {}
+        for f in df.inputFiles():
+            spec = "/".join(seg for seg in f.split("/")[:-1] if "=" in seg)
+            path = jvm.org.apache.hadoop.fs.Path(f)
+            size = path.getFileSystem(hconf).getFileStatus(path).getLen()
+            s = stats.setdefault(spec, {"files": 0, "bytes": 0})
+            s["files"] += 1
+            s["bytes"] += size
+
+        return stats
+
+    def compact_table(
+        self,
+        table_name: str,
+        target_mb: int = 128,
+        min_files: int = 4,
+    ) -> dict:
+        """Rewrite fragmented partitions of a parquet warehouse table into
+        ~``target_mb`` files — the maintenance op every streaming/append
+        sink needs at scale (micro-batches and per-task writers fragment
+        partitions; scans then pay per-file open cost and lose locality).
+
+        Spark-first plan: only partitions holding ≥ ``min_files`` files
+        are READ BACK (broadcast semi-join on their partition values —
+        healthy partitions are never read or rewritten, verifiable via
+        ``inputFiles``), and the rewrite rides the same AQE-rebalanced
+        dynamic-partition INSERT OVERWRITE as every output step, with the
+        AQE advisory partition size pinned to ``target_mb`` for the write
+        so coalescing targets the requested file size.  Unpartitioned
+        tables rewrite wholesale into ``ceil(bytes/target)`` files.
+
+        Returns ``{"partitions_compacted": n, "files_before": a,
+        "files_after": b}``.  Reference has no compaction op (Hudi's
+        compactor fills the role there) — scale-mandated extension.
+        """
+        spark = self.spark
+        part_cols = [
+            c.name
+            for c in spark.catalog.listColumns(table_name)
+            if c.isPartition
+        ]
+        stats = self.table_file_stats(table_name)
+        target_bytes = target_mb * (1 << 20)
+        df = spark.table(table_name)
+
+        if not part_cols:
+            total = stats.get("", {"files": 0, "bytes": 0})
+            if total["files"] < min_files:
+                return {
+                    "partitions_compacted": 0,
+                    "files_before": total["files"],
+                    "files_after": total["files"],
+                }
+            n_out = max(1, -(-total["bytes"] // target_bytes))
+            compacted = df.repartition(n_out).localCheckpoint(eager=True)
+            compacted.write.insertInto(table_name, overwrite=True)
+            spark.sql(f"REFRESH TABLE {table_name}")
+            return {
+                "partitions_compacted": 1,
+                "files_before": total["files"],
+                "files_after": len(spark.table(table_name).inputFiles()),
+            }
+
+        fragmented = {
+            spec: s for spec, s in stats.items() if s["files"] >= min_files
+        }
+        if not fragmented:
+            return {
+                "partitions_compacted": 0,
+                "files_before": sum(s["files"] for s in stats.values()),
+                "files_after": sum(s["files"] for s in stats.values()),
+            }
+        # decode partition values from the path specs into a broadcast frame
+        rows = []
+        for spec in fragmented:
+            vals = {}
+            for seg in spec.split("/"):
+                k, _, v = seg.partition("=")
+                vals[k] = unquote(v)
+            rows.append(tuple(vals.get(c) for c in part_cols))
+        sel = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in part_cols))
+        cond = [df[c].cast("string") == sel[c] for c in part_cols]
+        scoped = (
+            df.alias("t")
+            .join(F.broadcast(sel), cond, "left_semi")
+            .localCheckpoint(eager=True)  # target is read and overwritten
+        )
+        advisory = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        prev = spark.conf.get(advisory, None)
+        try:
+            spark.conf.set(advisory, str(target_bytes))
+            scoped.hint("rebalance", *part_cols).write.insertInto(
+                table_name, overwrite=True
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset(advisory)
+            else:
+                spark.conf.set(advisory, prev)
+        spark.sql(f"REFRESH TABLE {table_name}")
+        after = self.table_file_stats(table_name)
+        return {
+            "partitions_compacted": len(fragmented),
+            "files_before": sum(s["files"] for s in stats.values()),
+            "files_after": sum(s["files"] for s in after.values()),
+        }
 
     # ----------------------------------------------------- partition probes
     def list_partitions(self, table_name: str) -> list[str]:
