@@ -209,12 +209,46 @@ def write_benches(spark, sf_dir):
             merge_keys=["c_custkey"], scd2=scd2_opts,
         )
 
+    # z-order clustering (r4): write lineitem clustered on
+    # (l_partkey, l_suppkey), then the read-side payoff — a 2-dim
+    # selective scan prunes row groups via parquet stats in BOTH
+    # dimensions, where a 1-D layout prunes only its sort column
+    from easy_sql_spark.operators.zorder import write_zordered
+
+    wh2 = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    zpath = os.path.join(wh2, "bench_zorder")
+    li_z = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+
+    def write_zorder():
+        write_zordered(li_z, zpath, ["l_partkey", "l_suppkey"], n_files=32)
+
+    write_zorder()  # untimed seed so the scan bench always has data
+    pk_max = li_z.agg(F.max("l_partkey")).first()[0]
+    sk_max = li_z.agg(F.max("l_suppkey")).first()[0]
+
+    def zorder_scan_2dim():
+        (
+            spark.read.parquet(zpath)
+            .where(
+                (F.col("l_partkey") < pk_max * 0.05)
+                & (F.col("l_suppkey") < sk_max * 0.05)
+            )
+            .agg(F.sum("l_extendedprice"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
     return {
         "write_partitioned_overwrite": write_partitioned_overwrite,
         "write_bucketed_ctas": write_bucketed_ctas,
         "bucketed_join_zero_shuffle": bucketed_join_zero_shuffle,
         "write_upsert_merge": write_upsert_merge,
         "write_scd2_merge": write_scd2_merge,
+        "write_zorder": write_zorder,
+        "zorder_scan_2dim": zorder_scan_2dim,
     }
 
 

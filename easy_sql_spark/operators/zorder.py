@@ -1,0 +1,113 @@
+"""Z-order (Morton-curve) multi-dimensional clustering for data skipping.
+
+A table sorted on one column gives tight parquet min/max stats — and
+therefore row-group/file skipping — on that column only; a predicate on
+any other column scans everything.  Interleaving the bits of several
+columns' rank-buckets produces a layout whose row groups are tight in
+EVERY interleaved dimension at once, so selective scans on any of them
+(or any combination) skip most of the data.  This is the OPTIMIZE
+ZORDER BY lever from lakehouse engines, re-expressed with plain Spark
+primitives; the reference has no layout op (scale-mandated extension).
+
+Pipeline (all JVM-side after one driver-side quantile probe):
+
+1. ``approxQuantile`` per column → ``2**bits`` rank-bucket boundaries
+   (a sampled scan, the same probe Delta's OPTIMIZE runs; boundaries are
+   baked into the plan as literals).
+2. Per row: bucket index per column via a literal-array rank fold, then
+   bit-interleave the indices into one Morton value — narrow projection,
+   no shuffle, no Python.
+3. ``repartitionByRange`` on the Morton value (one range shuffle — the
+   sort-for-layout every clustering write pays) + ``sortWithinPartitions``
+   so every output file covers a compact Morton range.
+
+Skipping is engine-native from there: parquet stats per row group are
+tight in every z-ordered dimension, so any reader (Spark, DuckDB,
+Trino) prunes without knowing the layout exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _bucket_tree(x: F.Column, boundaries: list[float], offset: int) -> F.Column:
+    """Balanced CASE-WHEN binary search over sorted boundary literals —
+    log2(n) comparisons per row inside whole-stage codegen, where the
+    array-filter formulation (a higher-order function) runs interpreted
+    and was measured ~10× slower on the sf0.1 write bench."""
+    if not boundaries:
+        return F.lit(offset)
+    mid = len(boundaries) // 2
+    return F.when(
+        x < F.lit(float(boundaries[mid])),
+        _bucket_tree(x, boundaries[:mid], offset),
+    ).otherwise(_bucket_tree(x, boundaries[mid + 1 :], offset + mid + 1))
+
+
+def _bucket_expr(col: str, boundaries: list[float]) -> F.Column:
+    """Rank-bucket index of ``col`` against sorted boundary literals:
+    count of boundaries <= value (NULLs sink to bucket 0)."""
+    x = F.col(col).cast("double")
+    return F.when(x.isNull(), F.lit(0)).otherwise(
+        _bucket_tree(x, sorted(boundaries), 0)
+    )
+
+
+def zorder_value(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
+    """Add a ``__zvalue`` column interleaving ``bits`` rank-bits per column.
+
+    The quantile probe runs once on the driver (approximate, sampled);
+    everything else is a narrow JVM projection.  2**bits buckets per
+    dimension bounds boundary-array size (256 literals at the default) —
+    finer granularity buys nothing once buckets are smaller than a row
+    group."""
+    if not cols:
+        raise ValueError("zorder needs at least one column")
+    if bits * len(cols) > 62:
+        raise ValueError("bits * len(cols) must fit in a long")
+    n_buckets = 1 << bits
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    # one sketch pass for ALL columns; 1% rank error is irrelevant for a
+    # layout (boundaries only need to be roughly equal-mass)
+    all_bounds = df.approxQuantile(list(cols), qs, 0.01)
+    out = df
+    bucket_cols = []
+    for c, boundaries in zip(cols, all_bounds):
+        bname = f"__zb_{c}"
+        out = out.withColumn(bname, _bucket_expr(c, boundaries))
+        bucket_cols.append(bname)
+    # bit-interleave: output bit (i*len(cols)+j) = bit i of column j
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, bname in enumerate(bucket_cols):
+            bit = F.shiftright(F.col(bname), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(
+                F.shiftleft(bit.cast("long"), i * len(cols) + j)
+            )
+    return out.withColumn("__zvalue", z).drop(*bucket_cols)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 16,
+    bits: int = 8,
+) -> None:
+    """Write ``df`` as z-order-clustered parquet: one range shuffle on the
+    Morton value, sorted within partitions, ``__zvalue`` dropped from the
+    stored schema (the layout IS the artifact — readers need no extra
+    column)."""
+    # materialize the z-value once: repartitionByRange SAMPLES its child to
+    # pick range bounds, which would re-run the bucket+interleave projection
+    # a second time over the sampled partitions (measured ~2× on the write
+    # bench without the checkpoint)
+    zdf = zorder_value(df, cols, bits).localCheckpoint(eager=True)
+    (
+        zdf.repartitionByRange(n_files, "__zvalue")
+        .sortWithinPartitions("__zvalue")
+        .drop("__zvalue")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

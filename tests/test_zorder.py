@@ -1,0 +1,110 @@
+"""Z-order clustering (operators/zorder.py): layout quality is measured
+directly from the written parquet footers — per-row-group min/max
+bounding boxes must be tight in BOTH interleaved dimensions, which is the
+property every stats-based reader skips on.  A linear sort on one column
+is the baseline: tight in that column, full-range in the other.
+"""
+
+import glob
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from easy_sql_spark.operators.zorder import write_zordered, zorder_value
+
+
+def _rowgroup_boxes(path_glob, col_x, col_y):
+    """Normalized (x_span * y_span) bounding-box area per row group."""
+    spans = []
+    for f in sorted(glob.glob(path_glob)):
+        pf = pq.ParquetFile(f)
+        names = pf.schema_arrow.names
+        ix, iy = names.index(col_x), names.index(col_y)
+        for g in range(pf.metadata.num_row_groups):
+            rg = pf.metadata.row_group(g)
+            sx = rg.column(ix).statistics
+            sy = rg.column(iy).statistics
+            spans.append(
+                (sx.max - sx.min, sy.max - sy.min)
+            )
+    return spans
+
+
+def test_zorder_boxes_tight_in_both_dims(spark, tmp_path):
+    """Metric: per-dimension span of each row group's min/max box = the
+    expected fraction of row groups a point predicate on that dimension
+    must read (what stats-based skipping actually prunes on).  Any
+    layout's boxes tile the space, so average AREA is invariant — the
+    difference is balance: a linear sort on x is tight in x but
+    full-range in y (a y predicate reads everything); z-order is
+    ~1/sqrt(F) in BOTH dimensions."""
+    n = 40_000
+    df = (
+        spark.range(n)
+        .selectExpr(
+            "cast(id % 200 as double) as x",
+            "cast(cast(id / 200 as int) as double) as y",
+            "id as payload",
+        )
+        .repartition(8)
+    )
+    zpath = str(tmp_path / "zorder")
+    lpath = str(tmp_path / "linear")
+    write_zordered(df, zpath, ["x", "y"], n_files=64)
+    df.repartitionByRange(64, "x").sortWithinPartitions("x").write.parquet(lpath)
+
+    zb = _rowgroup_boxes(zpath + "/*.parquet", "x", "y")
+    lb = _rowgroup_boxes(lpath + "/*.parquet", "x", "y")
+    z_fx = np.mean([sx for sx, _ in zb]) / 200.0
+    z_fy = np.mean([sy for _, sy in zb]) / 200.0
+    l_fx = np.mean([sx for sx, _ in lb]) / 200.0
+    l_fy = np.mean([sy for _, sy in lb]) / 200.0
+    # linear: near-perfect on x, useless on y
+    assert l_fx < 0.1 and l_fy > 0.9, (l_fx, l_fy)
+    # z-order: BOTH dimensions prune well (~1/8 at 64 boxes)
+    assert z_fx < 0.3 and z_fy < 0.3, (z_fx, z_fy)
+    # and the worst dimension is far better than linear's worst
+    assert max(z_fx, z_fy) < max(l_fx, l_fy) / 3
+
+    # content identical to the source
+    back = spark.read.parquet(zpath)
+    assert back.count() == n
+    assert back.agg({"payload": "sum"}).first()[0] == sum(range(n))
+
+
+def test_zorder_value_properties(spark):
+    df = spark.range(1000).selectExpr(
+        "cast(id as double) as a", "cast(999 - id as double) as b"
+    )
+    z = zorder_value(df, ["a", "b"], bits=4)
+    rows = z.collect()
+    assert all(r["__zvalue"] >= 0 for r in rows)
+    # 4 bits x 2 cols -> values fit in 8 bits
+    assert all(r["__zvalue"] < 256 for r in rows)
+    # locality: nearby (a, b) points get nearby z-values on average
+    # (coarse check: correlation of |dz| with |da|+|db| over a sample)
+    import random
+
+    random.seed(7)
+    sample = random.sample(rows, 60)
+    close, far = [], []
+    for i in range(0, len(sample) - 1, 2):
+        r1, r2 = sample[i], sample[i + 1]
+        d_ab = abs(r1["a"] - r2["a"]) + abs(r1["b"] - r2["b"])
+        dz = abs(r1["__zvalue"] - r2["__zvalue"])
+        (close if d_ab < 250 else far).append(dz)
+    if close and far:
+        assert np.mean(close) <= np.mean(far) * 1.5
+
+
+def test_zorder_null_and_errors(spark):
+    df = spark.createDataFrame(
+        [(1.0, None), (None, 2.0), (3.0, 4.0)], "a double, b double"
+    )
+    z = zorder_value(df, ["a", "b"], bits=3)
+    assert z.count() == 3  # NULLs bucket to 0, never drop rows
+    with pytest.raises(ValueError, match="at least one column"):
+        zorder_value(df, [])
+    with pytest.raises(ValueError, match="fit in a long"):
+        zorder_value(df, ["a", "b"], bits=32)
