@@ -8,6 +8,7 @@ connector YAML, test/sample_etl.flink_tables_file.yml)::
         format: rate            # rate | parquet | json | csv | kafka | socket
         options: {rowsPerSecond: "50"}
         schema: "a int, b string"      # required for file formats
+        event_time: {name: ts, from: epoch_s}   # derive a timestamp col
         watermark: {column: ts, delay: "10 seconds"}   # optional extension
     sinks:
       - name: out1
@@ -81,6 +82,17 @@ class StreamingTables:
         if "path" in src:
             reader = reader.option("path", src["path"])
         df = reader.load()
+        et = src.get("event_time")
+        if et:
+            # derive the event-time column BEFORE the watermark applies —
+            # sources often carry epoch seconds/millis, and a watermark
+            # must name an existing timestamp column
+            from pyspark.sql import functions as F
+
+            source_col = et.get("from", et["name"])
+            df = df.withColumn(
+                et["name"], F.col(source_col).cast("timestamp")
+            )
         wm = src.get("watermark")
         if wm:
             df = df.withWatermark(wm["column"], wm["delay"])
