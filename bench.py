@@ -62,6 +62,9 @@ FAMILIES: dict[str, list[str]] = {
         "contamination_ngram",
         "events_sessionize_batch",
         "emb_label_outliers",
+        "text_lm_perplexity",
+        "text_html_boilerplate",
+        "global_row_number_order",
     ],
 }
 HEADLINE = [q for fam in FAMILIES.values() for q in fam]

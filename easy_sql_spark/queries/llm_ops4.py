@@ -1,5 +1,7 @@
-"""Round-4 additions: the keyed upsert/MERGE save mode exercised
-end-to-end under an oracle.
+"""Round-4 additions: merge save modes exercised end-to-end under
+oracles (upsert SCD1, scd2 history), BPE tokenizer training, global
+ordered row numbering without the single-task window, char-bigram LM
+perplexity scoring, and HTML boilerplate removal.
 
 Separate module (imported after llm_ops3) so pre-existing ``queries()``
 positions stay stable for the driver gate.
@@ -187,3 +189,173 @@ def text_bpe_merges(spark, sf_dir):
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_weight long"
     ).orderBy("rank")
+
+
+@query(
+    "global_row_number_order",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1
+                AS BIGINT) AS row_id
+    FROM documents ORDER BY doc_id
+    """,
+)
+def global_row_number_order(spark, sf_dir):
+    """Contiguous global ordered ids WITHOUT the single-task global-window
+    trap (operators/order.py): range-partitioned sort + per-partition
+    offsets + monotonic-id arithmetic — every stage narrow or
+    |partitions|-sized after the one ordering shuffle.  The oracle is the
+    formulation you must NOT run at scale (row_number over a global
+    ORDER BY) — both produce identical numbering because the order key
+    (n_chars desc, doc_id) is unique."""
+    from ..operators.order import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    numbered = global_row_number(
+        docs, [F.col("n_chars").desc(), F.col("doc_id")], id_col="row_id"
+    )
+    return numbered.select("doc_id", "row_id").orderBy("doc_id")
+
+
+@query(
+    "text_lm_perplexity",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               regexp_replace(lower(text), '[^a-z ]', '', 'g') AS cs
+        FROM documents WHERE doc_id <= 300),
+    bg AS (
+        SELECT doc_id, substr(cs, CAST(i AS INT), 2) AS b
+        FROM s, UNNEST(range(1, length(cs))) AS t(i)),
+    model AS (SELECT b, COUNT(*) AS cbg FROM bg GROUP BY b),
+    uni AS (SELECT substr(b, 1, 1) AS c, SUM(cbg) AS cuni
+            FROM model GROUP BY substr(b, 1, 1)),
+    scored AS (
+        SELECT bg.doc_id, ln(CAST(m.cbg AS DOUBLE) / u.cuni) AS lp
+        FROM bg JOIN model m ON bg.b = m.b
+        JOIN uni u ON substr(bg.b, 1, 1) = u.c)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(lp) / COUNT(*), 6) AS avg_logp,
+           ROUND(exp(-SUM(lp) / COUNT(*)), 4) AS perplexity
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_lm_perplexity(spark, sf_dir):
+    """Character-bigram language-model scoring — the perplexity-filter
+    primitive of LLM data pipelines (docs whose perplexity under a
+    corpus-trained LM is extreme are boilerplate or garbage).  Model =
+    bigram/unigram count ratios trained on the same scoped corpus
+    (self-trained ⇒ no zero probabilities, fully deterministic, exact
+    DuckDB oracle modulo a 1e-6 rounding of the log sum).
+
+    Scale: bigram explode is narrow; the model is a ≤|alphabet|² row
+    aggregate that BROADCASTS back to the corpus (the corpus never
+    shuffles for scoring); the per-doc groupBy is uniform.  Swapping the
+    self-trained model for a fixed reference LM removes the training agg
+    and keeps the same broadcast-score shape."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 300)
+        .select(
+            "doc_id",
+            F.regexp_replace(F.lower("text"), "[^a-z ]", "").alias("cs"),
+        )
+    )
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(cs) - 1), i -> substr(cs, i, 2))")
+        ).alias("b"),
+    )
+    model = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cbg"))
+    uni = model.groupBy(F.substring("b", 1, 1).alias("c")).agg(
+        F.sum("cbg").alias("cuni")
+    )
+    scored = (
+        bg.join(F.broadcast(model), "b")
+        .join(
+            F.broadcast(uni),
+            F.substring(F.col("b"), 1, 1) == F.col("c"),
+        )
+        .select(
+            "doc_id",
+            F.log(F.col("cbg").cast("double") / F.col("cuni")).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum("lp") / F.count(F.lit(1)), 6).alias("avg_logp"),
+            F.round(F.exp(-F.sum("lp") / F.count(F.lit(1))), 4).alias(
+                "perplexity"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_html_boilerplate",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               '<html><head><title>Doc ' || doc_id || '</title></head>'
+               || '<body><div class="nav">HOME | ABOUT | MENU</div><p>'
+               || text || '</p><div class="footer">(c) site 2026</div>'
+               || '</body></html>' AS html
+        FROM documents WHERE doc_id <= 300),
+    c AS (
+        SELECT doc_id,
+               regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+               trim(regexp_replace(regexp_replace(regexp_replace(html,
+                   '<div class="(nav|footer)">.*?</div>', '', 'g'),
+                   '<[^>]*>', ' ', 'g'),
+                   '\\s+', ' ', 'g')) AS clean
+        FROM h)
+    SELECT doc_id, title,
+           CAST(length(clean) AS BIGINT) AS clean_chars,
+           md5(clean) AS clean_hash
+    FROM c ORDER BY doc_id
+    """,
+)
+def text_html_boilerplate(spark, sf_dir):
+    """HTML boilerplate removal — the web-corpus cleaning primitive
+    (trafilatura-lite): title extraction, nav/footer chrome removal by
+    structural pattern, tag stripping, whitespace normalization.  The
+    HTML is synthesized deterministically from the documents fixture
+    (same discipline as the multimodal payloads), so the DuckDB oracle
+    reproduces the cleaned text bit-for-bit (md5-compared).  Patterns
+    stay in the Java/RE2-common regex subset (no lookaround) — the same
+    portability rule text_pii_redact documents.
+
+    Scale: one narrow per-row regex chain, no shuffle until the final
+    ORDER BY of the (scoped) result — embarrassingly parallel."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") <= 300)
+    html = F.concat(
+        F.lit('<html><head><title>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('</title></head><body><div class="nav">HOME | ABOUT | MENU</div><p>'),
+        F.col("text"),
+        F.lit('</p><div class="footer">(c) site 2026</div></body></html>'),
+    )
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    html, '<div class="(nav|footer)">.*?</div>', ""
+                ),
+                "<[^>]*>",
+                " ",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_extract(html, "<title>([^<]*)</title>", 1).alias("title"),
+        F.length(clean).cast("bigint").alias("clean_chars"),
+        F.md5(clean).alias("clean_hash"),
+    ).orderBy("doc_id")

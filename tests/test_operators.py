@@ -222,3 +222,38 @@ def test_star_components_long_chain_and_random_graph(spark):
         for r in label_propagation_components(sym, max_rounds=3).collect()
     }
     assert got3 == {i: 0 for i in range(301)}
+
+
+def test_global_row_number_matches_window_and_avoids_global_exchange(spark):
+    """operators/order.py: identical numbering to the single-task window
+    formulation, with NO single-partition exchange and NO window in the
+    plan — the property that makes it usable at 100 TB."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from easy_sql_spark.operators.order import global_row_number
+
+    df = spark.range(10_000).selectExpr(
+        "id", "cast(id % 97 as int) as k", "md5(cast(id as string)) as h"
+    )
+    numbered = global_row_number(df, [F.col("h"), F.col("id")], id_col="rid")
+    w = Window.orderBy("h", "id")
+    want = df.withColumn("rid", F.row_number().over(w) - 1)
+    got_rows = {(r.id, r.rid) for r in numbered.select("id", "rid").collect()}
+    want_rows = {(r.id, r.rid) for r in want.select("id", "rid").collect()}
+    assert got_rows == want_rows
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        numbered.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+
+    # ids are a contiguous 0..n-1 sequence
+    assert sorted(r.rid for r in numbered.select("rid").collect()) == list(
+        range(10_000)
+    )
