@@ -54,6 +54,7 @@ FAMILIES: dict[str, list[str]] = {
         "mm_wav_roundtrip_stats",
         "mm_gif_frames_stats",
         "mm_jpeg_roundtrip_stats",
+        "mm_mp4_demux_stats",
     ],
     "pipeline": [
         "text_pii_redact",

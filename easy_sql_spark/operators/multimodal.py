@@ -216,19 +216,51 @@ FRAME_SCHEMA = T.StructType(
 
 
 def frame_sample_real(df: DataFrame, every_n: int) -> DataFrame:
-    """REAL frame sampling for animated GIF payloads: parse the container
-    (numpy LZW, operators/codecs.py), keep every ``every_n``-th frame, and
-    emit per-frame dimensions + a 16-bin histogram over decoded pixels —
-    one row per sampled frame, the explode shape video pipelines use.
-    Non-GIF video still raises (ffmpeg absent)."""
+    """REAL frame sampling for animated-GIF and MP4 payloads.
+
+    GIF: full container parse + LZW pixel decode (operators/codecs.py) —
+    per-frame dimensions and a 16-bin histogram over DECODED pixels.
+    MP4: full ISO-BMFF demux (operators/mp4.py) — exact per-sample byte
+    ranges out of mdat; dimensions come from the track header and the
+    histogram is over the sample's codec bitstream BYTES (decoding the
+    bitstream itself honestly needs ffmpeg).  One row per sampled frame,
+    the explode shape video pipelines use; other containers raise."""
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .codecs import decode_gif_frames
+        from .mp4 import extract_samples, parse_mp4
 
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                frames = decode_gif_frames(bytes(payload))
+                payload = bytes(payload)
+                if payload[4:8] == b"ftyp":
+                    info = parse_mp4(payload)
+                    vids = [
+                        t for t in info["tracks"] if t.get("type") == "video"
+                    ]
+                    if not vids:
+                        raise NotImplementedError(
+                            "MP4 payload has no video track"
+                        )
+                    t = vids[0]
+                    n = t["n_samples"]
+                    for i, sample in zip(
+                        range(0, n, every_n),
+                        extract_samples(payload, t, every_n),
+                    ):
+                        rows.append(
+                            (
+                                int(mid),
+                                i,
+                                n,
+                                t.get("width", 0),
+                                t.get("height", 0),
+                                _hist16(sample),
+                            )
+                        )
+                    continue
+                frames = decode_gif_frames(payload)
                 for i in range(0, len(frames), every_n):
                     f = frames[i]
                     rows.append(

@@ -219,3 +219,85 @@ def mm_frame_sample(spark, sf_dir):
         )
         .orderBy("frame_idx")
     )
+
+
+# MP4 demux grid: VID_FRAMES fixed-size samples per document, each a
+# '?'-padded text chunk — the real ISO-BMFF mux/demux runs end-to-end and
+# the oracle recomputes every sampled frame's byte sum from the text.
+VID_FRAMES, VID_CHUNK = 6, 40
+
+
+@query(
+    "mm_mp4_demux_stats",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id, k,
+               rpad(substr(text, k * {VID_CHUNK} + 1, {VID_CHUNK}),
+                    {VID_CHUNK}, '?') AS chunk
+        FROM documents, UNNEST(range(0, {VID_FRAMES})) AS t(k)
+        WHERE doc_id <= 150 AND CAST(k AS INT) % 2 = 0)
+    SELECT doc_id AS media_id, CAST(k AS INT) AS frame_idx,
+           {VID_FRAMES} AS n_frames,
+           {VID_CHUNK} AS sample_bytes,
+           CAST(list_sum(list_transform(range(1, {VID_CHUNK} + 1),
+               i -> ascii(substr(chunk, i, 1)))) AS BIGINT) AS byte_sum
+    FROM f ORDER BY media_id, frame_idx
+    """,
+)
+def mm_mp4_demux_stats(spark, sf_dir):
+    """REAL-container MP4 query: per document, VID_FRAMES opaque samples
+    (text chunks) are muxed into a chunked ISO-BMFF file
+    (operators/mp4.py), then every-2nd sample comes back through the real
+    demux path — stsc/stco/stsz resolution to exact byte ranges — and
+    reports its size and byte sum.  A box-walk or sample-table bug on
+    either side breaks the oracle match.  Codec decode of real video
+    bitstreams stays honestly out of scope (ffmpeg absent); the container
+    layer, the part a sampling pipeline shuffles and seeks on, is real.
+    Same narrow mapInPandas shape as the GIF/WAV/JPEG paths."""
+    import pandas as pd
+
+    from ..operators.mp4 import encode_mp4, extract_samples, parse_mp4
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 150)
+        .select("doc_id", "text")
+    )
+
+    def _roundtrip(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                samples = [
+                    text[k * VID_CHUNK : (k + 1) * VID_CHUNK]
+                    .ljust(VID_CHUNK, "?")
+                    .encode("ascii", "replace")
+                    for k in range(VID_FRAMES)
+                ]
+                payload = encode_mp4(samples, 160, 120, samples_per_chunk=2)
+                (track,) = parse_mp4(payload)["tracks"]
+                got = extract_samples(payload, track, every_n=2)
+                for k, sample in zip(range(0, VID_FRAMES, 2), got):
+                    rows.append(
+                        (int(doc_id), k, VID_FRAMES, len(sample), sum(sample))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "frame_idx",
+                    "n_frames",
+                    "sample_bytes",
+                    "byte_sum",
+                ],
+            )
+
+    return (
+        spread(docs)
+        .mapInPandas(
+            _roundtrip,
+            "media_id long, frame_idx int, n_frames int, sample_bytes int, "
+            "byte_sum long",
+        )
+        .orderBy("media_id", "frame_idx")
+    )
