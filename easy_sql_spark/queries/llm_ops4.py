@@ -359,3 +359,47 @@ def text_html_boilerplate(spark, sf_dir):
         F.length(clean).cast("bigint").alias("clean_chars"),
         F.md5(clean).alias("clean_hash"),
     ).orderBy("doc_id")
+
+
+@query(
+    "text_stratified_sample",
+    oracle="""
+    WITH rates(source, pct) AS (VALUES ('src0', 10), ('src1', 50),
+                                       ('src2', 100), ('src3', 25),
+                                       ('src4', 25)),
+    h AS (
+        SELECT d.source, d.doc_id,
+               CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2))::INT
+                    AS INT) AS bucket, r.pct
+        FROM documents d JOIN rates r ON d.source = r.source)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM h WHERE bucket * 100 < pct * 256
+    GROUP BY source ORDER BY source
+    """,
+)
+def text_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling — per-source rates via an md5
+    hash threshold instead of ``sampleBy`` randomness, so the sample is
+    REPRODUCIBLE across runs, engines and cluster sizes (the property a
+    training-data pipeline needs for auditable mixtures; df.sampleBy
+    seeds differently per partitioning).  The rate table broadcasts; the
+    corpus pass is one narrow hash+filter, no shuffle before the small
+    per-source aggregate."""
+    rates = spark.createDataFrame(
+        [("src0", 10), ("src1", 50), ("src2", 100), ("src3", 25), ("src4", 25)],
+        "source string, pct int",
+    )
+    d = load_table(spark, sf_dir, "documents").select("source", "doc_id")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast("int")
+    return (
+        d.join(F.broadcast(rates), "source")
+        .where(bucket * 100 < F.col("pct") * 256)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source")
+    )

@@ -276,6 +276,7 @@ class SparkBackend:
         merge_keys: list[str] | None = None,
         precombine: str | None = None,
         scd2: dict | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> None:
         """Materialize a query into a warehouse table.
 
@@ -335,6 +336,19 @@ class SparkBackend:
             overwrite = save_mode.lower() != "append"
         aligned = self.prepare_for_insert(df, table)
 
+        # parquet bloom filters: point-lookup pushdown on non-sorted,
+        # non-partition columns (id/hash lookups against a fact table at
+        # scale).  The option must ride the hadoop conf — DataFrameWriter
+        # options don't reach the parquet writer through insertInto.
+        hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        bloom_keys: list[str] = []
+        for spec in bloom_cols or []:
+            col, _, ndv = spec.partition(":")
+            hconf.set(f"parquet.bloom.filter.enabled#{col}", "true")
+            bloom_keys.append(f"parquet.bloom.filter.enabled#{col}")
+            if ndv:
+                hconf.set(f"parquet.bloom.filter.expected.ndv#{col}", ndv)
+                bloom_keys.append(f"parquet.bloom.filter.expected.ndv#{col}")
         try:
             aligned.write.insertInto(table.name, overwrite=overwrite)
         except Exception as e:  # read-write same table: break lineage, retry
@@ -344,6 +358,9 @@ class SparkBackend:
                 )
             else:
                 raise
+        finally:
+            for k in bloom_keys:
+                hconf.unset(k)
         if overwrite:
             # an overwrite replaces files under the table path; REFRESH
             # clears the (app-shared) file-status cache so OTHER sessions —

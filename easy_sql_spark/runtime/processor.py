@@ -514,6 +514,14 @@ class SqlProcessor:
                 "end": self.vars_context.get_var("__scd2_end_col__"),
                 "current": self.vars_context.get_var("__scd2_current_col__"),
             }
+        # parquet bloom filters on listed columns: `col` or `col:ndv`,
+        # |-separated (point-lookup pushdown for unsorted key columns)
+        bloom_var = self.vars_context.get_var("__bloom_filter_cols__")
+        bloom_cols = (
+            [c.strip() for c in str(bloom_var).split("|") if c.strip()]
+            if bloom_var
+            else None
+        )
         self.backend.save_table(
             df,
             table,
@@ -522,4 +530,5 @@ class SqlProcessor:
             merge_keys=merge_keys,
             precombine=str(precombine) if precombine else None,
             scd2=scd2,
+            bloom_cols=bloom_cols,
         )
