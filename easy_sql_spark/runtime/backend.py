@@ -203,6 +203,30 @@ class SparkBackend:
         finally:
             self.spark.catalog.dropTempView(view)
 
+    def evolve_schema(self, df: DataFrame, table: TableMeta) -> None:
+        """Schema evolution (``__merge_schema__``): columns present in the
+        source but absent from the target are ADDED to the target (ALTER
+        TABLE ADD COLUMNS — a metadata-only operation; existing files
+        simply read NULL for the new columns).  Additive only: dropping or
+        retyping columns stays a hard error, because silent narrowing is
+        how warehouses lose data.  Partition columns cannot be added this
+        way (that is a re-layout, not an evolution)."""
+        target_cols = {
+            c.name for c in self.spark.catalog.listColumns(table.name)
+        }
+        part_cols = set(table.partition_cols())
+        new_fields = [
+            f for f in df.schema.fields
+            if f.name not in target_cols and f.name not in part_cols
+        ]
+        if not new_fields:
+            return
+        cols_ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in new_fields
+        )
+        self.spark.sql(f"ALTER TABLE {table.name} ADD COLUMNS ({cols_ddl})")
+        self.spark.sql(f"REFRESH TABLE {table.name}")
+
     def verify_schema(
         self, df: DataFrame, table: TableMeta, check_types: bool = False
     ) -> None:
@@ -277,6 +301,7 @@ class SparkBackend:
         precombine: str | None = None,
         scd2: dict | None = None,
         bloom_cols: list[str] | None = None,
+        merge_schema: bool = False,
     ) -> None:
         """Materialize a query into a warehouse table.
 
@@ -319,6 +344,8 @@ class SparkBackend:
             for p in table.static_partitions():
                 if p.field not in df.columns:
                     df = df.withColumn(p.field, F.lit(p.value))
+            if merge_schema:
+                self.evolve_schema(df, table)
         self.verify_schema(df, table)
 
         if save_mode.lower() == "upsert":

@@ -531,4 +531,5 @@ class SqlProcessor:
             precombine=str(precombine) if precombine else None,
             scd2=scd2,
             bloom_cols=bloom_cols,
+            merge_schema=self.vars_context.is_truthy("__merge_schema__"),
         )

@@ -724,3 +724,67 @@ select id, md5(cast(id as string)) as h from range(100000)
     assert hconf.get("parquet.bloom.filter.enabled#h") is None
     # data unaffected
     assert spark.table("bloomdb.bloomed").count() == 100000
+
+
+def test_output_merge_schema_evolution(spark):
+    """__merge_schema__: additive schema evolution — new source columns
+    ALTER into the target (old rows read NULL); without the flag the
+    surplus column is silently dropped (reference semantics); dropping
+    target columns stays a hard error either way."""
+    setup = """-- prepare-sql: drop database if exists evo cascade
+-- prepare-sql: create database evo
+-- prepare-sql: create table evo.t (id int, v string) using parquet
+
+-- target=variables
+select 'append' as __save_mode__
+
+-- target=output.evo.t
+select 1 as id, 'a' as v
+"""
+    SqlProcessor(spark, setup, logger=lambda m: None).run()
+
+    # without the flag: extra column silently dropped
+    no_flag = """-- target=variables
+select 'append' as __save_mode__
+
+-- target=output.evo.t
+select 2 as id, 'b' as v, 99 as extra
+"""
+    SqlProcessor(spark, no_flag, logger=lambda m: None).run()
+    assert "extra" not in spark.table("evo.t").columns
+
+    # with the flag: column added, old rows read NULL
+    evolved = """-- target=variables
+select 'append' as __save_mode__, true as __merge_schema__
+
+-- target=output.evo.t
+select 3 as id, 'c' as v, cast(42 as int) as score
+"""
+    SqlProcessor(spark, evolved, logger=lambda m: None).run()
+    rows = {(r.id, r.v, r.score) for r in spark.table("evo.t").collect()}
+    assert rows == {(1, "a", None), (2, "b", None), (3, "c", 42)}
+
+    # missing target columns still a hard error, flag or not
+    bad = """-- target=variables
+select 'append' as __save_mode__, true as __merge_schema__
+
+-- target=output.evo.t
+select 4 as id
+"""
+    with pytest.raises(Exception, match="lacks target columns"):
+        SqlProcessor(spark, bad, logger=lambda m: None).run()
+
+    # evolution composes with upsert: merge a batch carrying a new column
+    up = """-- target=variables
+select 'upsert' as __save_mode__, 'id' as __merge_keys__, true as __merge_schema__
+
+-- target=output.evo.t
+select 3 as id, 'C' as v, cast(43 as int) as score, 'x' as tag
+"""
+    SqlProcessor(spark, up, logger=lambda m: None).run()
+    rows = {(r.id, r.v, r.score, r.tag) for r in spark.table("evo.t").collect()}
+    assert rows == {
+        (1, "a", None, None),
+        (2, "b", None, None),
+        (3, "C", 43, "x"),
+    }
