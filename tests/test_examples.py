@@ -116,3 +116,27 @@ def test_sql_test_cli(spark, tmp_path):
 
     rc = main(["run-test", "-f", os.path.join(EXAMPLES, "sample_etl_test.json")])
     assert rc == 0
+
+
+def test_warehouse_maintenance_etl(spark):
+    """Round-4 write-path features composed: SCD2 dim load, upsert with
+    schema evolution + bloom filters, small-file compaction."""
+    register_views(spark, "/root/testdata/sf0.001", ("customer", "orders"))
+    with open(os.path.join(EXAMPLES, "warehouse_maintenance.sql")) as f:
+        sql = f.read()
+    p = SqlProcessor(spark, sql, base_dir=EXAMPLES, logger=lambda m: None)
+    p.run()
+
+    dim = spark.table("maint.customer_dim")
+    n_cust = spark.table("customer").count()
+    n_changed = spark.table("customer").where("c_custkey % 10 = 0").count()
+    assert dim.where("__is_current").count() == n_cust
+    assert dim.where("not __is_current").count() == n_changed
+
+    fact = spark.table("maint.orders_fact")
+    assert "arrival_class" in fact.columns  # schema evolved
+    n_orders = spark.table("orders").count()
+    assert fact.count() == n_orders + 20
+    # compaction left a small file count despite the appends
+    assert len(fact.inputFiles()) <= 8
+    p.backend.clean_temp_views()
