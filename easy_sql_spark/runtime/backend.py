@@ -302,6 +302,7 @@ class SparkBackend:
         scd2: dict | None = None,
         bloom_cols: list[str] | None = None,
         merge_schema: bool = False,
+        zorder_cols: list[str] | None = None,
     ) -> None:
         """Materialize a query into a warehouse table.
 
@@ -362,6 +363,8 @@ class SparkBackend:
         else:
             overwrite = save_mode.lower() != "append"
         aligned = self.prepare_for_insert(df, table)
+        if zorder_cols:
+            aligned = self._zorder_for_insert(aligned, table, zorder_cols)
 
         # parquet bloom filters: point-lookup pushdown on non-sorted,
         # non-partition columns (id/hash lookups against a fact table at
@@ -497,6 +500,32 @@ class SparkBackend:
         )
         touched = touched.unionByName(matched_parts).distinct()
         return target.join(F.broadcast(touched), part_cols, "left_semi")
+
+    def _zorder_for_insert(
+        self, aligned: DataFrame, table: TableMeta, zorder_cols: list[str]
+    ) -> DataFrame:
+        """Z-order-cluster the rows of an insert (``__zorder_by__``): the
+        written files get parquet min/max stats tight in EVERY listed
+        column (multi-dimensional data skipping; see operators/zorder.py).
+        Replaces the AQE rebalance ordering — for partitioned targets the
+        range partitioning leads with the partition columns, so dynamic
+        overwrite still writes one coherent file run per partition while
+        rows WITHIN each partition cluster on the Morton value."""
+        from ..operators.zorder import zorder_value
+
+        part_cols = table.partition_cols()
+        zdf = zorder_value(aligned, zorder_cols).localCheckpoint(eager=True)
+        # floor the range-partition count: with very few z-ranges a single
+        # range regularly crosses a Morton quadrant boundary and its
+        # min/max box degenerates to full-width in one dimension — 16+
+        # ranges keep the boxes compact even on small clusters
+        n = max(self.spark.sparkContext.defaultParallelism, 16)
+        range_cols = [F.col(c) for c in part_cols] + [F.col("__zvalue")]
+        return (
+            zdf.repartitionByRange(n, *range_cols)
+            .sortWithinPartitions(*range_cols)
+            .drop("__zvalue")
+        )
 
     @staticmethod
     def _scd2_cols(scd2: dict) -> tuple[str, str, str, str]:

@@ -522,6 +522,12 @@ class SqlProcessor:
             if bloom_var
             else None
         )
+        zorder_var = self.vars_context.get_var("__zorder_by__")
+        zorder_cols = (
+            [c.strip() for c in str(zorder_var).split("|") if c.strip()]
+            if zorder_var
+            else None
+        )
         self.backend.save_table(
             df,
             table,
@@ -532,4 +538,5 @@ class SqlProcessor:
             scd2=scd2,
             bloom_cols=bloom_cols,
             merge_schema=self.vars_context.is_truthy("__merge_schema__"),
+            zorder_cols=zorder_cols,
         )

@@ -108,3 +108,39 @@ def test_zorder_null_and_errors(spark):
         zorder_value(df, [])
     with pytest.raises(ValueError, match="fit in a long"):
         zorder_value(df, ["a", "b"], bits=32)
+
+
+def test_output_step_zorder_by(spark):
+    """__zorder_by__ on an output step: the saved table's row groups are
+    bounded in BOTH listed columns (a 1-D insert ordering can't be)."""
+    import glob
+    import os
+    from urllib.parse import urlparse
+
+    from easy_sql_spark.runtime.processor import SqlProcessor
+
+    spark.sql("drop database if exists zodb cascade")
+    spark.sql("create database zodb")
+    etl = """-- target=variables
+select true as __create_output_table__, 'x|y' as __zorder_by__
+
+-- target=output.zodb.grid
+select cast(id % 100 as double) as x,
+       cast(cast(id / 100 as int) as double) as y,
+       id as payload
+from range(10000)
+"""
+    SqlProcessor(spark, etl, logger=lambda m: None).run()
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    boxes = _rowgroup_boxes(
+        os.path.join(wh, "zodb.db", "grid", "*.parquet"), "x", "y"
+    )
+    assert len(boxes) >= 8  # clustered across several files
+    # MEAN spans bounded in BOTH dims (full range would be ~99; a 1-D
+    # sort leaves one dimension at full range).  Individual boxes may
+    # legitimately span wide where a z-range crosses a quadrant boundary.
+    assert np.mean([sx for sx, _ in boxes]) <= 45
+    assert np.mean([sy for _, sy in boxes]) <= 45
+    t = spark.table("zodb.grid")
+    assert t.count() == 10000
+    assert t.agg({"payload": "sum"}).first()[0] == sum(range(10000))
