@@ -41,7 +41,7 @@ def global_row_number(
     counts = (
         base.groupBy(F.spark_partition_id().alias("pid"))
         .count()
-        .collect()
+        .collect()  # bounded-driver: one row per partition, by design
     )
     offsets: dict[int, int] = {}
     acc = 0

@@ -403,3 +403,119 @@ def text_stratified_sample(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH w AS (
+        SELECT user_id, event_type, ts,
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS a
+        FROM events),
+    w2 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND ts > a THEN ts END)
+                      OVER (PARTITION BY user_id) AS b
+        FROM w),
+    w3 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > b THEN ts END)
+                      OVER (PARTITION BY user_id) AS c
+        FROM w2),
+    per_user AS (
+        SELECT user_id, max(a) AS a, max(b) AS b, max(c) AS c
+        FROM w3 GROUP BY user_id)
+    SELECT CAST(COUNT(a) AS BIGINT) AS n_viewed,
+           CAST(COUNT(b) AS BIGINT) AS n_clicked,
+           CAST(COUNT(c) AS BIGINT) AS n_purchased,
+           ROUND(CAST(COUNT(b) AS DOUBLE) / COUNT(a), 4) AS conv_view_click,
+           ROUND(CAST(COUNT(c) AS DOUBLE) / COUNT(b), 4) AS conv_click_buy
+    FROM per_user
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view → click → purchase, strictly
+    later each step) — the classic product-analytics operator.
+
+    Plan shape: THREE chained windows over the SAME partitioning
+    (user_id), so Catalyst plans ONE exchange and runs the per-step
+    conditional mins pipelined — no self-joins, no per-step shuffles
+    (the naive formulation joins the event table to itself once per
+    funnel step).  The final global aggregate is a single row."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    u = Window.partitionBy("user_id")
+    a = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(u)
+    step = e.withColumn("a", a)
+    b = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("a")), F.col("ts"))
+    ).over(u)
+    step = step.withColumn("b", b)
+    c = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("b")),
+            F.col("ts"),
+        )
+    ).over(u)
+    step = step.withColumn("c", c)
+    per_user = step.groupBy("user_id").agg(
+        F.max("a").alias("a"), F.max("b").alias("b"), F.max("c").alias("c")
+    )
+    return per_user.agg(
+        F.count("a").alias("n_viewed"),
+        F.count("b").alias("n_clicked"),
+        F.count("c").alias("n_purchased"),
+        F.round(F.count("b").cast("double") / F.count("a"), 4).alias(
+            "conv_view_click"
+        ),
+        F.round(F.count("c").cast("double") / F.count("b"), 4).alias(
+            "conv_click_buy"
+        ),
+    )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, ts,
+               min(ts) OVER (PARTITION BY user_id) AS first_ts
+        FROM events),
+    marked AS (
+        SELECT user_id,
+               strftime(date_trunc('week', first_ts), '%Y-%m-%d') AS cohort,
+               CAST(date_diff('day', date_trunc('day', first_ts),
+                              date_trunc('day', ts)) // 7 AS INT) AS week_offset
+        FROM firsts)
+    SELECT cohort, week_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+    FROM marked GROUP BY cohort, week_offset
+    ORDER BY cohort, week_offset
+    """,
+)
+def events_retention_cohorts(spark, sf_dir):
+    """Weekly retention cohorts: users grouped by first-seen week, counted
+    per activity-week offset — the cohort-retention matrix.
+
+    Plan: one window over user_id for the first-seen timestamp, then one
+    uniform groupBy (cohort, offset) with a distinct-count.  Dates format
+    to strings (tz-stable oracle discipline)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first_ts = F.min("ts").over(Window.partitionBy("user_id"))
+    marked = e.withColumn("first_ts", first_ts).select(
+        "user_id",
+        F.date_format(F.date_trunc("week", F.col("first_ts")), "yyyy-MM-dd").alias(
+            "cohort"
+        ),
+        F.floor(
+            F.datediff(F.date_trunc("day", F.col("ts")),
+                       F.date_trunc("day", F.col("first_ts"))) / 7
+        ).cast("int").alias("week_offset"),
+    )
+    return (
+        marked.groupBy("cohort", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort", "week_offset")
+    )

@@ -72,7 +72,12 @@ def test_no_driver_collect_in_query_or_operator_sources():
                 continue
             with open(os.path.join(d, fname), encoding="utf-8") as f:
                 for no, line in enumerate(f, 1):
-                    code = line.split("#", 1)[0]
+                    code, _, comment = line.partition("#")
+                    if "bounded-driver:" in comment:
+                        # explicit pragma: the collect is bounded by
+                        # design (e.g. one row per partition) and the
+                        # comment states the bound — audit them here
+                        continue
                     if any(b in code for b in banned):
                         hits.append(f"{sub}/{fname}:{no}: {line.strip()}")
     assert not hits, "driver-side access in declarative modules:\n" + "\n".join(hits)

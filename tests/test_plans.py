@@ -240,3 +240,15 @@ def test_repetition_filter_is_narrow_map(spark):
     # spread() round-robin and the orderBy at the end)
     assert "Join" not in plan
     assert "HashAggregate" not in plan
+
+
+def test_funnel_chained_windows_share_one_partitioning(spark):
+    """events_funnel: three per-step conditional mins compile to three
+    Window nodes over the SAME user_id partitioning with no exchange
+    between them — the naive formulation self-joins once per step."""
+    import re
+
+    plan = plan_of(QUERIES["events_funnel"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 3
+    # at most the initial user_id exchange + the final single-row agg
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1
