@@ -179,6 +179,14 @@ def build(processor):
         )
         inner.run()
 
+    def zorder_table(table: str, cols: str):
+        """Maintenance: rewrite a table z-order-clustered on |-separated
+        columns (multi-dim data skipping) — `func.zorder_table(db.t, a|b)`."""
+        col_list = [c.strip() for c in str(cols).split("|") if c.strip()]
+        n = processor.backend.zorder_table(table, col_list)
+        processor.log(f"zorder_table({table}, {col_list}): {n} rows rewritten")
+        return n
+
     def compact_table(table: str, target_mb: str = "128", min_files: str = "4"):
         """Maintenance: rewrite fragmented partitions into ~target_mb files
         (see backend.compact_table) — `func.compact_table(db.t)` after

@@ -808,6 +808,28 @@ class SparkBackend:
             "files_after": sum(s["files"] for s in after.values()),
         }
 
+    def zorder_table(self, table_name: str, zorder_cols: list[str]) -> int:
+        """OPTIMIZE-ZORDER maintenance: rewrite an EXISTING table with its
+        rows z-order-clustered on ``zorder_cols`` (see _zorder_for_insert)
+        — run after bulk loads to make multi-dimensional selective scans
+        stats-skippable.  Returns the row count rewritten.  The whole
+        table rewrites (clustering is a global property); to cluster only
+        new data, use ``__zorder_by__`` on the writing step instead."""
+        part_cols = [
+            c.name
+            for c in self.spark.catalog.listColumns(table_name)
+            if c.isPartition
+        ]
+        meta = TableMeta.parse(
+            table_name, [Partition(field=c) for c in part_cols]
+        )
+        df = self.spark.table(table_name).localCheckpoint(eager=True)
+        n = df.count()
+        clustered = self._zorder_for_insert(df, meta, zorder_cols)
+        clustered.write.insertInto(table_name, overwrite=True)
+        self.spark.sql(f"REFRESH TABLE {table_name}")
+        return n
+
     # ----------------------------------------------------- partition probes
     def list_partitions(self, table_name: str) -> list[str]:
         """SHOW PARTITIONS values (first partition column), sorted.  Used by

@@ -144,3 +144,39 @@ from range(10000)
     t = spark.table("zodb.grid")
     assert t.count() == 10000
     assert t.agg({"payload": "sum"}).first()[0] == sum(range(10000))
+
+
+def test_zorder_table_maintenance_rewrite(spark):
+    """func.zorder_table: rewrite an existing (unclustered) table so its
+    row groups become bounded in both listed dimensions."""
+    import os
+    from urllib.parse import urlparse
+
+    from easy_sql_spark.runtime.processor import SqlProcessor
+
+    spark.sql("drop database if exists zmnt cascade")
+    spark.sql("create database zmnt")
+    seed = """-- target=variables
+select true as __create_output_table__
+
+-- target=output.zmnt.grid
+select cast(id % 100 as double) as x,
+       cast(cast(id / 100 as int) as double) as y,
+       id as payload
+from range(10000)
+
+-- target=func.zorder_table(zmnt.grid, x|y)
+"""
+    SqlProcessor(spark, seed, logger=lambda m: None).run()
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    import numpy as np
+
+    boxes = _rowgroup_boxes(
+        os.path.join(wh, "zmnt.db", "grid", "*.parquet"), "x", "y"
+    )
+    assert len(boxes) >= 8
+    assert np.mean([sx for sx, _ in boxes]) <= 45
+    assert np.mean([sy for _, sy in boxes]) <= 45
+    t = spark.table("zmnt.grid")
+    assert t.count() == 10000
+    assert t.agg({"payload": "sum"}).first()[0] == sum(range(10000))
