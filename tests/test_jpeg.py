@@ -136,3 +136,58 @@ try:
 
 except ImportError:  # hypothesis is baked in, but stay import-safe
     pass
+
+
+def test_annex_k_tables_match_published_codewords():
+    """Round-trip tests can't catch a typo in the standard tables (both
+    sides would share it), so pin codewords published in ITU T.81 /
+    textbook references: luma DC category 0 is '00'; luma AC EOB (0x00)
+    is the famous 4-bit '1010'; luma AC ZRL (0xF0) is the 11-bit
+    '11111111001'; chroma DC category 0 is 2-bit '00'.  Also pin the
+    structural invariants: 12 DC symbols, 162 AC symbols per table."""
+    from easy_sql_spark.operators.jpeg import (
+        _AC_CHROMA_BITS,
+        _AC_CHROMA_VALS,
+        _AC_LUMA_BITS,
+        _AC_LUMA_VALS,
+        _DC_CHROMA_BITS,
+        _DC_CHROMA_VALS,
+        _DC_LUMA_BITS,
+        _DC_LUMA_VALS,
+        _build_huff_codes,
+    )
+
+    assert sum(_DC_LUMA_BITS) == 12 and len(_DC_LUMA_VALS) == 12
+    assert sum(_DC_CHROMA_BITS) == 12 and len(_DC_CHROMA_VALS) == 12
+    assert sum(_AC_LUMA_BITS) == 162 and len(_AC_LUMA_VALS) == 162
+    assert sum(_AC_CHROMA_BITS) == 162 and len(_AC_CHROMA_VALS) == 162
+
+    def codeword(bits, vals, symbol):
+        code, length = _build_huff_codes(bits, vals)[symbol]
+        return format(code, f"0{length}b")
+
+    assert codeword(_DC_LUMA_BITS, _DC_LUMA_VALS, 0) == "00"
+    assert codeword(_DC_LUMA_BITS, _DC_LUMA_VALS, 2) == "011"
+    assert codeword(_DC_CHROMA_BITS, _DC_CHROMA_VALS, 0) == "00"
+    assert codeword(_AC_LUMA_BITS, _AC_LUMA_VALS, 0x00) == "1010"  # EOB
+    assert codeword(_AC_LUMA_BITS, _AC_LUMA_VALS, 0x01) == "00"
+    assert codeword(_AC_LUMA_BITS, _AC_LUMA_VALS, 0xF0) == "11111111001"  # ZRL
+    assert codeword(_AC_CHROMA_BITS, _AC_CHROMA_VALS, 0x00) == "00"  # EOB
+    assert codeword(_AC_CHROMA_BITS, _AC_CHROMA_VALS, 0x01) == "01"
+
+    # every table is prefix-free with no code of all-ones at max length
+    for bits, vals in (
+        (_DC_LUMA_BITS, _DC_LUMA_VALS),
+        (_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+        (_AC_LUMA_BITS, _AC_LUMA_VALS),
+        (_AC_CHROMA_BITS, _AC_CHROMA_VALS),
+    ):
+        codes = _build_huff_codes(bits, vals)
+        words = sorted(
+            format(c, f"0{l}b") for c, l in codes.values()
+        )
+        assert len(set(words)) == len(words)
+        for i, w in enumerate(words[:-1]):
+            assert not words[i + 1].startswith(w)  # prefix-free
+        maxlen = max(l for _, l in codes.values())
+        assert "1" * maxlen not in words  # reserved all-ones code unused
