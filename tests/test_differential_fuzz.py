@@ -170,3 +170,49 @@ def test_random_join_agg_agree(spark, ducks, pred, how, agg_col):
         .collect()
     }
     assert got == expected, f"divergence on: {sql}"
+
+
+_STRING_FNS = [
+    lambda e: f"upper({e})",
+    lambda e: f"lower({e})",
+    lambda e: f"trim({e})",
+    lambda e: f"reverse({e})",
+    lambda e: f"replace({e}, 'a', '@')",
+    lambda e: f"substr({e}, 3)",
+    lambda e: f"substr({e}, 2, 40)",
+]
+
+
+@given(
+    fn_ids=st.lists(st.integers(0, len(_STRING_FNS) - 1), min_size=1, max_size=3),
+    min_chars=st.integers(0, 900),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_string_pipelines_agree(spark, ducks, fn_ids, min_chars):
+    """Composed string-function pipelines over documents.text must hash
+    identically cross-engine — substr indexing, trim/replace/reverse
+    semantics and length units are classic engine-divergence spots.
+    Restricted to the Spark/DuckDB-common call shapes the f1_string
+    family relies on (1-based substr with positive args, plain-string
+    replace)."""
+    ducks.execute(
+        "CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(SF_DIR, 'documents.parquet')}'"
+    )
+    expr = "text"
+    for i in fn_ids:
+        expr = _STRING_FNS[i](expr)
+    sql = (
+        f"SELECT lang, CAST(COUNT(DISTINCT md5({expr})) AS BIGINT) AS n_distinct, "
+        f"CAST(SUM(length({expr})) AS BIGINT) AS total_len "
+        f"FROM documents WHERE n_chars >= {min_chars} "
+        f"GROUP BY lang"
+    )
+    expected = sorted(map(tuple, ducks.execute(sql).fetchall()))
+    spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).createOrReplaceTempView("documents")
+    got = sorted(tuple(r) for r in spark.sql(sql).collect())
+    assert got == expected, f"divergence on: {sql}"
