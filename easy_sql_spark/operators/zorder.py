@@ -54,26 +54,36 @@ def _bucket_expr(col: str, boundaries: list[float]) -> F.Column:
     )
 
 
-def zorder_value(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
+def zorder_value(df: DataFrame, cols: list[str], bits: int = 6) -> DataFrame:
     """Add a ``__zvalue`` column interleaving ``bits`` rank-bits per column.
 
-    The quantile probe runs once on the driver (approximate, sampled);
-    everything else is a narrow JVM projection.  2**bits buckets per
-    dimension bounds boundary-array size (256 literals at the default) —
-    finer granularity buys nothing once buckets are smaller than a row
-    group."""
+    The quantile probe is ONE ``percentile_approx`` aggregate job over
+    all columns; everything else is a narrow JVM projection.  2**bits
+    buckets per dimension (64 at the default) bounds both the CASE-tree
+    size baked into the plan and the probe cost — finer granularity buys
+    nothing once buckets are smaller than a row group, and the measured
+    write cost scales with the tree size (bits=8 doubled the whole-stage
+    codegen time for no skipping gain at realistic file counts)."""
     if not cols:
         raise ValueError("zorder needs at least one column")
     if bits * len(cols) > 62:
         raise ValueError("bits * len(cols) must fit in a long")
     n_buckets = 1 << bits
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    # one sketch pass for ALL columns; 1% rank error is irrelevant for a
-    # layout (boundaries only need to be roughly equal-mass)
-    all_bounds = df.approxQuantile(list(cols), qs, 0.01)
+    qs_arr = F.array(*[F.lit(q) for q in qs])
+    # single aggregate pass for ALL columns (GK sketch, accuracy 200 —
+    # rank error is irrelevant for a layout, boundaries only need to be
+    # roughly equal-mass)
+    probe = df.agg(
+        *[
+            F.percentile_approx(F.col(c).cast("double"), qs_arr, F.lit(200)).alias(c)
+            for c in cols
+        ]
+    ).first()
     out = df
     bucket_cols = []
-    for c, boundaries in zip(cols, all_bounds):
+    for c in cols:
+        boundaries = [b for b in (probe[c] or []) if b is not None]
         bname = f"__zb_{c}"
         out = out.withColumn(bname, _bucket_expr(c, boundaries))
         bucket_cols.append(bname)
