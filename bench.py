@@ -308,6 +308,10 @@ def main() -> None:
         for fam, qs in FAMILIES.items()
     }
     families["write"] = round(sum(timings[n] for n in writes), 3)
+    # stop the JVM BEFORE printing: it shares this process's stdout and a
+    # late GC/shutdown warning would land after (or inside) the JSON line
+    # the driver parses
+    spark.stop()
     print(
         json.dumps(
             {
@@ -318,7 +322,8 @@ def main() -> None:
                 "families": families,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
-        )
+        ),
+        flush=True,
     )
 
 
