@@ -179,6 +179,21 @@ def build(processor):
         )
         inner.run()
 
+    def analyze_table(table: str, cols: str = ""):
+        """Maintenance: collect table (and optionally |-separated column)
+        statistics — feeds Catalyst's cost-based optimizer (join
+        reordering, broadcast decisions from real rowCount/NDV instead of
+        file-size guesses).  `func.analyze_table(db.t, a|b)`."""
+        spark = processor.spark
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+        col_list = [c.strip() for c in str(cols).split("|") if c.strip()]
+        if col_list:
+            spark.sql(
+                f"ANALYZE TABLE {table} COMPUTE STATISTICS "
+                f"FOR COLUMNS {', '.join(col_list)}"
+            )
+        processor.log(f"analyze_table({table}): stats collected")
+
     def zorder_table(table: str, cols: str):
         """Maintenance: rewrite a table z-order-clustered on |-separated
         columns (multi-dim data skipping) — `func.zorder_table(db.t, a|b)`."""

@@ -382,3 +382,31 @@ def test_udf_wrapper_and_regex_check(spark):
     row = spark.table("u").first()
     assert row.v == 42 and row.ok == "123" and row.bad is None
     p.backend.clean_temp_views()
+
+
+def test_analyze_table_collects_stats(spark):
+    """func.analyze_table feeds CBO: rowCount appears in catalog stats and
+    column-level stats register for the listed columns."""
+    from easy_sql_spark.runtime.processor import SqlProcessor
+
+    spark.sql("drop database if exists statdb cascade")
+    spark.sql("create database statdb")
+    etl = """-- target=variables
+select true as __create_output_table__
+
+-- target=output.statdb.t
+select cast(id as int) as id, concat('v', id % 7) as grp from range(500)
+
+-- target=func.analyze_table(statdb.t, id|grp)
+"""
+    SqlProcessor(spark, etl, logger=lambda m: None).run()
+    detail = {
+        r.col_name: r.data_type
+        for r in spark.sql("describe table extended statdb.t").collect()
+    }
+    assert "500 rows" in detail.get("Statistics", "") or "rowCount" in str(detail)
+    colstats = {
+        r.info_name: r.info_value
+        for r in spark.sql("describe extended statdb.t id").collect()
+    }
+    assert colstats.get("distinct_count") not in (None, "NULL")
