@@ -788,3 +788,45 @@ select 3 as id, 'C' as v, cast(43 as int) as score, 'x' as tag
         (2, "b", None, None),
         (3, "C", 43, "x"),
     }
+
+
+def test_output_scd2_key_moves_partition(spark):
+    """SCD2 where the changed attribute IS the partition value: the closed
+    row stays in its old partition, the new current version lands in the
+    new partition, and unrelated partitions keep their files."""
+    setup = """-- prepare-sql: drop database if exists scd2m cascade
+-- prepare-sql: create database scd2m
+
+-- target=variables
+select true as __create_output_table__, '' as __partition__region,
+       'scd2' as __save_mode__, 'id' as __merge_keys__, 'ts' as __scd2_ts__
+
+-- target=output.scd2m.dim
+select * from (values (1, 10, 'east'), (2, 10, 'west'), (9, 10, 'south'))
+    as v(id, ts, region)
+"""
+    SqlProcessor(spark, setup, logger=lambda m: None).run()
+    before = sorted(
+        f for f in spark.table("scd2m.dim").inputFiles() if "region=south" in f
+    )
+    move = """-- target=variables
+select 'scd2' as __save_mode__, 'id' as __merge_keys__, 'ts' as __scd2_ts__
+
+-- target=output.scd2m.dim
+select * from (values (1, 20, 'west')) as v(id, ts, region)
+"""
+    SqlProcessor(spark, move, logger=lambda m: None).run()
+    rows = {
+        (r.id, r.region, r["__start_at"], r["__end_at"], r["__is_current"])
+        for r in spark.table("scd2m.dim").collect()
+    }
+    assert rows == {
+        (1, "east", 10, 20, False),  # closed version stays in east
+        (1, "west", 20, None, True),  # new current version in west
+        (2, "west", 10, None, True),
+        (9, "south", 10, None, True),
+    }
+    after = sorted(
+        f for f in spark.table("scd2m.dim").inputFiles() if "region=south" in f
+    )
+    assert after == before  # untouched partition's files survive
