@@ -16,6 +16,12 @@ from pyspark.sql import SparkSession
 #: to us (library mode / the driver's verify harness) we only apply the
 #: runtime-settable subset via :func:`tune_session`.
 SESSION_DEFAULTS = {
+    # local mode runs executors inside the driver JVM: 32 task threads,
+    # their sort/parquet-writer buffers, AND cached localCheckpoint blocks
+    # all share one heap, and the 1g Java default OOMs under the write
+    # benches at sf1.  On a real cluster spark-submit supplies memory
+    # sizing and this key (only honored at JVM launch) is simply ignored.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "134217728",
