@@ -179,6 +179,43 @@ def build(processor):
         )
         inner.run()
 
+    def refresh_rollup(
+        src: str,
+        dst: str,
+        part_col: str,
+        group_cols: str,
+        aggs: str,
+        predicate: str = "true",
+    ):
+        """Incremental materialized-rollup maintenance: recompute the
+        aggregate ONLY for source rows matching ``predicate`` (push-down
+        scoped — typically the changed partitions, e.g. ``dt >= '${day}'``)
+        and keyed-upsert the result into ``dst`` on
+        (part_col + group_cols).  Untouched rollup partitions are neither
+        read nor rewritten (the upsert's copy-on-write scoping), so the
+        refresh cost tracks the CHANGE size, not the table size — the
+        incremental-view-maintenance pattern for daily rollups at scale.
+        `func.refresh_rollup(db.sales, db.sales_rollup, dt, region|product,
+        sum(amount) as total|count(*) as n, dt >= '2024-01-05')`."""
+        from ..runtime.backend import Partition, TableMeta
+
+        gcols = [c.strip() for c in str(group_cols).split("|") if c.strip()]
+        agg_list = [a.strip() for a in str(aggs).split("|") if a.strip()]
+        sel = ", ".join([part_col, *gcols, *agg_list])
+        by = ", ".join([part_col, *gcols])
+        out = processor.spark.sql(
+            f"SELECT {sel} FROM {src} WHERE {predicate} GROUP BY {by}"
+        )
+        meta = TableMeta.parse(dst, [Partition(field=part_col)])
+        processor.backend.save_table(
+            out,
+            meta,
+            "upsert",
+            create_table=True,
+            merge_keys=[part_col, *gcols],
+        )
+        processor.log(f"refresh_rollup({src} -> {dst}): scope [{predicate}]")
+
     def analyze_table(table: str, cols: str = ""):
         """Maintenance: collect table (and optionally |-separated column)
         statistics — feeds Catalyst's cost-based optimizer (join

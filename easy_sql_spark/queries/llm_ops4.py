@@ -519,3 +519,80 @@ def events_retention_cohorts(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("active_users"))
         .orderBy("cohort", "week_offset")
     )
+
+
+@query(
+    "text_gopher_filter",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws,
+               length(text) AS n_chars_raw,
+               length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_sym
+        FROM documents WHERE doc_id <= 400),
+    m AS (
+        SELECT doc_id,
+               len(ws) AS n_words,
+               CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+                   / len(ws) AS mean_wlen,
+               CAST(len(list_filter(ws, x -> x IN ('the','a','of','to','and','in')))
+                   AS DOUBLE) / len(ws) AS stop_frac,
+               CAST(n_sym AS DOUBLE) / n_chars_raw AS sym_frac
+        FROM w WHERE len(ws) > 0)
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           ROUND(mean_wlen, 4) AS mean_wlen,
+           ROUND(stop_frac, 4) AS stop_frac,
+           ROUND(sym_frac, 4) AS sym_frac,
+           (n_words BETWEEN 10 AND 10000
+            AND mean_wlen BETWEEN 2 AND 12
+            AND stop_frac >= 0.01
+            AND sym_frac <= 0.3) AS keep
+    FROM m ORDER BY doc_id
+    """,
+)
+def text_gopher_filter(spark, sf_dir):
+    """Gopher-style composite quality filter — the rule stack real corpus
+    cleaning applies before training: word-count bounds, mean-word-length
+    bounds, minimum stopword fraction (text with no function words is
+    usually boilerplate/lists), symbol-to-char ceiling.  Emits the
+    per-rule metrics AND the combined keep flag so downstream can audit
+    why a document dropped.  Pure narrow map over the corpus — the whole
+    filter is embarrassingly parallel; formulas stay in the portable
+    regex subset so the DuckDB oracle reproduces every value."""
+    stop = F.array(*[F.lit(s) for s in ("the", "a", "of", "to", "and", "in")])
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 400)
+        .select(
+            "doc_id",
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("ws"),
+            F.length("text").alias("n_chars_raw"),
+            F.length(F.regexp_replace("text", "[a-z0-9 ]", "")).alias("n_sym"),
+        )
+        .where(F.size("ws") > 0)
+    )
+    n_words = F.size("ws")
+    mean_wlen = (
+        F.expr("aggregate(ws, 0L, (acc, x) -> acc + length(x))").cast("double")
+        / n_words
+    )
+    stop_frac = (
+        F.size(F.filter(F.col("ws"), lambda x: F.array_contains(stop, x))).cast(
+            "double"
+        )
+        / n_words
+    )
+    sym_frac = F.col("n_sym").cast("double") / F.col("n_chars_raw")
+    m = d.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mean_wlen, 4).alias("mean_wlen"),
+        F.round(stop_frac, 4).alias("stop_frac"),
+        F.round(sym_frac, 4).alias("sym_frac"),
+        (
+            n_words.between(10, 10000)
+            & mean_wlen.between(2, 12)
+            & (stop_frac >= 0.01)
+            & (sym_frac <= 0.3)
+        ).alias("keep"),
+    )
+    return m.orderBy("doc_id")

@@ -410,3 +410,55 @@ select cast(id as int) as id, concat('v', id % 7) as grp from range(500)
         for r in spark.sql("describe extended statdb.t id").collect()
     }
     assert colstats.get("distinct_count") not in (None, "NULL")
+
+
+def test_refresh_rollup_incremental_matches_full_recompute(spark):
+    """func.refresh_rollup: scoped recompute + keyed upsert equals a full
+    recompute, and untouched rollup partitions keep their exact files."""
+    from easy_sql_spark.runtime.processor import SqlProcessor
+
+    spark.sql("drop database if exists rrl cascade")
+    spark.sql("create database rrl")
+    spark.sql(
+        "create table rrl.sales (region string, amount double, dt string) "
+        "using parquet"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    seed = spark.createDataFrame(
+        [("e", 1.0, "d1"), ("w", 2.0, "d1"), ("e", 3.0, "d2"), ("w", 4.0, "d3")],
+        "region string, amount double, dt string",
+    )
+    seed.write.insertInto("rrl.sales")
+
+    full = """-- target=func.refresh_rollup(rrl.sales, rrl.rollup, dt, region, sum(amount) as total|count(*) as n, true)
+"""
+    SqlProcessor(spark, full, logger=lambda m: None).run()
+    before_d1 = sorted(
+        f for f in spark.table("rrl.rollup").inputFiles() if "dt=d1" in f
+    )
+
+    # new rows land in d2 and a brand-new d4; d1 untouched
+    spark.createDataFrame(
+        [("e", 10.0, "d2"), ("x", 5.0, "d4")],
+        "region string, amount double, dt string",
+    ).write.insertInto("rrl.sales")
+    inc = """-- target=func.refresh_rollup(rrl.sales, rrl.rollup, dt, region, sum(amount) as total|count(*) as n, dt >= 'd2')
+"""
+    SqlProcessor(spark, inc, logger=lambda m: None).run()
+
+    got = {
+        (r.dt, r.region): (r.total, r.n)
+        for r in spark.table("rrl.rollup").collect()
+    }
+    want = {
+        (r.dt, r.region): (r.total, r.n)
+        for r in spark.sql(
+            "select dt, region, sum(amount) as total, count(*) as n "
+            "from rrl.sales group by dt, region"
+        ).collect()
+    }
+    assert got == want
+    after_d1 = sorted(
+        f for f in spark.table("rrl.rollup").inputFiles() if "dt=d1" in f
+    )
+    assert after_d1 == before_d1  # unchanged partition never rewritten
