@@ -646,3 +646,96 @@ def test_stream_stream_interval_join(spark, tmp_path):
     rows = spark.sql("select * from sdb_joined").collect()
     matched = sorted(r.ad_id for r in rows)
     assert matched == list(range(0, 20, 2))  # in-window only
+
+
+def test_foreach_batch_medallion_rollup(spark, tmp_path):
+    """Medallion composition: each micro-batch appends raw rows to a
+    bronze table, then func.refresh_rollup maintains the aggregate
+    incrementally — streaming incremental view maintenance built from
+    the existing pieces (append save + scoped recompute + keyed upsert)."""
+    import json as _json
+
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        for i in range(40):
+            f.write(
+                _json.dumps(
+                    {"region": "ew"[i % 2], "amount": float(i), "dt": f"d{i % 3}"}
+                )
+                + "\n"
+            )
+
+    spark.sql("drop database if exists med cascade")
+    spark.sql("create database med")
+    etl = """-- target=variables
+select true as __create_output_table__, 'append' as __save_mode__
+
+-- target=output.med.bronze
+select region, amount, dt from med_batch
+
+-- target=func.refresh_rollup(med.bronze, med.rollup, dt, region, cast(sum(amount) as double) as total|count(*) as n, true)
+"""
+
+    def run_once():
+        config = {
+            "sources": [
+                {
+                    "name": "raw_med",
+                    "format": "json",
+                    "schema": "region string, amount double, dt string",
+                    "path": str(src),
+                }
+            ],
+            "sinks": [
+                {
+                    "name": "sdb.med",
+                    "format": "foreach_batch",
+                    "trigger": "availableNow",
+                    "checkpoint": str(tmp_path / "ck_med"),
+                    "options": {"etl_sql": etl, "view": "med_batch"},
+                }
+            ],
+        }
+        sql = """-- backend: spark
+-- config: easy_sql.etl_type=streaming
+
+-- target=output.sdb.med
+select region, amount, dt from raw_med
+
+-- target=func.execute_streaming_inserts()
+"""
+        p = SqlProcessor(spark, sql, streaming_config=config, logger=lambda m: None)
+        p.run()
+        for q in p.streaming_queries:
+            q.awaitTermination(60)
+            q.stop()
+        p.backend.clean_temp_views()
+
+    run_once()
+    # second batch arrives; restart applies ONLY the new file
+    import time
+
+    time.sleep(1.1)
+    with open(src / "b2.json", "w") as f:
+        for i in range(10):
+            f.write(
+                _json.dumps({"region": "x", "amount": 1.0, "dt": "d9"}) + "\n"
+            )
+    run_once()
+
+    spark.catalog.refreshTable("med.bronze")
+    spark.catalog.refreshTable("med.rollup")
+    got = {
+        (r.dt, r.region): (r.total, r.n)
+        for r in spark.table("med.rollup").collect()
+    }
+    want = {
+        (r.dt, r.region): (r.total, r.n)
+        for r in spark.sql(
+            "select dt, region, cast(sum(amount) as double) as total, "
+            "count(*) as n from med.bronze group by dt, region"
+        ).collect()
+    }
+    assert got == want and ("d9", "x") in got
+    assert spark.table("med.bronze").count() == 50  # no replays
