@@ -49,7 +49,11 @@ FAMILIES: dict[str, list[str]] = {
     ],
     "sim": ["sim_topk_bruteforce", "sim_ivf_topk", "sim_lsh_topk"],
     "asof": ["asof_events_orders"],
-    "events": ["events_funnel", "events_retention_cohorts"],
+    "events": [
+        "events_funnel",
+        "events_retention_cohorts",
+        "events_daily_anomaly",
+    ],
     "multimodal": [
         "mm_decode_stats",
         "mm_wav_roundtrip_stats",

@@ -596,3 +596,54 @@ def text_gopher_filter(spark, sf_dir):
         ).alias("keep"),
     )
     return m.orderBy("doc_id")
+
+
+@query(
+    "events_daily_anomaly",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+    stats AS (
+        SELECT event_type,
+               avg(n) OVER (PARTITION BY event_type) AS mu,
+               stddev_pop(n) OVER (PARTITION BY event_type) AS sigma,
+               day, n
+        FROM daily)
+    SELECT event_type, day, n,
+           ROUND((n - mu) / sigma, 4) AS z,
+           (abs((n - mu) / sigma) > 2) AS is_anomaly
+    FROM stats ORDER BY event_type, day
+    """,
+)
+def events_daily_anomaly(spark, sf_dir):
+    """Volume anomaly detection on the event stream: per-type daily
+    counts z-scored against that type's own distribution — the
+    monitoring query every ingestion pipeline runs to catch drops and
+    spikes.  Plan: one uniform (type, day) aggregate, then an analytic
+    window partitioned by type (a handful of partitions with ~30 rows
+    each — the window input is the AGGREGATED series, never raw
+    events)."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+                "day"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type")
+    mu = F.avg("n").over(w)
+    sigma = F.stddev_pop("n").over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.round((F.col("n") - mu) / sigma, 4).alias("z"),
+        (F.abs((F.col("n") - mu) / sigma) > 2).alias("is_anomaly"),
+    ).orderBy("event_type", "day")
