@@ -140,3 +140,18 @@ def test_warehouse_maintenance_etl(spark):
     # compaction left a small file count despite the appends
     assert len(fact.inputFiles()) <= 8
     p.backend.clean_temp_views()
+
+
+def test_event_analytics_etl(spark):
+    """Funnel / retention / anomaly / sessionization shapes composed as a
+    plain step-language ETL over the events view."""
+    register_views(spark, "/root/testdata/sf0.001", ("events",))
+    with open(os.path.join(EXAMPLES, "event_analytics.sql")) as f:
+        sql = f.read()
+    p = SqlProcessor(spark, sql, base_dir=EXAMPLES, logger=lambda m: None)
+    p.run()
+    assert spark.table("cohorts").count() >= 1
+    anomalies = spark.table("anomalies")
+    assert anomalies.count() >= 1
+    assert {"event_type", "day", "n", "z"} <= set(anomalies.columns)
+    p.backend.clean_temp_views()
