@@ -647,3 +647,56 @@ def events_daily_anomaly(spark, sf_dir):
         F.round((F.col("n") - mu) / sigma, 4).alias("z"),
         (F.abs((F.col("n") - mu) / sigma) > 2).alias("is_anomaly"),
     ).orderBy("event_type", "day")
+
+
+@query(
+    "interval_overlap_join",
+    oracle="""
+    WITH l AS (
+        SELECT event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ls,
+               CAST(floor(epoch(ts)) AS BIGINT)
+                   + CAST(floor(value * 60) AS BIGINT) AS le
+        FROM events WHERE event_id < 2000),
+    r AS (
+        SELECT event_id AS probe_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS rs,
+               CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS re
+        FROM events WHERE event_id % 97 = 0 AND event_id < 20000)
+    SELECT l.event_id, r.probe_id,
+           CAST(greatest(l.ls, r.rs) AS BIGINT) AS overlap_start,
+           CAST(least(l.le, r.re) AS BIGINT) AS overlap_end
+    FROM l JOIN r ON l.ls <= r.re AND r.rs <= l.le
+    ORDER BY event_id, probe_id
+    """,
+)
+def interval_overlap_join(spark, sf_dir):
+    """Interval-overlap join via the grid-bucketed equi-join
+    (operators/intervals.py): sessions-vs-probe-windows overlap, the
+    shape behind ad-attribution windows, downtime overlap, IP-range
+    joins.  The DuckDB oracle runs the THETA formulation directly (fine
+    at oracle scale); the Spark side must produce identical pairs from
+    the cell equi-join + canonical-cell suppression — an off-by-one in
+    the bucketing or dedup logic breaks the match.  Plan: one hash
+    shuffle on the cell id, no BNLJ, no distinct."""
+    from ..operators.intervals import interval_join
+
+    e = load_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts").cast("long")
+    left = e.where(F.col("event_id") < 2000).select(
+        "event_id",
+        epoch.alias("ls"),
+        (epoch + (F.col("value") * 60).cast("long")).alias("le"),
+    )
+    right = e.where((F.col("event_id") % 97 == 0) & (F.col("event_id") < 20000)).select(
+        F.col("event_id").alias("probe_id"),
+        epoch.alias("rs"),
+        (epoch + 1800).alias("re"),
+    )
+    out = interval_join(left, right, "ls", "le", "rs", "re", bucket_width=3600)
+    return out.select(
+        "event_id",
+        "probe_id",
+        F.greatest("ls", "rs").cast("bigint").alias("overlap_start"),
+        F.least("le", "re").cast("bigint").alias("overlap_end"),
+    ).orderBy("event_id", "probe_id")

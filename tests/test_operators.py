@@ -257,3 +257,57 @@ def test_global_row_number_matches_window_and_avoids_global_exchange(spark):
     assert sorted(r.rid for r in numbered.select("rid").collect()) == list(
         range(10_000)
     )
+
+
+def test_interval_join_matches_naive_and_avoids_bnlj(spark):
+    """operators/intervals.py: grid-bucketed overlap join is EXACTLY the
+    theta join (random intervals incl. negatives, touching endpoints,
+    zero length, cell-boundary spans) with no nested-loop and no
+    distinct in the plan."""
+    import contextlib
+    import io
+    import random
+
+    from pyspark.sql import functions as F
+
+    from easy_sql_spark.operators.intervals import interval_join
+
+    rnd = random.Random(11)
+    lrows = [
+        (i, s, s + rnd.randint(0, 40))
+        for i, s in ((i, rnd.randint(-100, 200)) for i in range(300))
+    ]
+    rrows = [
+        (j, s, s + rnd.randint(0, 25))
+        for j, s in ((j, rnd.randint(-100, 200)) for j in range(120))
+    ]
+    left = spark.createDataFrame(lrows, "lid int, ls long, le long")
+    right = spark.createDataFrame(rrows, "rid int, rs long, re long")
+
+    got = {
+        (r.lid, r.rid)
+        for r in interval_join(
+            left, right, "ls", "le", "rs", "re", bucket_width=16
+        ).collect()
+    }
+    want = {
+        (li, rj)
+        for li, ls, le in lrows
+        for rj, rs, re in rrows
+        if ls <= re and rs <= le
+    }
+    assert got == want
+
+    plan_df = interval_join(left, right, "ls", "le", "rs", "re", 16)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan.replace("Broadcast", "Broadcast")
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" not in plan  # no distinct-based dedup
+
+    import pytest
+
+    with pytest.raises(ValueError, match="positive"):
+        interval_join(left, right, "ls", "le", "rs", "re", 0)
