@@ -48,7 +48,7 @@ FAMILIES: dict[str, list[str]] = {
         "text_source_cap",
     ],
     "sim": ["sim_topk_bruteforce", "sim_ivf_topk", "sim_lsh_topk"],
-    "asof": ["asof_events_orders"],
+    "asof": ["asof_events_orders", "interval_overlap_join"],
     "events": [
         "events_funnel",
         "events_retention_cohorts",

@@ -700,3 +700,72 @@ def interval_overlap_join(spark, sf_dir):
         F.greatest("ls", "rs").cast("bigint").alias("overlap_start"),
         F.least("le", "re").cast("bigint").alias("overlap_end"),
     ).orderBy("event_id", "probe_id")
+
+
+@query(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH dim AS (
+        SELECT doc_id, md5(text) AS val,
+               CAST(CASE WHEN CAST(doc_id % 3 AS INT) = 0 THEN 5 ELSE 1 END
+                    AS INT) AS start_at,
+               CAST(CASE WHEN CAST(doc_id % 3 AS INT) = 0 THEN NULL ELSE NULL END
+                    AS INT) AS end_at
+        FROM documents WHERE doc_id <= 200
+        UNION ALL
+        SELECT doc_id, md5(text || 'v0') AS val, 1 AS start_at, 5 AS end_at
+        FROM documents WHERE doc_id <= 200 AND CAST(doc_id % 3 AS INT) = 0),
+    facts AS (
+        SELECT doc_id, CAST(doc_id % 10 AS INT) AS at_ts
+        FROM documents WHERE doc_id <= 200)
+    SELECT f.doc_id, f.at_ts, d.val,
+           CAST(d.start_at AS INT) AS version_start
+    FROM facts f JOIN dim d
+      ON f.doc_id = d.doc_id
+     AND f.at_ts >= d.start_at
+     AND (d.end_at IS NULL OR f.at_ts < d.end_at)
+    ORDER BY f.doc_id, f.at_ts
+    """,
+)
+def scd2_point_in_time_join(spark, sf_dir):
+    """Point-in-time lookup against an SCD2 dimension: each fact joins the
+    version whose [start, end) interval covers the fact's timestamp —
+    the query every SCD2 table exists to answer.
+
+    Plan shape: the interval predicate rides an EQUI join on the merge
+    key (versions-per-key is small, so the post-join filter discards a
+    bounded handful of rows) — no theta join, no BNLJ; at 100 TB this is
+    one key-partitioned shuffle exactly like any fact-dim join.  The
+    dimension here is built inline (keys % 3 == 0 carry two versions
+    split at ts=5) so the oracle reproduces it verbatim."""
+    d0 = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 200)
+        .select("doc_id", "text")
+    )
+    current = d0.select(
+        "doc_id",
+        F.md5("text").alias("val"),
+        F.when(F.col("doc_id") % 3 == 0, 5).otherwise(1).cast("int").alias(
+            "start_at"
+        ),
+        F.lit(None).cast("int").alias("end_at"),
+    )
+    history = (
+        d0.where(F.col("doc_id") % 3 == 0)
+        .select(
+            "doc_id",
+            F.md5(F.concat(F.col("text"), F.lit("v0"))).alias("val"),
+            F.lit(1).cast("int").alias("start_at"),
+            F.lit(5).cast("int").alias("end_at"),
+        )
+    )
+    dim = current.unionByName(history)
+    facts = d0.select("doc_id", (F.col("doc_id") % 10).cast("int").alias("at_ts"))
+    joined = facts.join(dim, "doc_id").where(
+        (F.col("at_ts") >= F.col("start_at"))
+        & (F.col("end_at").isNull() | (F.col("at_ts") < F.col("end_at")))
+    )
+    return joined.select(
+        "doc_id", "at_ts", "val", F.col("start_at").alias("version_start")
+    ).orderBy("doc_id", "at_ts")

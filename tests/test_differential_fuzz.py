@@ -216,3 +216,51 @@ def test_random_string_pipelines_agree(spark, ducks, fn_ids, min_chars):
     spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).createOrReplaceTempView("documents")
     got = sorted(tuple(r) for r in spark.sql(sql).collect())
     assert got == expected, f"divergence on: {sql}"
+
+
+_DATE_EXPRS = [
+    "strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')",
+    "strftime(date_trunc('week', o_orderdate), '%Y-%m-%d')",
+    "CAST(date_part('year', o_orderdate) AS BIGINT)",
+    "CAST(date_part('quarter', o_orderdate) AS BIGINT)",
+    "CAST(date_part('dow', o_orderdate) AS BIGINT)",
+    "strftime(o_orderdate + INTERVAL 7 DAY, '%Y-%m-%d')",
+]
+_DATE_EXPRS_SPARK = [
+    "date_format(date_trunc('month', o_orderdate), 'yyyy-MM-dd')",
+    "date_format(date_trunc('week', o_orderdate), 'yyyy-MM-dd')",
+    "CAST(year(o_orderdate) AS BIGINT)",
+    "CAST(quarter(o_orderdate) AS BIGINT)",
+    "CAST(dayofweek(o_orderdate) - 1 AS BIGINT)",  # duckdb dow: 0=Sunday
+    "date_format(date_add(o_orderdate, 7), 'yyyy-MM-dd')",
+]
+
+
+@given(
+    expr_id=st.integers(0, len(_DATE_EXPRS) - 1),
+    lo=st.integers(0, 140_000),
+)
+@settings(
+    max_examples=18,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_date_functions_agree(spark, ducks, expr_id, lo):
+    """Date arithmetic/formatting over o_orderdate — truncation anchors
+    (ISO week start), dow numbering, month boundaries and interval
+    addition are the classic cross-engine traps; the f2_datetime family
+    depends on the mapped pairs staying equivalent."""
+    dd = (
+        f"SELECT {_DATE_EXPRS[expr_id]} AS d, CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM orders WHERE o_orderkey >= {lo} GROUP BY 1"
+    )
+    sp = (
+        f"SELECT {_DATE_EXPRS_SPARK[expr_id]} AS d, CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM orders WHERE o_orderkey >= {lo} GROUP BY 1"
+    )
+    expected = sorted(map(tuple, ducks.execute(dd).fetchall()))
+    spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")).createOrReplaceTempView(
+        "orders"
+    )
+    got = sorted(tuple(r) for r in spark.sql(sp).collect())
+    assert got == expected, f"divergence on: {sp} vs {dd}"
