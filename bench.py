@@ -46,6 +46,7 @@ FAMILIES: dict[str, list[str]] = {
         "text_lang_id",
         "text_winnow_pairs",
         "text_source_cap",
+        "text_gopher_filter",
     ],
     "sim": ["sim_topk_bruteforce", "sim_ivf_topk", "sim_lsh_topk"],
     "asof": ["asof_events_orders", "interval_overlap_join"],
@@ -71,6 +72,7 @@ FAMILIES: dict[str, list[str]] = {
         "text_lm_perplexity",
         "text_html_boilerplate",
         "global_row_number_order",
+        "text_unicode_nfc",
     ],
 }
 HEADLINE = [q for fam in FAMILIES.values() for q in fam]

@@ -769,3 +769,60 @@ def scd2_point_in_time_join(spark, sf_dir):
     return joined.select(
         "doc_id", "at_ts", "val", F.col("start_at").alias("version_start")
     ).orderBy("doc_id", "at_ts")
+
+
+@query(
+    "text_unicode_nfc",
+    oracle="""
+    WITH decomposed AS (
+        SELECT doc_id,
+               replace(substr(text, 1, 80), 'e', 'e' || chr(769)) AS raw
+        FROM documents WHERE doc_id <= 300),
+    norm AS (
+        SELECT doc_id, raw, nfc_normalize(raw) AS nfc FROM decomposed)
+    SELECT doc_id,
+           CAST(length(raw) AS BIGINT) AS n_cp_raw,
+           CAST(length(nfc) AS BIGINT) AS n_cp_nfc,
+           md5(nfc) AS nfc_hash
+    FROM norm ORDER BY doc_id
+    """,
+)
+def text_unicode_nfc(spark, sf_dir):
+    """Unicode NFC normalization — the canonicalization pass multilingual
+    corpora need before dedup/hashing (decomposed e+COMBINING ACUTE and
+    precomposed é hash differently but are the same text).  The corpus
+    is ASCII, so combining marks are synthesized deterministically
+    (every 'e' becomes e+U+0301) and both engines must agree on the
+    composed form: Spark normalizes via an Arrow-batched pandas UDF over
+    Python's unicodedata (no JVM builtin exposes NFC), DuckDB via its
+    native nfc_normalize — two INDEPENDENT Unicode implementations
+    md5-compared, plus the code-point counts before/after.  The UDF is a
+    narrow vectorized map; at 100 TB this is an embarrassingly parallel
+    scan like the other text cleaners."""
+    from pyspark.sql.functions import pandas_udf
+
+    # no type annotations: the module uses postponed annotation evaluation
+    # (PEP 563) and pandas_udf cannot resolve the stringified hints here
+    @pandas_udf("string")
+    def nfc(col):
+        import unicodedata
+
+        return col.map(lambda s: unicodedata.normalize("NFC", s))
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 300)
+        .select(
+            "doc_id",
+            F.regexp_replace(
+                F.substring("text", 1, 80), "e", "é"
+            ).alias("raw"),
+        )
+    )
+    out = d.withColumn("nfc", nfc("raw"))
+    return out.select(
+        "doc_id",
+        F.length("raw").cast("bigint").alias("n_cp_raw"),
+        F.length("nfc").cast("bigint").alias("n_cp_nfc"),
+        F.md5(F.encode("nfc", "utf-8")).alias("nfc_hash"),
+    ).orderBy("doc_id")
