@@ -301,3 +301,94 @@ def mm_mp4_demux_stats(spark, sf_dir):
         )
         .orderBy("media_id", "frame_idx")
     )
+
+
+# aHash resample geometry for the JPG_BY x JPG_BX block grid (32x48 px):
+# nearest-neighbor 8x8 resample of a block-constant image picks block
+# (row*H//8//8, col*W//8//8) — precomputed index lists both engines share.
+AH_R = [(i * (JPG_BY * 8) // 8) // 8 for i in range(8)]
+AH_C = [(j * (JPG_BX * 8) // 8) // 8 for j in range(8)]
+
+
+@query(
+    "mm_image_ahash",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id,
+               list_transform(range(1, {JPG_BY * JPG_BX} + 1),
+                   i -> ascii(substr(rpad(substr(text, 1, {JPG_BY * JPG_BX}),
+                                          {JPG_BY * JPG_BX}, '?'),
+                                     CAST(i AS INT), 1))) AS px
+        FROM documents WHERE doc_id <= 150),
+    r AS (
+        SELECT doc_id,
+               [{", ".join(f"px[{r * JPG_BX + c + 1}]" for r in AH_R for c in AH_C)}] AS rs
+        FROM g),
+    m AS (
+        SELECT doc_id, rs,
+               CAST(list_sum(rs) AS DOUBLE) / 64 AS mu
+        FROM r)
+    SELECT doc_id,
+           printf('%08x%08x',
+               CAST(list_sum(list_transform(range(1, 33),
+                   i -> CASE WHEN rs[CAST(i AS INT)] > mu
+                        THEN 2 ** (32 - i) ELSE 0 END)) AS BIGINT),
+               CAST(list_sum(list_transform(range(33, 65),
+                   i -> CASE WHEN rs[CAST(i AS INT)] > mu
+                        THEN 2 ** (64 - i) ELSE 0 END)) AS BIGINT)) AS ahash,
+           CAST(len(list_filter(rs, x -> x > mu)) AS BIGINT) AS n_bright
+    FROM m ORDER BY doc_id
+    """,
+)
+def mm_image_ahash(spark, sf_dir):
+    """Perceptual image hash (aHash) through the REAL codec path: encode a
+    block-constant grayscale JPEG per document, decode it with the full
+    Huffman/IDCT pipeline, nearest-resample to 8x8, threshold against the
+    mean — the near-duplicate fingerprint image dedup runs at scale.
+
+    The block-constant construction keeps the lossy codec pixel-exact
+    (see mm_jpeg_roundtrip_stats), and nearest-neighbor resampling of a
+    block-constant image reduces to index picks both engines share, so
+    the DuckDB oracle recomputes the exact 64-bit hash from the text
+    bytes — any codec, resize or thresholding drift breaks the hex
+    match.  Narrow mapInPandas; payloads never shuffle."""
+    import pandas as pd
+
+    from ..operators.jpeg import decode_jpeg, encode_jpeg
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 150)
+        .select("doc_id", "text")
+    )
+    n_blocks = JPG_BY * JPG_BX
+
+    def _ahash(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                chunk = text[:n_blocks].ljust(n_blocks, "?")
+                grid = np.frombuffer(
+                    chunk.encode("ascii", "replace"), dtype=np.uint8
+                ).reshape(JPG_BY, JPG_BX)
+                img = np.repeat(np.repeat(grid, 8, axis=0), 8, axis=1)
+                decoded = decode_jpeg(encode_jpeg(img, quality=90))[:, :, 0]
+                h0, w0 = decoded.shape
+                ys = (np.arange(8) * h0 // 8).clip(0, h0 - 1)
+                xs = (np.arange(8) * w0 // 8).clip(0, w0 - 1)
+                rs = decoded[ys][:, xs].astype(np.float64)
+                mu = rs.mean()
+                bits = (rs > mu).flatten()
+                val = 0
+                for b in bits:
+                    val = (val << 1) | int(b)
+                rows.append((int(doc_id), format(val, "016x"), int(bits.sum())))
+            yield pd.DataFrame(rows, columns=["doc_id", "ahash", "n_bright"])
+
+    return (
+        spread(docs)
+        .mapInPandas(_ahash, "doc_id long, ahash string, n_bright long")
+        .orderBy("doc_id")
+    )
