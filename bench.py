@@ -62,6 +62,7 @@ FAMILIES: dict[str, list[str]] = {
         "mm_jpeg_roundtrip_stats",
         "mm_mp4_demux_stats",
         "mm_image_ahash",
+        "mm_wav_dominant_freq",
     ],
     "pipeline": [
         "text_pii_redact",

@@ -392,3 +392,66 @@ def mm_image_ahash(spark, sf_dir):
         .mapInPandas(_ahash, "doc_id long, ahash string, n_bright long")
         .orderBy("doc_id")
     )
+
+
+# WAV spectral geometry: 2000 samples at 8 kHz -> rfft bin width 4 Hz;
+# synthesized tones are multiples of 100 Hz, so every tone sits exactly
+# on a bin (zero spectral leakage) and the argmax bin is analytic.
+WAV_N, WAV_RATE = 2000, 8000
+
+
+@query(
+    "mm_wav_dominant_freq",
+    oracle=f"""
+    SELECT doc_id,
+           {WAV_N} AS n_samples,
+           CAST(100 + (doc_id % 20) * 200 AS BIGINT) AS dominant_hz
+    FROM documents WHERE doc_id <= 150 ORDER BY doc_id
+    """,
+)
+def mm_wav_dominant_freq(spark, sf_dir):
+    """REAL audio DSP under an oracle: synthesize a pure tone per document
+    (frequency derived from doc_id), round-trip it through the RIFF/PCM
+    codec (operators/codecs.py), run an actual FFT on the decoded
+    samples, and report the dominant frequency.  The tone frequencies are
+    exact multiples of the rfft bin width, so the argmax bin is analytic
+    — the oracle predicts the recovered frequency without running a
+    transform, and any codec, sample-scaling or FFT-indexing bug shifts
+    the peak and breaks the match.  Same narrow Arrow-batched shape as
+    the other media paths; at scale the FFT is embarrassingly parallel
+    per payload."""
+    import pandas as pd
+
+    from ..operators.codecs import decode_wav, encode_wav
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 150)
+        .select("doc_id")
+    )
+
+    def _spectral(batches):
+        import numpy as np
+
+        t = np.arange(WAV_N) / WAV_RATE
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                hz = 100 + (int(doc_id) % 20) * 200
+                samples = (8000 * np.sin(2 * np.pi * hz * t)).astype(np.int16)
+                wav = decode_wav(encode_wav(samples, WAV_RATE))
+                mono = wav["samples"].reshape(-1).astype(np.float64)
+                spectrum = np.abs(np.fft.rfft(mono))
+                spectrum[0] = 0.0  # ignore DC
+                peak_bin = int(np.argmax(spectrum))
+                dominant = peak_bin * WAV_RATE // WAV_N
+                rows.append((int(doc_id), len(mono), dominant))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "dominant_hz"]
+            )
+
+    return (
+        spread(docs)
+        .mapInPandas(_spectral, "doc_id long, n_samples int, dominant_hz long")
+        .orderBy("doc_id")
+    )
