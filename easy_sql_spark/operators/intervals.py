@@ -36,11 +36,17 @@ def interval_join(
     r_start: str,
     r_end: str,
     bucket_width: int,
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner overlap join; output columns = left's then right's (callers
-    alias to avoid collisions, as with any join)."""
+    """Overlap join; output columns = left's then right's (callers alias
+    to avoid collisions, as with any join).  ``how="left"`` keeps
+    non-overlapping left rows with NULL right columns — implemented as
+    inner ∪ (anti on a checkpointed synthetic row id), the only extra
+    cost being one distinct over matched ids."""
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
     w = int(bucket_width)
 
     def cells(df: DataFrame, start: str, end: str) -> DataFrame:
@@ -48,14 +54,31 @@ def interval_join(
         hi = F.floor(F.col(end) / w).cast("long")
         return df.withColumn("__cell", F.explode(F.sequence(lo, hi)))
 
-    lb = cells(left, l_start, l_end)
-    rb = cells(right, r_start, r_end)
-    joined = lb.join(rb, "__cell")
-    overlap = (F.col(l_start) <= F.col(r_end)) & (
-        F.col(r_start) <= F.col(l_end)
-    )
-    canonical = F.col("__cell") == F.greatest(
-        F.floor(F.col(l_start) / w).cast("long"),
-        F.floor(F.col(r_start) / w).cast("long"),
-    )
-    return joined.where(overlap & canonical).drop("__cell")
+    def inner_join(l: DataFrame) -> DataFrame:
+        lb = cells(l, l_start, l_end)
+        rb = cells(right, r_start, r_end)
+        joined = lb.join(rb, "__cell")
+        overlap = (F.col(l_start) <= F.col(r_end)) & (
+            F.col(r_start) <= F.col(l_end)
+        )
+        canonical = F.col("__cell") == F.greatest(
+            F.floor(F.col(l_start) / w).cast("long"),
+            F.floor(F.col(r_start) / w).cast("long"),
+        )
+        return joined.where(overlap & canonical).drop("__cell")
+
+    if how == "inner":
+        return inner_join(left)
+
+    # left outer: a synthetic row id (checkpointed so both passes see the
+    # same values) identifies unmatched left rows exactly
+    lid = left.withColumn(
+        "__lid", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=True)
+    inner = inner_join(lid)
+    unmatched = lid.join(inner.select("__lid").distinct(), "__lid", "left_anti")
+    for field in right.schema.fields:
+        unmatched = unmatched.withColumn(
+            field.name, F.lit(None).cast(field.dataType)
+        )
+    return inner.drop("__lid").unionByName(unmatched.drop("__lid"))

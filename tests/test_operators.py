@@ -311,3 +311,37 @@ def test_interval_join_matches_naive_and_avoids_bnlj(spark):
 
     with pytest.raises(ValueError, match="positive"):
         interval_join(left, right, "ls", "le", "rs", "re", 0)
+
+
+def test_interval_join_left_outer(spark):
+    """how='left': non-overlapping left rows survive with NULL right
+    columns; matched rows equal the inner join exactly."""
+    import random
+
+    import pytest
+
+    from easy_sql_spark.operators.intervals import interval_join
+
+    rnd = random.Random(5)
+    lrows = [(i, s, s + rnd.randint(0, 10)) for i, s in ((i, rnd.randint(0, 300)) for i in range(80))]
+    rrows = [(j, s, s + rnd.randint(0, 8)) for j, s in ((j, rnd.randint(0, 150)) for j in range(30))]
+    left = spark.createDataFrame(lrows, "lid int, ls long, le long")
+    right = spark.createDataFrame(rrows, "rid int, rs long, re long")
+    out = interval_join(left, right, "ls", "le", "rs", "re", 8, how="left").collect()
+
+    want_pairs = {
+        (li, rj)
+        for li, ls, le in lrows
+        for rj, rs, re in rrows
+        if ls <= re and rs <= le
+    }
+    matched_left = {li for li, _ in want_pairs}
+    got_pairs = {(r.lid, r.rid) for r in out if r.rid is not None}
+    got_null = {r.lid for r in out if r.rid is not None} ^ {r.lid for r in out}
+    assert got_pairs == want_pairs
+    null_rows = {r.lid for r in out if r.rid is None}
+    assert null_rows == {li for li, *_ in lrows} - matched_left
+    assert len(out) == len(want_pairs) + len(null_rows)
+
+    with pytest.raises(ValueError, match="inner.*left|'left'"):
+        interval_join(left, right, "ls", "le", "rs", "re", 8, how="full")
