@@ -522,6 +522,27 @@ class SqlProcessor:
             if bloom_var
             else None
         )
+        # row-level quarantine: rows matching __quarantine_when__ divert
+        # (append) into __quarantine_to__ instead of failing the batch or
+        # polluting the target — the write-clean/divert-bad DQ pattern.
+        # NULL predicate results count as BAD (unjudgeable rows must not
+        # slip into the clean table silently).
+        q_pred = self.vars_context.get_var("__quarantine_when__")
+        q_dst = self.vars_context.get_var("__quarantine_to__")
+        if q_pred and q_dst:
+            from pyspark.sql import functions as F
+
+            flag = F.coalesce(F.expr(str(q_pred)), F.lit(True))
+            # checkpoint once so the good/bad split sees one consistent
+            # evaluation of the step query
+            df = df.localCheckpoint(eager=True)
+            bad = df.where(flag)
+            q_table = TableMeta.parse(str(q_dst), [])
+            self.backend.save_table(
+                bad, q_table, "append", create_table=True
+            )
+            df = df.where(~flag)
+
         zorder_var = self.vars_context.get_var("__zorder_by__")
         zorder_cols = (
             [c.strip() for c in str(zorder_var).split("|") if c.strip()]

@@ -830,3 +830,38 @@ select * from (values (1, 20, 'west')) as v(id, ts, region)
         f for f in spark.table("scd2m.dim").inputFiles() if "region=south" in f
     )
     assert after == before  # untouched partition's files survive
+
+
+def test_output_quarantine_rows(spark):
+    """__quarantine_when__/__quarantine_to__: bad rows (incl. rows whose
+    predicate is NULL — unjudgeable) divert to the quarantine table; the
+    target receives only clean rows; re-runs append to quarantine."""
+    setup = """-- prepare-sql: drop database if exists qdb cascade
+-- prepare-sql: create database qdb
+
+-- target=variables
+select true as __create_output_table__,
+       'amount < 0 or amount > 100' as __quarantine_when__,
+       'qdb.bad_rows' as __quarantine_to__
+
+-- target=output.qdb.clean
+select * from (values
+    (1, 50.0), (2, -3.0), (3, 999.0), (4, 10.0),
+    (5, cast(null as double))
+) as v(id, amount)
+"""
+    SqlProcessor(spark, setup, logger=lambda m: None).run()
+    clean = {r.id for r in spark.table("qdb.clean").collect()}
+    bad = {r.id for r in spark.table("qdb.bad_rows").collect()}
+    assert clean == {1, 4}
+    assert bad == {2, 3, 5}  # null predicate -> quarantined, not silent
+
+    # without the vars, the save path is untouched
+    plain = """-- target=variables
+select 'append' as __save_mode__
+
+-- target=output.qdb.clean
+select 6 as id, 60.0 as amount
+"""
+    SqlProcessor(spark, plain, logger=lambda m: None).run()
+    assert {r.id for r in spark.table("qdb.clean").collect()} == {1, 4, 6}
