@@ -254,6 +254,30 @@ def write_benches(spark, sf_dir):
             .save()
         )
 
+    # snapshot table (r4): manifest-committed dynamic-partition overwrite
+    # of the hottest month into a versioned month-partitioned orders
+    # snapshot + a time-travel read of the PREVIOUS version — measures the
+    # commit protocol's overhead on top of the parquet write (idempotent:
+    # each run replaces the same partition and adds one version)
+    import tempfile
+
+    from easy_sql_spark.runtime.snapshots import SnapshotTable
+
+    snap = SnapshotTable(spark, tempfile.mkdtemp(prefix="bench_snap_"))
+    snap.create(o, partition_by=["order_ym"])  # untimed seed
+    month_snap = month.localCheckpoint(eager=True)
+
+    def write_snapshot_commit():
+        snap.overwrite_partitions(month_snap)
+        (
+            snap.read(version=max(1, snap.latest_version() - 1))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
     return {
         "write_partitioned_overwrite": write_partitioned_overwrite,
         "write_bucketed_ctas": write_bucketed_ctas,
@@ -262,6 +286,7 @@ def write_benches(spark, sf_dir):
         "write_scd2_merge": write_scd2_merge,
         "write_zorder": write_zorder,
         "zorder_scan_2dim": zorder_scan_2dim,
+        "write_snapshot_commit": write_snapshot_commit,
     }
 
 

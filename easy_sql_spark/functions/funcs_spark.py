@@ -253,6 +253,62 @@ def build(processor):
         )
         return report
 
+    def _snapshot(root: str):
+        from ..runtime.snapshots import SnapshotTable
+
+        return SnapshotTable(spark, root)
+
+    def snapshot_commit(
+        root: str, view: str, mode: str = "append", partition_by: str = ""
+    ):
+        """Commit a view/table into the versioned snapshot table at
+        ``root`` (runtime/snapshots.py): `func.snapshot_commit(/w/events,
+        my_view, append|overwrite|overwrite_partitions, dt)`.  Creates
+        the table on first commit."""
+        t = _snapshot(root)
+        df = spark.table(view)
+        pby = [c for c in partition_by.split("|") if c] or None
+        if not t.latest_version():
+            m = t.create(df, partition_by=pby)
+        elif mode == "append":
+            m = t.append(df)
+        elif mode == "overwrite":
+            m = t.overwrite(df, partition_by=pby)
+        elif mode == "overwrite_partitions":
+            m = t.overwrite_partitions(df)
+        else:
+            raise ValueError(f"unknown snapshot commit mode {mode!r}")
+        processor.log(
+            f"snapshot_commit({root}, {view}, {mode}): v{m['version']}"
+        )
+        return m["version"]
+
+    def snapshot_view(root: str, view_name: str, version: str = ""):
+        """Register a (time-travel) read of a snapshot table as a temp
+        view: `func.snapshot_view(/w/events, events_v3, 3)` — omit the
+        version for latest."""
+        t = _snapshot(root)
+        df = t.read(version=int(version) if version else None)
+        backend.create_temp_view(df, view_name)
+
+    def snapshot_rollback(root: str, version: str):
+        """RESTORE the snapshot table to an earlier version (rolls
+        forward — the bad versions stay until vacuum)."""
+        m = _snapshot(root).rollback(int(version))
+        processor.log(f"snapshot_rollback({root}, {version}): v{m['version']}")
+
+    def snapshot_vacuum(
+        root: str, retain_versions: str = "1", min_age_seconds: str = "0"
+    ):
+        """Delete data dirs only referenced by versions older than the
+        retained window, plus aged-out orphaned staging dirs."""
+        rep = _snapshot(root).vacuum(
+            retain_versions=int(retain_versions),
+            min_age_seconds=float(min_age_seconds),
+        )
+        processor.log(f"snapshot_vacuum({root}): {rep}")
+        return rep["deleted_dirs"]
+
     return {
         k: v
         for k, v in locals().items()

@@ -826,3 +826,88 @@ def text_unicode_nfc(spark, sf_dir):
         F.length("nfc").cast("bigint").alias("n_cp_nfc"),
         F.md5(F.encode("nfc", "utf-8")).alias("nfc_hash"),
     ).orderBy("doc_id")
+
+
+@query(
+    "snapshot_time_travel",
+    oracle="""
+    WITH seed AS (SELECT doc_id FROM documents WHERE doc_id <= 300),
+    late AS (SELECT doc_id FROM documents WHERE doc_id > 300 AND doc_id <= 350)
+    SELECT * FROM (
+      SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(doc_id) AS BIGINT) AS sum_doc, CAST(0 AS BIGINT) AS n_v2
+      FROM seed
+      UNION ALL
+      SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(doc_id) AS BIGINT),
+             CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM seed
+      UNION ALL
+      SELECT 3, CAST((SELECT COUNT(*) FROM seed) + COUNT(*) AS BIGINT),
+             CAST((SELECT SUM(doc_id) FROM seed) + SUM(doc_id) AS BIGINT),
+             CAST((SELECT SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                   FROM seed) AS BIGINT)
+      FROM late
+      UNION ALL
+      SELECT 4, CAST(COUNT(*) AS BIGINT), CAST(SUM(doc_id) AS BIGINT),
+             CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM seed
+    ) ORDER BY version
+    """,
+)
+def snapshot_time_travel(spark, sf_dir):
+    """Versioned snapshot table end-to-end (runtime/snapshots.py): append
+    a 300-doc corpus slice partitioned by ``pt = doc_id % 3``, replace
+    only partition pt=0 via manifest-level dynamic-partition overwrite
+    (version column flips to 2 there), append 50 late docs, then ROLL
+    BACK to v2 — and read every version by time travel.  The result is
+    per-version (count, sum, v2-row count), so the oracle pins append /
+    partition-overwrite / rollback semantics, not just the final state.
+
+    Reference analogue: the Hudi-versioned sinks the Flink samples rely
+    on (test/sample_etl.flink.hudi-agg.sql:46) — here expressed as a
+    manifest layer over plain parquet with atomic FS commits.
+
+    Scale: every read is ONE parquet scan over exactly the live
+    partition dirs of that version (the driver hands Spark the manifest's
+    dir list — dead versions are never listed); the partition overwrite
+    rewrites only pt=0's rows; rollback writes no data at all."""
+    import tempfile
+
+    from ..runtime.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="snap_q_"))
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") <= 300)
+    seed = docs.select(
+        "doc_id",
+        F.lit(1).alias("version"),
+        (F.col("doc_id") % 3).cast("int").alias("pt"),
+    )
+    t.create(seed, partition_by=["pt"])
+    t.overwrite_partitions(
+        seed.where(F.col("pt") == 0).withColumn("version", F.lit(2))
+    )
+    t.append(
+        load_table(spark, sf_dir, "documents")
+        .where((F.col("doc_id") > 300) & (F.col("doc_id") <= 350))
+        .select(
+            "doc_id",
+            F.lit(1).alias("version"),
+            (F.col("doc_id") % 3).cast("int").alias("pt"),
+        )
+    )
+    t.rollback(2)
+
+    per_version = [
+        t.read(version=v)
+        .agg(
+            F.lit(v).alias("version"),
+            F.count("*").alias("n"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc"),
+            F.sum((F.col("version") == 2).cast("bigint")).alias("n_v2"),
+        )
+        for v in (1, 2, 3, 4)
+    ]
+    out = per_version[0]
+    for p in per_version[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("version").localCheckpoint(eager=True)

@@ -1,0 +1,467 @@
+"""Snapshot/versioned tables: time travel, rollback, vacuum, exactly-once
+streaming commits over plain parquet — a manifest-based mini-lakehouse.
+
+The reference delegates versioned-table semantics to Hudi (its Flink
+samples upsert into Hudi tables — reference
+test/sample_etl.flink.hudi-agg.sql:46, backend/flink.py:196-204); this
+module re-expresses the capability Spark-first with no table-format
+dependency, because the container (and many real clusters) carries
+neither Delta nor Hudi jars.
+
+Layout (everything under one table root):
+
+    root/_manifests/v00000001.json      one manifest per committed version
+    root/data/commit=<v>-<uuid>/        one directory per commit's files
+    root/data/commit=.../p=1/part-*.parquet   (partitioned tables)
+
+Design decisions, chosen for 100 TB behavior:
+
+- **Commit = atomic manifest create.** A writer stages its parquet files
+  into a fresh ``commit=`` directory (invisible to readers — reads only
+  follow manifests), then claims version N by creating
+  ``_manifests/v{N}.json`` with the Hadoop FileSystem's
+  ``create(path, overwrite=false)`` — atomic on HDFS and local FS.  A
+  lost race surfaces as FileAlreadyExists; append-like operations
+  rebase on the new latest and retry (optimistic concurrency, the
+  Delta/Iceberg protocol shape).
+- **Live set tracked as leaf directories, not files.** Each manifest
+  stores the full list of live ``commit=…[/part=…]`` leaf dirs.  Dir
+  granularity keeps manifests small (one entry per partition per
+  commit, not per file), makes dynamic-partition overwrite a set
+  subtraction, and lets ``vacuum`` delete whole directories.  A 100 TB
+  table with 10^5 partition-commits carries a few-MB manifest; the
+  file-level listing + parquet checkpoint hybrid (what Delta does past
+  that) is the documented growth path.
+- **One scan per read.** ``spark.read.option("basePath", data)
+  .parquet(*live_dirs)`` — the ``commit=`` path segment parses as a
+  partition column and is dropped, real partition columns are
+  recovered from their path segments, and Catalyst prunes/pushes into
+  the single relation.  The manifest itself is a coarse skipping
+  index: for partitioned tables the driver hands Spark only the live
+  partition dirs, so dead versions are never even listed.
+- **Exactly-once streaming.** ``commit_batch(batch_id, df)`` records
+  the foreachBatch batch id in the manifest; a replayed batch (restart
+  from checkpoint) is detected by scanning committed ids for the same
+  stream key and skipped — the standard idempotent-sink contract.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid as _uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_MANIFEST_FMT = "v%08d.json"
+_RETRIES = 5
+
+
+class SnapshotConflictError(RuntimeError):
+    """Another writer won the version race and the operation cannot be
+    rebased automatically."""
+
+
+class _FS:
+    """Thin driver-side wrapper over the Hadoop FileSystem API (py4j) —
+    the same code path works on file:// and hdfs:// (and any FS with a
+    Hadoop connector).  Only manifest-sized metadata flows through the
+    driver; table data always moves through Spark jobs."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        sc = spark.sparkContext
+        self._jvm = sc._jvm
+        self._conf = sc._jsc.hadoopConfiguration()
+        self.root = root
+        self._fs = self._path(root).getFileSystem(self._conf)
+
+    def _path(self, p: str):
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    def exists(self, p: str) -> bool:
+        return self._fs.exists(self._path(p))
+
+    def mkdirs(self, p: str) -> None:
+        self._fs.mkdirs(self._path(p))
+
+    def create_atomic(self, p: str, data: bytes) -> bool:
+        """Exclusive create; False when the path already exists (a lost
+        commit race)."""
+        try:
+            stream = self._fs.create(self._path(p), False)
+        except Exception as e:  # FileAlreadyExistsException via py4j
+            if "AlreadyExists" in str(e.__class__) or "already exists" in str(e):
+                return False
+            raise
+        try:
+            stream.write(bytearray(data))
+        finally:
+            stream.close()
+        return True
+
+    def read_bytes(self, p: str) -> bytes:
+        stream = self._fs.open(self._path(p))
+        try:
+            baos = self._jvm.java.io.ByteArrayOutputStream()
+            self._jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+                stream, baos, self._conf, False
+            )
+            return bytes(baos.toByteArray())
+        finally:
+            stream.close()
+
+    def list_names(self, p: str) -> list[str]:
+        if not self.exists(p):
+            return []
+        return [
+            s.getPath().getName() for s in self._fs.listStatus(self._path(p))
+        ]
+
+    def leaf_dirs(self, p: str, depth: int) -> list[str]:
+        """Relative leaf dirs exactly ``depth`` levels under ``p``
+        (depth 0 → [''] when p exists)."""
+        if depth == 0:
+            return [""] if self.exists(p) else []
+        out: list[str] = []
+
+        def walk(cur: str, rel: str, d: int) -> None:
+            for s in self._fs.listStatus(self._path(cur)):
+                if not s.isDirectory():
+                    continue
+                name = s.getPath().getName()
+                sub = f"{rel}/{name}" if rel else name
+                if d == 1:
+                    out.append(sub)
+                else:
+                    walk(f"{cur}/{name}", sub, d - 1)
+
+        walk(p, "", depth)
+        return out
+
+    def delete(self, p: str) -> None:
+        self._fs.delete(self._path(p), True)
+
+    def mtime(self, p: str) -> float:
+        return self._fs.getFileStatus(self._path(p)).getModificationTime() / 1e3
+
+    def now(self) -> float:
+        """Commit wall-clock, taken from the FS mtime domain so as-of
+        time travel compares like with like."""
+        probe = f"{self.root}/_manifests/.ts-{_uuid.uuid4().hex}"
+        self.create_atomic(probe, b"")
+        try:
+            return self.mtime(probe)
+        finally:
+            self.delete(probe)
+
+
+class SnapshotTable:
+    """A versioned parquet table at a filesystem root.  See module
+    docstring for the commit protocol and layout."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.fs = _FS(spark, self.root)
+        self.data_dir = f"{self.root}/data"
+        self.manifest_dir = f"{self.root}/_manifests"
+
+    # ------------------------------------------------------------ manifests
+    def _manifest_path(self, version: int) -> str:
+        return f"{self.manifest_dir}/{_MANIFEST_FMT % version}"
+
+    def latest_version(self) -> int:
+        """0 when the table has no committed version yet."""
+        versions = [
+            int(n[1:9])
+            for n in self.fs.list_names(self.manifest_dir)
+            if n.startswith("v") and n.endswith(".json")
+        ]
+        return max(versions, default=0)
+
+    def manifest(self, version: int) -> dict:
+        return json.loads(self.fs.read_bytes(self._manifest_path(version)))
+
+    def history(self) -> list[dict]:
+        """Version log, newest first (op, timestamp, live-dir count)."""
+        out = []
+        for v in range(self.latest_version(), 0, -1):
+            m = self.manifest(v)
+            out.append(
+                {
+                    "version": m["version"],
+                    "operation": m["operation"],
+                    "ts": m["ts"],
+                    "live_dirs": len(m["live"]),
+                    "added_dirs": len(m["added"]),
+                    "batch_id": m.get("batch_id"),
+                }
+            )
+        return out
+
+    # -------------------------------------------------------------- commits
+    def _stage(self, df: DataFrame, partition_by: list[str], version_hint: int) -> tuple[str, list[str]]:
+        """Write the batch into a fresh commit dir; return (commit dir
+        name, its leaf dirs relative to data/)."""
+        commit = f"commit={version_hint}-{_uuid.uuid4().hex[:12]}"
+        path = f"{self.data_dir}/{commit}"
+        writer = df.write.mode("error")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        leaves = self.fs.leaf_dirs(path, len(partition_by))
+        return commit, [f"{commit}/{leaf}" if leaf else commit for leaf in leaves]
+
+    def _try_commit(self, manifest: dict) -> bool:
+        body = json.dumps(manifest, indent=1).encode()
+        return self.fs.create_atomic(self._manifest_path(manifest["version"]), body)
+
+    def _commit_loop(self, build_manifest) -> dict:
+        """Optimistic-concurrency commit: ``build_manifest(parent_manifest,
+        version)`` produces the manifest for the next version; on a lost
+        race we re-read the new latest and rebuild (the rebase)."""
+        for _ in range(_RETRIES):
+            v = self.latest_version()
+            parent = self.manifest(v) if v else None
+            manifest = build_manifest(parent, v + 1)
+            if self._try_commit(manifest):
+                return manifest
+        raise SnapshotConflictError(
+            f"lost {_RETRIES} consecutive commit races on {self.root}"
+        )
+
+    def _base_manifest(self, version: int, parent: dict | None, op: str, df: DataFrame, partition_by: list[str], extra: dict | None = None) -> dict:
+        m = {
+            "version": version,
+            "parent": parent["version"] if parent else None,
+            "operation": op,
+            "ts": self.fs.now(),
+            "schema": df.schema.json(),
+            "partition_cols": partition_by,
+            "live": [],
+            "added": [],
+            "removed": [],
+        }
+        m.update(extra or {})
+        return m
+
+    def _resolve_partition_by(self, parent: dict | None, partition_by: list[str] | None) -> list[str]:
+        if parent is not None:
+            existing = parent["partition_cols"]
+            if partition_by is not None and list(partition_by) != existing:
+                raise ValueError(
+                    f"snapshot table is partitioned by {existing}, "
+                    f"got partition_by={list(partition_by)}"
+                )
+            return existing
+        return list(partition_by or [])
+
+    def create(self, df: DataFrame, partition_by: list[str] | None = None) -> dict:
+        """First commit (v1).  Raises if the table already has versions."""
+        if self.latest_version():
+            raise ValueError(f"snapshot table already exists at {self.root}")
+        return self.overwrite(df, partition_by=partition_by)
+
+    def append(self, df: DataFrame, extra: dict | None = None) -> dict:
+        """Add the batch's rows; prior files stay live.  Rebases cleanly
+        on commit races (an append commutes with any other commit)."""
+        staged: dict = {}
+
+        def build(parent, version):
+            pby = self._resolve_partition_by(parent, None)
+            if "dirs" not in staged:  # stage once, reuse across retries
+                staged["dirs"] = self._stage(df, pby, version)[1]
+            m = self._base_manifest(version, parent, "append", df, pby, extra)
+            m["added"] = staged["dirs"]
+            m["live"] = (parent["live"] if parent else []) + staged["dirs"]
+            return m
+
+        return self._commit_loop(build)
+
+    def overwrite(self, df: DataFrame, partition_by: list[str] | None = None, extra: dict | None = None) -> dict:
+        """Replace the table contents; old files stay on disk for time
+        travel until vacuumed."""
+        staged: dict = {}
+
+        def build(parent, version):
+            pby = self._resolve_partition_by(parent, partition_by)
+            if "dirs" not in staged:
+                staged["dirs"] = self._stage(df, pby, version)[1]
+            m = self._base_manifest(version, parent, "overwrite", df, pby, extra)
+            m["added"] = staged["dirs"]
+            m["live"] = list(staged["dirs"])
+            m["removed"] = parent["live"] if parent else []
+            return m
+
+        return self._commit_loop(build)
+
+    def overwrite_partitions(self, df: DataFrame, extra: dict | None = None) -> dict:
+        """Dynamic-partition overwrite: only the partitions PRESENT in the
+        batch are replaced; all other live dirs survive.  The replacement
+        is a manifest-level set subtraction — no data in untouched
+        partitions is read or rewritten."""
+
+        staged: dict = {}
+
+        def build(parent, version):
+            pby = self._resolve_partition_by(parent, None)
+            if not pby:
+                raise ValueError(
+                    "overwrite_partitions requires a partitioned snapshot table"
+                )
+            if "dirs" not in staged:
+                staged["dirs"] = self._stage(df, pby, version)[1]
+            new_dirs = staged["dirs"]
+            # partition spec = the path suffix past the commit dir
+            new_specs = {d.split("/", 1)[1] for d in new_dirs}
+            m = self._base_manifest(
+                version, parent, "overwrite_partitions", df, pby, extra
+            )
+            prior = parent["live"] if parent else []
+            dead = [d for d in prior if d.split("/", 1)[1] in new_specs]
+            m["added"] = new_dirs
+            m["removed"] = dead
+            m["live"] = [d for d in prior if d not in set(dead)] + new_dirs
+            return m
+
+        return self._commit_loop(build)
+
+    def rollback(self, version: int) -> dict:
+        """RESTORE: commit a NEW version whose live set is version N's —
+        history rolls forward (the bad versions stay inspectable until
+        vacuum), exactly Delta's RESTORE semantics."""
+        old = self.manifest(version)
+
+        def build(parent, new_version):
+            m = dict(old)
+            m.update(
+                version=new_version,
+                parent=parent["version"] if parent else None,
+                operation=f"rollback_to_v{version}",
+                ts=self.fs.now(),
+                added=[],
+                removed=[],
+                live=old["live"],
+            )
+            m.pop("batch_id", None)
+            m.pop("stream_key", None)
+            return m
+
+        return self._commit_loop(build)
+
+    # ------------------------------------------------------------ streaming
+    def committed_batches(self, stream_key: str = "stream") -> set[int]:
+        return {
+            m["batch_id"]
+            for v in range(1, self.latest_version() + 1)
+            if (m := self.manifest(v)).get("stream_key") == stream_key
+            and m.get("batch_id") is not None
+        }
+
+    def commit_batch(
+        self,
+        batch_id: int,
+        df: DataFrame,
+        mode: str = "append",
+        stream_key: str = "stream",
+    ) -> dict | None:
+        """Idempotent foreachBatch sink: the batch id rides the manifest;
+        a replayed id (checkpoint restart re-delivers the last batch) is
+        skipped, making the snapshot table an exactly-once sink over an
+        at-least-once stream.  Returns None on skip."""
+        if batch_id in self.committed_batches(stream_key):
+            return None
+        op = {
+            "append": self.append,
+            "overwrite": self.overwrite,
+            "overwrite_partitions": self.overwrite_partitions,
+        }[mode]
+        return op(df, extra={"batch_id": int(batch_id), "stream_key": stream_key})
+
+    # ---------------------------------------------------------------- reads
+    def read(self, version: int | None = None, as_of: float | None = None) -> DataFrame:
+        """The table at a version (default: latest) or the newest version
+        with commit ts ≤ ``as_of`` (epoch seconds)."""
+        latest = self.latest_version()
+        if not latest:
+            raise ValueError(f"no committed versions at {self.root}")
+        if as_of is not None:
+            version = max(
+                (v for v in range(1, latest + 1) if self.manifest(v)["ts"] <= as_of),
+                default=None,
+            )
+            if version is None:
+                raise ValueError(f"no version at or before ts={as_of}")
+        version = version or latest
+        m = self.manifest(version)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        if not m["live"]:
+            return self.spark.createDataFrame([], schema)
+        paths = [f"{self.data_dir}/{d}" for d in m["live"]]
+        df = (
+            self.spark.read.option("basePath", self.data_dir)
+            .schema(self._read_schema(schema, m["partition_cols"]))
+            .parquet(*paths)
+            .drop("commit")
+        )
+        return df.select(*[f.name for f in schema.fields])
+
+    @staticmethod
+    def _read_schema(schema: StructType, part_cols: list[str]) -> StructType:
+        """Scan schema: data columns first, then partition columns, then
+        the synthetic ``commit`` path column — pinning it avoids a
+        schema-inference pass over the footers on every read."""
+        from pyspark.sql.types import StringType, StructField
+
+        data_fields = [f for f in schema.fields if f.name not in part_cols]
+        part_fields = [f for f in schema.fields if f.name in part_cols]
+        return StructType(
+            data_fields + part_fields + [StructField("commit", StringType())]
+        )
+
+    # --------------------------------------------------------------- vacuum
+    def vacuum(self, retain_versions: int = 1, min_age_seconds: float = 0.0) -> dict:
+        """Physically delete data dirs referenced ONLY by versions older
+        than the retained window (latest ``retain_versions`` versions
+        stay time-travelable), plus orphaned commit dirs from failed
+        commits — those older than ``min_age_seconds`` (an in-flight
+        commit's staged dir looks orphaned until its manifest lands; age
+        is the standard guard, cf. Delta's VACUUM retention).  Old
+        manifests for dropped versions are deleted too."""
+        latest = self.latest_version()
+        keep_from = max(1, latest - retain_versions + 1)
+        referenced: set[str] = set()
+        for v in range(keep_from, latest + 1):
+            referenced.update(self.manifest(v)["live"])
+        ref_commits = {d.split("/", 1)[0] for d in referenced}
+
+        deleted_dirs = 0
+        now = self.fs.now()
+        for commit in self.fs.list_names(self.data_dir):
+            cpath = f"{self.data_dir}/{commit}"
+            if commit not in ref_commits:
+                if now - self.fs.mtime(cpath) >= min_age_seconds:
+                    self.fs.delete(cpath)
+                    deleted_dirs += 1
+                continue
+            # commit partially live (dynamic overwrite replaced some
+            # partitions): drop only its dead partition dirs
+            part_depth = len(self.manifest(latest)["partition_cols"])
+            if part_depth:
+                for leaf in self.fs.leaf_dirs(cpath, part_depth):
+                    rel = f"{commit}/{leaf}"
+                    if rel not in referenced:
+                        self.fs.delete(f"{cpath}/{leaf}")
+                        deleted_dirs += 1
+        removed_manifests = 0
+        for v in range(1, keep_from):
+            p = self._manifest_path(v)
+            if self.fs.exists(p):
+                self.fs.delete(p)
+                removed_manifests += 1
+        return {
+            "deleted_dirs": deleted_dirs,
+            "deleted_manifests": removed_manifests,
+            "retained_from_version": keep_from,
+        }

@@ -1,0 +1,216 @@
+"""Snapshot table layer: commit protocol, time travel, dynamic-partition
+overwrite, rollback, vacuum, exactly-once streaming commits.
+
+The reference reaches these semantics through Hudi sinks
+(test/sample_etl.flink.hudi-agg.sql:46); here they are a manifest layer
+over plain parquet — see runtime/snapshots.py for the design."""
+
+import shutil
+
+import pytest
+
+from easy_sql_spark.runtime.snapshots import SnapshotConflictError, SnapshotTable
+
+
+@pytest.fixture()
+def root(tmp_path):
+    yield str(tmp_path / "snap")
+    shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+def _df(spark, rows, schema="id int, v string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_create_append_time_travel(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_df(spark, [(1, "a"), (2, "b")]))
+    t.append(_df(spark, [(3, "c")]))
+
+    assert t.latest_version() == 2
+    assert sorted(r.id for r in t.read().collect()) == [1, 2, 3]
+    assert sorted(r.id for r in t.read(version=1).collect()) == [1, 2]
+
+    hist = t.history()
+    assert [h["version"] for h in hist] == [2, 1]
+    assert hist[0]["operation"] == "append"
+
+    # as-of time travel: at exactly v1's commit ts we see v1
+    v1_ts = t.manifest(1)["ts"]
+    assert sorted(r.id for r in t.read(as_of=v1_ts).collect()) == [1, 2]
+
+    with pytest.raises(ValueError):
+        t.create(_df(spark, [(9, "z")]))  # already exists
+
+
+def test_overwrite_and_rollback(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_df(spark, [(1, "a")]))
+    t.overwrite(_df(spark, [(7, "x"), (8, "y")]))
+    assert sorted(r.id for r in t.read().collect()) == [7, 8]
+    assert sorted(r.id for r in t.read(version=1).collect()) == [1]
+
+    m = t.rollback(1)
+    assert m["version"] == 3 and m["operation"] == "rollback_to_v1"
+    assert sorted(r.id for r in t.read().collect()) == [1]
+    # the rolled-back-over version is still inspectable (roll-forward)
+    assert sorted(r.id for r in t.read(version=2).collect()) == [7, 8]
+
+
+def test_partitioned_dynamic_overwrite_prunes(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(
+        _df(spark, [(1, "a", "x"), (2, "b", "y")], "id int, v string, p string"),
+        partition_by=["p"],
+    )
+    files_before = {
+        f for f in t.read().inputFiles() if "/p=y/" in f
+    }
+    t.overwrite_partitions(
+        _df(spark, [(10, "A", "x")], "id int, v string, p string")
+    )
+    cur = t.read()
+    rows = {(r.id, r.p) for r in cur.collect()}
+    assert rows == {(10, "x"), (2, "y")}
+    # untouched partition still served by its ORIGINAL files
+    assert {f for f in cur.inputFiles() if "/p=y/" in f} == files_before
+    # partition column type recovered from the stored schema
+    assert dict(cur.dtypes)["p"] == "string"
+    # manifest-level pruning: v2 has exactly two live dirs (new x + old y)
+    assert len(t.manifest(2)["live"]) == 2
+    # time travel back across the partition overwrite
+    assert {(r.id, r.p) for r in t.read(version=1).collect()} == {
+        (1, "x"),
+        (2, "y"),
+    }
+
+
+def test_partition_spec_mismatch_raises(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_df(spark, [(1, "a", "x")], "id int, v string, p string"), ["p"])
+    with pytest.raises(ValueError, match="partitioned by"):
+        t.overwrite(_df(spark, [(2, "b", "y")], "id int, v string, p string"), ["v"])
+    with pytest.raises(ValueError, match="partitioned"):
+        SnapshotTable(spark, str(root) + "2").create(_df(spark, [(1, "a")]))
+        SnapshotTable(spark, str(root) + "2").overwrite_partitions(
+            _df(spark, [(2, "b")])
+        )
+
+
+def test_commit_race_rebases_append(spark, root, monkeypatch):
+    t = SnapshotTable(spark, root)
+    t.create(_df(spark, [(1, "a")]))
+
+    # interloper commits v2 between our latest_version() read and the
+    # manifest claim: first claim attempt loses, append must rebase on v2
+    interloper = SnapshotTable(spark, root)
+    real_create = t.fs.create_atomic
+    state = {"raced": False}
+
+    def racing_create(path, data):
+        if not state["raced"] and "/v00000002.json" in path:
+            state["raced"] = True
+            interloper.append(_df(spark, [(50, "i")]))
+            return False  # our claim on v2 lost
+        return real_create(path, data)
+
+    monkeypatch.setattr(t.fs, "create_atomic", racing_create)
+    m = t.append(_df(spark, [(2, "b")]))
+    assert m["version"] == 3  # rebased past the interloper
+    assert sorted(r.id for r in t.read().collect()) == [1, 2, 50]
+
+
+def test_conflict_exhaustion_raises(spark, root, monkeypatch):
+    t = SnapshotTable(spark, root)
+    t.create(_df(spark, [(1, "a")]))
+    real_create = t.fs.create_atomic
+    monkeypatch.setattr(
+        t.fs,
+        "create_atomic",
+        lambda p, d: False if "/v0" in p else real_create(p, d),
+    )
+    with pytest.raises(SnapshotConflictError):
+        t.append(_df(spark, [(2, "b")]))
+
+
+def test_vacuum_drops_dead_versions_keeps_live(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_df(spark, [(1, "a", "x"), (2, "b", "y")], "id int, v string, p string"), ["p"])
+    t.overwrite_partitions(_df(spark, [(10, "A", "x")], "id int, v string, p string"))
+    t.append(_df(spark, [(3, "c", "z")], "id int, v string, p string"))
+
+    res = t.vacuum(retain_versions=1)
+    # v1's x-partition dir is dead (replaced in v2); y/z stay live
+    assert res["deleted_dirs"] >= 1
+    assert res["deleted_manifests"] == 2
+    cur = {(r.id, r.p) for r in t.read().collect()}
+    assert cur == {(10, "x"), (2, "y"), (3, "z")}
+    with pytest.raises(Exception):
+        t.read(version=1)  # manifest gone
+
+
+def test_vacuum_age_guard_spares_inflight_staging(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_df(spark, [(1, "a")]))
+    # simulate an in-flight commit: staged dir, no manifest yet
+    _df(spark, [(9, "z")]).write.parquet(f"{root}/data/commit=9-inflight")
+    res = t.vacuum(retain_versions=1, min_age_seconds=3600)
+    assert res["deleted_dirs"] == 0
+    assert t.fs.exists(f"{root}/data/commit=9-inflight")
+    # without the guard it is collected as an orphan
+    res = t.vacuum(retain_versions=1, min_age_seconds=0)
+    assert res["deleted_dirs"] == 1
+    assert not t.fs.exists(f"{root}/data/commit=9-inflight")
+
+
+def test_empty_table_read_has_schema(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_df(spark, [], "id int, v string"))
+    out = t.read()
+    assert out.count() == 0
+    assert out.columns == ["id", "v"]
+
+
+def test_streaming_commit_batch_idempotent(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_df(spark, [(1, "a")]))
+    assert t.commit_batch(0, _df(spark, [(2, "b")])) is not None
+    # checkpoint-restart replay of the same batch id: skipped
+    assert t.commit_batch(0, _df(spark, [(2, "b")])) is None
+    assert t.commit_batch(1, _df(spark, [(3, "c")])) is not None
+    assert sorted(r.id for r in t.read().collect()) == [1, 2, 3]
+    # independent stream keys do not collide on batch ids
+    assert t.commit_batch(1, _df(spark, [(4, "d")]), stream_key="s2") is not None
+    assert t.latest_version() == 4
+
+
+def test_snapshot_step_functions_end_to_end(spark, root):
+    """The step-language surface: commit two versions, time-travel read,
+    rollback, vacuum — all via func. steps."""
+    from easy_sql_spark.runtime.processor import SqlProcessor
+
+    etl = f"""-- target=temp.batch1
+select 1 as id, 'x' as p
+union all select 2, 'y'
+
+-- target=func.snapshot_commit({root}, batch1, append, p)
+
+-- target=temp.batch2
+select 10 as id, 'x' as p
+
+-- target=func.snapshot_commit({root}, batch2, overwrite_partitions)
+
+-- target=func.snapshot_view({root}, snap_latest)
+-- target=func.snapshot_view({root}, snap_v1, 1)
+
+-- target=func.snapshot_rollback({root}, 1)
+-- target=func.snapshot_view({root}, snap_after_rb)
+"""
+    SqlProcessor(spark, etl, logger=lambda m: None).run()
+    assert {(r.id, r.p) for r in spark.table("snap_latest").collect()} == {
+        (10, "x"),
+        (2, "y"),
+    }
+    v1 = {(r.id, r.p) for r in spark.table("snap_v1").collect()}
+    assert v1 == {(1, "x"), (2, "y")}
+    assert {(r.id, r.p) for r in spark.table("snap_after_rb").collect()} == v1
