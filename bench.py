@@ -61,6 +61,7 @@ FAMILIES: dict[str, list[str]] = {
         "mm_gif_frames_stats",
         "mm_jpeg_roundtrip_stats",
         "mm_mp4_demux_stats",
+        "mm_mp3_demux_stats",
         "mm_image_ahash",
         "mm_wav_dominant_freq",
     ],

@@ -455,3 +455,106 @@ def mm_wav_dominant_freq(spark, sf_dir):
         .mapInPandas(_spectral, "doc_id long, n_samples int, dominant_hz long")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "mm_mp3_demux_stats",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, text,
+               ([64, 96, 128, 160, 192, 256, 320])[CAST(doc_id % 7 AS INT) + 1] AS br
+        FROM documents WHERE doc_id <= 150),
+    q AS (SELECT doc_id, text, br,
+                 144 * br * 1000 // 44100 - 4 AS psz
+          FROM p),
+    f AS (
+        SELECT doc_id, br, psz, k,
+               rpad(substr(text, CAST(k * psz + 1 AS INT), CAST(psz AS INT)),
+                    CAST(psz AS INT), '?') AS chunk
+        FROM q, UNNEST(range(0, 8)) AS t(k) WHERE CAST(k AS INT) % 2 = 0)
+    SELECT doc_id AS media_id, CAST(k AS INT) AS frame_idx,
+           8 AS n_frames, CAST(br AS INT) AS bitrate_kbps,
+           CAST(psz AS INT) AS payload_bytes,
+           CAST(8 * 1152 * 1000 // 44100 AS INT) AS duration_ms,
+           CAST(list_sum(list_transform(range(1, CAST(psz AS INT) + 1),
+               i -> ascii(substr(chunk, CAST(i AS INT), 1)))) AS BIGINT) AS byte_sum
+    FROM f ORDER BY media_id, frame_idx
+    """,
+)
+def mm_mp3_demux_stats(spark, sf_dir):
+    """REAL-framing MP3 query: per document, 8 frame payloads (text
+    chunks sized to the frame capacity of a per-doc bitrate) are encoded
+    into an MPEG1 Layer III stream behind an ID3v2 tag
+    (operators/mp3.py), then every-2nd frame comes back through the real
+    demux path — ID3 skip, per-frame header decode, exact frame-length
+    arithmetic — reporting bitrate, payload size, stream duration and
+    byte sums.  A framing bug on either side breaks the oracle match.
+    PCM decode of real audio bitstreams stays honestly out of scope (no
+    DSP codec library in the container); the framing layer, the part an
+    audio pipeline shards and seeks on, is real.  Narrow mapInPandas,
+    payloads never shuffle — same scale shape as the other media paths."""
+    import pandas as pd
+
+    from ..operators.mp3 import encode_mpeg_audio, extract_frame_payloads, parse_mpeg_audio
+
+    _BRS = [64, 96, 128, 160, 192, 256, 320]
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 150)
+        .select("doc_id", "text")
+    )
+
+    def _roundtrip(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                br = _BRS[int(doc_id) % 7]
+                psz = 144 * br * 1000 // 44100 - 4
+                bodies = [
+                    text[k * psz : (k + 1) * psz]
+                    .ljust(psz, "?")
+                    .encode("ascii", "replace")
+                    for k in range(8)
+                ]
+                payload = encode_mpeg_audio(
+                    bodies, bitrate_kbps=br, id3v2_payload=b"synthetic-tag"
+                )
+                info = parse_mpeg_audio(payload)
+                if info["is_vbr"] or info["n_frames"] != 8:
+                    raise AssertionError("mp3 roundtrip framing drift")
+                for k, body in zip(
+                    range(0, 8, 2), extract_frame_payloads(payload, every_n=2)
+                ):
+                    rows.append(
+                        (
+                            int(doc_id),
+                            k,
+                            8,
+                            info["bitrate_kbps"],
+                            len(body),
+                            info["duration_ms"],
+                            sum(body),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "frame_idx",
+                    "n_frames",
+                    "bitrate_kbps",
+                    "payload_bytes",
+                    "duration_ms",
+                    "byte_sum",
+                ],
+            )
+
+    return (
+        spread(docs)
+        .mapInPandas(
+            _roundtrip,
+            "media_id long, frame_idx int, n_frames int, bitrate_kbps int, "
+            "payload_bytes int, duration_ms int, byte_sum long",
+        )
+        .orderBy("media_id", "frame_idx")
+    )
