@@ -911,3 +911,51 @@ def snapshot_time_travel(spark, sf_dir):
     for p in per_version[1:]:
         out = out.unionByName(p)
     return out.orderBy("version").localCheckpoint(eager=True)
+
+
+@query(
+    "text_weighted_sample",
+    oracle="""
+    WITH pri AS (
+        SELECT source, doc_id, n_chars,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                    AS DOUBLE) / CAST(n_chars AS DOUBLE) AS xi
+        FROM documents WHERE n_chars > 0),
+    r AS (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY xi, doc_id)
+                   AS sample_rank
+        FROM pri)
+    SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(sample_rank AS INT) AS sample_rank
+    FROM r WHERE sample_rank <= 20
+    ORDER BY source, sample_rank
+    """,
+)
+def text_weighted_sample(spark, sf_dir):
+    """Per-source weighted sample (20 docs/source, weight = doc length)
+    via sequential Poisson sampling — deterministic PPS-ish selection
+    for auditable training-data mixtures (operators/sampling.py).  The
+    priority is an exact-integer hash divided by the weight, a single
+    IEEE-exact operation, so Spark and DuckDB rank IDENTICALLY — the
+    ln/pow-based exponential-key variant cannot promise that.
+
+    Scale: one narrow hash projection + one window per source — a
+    single shuffle, same envelope as any per-key top-k; skew-cappable
+    via operators/skew.py first."""
+    from ..operators.sampling import weighted_sample_per_key
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    return (
+        weighted_sample_per_key(d, ["source"], "doc_id", "n_chars", 20)
+        .select(
+            "source",
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.col("__rank").cast("int").alias("sample_rank"),
+        )
+        .orderBy("source", "sample_rank")
+    )
