@@ -47,6 +47,7 @@ FAMILIES: dict[str, list[str]] = {
         "text_winnow_pairs",
         "text_source_cap",
         "text_gopher_filter",
+        "text_paragraph_dedup",
     ],
     "sim": ["sim_topk_bruteforce", "sim_ivf_topk", "sim_lsh_topk"],
     "asof": ["asof_events_orders", "interval_overlap_join"],

@@ -959,3 +959,94 @@ def text_weighted_sample(spark, sf_dir):
         )
         .orderBy("source", "sample_rank")
     )
+
+
+@query(
+    "text_paragraph_dedup",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words
+        FROM documents WHERE doc_id <= 2000),
+    c AS (
+        SELECT doc_id, CAST(k AS INT) AS pos,
+               array_to_string(words[CAST(k * 4 + 1 AS INT) : CAST(k * 4 + 4 AS INT)], ' ')
+                   AS chunk,
+               array_to_string(list_transform(
+                   words[CAST(k * 4 + 1 AS INT) : CAST(k * 4 + 4 AS INT)],
+                   x -> substr(x, 1, 1)), '') AS key
+        FROM w, UNNEST(range(0, CAST(ceil(len(words) / 4.0) AS BIGINT))) AS t(k)),
+    r AS (
+        SELECT doc_id, pos, chunk,
+               ROW_NUMBER() OVER (PARTITION BY key ORDER BY doc_id, pos) = 1
+                   AS kept
+        FROM c)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(COALESCE(string_agg(CASE WHEN kept THEN chunk END, '|'
+                                   ORDER BY pos), '')) AS kept_hash
+    FROM r GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_paragraph_dedup(spark, sf_dir):
+    """Cross-corpus paragraph-level dedup (the CCNet recipe: drop any
+    paragraph whose NORMALIZED form already appeared anywhere in the
+    corpus, keeping the first occurrence in (doc_id, position) order;
+    docs shrink rather than disappear).  The fixture is word salad, so
+    "paragraph" = non-overlapping 4-word chunks and normalization is
+    aggressive (first letter of each word) — standing in for the
+    lowercase/strip-punct/digit-fold pass a real corpus gets; the
+    pipeline shape is exactly CCNet's.
+
+    Scale: one narrow explode (no payload duplication — chunks are
+    derived in place), one shuffle on the normalized key for the
+    first-occurrence window, one group-back per doc.  The key space is
+    corpus-sized but each group is tiny; a hot normalized paragraph
+    (boilerplate) is exactly the skew operators/skew.py caps."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") <= 2000)
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(4.0)).cast("int")
+    c = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda k: F.struct(
+                    F.array_join(F.slice(words, k * 4 + 1, 4), " ").alias(
+                        "chunk"
+                    ),
+                    F.array_join(
+                        F.transform(
+                            F.slice(words, k * 4 + 1, 4),
+                            lambda x: F.substring(x, 1, 1),
+                        ),
+                        "",
+                    ).alias("key"),
+                ),
+            )
+        ).alias("pos", "ck"),
+    ).select("doc_id", "pos", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+
+    from pyspark.sql import Window
+
+    first = Window.partitionBy("key").orderBy("doc_id", "pos")
+    r = c.withColumn("kept", F.row_number().over(first) == 1)
+    kept_sorted = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("kept"), F.struct("pos", "chunk"))
+            )
+        ),
+        lambda x: x.chunk,
+    )
+    return (
+        r.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.col("kept").cast("bigint")).alias("n_kept"),
+            F.md5(
+                F.encode(F.concat_ws("|", kept_sorted), "utf-8")
+            ).alias("kept_hash"),
+        )
+        .orderBy("doc_id")
+    )
