@@ -103,7 +103,7 @@ def write_zordered(
     path: str,
     cols: list[str],
     n_files: int = 16,
-    bits: int = 8,
+    bits: int = 6,
 ) -> None:
     """Write ``df`` as z-order-clustered parquet: one range shuffle on the
     Morton value, sorted within partitions, ``__zvalue`` dropped from the
