@@ -96,6 +96,23 @@ class StreamingTables:
         wm = src.get("watermark")
         if wm:
             df = df.withWatermark(wm["column"], wm["delay"])
+        dd = src.get("dedup")
+        if dd:
+            # declarative streaming dedup: with a watermark, state for a
+            # key is dropped once the watermark passes it (bounded state —
+            # the only dedup that survives an unbounded stream); without
+            # one, keys accumulate forever and we refuse rather than OOM
+            # a production job months in
+            keys = list(dd["keys"])
+            if dd.get("within_watermark", True):
+                if not wm:
+                    raise ValueError(
+                        f"source {src.get('name')}: dedup.within_watermark "
+                        "requires a watermark on the source"
+                    )
+                df = df.dropDuplicatesWithinWatermark(keys)
+            else:
+                df = df.dropDuplicates(keys)
         return df
 
     def start_insert(self, df: DataFrame, sink_name: str):
@@ -107,6 +124,8 @@ class StreamingTables:
             sink = SinkConfig(name=sink_name)
         if sink.format == "foreach_batch":
             return self._start_foreach_batch(df, sink)
+        if sink.format == "snapshot":
+            return self._start_snapshot(df, sink)
         writer = df.writeStream.format(sink.format).outputMode(sink.output_mode)
         if sink.path:
             writer = writer.option("path", sink.path)
@@ -121,6 +140,48 @@ class StreamingTables:
             writer = writer.trigger(availableNow=True)
         elif sink.trigger == "continuous":
             writer = writer.trigger(continuous="1 second")
+        elif sink.trigger:
+            writer = writer.trigger(processingTime=sink.trigger)
+        return writer.start()
+
+    def _start_snapshot(self, df: DataFrame, sink: SinkConfig):
+        """``snapshot`` sink: exactly-once commits into a versioned
+        snapshot table (runtime/snapshots.py) — each micro-batch lands as
+        one manifest commit carrying its batch id, so checkpoint-restart
+        replays are skipped idempotently.  Options: ``mode`` (append |
+        overwrite | overwrite_partitions, default append),
+        ``partition_by`` (``a|b``, first commit only), ``stream_key``."""
+        from ..runtime.snapshots import SnapshotTable
+
+        if not sink.path:
+            raise ValueError(f"snapshot sink {sink.name} needs `path`")
+        table = SnapshotTable(self.spark, sink.path)
+        mode = sink.options.get("mode", "append")
+        stream_key = sink.options.get("stream_key", sink.name)
+        pby = [
+            c for c in sink.options.get("partition_by", "").split("|") if c
+        ] or None
+
+        def _commit(batch_df: DataFrame, batch_id: int) -> None:
+            if not table.latest_version():
+                # first-ever commit: create the table AND record the batch
+                # id in the same manifest, or a restart before the stream
+                # checkpoint lands would re-apply batch 0
+                table.overwrite(
+                    batch_df,
+                    partition_by=pby,
+                    extra={"batch_id": int(batch_id), "stream_key": stream_key},
+                )
+                return
+            table.commit_batch(
+                batch_id, batch_df, mode=mode, stream_key=stream_key
+            )
+
+        writer = df.writeStream.foreachBatch(_commit)
+        if sink.checkpoint:
+            writer = writer.option("checkpointLocation", sink.checkpoint)
+        if sink.trigger == "availableNow":
+            writer = writer.trigger(availableNow=True)
         elif sink.trigger:
             writer = writer.trigger(processingTime=sink.trigger)
         return writer.start()

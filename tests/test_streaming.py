@@ -739,3 +739,133 @@ select region, amount, dt from raw_med
     }
     assert got == want and ("d9", "x") in got
     assert spark.table("med.bronze").count() == 50  # no replays
+
+
+def test_source_dedup_within_watermark(spark, tmp_path):
+    """Declarative streaming dedup on the source config: duplicate keys
+    arriving in LATER micro-batches (within the watermark delay) are
+    dropped by dropDuplicatesWithinWatermark, with state bounded by the
+    watermark — the only dedup shape that survives an unbounded stream."""
+    src = tmp_path / "ddsrc"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        for i in range(10):
+            f.write(json.dumps({"id": i, "ts": f"2024-01-01 00:0{i % 10}:00"}) + "\n")
+    with open(src / "b.json", "w") as f:
+        # 5 replays of existing ids + 5 new ids, all inside the delay
+        for i in range(5):
+            f.write(json.dumps({"id": i, "ts": f"2024-01-01 00:0{i}:30"}) + "\n")
+        for i in range(10, 15):
+            f.write(json.dumps({"id": i, "ts": "2024-01-01 00:09:00"}) + "\n")
+
+    config = {
+        "sources": [
+            {
+                "name": "dd_src",
+                "format": "json",
+                "schema": "id int, ts timestamp",
+                "path": str(src),
+                "options": {"maxFilesPerTrigger": "1"},
+                "watermark": {"column": "ts", "delay": "30 minutes"},
+                "dedup": {"keys": ["id"]},
+            }
+        ],
+        "sinks": [
+            {
+                "name": "dd.out",
+                "format": "memory",
+                "output_mode": "append",
+                "trigger": "availableNow",
+            }
+        ],
+    }
+    sql = """-- config: easy_sql.etl_type=streaming
+
+-- target=output.dd.out
+select id from dd_src
+
+-- target=func.execute_streaming_inserts()
+"""
+    p = SqlProcessor(spark, sql, streaming_config=config, logger=lambda m: None)
+    p.run()
+    ids = sorted(r.id for r in spark.sql("select * from dd_out").collect())
+    assert ids == list(range(15))  # each id exactly once, replays dropped
+
+
+def test_source_dedup_requires_watermark(spark):
+    from easy_sql_spark.streaming.tables import StreamingTables
+
+    config = {
+        "sources": [
+            {
+                "name": "bad",
+                "format": "rate",
+                "dedup": {"keys": ["value"]},
+            }
+        ],
+        "sinks": [],
+    }
+    with pytest.raises(ValueError, match="requires a watermark"):
+        StreamingTables(spark, config).register_sources()
+
+
+def test_snapshot_sink_exactly_once_via_yaml(spark, tmp_path):
+    """`format: snapshot` sink: micro-batches land as manifest commits
+    with batch ids; a lost checkpoint replays every batch and commits
+    nothing twice (including batch 0, recorded on the CREATE commit)."""
+    import shutil
+
+    from easy_sql_spark.runtime.snapshots import SnapshotTable
+    from easy_sql_spark.streaming.tables import StreamingTables
+
+    src = tmp_path / "snsrc"
+    src.mkdir()
+    root = str(tmp_path / "snap_tbl")
+    with open(src / "a.json", "w") as f:
+        for i in range(4):
+            f.write(json.dumps({"id": i, "v": "x"}) + "\n")
+
+    config = {
+        "sources": [
+            {
+                "name": "sn_src",
+                "format": "json",
+                "schema": "id int, v string",
+                "path": str(src),
+            }
+        ],
+        "sinks": [
+            {
+                "name": "sn.out",
+                "format": "snapshot",
+                "path": root,
+                "checkpoint": str(tmp_path / "sn_ck"),
+                "trigger": "availableNow",
+            }
+        ],
+    }
+
+    def run_once():
+        tables = StreamingTables(spark, config)
+        tables.register_sources()
+        q = tables.start_insert(spark.table("sn_src"), "sn.out")
+        q.awaitTermination(60)
+        q.stop()
+
+    run_once()
+    t = SnapshotTable(spark, root)
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 3]
+
+    import time
+
+    time.sleep(1.1)
+    with open(src / "b.json", "w") as f:
+        f.write(json.dumps({"id": 9, "v": "y"}) + "\n")
+    run_once()  # same checkpoint: only the new file commits
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 3, 9]
+    v = t.latest_version()
+
+    shutil.rmtree(tmp_path / "sn_ck")  # lose the checkpoint: full replay
+    run_once()
+    assert t.latest_version() == v  # all replayed batch ids skipped
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 3, 9]
