@@ -40,6 +40,7 @@ FAMILIES: dict[str, list[str]] = {
         "dedup_components",
         "dedup_substring_spans",
         "dedup_incremental",
+        "dedup_index_incremental",
     ],
     "text": [
         "text_token_count",

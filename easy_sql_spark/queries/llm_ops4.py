@@ -1050,3 +1050,112 @@ def text_paragraph_dedup(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+def _didx_batch_oracle(n: int, lo: int, hi: int, prev_index: str) -> str:
+    """One unrolled batch of the incremental-dedup oracle: index-collision
+    filter, intra-batch pairwise reach, min-per-component admission."""
+    hit = (
+        f"""hit{n} AS (
+        SELECT DISTINCT b.doc_id FROM bands b JOIN {prev_index} i
+          ON b.band = i.band AND b.band_id = i.band_id
+        WHERE b.doc_id > {lo} AND b.doc_id <= {hi}),"""
+        if prev_index
+        else f"hit{n}(doc_id) AS (SELECT CAST(NULL AS BIGINT) WHERE 1=0),"
+    )
+    return f"""{hit}
+    s{n} AS (
+        SELECT * FROM bands
+        WHERE doc_id > {lo} AND doc_id <= {hi}
+          AND doc_id NOT IN (SELECT doc_id FROM hit{n})),
+    p{n} AS (
+        SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+        FROM s{n} a JOIN s{n} b
+          ON a.band = b.band AND a.band_id = b.band_id
+             AND a.doc_id <> b.doc_id),
+    r{n}(u, v) AS (
+        SELECT DISTINCT doc_id, doc_id FROM s{n}
+        UNION
+        SELECT e.u, r.v FROM p{n} e JOIN r{n} r ON e.v = r.u),
+    adm{n} AS (SELECT u AS doc_id FROM r{n} GROUP BY u HAVING MIN(v) = u),
+    ib{n} AS (SELECT b.* FROM bands b JOIN adm{n} USING (doc_id)
+              {f'UNION ALL SELECT * FROM {prev_index}' if prev_index else ''})"""
+
+
+from .llm_ops import _MINHASH_SIGS as _SIGS  # noqa: E402
+from .llm_ops import _SHINGLES_ORACLE as _SH  # noqa: E402
+
+_DIDX_SH = _SH.replace(
+    "FROM documents", "FROM documents WHERE doc_id <= 600"
+)
+
+
+@query(
+    "dedup_index_incremental",
+    oracle=f"""
+    WITH RECURSIVE shingles AS ({_DIDX_SH}),
+    sigs AS (SELECT doc_id, {_SIGS} FROM shingles GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, 0 AS band_id, md5(h0 || h1 || h2 || h3) AS band FROM sigs
+        UNION ALL
+        SELECT doc_id, 1 AS band_id, md5(h4 || h5 || h6 || h7) AS band FROM sigs),
+    {_didx_batch_oracle(1, 0, 200, "")},
+    {_didx_batch_oracle(2, 200, 400, "ib1")},
+    {_didx_batch_oracle(3, 400, 600, "ib2")},
+    adm AS (SELECT doc_id FROM adm1 UNION ALL SELECT doc_id FROM adm2
+            UNION ALL SELECT doc_id FROM adm3)
+    SELECT d.doc_id,
+           CAST(CASE WHEN d.doc_id <= 200 THEN 1
+                     WHEN d.doc_id <= 400 THEN 2 ELSE 3 END AS INT) AS batch_id,
+           (d.doc_id IN (SELECT doc_id FROM adm)
+            OR d.doc_id NOT IN (SELECT doc_id FROM bands)) AS admitted
+    FROM documents d WHERE d.doc_id <= 600 ORDER BY d.doc_id
+    """,
+)
+def dedup_index_incremental(spark, sf_dir):
+    """Daily-ingest fuzzy dedup against a PERSISTENT LSH band index
+    (operators/dedup_index.py): three successive batches flow through
+    signature → index-collision semi-join → intra-batch component
+    clustering → snapshot-committed index append.  The oracle unrolls
+    the same three admissions in SQL (recursive reach per batch), so the
+    whole incremental protocol — collision filter, min-per-component
+    admission, index growth between batches — is value-checked, not just
+    the final corpus.
+
+    Scale: per batch the corpus is touched ONLY through the band index
+    (narrow md5 rows, snapshot-versioned parquet); cost is O(batch +
+    matched bands), the property that keeps fuzzy dedup sustainable at
+    a 100 TB corpus with 0.1%-sized daily loads."""
+    import tempfile
+
+    from ..operators.dedup_index import MinHashDedupIndex
+
+    idx = MinHashDedupIndex(spark, tempfile.mkdtemp(prefix="dedup_idx_"))
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 600)
+        .select("doc_id", "text")
+    )
+    admitted = None
+    for bno, (lo, hi) in enumerate([(0, 200), (200, 400), (400, 600)], 1):
+        adm = idx.ingest(
+            docs.where((F.col("doc_id") > lo) & (F.col("doc_id") <= hi)),
+            batch_id=bno,
+        )
+        admitted = adm if admitted is None else admitted.unionByName(adm)
+    batch_id = (
+        F.when(F.col("doc_id") <= 200, 1)
+        .when(F.col("doc_id") <= 400, 2)
+        .otherwise(3)
+        .cast("int")
+    )
+    return (
+        docs.select("doc_id", batch_id.alias("batch_id"))
+        .join(admitted.withColumn("__adm", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            "batch_id",
+            F.coalesce(F.col("__adm"), F.lit(False)).alias("admitted"),
+        )
+        .orderBy("doc_id")
+    )

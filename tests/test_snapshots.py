@@ -262,3 +262,34 @@ select 10 as id, 'x' as p
     v1 = {(r.id, r.p) for r in spark.table("snap_v1").collect()}
     assert v1 == {(1, "x"), (2, "y")}
     assert {(r.id, r.p) for r in spark.table("snap_after_rb").collect()} == v1
+
+
+def test_dedup_index_idempotent_replay_and_bandless(spark, root):
+    """MinHashDedupIndex: a replayed batch_id leaves the index unchanged
+    (streaming replay safety), short docs are admitted but not indexed,
+    an exact duplicate arriving in a later batch is rejected."""
+    from easy_sql_spark.operators.dedup_index import MinHashDedupIndex
+
+    idx = MinHashDedupIndex(spark, root)
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "an entirely different document about spark shuffles"),
+         (3, "hi")],  # < 3 words: bandless
+        "doc_id long, text string",
+    )
+    adm1 = {r.doc_id for r in idx.ingest(b1, batch_id=0).collect()}
+    assert adm1 == {1, 2, 3}
+    assert {r.doc_id for r in idx.indexed_docs().collect()} == {1, 2}
+
+    v = idx.table.latest_version()
+    idx.ingest(b1, batch_id=0)  # replay: skipped commit
+    assert idx.table.latest_version() == v
+
+    b2 = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+         (11, "completely novel content never seen before today")],
+        "doc_id long, text string",
+    )
+    adm2 = {r.doc_id for r in idx.ingest(b2, batch_id=1).collect()}
+    assert adm2 == {11}
+    assert {r.doc_id for r in idx.indexed_docs().collect()} == {1, 2, 11}
