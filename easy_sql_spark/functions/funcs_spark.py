@@ -297,6 +297,16 @@ def build(processor):
         m = _snapshot(root).rollback(int(version))
         processor.log(f"snapshot_rollback({root}, {version}): v{m['version']}")
 
+    def snapshot_compact(root: str, target_mb: str = "128"):
+        """OPTIMIZE a fragmented snapshot table: rewrite the live set as
+        one commit (old versions stay until vacuum)."""
+        m = _snapshot(root).compact(target_mb=int(target_mb))
+        processor.log(
+            f"snapshot_compact({root}): v{m['version']}, "
+            f"{len(m['live'])} live dirs"
+        )
+        return m["version"]
+
     def snapshot_vacuum(
         root: str, retain_versions: str = "1", min_age_seconds: str = "0"
     ):

@@ -257,6 +257,25 @@ class SnapshotTable:
             return existing
         return list(partition_by or [])
 
+    @staticmethod
+    def _check_schema_evolution(parent: dict | None, df: DataFrame) -> None:
+        """Additive-only evolution: a commit may ADD columns (old files
+        read NULL for them via the pinned scan schema) but never drop
+        one — the latest manifest's schema is THE read schema, so a
+        dropped column would silently vanish from every older file.
+        Same discipline as the warehouse path's ``evolve_schema``."""
+        if parent is None:
+            return
+        old = {f["name"] for f in json.loads(parent["schema"])["fields"]}
+        new = {f.name for f in df.schema.fields}
+        dropped = sorted(old - new)
+        if dropped:
+            raise ValueError(
+                f"snapshot commit drops columns {dropped}; evolution is "
+                "additive-only (rewrite via overwrite of a projected read "
+                "if you really mean to drop)"
+            )
+
     def create(self, df: DataFrame, partition_by: list[str] | None = None) -> dict:
         """First commit (v1).  Raises if the table already has versions."""
         if self.latest_version():
@@ -270,6 +289,7 @@ class SnapshotTable:
 
         def build(parent, version):
             pby = self._resolve_partition_by(parent, None)
+            self._check_schema_evolution(parent, df)
             if "dirs" not in staged:  # stage once, reuse across retries
                 staged["dirs"] = self._stage(df, pby, version)[1]
             m = self._base_manifest(version, parent, "append", df, pby, extra)
@@ -310,6 +330,7 @@ class SnapshotTable:
                 raise ValueError(
                     "overwrite_partitions requires a partitioned snapshot table"
                 )
+            self._check_schema_evolution(parent, df)
             if "dirs" not in staged:
                 staged["dirs"] = self._stage(df, pby, version)[1]
             new_dirs = staged["dirs"]
@@ -326,6 +347,37 @@ class SnapshotTable:
             return m
 
         return self._commit_loop(build)
+
+    def compact(self, target_mb: int = 128) -> dict:
+        """OPTIMIZE: rewrite the CURRENT live set as one fresh commit —
+        append-heavy / streaming snapshot tables accumulate one commit
+        dir per micro-batch, and every read pays the per-dir listing +
+        per-file open cost.  The rewrite rides an AQE rebalance on the
+        partition columns with the advisory partition size pinned to
+        ``target_mb`` (one coherent file run per partition, hot
+        partitions still split).  Old versions stay time-travelable
+        until vacuum; readers see the compacted layout atomically."""
+        latest = self.latest_version()
+        if not latest:
+            raise ValueError(f"no committed versions at {self.root}")
+        pby = self.manifest(latest)["partition_cols"]
+        df = self.read(version=latest)
+        if pby:
+            df = df.hint("rebalance", *pby)
+        advisory = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        prev = self.spark.conf.get(advisory, None)
+        try:
+            self.spark.conf.set(advisory, str(target_mb * (1 << 20)))
+            return self.overwrite(
+                df,
+                partition_by=pby,
+                extra={"operation": "compact", "compacted_from": latest},
+            )
+        finally:
+            if prev is None:
+                self.spark.conf.unset(advisory)
+            else:
+                self.spark.conf.set(advisory, prev)
 
     def rollback(self, version: int) -> dict:
         """RESTORE: commit a NEW version whose live set is version N's —

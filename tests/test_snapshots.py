@@ -293,3 +293,35 @@ def test_dedup_index_idempotent_replay_and_bandless(spark, root):
     adm2 = {r.doc_id for r in idx.ingest(b2, batch_id=1).collect()}
     assert adm2 == {11}
     assert {r.doc_id for r in idx.indexed_docs().collect()} == {1, 2, 11}
+
+
+def test_compact_collapses_commit_dirs(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_df(spark, [(0, "a", "x")], "id int, v string, p string"), ["p"])
+    for i in range(1, 5):
+        t.append(_df(spark, [(i, "a", "x"), (i + 100, "b", "y")],
+                     "id int, v string, p string"))
+    before = {(r.id, r.p) for r in t.read().collect()}
+    assert len(t.manifest(5)["live"]) == 9  # 1 + 4x2 partition-commit dirs
+
+    m = t.compact()
+    assert m["operation"] == "compact" and m["compacted_from"] == 5
+    assert len(m["live"]) == 2  # one commit dir per partition value
+    assert {(r.id, r.p) for r in t.read().collect()} == before
+    # pre-compaction versions stay time-travelable until vacuum
+    assert len({r.id for r in t.read(version=2).collect()}) == 3
+    res = t.vacuum(retain_versions=1)
+    assert res["deleted_dirs"] >= 5
+    assert {(r.id, r.p) for r in t.read().collect()} == before
+
+
+def test_append_schema_evolution_additive_only(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_df(spark, [(1, "a")]))
+    # additive: new column appears, old files read NULL for it
+    t.append(spark.createDataFrame([(2, "b", 9.5)], "id int, v string, score double"))
+    rows = {(r.id, r.v, r.score) for r in t.read().collect()}
+    assert rows == {(1, "a", None), (2, "b", 9.5)}
+    # destructive: dropping a column is refused on append
+    with pytest.raises(ValueError, match="additive-only"):
+        t.append(spark.createDataFrame([(3,)], "id int"))
