@@ -1159,3 +1159,57 @@ def dedup_index_incremental(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "snapshot_change_feed",
+    oracle="""
+    WITH pt0 AS (SELECT doc_id FROM documents
+                 WHERE doc_id <= 300 AND doc_id % 3 = 0),
+    late AS (SELECT doc_id FROM documents
+             WHERE doc_id > 300 AND doc_id <= 350)
+    SELECT doc_id, change_type FROM (
+        SELECT doc_id, 'delete' AS change_type FROM pt0
+        UNION ALL SELECT doc_id, 'insert' FROM pt0
+        UNION ALL SELECT doc_id, 'insert' FROM late)
+    ORDER BY doc_id, change_type
+    """,
+)
+def snapshot_change_feed(spark, sf_dir):
+    """Change data feed over the snapshot table: after seed → partition
+    overwrite → late append, ``changes(1, 3)`` must surface exactly the
+    NET row changes — the replaced pt=0 rows as delete+insert and the
+    late arrivals as inserts, with untouched partitions absent.  The
+    manifest diff means only net-changed dirs are scanned (an
+    incremental consumer of a 100 TB table reads a day of appends, not
+    the table); see ``SnapshotTable.changes``."""
+    import tempfile
+
+    from ..runtime.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="snap_cdf_"))
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") <= 300)
+    seed = docs.select(
+        "doc_id",
+        F.lit(1).alias("version"),
+        (F.col("doc_id") % 3).cast("int").alias("pt"),
+    )
+    t.create(seed, partition_by=["pt"])
+    t.overwrite_partitions(
+        seed.where(F.col("pt") == 0).withColumn("version", F.lit(2))
+    )
+    t.append(
+        load_table(spark, sf_dir, "documents")
+        .where((F.col("doc_id") > 300) & (F.col("doc_id") <= 350))
+        .select(
+            "doc_id",
+            F.lit(1).alias("version"),
+            (F.col("doc_id") % 3).cast("int").alias("pt"),
+        )
+    )
+    return (
+        t.changes(1, 3)
+        .select("doc_id", F.col("_change_type").alias("change_type"))
+        .orderBy("doc_id", "change_type")
+        .localCheckpoint(eager=True)
+    )

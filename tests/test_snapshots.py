@@ -325,3 +325,50 @@ def test_append_schema_evolution_additive_only(spark, root):
     # destructive: dropping a column is refused on append
     with pytest.raises(ValueError, match="additive-only"):
         t.append(spark.createDataFrame([(3,)], "id int"))
+
+
+def test_change_data_feed(spark, root):
+    """changes(): net insert/delete rows between versions, read from only
+    the net-changed dirs; add-then-remove inside the range cancels."""
+    t = SnapshotTable(spark, root)
+    t.create(
+        _df(spark, [(1, "a", "x"), (2, "b", "y")], "id int, v string, p string"),
+        ["p"],
+    )
+    t.append(_df(spark, [(3, "c", "x")], "id int, v string, p string"))
+    ch = t.changes(1).collect()
+    assert {(r.id, r._change_type) for r in ch} == {(3, "insert")}
+
+    t.overwrite_partitions(_df(spark, [(10, "A", "x")], "id int, v string, p string"))
+    ch = t.changes(2, 3)
+    got = {(r.id, r._change_type) for r in ch.collect()}
+    # partition x rewrote: old rows 1,3 deleted, 10 inserted; y untouched
+    assert got == {(1, "delete"), (3, "delete"), (10, "insert")}
+
+    # v2's append (id=3) was added at v2 and removed at v3: across the
+    # whole range it cancels — its commit dir is never even scanned
+    whole = t.changes(1, 3)
+    assert {(r.id, r._change_type) for r in whole.collect()} == {
+        (1, "delete"),
+        (10, "insert"),
+    }
+    assert not any("commit=2-" in f for f in whole.inputFiles())
+
+
+def test_change_feed_refuses_compact_range(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_df(spark, [(1, "a")]))
+    t.append(_df(spark, [(2, "b")]))
+    t.compact()
+    with pytest.raises(ValueError, match="compact commit"):
+        t.changes(1)
+    rows = t.changes(1, allow_rewrites=True).collect()
+    # the rewrite is visible only when explicitly requested; id=2 joined
+    # at v2 (not in from_version's live set) so it nets to insert-only
+    assert {(r.id, r._change_type) for r in rows} == {
+        (1, "delete"), (1, "insert"), (2, "insert"),
+    }
+    # a range not crossing the compact stays clean
+    assert {(r.id, r._change_type) for r in t.changes(1, 2).collect()} == {
+        (2, "insert")
+    }
