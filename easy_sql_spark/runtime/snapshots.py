@@ -213,6 +213,50 @@ class SnapshotTable:
         leaves = self.fs.leaf_dirs(path, len(partition_by))
         return commit, [f"{commit}/{leaf}" if leaf else commit for leaf in leaves]
 
+    def _stage_stats(
+        self, commit_dirs: list[str], stats_cols: list[str], partition_by: list[str]
+    ) -> dict[str, dict]:
+        """Per-leaf-dir [min, max] for each stats column, read back from
+        the freshly staged files — ONE small agg job per commit, grouped
+        on the dir path itself (input_file_name → dir), so stats land in
+        the manifest without a second pass over the source plan."""
+        if not stats_cols or not commit_dirs:
+            return {}
+        scan = self.spark.read.option("basePath", self.data_dir).parquet(
+            *[f"{self.data_dir}/{d}" for d in commit_dirs]
+        )
+        missing = [c for c in stats_cols if c not in scan.columns]
+        if missing:
+            raise ValueError(f"stats columns {missing} absent from the batch")
+        # relative dir = path between data_dir and the file name;
+        # input_file_name() is a URI (file:/// or hdfs://host/...), so
+        # anchor on the regex-escaped data_dir path rather than an offset
+        import re as _re
+
+        esc = _re.escape(self.data_dir)
+        dir_expr = F.regexp_extract(
+            F.input_file_name(), f"{esc}/(.+)/[^/]+$", 1
+        )
+        aggs = []
+        for c in stats_cols:
+            aggs.append(F.min(c).alias(f"__mn_{c}"))
+            aggs.append(F.max(c).alias(f"__mx_{c}"))
+        rows = scan.groupBy(dir_expr.alias("__dir")).agg(*aggs).collect()
+
+        def plain(v):
+            # JSON-safe, ORDER-PRESERVING within a column's type: numbers
+            # and strings pass through; dates/timestamps/decimals go to
+            # their naturally-ordered string forms
+            return v if isinstance(v, (int, float, str, bool, type(None))) else str(v)
+
+        out: dict[str, dict] = {}
+        for r in rows:
+            out[r["__dir"]] = {
+                c: [plain(r[f"__mn_{c}"]), plain(r[f"__mx_{c}"])]
+                for c in stats_cols
+            }
+        return out
+
     def _try_commit(self, manifest: dict) -> bool:
         body = json.dumps(manifest, indent=1).encode()
         return self.fs.create_atomic(self._manifest_path(manifest["version"]), body)
@@ -243,8 +287,28 @@ class SnapshotTable:
             "added": [],
             "removed": [],
         }
+        m["stats_cols"] = (parent or {}).get("stats_cols", [])
+        m["stats"] = {}
         m.update(extra or {})
         return m
+
+    def _merge_stats(
+        self, m: dict, parent: dict | None, staged_dirs: list[str]
+    ) -> None:
+        """Manifest stats: parent's entries for still-live dirs carry
+        forward; staged dirs get ONE small agg job over the fresh files."""
+        cols = m.get("stats_cols") or []
+        if not cols:
+            return
+        carried = {
+            d: s
+            for d, s in ((parent or {}).get("stats", {})).items()
+            if d in set(m["live"])
+        }
+        carried.update(
+            self._stage_stats(staged_dirs, cols, m["partition_cols"])
+        )
+        m["stats"] = carried
 
     def _resolve_partition_by(self, parent: dict | None, partition_by: list[str] | None) -> list[str]:
         if parent is not None:
@@ -276,11 +340,18 @@ class SnapshotTable:
                 "if you really mean to drop)"
             )
 
-    def create(self, df: DataFrame, partition_by: list[str] | None = None) -> dict:
+    def create(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        stats_cols: list[str] | None = None,
+    ) -> dict:
         """First commit (v1).  Raises if the table already has versions."""
         if self.latest_version():
             raise ValueError(f"snapshot table already exists at {self.root}")
-        return self.overwrite(df, partition_by=partition_by)
+        return self.overwrite(
+            df, partition_by=partition_by, stats_cols=stats_cols
+        )
 
     def append(self, df: DataFrame, extra: dict | None = None) -> dict:
         """Add the batch's rows; prior files stay live.  Rebases cleanly
@@ -295,13 +366,23 @@ class SnapshotTable:
             m = self._base_manifest(version, parent, "append", df, pby, extra)
             m["added"] = staged["dirs"]
             m["live"] = (parent["live"] if parent else []) + staged["dirs"]
+            self._merge_stats(m, parent, staged["dirs"])
             return m
 
         return self._commit_loop(build)
 
-    def overwrite(self, df: DataFrame, partition_by: list[str] | None = None, extra: dict | None = None) -> dict:
+    def overwrite(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        extra: dict | None = None,
+        stats_cols: list[str] | None = None,
+    ) -> dict:
         """Replace the table contents; old files stay on disk for time
-        travel until vacuumed."""
+        travel until vacuumed.  ``stats_cols`` (first commit, or any
+        overwrite) declares the columns whose per-dir min/max ride every
+        manifest from then on — the data-skipping index ``read(where=…)``
+        prunes with."""
         staged: dict = {}
 
         def build(parent, version):
@@ -309,9 +390,12 @@ class SnapshotTable:
             if "dirs" not in staged:
                 staged["dirs"] = self._stage(df, pby, version)[1]
             m = self._base_manifest(version, parent, "overwrite", df, pby, extra)
+            if stats_cols is not None:
+                m["stats_cols"] = list(stats_cols)
             m["added"] = staged["dirs"]
             m["live"] = list(staged["dirs"])
             m["removed"] = parent["live"] if parent else []
+            self._merge_stats(m, parent, staged["dirs"])
             return m
 
         return self._commit_loop(build)
@@ -344,6 +428,7 @@ class SnapshotTable:
             m["added"] = new_dirs
             m["removed"] = dead
             m["live"] = [d for d in prior if d not in set(dead)] + new_dirs
+            self._merge_stats(m, parent, new_dirs)
             return m
 
         return self._commit_loop(build)
@@ -432,9 +517,39 @@ class SnapshotTable:
         return op(df, extra={"batch_id": int(batch_id), "stream_key": stream_key})
 
     # ---------------------------------------------------------------- reads
-    def read(self, version: int | None = None, as_of: float | None = None) -> DataFrame:
+    @staticmethod
+    def _dir_survives(stats: dict | None, where: list[tuple]) -> bool:
+        """Conservative stats pruning: drop a dir only when its [min,max]
+        range PROVABLY excludes the predicate; missing stats keep it."""
+        if not stats:
+            return True
+        for col, op, val in where:
+            rng = stats.get(col)
+            if rng is None or rng[0] is None or rng[1] is None:
+                continue
+            mn, mx = rng
+            if (
+                (op == "=" and not (mn <= val <= mx))
+                or (op in ("<", "<=") and not (mn < val or (op == "<=" and mn <= val)))
+                or (op in (">", ">=") and not (mx > val or (op == ">=" and mx >= val)))
+            ):
+                return False
+        return True
+
+    def read(
+        self,
+        version: int | None = None,
+        as_of: float | None = None,
+        where: list[tuple] | None = None,
+    ) -> DataFrame:
         """The table at a version (default: latest) or the newest version
-        with commit ts ≤ ``as_of`` (epoch seconds)."""
+        with commit ts ≤ ``as_of`` (epoch seconds).
+
+        ``where`` — [(col, op, value), …] with op in <, <=, >, >=, = —
+        prunes live dirs against the manifest's per-dir min/max stats
+        BEFORE Spark lists a single file (the same predicates must still
+        be applied to the returned frame; manifest pruning is a superset
+        guarantee, exactly like parquet row-group stats one level up)."""
         latest = self.latest_version()
         if not latest:
             raise ValueError(f"no committed versions at {self.root}")
@@ -448,9 +563,19 @@ class SnapshotTable:
         version = version or latest
         m = self.manifest(version)
         schema = StructType.fromJson(json.loads(m["schema"]))
-        if not m["live"]:
+        live = m["live"]
+        if where:
+            unknown = [c for c, _, _ in where if c not in (m.get("stats_cols") or [])]
+            if unknown:
+                raise ValueError(
+                    f"no manifest stats for columns {unknown}; declare them "
+                    "via stats_cols on create/overwrite"
+                )
+            stats = m.get("stats", {})
+            live = [d for d in live if self._dir_survives(stats.get(d), where)]
+        if not live:
             return self.spark.createDataFrame([], schema)
-        paths = [f"{self.data_dir}/{d}" for d in m["live"]]
+        paths = [f"{self.data_dir}/{d}" for d in live]
         df = (
             self.spark.read.option("basePath", self.data_dir)
             .schema(self._read_schema(schema, m["partition_cols"]))

@@ -372,3 +372,53 @@ def test_change_feed_refuses_compact_range(spark, root):
     assert {(r.id, r._change_type) for r in t.changes(1, 2).collect()} == {
         (2, "insert")
     }
+
+
+def test_manifest_stats_pruned_read(spark, root):
+    """stats_cols: per-dir min/max ride the manifest; read(where=...)
+    prunes dirs BEFORE any file listing — disjoint-range appends mean a
+    point lookup scans exactly one commit dir."""
+    t = SnapshotTable(spark, root)
+    t.create(
+        spark.range(0, 100).selectExpr("id", "id * 2 as val"),
+        stats_cols=["id"],
+    )
+    t.append(spark.range(100, 200).selectExpr("id", "id * 2 as val"))
+    t.append(spark.range(200, 300).selectExpr("id", "id * 2 as val"))
+
+    pruned = t.read(where=[("id", "=", 150)])
+    assert {f.rsplit("/", 2)[-2].split("-")[0] for f in pruned.inputFiles()} | set() \
+        and len({f.rsplit("/", 2)[-2] for f in pruned.inputFiles()}) == 1
+    # superset guarantee: predicate still applies on the frame
+    assert pruned.where("id = 150").count() == 1
+    assert pruned.count() == 100  # the one surviving dir, unfiltered
+
+    # range predicate keeps two of three dirs
+    r = t.read(where=[("id", ">=", 150)])
+    assert len({f.rsplit("/", 2)[-2] for f in r.inputFiles()}) == 2
+    assert r.where("id >= 150").count() == 150
+
+    with pytest.raises(ValueError, match="no manifest stats"):
+        t.read(where=[("val", "=", 10)])
+
+
+def test_manifest_stats_survive_partition_overwrite_and_compact(spark, root):
+    t = SnapshotTable(spark, root)
+    df = spark.range(0, 100).selectExpr(
+        "id", "cast(id % 2 as string) as p"
+    )
+    t.create(df, partition_by=["p"], stats_cols=["id"])
+    t.overwrite_partitions(
+        spark.range(1000, 1050).selectExpr("id", "'0' as p")
+    )
+    # p=0 replaced with ids 1000+; a low-id lookup now only scans p=1 dirs
+    low = t.read(where=[("id", "=", 51)])
+    assert all("/p=1" in f for f in low.inputFiles())
+    hi = t.read(where=[("id", ">=", 1000)])
+    assert all("/p=0" in f for f in hi.inputFiles())
+
+    t.compact()
+    again = t.read(where=[("id", ">=", 1000)])
+    assert again.where("id >= 1000").count() == 50
+    # stats were recomputed for the compacted dirs
+    assert all("/p=0" in f for f in again.inputFiles())
