@@ -8,8 +8,9 @@ snapshot table (runtime/snapshots.py) and, per batch:
 1. signature the BATCH only (per-row JVM folds, queries/llm_ops.py
    ``minhash_bands`` — no corpus scan);
 2. drop batch docs with any (band_id, band) collision against the index
-   — a semi-join that shuffles only the batch's narrow band rows; the
-   index side is parquet scanned fresh each ingest (no stale cache);
+   — a two-step broadcast probe (see ``_probe_hits``) in which the index
+   is parquet-scanned once as the stream side and NEVER shuffled; both
+   broadcast builds are bounded by the batch's distinct band keys;
 3. near-dup-cluster the remaining docs AMONG THEMSELVES (capped LSH
    pairs → connected components, keep min doc_id per component);
 4. append the admitted docs' bands to the index — one snapshot commit,
@@ -53,6 +54,47 @@ class MinHashDedupIndex:
 
         return minhash_bands(docs, self.n_hashes, self.n_bands)
 
+    def _probe_hits(self, bands: DataFrame) -> DataFrame:
+        """doc_ids of batch rows whose (band_id, band) collides with the
+        persistent index — WITHOUT ever shuffling the index.
+
+        The naive shape ``bands left_semi index`` is a scale-killer: a
+        LeftSemi join can only build/broadcast its RIGHT side, which here
+        is the O(corpus)-row index, so once the index outgrows the
+        broadcast threshold Spark sort-merge-joins and re-shuffles the
+        entire index on every batch ingest — defeating the O(batch)
+        contract of this module.  Instead probe in two broadcast steps,
+        each bounded by the BATCH:
+
+        1. ``present`` = the batch's distinct (band_id, band) keys that
+           exist in the index: ``index left_semi broadcast(batch_keys)``.
+           The index is the STREAM side — scanned once, never shuffled;
+           the build side is the batch's narrow key set.
+        2. ``hit_ids`` = batch rows matching ``present``:
+           ``bands left_semi broadcast(present)`` — again no shuffle,
+           and |present| <= |batch keys|.
+
+        Both broadcasts are O(batch-distinct-keys) (band_id int + 64-bit
+        band hash), i.e. megabytes for a daily batch that is 0.1% of a
+        100 TB corpus.  For batches so large their key set exceeds
+        broadcast limits, bucket the snapshot band table on
+        (band_id, band) instead so only the batch side shuffles.
+        """
+        batch_keys = (
+            bands.select("band_id", "band").distinct().localCheckpoint(eager=True)
+        )
+        present = (
+            self.table.read()
+            .join(F.broadcast(batch_keys), ["band_id", "band"], "left_semi")
+            .select("band_id", "band")
+            .distinct()
+        )
+        return (
+            bands.join(F.broadcast(present), ["band_id", "band"], "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+
     def ingest(
         self, docs: DataFrame, batch_id: int | None = None
     ) -> DataFrame:
@@ -66,13 +108,7 @@ class MinHashDedupIndex:
         bands = self._bands(docs).localCheckpoint(eager=True)
 
         if self.table.latest_version():
-            hit_ids = (
-                bands.join(
-                    self.table.read(), ["band_id", "band"], "left_semi"
-                )
-                .select("doc_id")
-                .distinct()
-            )
+            hit_ids = self._probe_hits(bands)
             surv_bands = bands.join(hit_ids, "doc_id", "left_anti")
         else:
             surv_bands = bands
