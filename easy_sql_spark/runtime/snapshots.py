@@ -56,6 +56,15 @@ from pyspark.sql.types import StructType
 
 _MANIFEST_FMT = "v%08d.json"
 _RETRIES = 5
+# vacuum parks legacy per-stream batch state here before deleting the
+# manifests that carried it (new-format manifests make it redundant)
+_STREAMS_SIDECAR = "_streams_carry.json"
+# Delta-style default retention for dirs no surviving manifest has ever
+# referenced: they are indistinguishable from a CONCURRENT writer's
+# staged-but-uncommitted commit dir, so deleting them young corrupts the
+# commit that is about to land.  24h; pass min_age_seconds=0 explicitly
+# to opt in to immediate orphan deletion (single-writer test/dev only).
+_ORPHAN_MIN_AGE_S = 24 * 3600.0
 
 
 class SnapshotConflictError(RuntimeError):
@@ -171,22 +180,29 @@ class SnapshotTable:
     def _manifest_path(self, version: int) -> str:
         return f"{self.manifest_dir}/{_MANIFEST_FMT % version}"
 
-    def latest_version(self) -> int:
-        """0 when the table has no committed version yet."""
-        versions = [
+    def existing_versions(self) -> list[int]:
+        """Versions whose manifest file still EXISTS (vacuum deletes old
+        manifests), ascending.  Every full-log iteration must walk this
+        list, never ``range(1, latest+1)`` — after a vacuum the early
+        manifests are gone and a blind range read crashes."""
+        return sorted(
             int(n[1:9])
             for n in self.fs.list_names(self.manifest_dir)
             if n.startswith("v") and n.endswith(".json")
-        ]
-        return max(versions, default=0)
+        )
+
+    def latest_version(self) -> int:
+        """0 when the table has no committed version yet."""
+        return max(self.existing_versions(), default=0)
 
     def manifest(self, version: int) -> dict:
         return json.loads(self.fs.read_bytes(self._manifest_path(version)))
 
     def history(self) -> list[dict]:
-        """Version log, newest first (op, timestamp, live-dir count)."""
+        """Version log, newest first (op, timestamp, live-dir count).
+        Covers surviving manifests only — vacuumed versions drop out."""
         out = []
-        for v in range(self.latest_version(), 0, -1):
+        for v in reversed(self.existing_versions()):
             m = self.manifest(v)
             out.append(
                 {
@@ -243,16 +259,31 @@ class SnapshotTable:
             aggs.append(F.max(c).alias(f"__mx_{c}"))
         rows = scan.groupBy(dir_expr.alias("__dir")).agg(*aggs).collect()
 
-        def plain(v):
+        def plain(v, toward):
             # JSON-safe, ORDER-PRESERVING within a column's type: numbers
-            # and strings pass through; dates/timestamps/decimals go to
-            # their naturally-ordered string forms
+            # and strings pass through; decimals go to float (decimal
+            # STRINGS are not lexicographically ordered — '9.5' > '10.5'
+            # — so stringifying them would let _dir_survives wrongly
+            # prune live dirs), widened by one ulp OUTWARD (toward=-1 for
+            # min, +1 for max) whenever float rounding moved the bound
+            # inward, keeping pruning strictly conservative;
+            # dates/timestamps go to their naturally-ordered ISO forms
+            import decimal as _dec
+            import math as _math
+
+            if isinstance(v, _dec.Decimal):
+                f = float(v)
+                if toward < 0 and _dec.Decimal(f) > v:
+                    f = _math.nextafter(f, -_math.inf)
+                elif toward > 0 and _dec.Decimal(f) < v:
+                    f = _math.nextafter(f, _math.inf)
+                return f
             return v if isinstance(v, (int, float, str, bool, type(None))) else str(v)
 
         out: dict[str, dict] = {}
         for r in rows:
             out[r["__dir"]] = {
-                c: [plain(r[f"__mn_{c}"]), plain(r[f"__mx_{c}"])]
+                c: [plain(r[f"__mn_{c}"], -1), plain(r[f"__mx_{c}"], +1)]
                 for c in stats_cols
             }
         return out
@@ -290,7 +321,40 @@ class SnapshotTable:
         m["stats_cols"] = (parent or {}).get("stats_cols", [])
         m["stats"] = {}
         m.update(extra or {})
+        # cumulative per-stream last-committed batch id (Delta's txn
+        # appId→version idiom): carried through EVERY commit, so replay
+        # protection is one latest-manifest read and survives vacuum
+        streams = dict(self._streams_state(parent))
+        if m.get("stream_key") is not None and m.get("batch_id") is not None:
+            k = str(m["stream_key"])
+            streams[k] = max(int(m["batch_id"]), streams.get(k, -(1 << 62)))
+        m["streams"] = streams
         return m
+
+    def _streams_state(self, parent: dict | None) -> dict[str, int]:
+        """The per-stream last-committed batch ids as of ``parent``.
+        New-format manifests carry the cumulative ``streams`` map; a
+        legacy table (no map) falls back to scanning surviving manifests
+        merged with the vacuum sidecar (where vacuum parks batch state
+        from manifests it deletes)."""
+        if parent is not None and "streams" in parent:
+            return parent["streams"]
+        out: dict[str, int] = {}
+        sidecar = f"{self.manifest_dir}/{_STREAMS_SIDECAR}"
+        if self.fs.exists(sidecar):
+            out.update(
+                {k: int(v) for k, v in json.loads(self.fs.read_bytes(sidecar)).items()}
+            )
+        if parent is None:
+            return out
+        for v in self.existing_versions():
+            if v > parent["version"]:
+                break
+            m = self.manifest(v)
+            if m.get("stream_key") is not None and m.get("batch_id") is not None:
+                k = str(m["stream_key"])
+                out[k] = max(int(m["batch_id"]), out.get(k, -(1 << 62)))
+        return out
 
     def _merge_stats(
         self, m: dict, parent: dict | None, staged_dirs: list[str]
@@ -404,7 +468,14 @@ class SnapshotTable:
         """Dynamic-partition overwrite: only the partitions PRESENT in the
         batch are replaced; all other live dirs survive.  The replacement
         is a manifest-level set subtraction — no data in untouched
-        partitions is read or rewritten."""
+        partitions is read or rewritten.
+
+        Concurrency is partition-scoped (Delta-style): on a lost commit
+        race the rebase inspects every intervening commit's touched
+        partition specs — DISJOINT writers both land (each keeps the
+        other's partitions live), while an OVERLAPPING writer raises
+        ``SnapshotConflictError`` deterministically instead of silently
+        last-writer-winning the shared partition."""
 
         staged: dict = {}
 
@@ -417,9 +488,27 @@ class SnapshotTable:
             self._check_schema_evolution(parent, df)
             if "dirs" not in staged:
                 staged["dirs"] = self._stage(df, pby, version)[1]
+                staged["base"] = parent["version"] if parent else 0
             new_dirs = staged["dirs"]
             # partition spec = the path suffix past the commit dir
             new_specs = {d.split("/", 1)[1] for d in new_dirs}
+            # rebase: conflict iff an intervening commit touched one of
+            # OUR partitions (its added/removed specs intersect ours)
+            parent_v = parent["version"] if parent else 0
+            for v in range(staged["base"] + 1, parent_v + 1):
+                m_i = self.manifest(v)
+                touched = {
+                    d.split("/", 1)[1]
+                    for d in m_i["added"] + m_i["removed"]
+                    if "/" in d
+                }
+                hit = touched & new_specs
+                if hit:
+                    raise SnapshotConflictError(
+                        f"concurrent commit v{v} ({m_i['operation']}) touched "
+                        f"partition(s) {sorted(hit)} this overwrite_partitions "
+                        "also writes; retry on the new table state"
+                    )
             m = self._base_manifest(
                 version, parent, "overwrite_partitions", df, pby, extra
             )
@@ -483,15 +572,29 @@ class SnapshotTable:
             )
             m.pop("batch_id", None)
             m.pop("stream_key", None)
+            # replay protection must NOT rewind with the data: carry the
+            # PARENT's (newest) stream state, not version N's
+            m["streams"] = dict(self._streams_state(parent))
             return m
 
         return self._commit_loop(build)
 
     # ------------------------------------------------------------ streaming
+    def last_committed_batch(self, stream_key: str = "stream") -> int | None:
+        """Highest batch id committed for the stream — ONE latest-manifest
+        read (the cumulative ``streams`` map), not an O(versions) log
+        scan; survives vacuum because every commit carries it forward."""
+        latest = self.latest_version()
+        parent = self.manifest(latest) if latest else None
+        return self._streams_state(parent).get(stream_key)
+
     def committed_batches(self, stream_key: str = "stream") -> set[int]:
+        """Batch ids visible in SURVIVING manifests (introspection only —
+        vacuumed versions drop out; the authoritative replay guard is
+        ``last_committed_batch``, which vacuum cannot lose)."""
         return {
             m["batch_id"]
-            for v in range(1, self.latest_version() + 1)
+            for v in self.existing_versions()
             if (m := self.manifest(v)).get("stream_key") == stream_key
             and m.get("batch_id") is not None
         }
@@ -503,11 +606,15 @@ class SnapshotTable:
         mode: str = "append",
         stream_key: str = "stream",
     ) -> dict | None:
-        """Idempotent foreachBatch sink: the batch id rides the manifest;
-        a replayed id (checkpoint restart re-delivers the last batch) is
-        skipped, making the snapshot table an exactly-once sink over an
-        at-least-once stream.  Returns None on skip."""
-        if batch_id in self.committed_batches(stream_key):
+        """Idempotent foreachBatch sink: a batch id at or below the
+        stream's last committed id is skipped (Structured Streaming batch
+        ids are monotonic per query; a checkpoint restart re-delivers the
+        LAST batch — the same ``txnAppId``/``txnVersion`` contract as
+        Delta's idempotent writes), making the snapshot table an
+        exactly-once sink over an at-least-once stream.  The guard is one
+        latest-manifest read and survives vacuum.  Returns None on skip."""
+        last = self.last_committed_batch(stream_key)
+        if last is not None and int(batch_id) <= last:
             return None
         op = {
             "append": self.append,
@@ -521,6 +628,8 @@ class SnapshotTable:
     def _dir_survives(stats: dict | None, where: list[tuple]) -> bool:
         """Conservative stats pruning: drop a dir only when its [min,max]
         range PROVABLY excludes the predicate; missing stats keep it."""
+        import decimal as _dec
+
         if not stats:
             return True
         for col, op, val in where:
@@ -528,6 +637,14 @@ class SnapshotTable:
             if rng is None or rng[0] is None or rng[1] is None:
                 continue
             mn, mx = rng
+            if isinstance(val, _dec.Decimal):
+                val = float(val)
+            # mixed-type ranges (str stats vs numeric predicate or vice
+            # versa) are incomparable — never prune on them
+            if isinstance(mn, str) != isinstance(val, str) or isinstance(
+                mn, bool
+            ) != isinstance(val, bool):
+                continue
             if (
                 (op == "=" and not (mn <= val <= mx))
                 or (op in ("<", "<=") and not (mn < val or (op == "<=" and mn <= val)))
@@ -555,7 +672,7 @@ class SnapshotTable:
             raise ValueError(f"no committed versions at {self.root}")
         if as_of is not None:
             version = max(
-                (v for v in range(1, latest + 1) if self.manifest(v)["ts"] <= as_of),
+                (v for v in self.existing_versions() if self.manifest(v)["ts"] <= as_of),
                 default=None,
             )
             if version is None:
@@ -622,7 +739,25 @@ class SnapshotTable:
         to_version = to_version or self.latest_version()
         if from_version > to_version:
             raise ValueError("from_version must be <= to_version")
+        existing = set(self.existing_versions())
+        gone_endpoints = [v for v in (from_version, to_version) if v not in existing]
+        if gone_endpoints:
+            raise ValueError(
+                f"version(s) {gone_endpoints} have been vacuumed; the change "
+                "feed needs both endpoint manifests"
+            )
         if not allow_rewrites:
+            vacuumed = [
+                v
+                for v in range(from_version + 1, to_version)
+                if v not in existing
+            ]
+            if vacuumed:
+                raise ValueError(
+                    f"range crosses vacuumed version(s) {vacuumed}: rewrite "
+                    "detection is impossible without their manifests; pass "
+                    "allow_rewrites=True to diff the surviving endpoints anyway"
+                )
             rewriters = [
                 v
                 for v in range(from_version + 1, to_version + 1)
@@ -659,27 +794,50 @@ class SnapshotTable:
         )
 
     # --------------------------------------------------------------- vacuum
-    def vacuum(self, retain_versions: int = 1, min_age_seconds: float = 0.0) -> dict:
+    def vacuum(
+        self,
+        retain_versions: int = 1,
+        min_age_seconds: float = _ORPHAN_MIN_AGE_S,
+    ) -> dict:
         """Physically delete data dirs referenced ONLY by versions older
         than the retained window (latest ``retain_versions`` versions
         stay time-travelable), plus orphaned commit dirs from failed
-        commits — those older than ``min_age_seconds`` (an in-flight
-        commit's staged dir looks orphaned until its manifest lands; age
-        is the standard guard, cf. Delta's VACUUM retention).  Old
-        manifests for dropped versions are deleted too."""
-        latest = self.latest_version()
+        commits.  Old manifests for dropped versions are deleted too;
+        any per-stream batch state they carry is merged into the sidecar
+        first, so exactly-once streaming replay protection survives.
+
+        Two distinct delete classes, guarded differently:
+
+        - a dir referenced by SOME surviving-or-deleted manifest but no
+          retained one: provably committed-then-expired — deleted
+          immediately (only time travel to vacuumed versions is lost);
+        - a dir NO manifest has ever referenced: indistinguishable from a
+          CONCURRENT writer's staged-but-uncommitted commit dir (the
+          stage happens before the manifest lands), so it is deleted
+          only when older than ``min_age_seconds`` — default 24h, cf.
+          Delta's VACUUM retention.  Pass 0 explicitly (single-writer
+          test/dev) to reap young orphans."""
+        existing = self.existing_versions()
+        latest = max(existing, default=0)
         keep_from = max(1, latest - retain_versions + 1)
-        referenced: set[str] = set()
-        for v in range(keep_from, latest + 1):
-            referenced.update(self.manifest(v)["live"])
+        referenced: set[str] = set()  # by a RETAINED version
+        ever: set[str] = set()  # by ANY surviving manifest
+        for v in existing:
+            m = self.manifest(v)
+            ever.update(m["live"])
+            ever.update(m["added"])
+            if v >= keep_from:
+                referenced.update(m["live"])
         ref_commits = {d.split("/", 1)[0] for d in referenced}
+        ever_commits = {d.split("/", 1)[0] for d in ever}
 
         deleted_dirs = 0
         now = self.fs.now()
         for commit in self.fs.list_names(self.data_dir):
             cpath = f"{self.data_dir}/{commit}"
             if commit not in ref_commits:
-                if now - self.fs.mtime(cpath) >= min_age_seconds:
+                committed_expired = commit in ever_commits
+                if committed_expired or now - self.fs.mtime(cpath) >= min_age_seconds:
                     self.fs.delete(cpath)
                     deleted_dirs += 1
                 continue
@@ -692,12 +850,30 @@ class SnapshotTable:
                     if rel not in referenced:
                         self.fs.delete(f"{cpath}/{leaf}")
                         deleted_dirs += 1
+
+        # park batch state from manifests about to be deleted: new-format
+        # manifests already carry the cumulative ``streams`` map forward,
+        # but a legacy table's ids live ONLY in the old manifests
+        doomed = [v for v in existing if v < keep_from]
+        carry: dict[str, int] = {}
+        sidecar = f"{self.manifest_dir}/{_STREAMS_SIDECAR}"
+        if self.fs.exists(sidecar):
+            carry.update(
+                {k: int(x) for k, x in json.loads(self.fs.read_bytes(sidecar)).items()}
+            )
+        for v in doomed:
+            m = self.manifest(v)
+            if m.get("stream_key") is not None and m.get("batch_id") is not None:
+                k = str(m["stream_key"])
+                carry[k] = max(int(m["batch_id"]), carry.get(k, -(1 << 62)))
+        if carry:
+            self.fs.delete(sidecar)
+            self.fs.create_atomic(sidecar, json.dumps(carry).encode())
+
         removed_manifests = 0
-        for v in range(1, keep_from):
-            p = self._manifest_path(v)
-            if self.fs.exists(p):
-                self.fs.delete(p)
-                removed_manifests += 1
+        for v in doomed:
+            self.fs.delete(self._manifest_path(v))
+            removed_manifests += 1
         return {
             "deleted_dirs": deleted_dirs,
             "deleted_manifests": removed_manifests,

@@ -422,3 +422,158 @@ def test_manifest_stats_survive_partition_overwrite_and_compact(spark, root):
     assert again.where("id >= 1000").count() == 50
     # stats were recomputed for the compacted dirs
     assert all("/p=0" in f for f in again.inputFiles())
+
+
+def test_vacuum_preserves_streaming_replay_protection(spark, root):
+    """ADVICE r4 (high): after a vacuum deletes old manifests, the
+    exactly-once streaming sink must keep working — no FileNotFound on
+    the next micro-batch, and the committed batch ids survive so a
+    lost-checkpoint replay still skips."""
+    t = SnapshotTable(spark, root)
+    t.overwrite(_df(spark, [(1, "a")]), extra={"batch_id": 0, "stream_key": "s"})
+    for b in range(1, 4):
+        t.commit_batch(b, _df(spark, [(b + 10, "x")]), stream_key="s")
+    assert t.vacuum(retain_versions=1, min_age_seconds=0)["deleted_manifests"] == 3
+
+    # log-walking APIs survive the missing early manifests
+    assert [h["version"] for h in t.history()] == [4]
+    assert sorted(r.id for r in t.read(as_of=t.manifest(4)["ts"]).collect()) == [
+        1, 11, 12, 13]
+    assert t.last_committed_batch("s") == 3
+    # replayed old batch still skipped; fresh batch lands
+    assert t.commit_batch(3, _df(spark, [(99, "dup")]), stream_key="s") is None
+    assert t.commit_batch(4, _df(spark, [(14, "y")]), stream_key="s") is not None
+    assert sorted(r.id for r in t.read().collect()) == [1, 11, 12, 13, 14]
+
+
+def test_vacuum_sidecar_carries_legacy_batch_state(spark, root):
+    """A pre-upgrade table whose manifests lack the cumulative streams
+    map: vacuum parks the doomed manifests' batch ids in the sidecar and
+    replay protection still holds."""
+    import json as _json
+    import os
+
+    t = SnapshotTable(spark, root)
+    t.overwrite(_df(spark, [(1, "a")]), extra={"batch_id": 7, "stream_key": "s"})
+    t.append(_df(spark, [(2, "b")]))
+    # simulate legacy manifests: strip the streams map
+    mdir = os.path.join(root, "_manifests")
+    for n in sorted(os.listdir(mdir)):
+        if not (n.startswith("v") and n.endswith(".json")):
+            continue  # hadoop .crc sidecars, ts probes
+        p = os.path.join(mdir, n)
+        os.remove(os.path.join(mdir, f".{n}.crc")) if os.path.exists(
+            os.path.join(mdir, f".{n}.crc")) else None
+        m = _json.loads(open(p).read())
+        m.pop("streams", None)
+        open(p, "w").write(_json.dumps(m))
+    t.vacuum(retain_versions=1, min_age_seconds=0)
+    assert t.last_committed_batch("s") == 7
+    assert t.commit_batch(7, _df(spark, [(9, "dup")]), stream_key="s") is None
+    assert t.commit_batch(8, _df(spark, [(3, "c")]), stream_key="s") is not None
+
+
+def test_vacuum_spares_young_unreferenced_commit_dirs(spark, root):
+    """ADVICE r4 (medium): a staged-but-uncommitted commit dir (a
+    CONCURRENT writer mid-commit) must survive a default vacuum — only
+    an explicit min_age_seconds=0 reaps young orphans."""
+    import os
+
+    t = SnapshotTable(spark, root)
+    t.create(_df(spark, [(1, "a")]))
+    orphan = os.path.join(root, "data", "commit=2-cafecafecafe")
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "part-0.parquet"), "wb").write(b"x")
+
+    assert t.vacuum(retain_versions=1)["deleted_dirs"] == 0  # default: spared
+    assert os.path.isdir(orphan)
+    assert t.vacuum(retain_versions=1, min_age_seconds=0)["deleted_dirs"] == 1
+    assert not os.path.isdir(orphan)
+    assert sorted(r.id for r in t.read().collect()) == [1]
+
+
+def test_changes_refuses_vacuumed_range(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_df(spark, [(1, "a")]))
+    t.append(_df(spark, [(2, "b")]))
+    t.append(_df(spark, [(3, "c")]))
+    t.vacuum(retain_versions=1, min_age_seconds=0)
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.changes(1, 3)
+
+
+def test_decimal_stats_prune_numerically(spark, root):
+    """ADVICE r4 (medium): decimal min/max must land as floats — the old
+    stringified form ('9.5' > '10.5' lexicographically) could wrongly
+    prune a live dir and silently drop rows from read(where=...)."""
+    t = SnapshotTable(spark, root)
+    lo = spark.sql("select 1 as id, cast(2.5 as decimal(10,2)) as d")
+    hi = spark.sql("select 2 as id, cast(10.5 as decimal(10,2)) as d "
+                   "union all select 3, cast(9.5 as decimal(10,2))")
+    t.create(lo, stats_cols=["d"])
+    t.append(hi)
+    m = t.manifest(t.latest_version())
+    for rng in (s["d"] for s in m["stats"].values()):
+        assert all(isinstance(x, float) for x in rng), rng
+    # d > 10 must keep the hi dir (min 9.5 <= 10 <= max 10.5 range
+    # under the buggy string compare min '9.5' > '10' pruned it)
+    got = sorted(r.id for r in t.read(where=[("d", ">", 10)])
+                 .where("d > 10").collect())
+    assert got == [2]
+    # mixed-type predicate never prunes (and never TypeErrors)
+    assert sorted(
+        r.id for r in t.read(where=[("d", ">", "oops")]).collect()
+    ) == [1, 2, 3]
+
+
+def test_rollback_keeps_replay_protection(spark, root):
+    t = SnapshotTable(spark, root)
+    t.overwrite(_df(spark, [(1, "a")]), extra={"batch_id": 0, "stream_key": "s"})
+    t.commit_batch(1, _df(spark, [(2, "b")]), stream_key="s")
+    t.rollback(1)
+    # data rewound; replay protection did NOT rewind
+    assert sorted(r.id for r in t.read().collect()) == [1]
+    assert t.last_committed_batch("s") == 1
+    assert t.commit_batch(1, _df(spark, [(9, "dup")]), stream_key="s") is None
+
+
+def _race(t_loser, t_winner, winner_df):
+    """Arrange for t_winner's dynamic overwrite to land between t_loser's
+    stage and its first manifest attempt — a real two-writer race."""
+    orig = t_loser._try_commit
+    state = {"done": False}
+
+    def hooked(manifest):
+        if not state["done"]:
+            state["done"] = True
+            t_winner.overwrite_partitions(winner_df)
+        return orig(manifest)
+
+    t_loser._try_commit = hooked
+
+
+def test_concurrent_disjoint_partition_overwrites_both_land(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_df(spark, [(1, "a", "x"), (2, "b", "y")],
+                 "id int, v string, p string"), ["p"])
+    a = SnapshotTable(spark, root)
+    b = SnapshotTable(spark, root)
+    _race(a, b, _df(spark, [(20, "B", "y")], "id int, v string, p string"))
+    a.overwrite_partitions(
+        _df(spark, [(10, "A", "x")], "id int, v string, p string"))
+    rows = {(r.id, r.p) for r in t.read().collect()}
+    assert rows == {(10, "x"), (20, "y")}  # both writers' partitions live
+    assert t.latest_version() == 3
+
+
+def test_concurrent_overlapping_partition_overwrites_conflict(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_df(spark, [(1, "a", "x")], "id int, v string, p string"), ["p"])
+    a = SnapshotTable(spark, root)
+    b = SnapshotTable(spark, root)
+    _race(a, b, _df(spark, [(20, "B", "x")], "id int, v string, p string"))
+    with pytest.raises(SnapshotConflictError, match="p=x"):
+        a.overwrite_partitions(
+            _df(spark, [(10, "A", "x")], "id int, v string, p string"))
+    # the winner's write is intact
+    assert {(r.id, r.p) for r in t.read().collect()} == {(20, "x")}
