@@ -36,8 +36,11 @@ _HEX_DIGITS = 13
 
 def priority_col(id_col: str, weight_col: str) -> F.Column:
     """The sequential-Poisson priority ``H / w`` (see module docstring).
-    NULL/non-positive weights raise at runtime via an assert filter —
-    a weight of 0 would mean "never sample", expressed as +inf."""
+    NULL/non-positive weights have no defined priority —
+    ``weighted_sample_per_key`` EXCLUDES such rows from the sample (a
+    weight of 0 means "never sample"); callers who need bad weight data
+    to fail loudly should validate upstream (e.g. a ``check.`` step or
+    ``F.assert_true``) before sampling."""
     h = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, _HEX_DIGITS), 16, 10
     ).cast("double")

@@ -169,6 +169,64 @@ def sharded_prefix_bins(
     )
 
 
+def first_occurrence_flag(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    flag_col: str = "__first",
+    hot_threshold: int = 50_000,
+) -> DataFrame:
+    """Skew-safe exact first-occurrence marking: adds boolean
+    ``flag_col``, true on the one row per ``key_col`` group that is
+    minimal in ``order_cols`` order (the tuple must be unique per row
+    within a key — e.g. (doc_id, position)).
+
+    The naive plan — ``row_number() over (partition by key order by …)
+    == 1`` — puts a hot key's ENTIRE row set in one task; a viral
+    boilerplate paragraph on a 100 TB corpus is a single-task straggler.
+    Here keys are split by a map-side-combined count:
+
+    - cold keys (< ``hot_threshold`` rows) keep the bounded window;
+    - hot keys take min-aggregate + broadcast: ``min(struct(order))``
+      per key is algebraic (combines map-side, skew-immune), and the
+      heavy-hitter key set is at most |corpus|/threshold rows — tiny,
+      so both the is-hot marker and the per-key minima broadcast; the
+      flag is then a narrow map, no hot-key shuffle anywhere.
+
+    Output is bit-identical to the naive window regardless of which
+    path a key takes.
+    """
+    o = F.struct(*[F.col(c) for c in order_cols])
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n_focc"))
+    hot_keys = (
+        counts.where(F.col("__n_focc") >= int(hot_threshold))
+        .select(key_col)
+        .localCheckpoint(eager=True)
+    )
+    marked = df.join(
+        F.broadcast(hot_keys.withColumn("__hot_focc", F.lit(True))),
+        [key_col],
+        "left",
+    )
+    cold = marked.where(F.col("__hot_focc").isNull()).drop("__hot_focc")
+    hot = marked.where(F.col("__hot_focc").isNotNull()).drop("__hot_focc")
+
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
+    cold_out = cold.withColumn(flag_col, F.row_number().over(w) == 1)
+
+    hot_firsts = (
+        hot.groupBy(key_col)
+        .agg(F.min(o).alias("__first_focc"))
+        .localCheckpoint(eager=True)
+    )
+    hot_out = (
+        hot.join(F.broadcast(hot_firsts), [key_col])
+        .withColumn(flag_col, o == F.col("__first_focc"))
+        .drop("__first_focc")
+    )
+    return cold_out.unionByName(hot_out)
+
+
 def salted_join(
     large: DataFrame,
     small: DataFrame,

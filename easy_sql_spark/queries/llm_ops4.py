@@ -1000,9 +1000,11 @@ def text_paragraph_dedup(spark, sf_dir):
 
     Scale: one narrow explode (no payload duplication — chunks are
     derived in place), one shuffle on the normalized key for the
-    first-occurrence window, one group-back per doc.  The key space is
-    corpus-sized but each group is tiny; a hot normalized paragraph
-    (boilerplate) is exactly the skew operators/skew.py caps."""
+    first-occurrence selection, one group-back per doc.  The key space
+    is corpus-sized but each group is tiny EXCEPT hot boilerplate
+    paragraphs — those are routed through
+    operators/skew.py:first_occurrence_flag's min-aggregate + broadcast
+    path, so no single task ever sees a viral chunk's full row set."""
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") <= 2000)
     words = F.split(F.col("text"), " ")
     n_chunks = F.ceil(F.size(words) / F.lit(4.0)).cast("int")
@@ -1027,10 +1029,14 @@ def text_paragraph_dedup(spark, sf_dir):
         ).alias("pos", "ck"),
     ).select("doc_id", "pos", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
 
-    from pyspark.sql import Window
+    from ..operators.skew import first_occurrence_flag
 
-    first = Window.partitionBy("key").orderBy("doc_id", "pos")
-    r = c.withColumn("kept", F.row_number().over(first) == 1)
+    # skew-safe first-occurrence: cold keys window as before; a hot
+    # boilerplate chunk (the 100 TB straggler this docstring warns of)
+    # routes through min-aggregate + broadcast — bit-identical output
+    r = first_occurrence_flag(
+        c, "key", ["doc_id", "pos"], flag_col="kept"
+    )
     kept_sorted = F.transform(
         F.array_sort(
             F.collect_list(
