@@ -12,10 +12,11 @@ for the formats a pipeline can always fall back to.  Scope:
 - WAV: RIFF PCM 8/16/32-bit, any channel count (audio).
 - GIF: 87a/89a full-frame animations — own LZW decoder (dynamic code
   widths, CLEAR/EOI), global/local palettes (video frame sampling).
-- JPEG: baseline sequential DCT, Huffman, 4:4:4/4:2:2/4:2:0, restart
-  markers — full codec in the sibling ``jpeg`` module.
+- JPEG: baseline sequential AND progressive (SOF2) DCT, Huffman,
+  4:4:4/4:2:2/4:2:0, restart markers — full codec in the sibling
+  ``jpeg`` module.
 
-Anything else (16-bit PNG, interlacing, RLE BMP, progressive JPEG,
+Anything else (16-bit PNG, interlacing, RLE BMP, arithmetic-coded JPEG,
 compressed audio, MP4-class video) raises ``UnsupportedMediaError`` — callers
 convert that into the documented NotImplementedError and rows fail
 loudly rather than silently mis-decode.

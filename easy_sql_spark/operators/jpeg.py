@@ -7,20 +7,26 @@ the PNG/BMP/GIF/WAV codecs in `codecs.py` (reference parity: the
 reference ships no codecs at all; this backs the training-data-pipeline
 multimodal surface).
 
-Scope — baseline sequential DCT process only:
+Scope:
 
-- decode: SOF0/SOF1 frames, 8-bit precision, 1 or 3 components, any
-  sampling factors up to 2x2 (4:4:4, 4:2:2, 4:2:0 and transposed),
-  Huffman entropy coding with tables read from DHT, restart markers
-  (DRI/RSTn), byte-stuffed entropy data.  Output is (H, W, 3) uint8 RGB
-  for color frames, (H, W, 1) for grayscale.
+- decode: baseline sequential (SOF0/SOF1) AND progressive (SOF2)
+  frames — real web corpora are majority-progressive.  8-bit precision,
+  1 or 3 components, any sampling factors up to 2x2 (4:4:4, 4:2:2,
+  4:2:0 and transposed), Huffman entropy coding with tables read from
+  DHT, restart markers (DRI/RSTn), byte-stuffed entropy data,
+  multi-scan accumulation (spectral selection Ss..Se bands, successive
+  approximation Ah/Al with DC and AC refinement passes, EOBn run
+  coding).  Output is (H, W, 3) uint8 RGB for color frames, (H, W, 1)
+  for grayscale.
 - encode: quality-scaled Annex-K quantization tables, standard Annex-K
   Huffman tables (embedded in DHT so any conformant decoder can read
-  the output), 4:4:4 or 4:2:0 subsampling, optional restart interval.
+  the output), 4:4:4 or 4:2:0 subsampling, optional restart interval;
+  ``encode_jpeg_progressive`` emits an SOF2 stream covering all four
+  progressive entropy paths for round-trip testing.
 
-Progressive (SOF2), arithmetic coding, 12-bit precision and hierarchical
-frames raise ``UnsupportedMediaError`` — rows fail loudly rather than
-silently mis-decode (same contract as codecs.py).
+Arithmetic coding, 12-bit precision, lossless and hierarchical frames
+raise ``UnsupportedMediaError`` — rows fail loudly rather than silently
+mis-decode (same contract as codecs.py).
 
 JPEG is lossy: round-trip tests assert bounded per-pixel error at high
 quality, not bit equality (see tests/test_codecs.py).
@@ -251,17 +257,198 @@ def _decode_block(
     return zz, pred
 
 
-def _dezigzag_idct(zz: np.ndarray, qtab: np.ndarray) -> np.ndarray:
-    block = np.zeros((8, 8), dtype=np.float64)
-    block[_ZZ_ROWS, _ZZ_COLS] = zz
-    block *= qtab
-    pixels = _DCT_M.T @ block @ _DCT_M + 128.0
-    return np.clip(np.round(pixels), 0, 255).astype(np.uint8)
+def _idct_plane(coeffs: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """(bh, bw, 64) zigzag coefficients -> (bh*8, bw*8) uint8 plane.
+    Vectorized over all blocks: one fancy-index dezigzag, one einsum for
+    the 2-D IDCT — no per-block Python loop on the hot path."""
+    bh, bw = coeffs.shape[:2]
+    blocks = np.zeros((bh, bw, 8, 8), dtype=np.float64)
+    blocks[:, :, _ZZ_ROWS, _ZZ_COLS] = coeffs
+    blocks *= qtab
+    pix = np.einsum("ab,ijbc,cd->ijad", _DCT_M.T, blocks, _DCT_M) + 128.0
+    pix = np.clip(np.round(pix), 0, 255).astype(np.uint8)
+    return pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+
+
+def _decode_ac_first(reader, ac_lut, coef, ss, se, al, eobrun) -> int:
+    """T.81 G.1.2.2: first pass over an AC spectral band.  ``eobrun``
+    counts FOLLOWING all-zero bands (EOBn run-length coding)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _read_huff(reader, ac_lut)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise UnsupportedMediaError("AC run past end of band")
+        coef[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _refine_bit(reader, coef, k, p1, m1) -> None:
+    """Append one correction bit to an already-nonzero coefficient."""
+    if reader.read_bit() and (int(coef[k]) & p1) == 0:
+        coef[k] += p1 if coef[k] >= 0 else m1
+
+
+def _decode_ac_refine(reader, ac_lut, coef, ss, se, al, eobrun) -> int:
+    """T.81 G.1.2.3: successive-approximation refinement of an AC band.
+    Interleaves new-coefficient symbols with correction bits for
+    coefficients already nonzero from earlier scans.  Unlike the first
+    pass, an EOBn here INCLUDES the current band (its tail still needs
+    correction bits), hence ``1 << r`` and the post-loop decrement."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _read_huff(reader, ac_lut)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # ZRL: advance past 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise UnsupportedMediaError(
+                        "AC refinement magnitude must be 1"
+                    )
+                newval = p1 if reader.read_bit() else m1
+            while k <= se:
+                if coef[k]:
+                    _refine_bit(reader, coef, k, p1, m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                coef[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if coef[k]:
+                _refine_bit(reader, coef, k, p1, m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _next_marker(payload: bytes, pos: int) -> int:
+    """Offset of the next real marker at/after ``pos`` (skips entropy
+    remnants, pad bits, stuffed 0xFF00 and RSTn)."""
+    n = len(payload)
+    while pos < n - 1:
+        if (
+            payload[pos] == 0xFF
+            and payload[pos + 1] != 0x00
+            and not (0xD0 <= payload[pos + 1] <= 0xD7)
+        ):
+            return pos
+        pos += 1
+    return n
+
+
+def _decode_scan(
+    payload: bytes,
+    start: int,
+    scan: list[tuple[int, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    progressive: bool,
+    coeffs: dict[int, np.ndarray],
+    comp_info: dict[int, tuple[int, int, int]],
+    nblocks: dict[int, tuple[int, int]],
+    mcus: tuple[int, int],
+    dc_luts: dict[int, dict],
+    ac_luts: dict[int, dict],
+    restart_interval: int,
+) -> int:
+    """Decode one scan's entropy data into the coefficient arrays;
+    returns the offset of the next marker."""
+    reader = _BitReader(payload, start)
+    preds = {cs: 0 for cs, _, _ in scan}
+    state = {"eobrun": 0}
+
+    def do_block(cs: int, td: int, ta: int, by: int, bx: int) -> None:
+        coef = coeffs[cs][by, bx]
+        if not progressive:
+            zz, preds[cs] = _decode_block(
+                reader, dc_luts[td], ac_luts[ta], preds[cs]
+            )
+            coef[:] = zz
+        elif ss == 0 and ah == 0:  # DC first (G.1.2.1)
+            t = _read_huff(reader, dc_luts[td])
+            preds[cs] += _extend(reader.read_bits(t), t)
+            coef[0] = preds[cs] << al
+        elif ss == 0:  # DC refinement: one bit per block
+            coef[0] |= reader.read_bit() << al
+        elif ah == 0:
+            state["eobrun"] = _decode_ac_first(
+                reader, ac_luts[ta], coef, ss, se, al, state["eobrun"]
+            )
+        else:
+            state["eobrun"] = _decode_ac_refine(
+                reader, ac_luts[ta], coef, ss, se, al, state["eobrun"]
+            )
+
+    def do_restart() -> None:
+        reader.restart()
+        for c in preds:
+            preds[c] = 0
+        state["eobrun"] = 0
+
+    unit = 0
+    if len(scan) == 1:
+        # non-interleaved: the component's OWN block raster (ceil dims),
+        # which is smaller than the MCU-padded grid when sampling > 1x1
+        cs, td, ta = scan[0]
+        h_b, w_b = nblocks[cs]
+        for by in range(h_b):
+            for bx in range(w_b):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    do_restart()
+                do_block(cs, td, ta, by, bx)
+                unit += 1
+    else:
+        mcus_x, mcus_y = mcus
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    do_restart()
+                for cs, td, ta in scan:
+                    h, v, _ = comp_info[cs]
+                    for by in range(v):
+                        for bx in range(h):
+                            do_block(cs, td, ta, my * v + by, mx * h + bx)
+                unit += 1
+    return _next_marker(payload, reader.pos)
 
 
 @_classified
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to (H, W, 3) RGB (or (H, W, 1) grayscale)."""
+    """Decode a baseline (SOF0/SOF1) or progressive (SOF2) JPEG to
+    (H, W, 3) RGB (or (H, W, 1) grayscale).  Multi-scan streams —
+    progressive spectral selection / successive approximation, or
+    baseline one-scan-per-component — accumulate into per-component
+    coefficient arrays; dequantization + IDCT run once at the end,
+    vectorized over all blocks."""
     if payload[:3] != JPEG_MAGIC:
         raise UnsupportedMediaError("not a JPEG (no SOI)")
     pos = 2
@@ -269,17 +456,22 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     dc_luts: dict[int, dict] = {}
     ac_luts: dict[int, dict] = {}
     frame = None  # (H, W, comps) where comps = [(id, h, v, tq)]
+    progressive = False
     restart_interval = 0
-    scan = None
+    comp_info: dict[int, tuple[int, int, int]] = {}
+    coeffs: dict[int, np.ndarray] = {}
+    nblocks: dict[int, tuple[int, int]] = {}
+    mcus = (0, 0)
+    got_scan = False
 
-    while pos < len(payload):
+    while pos < len(payload) - 1:
         if payload[pos] != 0xFF:
             raise UnsupportedMediaError("expected marker")
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD8:  # stray SOI
             continue
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
             break
         (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
         seg = payload[pos + 2:pos + seglen]
@@ -306,7 +498,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 lut = _build_huff_lut(bits, vals)
                 (ac_luts if tc else dc_luts)[th] = lut
                 p += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            if frame is not None:
+                raise UnsupportedMediaError("multiple SOF markers")
+            progressive = marker == 0xC2
             precision, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if precision != 8:
                 raise UnsupportedMediaError("only 8-bit precision supported")
@@ -314,67 +509,66 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            if h == 0 or w == 0:
+                raise UnsupportedMediaError("zero-sized frame")
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus = (-(-w // (8 * hmax)), -(-h // (8 * vmax)))
+            for cid, ch, cv, tq in comps:
+                comp_info[cid] = (ch, cv, tq)
+                coeffs[cid] = np.zeros(
+                    (mcus[1] * cv, mcus[0] * ch, 64), dtype=np.int32
+                )
+                cw = -(-w * ch // hmax)
+                chh = -(-h * cv // vmax)
+                nblocks[cid] = (-(-chh // 8), -(-cw // 8))
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise UnsupportedMediaError(
-                f"non-baseline JPEG process (SOF marker 0xFF{marker:02X})"
+                f"unsupported JPEG process (SOF marker 0xFF{marker:02X})"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode this scan's entropy data now
+            if frame is None:
+                raise UnsupportedMediaError("SOS before SOF")
             ns = seg[0]
             scan = []
             for i in range(ns):
                 cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append((cs, tables >> 4, tables & 0x0F))
-            pos += seglen
-            break
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+            if progressive:
+                if ss == 0 and se != 0:
+                    raise UnsupportedMediaError(
+                        "progressive DC scan must have Se=0"
+                    )
+                if ss > 0 and ns != 1:
+                    raise UnsupportedMediaError(
+                        "progressive AC scan must be single-component"
+                    )
+            pos = _decode_scan(
+                payload, pos + seglen, scan, ss, se, ah, al, progressive,
+                coeffs, comp_info, nblocks, mcus, dc_luts, ac_luts,
+                restart_interval,
+            )
+            got_scan = True
+            continue
         # APPn / COM / anything else: skip
         pos += seglen
 
-    if frame is None or scan is None:
+    if frame is None or not got_scan:
         raise UnsupportedMediaError("missing SOF or SOS")
     height, width, comps = frame
-    if height == 0 or width == 0:
-        raise UnsupportedMediaError("zero-sized frame")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    mcus_x = -(-width // (8 * hmax))
-    mcus_y = -(-height // (8 * vmax))
 
-    # Per-component plane buffers at sampled resolution (MCU-padded).
-    planes = {
-        cid: np.zeros((mcus_y * v * 8, mcus_x * h * 8), dtype=np.uint8)
-        for cid, h, v, _ in comps
-    }
-    comp_info = {cid: (h, v, tq) for cid, h, v, tq in comps}
-    preds = {cid: 0 for cid, *_ in comps}
-
-    reader = _BitReader(payload, pos)
-    mcu = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                reader.restart()
-                preds = {cid: 0 for cid in preds}
-            for cs, td, ta in scan:
-                h, v, tq = comp_info[cs]
-                for by in range(v):
-                    for bx in range(h):
-                        zz, preds[cs] = _decode_block(
-                            reader, dc_luts[td], ac_luts[ta], preds[cs]
-                        )
-                        px = _dezigzag_idct(zz, qtabs[tq])
-                        y0 = (my * v + by) * 8
-                        x0 = (mx * h + bx) * 8
-                        planes[cs][y0:y0 + 8, x0:x0 + 8] = px
-            mcu += 1
-
-    # Upsample each component to full resolution and crop.
+    # Dequantize + IDCT all accumulated coefficients, upsample, crop.
     full = []
-    for cid, h, v, _ in comps:
-        p = planes[cid]
+    for cid, h, v, tq in comps:
+        p = _idct_plane(coeffs[cid], qtabs[tq])
         p = np.repeat(np.repeat(p, vmax // v, axis=0), hmax // h, axis=1)
         full.append(p[:height, :width].astype(np.float64))
 
@@ -425,18 +619,23 @@ def _scaled_qtab(base: np.ndarray, quality: int) -> np.ndarray:
     return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
 
 
-def _encode_plane_block(
+def _quantize_plane(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """(bh*8, bw*8) padded plane -> (bh, bw, 64) quantized zigzag
+    coefficients, vectorized over all blocks (einsum 2-D DCT)."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    b = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+    co = np.einsum("ab,ijbc,cd->ijad", _DCT_M, b, _DCT_M.T)
+    q = np.round(co / qtab).astype(np.int32)
+    return q[:, :, _ZZ_ROWS, _ZZ_COLS]
+
+
+def _encode_zz_block(
     writer: _BitWriter,
-    block: np.ndarray,
-    qtab: np.ndarray,
+    zz: np.ndarray,
     dc_codes: dict[int, tuple[int, int]],
     ac_codes: dict[int, tuple[int, int]],
     pred: int,
 ) -> int:
-    coeffs = _DCT_M @ (block.astype(np.float64) - 128.0) @ _DCT_M.T
-    quant = np.round(coeffs / qtab).astype(np.int32)
-    zz = quant[_ZZ_ROWS, _ZZ_COLS]
-
     diff = int(zz[0]) - pred
     t = _category(diff)
     code, length = dc_codes[t]
@@ -474,18 +673,11 @@ def _pad_to_multiple(plane: np.ndarray, my: int, mx: int) -> np.ndarray:
     return plane
 
 
-def encode_jpeg(
-    img: np.ndarray,
-    quality: int = 90,
-    subsampling: str = "4:4:4",
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode (H, W, 3) RGB or (H, W)/(H, W, 1) grayscale to baseline JPEG.
-
-    Uses the standard Annex-K Huffman tables (written to DHT) and
-    quality-scaled Annex-K quantization tables, so output decodes in any
-    conformant JPEG decoder, not just :func:`decode_jpeg`.
-    """
+def _encode_prep(img: np.ndarray, quality: int, subsampling: str):
+    """Shared front half of both encoders: validate, color-convert,
+    subsample, pad to the MCU grid, and quantize every component to
+    (bh, bw, 64) zigzag coefficient arrays.  Returns
+    (height, width, gray, samplings, qtabs, coeff_arrays, mcus)."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim == 2:
         img = img[:, :, None]
@@ -526,25 +718,39 @@ def encode_jpeg(
     vmax = max(v for _, v in samplings)
     mcus_x = -(-width // (8 * hmax))
     mcus_y = -(-height // (8 * vmax))
-    padded = [
-        _pad_to_multiple(np.clip(np.round(p), 0, 255),
-                         mcus_y * v * 8, mcus_x * h * 8)
-        for p, (h, v) in zip(planes, samplings)
+    nc = len(planes)
+    qtabs = [q_luma] + [q_chroma] * (nc - 1)
+    coeff_arrays = [
+        _quantize_plane(
+            _pad_to_multiple(np.clip(np.round(p), 0, 255),
+                             mcus_y * v * 8, mcus_x * h * 8),
+            qtabs[i],
+        )
+        for i, (p, (h, v)) in enumerate(zip(planes, samplings))
     ]
+    return height, width, gray, samplings, qtabs, coeff_arrays, (mcus_x, mcus_y)
 
-    out = bytearray(b"\xff\xd8")  # SOI
-    # DQT
-    zz_luma = q_luma[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8).tobytes()
+
+def _encode_headers(
+    out: bytearray,
+    sof_marker: bytes,
+    height: int,
+    width: int,
+    gray: bool,
+    samplings: list[tuple[int, int]],
+    qtabs: list[np.ndarray],
+    restart_interval: int = 0,
+) -> None:
+    """DQT + SOF + DHT (+DRI) common to both encoders."""
+    zz_luma = qtabs[0][_ZZ_ROWS, _ZZ_COLS].astype(np.uint8).tobytes()
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_luma
     if not gray:
-        zz_chroma = q_chroma[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8).tobytes()
+        zz_chroma = qtabs[1][_ZZ_ROWS, _ZZ_COLS].astype(np.uint8).tobytes()
         out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + zz_chroma
-    # SOF0
     nc = 1 if gray else 3
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, height, width, nc)
+    out += sof_marker + struct.pack(">HBHHB", 8 + 3 * nc, 8, height, width, nc)
     for i, (h, v) in enumerate(samplings):
         out += bytes([i + 1, (h << 4) | v, 0 if i == 0 else 1])
-    # DHT
     for tc_th, bits, vals in (
         (0x00, _DC_LUMA_BITS, _DC_LUMA_VALS),
         (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS),
@@ -557,18 +763,45 @@ def encode_jpeg(
                 + bytes([tc_th]) + bytes(bits) + bytes(vals))
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+
+def _huff_code_sets(gray: bool):
+    dc_l = _build_huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_l = _build_huff_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    if gray:
+        return [dc_l], [ac_l]
+    dc_c = _build_huff_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_c = _build_huff_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    return [dc_l, dc_c, dc_c], [ac_l, ac_c, ac_c]
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode (H, W, 3) RGB or (H, W)/(H, W, 1) grayscale to baseline JPEG.
+
+    Uses the standard Annex-K Huffman tables (written to DHT) and
+    quality-scaled Annex-K quantization tables, so output decodes in any
+    conformant JPEG decoder, not just :func:`decode_jpeg`.
+    """
+    height, width, gray, samplings, qtabs, zzs, (mcus_x, mcus_y) = _encode_prep(
+        img, quality, subsampling
+    )
+    nc = len(samplings)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    _encode_headers(out, b"\xff\xc0", height, width, gray, samplings, qtabs,
+                    restart_interval)
     # SOS
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
     for i in range(nc):
         out += bytes([i + 1, 0x00 if i == 0 else 0x11])
     out += b"\x00\x3f\x00"  # Ss=0, Se=63, Ah/Al=0
 
-    dc_l = _build_huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
-    ac_l = _build_huff_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
-    dc_c = _build_huff_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
-    ac_c = _build_huff_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
-    tables = [(q_luma, dc_l, ac_l)] + [(q_chroma, dc_c, ac_c)] * (nc - 1)
-
+    dc_codes, ac_codes = _huff_code_sets(gray)
     writer = _BitWriter()
     preds = [0] * nc
     mcu = 0
@@ -584,17 +817,180 @@ def encode_jpeg(
                 preds = [0] * nc
             for ci in range(nc):
                 h, v = samplings[ci]
-                qtab, dcc, acc = tables[ci]
                 for by in range(v):
                     for bx in range(h):
-                        y0 = (my * v + by) * 8
-                        x0 = (mx * h + bx) * 8
-                        block = padded[ci][y0:y0 + 8, x0:x0 + 8]
-                        preds[ci] = _encode_plane_block(
-                            writer, block, qtab, dcc, acc, preds[ci]
+                        preds[ci] = _encode_zz_block(
+                            writer, zzs[ci][my * v + by, mx * h + bx],
+                            dc_codes[ci], ac_codes[ci], preds[ci]
                         )
             mcu += 1
     writer.pad_to_byte()
     out += writer.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------------- progressive encoder
+
+
+def _sos_header(comps: list[int], tabs: list[int], ss: int, se: int,
+                ah: int, al: int) -> bytes:
+    ns = len(comps)
+    out = b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
+    for cid, tb in zip(comps, tabs):
+        out += bytes([cid, tb])
+    return out + bytes([ss, se, (ah << 4) | al])
+
+
+def _encode_ac_first_block(writer, ac_codes, zz, ss, se, al) -> None:
+    """First AC pass of one band (G.1.2.2), point transform ``al``.
+    EOB runs are not accumulated across blocks (always EOB0) — legal,
+    marginally larger output, and keeps the Annex-K tables sufficient
+    (EOBn for n>0 needs symbols those tables don't define)."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = abs(v) >> al
+        if t == 0:
+            r += 1
+            continue
+        while r > 15:
+            writer.write(*ac_codes[0xF0])  # ZRL
+            r -= 16
+        s = t.bit_length()
+        writer.write(*ac_codes[(r << 4) | s])
+        sv = t if v >= 0 else -t
+        writer.write(sv if sv >= 0 else sv + (1 << s) - 1, s)
+        r = 0
+    if r:
+        writer.write(*ac_codes[0x00])  # EOB0
+
+
+def _encode_ac_refine_block(writer, ac_codes, zz, ss, se, al) -> None:
+    """Successive-approximation AC refinement of one band (G.1.2.3):
+    newly-nonzero coefficients get (run, 1)+sign symbols; coefficients
+    nonzero in earlier scans get buffered correction bits, flushed after
+    each symbol in coefficient order — exactly the interleaving
+    ``_decode_ac_refine`` consumes."""
+    ts = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    # position of the last newly-nonzero coefficient: past it, zero runs
+    # fold into the EOB instead of ZRLs (cf. T.81 figure G.7 note)
+    eob_i = max((i for i, t in enumerate(ts) if t == 1), default=-1)
+    r = 0
+    buffered: list[int] = []
+    for i, k in enumerate(range(ss, se + 1)):
+        t = ts[i]
+        if t == 0:
+            r += 1
+            continue
+        # flush pending ZRLs at ANY nonzero coefficient (so buffered
+        # correction bits stay aligned with the 16-zero stretch the
+        # decoder advances over), but never past the last new coefficient
+        while r > 15 and i <= eob_i:
+            writer.write(*ac_codes[0xF0])
+            r -= 16
+            for b in buffered:
+                writer.write(b, 1)
+            buffered = []
+        if t > 1:  # already nonzero from earlier scans: correction bit
+            buffered.append(t & 1)
+            continue
+        writer.write(*ac_codes[(r << 4) | 1])
+        writer.write(1 if int(zz[k]) >= 0 else 0, 1)  # sign: 1 = positive
+        for b in buffered:
+            writer.write(b, 1)
+        buffered = []
+        r = 0
+    if r or buffered:
+        writer.write(*ac_codes[0x00])  # EOB0 — current band's tail follows
+        for b in buffered:
+            writer.write(b, 1)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+) -> bytes:
+    """Encode to a progressive (SOF2) JPEG exercising BOTH progressive
+    dimensions: spectral selection (separate DC and per-component AC
+    scans) and successive approximation (Al=1 first passes plus Ah=1→
+    Al=0 refinement scans for DC and AC).  The quantized coefficients
+    are identical to :func:`encode_jpeg` at the same settings, so the
+    decoded image matches the baseline encoding bit-for-bit — the
+    round-trip property tests/test_jpeg.py pins."""
+    height, width, gray, samplings, qtabs, zzs, (mcus_x, mcus_y) = _encode_prep(
+        img, quality, subsampling
+    )
+    nc = len(samplings)
+    hmax = max(h for h, _ in samplings)
+    vmax = max(v for _, v in samplings)
+
+    out = bytearray(b"\xff\xd8")
+    _encode_headers(out, b"\xff\xc2", height, width, gray, samplings, qtabs)
+    dc_codes, ac_codes = _huff_code_sets(gray)
+
+    # --- scan 1: DC first, interleaved, Al=1 -----------------------------
+    out += _sos_header(
+        [i + 1 for i in range(nc)],
+        [0x00 if i == 0 else 0x10 for i in range(nc)], 0, 0, 0, 1,
+    )
+    writer = _BitWriter()
+    preds = [0] * nc
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(nc):
+                h, v = samplings[ci]
+                for by in range(v):
+                    for bx in range(h):
+                        dc = int(zzs[ci][my * v + by, mx * h + bx, 0]) >> 1
+                        diff = dc - preds[ci]
+                        preds[ci] = dc
+                        t = _category(diff)
+                        writer.write(*dc_codes[ci][t])
+                        if t:
+                            writer.write(
+                                diff if diff >= 0 else diff + (1 << t) - 1, t
+                            )
+    writer.pad_to_byte()
+    out += writer.out
+
+    # non-interleaved scans walk the component's ACTUAL block grid
+    grids = []
+    for ci, (h, v) in enumerate(samplings):
+        cw = -(-width * h // hmax)
+        ch = -(-height * v // vmax)
+        grids.append((-(-ch // 8), -(-cw // 8)))
+
+    # --- per component: AC first (Al=1), then AC refine (Ah=1, Al=0) -----
+    for ah, al in ((0, 1), (1, 0)):
+        for ci in range(nc):
+            out += _sos_header([ci + 1], [0x00 if ci == 0 else 0x01],
+                               1, 63, ah, al)
+            writer = _BitWriter()
+            h_b, w_b = grids[ci]
+            enc = _encode_ac_first_block if ah == 0 else _encode_ac_refine_block
+            for by in range(h_b):
+                for bx in range(w_b):
+                    enc(writer, ac_codes[ci], zzs[ci][by, bx], 1, 63, al)
+            writer.pad_to_byte()
+            out += writer.out
+
+    # --- final scan: DC refinement, interleaved, Ah=1 Al=0 ---------------
+    out += _sos_header(
+        [i + 1 for i in range(nc)], [0x00] * nc, 0, 0, 1, 0
+    )
+    writer = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(nc):
+                h, v = samplings[ci]
+                for by in range(v):
+                    for bx in range(h):
+                        writer.write(
+                            int(zzs[ci][my * v + by, mx * h + bx, 0]) & 1, 1
+                        )
+    writer.pad_to_byte()
+    out += writer.out
+    out += b"\xff\xd9"
     return bytes(out)

@@ -193,6 +193,88 @@ def mm_jpeg_roundtrip_stats(spark, sf_dir):
 
 
 @query(
+    "mm_jpeg_progressive_stats",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id,
+               ascii(substr(rpad(substr(text, 1, {JPG_BY * JPG_BX}),
+                                 {JPG_BY * JPG_BX}, '?'),
+                            CAST(i AS INT), 1)) AS v
+        FROM documents, UNNEST(range(1, {JPG_BY * JPG_BX} + 1)) AS t(i)
+        WHERE doc_id <= 150)
+    SELECT doc_id AS media_id,
+           {JPG_BX * 8} AS width, {JPG_BY * 8} AS height,
+           CAST(3 * 64 * SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(1 AS BIGINT) AS is_progressive
+    FROM b GROUP BY doc_id ORDER BY media_id
+    """,
+)
+def mm_jpeg_progressive_stats(spark, sf_dir):
+    """PROGRESSIVE (SOF2) JPEG roundtrip: the same pixel-exact
+    block-constant construction as mm_jpeg_roundtrip_stats, but encoded
+    with encode_jpeg_progressive — multiple SOS scans exercising
+    spectral selection AND successive approximation (DC/AC first +
+    refinement passes, EOB runs) — and decoded through the progressive
+    accumulation path.  Real web corpora are majority-progressive, so
+    this is the decode path a 100 TB image pipeline actually runs; the
+    oracle recomputes the expected pixel sum from the text bytes, and
+    ``is_progressive`` asserts the payload really is SOF2."""
+    import pandas as pd
+
+    from ..operators.jpeg import decode_jpeg, encode_jpeg_progressive
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 150)
+        .select("doc_id", "text")
+    )
+    n_blocks = JPG_BY * JPG_BX
+
+    def _roundtrip(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                chunk = text[:n_blocks].ljust(n_blocks, "?")
+                grid = np.frombuffer(
+                    chunk.encode("ascii", "replace"), dtype=np.uint8
+                ).reshape(JPG_BY, JPG_BX)
+                gray = np.repeat(np.repeat(grid, 8, axis=0), 8, axis=1)
+                img = np.stack([gray] * 3, axis=-1)
+                payload = encode_jpeg_progressive(
+                    img, quality=90, subsampling="4:2:0"
+                )
+                out = decode_jpeg(payload)
+                rows.append(
+                    (
+                        int(doc_id),
+                        out.shape[1],
+                        out.shape[0],
+                        int(out.sum(dtype=np.int64)),
+                        int(b"\xff\xc2" in payload),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "pixel_sum",
+                    "is_progressive",
+                ],
+            )
+
+    return (
+        spread(docs)
+        .mapInPandas(
+            _roundtrip,
+            "media_id long, width int, height int, pixel_sum long, "
+            "is_progressive long",
+        )
+        .orderBy("media_id")
+    )
+
+
+@query(
     "mm_frame_sample",
     oracle="""
     WITH v AS (SELECT doc_id AS media_id FROM documents

@@ -86,14 +86,86 @@ def test_single_pixel_and_tiny_images():
         assert np.abs(out.astype(int) - 200).max() <= 3
 
 
-def test_progressive_rejected():
-    # Take a valid baseline stream and flip SOF0 (0xFFC0) to SOF2 (0xFFC2):
-    # the decoder must classify, not mis-decode.
+def test_sequential_scan_in_progressive_frame_rejected():
+    # Flip SOF0 (0xFFC0) to SOF2 (0xFFC2) on a baseline stream: the scan
+    # header (Ss=0, Se=63) is illegal in a progressive frame — the
+    # decoder must classify, not mis-decode the entropy data.
     payload = bytearray(encode_jpeg(_gradient(8, 8)))
     idx = payload.find(b"\xff\xc0")
     payload[idx + 1] = 0xC2
-    with pytest.raises(UnsupportedMediaError, match="non-baseline"):
+    with pytest.raises(UnsupportedMediaError, match="progressive DC scan"):
         decode_jpeg(bytes(payload))
+
+
+def test_hierarchical_and_lossless_sofs_rejected():
+    for sof in (0xC3, 0xC5, 0xC7, 0xCB, 0xCF):
+        payload = bytearray(encode_jpeg(_gradient(8, 8)))
+        idx = payload.find(b"\xff\xc0")
+        payload[idx + 1] = sof
+        with pytest.raises(UnsupportedMediaError, match="unsupported JPEG"):
+            decode_jpeg(bytes(payload))
+
+
+# ------------------------------------------------------ progressive decode
+
+
+def test_progressive_matches_baseline_bit_exact():
+    """encode_jpeg_progressive quantizes identically to encode_jpeg, so
+    decoding its SOF2 stream (spectral selection + successive
+    approximation with DC and AC refinement scans) must reproduce the
+    baseline decode bit-for-bit."""
+    from easy_sql_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(11)
+    for shape, sub in [((41, 57, 3), "4:4:4"), ((50, 66, 3), "4:2:0"),
+                       ((17, 23, 1), "4:4:4")]:
+        img = _gradient(shape[0], shape[1])[:, :, : shape[2]]
+        img = np.clip(
+            img.astype(int) + rng.integers(-30, 30, img.shape), 0, 255
+        ).astype(np.uint8)
+        for q in (50, 92):
+            base = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
+            prog_payload = encode_jpeg_progressive(img, quality=q, subsampling=sub)
+            assert b"\xff\xc2" in prog_payload  # really SOF2
+            prog = decode_jpeg(prog_payload)
+            assert np.array_equal(base, prog)
+
+
+def test_progressive_roundtrip_error_bounded():
+    from easy_sql_spark.operators.jpeg import encode_jpeg_progressive
+
+    img = _gradient(41, 57)
+    out = decode_jpeg(encode_jpeg_progressive(img, quality=95))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_progressive_partial_decode_is_preview():
+    """Truncating a progressive stream after the early scans and closing
+    it with EOI yields a coarse but valid preview — the defining
+    progressive property (and proof the scans accumulate independently)."""
+    from easy_sql_spark.operators.jpeg import encode_jpeg_progressive
+
+    img = _gradient(32, 32)
+    payload = encode_jpeg_progressive(img, quality=90)
+    # cut just before the THIRD scan header (keep DC-first + luma AC)
+    sos_offsets = []
+    p = 0
+    while True:
+        p = payload.find(b"\xff\xda", p + 1)
+        if p < 0:
+            break
+        sos_offsets.append(p)
+    assert len(sos_offsets) == 8  # DC + 3xAC-first + 3xAC-refine + DC-refine
+    partial = payload[: sos_offsets[2]] + b"\xff\xd9"
+    out = decode_jpeg(partial)
+    assert out.shape == img.shape
+    # luma detail present, so the preview correlates with the original
+    err = np.abs(out.astype(int) - img.astype(int)).mean()
+    full_err = np.abs(
+        decode_jpeg(payload).astype(int) - img.astype(int)
+    ).mean()
+    assert err < 40 and full_err <= err
 
 
 def test_truncation_classified():
@@ -133,6 +205,30 @@ try:
         )
         assert out.shape == img.shape
         assert np.abs(out.astype(int) - img.astype(int)).max() <= 12
+
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        seed=st.integers(0, 2**31 - 1),
+        subsampling=st.sampled_from(["4:4:4", "4:2:0"]),
+        quality=st.sampled_from([35, 75, 95]),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_progressive_equals_baseline_property(h, w, seed, subsampling, quality):
+        """For ARBITRARY noise content, shape, quality and subsampling,
+        the progressive stream decodes to exactly the baseline decode —
+        both encoders share one quantization, so any bit of divergence
+        is an entropy-coding bug in one of the four progressive paths."""
+        from easy_sql_spark.operators.jpeg import encode_jpeg_progressive
+
+        img = np.random.default_rng(seed).integers(
+            0, 256, (h, w, 3), dtype=np.uint8
+        )
+        base = decode_jpeg(encode_jpeg(img, quality=quality, subsampling=subsampling))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, quality=quality, subsampling=subsampling)
+        )
+        assert np.array_equal(base, prog)
 
 except ImportError:  # hypothesis is baked in, but stay import-safe
     pass
