@@ -3,8 +3,9 @@
 The reference's streaming mode has no stateful operators beyond engine SQL
 (SURVEY.md §2H — Flink statement sets only); these are the extension a
 training-data pipeline actually needs, expressed on Spark's Arrow-batched
-state API so per-key state lives in the executor state store (RocksDB-able
-via ``spark.sql.streaming.stateStore.providerClass``) and nothing grows on
+state API so per-key state lives in the executor state store (RocksDB via
+``spark.sql.streaming.stateStore.providerClass`` — restart-tested under
+that provider in tests/test_stateful_streaming.py) and nothing grows on
 the driver.
 
 - :func:`stream_dedupe` — exact streaming dedup: the first row per key ever

@@ -267,3 +267,44 @@ def test_sessionize_builtin_streaming_append(spark, tmp_path):
         for r in spark.sql("select * from sw_out").collect()
     ]
     assert rows == [(1, "2026-01-01 00:00:00", 2)]
+
+
+def test_stream_dedupe_restart_under_rocksdb_state_store(spark, tmp_path):
+    """Same restart flow as test_stream_dedupe_state_survives_restart but
+    with the RocksDB state store provider — the beyond-memory state
+    backend a 100 TB streaming dedup actually needs (HDFS-backed default
+    keeps every key in executor heap; RocksDB spills to local disk).
+    Pins that our applyInPandasWithState operators work unchanged under
+    ``spark.sql.streaming.stateStore.providerClass``."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        src = tmp_path / "rdbsrc"
+        ckpt = tmp_path / "rdbckpt"
+        out = tmp_path / "rdbout"
+        _write_batch(src / "a.json", [{"h": "k1", "doc": 1}, {"h": "k2", "doc": 2}])
+
+        def build():
+            stream = spark.readStream.schema("h string, doc long").json(str(src))
+            return stream_dedupe(stream, ["h"])
+
+        _run_checkpointed(build(), out, ckpt)
+        assert sorted(r.h for r in spark.read.parquet(str(out)).collect()) == [
+            "k1", "k2"]
+
+        time.sleep(1.1)
+        _write_batch(src / "b.json", [{"h": "k1", "doc": 1}, {"h": "k3", "doc": 3}])
+        _run_checkpointed(build(), out, ckpt)
+        # k1 deduped across the restart → RocksDB state restored
+        assert sorted(r.h for r in spark.read.parquet(str(out)).collect()) == [
+            "k1", "k2", "k3"]
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
