@@ -914,6 +914,81 @@ def snapshot_time_travel(spark, sf_dir):
 
 
 @query(
+    "snapshot_merge_delete",
+    oracle="""
+    WITH seed AS (
+        SELECT o_orderkey AS k, o_totalprice AS price FROM orders
+        WHERE o_orderkey <= 2000),
+    upd AS (SELECT k, price * 2 AS price FROM seed WHERE k % 7 = 0),
+    ins AS (SELECT k + 1000000 AS k, price FROM seed WHERE k % 11 = 0),
+    v2 AS (
+        SELECT s.k, COALESCE(u.price, s.price) AS price
+        FROM seed s LEFT JOIN upd u USING (k)
+        UNION ALL SELECT * FROM ins),
+    v3 AS (SELECT * FROM v2 WHERE NOT (k < 100)),
+    agg AS (
+      SELECT 1 AS version, COUNT(*) AS n, SUM(k) AS sum_k,
+             ROUND(SUM(price), 2) AS sum_price FROM seed
+      UNION ALL SELECT 2, COUNT(*), SUM(k), ROUND(SUM(price), 2) FROM v2
+      UNION ALL SELECT 3, COUNT(*), SUM(k), ROUND(SUM(price), 2) FROM v3)
+    SELECT CAST(version AS INT) AS version, CAST(n AS BIGINT) AS n,
+           CAST(sum_k AS BIGINT) AS sum_k,
+           CAST(sum_price AS DOUBLE) AS sum_price
+    FROM agg ORDER BY version
+    """,
+)
+def snapshot_merge_delete(spark, sf_dir):
+    """Keyed MERGE (SCD1 upsert) + predicate DELETE on the snapshot
+    layer (runtime/snapshots.py:merge/delete_where): seed an orders
+    slice, upsert a batch that updates every 7th key and inserts shifted
+    new keys, then delete keys < 100 — and read all three versions by
+    time travel, so the oracle pins matched-replace, unmatched-insert,
+    survivor, and delete semantics rather than just the final state.
+
+    Scale: the merge probes the live dirs with a column-pruned scan
+    semi-joined against the BROADCAST source key set and rewrites only
+    dirs holding a matched key; the delete prunes dirs through the
+    manifest's per-dir min/max stats before reading anything.  Both are
+    serializable — concurrent commits conflict deterministically rather
+    than losing updates."""
+    import tempfile
+
+    from ..runtime.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="snap_md_"))
+    seed = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 2000)
+        .select(F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("price"))
+    )
+    t.create(seed, stats_cols=["k"])
+    src = (
+        seed.where(F.col("k") % 7 == 0)
+        .withColumn("price", F.col("price") * 2)
+        .unionByName(
+            seed.where(F.col("k") % 11 == 0)
+            .select((F.col("k") + 1000000).alias("k"), "price")
+        )
+    )
+    t.merge(src, keys=["k"])
+    t.delete_where([("k", "<", 100)])
+
+    per_version = [
+        t.read(version=v).agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count("*").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.round(F.sum("price"), 2).alias("sum_price"),
+        )
+        for v in (1, 2, 3)
+    ]
+    out = per_version[0]
+    for p in per_version[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("version").localCheckpoint(eager=True)
+
+
+@query(
     "text_weighted_sample",
     oracle="""
     WITH pri AS (

@@ -522,6 +522,190 @@ class SnapshotTable:
 
         return self._commit_loop(build)
 
+    def merge(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        precombine: str | None = None,
+        extra: dict | None = None,
+    ) -> dict:
+        """Keyed SCD1 upsert (MERGE): target rows matching a source key
+        are replaced by the source row, unmatched source rows insert,
+        everything else survives untouched — Delta/Hudi MERGE semantics
+        on the snapshot layer.
+
+        Dir-granular copy-on-write: one column-pruned probe scan finds
+        the live dirs that actually hold a matched key (semi-join against
+        the broadcast source key set — the source is the small side by
+        assumption, as in any incremental upsert); ONLY those dirs are
+        read back and rewritten alongside the source rows.  A 100 TB
+        table with a batch touching one day's dirs reads and rewrites
+        one day, never the table.  Source batches must be unique per
+        key; ``precombine`` (column name) resolves duplicates by
+        greatest value (row-hash tiebreak), the Hudi precombine-field
+        contract — without it duplicate keys raise.
+
+        Concurrency: the rewrite set is computed against the parent
+        version, so ANY intervening commit invalidates it — a lost race
+        raises :class:`SnapshotConflictError` deterministically
+        (serializable MERGE, no silent lost updates); retry on the new
+        table state."""
+        latest = self.latest_version()
+        if not latest:
+            raise ValueError(f"no committed versions at {self.root}")
+        parent0 = self.manifest(latest)
+        schema0 = StructType.fromJson(json.loads(parent0["schema"]))
+        for k in keys:
+            if k not in source.columns or k not in {f.name for f in schema0.fields}:
+                raise ValueError(f"merge key {k!r} missing from source or target")
+        self._check_schema_evolution(parent0, source)
+
+        if precombine:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*keys).orderBy(
+                F.col(precombine).desc(),
+                F.md5(F.concat_ws("\x00", *[
+                    F.col(c).cast("string") for c in source.columns
+                ])),
+            )
+            source = (
+                source.withColumn("__pc_rn", F.row_number().over(w))
+                .where(F.col("__pc_rn") == 1)
+                .drop("__pc_rn")
+            )
+        else:
+            dup = (
+                source.groupBy(*keys).count().where(F.col("count") > 1)
+                .limit(1).count()
+            )
+            if dup:
+                raise ValueError(
+                    f"merge source has duplicate rows per key {keys}; "
+                    "pass precombine to resolve them"
+                )
+        source = source.localCheckpoint(eager=True)
+        src_keys = source.select(*keys).distinct().localCheckpoint(eager=True)
+
+        # probe: which live dirs hold a matched key?  Column-pruned scan
+        # (keys only) + broadcast semi-join; dir identity via file path.
+        import re as _re
+
+        esc = _re.escape(self.data_dir)
+        dir_expr = F.regexp_extract(
+            F.input_file_name(), f"{esc}/(.+)/[^/]+$", 1
+        )
+        target = self._read_dirs(
+            parent0["live"], schema0, parent0["partition_cols"]
+        )
+        hit_dirs = sorted(
+            r["__dir"]
+            for r in target.withColumn("__dir", dir_expr)
+            .join(F.broadcast(src_keys), keys, "left_semi")
+            .select("__dir").distinct().collect()
+        )
+        survivors = self._read_dirs(
+            hit_dirs, schema0, parent0["partition_cols"]
+        ).join(F.broadcast(src_keys), keys, "left_anti")
+        # additive evolution: new source columns read NULL from survivors
+        for f in source.schema.fields:
+            if f.name not in {x.name for x in schema0.fields}:
+                survivors = survivors.withColumn(
+                    f.name, F.lit(None).cast(f.dataType)
+                )
+        merged = survivors.select(*source.columns).unionByName(source)
+
+        staged: dict = {}
+
+        def build(parent, version):
+            if parent["version"] != latest:
+                raise SnapshotConflictError(
+                    f"merge computed against v{latest} but v"
+                    f"{parent['version']} committed concurrently; retry "
+                    "on the new table state"
+                )
+            pby = self._resolve_partition_by(parent, None)
+            if "dirs" not in staged:
+                staged["dirs"] = self._stage(merged, pby, version)[1]
+            m = self._base_manifest(
+                version, parent, "merge", merged, pby, extra
+            )
+            m["added"] = staged["dirs"]
+            m["removed"] = hit_dirs
+            m["live"] = [
+                d for d in parent["live"] if d not in set(hit_dirs)
+            ] + staged["dirs"]
+            self._merge_stats(m, parent, staged["dirs"])
+            return m
+
+        return self._commit_loop(build)
+
+    def delete_where(
+        self, where: list[tuple], extra: dict | None = None
+    ) -> dict:
+        """Copy-on-write DELETE: drop every row matching ALL ``where``
+        conditions ([(col, op, value), …], op in <, <=, >, >=, =).
+
+        Manifest-stats pruned: a dir whose [min, max] range provably
+        excludes the predicate is untouched (same ``_dir_survives``
+        pruning as ``read(where=…)``); only possibly-matching dirs are
+        read back, filtered, and rewritten.  Deleting one day from a
+        time-keyed 100 TB table rewrites that day's dirs.  Rows where
+        the predicate is NULL are KEPT (SQL DELETE semantics).
+
+        Concurrency: serializable like :meth:`merge` — intervening
+        commits raise :class:`SnapshotConflictError`."""
+        ops = {"<", "<=", ">", ">=", "="}
+        for _, op, _v in where:
+            if op not in ops:
+                raise ValueError(f"unsupported delete op {op!r}")
+        latest = self.latest_version()
+        if not latest:
+            raise ValueError(f"no committed versions at {self.root}")
+        parent0 = self.manifest(latest)
+        schema0 = StructType.fromJson(json.loads(parent0["schema"]))
+        stats = parent0.get("stats", {})
+        candidates = [
+            d for d in parent0["live"]
+            if self._dir_survives(stats.get(d), where)
+        ]
+        pred = None
+        for col, op, val in where:
+            c = F.col(col)
+            cond = {
+                "<": c < F.lit(val), "<=": c <= F.lit(val),
+                ">": c > F.lit(val), ">=": c >= F.lit(val),
+                "=": c == F.lit(val),
+            }[op]
+            pred = cond if pred is None else (pred & cond)
+        survivors = self._read_dirs(
+            candidates, schema0, parent0["partition_cols"]
+        ).where(~F.coalesce(pred, F.lit(False)))
+
+        staged: dict = {}
+
+        def build(parent, version):
+            if parent["version"] != latest:
+                raise SnapshotConflictError(
+                    f"delete computed against v{latest} but v"
+                    f"{parent['version']} committed concurrently; retry"
+                )
+            pby = self._resolve_partition_by(parent, None)
+            if "dirs" not in staged:
+                staged["dirs"] = self._stage(survivors, pby, version)[1]
+            m = self._base_manifest(
+                version, parent, "delete", survivors, pby, extra
+            )
+            m["added"] = staged["dirs"]
+            m["removed"] = list(candidates)
+            m["live"] = [
+                d for d in parent["live"] if d not in set(candidates)
+            ] + staged["dirs"]
+            self._merge_stats(m, parent, staged["dirs"])
+            return m
+
+        return self._commit_loop(build)
+
     def compact(self, target_mb: int = 128) -> dict:
         """OPTIMIZE: rewrite the CURRENT live set as one fresh commit —
         append-heavy / streaming snapshot tables accumulate one commit
@@ -690,12 +874,19 @@ class SnapshotTable:
                 )
             stats = m.get("stats", {})
             live = [d for d in live if self._dir_survives(stats.get(d), where)]
-        if not live:
+        return self._read_dirs(live, schema, m["partition_cols"])
+
+    def _read_dirs(
+        self, dirs: list[str], schema: StructType, part_cols: list[str]
+    ) -> DataFrame:
+        """Scan exactly ``dirs`` (relative to data/) under the pinned
+        manifest schema; empty dir set yields an empty typed frame."""
+        if not dirs:
             return self.spark.createDataFrame([], schema)
-        paths = [f"{self.data_dir}/{d}" for d in live]
+        paths = [f"{self.data_dir}/{d}" for d in sorted(dirs)]
         df = (
             self.spark.read.option("basePath", self.data_dir)
-            .schema(self._read_schema(schema, m["partition_cols"]))
+            .schema(self._read_schema(schema, part_cols))
             .parquet(*paths)
             .drop("commit")
         )
@@ -775,17 +966,10 @@ class SnapshotTable:
             json.loads(self.manifest(to_version)["schema"])
         )
 
+        part_cols = self.manifest(to_version)["partition_cols"]
+
         def read_dirs(dirs: set[str], change: str) -> DataFrame:
-            if not dirs:
-                empty = self.spark.createDataFrame([], schema)
-                return empty.withColumn("_change_type", F.lit(change))
-            df = (
-                self.spark.read.option("basePath", self.data_dir)
-                .schema(self._read_schema(schema, self.manifest(to_version)["partition_cols"]))
-                .parquet(*[f"{self.data_dir}/{d}" for d in sorted(dirs)])
-                .drop("commit")
-            )
-            return df.select(*[f.name for f in schema.fields]).withColumn(
+            return self._read_dirs(sorted(dirs), schema, part_cols).withColumn(
                 "_change_type", F.lit(change)
             )
 

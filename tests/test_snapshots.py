@@ -577,3 +577,96 @@ def test_concurrent_overlapping_partition_overwrites_conflict(spark, root):
             _df(spark, [(10, "A", "x")], "id int, v string, p string"))
     # the winner's write is intact
     assert {(r.id, r.p) for r in t.read().collect()} == {(20, "x")}
+
+
+def test_merge_upsert_semantics_and_dir_pruning(spark, root):
+    """MERGE: matched rows replaced, unmatched source rows insert, and —
+    the scale contract — dirs holding no matched key are NOT rewritten
+    (their files stay byte-identical in the new version)."""
+    t = SnapshotTable(spark, root)
+    t.create(_df(spark, [(1, "a", "x"), (2, "b", "y")],
+                 "id int, v string, p string"), ["p"])
+    t.append(_df(spark, [(3, "c", "z")], "id int, v string, p string"))
+    z_files = {f for f in t.read().inputFiles() if "/p=z/" in f}
+
+    m = t.merge(
+        _df(spark, [(2, "B2", "y"), (9, "new", "x")],
+            "id int, v string, p string"),
+        keys=["id"],
+    )
+    assert m["operation"] == "merge"
+    rows = {(r.id, r.v, r.p) for r in t.read().collect()}
+    assert rows == {(1, "a", "x"), (2, "B2", "y"), (3, "c", "z"), (9, "new", "x")}
+    # the z dir held no matched key: same physical files serve it
+    assert {f for f in t.read().inputFiles() if "/p=z/" in f} == z_files
+    # pre-merge state stays time-travelable
+    assert {(r.id, r.v) for r in t.read(version=2).collect()} == {
+        (1, "a"), (2, "b"), (3, "c")}
+
+
+def test_merge_precombine_and_duplicate_detection(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_df(spark, [(1, "a", 0)], "id int, v string, ts int"))
+    with pytest.raises(ValueError, match="duplicate"):
+        t.merge(_df(spark, [(1, "x", 5), (1, "y", 9)],
+                    "id int, v string, ts int"), keys=["id"])
+    t.merge(_df(spark, [(1, "x", 5), (1, "y", 9)],
+                "id int, v string, ts int"), keys=["id"], precombine="ts")
+    assert {(r.id, r.v, r.ts) for r in t.read().collect()} == {(1, "y", 9)}
+
+
+def test_merge_conflicts_on_concurrent_commit(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_df(spark, [(1, "a")]))
+    b = SnapshotTable(spark, root)
+    orig = t._try_commit
+    state = {"done": False}
+
+    def hooked(manifest):
+        if not state["done"]:
+            state["done"] = True
+            b.append(_df(spark, [(50, "i")]))
+        return orig(manifest)
+
+    t._try_commit = hooked
+    with pytest.raises(SnapshotConflictError, match="concurrently"):
+        t.merge(_df(spark, [(1, "A")]), keys=["id"])
+    # retry on the new state succeeds
+    t._try_commit = orig
+    t.merge(_df(spark, [(1, "A")]), keys=["id"])
+    assert {(r.id, r.v) for r in t.read().collect()} == {(1, "A"), (50, "i")}
+
+
+def test_delete_where_stats_pruning_and_null_rows(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(
+        spark.sql("select 1 id, 5 ts, 'a' v union all select 2, 15, 'b'"),
+        stats_cols=["ts"],
+    )
+    t.append(spark.sql(
+        "select 3 id, 25 ts, 'c' v union all select 4, cast(null as int), 'd'"))
+    files_v1_dir = {f for f in t.read().inputFiles()
+                    if "/commit=1-" in f}
+
+    m = t.delete_where([("ts", ">=", 20)])
+    assert m["operation"] == "delete"
+    rows = {(r.id, r.ts) for r in t.read().collect()}
+    # ts=25 deleted; NULL ts KEPT (SQL delete semantics)
+    assert rows == {(1, 5), (2, 15), (4, None)}
+    # the v1 dir (ts range [5,15]) was provably unaffected: stats-pruned,
+    # same files serve it — only the v2 dir was rewritten
+    assert {f for f in t.read().inputFiles()
+            if "/commit=1-" in f} == files_v1_dir
+    assert set(m["removed"]) == {
+        d for d in t.manifest(2)["live"] if d.startswith("commit=2-")}
+
+
+def test_merge_additive_schema_evolution(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_df(spark, [(1, "a"), (2, "b")]))
+    t.merge(
+        spark.createDataFrame([(2, "B", 0.5)], "id int, v string, score double"),
+        keys=["id"],
+    )
+    assert {(r.id, r.v, r.score) for r in t.read().collect()} == {
+        (1, "a", None), (2, "B", 0.5)}
