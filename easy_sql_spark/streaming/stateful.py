@@ -12,6 +12,9 @@ the driver.
   seen survives, duplicates in the same or any later micro-batch drop.
   State per key is a single marker (~bytes), so the operator scales to
   billions of keys bounded only by the state store.
+- :func:`stream_quota` — per-key admission budget (rows or token
+  weights): the streaming analogue of the batch per-source cap, one
+  8-byte spend value per key, TTL-able refill on the Spark-4 state API.
 - :func:`sessionize` — event sessionization with a gap timeout: rows are
   grouped per user, sorted by event time inside the Arrow batch, split at
   ``gap`` boundaries; completed sessions emit, the trailing open session is
@@ -83,6 +86,146 @@ def stream_dedupe_watermarked(
         return df.dropDuplicates(key_cols)
     return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
         key_cols
+    )
+
+
+def stream_quota(
+    df: DataFrame,
+    key_cols: list[str],
+    cap: float,
+    weight_col: str | None = None,
+    order_cols: list[str] | None = None,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming per-key admission quota — the streaming analogue of
+    ``operators/skew.py:capped_per_key`` and the shape of a per-source
+    token budget in a continuously-ingesting training-data pipeline:
+    each row spends ``weight_col`` (or 1) against a per-key budget of
+    ``cap``; rows are admitted while the running total stays within
+    budget, then dropped for the rest of the stream (or until the
+    optional ``ttl_ms`` state TTL expires the key's spend — a rolling
+    refill without any timer bookkeeping).
+
+    Per-key state is a SINGLE double in the executor state store
+    (RocksDB-able), so billions of keys cost 8 bytes each and nothing
+    touches the driver.  ``order_cols`` sorts rows inside each Arrow
+    batch for deterministic intra-batch admission; cross-batch order is
+    stream arrival order, as with any quota.
+
+    Runs on ``transformWithStateInPandas`` (the Spark 4 arbitrary-state
+    API, which carries native state TTL) when the environment has its
+    protobuf dependency, otherwise transparently on
+    ``applyInPandasWithState`` with identical admission semantics —
+    ``ttl_ms`` is only honored on the former and raises on the fallback
+    rather than silently never expiring.
+
+    Batch-compatible: on a non-streaming frame, falls back to one
+    cumulative-sum window per key over ``order_cols`` (required there —
+    batch frames have no arrival order)."""
+    wcol = (
+        F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    )
+    if not df.isStreaming:
+        if not order_cols:
+            raise ValueError(
+                "batch stream_quota needs order_cols (no arrival order)"
+            )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+        return (
+            df.withColumn("__cum_q", F.sum(wcol).over(w))
+            .where(F.col("__cum_q") <= float(cap))
+            .drop("__cum_q")
+        )
+
+    out_schema = df.schema
+    cols = list(df.columns)
+    cap_f = float(cap)
+    order = list(order_cols) if order_cols else None
+    weight = weight_col
+
+    def _admit(pdf: pd.DataFrame, used: float) -> tuple[pd.DataFrame | None, float]:
+        """Rows of one Arrow batch that fit the remaining budget."""
+        if order:
+            pdf = pdf.sort_values(order, kind="mergesort")
+        wts = (
+            pdf[weight].astype(float)
+            if weight
+            else pd.Series(1.0, index=pdf.index)
+        )
+        cum = used + wts.cumsum()
+        mask = (cum <= cap_f).to_numpy()
+        if not mask.any():
+            return None, used
+        return pdf.iloc[mask][cols], float(cum.to_numpy()[mask][-1])
+
+    import importlib.util
+
+    try:
+        has_proto = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no 'google' namespace package at all
+        has_proto = False
+    if has_proto:
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class _Quota(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._used = handle.getValueState(
+                    "used", "used double", ttlDurationMs=ttl_ms
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                prior = self._used.get()
+                used = float(prior[0]) if prior is not None else 0.0
+                for pdf in rows:
+                    if not len(pdf):
+                        continue
+                    admitted, used = _admit(pdf, used)
+                    if admitted is not None:
+                        yield admitted
+                self._used.update((used,))
+
+            def close(self) -> None:
+                pass
+
+        return df.groupBy(*key_cols).transformWithStateInPandas(
+            _Quota(),
+            outputStructType=out_schema,
+            outputMode="append",
+            timeMode="none",
+        )
+
+    if ttl_ms is not None:
+        raise ValueError(
+            "ttl_ms needs transformWithStateInPandas (protobuf absent in "
+            "this environment); without it the spend state never expires"
+        )
+    state_schema = T.StructType([T.StructField("used", T.DoubleType())])
+
+    def _quota(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        used = float(state.get[0]) if state.exists else 0.0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            admitted, used = _admit(pdf, used)
+            if admitted is not None:
+                yield admitted
+        state.update((used,))
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        _quota,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

@@ -3,6 +3,8 @@
 import json
 import time
 
+import pytest
+
 from easy_sql_spark.streaming.stateful import sessionize, stream_dedupe
 
 
@@ -308,3 +310,71 @@ def test_stream_dedupe_restart_under_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def test_stream_quota_token_budget_across_batches(spark, tmp_path):
+    """transformWithStateInPandas per-key budget: batch 1 spends part of
+    each key's budget, batch 2 may only spend the remainder — admission
+    is cumulative across micro-batches via the 8-byte value state."""
+    from easy_sql_spark.streaming.stateful import stream_quota
+
+    src = tmp_path / "qsrc"
+    ckpt = tmp_path / "qckpt"
+    out = tmp_path / "qout"
+    # key a: weights 4+4 => cap 10 admits both (8); key b: 7+7 admits one
+    _write_batch(src / "a.json", [
+        {"k": "a", "doc": 1, "w": 4}, {"k": "a", "doc": 2, "w": 4},
+        {"k": "b", "doc": 3, "w": 7}, {"k": "b", "doc": 4, "w": 7},
+    ])
+
+    def build():
+        stream = spark.readStream.schema("k string, doc long, w long").json(str(src))
+        return stream_quota(stream, ["k"], cap=10, weight_col="w",
+                            order_cols=["doc"])
+
+    _run_checkpointed(build(), out, ckpt)
+    got = {(r.k, r.doc) for r in spark.read.parquet(str(out)).collect()}
+    assert got == {("a", 1), ("a", 2), ("b", 3)}
+
+    # batch 2: a has 2 budget left (admits w=2, rejects next), b has 3
+    time.sleep(1.1)
+    _write_batch(src / "b.json", [
+        {"k": "a", "doc": 5, "w": 2}, {"k": "a", "doc": 6, "w": 1},
+        {"k": "b", "doc": 7, "w": 3},
+    ])
+    _run_checkpointed(build(), out, ckpt)
+    got = {(r.k, r.doc) for r in spark.read.parquet(str(out)).collect()}
+    # a: 8+2=10 admits doc 5, then 10+1>10 rejects doc 6; b: 7+3=10 admits
+    assert got == {("a", 1), ("a", 2), ("b", 3), ("a", 5), ("b", 7)}
+
+
+def test_stream_quota_batch_fallback_matches_semantics(spark):
+    from easy_sql_spark.streaming.stateful import stream_quota
+
+    df = spark.createDataFrame(
+        [("a", 1, 4), ("a", 2, 4), ("a", 3, 4), ("b", 4, 12)],
+        "k string, doc long, w long",
+    )
+    got = {(r.k, r.doc) for r in
+           stream_quota(df, ["k"], cap=10, weight_col="w",
+                        order_cols=["doc"]).collect()}
+    assert got == {("a", 1), ("a", 2)}  # 4+4 fits, +4 exceeds; b's 12 > 10
+    with pytest.raises(ValueError, match="order_cols"):
+        stream_quota(df, ["k"], cap=10)
+
+
+def test_stream_quota_row_cap_unweighted(spark, tmp_path):
+    from easy_sql_spark.streaming.stateful import stream_quota
+
+    src = tmp_path / "rqsrc"
+    ckpt = tmp_path / "rqckpt"
+    out = tmp_path / "rqout"
+    _write_batch(src / "a.json",
+                 [{"k": "s", "doc": i} for i in range(5)])
+
+    def build():
+        stream = spark.readStream.schema("k string, doc long").json(str(src))
+        return stream_quota(stream, ["k"], cap=3, order_cols=["doc"])
+
+    _run_checkpointed(build(), out, ckpt)
+    assert sorted(r.doc for r in spark.read.parquet(str(out)).collect()) == [0, 1, 2]
