@@ -1294,3 +1294,158 @@ def snapshot_change_feed(spark, sf_dir):
         .orderBy("doc_id", "change_type")
         .localCheckpoint(eager=True)
     )
+
+
+SEMDEDUP_K = 8
+SEMDEDUP_ITERS = 2
+SEMDEDUP_TAU = 0.30
+
+_SD_ASSIGN = """
+    SELECT vec_id, v, cid - 1 AS cluster FROM (
+        SELECT e.vec_id, e.v, c.cid + 1 AS cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+        FROM e CROSS JOIN {cents} c)
+    WHERE rn = 1
+"""
+
+_SD_UPDATE = """
+    SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
+    FROM {prev} p LEFT JOIN (
+        SELECT cluster + 1 AS cid, list(c ORDER BY dim) AS cv FROM (
+            SELECT cluster, i AS dim,
+                   CAST(SUM(CAST(v[i] AS DECIMAL(30,10))) AS DOUBLE)
+                       / COUNT(*) AS c
+            FROM {assign}, UNNEST(range(1, len(v) + 1)) AS t(i)
+            GROUP BY cluster, i)
+        GROUP BY cluster) n ON n.cid = p.cid + 1
+"""
+
+
+@query(
+    "sim_semantic_dedup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {SEMDEDUP_K}),
+    a1 AS ({_SD_ASSIGN.format(cents="c0")}),
+    u1 AS ({_SD_UPDATE.format(prev="c0", assign="a1")}),
+    a2 AS ({_SD_ASSIGN.format(cents="u1")}),
+    u2 AS ({_SD_UPDATE.format(prev="u1", assign="a2")}),
+    af AS ({_SD_ASSIGN.format(cents="u2")}),
+    dropped AS (
+        SELECT DISTINCT x.vec_id
+        FROM af x JOIN af y
+          ON x.cluster = y.cluster AND x.vec_id > y.vec_id
+        WHERE list_cosine_similarity(x.v, y.v) > {SEMDEDUP_TAU})
+    SELECT af.vec_id, CAST(af.cluster AS INT) AS cluster,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+    FROM af LEFT JOIN dropped d ON af.vec_id = d.vec_id
+    ORDER BY af.vec_id
+    """,
+)
+def sim_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space, then
+    drop any vector with a more-senior (lower id) cluster-mate above a
+    cosine threshold — the semantic near-duplicate pruning pass a
+    training-data pipeline runs AFTER lexical dedup (MinHash catches
+    copies; this catches paraphrases).
+
+    Deterministic distributed k-means so DuckDB replays it exactly:
+    fixed seeds (vectors 0..K-1), {SEMDEDUP_ITERS} Lloyd rounds, decimal
+    per-dim means (summation-order-proof, the sim_ivf_topk recipe),
+    argmin by sequential squared-L2 fold with index tie-break, empty
+    clusters keep their previous centroid.
+
+    Scale: each assignment is a NARROW projection against the K x dim
+    centroid table embedded as a literal (k-means' standard broadcast —
+    no join, no shuffle); each update is one map-side-combined
+    (cluster, dim) aggregate whose K x dim result is the only thing the
+    driver ever holds.  The pairwise stage is an equi-join on cluster id
+    (never all-pairs); at 100 TB cluster sizes are bounded by K sizing
+    and oversized clusters sub-shard exactly like the LSH buckets in
+    dedup_minhash_lsh."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cents = [
+        list(r.v)
+        for r in emb.where(F.col("vec_id") < SEMDEDUP_K).orderBy("vec_id").collect()
+    ]
+
+    def assign(frame, centroids):
+        lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+        )
+        dists = F.expr(
+            "transform(__cents, c -> aggregate("
+            "zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0D, (a, z) -> a + z))"
+        )
+        return (
+            frame.withColumn("__cents", lit)
+            .withColumn("__d", dists)
+            .withColumn(
+                "cluster",
+                (F.array_position("__d", F.array_min("__d")) - 1).cast("int"),
+            )
+            .drop("__cents", "__d")
+        )
+
+    for _ in range(SEMDEDUP_ITERS):
+        assigned = assign(emb, cents)
+        cd = (
+            assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(30,10)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("c")
+            )
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in cd:
+            by_cluster.setdefault(r.cluster, {})[r.dim] = r.c
+        cents = [
+            [by_cluster[k][d] for d in sorted(by_cluster[k])]
+            if k in by_cluster
+            else cents[k]  # empty cluster keeps its previous centroid
+            for k in range(SEMDEDUP_K)
+        ]
+
+    af = assign(emb, cents).localCheckpoint(eager=True)
+    x = af.select(
+        F.col("vec_id").alias("xid"), F.col("v").alias("xv"), "cluster"
+    )
+    y = af.select(
+        F.col("vec_id").alias("yid"), F.col("v").alias("yv"), "cluster"
+    )
+    norm = lambda c: F.sqrt(F.expr(
+        f"aggregate(transform({c}, t -> t * t), 0D, (acc, z) -> acc + z)"
+    ))
+    dot = F.expr(
+        "aggregate(zip_with(xv, yv, (a, b) -> a * b), 0D, (acc, z) -> acc + z)"
+    )
+    dropped = (
+        x.join(y, "cluster")
+        .where(F.col("xid") > F.col("yid"))
+        .where(dot / (norm("xv") * norm("yv")) > SEMDEDUP_TAU)
+        .select(F.col("xid").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        af.join(dropped.withColumn("__dropped", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.when(F.col("__dropped").isNull(), 1).otherwise(0)
+            .cast("int").alias("kept"),
+        )
+        .orderBy("vec_id")
+    )
