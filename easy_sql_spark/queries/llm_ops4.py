@@ -1449,3 +1449,89 @@ def sim_semantic_dedup(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "text_warc_roundtrip",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(doc_id // 20 AS INT) AS warc_file,
+           CAST(CASE WHEN (doc_id // 20) % 2 = 1 THEN 1 ELSE 0 END AS INT)
+               AS gz,
+           CAST(octet_length(encode(text)) AS BIGINT) AS content_len,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id <= 400 ORDER BY doc_id
+    """,
+)
+def text_warc_roundtrip(spark, sf_dir):
+    """WARC container end-to-end (operators/warc.py): documents are
+    packed 20-per-file into WARC payloads — odd file ordinals in the
+    CommonCrawl one-gzip-member-per-record layout, even ones plain —
+    then parsed back through the full header/Content-Length/gzip-member
+    machinery; the oracle recomputes each record's byte length and md5
+    from the raw text, so a slicing, folding, or member-boundary bug on
+    either side breaks the match.
+
+    Scale shape: the group-pack runs per WARC file inside
+    ``applyInPandas`` (file payloads built and consumed inside one task,
+    never shuffled as blobs — only doc_id routing shuffles), exactly how
+    a real .warc.gz corpus scan feeds ``binaryFile`` payloads to
+    ``parse_warc`` via mapInPandas."""
+    import pandas as pd
+
+    from ..operators.warc import parse_warc, write_warc
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 400)
+        .select(
+            "doc_id", "text",
+            (F.col("doc_id") / 20).cast("int").alias("warc_file"),
+        )
+    )
+
+    def _pack_unpack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        fid = int(pdf["warc_file"].iloc[0])
+        gz = fid % 2 == 1
+        ordered = pdf.sort_values("doc_id")
+        payload = write_warc(
+            [
+                (
+                    {
+                        "WARC-Type": "conversion",
+                        "WARC-Record-ID": f"<urn:doc:{int(d)}>",
+                    },
+                    t.encode("utf-8"),
+                )
+                for d, t in zip(ordered["doc_id"], ordered["text"])
+            ],
+            gzip_members=gz,
+        )
+        rows = []
+        for rec in parse_warc(payload):
+            rid = rec["headers"]["WARC-Record-ID"]
+            rows.append(
+                (
+                    int(rid[len("<urn:doc:"):-1]),
+                    fid,
+                    int(gz),
+                    len(rec["content"]),
+                    hashlib.md5(rec["content"]).hexdigest(),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["doc_id", "warc_file", "gz", "content_len", "content_md5"],
+        )
+
+    return (
+        docs.groupBy("warc_file")
+        .applyInPandas(
+            _pack_unpack,
+            "doc_id long, warc_file int, gz int, content_len long, "
+            "content_md5 string",
+        )
+        .orderBy("doc_id")
+    )
