@@ -49,8 +49,10 @@ FAMILIES: dict[str, list[str]] = {
         "text_source_cap",
         "text_gopher_filter",
         "text_paragraph_dedup",
+        "text_warc_roundtrip",
     ],
-    "sim": ["sim_topk_bruteforce", "sim_ivf_topk", "sim_lsh_topk"],
+    "sim": ["sim_topk_bruteforce", "sim_ivf_topk", "sim_lsh_topk",
+            "sim_semantic_dedup"],
     "asof": ["asof_events_orders", "interval_overlap_join"],
     "events": [
         "events_funnel",
@@ -62,6 +64,7 @@ FAMILIES: dict[str, list[str]] = {
         "mm_wav_roundtrip_stats",
         "mm_gif_frames_stats",
         "mm_jpeg_roundtrip_stats",
+        "mm_jpeg_progressive_stats",
         "mm_mp4_demux_stats",
         "mm_mp3_demux_stats",
         "mm_image_ahash",
@@ -281,6 +284,28 @@ def write_benches(spark, sf_dir):
             .save()
         )
 
+    # snapshot MERGE (r5): keyed upsert of one month's rows into a
+    # separate seeded snapshot — measures the probe scan (broadcast
+    # source keys) + dir-granular copy-on-write; idempotent (same keys
+    # replaced every run)
+    snap_m = SnapshotTable(spark, tempfile.mkdtemp(prefix="bench_snapm_"))
+    snap_m.create(o, partition_by=["order_ym"])  # untimed seed
+    merge_batch = (
+        month.withColumn("o_totalprice", F.col("o_totalprice") * 1.01)
+        .localCheckpoint(eager=True)
+    )
+
+    def write_snapshot_merge():
+        snap_m.merge(merge_batch, keys=["o_orderkey"])
+        (
+            snap_m.read()
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
     return {
         "write_partitioned_overwrite": write_partitioned_overwrite,
         "write_bucketed_ctas": write_bucketed_ctas,
@@ -290,6 +315,7 @@ def write_benches(spark, sf_dir):
         "write_zorder": write_zorder,
         "zorder_scan_2dim": zorder_scan_2dim,
         "write_snapshot_commit": write_snapshot_commit,
+        "write_snapshot_merge": write_snapshot_merge,
     }
 
 

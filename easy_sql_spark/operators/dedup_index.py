@@ -54,6 +54,25 @@ class MinHashDedupIndex:
 
         return minhash_bands(docs, self.n_hashes, self.n_bands)
 
+    #: index payloads at/below this (compressed parquet bytes) ride a
+    #: direct explicit broadcast; above it the two-step probe keeps the
+    #: index as an unshuffled stream side.  Mirrors the default
+    #: autoBroadcastJoinThreshold's intent but is OURS, measured against
+    #: the index's actual on-disk footprint — never a planner guess.
+    SMALL_INDEX_BYTES = 32 << 20
+
+    def _index_bytes(self) -> int:
+        """On-disk size of the live index dirs, from the snapshot
+        manifest's dir list — a handful of driver FS calls, no scan."""
+        total = 0
+        m = self.table.manifest(self.table.latest_version())
+        fs = self.table.fs
+        jvm = fs._jvm
+        for d in m["live"]:
+            p = jvm.org.apache.hadoop.fs.Path(f"{self.table.data_dir}/{d}")
+            total += p.getFileSystem(fs._conf).getContentSummary(p).getLength()
+        return total
+
     def _probe_hits(self, bands: DataFrame) -> DataFrame:
         """doc_ids of batch rows whose (band_id, band) collides with the
         persistent index — WITHOUT ever shuffling the index.
@@ -63,8 +82,31 @@ class MinHashDedupIndex:
         is the O(corpus)-row index, so once the index outgrows the
         broadcast threshold Spark sort-merge-joins and re-shuffles the
         entire index on every batch ingest — defeating the O(batch)
-        contract of this module.  Instead probe in two broadcast steps,
-        each bounded by the BATCH:
+        contract of this module.  Size-adaptive, both regimes index-
+        shuffle-free:
+
+        - small index (on-disk bytes from the manifest below
+          ``SMALL_INDEX_BYTES``): direct ``left_semi`` with an EXPLICIT
+          broadcast of the index — one scan, one join, the cheap plan
+          while the corpus is young;
+        - otherwise :meth:`_probe_hits_scale` — two broadcast steps
+          bounded by the batch's distinct band keys.
+        """
+        if self._index_bytes() <= self.SMALL_INDEX_BYTES:
+            return (
+                bands.join(
+                    F.broadcast(self.table.read()),
+                    ["band_id", "band"],
+                    "left_semi",
+                )
+                .select("doc_id")
+                .distinct()
+            )
+        return self._probe_hits_scale(bands)
+
+    def _probe_hits_scale(self, bands: DataFrame) -> DataFrame:
+        """Large-index probe, two broadcast steps each bounded by the
+        BATCH:
 
         1. ``present`` = the batch's distinct (band_id, band) keys that
            exist in the index: ``index left_semi broadcast(batch_keys)``.
@@ -80,9 +122,7 @@ class MinHashDedupIndex:
         broadcast limits, bucket the snapshot band table on
         (band_id, band) instead so only the batch side shuffles.
         """
-        batch_keys = (
-            bands.select("band_id", "band").distinct().localCheckpoint(eager=True)
-        )
+        batch_keys = bands.select("band_id", "band").distinct()
         present = (
             self.table.read()
             .join(F.broadcast(batch_keys), ["band_id", "band"], "left_semi")

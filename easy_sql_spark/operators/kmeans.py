@@ -1,0 +1,96 @@
+"""Deterministic distributed Lloyd k-means over an array<double> column.
+
+The coarse quantizer behind IVF ANN (operators/ann_index.py) and
+SemDeDup-style semantic dedup (queries/llm_ops4.py:sim_semantic_dedup).
+Deterministic by construction so a SQL oracle can replay it exactly:
+
+- seeds = the vectors with the K smallest ids (no RNG);
+- per-dim centroid means accumulate in DECIMAL(30,10), so summation
+  order across partitions cannot perturb the result (the
+  sim_ivf_topk recipe);
+- assignment = argmin of a sequential squared-L2 fold with
+  first-index tie-break;
+- an emptied cluster keeps its previous centroid.
+
+Scale shape: each assignment is a NARROW projection — the K x dim
+centroid matrix is embedded as a literal (k-means' standard broadcast),
+so no join and no shuffle; each update is ONE map-side-combined
+(cluster, dim) aggregate whose K x dim result is all the driver ever
+holds.  Cost per iteration is one scan + one tiny shuffle regardless of
+corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def assign_clusters(
+    df: DataFrame, centroids: list[list[float]], vec_col: str = "v",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Add ``out_col``: the 0-based index of the nearest centroid
+    (squared L2, sequential fold, first-min tie-break).  Pure narrow
+    projection — centroids ride as a literal, nothing shuffles."""
+    lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    dists = F.expr(
+        f"transform(__cents, c -> aggregate("
+        f"zip_with({vec_col}, c, (x, y) -> (x - y) * (x - y)), "
+        f"0D, (a, z) -> a + z))"
+    )
+    return (
+        df.withColumn("__cents", lit)
+        .withColumn("__d", dists)
+        .withColumn(
+            out_col,
+            (F.array_position("__d", F.array_min("__d")) - 1).cast("int"),
+        )
+        .drop("__cents", "__d")
+    )
+
+
+def lloyd_kmeans(
+    df: DataFrame,
+    k: int,
+    iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> list[list[float]]:
+    """Train centroids; returns the K x dim matrix (driver-side floats,
+    tiny).  ``df`` needs a unique numeric ``id_col`` (seed selection =
+    the K smallest ids) and an array<double> ``vec_col``."""
+    seeds = (
+        df.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(k)
+        .collect()  # bounded-driver: exactly k seed rows
+    )
+    if len(seeds) < k:
+        raise ValueError(f"need at least k={k} vectors, got {len(seeds)}")
+    cents = [list(r[vec_col]) for r in seeds]
+    for _ in range(iters):
+        assigned = assign_clusters(df, cents, vec_col=vec_col)
+        cd = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(30,10)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("c")
+            )
+            .collect()  # bounded-driver: K x dim centroid cells
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in cd:
+            by_cluster.setdefault(r.cluster, {})[r.dim] = r.c
+        cents = [
+            [by_cluster[j][d] for d in sorted(by_cluster[j])]
+            if j in by_cluster
+            else cents[j]  # empty cluster keeps its previous centroid
+            for j in range(k)
+        ]
+    return cents

@@ -193,16 +193,24 @@ def first_occurrence_flag(
       so both the is-hot marker and the per-key minima broadcast; the
       flag is then a narrow map, no hot-key shuffle anywhere.
 
-    Output is bit-identical to the naive window regardless of which
-    path a key takes.
+    Adaptive: the heavy-hitter detection (one map-side-combined count)
+    always runs, but when it finds NO hot keys — the common case — the
+    plain single-scan window plan is returned and the split machinery
+    (second scan, broadcast join, union) costs nothing.  Output is
+    bit-identical to the naive window regardless of which path a key
+    takes.
     """
     o = F.struct(*[F.col(c) for c in order_cols])
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
     counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n_focc"))
     hot_keys = (
         counts.where(F.col("__n_focc") >= int(hot_threshold))
         .select(key_col)
         .localCheckpoint(eager=True)
     )
+    if not hot_keys.take(1):  # no heavy hitters: single-scan window plan
+        return df.withColumn(flag_col, F.row_number().over(w) == 1)
+
     marked = df.join(
         F.broadcast(hot_keys.withColumn("__hot_focc", F.lit(True))),
         [key_col],
@@ -211,7 +219,6 @@ def first_occurrence_flag(
     cold = marked.where(F.col("__hot_focc").isNull()).drop("__hot_focc")
     hot = marked.where(F.col("__hot_focc").isNotNull()).drop("__hot_focc")
 
-    w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
     cold_out = cold.withColumn(flag_col, F.row_number().over(w) == 1)
 
     hot_firsts = (

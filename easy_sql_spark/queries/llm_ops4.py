@@ -1365,6 +1365,8 @@ def sim_semantic_dedup(spark, sf_dir):
     (never all-pairs); at 100 TB cluster sizes are bounded by K sizing
     and oversized clusters sub-shard exactly like the LSH buckets in
     dedup_minhash_lsh."""
+    from ..operators.kmeans import assign_clusters, lloyd_kmeans
+
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .select(
@@ -1373,53 +1375,8 @@ def sim_semantic_dedup(spark, sf_dir):
         )
         .localCheckpoint(eager=True)
     )
-    cents = [
-        list(r.v)
-        for r in emb.where(F.col("vec_id") < SEMDEDUP_K).orderBy("vec_id").collect()
-    ]
-
-    def assign(frame, centroids):
-        lit = F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-        )
-        dists = F.expr(
-            "transform(__cents, c -> aggregate("
-            "zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0D, (a, z) -> a + z))"
-        )
-        return (
-            frame.withColumn("__cents", lit)
-            .withColumn("__d", dists)
-            .withColumn(
-                "cluster",
-                (F.array_position("__d", F.array_min("__d")) - 1).cast("int"),
-            )
-            .drop("__cents", "__d")
-        )
-
-    for _ in range(SEMDEDUP_ITERS):
-        assigned = assign(emb, cents)
-        cd = (
-            assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
-            .groupBy("cluster", "dim")
-            .agg(
-                (
-                    F.sum(F.col("x").cast("decimal(30,10)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("c")
-            )
-            .collect()
-        )
-        by_cluster: dict[int, dict[int, float]] = {}
-        for r in cd:
-            by_cluster.setdefault(r.cluster, {})[r.dim] = r.c
-        cents = [
-            [by_cluster[k][d] for d in sorted(by_cluster[k])]
-            if k in by_cluster
-            else cents[k]  # empty cluster keeps its previous centroid
-            for k in range(SEMDEDUP_K)
-        ]
-
-    af = assign(emb, cents).localCheckpoint(eager=True)
+    cents = lloyd_kmeans(emb, SEMDEDUP_K, SEMDEDUP_ITERS)
+    af = assign_clusters(emb, cents).localCheckpoint(eager=True)
     x = af.select(
         F.col("vec_id").alias("xid"), F.col("v").alias("xv"), "cluster"
     )
