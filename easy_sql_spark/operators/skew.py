@@ -175,6 +175,7 @@ def first_occurrence_flag(
     order_cols: list[str],
     flag_col: str = "__first",
     hot_threshold: int = 50_000,
+    detect_fraction: float | None = None,
 ) -> DataFrame:
     """Skew-safe exact first-occurrence marking: adds boolean
     ``flag_col``, true on the one row per ``key_col`` group that is
@@ -193,18 +194,31 @@ def first_occurrence_flag(
       so both the is-hot marker and the per-key minima broadcast; the
       flag is then a narrow map, no hot-key shuffle anywhere.
 
-    Adaptive: the heavy-hitter detection (one map-side-combined count)
-    always runs, but when it finds NO hot keys — the common case — the
-    plain single-scan window plan is returned and the split machinery
-    (second scan, broadcast join, union) costs nothing.  Output is
-    bit-identical to the naive window regardless of which path a key
+    Adaptive: heavy-hitter detection always runs, but when it finds NO
+    hot keys — the common case — the plain single-scan window plan is
+    returned and the split machinery (second scan, broadcast join,
+    union) costs nothing.  ``detect_fraction`` samples the detection
+    pass (flagging keys whose SAMPLED count clears a quarter of the
+    scaled threshold — a true hot key is missed with vanishing
+    probability, and routing is the ONLY thing at stake: both paths are
+    exact, so a detection miss costs speed, never correctness).  Output
+    is bit-identical to the naive window regardless of which path a key
     takes.
     """
     o = F.struct(*[F.col(c) for c in order_cols])
     w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
-    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n_focc"))
+    if detect_fraction:
+        cut = max(2.0, hot_threshold * detect_fraction / 4.0)
+        counts = (
+            df.sample(fraction=float(detect_fraction), seed=7)
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("__n_focc"))
+        )
+    else:
+        cut = float(hot_threshold)
+        counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n_focc"))
     hot_keys = (
-        counts.where(F.col("__n_focc") >= int(hot_threshold))
+        counts.where(F.col("__n_focc") >= cut)
         .select(key_col)
         .localCheckpoint(eager=True)
     )

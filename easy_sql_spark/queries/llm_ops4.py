@@ -1110,7 +1110,7 @@ def text_paragraph_dedup(spark, sf_dir):
     # boilerplate chunk (the 100 TB straggler this docstring warns of)
     # routes through min-aggregate + broadcast — bit-identical output
     r = first_occurrence_flag(
-        c, "key", ["doc_id", "pos"], flag_col="kept"
+        c, "key", ["doc_id", "pos"], flag_col="kept", detect_fraction=0.05
     )
     kept_sorted = F.transform(
         F.array_sort(

@@ -842,6 +842,7 @@ class SnapshotTable:
         version: int | None = None,
         as_of: float | None = None,
         where: list[tuple] | None = None,
+        partitions: dict[str, list] | None = None,
     ) -> DataFrame:
         """The table at a version (default: latest) or the newest version
         with commit ts ≤ ``as_of`` (epoch seconds).
@@ -850,7 +851,12 @@ class SnapshotTable:
         prunes live dirs against the manifest's per-dir min/max stats
         BEFORE Spark lists a single file (the same predicates must still
         be applied to the returned frame; manifest pruning is a superset
-        guarantee, exactly like parquet row-group stats one level up)."""
+        guarantee, exactly like parquet row-group stats one level up).
+
+        ``partitions`` — {col: [values…]} keeps only live dirs whose
+        partition-path segment matches one of the values: manifest-level
+        static partition pruning, so unmatched dirs are never even
+        handed to Spark's file listing."""
         latest = self.latest_version()
         if not latest:
             raise ValueError(f"no committed versions at {self.root}")
@@ -874,6 +880,21 @@ class SnapshotTable:
                 )
             stats = m.get("stats", {})
             live = [d for d in live if self._dir_survives(stats.get(d), where)]
+        if partitions:
+            bad = [c for c in partitions if c not in m["partition_cols"]]
+            if bad:
+                raise ValueError(f"not partition columns: {bad}")
+            wanted = {c: {str(v) for v in vs} for c, vs in partitions.items()}
+
+            def keep(d: str) -> bool:
+                segs = dict(
+                    s.split("=", 1) for s in d.split("/")[1:] if "=" in s
+                )
+                return all(
+                    segs.get(c) in vals for c, vals in wanted.items()
+                )
+
+            live = [d for d in live if keep(d)]
         return self._read_dirs(live, schema, m["partition_cols"])
 
     def _read_dirs(
