@@ -1302,11 +1302,11 @@ SEMDEDUP_TAU = 0.30
 
 _SD_ASSIGN = """
     SELECT vec_id, v, cid - 1 AS cluster FROM (
-        SELECT e.vec_id, e.v, c.cid + 1 AS cid,
+        SELECT s.vec_id, s.v, c.cid + 1 AS cid,
                ROW_NUMBER() OVER (
-                   PARTITION BY e.vec_id
-                   ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
-        FROM e CROSS JOIN {cents} c)
+                   PARTITION BY s.vec_id
+                   ORDER BY list_distance(s.v, c.cv), c.cid) AS rn
+        FROM {src} s CROSS JOIN {cents} c)
     WHERE rn = 1
 """
 
@@ -1328,11 +1328,11 @@ _SD_UPDATE = """
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {SEMDEDUP_K}),
-    a1 AS ({_SD_ASSIGN.format(cents="c0")}),
+    a1 AS ({_SD_ASSIGN.format(src="e", cents="c0")}),
     u1 AS ({_SD_UPDATE.format(prev="c0", assign="a1")}),
-    a2 AS ({_SD_ASSIGN.format(cents="u1")}),
+    a2 AS ({_SD_ASSIGN.format(src="e", cents="u1")}),
     u2 AS ({_SD_UPDATE.format(prev="u1", assign="a2")}),
-    af AS ({_SD_ASSIGN.format(cents="u2")}),
+    af AS ({_SD_ASSIGN.format(src="e", cents="u2")}),
     dropped AS (
         SELECT DISTINCT x.vec_id
         FROM af x JOIN af y
@@ -1491,4 +1491,90 @@ def text_warc_roundtrip(spark, sf_dir):
             "content_md5 string",
         )
         .orderBy("doc_id")
+    )
+
+
+ANNIDX_K = 8
+ANNIDX_NPROBE = 3
+ANNIDX_TOPK = 10
+
+
+@query(
+    "sim_ann_index_search",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seed AS (SELECT * FROM e WHERE vec_id < 400),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM seed WHERE vec_id < {ANNIDX_K}),
+    a1 AS ({_SD_ASSIGN.format(src="seed", cents="c0")}),
+    u1 AS ({_SD_UPDATE.format(prev="c0", assign="a1")}),
+    a2 AS ({_SD_ASSIGN.format(src="seed", cents="u1")}),
+    u2 AS ({_SD_UPDATE.format(prev="u1", assign="a2")}),
+    af AS ({_SD_ASSIGN.format(src="e", cents="u2")}),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    probe AS (
+        SELECT query_id, cid - 1 AS cell, qv FROM (
+            SELECT q.query_id, q.qv, c.cid + 1 AS cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qv, c.cv) DESC,
+                                c.cid) AS pr
+            FROM q CROSS JOIN u2 c)
+        WHERE pr <= {ANNIDX_NPROBE}),
+    cand AS (
+        SELECT p.query_id, af.vec_id AS neighbor_id,
+               list_cosine_similarity(p.qv, af.v) AS cos
+        FROM probe p JOIN af ON af.cluster = p.cell
+        WHERE af.vec_id <> p.query_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM cand)
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos_sim,
+           CAST(rnk AS BIGINT) AS rank
+    FROM ranked WHERE rnk <= {ANNIDX_TOPK}
+    ORDER BY query_id, rank
+    """,
+)
+def sim_ann_index_search(spark, sf_dir):
+    """Persistent IVF ANN index end-to-end (operators/ann_index.py):
+    train the deterministic k-means quantizer on the first 400 vectors,
+    incrementally ingest the remaining 100 under the FROZEN centroids,
+    then answer 5 queries probing {ANNIDX_NPROBE} of {ANNIDX_K} cells.
+    The oracle replays the identical k-means, assignment, probe ranking
+    and top-k — pinning the whole index lifecycle, not just the math.
+
+    Scale: ingest is a narrow assignment + partitioned append
+    (O(batch)); search reads ONLY the probed cells' files via
+    manifest-level partition pruning — at 100 TB the scan is
+    nprobe/K of one corpus pass and no all-pairs join exists."""
+    import tempfile
+
+    from ..operators.ann_index import IVFIndex
+
+    def vecs(lo, hi):
+        return (
+            load_table(spark, sf_dir, "embeddings")
+            .where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+            .select(
+                "vec_id",
+                F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+            )
+        )
+
+    idx = IVFIndex(spark, tempfile.mkdtemp(prefix="annidx_q_"))
+    idx.create(vecs(0, 400), k=ANNIDX_K, iters=2)
+    idx.ingest(vecs(400, 500), batch_id=0)
+    queries = vecs(0, 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return (
+        idx.search(queries, topk=ANNIDX_TOPK, nprobe=ANNIDX_NPROBE)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_sim", 4).alias("cos_sim"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
     )
