@@ -308,16 +308,67 @@ def build(processor):
         return m["version"]
 
     def snapshot_vacuum(
-        root: str, retain_versions: str = "1", min_age_seconds: str = "0"
+        root: str, retain_versions: str = "1", min_age_seconds: str = ""
     ):
         """Delete data dirs only referenced by versions older than the
-        retained window, plus aged-out orphaned staging dirs."""
-        rep = _snapshot(root).vacuum(
-            retain_versions=int(retain_versions),
-            min_age_seconds=float(min_age_seconds),
-        )
+        retained window, plus orphaned staging dirs older than
+        ``min_age_seconds`` (default: the library's 24h retention — a
+        young orphan may be a CONCURRENT writer's staged commit; pass 0
+        explicitly only in single-writer test/dev)."""
+        kwargs = {"retain_versions": int(retain_versions)}
+        if min_age_seconds != "":
+            kwargs["min_age_seconds"] = float(min_age_seconds)
+        rep = _snapshot(root).vacuum(**kwargs)
         processor.log(f"snapshot_vacuum({root}): {rep}")
         return rep["deleted_dirs"]
+
+    def snapshot_merge(
+        root: str, view: str, keys: str, precombine: str = ""
+    ):
+        """Keyed SCD1 MERGE (upsert) of a view into the snapshot table:
+        `func.snapshot_merge(/w/dim, updates_view, id|region, ts)` —
+        matched rows replaced, unmatched insert, untouched dirs keep
+        their files; serializable (conflicts raise, never lost
+        updates)."""
+        m = _snapshot(root).merge(
+            spark.table(view),
+            keys=[k for k in keys.split("|") if k],
+            precombine=precombine or None,
+        )
+        processor.log(
+            f"snapshot_merge({root}, {view}): v{m['version']}, "
+            f"rewrote {len(m['removed'])} dirs"
+        )
+        return m["version"]
+
+    def snapshot_delete(root: str, where: str):
+        """Copy-on-write DELETE: `func.snapshot_delete(/w/events,
+        dt<=2024-01-01|status=F)` — conditions are ANDed, each
+        `col<op>value` with op in <, <=, >, >=, = (values parsed as
+        numbers when they look numeric); manifest-stats-pruned, rows
+        with NULL predicate are kept (SQL semantics)."""
+        import re as _re
+
+        conds = []
+        for raw in where.split("|"):
+            m = _re.match(r"^\s*(\w+)\s*(<=|>=|<|>|=)\s*(.+?)\s*$", raw)
+            if not m:
+                raise ValueError(f"bad delete condition {raw!r}")
+            col, op, val = m.groups()
+            try:
+                val = int(val)
+            except ValueError:
+                try:
+                    val = float(val)
+                except ValueError:
+                    pass
+            conds.append((col, op, val))
+        mf = _snapshot(root).delete_where(conds)
+        processor.log(
+            f"snapshot_delete({root}, {where}): v{mf['version']}, "
+            f"rewrote {len(mf['removed'])} dirs"
+        )
+        return mf["version"]
 
     return {
         k: v

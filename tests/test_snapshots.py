@@ -670,3 +670,29 @@ def test_merge_additive_schema_evolution(spark, root):
     )
     assert {(r.id, r.v, r.score) for r in t.read().collect()} == {
         (1, "a", None), (2, "B", 0.5)}
+
+
+def test_snapshot_merge_delete_step_functions(spark, root):
+    """func.snapshot_merge / func.snapshot_delete from the step language."""
+    from easy_sql_spark.runtime.processor import SqlProcessor
+
+    etl = f"""-- target=temp.seed
+select 1 as id, 'a' as v, 5 as ts
+union all select 2, 'b', 15
+union all select 3, 'c', 25
+
+-- target=func.snapshot_commit({root}, seed, append)
+
+-- target=temp.updates
+select 2 as id, 'B2' as v, 16 as ts
+union all select 9, 'new', 1
+
+-- target=func.snapshot_merge({root}, updates, id)
+
+-- target=func.snapshot_delete({root}, ts>=25)
+
+-- target=func.snapshot_view({root}, snap_final)
+"""
+    SqlProcessor(spark, etl, logger=lambda m: None).run()
+    rows = {(r.id, r.v) for r in spark.table("snap_final").collect()}
+    assert rows == {(1, "a"), (2, "B2"), (9, "new")}
