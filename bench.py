@@ -52,7 +52,7 @@ FAMILIES: dict[str, list[str]] = {
         "text_warc_roundtrip",
     ],
     "sim": ["sim_topk_bruteforce", "sim_ivf_topk", "sim_lsh_topk",
-            "sim_semantic_dedup"],
+            "sim_semantic_dedup", "sim_ann_index_search"],
     "asof": ["asof_events_orders", "interval_overlap_join"],
     "events": [
         "events_funnel",

@@ -63,14 +63,20 @@ class MinHashDedupIndex:
 
     def _index_bytes(self) -> int:
         """On-disk size of the live index dirs, from the snapshot
-        manifest's dir list — a handful of driver FS calls, no scan."""
+        manifest's dir list — a handful of driver FS calls, no scan;
+        memoized per table version (manifests are immutable)."""
+        v = self.table.latest_version()
+        cached = getattr(self, "_size_cache", None)
+        if cached and cached[0] == v:
+            return cached[1]
         total = 0
-        m = self.table.manifest(self.table.latest_version())
+        m = self.table.manifest(v)
         fs = self.table.fs
         jvm = fs._jvm
         for d in m["live"]:
             p = jvm.org.apache.hadoop.fs.Path(f"{self.table.data_dir}/{d}")
             total += p.getFileSystem(fs._conf).getContentSummary(p).getLength()
+        self._size_cache = (v, total)
         return total
 
     def _probe_hits(self, bands: DataFrame) -> DataFrame:
