@@ -1578,3 +1578,90 @@ def sim_ann_index_search(spark, sf_dir):
         )
         .orderBy("query_id", "rank")
     )
+
+
+@query(
+    "s13_recursive_cte",
+    oracle="""
+    WITH RECURSIVE bounds AS (
+        SELECT CAST(MIN(date_trunc('month', o_orderdate)) AS DATE) AS mn,
+               CAST(MAX(date_trunc('month', o_orderdate)) AS DATE) AS mx
+        FROM orders),
+    months(m, mx) AS (
+        SELECT mn, mx FROM bounds
+        UNION ALL
+        SELECT CAST(m + INTERVAL 1 MONTH AS DATE), mx FROM months
+        WHERE m < mx
+    )
+    SELECT strftime(m, '%Y-%m') AS ym,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+    FROM months LEFT JOIN orders
+      ON date_trunc('month', o_orderdate) = m
+    GROUP BY m ORDER BY ym
+    """,
+)
+def s13_recursive_cte(spark, sf_dir):
+    """S13: WITH RECURSIVE (Spark 4 native, SPARK-24497) — generate the
+    complete month ladder from min to max order date RECURSIVELY, then
+    left-join order counts onto it, so months with zero orders still
+    appear (the gap-filling shape a calendar dimension usually hacks
+    around).  DuckDB replays the same recursion.
+
+    Scale: the max bound rides INSIDE the recursion state (a naive
+    scalar subquery in the step's WHERE re-scans orders once per
+    iteration — 80 scans on this fixture; carrying it as a column makes
+    the ladder fact-table-free), so orders is scanned exactly twice:
+    once for bounds, once for the join."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE bounds AS (
+            SELECT CAST(MIN(date_trunc('month', o_orderdate)) AS DATE) AS mn,
+                   CAST(MAX(date_trunc('month', o_orderdate)) AS DATE) AS mx
+            FROM orders),
+        months(m, mx) AS (
+            SELECT mn, mx FROM bounds
+            UNION ALL
+            SELECT CAST(m + INTERVAL 1 MONTH AS DATE), mx FROM months
+            WHERE m < mx
+        )
+        SELECT date_format(m, 'yyyy-MM') AS ym,
+               CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+        FROM months LEFT JOIN orders
+          ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+        GROUP BY m ORDER BY ym
+        """
+    )
+
+
+@query(
+    "j9_lateral_topk",
+    oracle="""
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n,
+         LATERAL (SELECT c_name, ROUND(c_acctbal, 2) AS c_acctbal
+                  FROM customer
+                  WHERE c_nationkey = n.n_nationkey
+                  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+    ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+    """,
+)
+def j9_lateral_topk(spark, sf_dir):
+    """J9: LATERAL correlated subquery — per nation, its top-2 customers
+    by account balance, expressed as the SQL-standard lateral join
+    (DuckDB replays it verbatim).  Catalyst decorrelates this into a
+    ranked window over one customer shuffle — same plan class as the
+    explicit row_number() formulation, which the plan test pins."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation n,
+             LATERAL (SELECT c_name, ROUND(c_acctbal, 2) AS c_acctbal
+                      FROM customer
+                      WHERE c_nationkey = n.n_nationkey
+                      ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+        """
+    )
