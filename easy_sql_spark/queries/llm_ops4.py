@@ -1651,7 +1651,8 @@ def j9_lateral_topk(spark, sf_dir):
     by account balance, expressed as the SQL-standard lateral join
     (DuckDB replays it verbatim).  Catalyst decorrelates this into a
     ranked window over one customer shuffle — same plan class as the
-    explicit row_number() formulation, which the plan test pins."""
+    explicit row_number() formulation; the plan test pins that no
+    cartesian/BNLJ shape survives the decorrelation."""
     load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(

@@ -298,3 +298,12 @@ def test_dedup_index_probe_never_shuffles_index(spark, tmp_path):
     # tiny index: the adaptive dispatch picks the direct broadcast plan
     assert idx._index_bytes() <= idx.SMALL_INDEX_BYTES
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin", small_plan)) == 1
+
+
+def test_lateral_decorrelates_without_cartesian(spark):
+    """j9_lateral_topk: Catalyst must decorrelate the LATERAL top-k into
+    windowed joins — a cartesian or BNLJ here would be per-outer-row
+    re-execution, the shape that does not survive scale."""
+    plan = plan_of(QUERIES["j9_lateral_topk"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
