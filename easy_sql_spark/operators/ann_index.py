@@ -112,7 +112,7 @@ class IVFIndex:
             queries.crossJoin(F.broadcast(cent_df))
             .withColumn("__pr", F.row_number().over(pw))
             .where(F.col("__pr") <= int(nprobe))
-            .select("query_id", "qv", "cell")
+            .select("query_id", "qv", norm("qv").alias("qnrm"), "cell")
         )
 
         # static partition pruning: the probed cell set is bounded by
@@ -123,8 +123,10 @@ class IVFIndex:
             r.cell
             for r in probe.select("cell").distinct().collect()  # bounded-driver: <= |queries| x nprobe cells
         )
-        corpus = self.table.read(partitions={"cell": cells}).where(
-            F.col("cell").isin(cells)
+        corpus = (
+            self.table.read(partitions={"cell": cells})
+            .where(F.col("cell").isin(cells))
+            .withColumn("nrm", norm("v"))  # once per vector, not per pair
         )
         dot = F.expr(
             "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (a, z) -> a + z)"
@@ -135,7 +137,7 @@ class IVFIndex:
         scored = cand.select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            (dot / (norm("qv") * norm("v"))).alias("cos_sim"),
+            (dot / (F.col("qnrm") * F.col("nrm"))).alias("cos_sim"),
         )
         w = Window.partitionBy("query_id").orderBy(
             F.col("cos_sim").desc(), "neighbor_id"

@@ -1376,23 +1376,31 @@ def sim_semantic_dedup(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     cents = lloyd_kmeans(emb, SEMDEDUP_K, SEMDEDUP_ITERS)
-    af = assign_clusters(emb, cents).localCheckpoint(eager=True)
+    norm = F.sqrt(F.expr(
+        "aggregate(transform(v, t -> t * t), 0D, (acc, z) -> acc + z)"
+    ))
+    # norms computed ONCE per vector before the pairwise join — inside
+    # the join each pair would redo two 64-term folds
+    af = (
+        assign_clusters(emb, cents)
+        .withColumn("nrm", norm)
+        .localCheckpoint(eager=True)
+    )
     x = af.select(
-        F.col("vec_id").alias("xid"), F.col("v").alias("xv"), "cluster"
+        F.col("vec_id").alias("xid"), F.col("v").alias("xv"),
+        F.col("nrm").alias("xnrm"), "cluster",
     )
     y = af.select(
-        F.col("vec_id").alias("yid"), F.col("v").alias("yv"), "cluster"
+        F.col("vec_id").alias("yid"), F.col("v").alias("yv"),
+        F.col("nrm").alias("ynrm"), "cluster",
     )
-    norm = lambda c: F.sqrt(F.expr(
-        f"aggregate(transform({c}, t -> t * t), 0D, (acc, z) -> acc + z)"
-    ))
     dot = F.expr(
         "aggregate(zip_with(xv, yv, (a, b) -> a * b), 0D, (acc, z) -> acc + z)"
     )
     dropped = (
         x.join(y, "cluster")
         .where(F.col("xid") > F.col("yid"))
-        .where(dot / (norm("xv") * norm("yv")) > SEMDEDUP_TAU)
+        .where(dot / (F.col("xnrm") * F.col("ynrm")) > SEMDEDUP_TAU)
         .select(F.col("xid").alias("vec_id"))
         .distinct()
     )
