@@ -5,8 +5,9 @@ parseable with the stdlib (`zlib`, `struct`) plus NumPy — enough to give
 ``decode_media(mode="real")`` / ``frame_sample_real`` genuine decodes
 for the formats a pipeline can always fall back to.  Scope:
 
-- PNG: non-interlaced, 8-bit depth, gray / gray+alpha / RGB / RGBA /
-  palette; all five scanline filters (None/Sub/Up/Average/Paeth) undone.
+- PNG: bit depths 1/2/4/8/16, gray / gray+alpha / RGB / RGBA /
+  palette, plain AND Adam7-interlaced; all five scanline filters
+  (None/Sub/Up/Average/Paeth) undone per (sub-)image.
 - BMP: uncompressed (BI_RGB) 24/32-bit BITMAPINFOHEADER, bottom-up or
   top-down.
 - WAV: RIFF PCM 8/16/32-bit, any channel count (audio).
@@ -16,8 +17,8 @@ for the formats a pipeline can always fall back to.  Scope:
   4:4:4/4:2:2/4:2:0, restart markers — full codec in the sibling
   ``jpeg`` module.
 
-Anything else (16-bit PNG, interlacing, RLE BMP, arithmetic-coded JPEG,
-compressed audio, MP4-class video) raises ``UnsupportedMediaError`` — callers
+Anything else (RLE BMP, arithmetic-coded JPEG, compressed audio,
+MP4-class video) raises ``UnsupportedMediaError`` — callers
 convert that into the documented NotImplementedError and rows fail
 loudly rather than silently mis-decode.
 
@@ -77,9 +78,80 @@ def sniff_format(payload: bytes) -> str | None:
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/pixel
 
 
+#: Adam7 pass geometry: (x_start, y_start, x_step, y_step) per pass.
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+#: bit depths legal per color type (PNG spec §11.2.2)
+_PNG_DEPTHS = {0: {1, 2, 4, 8, 16}, 2: {8, 16}, 3: {1, 2, 4, 8},
+               4: {8, 16}, 6: {8, 16}}
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo per-scanline filters over one (sub-)image: ``raw`` holds h
+    scanlines of (1 filter byte + stride data bytes); ``bpp`` is the
+    FILTER unit (bytes per pixel, >=1).  Returns (h, stride) uint8."""
+    if len(raw) != h * (stride + 1):
+        raise UnsupportedMediaError("PNG IDAT size mismatch")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters, lines = arr[:, 0], arr[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        line = lines[y].copy()
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        f = filters[y]
+        if f == 0:  # None
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub / Average / Paeth need the running left neighbor
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if f == 1:  # Sub
+                    cur[x] = (line[x] + a) & 0xFF
+                elif f == 3:  # Average
+                    cur[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                elif f == 4:  # Paeth
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (line[x] + pred) & 0xFF
+                else:
+                    raise UnsupportedMediaError(f"PNG filter {f}")
+        out[y] = cur.astype(np.uint8)
+    return out
+
+
+def _png_samples(rows: np.ndarray, w: int, nch: int, depth: int) -> np.ndarray:
+    """(h, stride) filtered-out bytes -> (h, w, nch) uint8 samples.
+    16-bit channels keep the high byte (the standard 8-bit downsample);
+    1/2/4-bit packed rows unpack MSB-first and SCALE gray to full range
+    (palette indices stay raw)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows.reshape(h, w, nch)
+    if depth == 16:
+        return rows.reshape(h, w, nch, 2)[:, :, :, 0]
+    # sub-byte: always single channel (gray or palette index)
+    bits = np.unpackbits(rows, axis=1)
+    per = bits[:, : w * depth].reshape(h, w, depth)
+    vals = np.zeros((h, w), dtype=np.uint8)
+    for i in range(depth):
+        vals = (vals << 1) | per[:, :, i]
+    return vals[:, :, None]
+
+
 @_classified
 def decode_png(payload: bytes) -> np.ndarray:
-    """Decode a PNG to an (H, W, C) uint8 array."""
+    """Decode a PNG to an (H, W, C) uint8 array.  Full fixed-scope
+    coverage: bit depths 1/2/4/8/16, all five color types, and Adam7
+    interlacing (each of the 7 passes is its own filtered sub-image,
+    unfiltered independently then scattered on the pass grid)."""
     if payload[:8] != PNG_MAGIC:
         raise UnsupportedMediaError("not a PNG")
     pos, width, height, bit_depth, color_type, interlace = 8, 0, 0, 0, 0, 0
@@ -99,61 +171,82 @@ def decode_png(payload: bytes) -> np.ndarray:
             idat.extend(data)
         elif ctype == b"IEND":
             break
-    if bit_depth != 8 or interlace != 0 or color_type not in _CHANNELS:
+    if (
+        color_type not in _CHANNELS
+        or bit_depth not in _PNG_DEPTHS.get(color_type, set())
+        or interlace not in (0, 1)
+    ):
         raise UnsupportedMediaError(
             f"PNG bit_depth={bit_depth} color_type={color_type} "
             f"interlace={interlace} outside numpy-codec scope"
         )
     nch = _CHANNELS[color_type]
+    bpp = max(1, nch * bit_depth // 8)
     raw = zlib.decompress(bytes(idat))
-    stride = width * nch
-    if len(raw) != height * (stride + 1):
-        raise UnsupportedMediaError("PNG IDAT size mismatch")
-    raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
-    filters, lines = raw[:, 0], raw[:, 1:].astype(np.int32)
-    out = np.zeros((height, stride), dtype=np.uint8)
-    for y in range(height):
-        line = lines[y].copy()
-        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
-        f = filters[y]
-        if f == 0:  # None
-            cur = line
-        elif f == 2:  # Up
-            cur = (line + prev) & 0xFF
-        else:  # Sub / Average / Paeth need the running left neighbor
-            cur = np.zeros(stride, dtype=np.int32)
-            for x in range(stride):
-                a = cur[x - nch] if x >= nch else 0
-                b = prev[x]
-                if f == 1:  # Sub
-                    cur[x] = (line[x] + a) & 0xFF
-                elif f == 3:  # Average
-                    cur[x] = (line[x] + ((a + b) >> 1)) & 0xFF
-                elif f == 4:  # Paeth
-                    c = prev[x - nch] if x >= nch else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    cur[x] = (line[x] + pred) & 0xFF
-                else:
-                    raise UnsupportedMediaError(f"PNG filter {f}")
-        out[y] = cur.astype(np.uint8)
-    img = out.reshape(height, width, nch)
+
+    def sub_image(w: int, h: int, chunk: bytes) -> np.ndarray:
+        stride = (w * nch * bit_depth + 7) // 8
+        return _png_samples(
+            _png_unfilter(chunk, h, stride, bpp), w, nch, bit_depth
+        )
+
+    if interlace == 0:
+        stride = (width * nch * bit_depth + 7) // 8
+        img = sub_image(width, height, raw)
+    else:  # Adam7
+        img = np.zeros((height, width, nch), dtype=np.uint8)
+        off = 0
+        for xs, ys, xst, yst in _ADAM7:
+            pw = (width - xs + xst - 1) // xst
+            ph = (height - ys + yst - 1) // yst
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = (pw * nch * bit_depth + 7) // 8
+            size = ph * (stride + 1)
+            img[ys::yst, xs::xst] = sub_image(pw, ph, raw[off : off + size])
+            off += size
+        if off != len(raw):
+            raise UnsupportedMediaError("PNG Adam7 pass size mismatch")
+
     if color_type == 3:
         if palette is None:
             raise UnsupportedMediaError("palette PNG without PLTE")
-        img = palette[img[:, :, 0]]
+        return palette[img[:, :, 0]]
+    if bit_depth in (1, 2, 4) and color_type == 0:
+        # scale sub-byte gray to full 0..255 range (e.g. 1-bit: 0/255)
+        img = (img.astype(np.uint32) * 255 // ((1 << bit_depth) - 1)).astype(
+            np.uint8
+        )
     return img
 
 
-def encode_png(img: np.ndarray) -> bytes:
-    """Encode an (H, W) or (H, W, C) uint8 array as PNG (filter 0)."""
+def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
+    """Encode an (H, W) or (H, W, C) array as PNG (filter 0 scanlines).
+    uint8 input writes bit depth 8; uint16 writes a true 16-bit PNG
+    (big-endian samples).  ``interlace`` emits Adam7: the seven passes'
+    scanlines in pass order, each filtered independently — the layout
+    :func:`decode_png` round-trips."""
     if img.ndim == 2:
         img = img[:, :, None]
+    depth = 16 if img.dtype == np.uint16 else 8
     h, w, c = img.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color_type, 0, 0, 1 if interlace else 0
+    )
+
+    def scanlines(sub: np.ndarray) -> bytes:
+        conv = sub.astype(">u2") if depth == 16 else sub
+        return b"".join(b"\x00" + conv[y].tobytes() for y in range(sub.shape[0]))
+
+    if interlace:
+        raw = b"".join(
+            scanlines(img[ys::yst, xs::xst])
+            for xs, ys, xst, yst in _ADAM7
+            if img[ys::yst, xs::xst].size
+        )
+    else:
+        raw = scanlines(img)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         crc = zlib.crc32(ctype + data) & 0xFFFFFFFF

@@ -109,8 +109,14 @@ def test_png_palette():
 def test_png_rejects_out_of_scope():
     img = np.zeros((2, 2, 3), dtype=np.uint8)
     payload = bytearray(encode_png(img))
-    payload[24] = 16  # bit depth byte inside IHDR
-    with pytest.raises(UnsupportedMediaError, match="bit_depth=16"):
+    # flipping the IHDR depth byte to 16 now leaves a VALID header but an
+    # IDAT that's half the expected size — size-mismatch classification
+    payload[24] = 16
+    with pytest.raises(UnsupportedMediaError, match="size mismatch"):
+        decode_png(bytes(payload))
+    # depth 2 is illegal for RGB (spec §11.2.2): header-level rejection
+    payload[24] = 2
+    with pytest.raises(UnsupportedMediaError, match="bit_depth=2"):
         decode_png(bytes(payload))
     with pytest.raises(UnsupportedMediaError, match="not a PNG"):
         decode_png(b"JUNK" * 4)
@@ -325,3 +331,84 @@ def test_decode_image_classifies_garbage_payload():
     UnsupportedMediaError, not a library-specific exception."""
     with pytest.raises(UnsupportedMediaError):
         decode_image(b"\xff\xd8\xffgarbage that is not a real image")
+
+
+# --------------------------------------------------- PNG extended coverage
+
+
+def test_png_adam7_and_16bit_roundtrips():
+    import numpy as np
+
+    from easy_sql_spark.operators.codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(3)
+    for shape in [(13, 17, 1), (13, 17, 3), (9, 5, 4), (1, 1, 3),
+                  (8, 8, 2), (7, 1, 3), (1, 9, 1)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(img)), img)
+        assert np.array_equal(
+            decode_png(encode_png(img, interlace=True)), img
+        ), f"adam7 {shape}"
+    img16 = rng.integers(0, 1 << 16, (11, 7, 3), dtype=np.uint16)
+    down = (img16 >> 8).astype(np.uint8)
+    assert np.array_equal(decode_png(encode_png(img16)), down)
+    assert np.array_equal(decode_png(encode_png(img16, interlace=True)), down)
+
+
+def test_png_sub_byte_gray_and_palette():
+    """Hand-packed 1-bit gray and 4-bit palette vectors (our encoder
+    writes 8/16-bit only, so the decoder is exercised against spec-built
+    bytes, not its own output)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from easy_sql_spark.operators.codecs import PNG_MAGIC, decode_png
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    # 1-bit gray, 10x2: row bits 1010101010 -> bytes 0xAA 0x80
+    ihdr = struct.pack(">IIBBBBB", 10, 2, 1, 0, 0, 0, 0)
+    raw = (b"\x00" + bytes([0b10101010, 0b10000000])) * 2
+    payload = (PNG_MAGIC + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    out = decode_png(payload)
+    assert out.shape == (2, 10, 1)
+    assert list(out[0, :, 0]) == [255, 0] * 5  # scaled to full range
+
+    # 4-bit palette, 3x1: indices 0,1,2 -> nibbles 0x01 0x20
+    ihdr = struct.pack(">IIBBBBB", 3, 1, 4, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    raw = b"\x00" + bytes([0x01, 0x20])
+    payload = (PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+               + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    out = decode_png(payload)
+    assert out.shape == (1, 3, 3)
+    assert [tuple(px) for px in out[0]] == [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+
+
+def test_png_12bit_depth_rejected():
+    import struct
+    import zlib
+
+    from easy_sql_spark.operators.codecs import (
+        PNG_MAGIC,
+        UnsupportedMediaError,
+        decode_png,
+    )
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 12, 0, 0, 0, 0)  # illegal depth
+    payload = (PNG_MAGIC + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+               + chunk(b"IEND", b""))
+    import pytest
+
+    with pytest.raises(UnsupportedMediaError, match="bit_depth=12"):
+        decode_png(payload)
