@@ -994,3 +994,153 @@ def encode_jpeg_progressive(
     out += writer.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ----------------------------------------------------------------- EXIF
+
+#: EXIF/TIFF tags surfaced by :func:`parse_exif` (IFD0 + ExifIFD subset
+#: a curation pipeline actually filters/groups on)
+_EXIF_TAGS = {
+    0x010F: "make",
+    0x0110: "model",
+    0x0112: "orientation",
+    0x0132: "datetime",
+    0x8769: "_exif_ifd",  # pointer, followed internally
+    0x9003: "datetime_original",
+    0xA002: "pixel_x_dimension",
+    0xA003: "pixel_y_dimension",
+}
+
+
+def _tiff_value(data: bytes, off: int, endian: str):
+    """One IFD entry's value (SHORT/LONG/ASCII subset)."""
+    typ, count = struct.unpack(endian + "HI", data[off + 2:off + 8])
+    size = {1: 1, 2: 1, 3: 2, 4: 4}.get(typ)
+    if size is None:
+        return None
+    total = size * count
+    raw_off = off + 8
+    if total > 4:
+        (ptr,) = struct.unpack(endian + "I", data[raw_off:raw_off + 4])
+        raw = data[ptr:ptr + total]
+    else:
+        raw = data[raw_off:raw_off + total]
+    if typ == 2:  # ASCII
+        return raw.split(b"\x00")[0].decode("ascii", "replace")
+    fmt = {1: "B", 3: "H", 4: "I"}[typ]
+    vals = struct.unpack(endian + fmt * count, raw[: size * count])
+    return vals[0] if count == 1 else list(vals)
+
+
+def _walk_ifd(data: bytes, off: int, endian: str, out: dict) -> None:
+    (n,) = struct.unpack(endian + "H", data[off:off + 2])
+    for i in range(n):
+        e = off + 2 + 12 * i
+        (tag,) = struct.unpack(endian + "H", data[e:e + 2])
+        name = _EXIF_TAGS.get(tag)
+        if name is None:
+            continue
+        val = _tiff_value(data, e, endian)
+        if name == "_exif_ifd" and isinstance(val, int):
+            _walk_ifd(data, val, endian, out)
+        elif val is not None:
+            out[name] = val
+
+
+@_classified
+def parse_exif(payload: bytes) -> dict:
+    """EXIF metadata from a JPEG's APP1 segment: a dict over the
+    curation-relevant tag subset (make/model/orientation/datetimes/
+    dimensions), empty when no EXIF is present.  Own TIFF IFD walk
+    (II and MM byte orders, SHORT/LONG/ASCII values, ExifIFD pointer
+    followed) — no PIL in the container."""
+    if payload[:3] != JPEG_MAGIC:
+        raise UnsupportedMediaError("not a JPEG (no SOI)")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            break
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker in (0xDA, 0xD9):  # entropy data / EOI: no EXIF past here
+            break
+        (seglen,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        seg = payload[pos + 4:pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker != 0xE1 or not seg.startswith(b"Exif\x00\x00"):
+            continue
+        tiff = seg[6:]
+        if tiff[:2] == b"II":
+            endian = "<"
+        elif tiff[:2] == b"MM":
+            endian = ">"
+        else:
+            raise UnsupportedMediaError("EXIF TIFF header corrupt")
+        (ifd0,) = struct.unpack(endian + "I", tiff[4:8])
+        out: dict = {}
+        _walk_ifd(tiff, ifd0, endian, out)
+        return out
+    return {}
+
+
+def apply_exif_orientation(img: np.ndarray, orientation: int) -> np.ndarray:
+    """Normalize pixels to orientation 1 (the transform a viewer applies;
+    EXIF 2.32 table 6): flips/rotations via numpy views, no copy until
+    the caller needs contiguity."""
+    if orientation in (0, 1):
+        return img
+    ops = {
+        2: lambda a: a[:, ::-1],                 # mirror horizontal
+        3: lambda a: a[::-1, ::-1],              # rotate 180
+        4: lambda a: a[::-1, :],                 # mirror vertical
+        5: lambda a: np.rot90(a[:, ::-1], 1),    # mirror + rot90 CCW
+        6: lambda a: np.rot90(a, 3),             # rotate 90 CW
+        7: lambda a: np.rot90(a[:, ::-1], 3),    # mirror + rot90 CW
+        8: lambda a: np.rot90(a, 1),             # rotate 90 CCW
+    }
+    fn = ops.get(orientation)
+    if fn is None:
+        raise UnsupportedMediaError(f"EXIF orientation {orientation}")
+    return fn(img)
+
+
+def decode_jpeg_oriented(payload: bytes) -> np.ndarray:
+    """Decode + apply the EXIF orientation — what a perceptual hash or
+    resize stage must use, or rotated mobile photos hash 4 ways."""
+    img = decode_jpeg(payload)
+    return apply_exif_orientation(img, parse_exif(payload).get("orientation", 1))
+
+
+def make_exif_app1(
+    orientation: int = 1, make: str = "", datetime: str = ""
+) -> bytes:
+    """A minimal valid APP1/EXIF segment (II byte order) for tests and
+    fixture synthesis; splice after SOI: ``jpg[:2] + app1 + jpg[2:]``."""
+    # (tag, type, count, inline-bytes-or-None, trailer-bytes-or-None)
+    entries = [(0x0112, 3, 1, struct.pack("<HH", orientation, 0), None)]
+    for tag, text in ((0x010F, make), (0x0132, datetime)):
+        if not text:
+            continue
+        raw = text.encode() + b"\x00"
+        if len(raw) <= 4:  # TIFF: values of <= 4 bytes live INLINE
+            entries.append((tag, 2, len(raw), raw.ljust(4, b"\x00"), None))
+        else:
+            entries.append((tag, 2, len(raw), None, raw))
+    entries.sort()
+    trailer_base = 8 + 2 + 12 * len(entries) + 4
+    tiff = bytearray(b"II*\x00\x08\x00\x00\x00")
+    tiff += struct.pack("<H", len(entries))
+    trailer = b""
+    for tag, typ, count, inline, deferred in entries:
+        tiff += struct.pack("<HHI", tag, typ, count)
+        if inline is not None:
+            tiff += inline
+        else:
+            tiff += struct.pack("<I", trailer_base + len(trailer))
+            trailer += deferred
+    tiff += b"\x00\x00\x00\x00"  # next-IFD pointer: none
+    tiff += trailer
+    body = b"Exif\x00\x00" + bytes(tiff)
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body

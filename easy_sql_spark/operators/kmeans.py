@@ -94,3 +94,59 @@ def lloyd_kmeans(
             for j in range(k)
         ]
     return cents
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int,
+    iters: int,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space, then
+    drop any vector with a more-senior (smaller id) cluster-mate above
+    cosine ``tau``.  Returns (id, cluster, kept 0/1).
+
+    SIZE K WITH THE CORPUS: the pairwise stage is an equi-join on
+    cluster id, so per-cluster work is (n/k)^2 — the recipe keeps the
+    expected cluster size CONSTANT (k ~ n/500..n/5000, as the paper
+    does with k=11k for 600M docs).  A fixed k at growing n is
+    quadratic; tests/SCALE.md measure exactly that cliff.  Norms are
+    computed once per vector before the join."""
+    norm = F.sqrt(F.expr(
+        f"aggregate(transform({vec_col}, t -> t * t), 0D, (acc, z) -> acc + z)"
+    ))
+    cents = lloyd_kmeans(df, k, iters, id_col=id_col, vec_col=vec_col)
+    af = (
+        assign_clusters(df, cents, vec_col=vec_col)
+        .withColumn("nrm", norm)
+        .localCheckpoint(eager=True)
+    )
+    x = af.select(
+        F.col(id_col).alias("xid"), F.col(vec_col).alias("xv"),
+        F.col("nrm").alias("xnrm"), "cluster",
+    )
+    y = af.select(
+        F.col(id_col).alias("yid"), F.col(vec_col).alias("yv"),
+        F.col("nrm").alias("ynrm"), "cluster",
+    )
+    dot = F.expr(
+        "aggregate(zip_with(xv, yv, (a, b) -> a * b), 0D, (acc, z) -> acc + z)"
+    )
+    dropped = (
+        x.join(y, "cluster")
+        .where(F.col("xid") > F.col("yid"))
+        .where(dot / (F.col("xnrm") * F.col("ynrm")) > float(tau))
+        .select(F.col("xid").alias(id_col))
+        .distinct()
+    )
+    return (
+        af.join(dropped.withColumn("__dropped", F.lit(1)), id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.when(F.col("__dropped").isNull(), 1).otherwise(0)
+            .cast("int").alias("kept"),
+        )
+    )

@@ -1365,7 +1365,7 @@ def sim_semantic_dedup(spark, sf_dir):
     (never all-pairs); at 100 TB cluster sizes are bounded by K sizing
     and oversized clusters sub-shard exactly like the LSH buckets in
     dedup_minhash_lsh."""
-    from ..operators.kmeans import assign_clusters, lloyd_kmeans
+    from ..operators.kmeans import semantic_dedup
 
     emb = (
         load_table(spark, sf_dir, "embeddings")
@@ -1375,45 +1375,12 @@ def sim_semantic_dedup(spark, sf_dir):
         )
         .localCheckpoint(eager=True)
     )
-    cents = lloyd_kmeans(emb, SEMDEDUP_K, SEMDEDUP_ITERS)
-    norm = F.sqrt(F.expr(
-        "aggregate(transform(v, t -> t * t), 0D, (acc, z) -> acc + z)"
-    ))
-    # norms computed ONCE per vector before the pairwise join — inside
-    # the join each pair would redo two 64-term folds
-    af = (
-        assign_clusters(emb, cents)
-        .withColumn("nrm", norm)
-        .localCheckpoint(eager=True)
-    )
-    x = af.select(
-        F.col("vec_id").alias("xid"), F.col("v").alias("xv"),
-        F.col("nrm").alias("xnrm"), "cluster",
-    )
-    y = af.select(
-        F.col("vec_id").alias("yid"), F.col("v").alias("yv"),
-        F.col("nrm").alias("ynrm"), "cluster",
-    )
-    dot = F.expr(
-        "aggregate(zip_with(xv, yv, (a, b) -> a * b), 0D, (acc, z) -> acc + z)"
-    )
-    dropped = (
-        x.join(y, "cluster")
-        .where(F.col("xid") > F.col("yid"))
-        .where(dot / (F.col("xnrm") * F.col("ynrm")) > SEMDEDUP_TAU)
-        .select(F.col("xid").alias("vec_id"))
-        .distinct()
-    )
-    return (
-        af.join(dropped.withColumn("__dropped", F.lit(1)), "vec_id", "left")
-        .select(
-            "vec_id",
-            "cluster",
-            F.when(F.col("__dropped").isNull(), 1).otherwise(0)
-            .cast("int").alias("kept"),
-        )
-        .orderBy("vec_id")
-    )
+    # K pinned at 8 for the fixed-size oracle fixture; at corpus scale
+    # size K ~ n/500 so cluster sizes (and the pairwise stage) stay
+    # constant — see operators/kmeans.py:semantic_dedup
+    return semantic_dedup(
+        emb, SEMDEDUP_K, SEMDEDUP_ITERS, SEMDEDUP_TAU
+    ).orderBy("vec_id")
 
 
 @query(

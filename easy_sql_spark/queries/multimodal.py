@@ -275,6 +275,94 @@ def mm_jpeg_progressive_stats(spark, sf_dir):
 
 
 @query(
+    "mm_exif_orientation",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id,
+               ascii(substr(rpad(substr(text, 1, {JPG_BY * JPG_BX}),
+                                 {JPG_BY * JPG_BX}, '?'),
+                            CAST(i AS INT), 1)) AS v
+        FROM documents, UNNEST(range(1, {JPG_BY * JPG_BX} + 1)) AS t(i)
+        WHERE doc_id <= 200)
+    SELECT doc_id AS media_id,
+           CAST(doc_id % 8 + 1 AS INT) AS orientation,
+           CAST(CASE WHEN doc_id % 8 + 1 >= 5
+                     THEN {JPG_BY * 8} ELSE {JPG_BX * 8} END AS INT) AS width,
+           CAST(CASE WHEN doc_id % 8 + 1 >= 5
+                     THEN {JPG_BX * 8} ELSE {JPG_BY * 8} END AS INT) AS height,
+           CAST(3 * 64 * SUM(v) AS BIGINT) AS pixel_sum
+    FROM b GROUP BY doc_id ORDER BY media_id
+    """,
+)
+def mm_exif_orientation(spark, sf_dir):
+    """EXIF-aware image normalization: each document's pixel-exact JPEG
+    gets an APP1/EXIF segment with orientation ``doc_id % 8 + 1``
+    (operators/jpeg.py:make_exif_app1 — real TIFF IFD bytes), and the
+    decode path applies it (``decode_jpeg_oriented``): orientations 5-8
+    transpose the frame, so width/height swap while the pixel SUM is
+    invariant under every flip/rotation — which the oracle recomputes
+    from the text bytes.  A pipeline that skips this step hashes every
+    rotated mobile photo four ways."""
+    import pandas as pd
+
+    from ..operators.jpeg import (
+        decode_jpeg_oriented,
+        encode_jpeg,
+        make_exif_app1,
+        parse_exif,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 200)
+        .select("doc_id", "text")
+    )
+    n_blocks = JPG_BY * JPG_BX
+
+    def _orient(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                chunk = text[:n_blocks].ljust(n_blocks, "?")
+                grid = np.frombuffer(
+                    chunk.encode("ascii", "replace"), dtype=np.uint8
+                ).reshape(JPG_BY, JPG_BX)
+                gray = np.repeat(np.repeat(grid, 8, axis=0), 8, axis=1)
+                img = np.stack([gray] * 3, axis=-1)
+                o = int(doc_id) % 8 + 1
+                jpg = encode_jpeg(img, quality=90, subsampling="4:2:0")
+                tagged = jpg[:2] + make_exif_app1(orientation=o) + jpg[2:]
+                out = decode_jpeg_oriented(tagged)
+                rows.append(
+                    (
+                        int(doc_id),
+                        parse_exif(tagged)["orientation"],
+                        out.shape[1],
+                        out.shape[0],
+                        int(out.sum(dtype=np.int64)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "orientation", "width", "height", "pixel_sum",
+                ],
+            )
+
+    return (
+        spread(docs)
+        .mapInPandas(
+            _orient,
+            "media_id long, orientation int, width int, height int, "
+            "pixel_sum long",
+        )
+        .orderBy("media_id")
+    )
+
+
+@query(
     "mm_frame_sample",
     oracle="""
     WITH v AS (SELECT doc_id AS media_id FROM documents

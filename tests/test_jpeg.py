@@ -287,3 +287,59 @@ def test_annex_k_tables_match_published_codewords():
             assert not words[i + 1].startswith(w)  # prefix-free
         maxlen = max(l for _, l in codes.values())
         assert "1" * maxlen not in words  # reserved all-ones code unused
+
+
+# --------------------------------------------------------------- EXIF
+
+
+def test_exif_parse_orientation_and_tags():
+    from easy_sql_spark.operators.jpeg import make_exif_app1, parse_exif
+
+    jpg = encode_jpeg(_gradient(8, 8))
+    tagged = jpg[:2] + make_exif_app1(
+        orientation=6, make="Cam", datetime="2024:01:02 03:04:05"
+    ) + jpg[2:]
+    meta = parse_exif(tagged)
+    assert meta["orientation"] == 6
+    assert meta["make"] == "Cam"
+    assert meta["datetime"] == "2024:01:02 03:04:05"
+    assert parse_exif(jpg) == {}  # no APP1: empty, not an error
+
+
+def test_exif_oriented_decode_all_eight():
+    """decode_jpeg_oriented must invert each EXIF orientation: applying
+    the orientation transform to the decoded base image and normalizing
+    back yields the base for all 8 codes."""
+    import numpy as np
+
+    from easy_sql_spark.operators.jpeg import (
+        apply_exif_orientation,
+        decode_jpeg,
+        decode_jpeg_oriented,
+        make_exif_app1,
+    )
+
+    jpg = encode_jpeg(_gradient(16, 24), quality=95)
+    base = decode_jpeg(jpg)
+    for o in range(1, 9):
+        tagged = jpg[:2] + make_exif_app1(orientation=o) + jpg[2:]
+        got = decode_jpeg_oriented(tagged)
+        assert np.array_equal(got, apply_exif_orientation(base, o)), o
+        if o >= 5:
+            assert got.shape[:2] == base.shape[1::-1]  # dims swap
+
+
+def test_exif_big_endian_tiff():
+    import struct
+
+    from easy_sql_spark.operators.jpeg import parse_exif
+
+    # hand-build an MM (big-endian) TIFF with just orientation=3
+    tiff = (b"MM\x00*\x00\x00\x00\x08"
+            + struct.pack(">H", 1)
+            + struct.pack(">HHIHH", 0x0112, 3, 1, 3, 0)
+            + b"\x00\x00\x00\x00")
+    body = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+    jpg = encode_jpeg(_gradient(8, 8))
+    assert parse_exif(jpg[:2] + app1 + jpg[2:])["orientation"] == 3
