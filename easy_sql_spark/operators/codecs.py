@@ -10,7 +10,8 @@ for the formats a pipeline can always fall back to.  Scope:
   (None/Sub/Up/Average/Paeth) undone per (sub-)image.
 - BMP: uncompressed (BI_RGB) 24/32-bit BITMAPINFOHEADER, bottom-up or
   top-down.
-- WAV: RIFF PCM 8/16/32-bit, any channel count (audio).
+- WAV: RIFF PCM 8/16/32-bit plus G.711 mu-law/A-law (telephony),
+  any channel count (audio).
 - GIF: 87a/89a full-frame animations — own LZW decoder (dynamic code
   widths, CLEAR/EOI), global/local palettes (video frame sampling).
 - JPEG: baseline sequential AND progressive (SOF2) DCT, Huffman,
@@ -314,6 +315,44 @@ def encode_bmp(img: np.ndarray) -> bytes:
 
 
 # --------------------------------------------------------------------- WAV
+def _build_mulaw_table() -> np.ndarray:
+    """ITU-T G.711 mu-law byte -> linear int16 (the standard expansion:
+    invert bits, split sign/exponent/mantissa, rebias by 0x84)."""
+    out = np.zeros(256, dtype=np.int16)
+    for code in range(256):
+        u = ~code & 0xFF
+        sign = u & 0x80
+        exp = (u >> 4) & 0x07
+        mant = u & 0x0F
+        mag = ((mant << 3) + 0x84) << exp
+        mag -= 0x84
+        out[code] = -mag if sign else mag
+    return out
+
+
+def _build_alaw_table() -> np.ndarray:
+    """ITU-T G.711 A-law byte -> linear int16 (0x55 XOR unmasking,
+    13-bit magnitude scaled to 16-bit by << 3... kept at the standard
+    x8 linear scale so A-law and mu-law decode to comparable ranges)."""
+    out = np.zeros(256, dtype=np.int16)
+    for code in range(256):
+        a = code ^ 0x55
+        sign = a & 0x80
+        exp = (a >> 4) & 0x07
+        mant = a & 0x0F
+        if exp == 0:
+            mag = (mant << 4) + 8
+        else:
+            mag = ((mant << 4) + 0x108) << (exp - 1)
+        # A-law sign convention is INVERTED vs mu-law: MSB set = positive
+        out[code] = mag if sign else -mag
+    return out
+
+
+_MULAW_TABLE = _build_mulaw_table()
+_ALAW_TABLE = _build_alaw_table()
+
+
 @_classified
 def decode_wav(payload: bytes) -> dict:
     """Parse a RIFF/WAVE PCM payload: format metadata plus per-channel
@@ -338,15 +377,26 @@ def decode_wav(payload: bytes) -> dict:
     if fmt is None or data is None:
         raise UnsupportedMediaError("WAV missing fmt/data chunk")
     tag, n_ch, rate, _byte_rate, block, bits = fmt
-    if tag != 1 or bits not in (8, 16, 32) or n_ch < 1:
+    if n_ch < 1:
+        raise UnsupportedMediaError("WAV with zero channels")
+    if tag in (6, 7):  # G.711 A-law / mu-law: telephony corpora
+        if bits != 8:
+            raise UnsupportedMediaError(f"G.711 WAV with bits={bits}")
+        n_frames = len(data) // block
+        codes = np.frombuffer(data, dtype=np.uint8, count=n_frames * n_ch)
+        table = _ALAW_TABLE if tag == 6 else _MULAW_TABLE
+        samples = table[codes].reshape(n_frames, n_ch)
+        bits = 16  # decoded width
+    elif tag == 1 and bits in (8, 16, 32):
+        dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
+        n_frames = len(data) // block
+        samples = np.frombuffer(
+            data, dtype=dtype, count=n_frames * n_ch
+        ).reshape(n_frames, n_ch)
+    else:
         raise UnsupportedMediaError(
-            f"WAV format tag={tag} bits={bits} outside PCM scope"
+            f"WAV format tag={tag} bits={bits} outside PCM/G.711 scope"
         )
-    dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
-    n_frames = len(data) // block
-    samples = np.frombuffer(
-        data, dtype=dtype, count=n_frames * n_ch
-    ).reshape(n_frames, n_ch)
     return {
         "sample_rate": rate,
         "n_channels": n_ch,

@@ -412,3 +412,48 @@ def test_png_12bit_depth_rejected():
 
     with pytest.raises(UnsupportedMediaError, match="bit_depth=12"):
         decode_png(payload)
+
+
+# ------------------------------------------------------------ G.711 WAV
+
+
+def test_wav_g711_mulaw_alaw_decode():
+    import struct
+
+    import numpy as np
+
+    from easy_sql_spark.operators.codecs import (
+        _ALAW_TABLE,
+        _MULAW_TABLE,
+        decode_wav,
+    )
+
+    # standard table spot values at the 16-bit linear scale (audioop
+    # convention): mu-law 0xFF/0x7F = +-0, 0x00/0x80 = -+32124;
+    # A-law 0xD5/0x55 = +-8, 0x2A/0xAA = -+32256... sign per spec
+    assert _MULAW_TABLE[0xFF] == 0 and _MULAW_TABLE[0x7F] == 0
+    assert _MULAW_TABLE[0x00] == -32124 and _MULAW_TABLE[0x80] == 32124
+    assert _ALAW_TABLE[0xD5] == 8 and _ALAW_TABLE[0x55] == -8
+    assert abs(int(_ALAW_TABLE[0x2A])) == 32256
+
+    def wav(tag, data, n_ch=1):
+        fmt = struct.pack("<HHIIHH", tag, n_ch, 8000, 8000 * n_ch, n_ch, 8)
+        return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", 16) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    d = decode_wav(wav(7, bytes([0xFF, 0x00, 0x80])))
+    assert list(d["samples"].ravel()) == [0, -32124, 32124]
+    assert d["bits"] == 16 and d["sample_rate"] == 8000
+    d = decode_wav(wav(6, bytes([0xD5, 0x55]), n_ch=2))
+    assert d["n_channels"] == 2 and list(d["samples"].ravel()) == [8, -8]
+    # monotone: decoded magnitude grows with chord/step for mu-law
+    mags = [abs(int(_MULAW_TABLE[c])) for c in range(0x80, 0x100)][::-1]
+    assert mags == sorted(mags)
+
+    import pytest
+
+    from easy_sql_spark.operators.codecs import UnsupportedMediaError
+
+    with pytest.raises(UnsupportedMediaError, match="outside PCM"):
+        decode_wav(wav(2, b"\x00\x00"))  # ADPCM still rejected
