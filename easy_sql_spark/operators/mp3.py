@@ -277,3 +277,104 @@ def encode_mpeg_audio(
         )
         out = b"ID3\x04\x00\x00" + syncsafe + id3v2_payload + out
     return out
+
+
+# ------------------------------------------------------------------ ID3v2
+
+#: text-frame ids surfaced by :func:`parse_id3v2` (v2.3 and v2.4 names)
+_ID3_TEXT_FRAMES = {
+    "TIT2": "title",
+    "TPE1": "artist",
+    "TALB": "album",
+    "TDRC": "date",  # v2.4
+    "TYER": "date",  # v2.3
+    "TCON": "genre",
+    "TRCK": "track",
+    "TLEN": "length_ms",
+}
+
+
+def _id3_text(body: bytes) -> str:
+    """Decode one ID3v2 text frame body: leading encoding byte then the
+    string (latin-1 / UTF-16 with BOM / UTF-16BE / UTF-8)."""
+    if not body:
+        return ""
+    enc, raw = body[0], body[1:]
+    codec = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}.get(enc)
+    if codec is None:
+        raise UnsupportedMediaError(f"ID3v2 text encoding {enc}")
+    return raw.decode(codec, "replace").split("\x00")[0]
+
+
+@_classified
+def parse_id3v2(payload: bytes) -> dict:
+    """Metadata from a leading ID3v2.3/2.4 tag: the text-frame subset an
+    audio-curation pipeline groups/filters on (title/artist/album/date/
+    genre/track/length), plus ``id3_version``.  Empty dict when the
+    stream has no tag.  v2.4 frame sizes are syncsafe, v2.3 plain
+    big-endian — both handled; compressed/encrypted frames and
+    unsynchronised tags raise rather than mis-parse."""
+    if payload[:3] != b"ID3":
+        return {}
+    ver_major, flags = payload[3], payload[5]
+    if ver_major not in (3, 4):
+        raise UnsupportedMediaError(f"ID3v2.{ver_major} unsupported")
+    if flags & 0x80:
+        raise UnsupportedMediaError("unsynchronised ID3v2 tag")
+    total = _id3v2_size(payload)
+    pos = 10
+    if flags & 0x40:  # extended header: skip (size field leads it)
+        if ver_major == 4:
+            ext = ((payload[pos] << 21) | (payload[pos + 1] << 14)
+                   | (payload[pos + 2] << 7) | payload[pos + 3])
+        else:
+            (ext,) = struct.unpack(">I", payload[pos:pos + 4])
+            ext += 4
+        pos += ext
+    out: dict = {"id3_version": f"2.{ver_major}"}
+    end = total - (10 if (payload[5] & 0x10) else 0)
+    while pos + 10 <= end:
+        fid = payload[pos:pos + 4]
+        if fid == b"\x00\x00\x00\x00":  # padding
+            break
+        if ver_major == 4:
+            if any(b & 0x80 for b in payload[pos + 4:pos + 8]):
+                raise UnsupportedMediaError("non-syncsafe v2.4 frame size")
+            size = ((payload[pos + 4] << 21) | (payload[pos + 5] << 14)
+                    | (payload[pos + 6] << 7) | payload[pos + 7])
+        else:
+            (size,) = struct.unpack(">I", payload[pos + 4:pos + 8])
+        fflags = payload[pos + 8:pos + 10]
+        body = payload[pos + 10:pos + 10 + size]
+        pos += 10 + size
+        if fflags[1] & 0x0C:  # compressed / encrypted
+            raise UnsupportedMediaError("compressed/encrypted ID3 frame")
+        name = _ID3_TEXT_FRAMES.get(fid.decode("ascii", "replace"))
+        if name:
+            out[name] = _id3_text(body)
+    return out
+
+
+def make_id3v2(tags: dict, version: int = 4) -> bytes:
+    """An ID3v2.3/2.4 tag payload (the bytes AFTER the 10-byte header —
+    feed to ``encode_mpeg_audio(id3v2_payload=...)``, which writes the
+    header) carrying the given text frames, UTF-8 for v2.4, latin-1
+    for v2.3."""
+    rev = {v: k for k, v in _ID3_TEXT_FRAMES.items() if k != "TYER"}
+    if version == 3:
+        rev["date"] = "TYER"
+    body = b""
+    for name, val in tags.items():
+        fid = rev.get(name)
+        if fid is None:
+            raise ValueError(f"unknown tag {name!r}")
+        if version == 4:
+            frame = b"\x03" + str(val).encode("utf-8")
+            size = len(frame)
+            sz = bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                        (size >> 7) & 0x7F, size & 0x7F])
+        else:
+            frame = b"\x00" + str(val).encode("latin-1")
+            sz = struct.pack(">I", len(frame))
+        body += fid.encode() + sz + b"\x00\x00" + frame
+    return body

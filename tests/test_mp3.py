@@ -117,3 +117,57 @@ def test_fail_loudly_classification():
 def test_invalid_encoder_bitrate_rejected():
     with pytest.raises(ValueError, match="invalid for MPEG1"):
         encode_mpeg_audio(_bodies(1), bitrate_kbps=144)  # MPEG2-only rate
+
+
+# ------------------------------------------------------------------ ID3v2
+
+
+def test_id3v2_4_text_frames_roundtrip():
+    from easy_sql_spark.operators.mp3 import (
+        encode_mpeg_audio,
+        make_id3v2,
+        parse_id3v2,
+        parse_mpeg_audio,
+    )
+
+    tag = make_id3v2(
+        {"title": "Tïtle — ünïcode", "artist": "A", "album": "B",
+         "date": "2024", "track": "3"},
+        version=4,
+    )
+    mp3 = encode_mpeg_audio(
+        [b"\x00" * 64] * 3, bitrate_kbps=128, samplerate=44100,
+        id3v2_payload=tag,
+    )
+    meta = parse_id3v2(mp3)
+    assert meta["id3_version"] == "2.4"
+    assert meta["title"] == "Tïtle — ünïcode"  # utf-8 survives
+    assert (meta["artist"], meta["album"], meta["date"], meta["track"]) == (
+        "A", "B", "2024", "3")
+    # tag does not confuse the frame demuxer
+    assert parse_mpeg_audio(mp3)["n_frames"] == 3
+
+
+def test_id3v2_3_header_and_latin1():
+    from easy_sql_spark.operators.mp3 import make_id3v2, parse_id3v2
+
+    body = make_id3v2({"title": "Hello", "date": "1999"}, version=3)
+    sz = len(body)
+    hdr = b"ID3\x03\x00\x00" + bytes([
+        (sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F])
+    meta = parse_id3v2(hdr + body + b"\xff\xfb\x90\x00")
+    assert meta["id3_version"] == "2.3"
+    assert meta["title"] == "Hello" and meta["date"] == "1999"
+
+
+def test_id3v2_absent_and_malformed():
+    import pytest
+
+    from easy_sql_spark.operators.codecs import UnsupportedMediaError
+    from easy_sql_spark.operators.mp3 import parse_id3v2
+
+    assert parse_id3v2(b"\xff\xfb\x90\x00" + b"\x00" * 100) == {}
+    with pytest.raises(UnsupportedMediaError, match="2.2"):
+        parse_id3v2(b"ID3\x02\x00\x00\x00\x00\x00\x00")
+    with pytest.raises(UnsupportedMediaError, match="unsynchronised"):
+        parse_id3v2(b"ID3\x04\x00\x80\x00\x00\x00\x00")
