@@ -628,6 +628,80 @@ def mm_wav_dominant_freq(spark, sf_dir):
 
 
 @query(
+    "mm_mp3_id3_tags",
+    oracle="""
+    SELECT doc_id AS media_id,
+           substr(text, 1, 24) AS title,
+           'src-' || source AS artist,
+           CAST(1970 + doc_id % 55 AS VARCHAR) AS date,
+           '2.4' AS id3_version
+    FROM documents WHERE doc_id <= 150 ORDER BY media_id
+    """,
+)
+def mm_mp3_id3_tags(spark, sf_dir):
+    """ID3v2 metadata extraction end-to-end: each document becomes an
+    MP3 whose ID3v2.4 tag carries a title (text prefix, full UTF-8
+    path), artist (source) and year; the tag is then parsed back through
+    the real syncsafe frame walk (operators/mp3.py:parse_id3v2).  The
+    oracle recomputes every field from the table — an encoding, size or
+    frame-walk bug breaks the match.  This is the audio-curation
+    group-by surface (artist/year dedup and licensing filters run on
+    exactly these tags).  Narrow mapInPandas, one row per file."""
+    import pandas as pd
+
+    from ..operators.mp3 import encode_mpeg_audio, make_id3v2, parse_id3v2
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 150)
+        .select("doc_id", "source", "text")
+    )
+
+    def _roundtrip(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, source, text in zip(
+                pdf["doc_id"], pdf["source"], pdf["text"]
+            ):
+                tag = make_id3v2(
+                    {
+                        "title": text[:24],
+                        "artist": f"src-{source}",
+                        "date": str(1970 + int(doc_id) % 55),
+                    },
+                    version=4,
+                )
+                payload = encode_mpeg_audio(
+                    [b"\x00" * 100] * 2, bitrate_kbps=128,
+                    id3v2_payload=tag,
+                )
+                meta = parse_id3v2(payload)
+                rows.append(
+                    (
+                        int(doc_id),
+                        meta["title"],
+                        meta["artist"],
+                        meta["date"],
+                        meta["id3_version"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "title", "artist", "date", "id3_version"],
+            )
+
+    return (
+        spread(docs)
+        .mapInPandas(
+            _roundtrip,
+            "media_id long, title string, artist string, date string, "
+            "id3_version string",
+        )
+        .orderBy("media_id")
+    )
+
+
+@query(
     "mm_mp3_demux_stats",
     oracle="""
     WITH p AS (
