@@ -370,6 +370,58 @@ def build(processor):
         )
         return mf["version"]
 
+    def dedup_index_ingest(root: str, view: str, out_view: str, batch_id: str = ""):
+        """Incremental fuzzy dedup against the persistent LSH band index
+        at ``root`` (operators/dedup_index.py): `func.dedup_index_ingest(
+        /w/didx, batch_docs, admitted, 7)` — admits the non-duplicate
+        part of the (doc_id, text) view, indexes it, and registers the
+        admitted doc_ids as ``out_view``.  ``batch_id`` makes streaming
+        replays idempotent."""
+        from ..operators.dedup_index import MinHashDedupIndex
+
+        idx = MinHashDedupIndex(spark, root)
+        admitted = idx.ingest(
+            spark.table(view),
+            batch_id=int(batch_id) if batch_id != "" else None,
+        )
+        backend.create_temp_view(admitted, out_view)
+        processor.log(f"dedup_index_ingest({root}, {view}) -> {out_view}")
+
+    def ann_index_create(root: str, view: str, k: str = "16", iters: str = "2"):
+        """Train + seed the persistent IVF ANN index
+        (operators/ann_index.py) from a (vec_id, v array<double>) view."""
+        from ..operators.ann_index import IVFIndex
+
+        IVFIndex(spark, root).create(
+            spark.table(view), k=int(k), iters=int(iters)
+        )
+        processor.log(f"ann_index_create({root}, {view}, k={k})")
+
+    def ann_index_ingest(root: str, view: str, batch_id: str = ""):
+        """Append vectors under the index's frozen centroids (O(batch));
+        ``batch_id`` gives exactly-once streaming replays."""
+        from ..operators.ann_index import IVFIndex
+
+        IVFIndex(spark, root).ingest(
+            spark.table(view),
+            batch_id=int(batch_id) if batch_id != "" else None,
+        )
+        processor.log(f"ann_index_ingest({root}, {view})")
+
+    def ann_index_search(
+        root: str, queries_view: str, out_view: str,
+        topk: str = "10", nprobe: str = "4",
+    ):
+        """Top-k cosine search over the probed cells only; registers
+        (query_id, neighbor_id, cos_sim, rank) as ``out_view``."""
+        from ..operators.ann_index import IVFIndex
+
+        res = IVFIndex(spark, root).search(
+            spark.table(queries_view), topk=int(topk), nprobe=int(nprobe)
+        )
+        backend.create_temp_view(res, out_view)
+        processor.log(f"ann_index_search({root}) -> {out_view}")
+
     return {
         k: v
         for k, v in locals().items()

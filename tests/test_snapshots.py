@@ -696,3 +696,49 @@ union all select 9, 'new', 1
     SqlProcessor(spark, etl, logger=lambda m: None).run()
     rows = {(r.id, r.v) for r in spark.table("snap_final").collect()}
     assert rows == {(1, "a"), (2, "B2"), (9, "new")}
+
+
+def test_index_step_functions_end_to_end(spark, root, tmp_path):
+    """func.dedup_index_ingest / func.ann_index_* from the step language."""
+    from easy_sql_spark.runtime.processor import SqlProcessor
+
+    didx = str(tmp_path / "didx")
+    aidx = str(tmp_path / "aidx")
+    etl = f"""-- target=temp.docs
+select 1L as doc_id, 'the quick brown fox jumps over the lazy dog' as text
+union all select 2L, 'an entirely different document about spark shuffles'
+
+-- target=func.dedup_index_ingest({didx}, docs, admitted, 0)
+
+-- target=temp.docs2
+select 10L as doc_id, 'the quick brown fox jumps over the lazy dog' as text
+union all select 11L, 'completely novel content never seen before today'
+
+-- target=func.dedup_index_ingest({didx}, docs2, admitted2, 1)
+
+-- target=temp.vecs
+select cast(id as long) as vec_id,
+       transform(sequence(0, 7), d -> cast(hash(id, d) % 100 as double)) as v
+from range(0, 60)
+
+-- target=func.ann_index_create({aidx}, vecs, 4, 1)
+
+-- target=temp.more_vecs
+select cast(id as long) as vec_id,
+       transform(sequence(0, 7), d -> cast(hash(id, d) % 100 as double)) as v
+from range(60, 80)
+
+-- target=func.ann_index_ingest({aidx}, more_vecs, 0)
+
+-- target=temp.qs
+select cast(1 as long) as query_id,
+       transform(sequence(0, 7), d -> cast(hash(1, d) % 100 as double)) as qv
+
+-- target=func.ann_index_search({aidx}, qs, nn, 5, 2)
+"""
+    SqlProcessor(spark, etl, logger=lambda m: None).run()
+    assert {r.doc_id for r in spark.table("admitted").collect()} == {1, 2}
+    assert {r.doc_id for r in spark.table("admitted2").collect()} == {11}
+    nn = spark.table("nn").collect()
+    assert len(nn) == 5 and all(r.query_id == 1 for r in nn)
+    assert [r.rank for r in sorted(nn, key=lambda r: r.rank)] == [1, 2, 3, 4, 5]
