@@ -1641,3 +1641,54 @@ def j9_lateral_topk(spark, sf_dir):
         ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
         """
     )
+
+
+@query(
+    "f12_higher_order",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> len(t) > 0) AS ws
+        FROM documents WHERE doc_id <= 500)
+    SELECT doc_id,
+           CAST(len(ws) AS INT) AS n_words,
+           CAST(len(list_filter(ws, t -> len(t) >= 6)) AS INT) AS n_long,
+           CAST(list_reduce(list_prepend(0,
+               list_transform(ws, t -> len(t))), (a, b) -> a + b)
+               AS BIGINT) AS total_chars,
+           CAST(list_has_any(ws, ['the', 'and', 'of']) AS INT) AS has_stop,
+           array_to_string(list_transform(list_slice(ws, 1, 3),
+                                          t -> upper(t)), '-') AS head3
+    FROM w ORDER BY doc_id
+    """,
+)
+def f12_higher_order(spark, sf_dir):
+    """F12: SQL higher-order array functions as a first-class surface —
+    transform / filter / aggregate (fold) / exists / slice composed in
+    one projection, mirrored by DuckDB's list lambdas.  The engine runs
+    these as per-row JVM expression trees: narrow map, no explode, no
+    shuffle — the foundation every fold-based operator in this repo
+    (minhash, simhash, cosine, token stats) builds on."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") <= 500)
+    ws = F.expr("filter(split(text, ' '), t -> length(t) > 0)")
+    out = d.select(
+        "doc_id",
+        F.size(ws).alias("n_words"),
+        F.size(F.expr(
+            "filter(filter(split(text, ' '), t -> length(t) > 0), "
+            "t -> length(t) >= 6)"
+        )).alias("n_long"),
+        F.expr(
+            "aggregate(transform(filter(split(text, ' '), "
+            "t -> length(t) > 0), t -> length(t)), 0L, (a, b) -> a + b)"
+        ).alias("total_chars"),
+        F.expr(
+            "exists(filter(split(text, ' '), t -> length(t) > 0), "
+            "t -> t in ('the', 'and', 'of'))"
+        ).cast("int").alias("has_stop"),
+        F.expr(
+            "array_join(transform(slice(filter(split(text, ' '), "
+            "t -> length(t) > 0), 1, 3), t -> upper(t)), '-')"
+        ).alias("head3"),
+    )
+    return out.orderBy("doc_id")

@@ -22,6 +22,7 @@ BNLJ_OK = {
     "sim_topk_bruteforce",  # brute-force baseline: query set broadcast
     "sim_neardup_pairs",  # ditto (threshold variant)
     "sim_ivf_topk",  # probe list broadcast against pruned cells
+    "sim_ann_index_search",  # queries x K centroids, K tiny + broadcast
     "q11_important_stock",  # 1-row scalar threshold crossJoin-broadcast
     "q22_global_sales_opportunity",  # ditto
 }
