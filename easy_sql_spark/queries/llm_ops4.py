@@ -1692,3 +1692,65 @@ def f12_higher_order(spark, sf_dir):
         ).alias("head3"),
     )
     return out.orderBy("doc_id")
+
+
+KMV_K = 256
+
+
+@query(
+    "a10_kmv_distinct",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT
+            ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT
+                / 1152921504606846976.0 AS u
+        FROM lineitem),
+    k AS (SELECT u FROM h ORDER BY u LIMIT {KMV_K}),
+    est AS (SELECT MAX(u) AS hk, COUNT(*) AS got FROM k),
+    exact AS (SELECT COUNT(DISTINCT l_partkey) AS n FROM lineitem),
+    e2 AS (SELECT CASE WHEN got < {KMV_K} THEN CAST(got AS DOUBLE)
+                       ELSE ROUND(({KMV_K} - 1) / hk) END AS est, n
+           FROM est, exact)
+    SELECT CAST({KMV_K} AS INT) AS k,
+           CAST(est AS BIGINT) AS kmv_estimate,
+           CAST(n AS BIGINT) AS exact_distinct,
+           CAST(ROUND(ABS(est - n) / n * 100, 2) AS DOUBLE) AS rel_err_pct
+    FROM e2
+    """,
+)
+def a10_kmv_distinct(spark, sf_dir):
+    """A10: KMV (k-minimum-values) distinct-count sketch — the
+    DETERMINISTIC approximate-distinct.  Unlike HLL (a4/a9: engine-
+    specific register layouts, rows-only by necessity), KMV is pure
+    order statistics over a shared hash: the k smallest md5-derived
+    uniforms of the distinct values give E[distinct] = (k-1)/h_(k),
+    bit-identical in any engine — so the sketch itself is oracle-checked,
+    not just bounded.
+
+    Scale: the k-minimum set is MERGEABLE (union then re-take k), which
+    is the whole point of sketching — here expressed as hash-distinct
+    (map-side combined) + TakeOrdered(k), never a global sort; the
+    estimate touches k values on the driver side of the plan only."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    u = (
+        F.conv(F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 15), 16, 10)
+        .cast("double") / F.lit(float(1 << 60))
+    ).alias("u")
+    kmin = li.distinct().select(u).orderBy("u").limit(KMV_K)
+    est = kmin.agg(F.max("u").alias("hk"), F.count(F.lit(1)).alias("got"))
+    exact = li.agg(F.countDistinct("l_partkey").alias("n"))
+    # sketch convention: fewer than k distincts seen -> the k-set IS the
+    # exact answer (estimator only kicks in once the set saturates)
+    e = F.when(
+        F.col("got") < KMV_K, F.col("got").cast("double")
+    ).otherwise(F.round(F.lit(KMV_K - 1) / F.col("hk")))
+    return (
+        est.crossJoin(exact)
+        .select(
+            F.lit(KMV_K).cast("int").alias("k"),
+            e.cast("bigint").alias("kmv_estimate"),
+            F.col("n").cast("bigint").alias("exact_distinct"),
+            F.round(F.abs(e - F.col("n")) / F.col("n") * 100, 2)
+            .alias("rel_err_pct"),
+        )
+    )

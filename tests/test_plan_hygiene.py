@@ -25,6 +25,7 @@ BNLJ_OK = {
     "sim_ann_index_search",  # queries x K centroids, K tiny + broadcast
     "q11_important_stock",  # 1-row scalar threshold crossJoin-broadcast
     "q22_global_sales_opportunity",  # ditto
+    "a10_kmv_distinct",  # 1-row sketch x 1-row exact-count join
 }
 
 
