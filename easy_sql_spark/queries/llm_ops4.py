@@ -1754,3 +1754,53 @@ def a10_kmv_distinct(spark, sf_dir):
             .alias("rel_err_pct"),
         )
     )
+
+
+@query("text_bpe_token_count")  # rows-only: trained-tokenizer application
+def text_bpe_token_count(spark, sf_dir):
+    """Token counting under a TRAINED tokenizer — the currency every
+    training-data budget is denominated in: learn 12 BPE merges on a
+    train split (doc_id <= 300), apply them to a held-out split and
+    report per-doc token counts + chars-per-token compression.  No
+    DuckDB oracle — merge application is iterative rewriting that
+    recursive SQL cannot express; the encoder is bit-exact-crosschecked
+    against a pure-Python reference in tests/test_bpe.py (same pinned
+    rows-only discipline as text_bpe_merges).
+
+    Scale: training touches the corpus once (vocabulary working set);
+    encoding is a per-row JVM fold chain over the broadcast-as-literal
+    merge table — a narrow map, no Python, no shuffle; the word-level
+    LRU a production encoder adds changes constants, not shape."""
+    from ..operators.bpe import bpe_encode_expr, bpe_train
+
+    train = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 300)
+        .select("text")
+    )
+    merges = bpe_train(train, n_merges=12)
+    held = (
+        load_table(spark, sf_dir, "documents")
+        .where((F.col("doc_id") > 300) & (F.col("doc_id") <= 400))
+        .select("doc_id", "text")
+    )
+    words = "filter(split(lower(text), '[^a-z]+'), w -> length(w) > 0)"
+    # per word: chars -> symbol array -> merge folds -> token count
+    encoded_counts = (
+        f"aggregate(transform({words}, "
+        f"w -> size({bpe_encode_expr('split(w, ``)', merges)})), "
+        f"0L, (a, b) -> a + b)"
+    ).replace("``", "''")
+    n_chars = f"aggregate(transform({words}, w -> length(w)), 0L, (a, b) -> a + b)"
+    return (
+        held.select(
+            "doc_id",
+            F.expr(n_chars).alias("n_chars"),
+            F.expr(encoded_counts).alias("n_tokens"),
+        )
+        .withColumn(
+            "chars_per_token",
+            F.round(F.col("n_chars") / F.greatest(F.col("n_tokens"), F.lit(1)), 3),
+        )
+        .orderBy("doc_id")
+    )

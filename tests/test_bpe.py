@@ -133,3 +133,47 @@ try:
 
 except ImportError:  # hypothesis is baked in, but stay import-safe
     pass
+
+
+def test_bpe_token_count_query_matches_python(spark):
+    """The text_bpe_token_count recipe (train split -> merge table ->
+    held-out per-doc token counts) against a pure-Python replay."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from easy_sql_spark.queries import QUERIES
+
+    out = {r.doc_id: (r.n_chars, r.n_tokens)
+           for r in QUERIES["text_bpe_token_count"](
+               spark, "/root/testdata/sf0.001").collect()}
+    assert out, "held-out split empty"
+
+    # python replay: same splits, same training, same greedy application
+    import duckdb
+
+    con = duckdb.connect()
+    docs = con.execute(
+        "SELECT doc_id, text FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()
+    train = [t for d, t in docs if d <= 300]
+    merges = _py_bpe(train, 12)
+    held = [(d, t) for d, t in docs if 300 < d <= 400]
+
+    def encode(word):
+        syms = list(word)
+        for _, l, r, _ in merges:
+            nxt = []
+            for s in syms:
+                if nxt and nxt[-1] == l and s == r:
+                    nxt[-1] = l + r
+                else:
+                    nxt.append(s)
+            syms = nxt
+        return syms
+
+    for d, t in held:
+        ws = [w for w in re.split("[^a-z]+", t.lower()) if w]
+        n_chars = sum(len(w) for w in ws)
+        n_tokens = sum(len(encode(w)) for w in ws)
+        assert out[d] == (n_chars, n_tokens), d
