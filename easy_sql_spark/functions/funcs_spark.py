@@ -370,6 +370,25 @@ def build(processor):
         )
         return mf["version"]
 
+    def snapshot_history(root: str, view_name: str):
+        """DESCRIBE HISTORY analogue: the version log of surviving
+        manifests (version, operation, ts, live/added dir counts,
+        batch_id) registered as a temp view."""
+        rows = _snapshot(root).history()
+        df = spark.createDataFrame(
+            [
+                (
+                    int(h["version"]), str(h["operation"]), float(h["ts"]),
+                    int(h["live_dirs"]), int(h["added_dirs"]),
+                    h["batch_id"] if h["batch_id"] is None else int(h["batch_id"]),
+                )
+                for h in rows
+            ],
+            "version int, operation string, ts double, live_dirs int, "
+            "added_dirs int, batch_id long",
+        )
+        backend.create_temp_view(df, view_name)
+
     def dedup_index_ingest(root: str, view: str, out_view: str, batch_id: str = ""):
         """Incremental fuzzy dedup against the persistent LSH band index
         at ``root`` (operators/dedup_index.py): `func.dedup_index_ingest(

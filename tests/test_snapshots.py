@@ -253,6 +253,7 @@ select 10 as id, 'x' as p
 
 -- target=func.snapshot_rollback({root}, 1)
 -- target=func.snapshot_view({root}, snap_after_rb)
+-- target=func.snapshot_history({root}, snap_hist)
 """
     SqlProcessor(spark, etl, logger=lambda m: None).run()
     assert {(r.id, r.p) for r in spark.table("snap_latest").collect()} == {
@@ -262,6 +263,9 @@ select 10 as id, 'x' as p
     v1 = {(r.id, r.p) for r in spark.table("snap_v1").collect()}
     assert v1 == {(1, "x"), (2, "y")}
     assert {(r.id, r.p) for r in spark.table("snap_after_rb").collect()} == v1
+    hist = spark.table("snap_hist").collect()
+    assert [h.version for h in hist] == [3, 2, 1]
+    assert hist[0].operation == "rollback_to_v1"
 
 
 def test_dedup_index_idempotent_replay_and_bandless(spark, root):
