@@ -1804,3 +1804,122 @@ def text_bpe_token_count(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+PR_DAMP = 0.85
+PR_ITERS = 3
+PR_TOPK = 25
+
+_PR_ITER_SQL = """
+    SELECT n.node,
+           {base} + {damp} * CAST(COALESCE(c.s, 0) AS DOUBLE) AS r
+    FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node,
+               SUM(CAST(p.r / e.deg_src AS DECIMAL(38, 18))) AS s
+        FROM edges e JOIN {prev} p ON p.node = e.src
+        GROUP BY e.dst) c ON c.node = n.node
+"""
+
+
+@query(
+    "graph_pagerank",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        WHERE l_partkey <= 1000),
+    edges0 AS (
+        SELECT 'p' || l_partkey AS src, 's' || l_suppkey AS dst FROM pairs
+        UNION ALL
+        SELECT 's' || l_suppkey, 'p' || l_partkey FROM pairs),
+    deg AS (SELECT src, COUNT(*) AS deg_src FROM edges0 GROUP BY src),
+    edges AS (SELECT e.src, e.dst, d.deg_src
+              FROM edges0 e JOIN deg d ON d.src = e.src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges0),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+    r1 AS ({_PR_ITER_SQL.format(prev="r0", damp=PR_DAMP,
+                                base=f"(1 - {PR_DAMP}) / (SELECT n FROM nn)")}),
+    r2 AS ({_PR_ITER_SQL.format(prev="r1", damp=PR_DAMP,
+                                base=f"(1 - {PR_DAMP}) / (SELECT n FROM nn)")}),
+    r3 AS ({_PR_ITER_SQL.format(prev="r2", damp=PR_DAMP,
+                                base=f"(1 - {PR_DAMP}) / (SELECT n FROM nn)")}),
+    ranked AS (
+        SELECT node, r, ROW_NUMBER() OVER (ORDER BY r DESC, node) AS rk
+        FROM r3)
+    SELECT node, CAST(ROUND(r * 1e6, 4) AS DOUBLE) AS score_ppm,
+           CAST(rk AS INT) AS rank
+    FROM ranked WHERE rk <= {PR_TOPK} ORDER BY rank
+    """,
+)
+def graph_pagerank(spark, sf_dir):
+    """Deterministic PageRank over the part<->supplier bipartite graph
+    (distinct lineitem pairs, both directions so no dangling nodes):
+    {PR_ITERS} power iterations at damping {PR_DAMP}, per-destination
+    contributions accumulated in DECIMAL(38,18) so summation order
+    cannot perturb a single bit — the DuckDB oracle replays the exact
+    iterations and the top-{PR_TOPK} ranking matches to the last ulp.
+
+    Scale: each iteration is one equi-join of the rank vector against
+    the edge list (shuffle on src) plus one map-side-combined
+    per-destination aggregate — the standard Pregel/GraphX plan shape
+    without the framework; the rank frame is localCheckpoint-ed per
+    round so plans stay flat.  Complements the two connected-components
+    operators as the graph-analytics family."""
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") <= 1000)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    fwd = pairs.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    edges0 = fwd.unionAll(fwd.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+    deg = edges0.groupBy("src").agg(F.count(F.lit(1)).alias("deg_src"))
+    edges = edges0.join(deg, "src").localCheckpoint(eager=True)
+    nodes = edges0.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    n = nodes.count()
+    base = (1.0 - PR_DAMP) / n
+
+    r = nodes.withColumn("r", F.lit(1.0 / n))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(r.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.sum(
+                    (F.col("r") / F.col("deg_src")).cast("decimal(38,18)")
+                ).alias("s")
+            )
+        )
+        r = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(PR_DAMP) * F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    from pyspark.sql import Window
+
+    # TakeOrderedAndProject bounds the global sort to K rows; the window
+    # then ranks only the 25-row survivor set (never a full global sort)
+    topk = r.orderBy(F.col("r").desc(), "node").limit(PR_TOPK)
+    w = Window.orderBy(F.col("r").desc(), "node")
+    return (
+        topk.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select(
+            "node",
+            F.round(F.col("r") * 1e6, 4).alias("score_ppm"),
+            "rank",
+        )
+        .orderBy("rank")
+    )
