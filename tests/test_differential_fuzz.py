@@ -264,3 +264,60 @@ def test_random_date_functions_agree(spark, ducks, expr_id, lo):
     )
     got = sorted(tuple(r) for r in spark.sql(sp).collect())
     assert got == expected, f"divergence on: {sp} vs {dd}"
+
+
+# ----------------------------------------------------- array HOF pipelines
+
+# (spark template, duckdb template) over an array expression — all
+# integer-exact so comparison is equality
+_HOF_EXPRS = [
+    (lambda a: f"aggregate({a}, 0L, (acc, x) -> acc + x)",
+     lambda a: f"list_reduce(list_prepend(0, {a}), (acc, x) -> acc + x)"),
+    (lambda a: f"size(filter({a}, x -> x % 2 = 0))",
+     lambda a: f"len(list_filter({a}, x -> x % 2 = 0))"),
+    (lambda a: f"aggregate(transform({a}, x -> x * x), 0L, (acc, x) -> acc + x)",
+     lambda a: f"list_reduce(list_prepend(0, list_transform({a}, x -> x * x)), "
+               "(acc, x) -> acc + x)"),
+    (lambda a: f"cast(exists({a}, x -> x > 50) as int)",
+     lambda a: f"CAST(len(list_filter({a}, x -> x > 50)) > 0 AS INT)"),
+    (lambda a: f"array_max({a})", lambda a: f"list_max({a})"),
+    (lambda a: f"size(array_distinct({a}))",
+     lambda a: f"len(list_distinct({a}))"),
+    (lambda a: f"aggregate(slice({a}, 1, 3), 0L, (acc, x) -> acc + x)",
+     lambda a: f"list_reduce(list_prepend(0, ({a})[1:3]), (acc, x) -> acc + x)"),
+]
+
+
+@given(
+    expr_ids=st.lists(
+        st.integers(0, len(_HOF_EXPRS) - 1), min_size=1, max_size=3,
+        unique=True,
+    ),
+    mod=st.integers(3, 9),
+)
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_array_hof_agree(spark, ducks, expr_ids, mod):
+    """Higher-order array functions (the substrate of every fold-based
+    operator in the repo) must agree with DuckDB's list lambdas on
+    arrays derived deterministically from lineitem ints."""
+    # spark sequence(1, n) == duckdb range(1, n + 1): aligned explicitly
+    a_s = (f"transform(sequence(1, l_linenumber + 2), "
+           f"i -> (l_orderkey * i) % {mod * 13})")
+    a_d = (f"list_transform(range(1, l_linenumber + 3), "
+           f"i -> (l_orderkey * i) % {mod * 13})")
+    sels_s = [f"({_HOF_EXPRS[i][0](a_s)}) AS c{k}"
+              for k, i in enumerate(expr_ids)]
+    sels_d = [f"({_HOF_EXPRS[i][1](a_d)}) AS c{k}"
+              for k, i in enumerate(expr_ids)]
+    q_s = ("select l_orderkey, " + ", ".join(sels_s)
+           + f" from parquet.`{PARQUET}` where l_orderkey <= 500 "
+           "order by l_orderkey, l_linenumber")
+    q_d = ("SELECT l_orderkey, " + ", ".join(sels_d)
+           + " FROM lineitem WHERE l_orderkey <= 500 "
+           "ORDER BY l_orderkey, l_linenumber")
+    got = [tuple(r) for r in spark.sql(q_s).collect()]
+    want = ducks.execute(q_d).fetchall()
+    assert got == want
