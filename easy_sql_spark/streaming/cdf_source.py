@@ -123,6 +123,13 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                     f"{rewriters}; set allow_rewrites=true to stream the "
                     "rewrite as delete+insert"
                 )
+        for v in (x for x in (v0, v1) if x):
+            if not os.path.exists(_manifest_path(self.root, v)):
+                raise ValueError(
+                    f"snapshot_cdf offset v{v} has been vacuumed; restart "
+                    "the stream with starting_version at a surviving "
+                    "manifest (or re-snapshot the consumer)"
+                )
         m0 = _read_manifest(self.root, v0) if v0 else {"live": []}
         m1 = _read_manifest(self.root, v1)
         frm, to = set(m0["live"]), set(m1["live"])

@@ -83,3 +83,17 @@ def test_cdf_stream_defaults_to_now_and_refuses_compact(spark, root, tmp_path):
     t.compact()
     with pytest.raises(Exception, match="compact"):
         _drain(spark, root, out, ckpt)
+
+
+def test_cdf_stream_vacuumed_offset_is_loud(spark, root, tmp_path):
+    """A checkpointed offset whose manifest was vacuumed must fail with
+    the restart guidance, not a FileNotFoundError deep in a task."""
+    spark.dataSource.register(SnapshotChangeFeedDataSource)
+    t = SnapshotTable(spark, root)
+    t.create(_df(spark, [(1, "a", "x")]), ["p"])
+    for i in range(2, 5):
+        t.append(_df(spark, [(i, "b", "y")]))
+    t.vacuum(retain_versions=1, min_age_seconds=0)
+    with pytest.raises(Exception, match="vacuumed"):
+        _drain(spark, root, tmp_path / "vo", tmp_path / "vc",
+               starting_version=1)
