@@ -1477,7 +1477,8 @@ ANNIDX_TOPK = 10
 @query(
     "sim_ann_index_search",
     oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id < 500),
     seed AS (SELECT * FROM e WHERE vec_id < 400),
     c0 AS (SELECT vec_id AS cid, v AS cv FROM seed WHERE vec_id < {ANNIDX_K}),
     a1 AS ({_SD_ASSIGN.format(src="seed", cents="c0")}),
