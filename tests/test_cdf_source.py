@@ -33,7 +33,7 @@ def _drain(spark, root, out, ckpt, starting_version=None):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(240), "query still running"
     q.stop()
 
 

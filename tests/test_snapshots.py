@@ -212,7 +212,7 @@ def test_streaming_foreach_batch_exactly_once_restart(spark, root, tmp_path):
             .foreachBatch(lambda df, bid: t.commit_batch(bid, df))
             .start()
         )
-        q.awaitTermination(60)
+        assert q.awaitTermination(240), "query still running"
         q.stop()
 
     write_file("b1.json", [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}])

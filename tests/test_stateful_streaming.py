@@ -23,7 +23,7 @@ def _run_to_memory(df, name):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(240), "query still running"
     return q
 
 
@@ -128,7 +128,7 @@ def _run_checkpointed(df, out_dir, checkpoint):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(240), "query still running"
     q.stop()
     return q
 

@@ -236,7 +236,7 @@ def test_streaming_session_window(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(240), "query still running"
     rows = {
         r.start: r.n
         for r in spark.sql("select * from sess_win_out").collect()
@@ -300,7 +300,7 @@ def test_stream_stream_interval_join(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(240), "query still running"
     rows = [(r.ad,) for r in spark.sql("select * from ss_join_out").collect()]
     assert rows == [(1,)]  # only ad1's click landed inside the 15-min window
 
@@ -351,7 +351,7 @@ select id, kind, amount from raw_stream_r
         p = SqlProcessor(spark, sql, streaming_config=config, logger=lambda m: None)
         p.run()
         for q in p.streaming_queries:
-            q.awaitTermination(60)
+            assert q.awaitTermination(240), "query still running"
             q.stop()
         p.backend.clean_temp_views()
 
@@ -413,7 +413,7 @@ select * from enriched
     p = SqlProcessor(spark, sql, streaming_config=config, logger=lambda m: None)
     p.run()
     for q in p.streaming_queries:
-        q.awaitTermination(60)
+        assert q.awaitTermination(240), "query still running"
     with open(out_json) as f:
         rows = json.load(f)
     assert rows[0]["n"] == 100 and rows[0]["total"] == sum(float(i) for i in range(100))
@@ -468,7 +468,7 @@ select id, kind, amount from raw_stream_u
         p = SqlProcessor(spark, sql, streaming_config=config, logger=lambda m: None)
         p.run()
         for q in p.streaming_queries:
-            q.awaitTermination(60)
+            assert q.awaitTermination(240), "query still running"
             q.stop()
         p.backend.clean_temp_views()
 
@@ -541,7 +541,7 @@ select id, kind, amount from raw_stream_s2
         p = SqlProcessor(spark, sql, streaming_config=config, logger=lambda m: None)
         p.run()
         for q in p.streaming_queries:
-            q.awaitTermination(60)
+            assert q.awaitTermination(240), "query still running"
             q.stop()
         p.backend.clean_temp_views()
 
@@ -642,7 +642,7 @@ def test_stream_stream_interval_join(spark, tmp_path):
         & (clk.clk_time <= imp.imp_time + F.expr("interval 10 minutes")),
     ).select(imp.ad_id, "imp_time", "clk_time")
     q = tables.start_insert(joined, "sdb.joined")
-    q.awaitTermination(60)
+    assert q.awaitTermination(240), "query still running"
     rows = spark.sql("select * from sdb_joined").collect()
     matched = sorted(r.ad_id for r in rows)
     assert matched == list(range(0, 20, 2))  # in-window only
@@ -708,7 +708,7 @@ select region, amount, dt from raw_med
         p = SqlProcessor(spark, sql, streaming_config=config, logger=lambda m: None)
         p.run()
         for q in p.streaming_queries:
-            q.awaitTermination(60)
+            assert q.awaitTermination(240), "query still running"
             q.stop()
         p.backend.clean_temp_views()
 
@@ -849,7 +849,7 @@ def test_snapshot_sink_exactly_once_via_yaml(spark, tmp_path):
         tables = StreamingTables(spark, config)
         tables.register_sources()
         q = tables.start_insert(spark.table("sn_src"), "sn.out")
-        q.awaitTermination(60)
+        assert q.awaitTermination(240), "query still running"
         q.stop()
 
     run_once()
