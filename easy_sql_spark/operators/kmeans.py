@@ -52,12 +52,45 @@ def assign_clusters(
     )
 
 
+def assign_clusters_arrow(
+    df: DataFrame, centroids: list[list[float]], vec_col: str = "v",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Vectorized assignment: one BLAS distance matrix per Arrow
+    batch (||v||^2 - 2 v.C^T + ||c||^2, argmin with first-index
+    tie-break — same tie rule as :func:`assign_clusters`).  BLAS may
+    reorder float sums, so a NEAR-TIED pair of centroids can flip
+    relative to the fold path; use for production scale, keep the fold
+    path for bit-pinned oracle replays."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.IntegerType())]
+    )
+
+    def _assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c2[None, :]
+            pdf = pdf.copy()
+            pdf[out_col] = d2.argmin(axis=1).astype("int32")
+            yield pdf
+
+    return df.mapInPandas(_assign, out_schema)
+
+
 def lloyd_kmeans(
     df: DataFrame,
     k: int,
     iters: int,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    arrow: bool = False,
 ) -> list[list[float]]:
     """Train centroids; returns the K x dim matrix (driver-side floats,
     tiny).  ``df`` needs a unique numeric ``id_col`` (seed selection =
@@ -71,8 +104,9 @@ def lloyd_kmeans(
     if len(seeds) < k:
         raise ValueError(f"need at least k={k} vectors, got {len(seeds)}")
     cents = [list(r[vec_col]) for r in seeds]
+    assign = assign_clusters_arrow if arrow else assign_clusters
     for _ in range(iters):
-        assigned = assign_clusters(df, cents, vec_col=vec_col)
+        assigned = assign(df, cents, vec_col=vec_col)
         cd = (
             assigned.select("cluster", F.posexplode(vec_col).alias("dim", "x"))
             .groupBy("cluster", "dim")
@@ -103,6 +137,7 @@ def semantic_dedup(
     tau: float,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    arrow: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means the embedding space, then
     drop any vector with a more-senior (smaller id) cluster-mate above
@@ -113,13 +148,25 @@ def semantic_dedup(
     expected cluster size CONSTANT (k ~ n/500..n/5000, as the paper
     does with k=11k for 600M docs).  A fixed k at growing n is
     quadratic; tests/SCALE.md measure exactly that cliff.  Norms are
-    computed once per vector before the join."""
+    computed once per vector before the join.
+
+    ``arrow=True`` runs the pairwise stage as one BLAS matmul per
+    cluster inside ``applyInPandas`` (~50x the interpreted JVM fold
+    chain; memory per task is cluster_size^2 floats, bounded by the
+    k ~ n/500 sizing).  BLAS may reorder float summations, so a cosine
+    EXACTLY at ``tau`` could flip relative to the fold path — use the
+    default fold path when a bit-pinned oracle replay matters, arrow
+    for production scale (flag-equality between the paths is pinned on
+    the fixture in tests/test_operators.py)."""
     norm = F.sqrt(F.expr(
         f"aggregate(transform({vec_col}, t -> t * t), 0D, (acc, z) -> acc + z)"
     ))
-    cents = lloyd_kmeans(df, k, iters, id_col=id_col, vec_col=vec_col)
+    cents = lloyd_kmeans(
+        df, k, iters, id_col=id_col, vec_col=vec_col, arrow=arrow
+    )
+    assign = assign_clusters_arrow if arrow else assign_clusters
     af = (
-        assign_clusters(df, cents, vec_col=vec_col)
+        assign(df, cents, vec_col=vec_col)
         .withColumn("nrm", norm)
         .localCheckpoint(eager=True)
     )
@@ -131,16 +178,39 @@ def semantic_dedup(
         F.col(id_col).alias("yid"), F.col(vec_col).alias("yv"),
         F.col("nrm").alias("ynrm"), "cluster",
     )
-    dot = F.expr(
-        "aggregate(zip_with(xv, yv, (a, b) -> a * b), 0D, (acc, z) -> acc + z)"
-    )
-    dropped = (
-        x.join(y, "cluster")
-        .where(F.col("xid") > F.col("yid"))
-        .where(dot / (F.col("xnrm") * F.col("ynrm")) > float(tau))
-        .select(F.col("xid").alias(id_col))
-        .distinct()
-    )
+    if arrow:
+        tau_f = float(tau)
+
+        def _cluster_dropped(pdf):
+            import numpy as np
+            import pandas as _pd
+
+            ids = pdf[id_col].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)[order]
+            nrm = np.sqrt((V * V).sum(axis=1))
+            S = (V @ V.T) / np.outer(nrm, nrm)
+            iu, ju = np.triu_indices(len(ids), k=1)  # ids[ju] > ids[iu]
+            hit = S[iu, ju] > tau_f
+            return _pd.DataFrame({id_col: np.unique(ids[ju[hit]])})
+
+        dropped = (
+            af.select(id_col, vec_col, "cluster")
+            .groupBy("cluster")
+            .applyInPandas(_cluster_dropped, f"{id_col} long")
+        )
+    else:
+        dot = F.expr(
+            "aggregate(zip_with(xv, yv, (a, b) -> a * b), 0D, (acc, z) -> acc + z)"
+        )
+        dropped = (
+            x.join(y, "cluster")
+            .where(F.col("xid") > F.col("yid"))
+            .where(dot / (F.col("xnrm") * F.col("ynrm")) > float(tau))
+            .select(F.col("xid").alias(id_col))
+            .distinct()
+        )
     return (
         af.join(dropped.withColumn("__dropped", F.lit(1)), id_col, "left")
         .select(

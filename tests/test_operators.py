@@ -345,3 +345,28 @@ def test_interval_join_left_outer(spark):
 
     with pytest.raises(ValueError, match="inner.*left|'left'"):
         interval_join(left, right, "ls", "le", "rs", "re", 8, how="full")
+
+
+def test_semantic_dedup_arrow_path_matches_fold_path(spark):
+    """semantic_dedup(arrow=True) — BLAS matmul pairwise + vectorized
+    assignment — must produce the identical (id, cluster, kept) set as
+    the bit-pinned fold path on the fixture (the documented contract:
+    divergence is possible only on near-tied floats)."""
+    from pyspark.sql import functions as F
+
+    from easy_sql_spark.operators.kmeans import semantic_dedup
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    fold = {(r.vec_id, r.cluster, r.kept)
+            for r in semantic_dedup(emb, 4, 2, 0.30).collect()}
+    arrow = {(r.vec_id, r.cluster, r.kept)
+             for r in semantic_dedup(emb, 4, 2, 0.30, arrow=True).collect()}
+    assert fold == arrow and len(fold) > 0
+    assert any(kept == 0 for _, _, kept in fold)  # drops something
