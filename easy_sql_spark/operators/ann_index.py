@@ -83,7 +83,8 @@ class IVFIndex:
 
     # -------------------------------------------------------------- search
     def search(
-        self, queries: DataFrame, topk: int = 10, nprobe: int = 4
+        self, queries: DataFrame, topk: int = 10, nprobe: int = 4,
+        arrow: bool = False,
     ) -> DataFrame:
         """Per query (``query_id``, ``qv``): the ``topk`` nearest indexed
         vectors by cosine among the ``nprobe`` closest cells.  Returns
@@ -93,7 +94,14 @@ class IVFIndex:
         literal (K x dim — bytes); the candidate scan is an equi-join on
         ``cell`` against the broadcast probe list, and because the store
         is partitioned by cell, Spark's partition pruning drops every
-        unprobed cell's files before reading a byte."""
+        unprobed cell's files before reading a byte.
+
+        ``arrow=True`` scores candidates with numpy row-wise dot
+        products in ``mapInPandas`` instead of interpreted JVM folds
+        (~an order of magnitude on the scoring stage); float-sum
+        reordering can flip NEAR-TIED ranks, so keep the default fold
+        path where a bit-pinned oracle replay matters (same contract as
+        operators/kmeans.py's arrow paths)."""
         cents = self.centroids()
         cent_rows = [(i, c) for i, c in enumerate(cents)]
         cent_df = self.spark.createDataFrame(
@@ -134,11 +142,34 @@ class IVFIndex:
         cand = corpus.join(F.broadcast(probe), "cell").where(
             F.col("vec_id") != F.col("query_id")
         )
-        scored = cand.select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            (dot / (F.col("qnrm") * F.col("nrm"))).alias("cos_sim"),
-        )
+        if arrow:
+            def _score(batches):
+                import numpy as np
+                import pandas as pd
+
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    V = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+                    Q = np.asarray(pdf["qv"].tolist(), dtype=np.float64)
+                    cos = (V * Q).sum(axis=1) / (
+                        pdf["qnrm"].to_numpy() * pdf["nrm"].to_numpy()
+                    )
+                    yield pd.DataFrame({
+                        "query_id": pdf["query_id"],
+                        "neighbor_id": pdf["vec_id"],
+                        "cos_sim": cos,
+                    })
+
+            scored = cand.mapInPandas(
+                _score, "query_id long, neighbor_id long, cos_sim double"
+            )
+        else:
+            scored = cand.select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                (dot / (F.col("qnrm") * F.col("nrm"))).alias("cos_sim"),
+            )
         w = Window.partitionBy("query_id").orderBy(
             F.col("cos_sim").desc(), "neighbor_id"
         )
