@@ -389,6 +389,23 @@ def build(processor):
         )
         backend.create_temp_view(df, view_name)
 
+    def snapshot_rollup(
+        src_root: str, rollup_root: str, group_cols: str, sum_cols: str
+    ):
+        """Incremental materialized rollup: catch the rollup snapshot up
+        to the source snapshot by consuming its change feed (signed
+        sums/counts; operators/rollup.py).  Self-driving — the source
+        version bookmark rides the rollup's manifests."""
+        from ..operators.rollup import maintain_rollup
+
+        rep = maintain_rollup(
+            spark, src_root, rollup_root,
+            [c for c in group_cols.split("|") if c],
+            [c for c in sum_cols.split("|") if c],
+        )
+        processor.log(f"snapshot_rollup({src_root} -> {rollup_root}): {rep}")
+        return rep["mode"]
+
     def dedup_index_ingest(root: str, view: str, out_view: str, batch_id: str = ""):
         """Incremental fuzzy dedup against the persistent LSH band index
         at ``root`` (operators/dedup_index.py): `func.dedup_index_ingest(

@@ -1924,3 +1924,72 @@ def graph_pagerank(spark, sf_dir):
         )
         .orderBy("rank")
     )
+
+
+@query(
+    "snapshot_incremental_rollup",
+    oracle="""
+    WITH seed AS (
+        SELECT o_custkey AS g, o_totalprice AS x FROM orders
+        WHERE o_orderkey <= 2000 AND o_custkey <= 50),
+    appended AS (
+        SELECT o_custkey AS g, o_totalprice AS x FROM orders
+        WHERE o_orderkey > 2000 AND o_orderkey <= 3000 AND o_custkey <= 50),
+    final AS (
+        SELECT * FROM (SELECT * FROM seed UNION ALL SELECT * FROM appended)
+        WHERE NOT (x < 50000))
+    SELECT CAST(g AS BIGINT) AS g,
+           CAST(ROUND(SUM(x), 2) AS DOUBLE) AS sum_x,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM final GROUP BY g HAVING COUNT(*) > 0 ORDER BY g
+    """,
+)
+def snapshot_incremental_rollup(spark, sf_dir):
+    """End-to-end incremental view maintenance
+    (operators/rollup.py:maintain_rollup): seed a source snapshot from
+    orders, bootstrap the rollup, then APPEND a second slice and DELETE
+    cheap rows — each time catching the rollup up via the source's
+    change feed ONLY (signed sums; never a source rescan) — and read the
+    final rollup.  The oracle recomputes the same groups from the final
+    logical state, so a missed delta, double-applied change, or
+    delete-sign bug breaks the match.
+
+    Scale: each catch-up reads the net-changed dirs (O(delta)), merges
+    into only the rollup dirs holding touched keys, and absorbs source
+    compactions for free (identical rewritten rows cancel in signed
+    sums)."""
+    import tempfile
+
+    from ..operators.rollup import maintain_rollup
+    from ..runtime.snapshots import SnapshotTable
+
+    src_root = tempfile.mkdtemp(prefix="ivm_src_")
+    ru_root = tempfile.mkdtemp(prefix="ivm_ru_")
+    orders = load_table(spark, sf_dir, "orders")
+    src = SnapshotTable(spark, src_root)
+    src.create(
+        orders.where((F.col("o_orderkey") <= 2000) & (F.col("o_custkey") <= 50))
+        .select(F.col("o_custkey").alias("g"), F.col("o_totalprice").alias("x")),
+        stats_cols=["x"],
+    )
+    maintain_rollup(spark, src_root, ru_root, ["g"], ["x"])
+    src.append(
+        orders.where(
+            (F.col("o_orderkey") > 2000) & (F.col("o_orderkey") <= 3000)
+            & (F.col("o_custkey") <= 50)
+        ).select(F.col("o_custkey").alias("g"), F.col("o_totalprice").alias("x"))
+    )
+    maintain_rollup(spark, src_root, ru_root, ["g"], ["x"])
+    src.delete_where([("x", "<", 50000)])
+    maintain_rollup(spark, src_root, ru_root, ["g"], ["x"])
+    return (
+        SnapshotTable(spark, ru_root)
+        .read()
+        .where(F.col("n") > 0)
+        .select(
+            F.col("g").cast("bigint").alias("g"),
+            F.round("sum_x", 2).alias("sum_x"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+        .orderBy("g")
+    )
