@@ -303,6 +303,7 @@ class SparkBackend:
         bloom_cols: list[str] | None = None,
         merge_schema: bool = False,
         zorder_cols: list[str] | None = None,
+        layout_curve: str = "zorder",
     ) -> None:
         """Materialize a query into a warehouse table.
 
@@ -364,7 +365,9 @@ class SparkBackend:
             overwrite = save_mode.lower() != "append"
         aligned = self.prepare_for_insert(df, table)
         if zorder_cols:
-            aligned = self._zorder_for_insert(aligned, table, zorder_cols)
+            aligned = self._zorder_for_insert(
+                aligned, table, zorder_cols, curve=layout_curve
+            )
 
         # parquet bloom filters: point-lookup pushdown on non-sorted,
         # non-partition columns (id/hash lookups against a fact table at
@@ -502,19 +505,34 @@ class SparkBackend:
         return target.join(F.broadcast(touched), part_cols, "left_semi")
 
     def _zorder_for_insert(
-        self, aligned: DataFrame, table: TableMeta, zorder_cols: list[str]
+        self, aligned: DataFrame, table: TableMeta, zorder_cols: list[str],
+        curve: str = "zorder",
     ) -> DataFrame:
-        """Z-order-cluster the rows of an insert (``__zorder_by__``): the
-        written files get parquet min/max stats tight in EVERY listed
-        column (multi-dimensional data skipping; see operators/zorder.py).
-        Replaces the AQE rebalance ordering — for partitioned targets the
-        range partitioning leads with the partition columns, so dynamic
-        overwrite still writes one coherent file run per partition while
-        rows WITHIN each partition cluster on the Morton value."""
-        from ..operators.zorder import zorder_value
+        """Curve-cluster the rows of an insert (``__zorder_by__`` /
+        ``__layout_curve__``): the written files get parquet min/max
+        stats tight in EVERY listed column (multi-dimensional data
+        skipping; see operators/zorder.py and operators/hilbert.py —
+        ``hilbert`` measures tighter boxes at the same write cost in the
+        2-3-column regime, SCALE.md).  Replaces the AQE rebalance
+        ordering — for partitioned targets the range partitioning leads
+        with the partition columns, so dynamic overwrite still writes
+        one coherent file run per partition while rows WITHIN each
+        partition cluster on the curve position."""
+        if curve == "hilbert" and len(zorder_cols) <= 2:
+            from ..operators.hilbert import hilbert_value
 
+            zdf = hilbert_value(aligned, zorder_cols).withColumnRenamed(
+                "__hvalue", "__zvalue"
+            ).localCheckpoint(eager=True)
+        elif curve not in ("zorder", "hilbert"):
+            raise ValueError(f"unknown layout curve {curve!r}")
+        else:
+            # hilbert above 2 cols would blow the LUT at default bits;
+            # morton handles any dimension count
+            from ..operators.zorder import zorder_value
+
+            zdf = zorder_value(aligned, zorder_cols).localCheckpoint(eager=True)
         part_cols = table.partition_cols()
-        zdf = zorder_value(aligned, zorder_cols).localCheckpoint(eager=True)
         # floor the range-partition count: with very few z-ranges a single
         # range regularly crosses a Morton quadrant boundary and its
         # min/max box degenerates to full-width in one dimension — 16+

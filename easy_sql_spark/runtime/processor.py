@@ -549,6 +549,9 @@ class SqlProcessor:
             if zorder_var
             else None
         )
+        layout_curve = str(
+            self.vars_context.get_var("__layout_curve__") or "zorder"
+        )
         self.backend.save_table(
             df,
             table,
@@ -558,6 +561,7 @@ class SqlProcessor:
             precombine=str(precombine) if precombine else None,
             scd2=scd2,
             bloom_cols=bloom_cols,
+            layout_curve=layout_curve,
             merge_schema=self.vars_context.is_truthy("__merge_schema__"),
             zorder_cols=zorder_cols,
         )

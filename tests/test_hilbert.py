@@ -90,3 +90,42 @@ def test_hilbert_skips_at_least_as_well_as_zorder(spark, tmp_path):
     # stored schema carries no helper column
     names = pq.ParquetFile(sorted(glob.glob(f"{hpath}/*.parquet"))[0]).schema_arrow.names
     assert "__hvalue" not in names
+
+
+def test_output_step_hilbert_layout(spark):
+    """__zorder_by__ + __layout_curve__=hilbert on an output step: the
+    saved table's row groups are bounded in BOTH columns via the Hilbert
+    layout (same contract as the zorder step test)."""
+    import os
+    from urllib.parse import urlparse
+
+    from easy_sql_spark.runtime.processor import SqlProcessor
+
+    spark.sql("drop database if exists hldb cascade")
+    spark.sql("create database hldb")
+    etl = """-- target=variables
+select true as __create_output_table__, 'x|y' as __zorder_by__,
+       'hilbert' as __layout_curve__
+
+-- target=output.hldb.grid
+select cast(id % 100 as double) as x,
+       cast(cast(id / 100 as int) as double) as y,
+       id as payload
+from range(10000)
+"""
+    SqlProcessor(spark, etl, logger=lambda m: None).run()
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    spans = []
+    for f in sorted(glob.glob(os.path.join(wh, "hldb.db", "grid", "*.parquet"))):
+        pf = pq.ParquetFile(f)
+        names = pf.schema_arrow.names
+        ix, iy = names.index("x"), names.index("y")
+        for g in range(pf.metadata.num_row_groups):
+            rg = pf.metadata.row_group(g)
+            spans.append((rg.column(ix).statistics.max - rg.column(ix).statistics.min,
+                          rg.column(iy).statistics.max - rg.column(iy).statistics.min))
+    assert len(spans) >= 8
+    assert np.mean([sx for sx, _ in spans]) <= 45
+    assert np.mean([sy for _, sy in spans]) <= 45
+    t = spark.table("hldb.grid")
+    assert t.count() == 10000 and t.agg({"payload": "sum"}).first()[0] == sum(range(10000))
