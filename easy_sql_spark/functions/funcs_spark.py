@@ -389,6 +389,21 @@ def build(processor):
         )
         backend.create_temp_view(df, view_name)
 
+    def snapshot_wap(
+        root: str, view: str, checks: str, mode: str = "append"
+    ):
+        """Write-audit-publish: stage the view's rows into the snapshot
+        table, audit the STAGED FILES with |-separated SQL predicates,
+        publish only if all pass (failures reap the staging and raise):
+        `func.snapshot_wap(/w/t, batch, id is not null|amount >= 0)`."""
+        m = _snapshot(root).write_audit_publish(
+            spark.table(view),
+            checks=[c.strip() for c in checks.split("|") if c.strip()],
+            mode=mode,
+        )
+        processor.log(f"snapshot_wap({root}, {view}): v{m['version']}")
+        return m["version"]
+
     def snapshot_rollup(
         src_root: str, rollup_root: str, group_cols: str, sum_cols: str
     ):

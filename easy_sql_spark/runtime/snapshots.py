@@ -706,6 +706,65 @@ class SnapshotTable:
 
         return self._commit_loop(build)
 
+    def write_audit_publish(
+        self,
+        df: DataFrame,
+        checks: list[str],
+        mode: str = "append",
+        extra: dict | None = None,
+    ) -> dict:
+        """WAP (write-audit-publish, the Iceberg staging pattern): stage
+        the batch's files, AUDIT them with SQL predicates evaluated over
+        the staged data exactly as written (not the input plan — what
+        the files actually contain is what readers will see), and only
+        then publish the manifest.  A failed check deletes the staged
+        dirs and raises ``ValueError`` with per-check violation counts;
+        readers never observe the bad data because visibility IS the
+        manifest.
+
+        ``checks``: SQL boolean expressions every row must satisfy,
+        e.g. ``["id is not null", "amount >= 0"]``.  Cost: the staged
+        write plus ONE aggregate scan of the staged files (all checks
+        counted in a single pass)."""
+        latest = self.latest_version()
+        parent = self.manifest(latest) if latest else None
+        pby = self._resolve_partition_by(parent, None)
+        self._check_schema_evolution(parent, df)
+        commit, dirs = self._stage(df, pby, latest + 1)
+        staged = self._read_dirs(dirs, df.schema, pby) if dirs else df.limit(0)
+        counts = staged.agg(
+            *[
+                F.sum(
+                    F.when(~F.coalesce(F.expr(c), F.lit(False)), 1).otherwise(0)
+                ).alias(f"c{i}")
+                for i, c in enumerate(checks)
+            ]
+        ).first()
+        violations = {
+            checks[i]: int(counts[f"c{i}"] or 0) for i in range(len(checks))
+        }
+        bad = {c: n for c, n in violations.items() if n > 0}
+        if bad:
+            self.fs.delete(f"{self.data_dir}/{commit}")
+            raise ValueError(f"write_audit_publish rejected: {bad}")
+
+        def build(parent_m, version):
+            m = self._base_manifest(
+                version, parent_m, f"wap_{mode}", df, pby, extra
+            )
+            m["added"] = dirs
+            if mode == "append":
+                m["live"] = (parent_m["live"] if parent_m else []) + dirs
+            elif mode == "overwrite":
+                m["live"] = list(dirs)
+                m["removed"] = parent_m["live"] if parent_m else []
+            else:
+                raise ValueError(f"wap mode {mode!r} (append|overwrite)")
+            self._merge_stats(m, parent_m, dirs)
+            return m
+
+        return self._commit_loop(build)
+
     def compact(self, target_mb: int = 128) -> dict:
         """OPTIMIZE: rewrite the CURRENT live set as one fresh commit —
         append-heavy / streaming snapshot tables accumulate one commit

@@ -746,3 +746,35 @@ select cast(1 as long) as query_id,
     nn = spark.table("nn").collect()
     assert len(nn) == 5 and all(r.query_id == 1 for r in nn)
     assert [r.rank for r in sorted(nn, key=lambda r: r.rank)] == [1, 2, 3, 4, 5]
+
+
+def test_write_audit_publish(spark, root):
+    """WAP: a failed audit leaves NO trace (no version, staged dirs
+    reaped); a passing audit publishes atomically."""
+    t = SnapshotTable(spark, root)
+    t.create(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="rejected.*id is not null"):
+        t.write_audit_publish(
+            spark.createDataFrame([(None, "x"), (3, "c")], "id int, v string"),
+            checks=["id is not null", "v <> ''"],
+        )
+    assert t.latest_version() == 1  # nothing published
+    # staged commit dir was deleted, not left as an orphan
+    assert all(
+        d.startswith("commit=1-")
+        for d in t.fs.list_names(f"{root}/data")
+    )
+
+    t.write_audit_publish(
+        _df(spark, [(2, "b"), (3, "c")]),
+        checks=["id is not null", "id > 0"],
+    )
+    assert t.latest_version() == 2
+    assert sorted(r.id for r in t.read().collect()) == [1, 2, 3]
+    assert t.manifest(2)["operation"] == "wap_append"
+    # NULL check result counts as a violation (coalesce false), not a pass
+    with pytest.raises(ValueError, match="rejected"):
+        t.write_audit_publish(
+            spark.createDataFrame([(4, None)], "id int, v string"),
+            checks=["length(v) > 0"],
+        )
