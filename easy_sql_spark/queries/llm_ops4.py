@@ -1993,3 +1993,98 @@ def snapshot_incremental_rollup(spark, sf_dir):
         )
         .orderBy("g")
     )
+
+
+@query(
+    "events_resample_ffill",
+    oracle="""
+    WITH scoped AS (
+        SELECT user_id, ts, value FROM events WHERE user_id <= 20),
+    bounds AS (
+        SELECT user_id,
+               date_trunc('hour', MIN(ts)) AS h0,
+               date_trunc('hour', MAX(ts)) AS h1
+        FROM scoped GROUP BY user_id),
+    grid AS (
+        SELECT user_id, CAST(h AS TIMESTAMP) AS bucket
+        FROM bounds, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS t(h)),
+    agg AS (
+        SELECT user_id, date_trunc('hour', ts) AS bucket,
+               ROUND(SUM(value), 2) AS v, COUNT(*) AS n
+        FROM scoped GROUP BY user_id, date_trunc('hour', ts)),
+    joined AS (
+        SELECT g.user_id, g.bucket, a.v, COALESCE(a.n, 0) AS n
+        FROM grid g LEFT JOIN agg a
+          ON a.user_id = g.user_id AND a.bucket = g.bucket),
+    filled AS (
+        SELECT user_id, bucket, n,
+               COALESCE(v, LAST_VALUE(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS v
+        FROM joined)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           strftime(bucket, '%Y-%m-%d %H:00') AS bucket,
+           CAST(v AS DOUBLE) AS v_filled,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(CASE WHEN n = 0 THEN 1 ELSE 0 END AS INT) AS gap
+    FROM filled ORDER BY user_id, bucket
+    """,
+)
+def events_resample_ffill(spark, sf_dir):
+    """Time-series resampling: per user, hourly buckets over the user's
+    OWN [first, last] span (sequence-generated grid — empty hours appear
+    as rows), hour sums rounded, and gaps FORWARD-FILLED with the last
+    observed value (``last(v, ignorenulls)`` over an unbounded-preceding
+    frame — the standard ffill idiom).  The regular-grid + ffill shape
+    is what every downstream window model consumes; DuckDB replays it
+    with LAST_VALUE IGNORE NULLS.
+
+    Scale: grid generation is a per-user ``sequence`` explode (narrow,
+    proportional to the OUTPUT), the hour aggregate is map-side
+    combined, and the join + ffill window share one user_id
+    partitioning — no per-gap self-joins, no driver loops."""
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") <= 20)
+        .select("user_id", "ts", "value")
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("bucket"),
+    )
+    agg = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        F.round(F.sum("value"), 2).alias("v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    joined = grid.join(agg, ["user_id", "bucket"], "left").withColumn(
+        "n", F.coalesce("n", F.lit(0))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        joined.withColumn(
+            "v_filled",
+            F.coalesce("v", F.last("v", ignorenulls=True).over(w)),
+        )
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.date_format("bucket", "yyyy-MM-dd HH:00").alias("bucket"),
+            F.col("v_filled").cast("double"),
+            F.col("n").cast("bigint").alias("n_events"),
+            F.when(F.col("n") == 0, 1).otherwise(0).cast("int").alias("gap"),
+        )
+        .orderBy("user_id", "bucket")
+    )
