@@ -58,7 +58,9 @@ FAMILIES: dict[str, list[str]] = {
         "events_funnel",
         "events_retention_cohorts",
         "events_daily_anomaly",
+        "events_resample_ffill",
     ],
+    "graph": ["graph_pagerank"],
     "multimodal": [
         "mm_decode_stats",
         "mm_wav_roundtrip_stats",

@@ -1,0 +1,99 @@
+"""Model-based randomized testing of the snapshot table: a seeded
+sequence of append / overwrite / dynamic-overwrite / merge / delete /
+rollback operations is mirrored against a plain in-memory model, and
+after every step the table's read() must equal the model — plus every
+historical version must still replay exactly (time travel is part of
+the contract, so the model keeps its own history)."""
+
+import random
+import shutil
+
+import pytest
+
+from easy_sql_spark.runtime.snapshots import SnapshotTable
+
+
+@pytest.fixture()
+def root(tmp_path):
+    yield str(tmp_path / "model")
+    shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        [(i, v, p) for i, v, p in rows], "id int, v int, p string"
+    )
+
+
+def _read(t, version=None):
+    return {(r.id, r.v, r.p) for r in t.read(version=version).collect()}
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_random_op_sequences_match_model(spark, root, seed):
+    rng = random.Random(seed)
+    t = SnapshotTable(spark, root + str(seed))
+    model: dict[int, tuple[int, str]] = {}
+    history: list[set] = []  # model state after each committed version
+
+    def snap():
+        history.append({(i, v, p) for i, (v, p) in model.items()})
+
+    def fresh_rows(n, lo):
+        return [
+            (lo + i, rng.randrange(100), rng.choice("xyz")) for i in range(n)
+        ]
+
+    seed_rows = fresh_rows(6, 0)
+    t.create(_mk(spark, seed_rows), partition_by=["p"])
+    for i, v, p in seed_rows:
+        model[i] = (v, p)
+    snap()
+
+    next_id = 100
+    for step in range(10):
+        op = rng.choice(["append", "overwrite_partitions", "merge",
+                         "delete", "rollback"])
+        if op == "append":
+            rows = fresh_rows(rng.randrange(1, 4), next_id)
+            next_id += 10
+            t.append(_mk(spark, rows))
+            for i, v, p in rows:
+                model[i] = (v, p)
+        elif op == "overwrite_partitions":
+            part = rng.choice("xyz")
+            rows = [(next_id + j, rng.randrange(100), part) for j in range(2)]
+            next_id += 10
+            t.overwrite_partitions(_mk(spark, rows))
+            for i in [i for i, (_, p) in model.items() if p == part]:
+                del model[i]
+            for i, v, p in rows:
+                model[i] = (v, p)
+        elif op == "merge":
+            # update one existing id (if any) + insert one new
+            rows = []
+            if model:
+                upd = rng.choice(sorted(model))
+                rows.append((upd, rng.randrange(100), model[upd][1]))
+            rows.append((next_id, rng.randrange(100), rng.choice("xyz")))
+            next_id += 10
+            t.merge(_mk(spark, rows), keys=["id"])
+            for i, v, p in rows:
+                model[i] = (v, p)
+        elif op == "delete":
+            cut = rng.randrange(20, 90)
+            t.delete_where([("v", "<", cut)])
+            for i in [i for i, (v, _) in model.items() if v < cut]:
+                del model[i]
+        else:  # rollback to a random earlier version
+            target = rng.randrange(1, len(history) + 1)
+            t.rollback(target)
+            model = {
+                i: (v, p) for i, v, p in history[target - 1]
+            }
+        snap()
+        assert _read(t) == history[-1], (seed, step, op)
+
+    # the whole history is still time-travelable and exact
+    for ver, want in enumerate(history, start=1):
+        assert _read(t, version=ver) == want, (seed, ver)
