@@ -880,6 +880,21 @@ class SnapshotTable:
             if rng is None or rng[0] is None or rng[1] is None:
                 continue
             mn, mx = rng
+            if op == "in":
+                vals = [
+                    float(v) if isinstance(v, _dec.Decimal) else v
+                    for v in (val if isinstance(val, (list, tuple, set)) else [val])
+                ]
+                comparable = [
+                    v for v in vals
+                    if isinstance(mn, str) == isinstance(v, str)
+                    and isinstance(mn, bool) == isinstance(v, bool)
+                ]
+                if len(comparable) < len(vals):
+                    continue  # incomparable member: cannot prove exclusion
+                if not any(mn <= v <= mx for v in comparable):
+                    return False
+                continue
             if isinstance(val, _dec.Decimal):
                 val = float(val)
             # mixed-type ranges (str stats vs numeric predicate or vice
@@ -906,7 +921,8 @@ class SnapshotTable:
         """The table at a version (default: latest) or the newest version
         with commit ts ≤ ``as_of`` (epoch seconds).
 
-        ``where`` — [(col, op, value), …] with op in <, <=, >, >=, = —
+        ``where`` — [(col, op, value), …] with op in <, <=, >, >=, =, in
+        (value: a list for ``in``) —
         prunes live dirs against the manifest's per-dir min/max stats
         BEFORE Spark lists a single file (the same predicates must still
         be applied to the returned frame; manifest pruning is a superset

@@ -778,3 +778,24 @@ def test_write_audit_publish(spark, root):
             spark.createDataFrame([(4, None)], "id int, v string"),
             checks=["length(v) > 0"],
         )
+
+
+def test_read_where_in_pruning(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(spark.sql("select 1 id, 5 k"), stats_cols=["k"])
+    t.append(spark.sql("select 2 id, 50 k union all select 3, 60"))
+    files_lo = set(t.read(where=[("k", "in", [5])]).inputFiles())
+    files_hi = set(t.read(where=[("k", "in", [55, 99])]).inputFiles())
+    assert files_lo and files_hi and files_lo.isdisjoint(files_hi)
+    # superset guarantee: predicate still applied by the caller
+    from pyspark.sql import functions as F
+
+    got = sorted(
+        r.id
+        for r in t.read(where=[("k", "in", [50, 60])])
+        .where(F.col("k").isin(50, 60))
+        .collect()
+    )
+    assert got == [2, 3]
+    # incomparable member: never prunes (conservative)
+    assert sorted(r.id for r in t.read(where=[("k", "in", ["zzz"])]).collect()) == [1, 2, 3]
