@@ -1078,6 +1078,7 @@ class SnapshotTable:
         self,
         retain_versions: int = 1,
         min_age_seconds: float = _ORPHAN_MIN_AGE_S,
+        dry_run: bool = False,
     ) -> dict:
         """Physically delete data dirs referenced ONLY by versions older
         than the retained window (latest ``retain_versions`` versions
@@ -1096,7 +1097,11 @@ class SnapshotTable:
           stage happens before the manifest lands), so it is deleted
           only when older than ``min_age_seconds`` — default 24h, cf.
           Delta's VACUUM retention.  Pass 0 explicitly (single-writer
-          test/dev) to reap young orphans."""
+          test/dev) to reap young orphans.
+
+        ``dry_run=True`` reports exactly what WOULD go (counts + paths)
+        without touching anything — run it before the real vacuum, the
+        operational habit every destructive maintenance op deserves."""
         existing = self.existing_versions()
         latest = max(existing, default=0)
         keep_from = max(1, latest - retain_versions + 1)
@@ -1112,13 +1117,16 @@ class SnapshotTable:
         ever_commits = {d.split("/", 1)[0] for d in ever}
 
         deleted_dirs = 0
+        doomed_paths: list[str] = []
         now = self.fs.now()
         for commit in self.fs.list_names(self.data_dir):
             cpath = f"{self.data_dir}/{commit}"
             if commit not in ref_commits:
                 committed_expired = commit in ever_commits
                 if committed_expired or now - self.fs.mtime(cpath) >= min_age_seconds:
-                    self.fs.delete(cpath)
+                    doomed_paths.append(cpath)
+                    if not dry_run:
+                        self.fs.delete(cpath)
                     deleted_dirs += 1
                 continue
             # commit partially live (dynamic overwrite replaced some
@@ -1128,7 +1136,9 @@ class SnapshotTable:
                 for leaf in self.fs.leaf_dirs(cpath, part_depth):
                     rel = f"{commit}/{leaf}"
                     if rel not in referenced:
-                        self.fs.delete(f"{cpath}/{leaf}")
+                        doomed_paths.append(f"{cpath}/{leaf}")
+                        if not dry_run:
+                            self.fs.delete(f"{cpath}/{leaf}")
                         deleted_dirs += 1
 
         # park batch state from manifests about to be deleted: new-format
@@ -1146,16 +1156,19 @@ class SnapshotTable:
             if m.get("stream_key") is not None and m.get("batch_id") is not None:
                 k = str(m["stream_key"])
                 carry[k] = max(int(m["batch_id"]), carry.get(k, -(1 << 62)))
-        if carry:
+        if carry and not dry_run:
             self.fs.delete(sidecar)
             self.fs.create_atomic(sidecar, json.dumps(carry).encode())
 
         removed_manifests = 0
         for v in doomed:
-            self.fs.delete(self._manifest_path(v))
+            if not dry_run:
+                self.fs.delete(self._manifest_path(v))
             removed_manifests += 1
         return {
             "deleted_dirs": deleted_dirs,
             "deleted_manifests": removed_manifests,
             "retained_from_version": keep_from,
+            "dry_run": dry_run,
+            "paths": sorted(doomed_paths),
         }

@@ -98,13 +98,22 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
         self._start = (
             int(start) if start is not None else _latest_version(self.root)
         )
+        # backlog admission control: at most N source versions per
+        # micro-batch, so a consumer restarting after a long gap drains
+        # the backlog in bounded batches instead of one giant one
+        mvpb = options.get("max_versions_per_batch")
+        self._max_versions = int(mvpb) if mvpb is not None else None
+        self._committed = self._start
         self.schema = schema
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
-        return {"version": _latest_version(self.root)}
+        latest = _latest_version(self.root)
+        if self._max_versions is not None:
+            latest = min(latest, self._committed + self._max_versions)
+        return {"version": latest}
 
     def partitions(self, start: dict, end: dict):
         v0, v1 = int(start["version"]), int(end["version"])
@@ -188,7 +197,7 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
             yield pa.RecordBatch.from_arrays(cols, names=names)
 
     def commit(self, end: dict) -> None:
-        pass
+        self._committed = max(self._committed, int(end["version"]))
 
 
 class SnapshotChangeFeedDataSource(DataSource):

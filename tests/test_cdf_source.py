@@ -97,3 +97,31 @@ def test_cdf_stream_vacuumed_offset_is_loud(spark, root, tmp_path):
     with pytest.raises(Exception, match="vacuumed"):
         _drain(spark, root, tmp_path / "vo", tmp_path / "vc",
                starting_version=1)
+
+
+def test_cdf_reader_rate_limits_backlog():
+    """Pure reader-level check (no Spark needed): with
+    max_versions_per_batch=1 and a 3-version backlog, latestOffset
+    advances one version per commit cycle."""
+    import json
+    import os
+    import tempfile
+
+    from easy_sql_spark.streaming.cdf_source import SnapshotCDFStreamReader
+
+    root = tempfile.mkdtemp(prefix="cdf_rl_")
+    os.makedirs(os.path.join(root, "_manifests"))
+    for v in range(1, 5):
+        with open(os.path.join(root, "_manifests", "v%08d.json" % v), "w") as f:
+            json.dump({"version": v, "operation": "append", "live": [],
+                       "partition_cols": [], "schema": '{"type":"struct","fields":[]}'}, f)
+    r = SnapshotCDFStreamReader(None, {
+        "root": root, "starting_version": "1", "max_versions_per_batch": "1"})
+    assert r.initialOffset() == {"version": 1}
+    seen = []
+    for _ in range(3):
+        end = r.latestOffset()
+        seen.append(end["version"])
+        r.commit(end)
+    assert seen == [2, 3, 4]
+    assert r.latestOffset() == {"version": 4}  # caught up, stays put

@@ -799,3 +799,18 @@ def test_read_where_in_pruning(spark, root):
     assert got == [2, 3]
     # incomparable member: never prunes (conservative)
     assert sorted(r.id for r in t.read(where=[("k", "in", ["zzz"])]).collect()) == [1, 2, 3]
+
+
+def test_vacuum_dry_run_touches_nothing(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_df(spark, [(1, "a")]))
+    t.overwrite(_df(spark, [(2, "b")]))
+    before = set(t.fs.list_names(f"{root}/data"))
+    rep = t.vacuum(retain_versions=1, min_age_seconds=0, dry_run=True)
+    assert rep["dry_run"] and rep["deleted_dirs"] == 1 and rep["paths"]
+    assert set(t.fs.list_names(f"{root}/data")) == before  # nothing gone
+    assert t.latest_version() == 2 and len(t.existing_versions()) == 2
+    # the real run deletes exactly what the dry run listed
+    rep2 = t.vacuum(retain_versions=1, min_age_seconds=0)
+    assert rep2["paths"] == rep["paths"]
+    assert len(set(t.fs.list_names(f"{root}/data"))) == 1
