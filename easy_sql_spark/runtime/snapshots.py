@@ -586,6 +586,14 @@ class SnapshotTable:
                 )
         source = source.localCheckpoint(eager=True)
         src_keys = source.select(*keys).distinct().localCheckpoint(eager=True)
+        # broadcast the key set only while it plausibly fits an executor;
+        # a bulk backfill merge beyond that degrades to a shuffled
+        # semi/anti join — slower but correct, never an OOM (same
+        # regime split Delta's merge makes)
+        n_keys = src_keys.count()
+        key_side = (
+            F.broadcast(src_keys) if n_keys <= 5_000_000 else src_keys
+        )
 
         # probe: which live dirs hold a matched key?  Column-pruned scan
         # (keys only) + broadcast semi-join; dir identity via file path.
@@ -601,12 +609,12 @@ class SnapshotTable:
         hit_dirs = sorted(
             r["__dir"]
             for r in target.withColumn("__dir", dir_expr)
-            .join(F.broadcast(src_keys), keys, "left_semi")
+            .join(key_side, keys, "left_semi")
             .select("__dir").distinct().collect()
         )
         survivors = self._read_dirs(
             hit_dirs, schema0, parent0["partition_cols"]
-        ).join(F.broadcast(src_keys), keys, "left_anti")
+        ).join(key_side, keys, "left_anti")
         # additive evolution: new source columns read NULL from survivors
         for f in source.schema.fields:
             if f.name not in {x.name for x in schema0.fields}:
