@@ -231,12 +231,16 @@ def build(processor):
             )
         processor.log(f"analyze_table({table}): stats collected")
 
-    def zorder_table(table: str, cols: str):
-        """Maintenance: rewrite a table z-order-clustered on |-separated
-        columns (multi-dim data skipping) — `func.zorder_table(db.t, a|b)`."""
+    def zorder_table(table: str, cols: str, curve: str = "zorder"):
+        """Maintenance: rewrite a table curve-clustered on |-separated
+        columns (multi-dim data skipping) — `func.zorder_table(db.t, a|b)`
+        or `func.zorder_table(db.t, a|b, hilbert)` for the measured-
+        tighter Hilbert layout (operators/hilbert.py, <= 2 cols)."""
         col_list = [c.strip() for c in str(cols).split("|") if c.strip()]
-        n = processor.backend.zorder_table(table, col_list)
-        processor.log(f"zorder_table({table}, {col_list}): {n} rows rewritten")
+        n = processor.backend.zorder_table(table, col_list, curve=curve)
+        processor.log(
+            f"zorder_table({table}, {col_list}, {curve}): {n} rows rewritten"
+        )
         return n
 
     def compact_table(table: str, target_mb: str = "128", min_files: str = "4"):

@@ -826,7 +826,9 @@ class SparkBackend:
             "files_after": sum(s["files"] for s in after.values()),
         }
 
-    def zorder_table(self, table_name: str, zorder_cols: list[str]) -> int:
+    def zorder_table(
+        self, table_name: str, zorder_cols: list[str], curve: str = "zorder"
+    ) -> int:
         """OPTIMIZE-ZORDER maintenance: rewrite an EXISTING table with its
         rows z-order-clustered on ``zorder_cols`` (see _zorder_for_insert)
         — run after bulk loads to make multi-dimensional selective scans
@@ -843,7 +845,7 @@ class SparkBackend:
         )
         df = self.spark.table(table_name).localCheckpoint(eager=True)
         n = df.count()
-        clustered = self._zorder_for_insert(df, meta, zorder_cols)
+        clustered = self._zorder_for_insert(df, meta, zorder_cols, curve=curve)
         clustered.write.insertInto(table_name, overwrite=True)
         self.spark.sql(f"REFRESH TABLE {table_name}")
         return n
