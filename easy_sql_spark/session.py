@@ -71,14 +71,30 @@ def build_session(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    register_data_sources(spark)
     return spark
 
 
 def tune_session(spark: SparkSession) -> SparkSession:
-    """Apply the runtime-settable engine defaults to an existing session."""
+    """Apply the runtime-settable engine defaults to an existing session,
+    and register the engine's Python data sources (``warc``,
+    ``snapshot_cdf``) so reads work without per-script boilerplate."""
     for k in _RUNTIME_SETTABLE:
         try:
             spark.conf.set(k, SESSION_DEFAULTS[k])
         except Exception:  # pragma: no cover - conf locked down
             pass
+    register_data_sources(spark)
     return spark
+
+
+def register_data_sources(spark: SparkSession) -> None:
+    """Idempotently register format("warc") and format("snapshot_cdf")."""
+    try:
+        from .sources.warc_source import WarcDataSource
+        from .streaming.cdf_source import SnapshotChangeFeedDataSource
+
+        spark.dataSource.register(WarcDataSource)
+        spark.dataSource.register(SnapshotChangeFeedDataSource)
+    except Exception:  # pragma: no cover - API absent on old runtimes
+        pass
