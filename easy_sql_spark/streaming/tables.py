@@ -6,6 +6,7 @@ connector YAML, test/sample_etl.flink_tables_file.yml)::
     sources:
       - name: events_stream
         format: rate            # rate | parquet | json | csv | kafka | socket
+                                # | snapshot_cdf (options: root, …)
         options: {rowsPerSecond: "50"}
         schema: "a int, b string"      # required for file formats
         event_time: {name: ts, from: epoch_s}   # derive a timestamp col

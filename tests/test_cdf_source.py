@@ -125,3 +125,35 @@ def test_cdf_reader_rate_limits_backlog():
         r.commit(end)
     assert seen == [2, 3, 4]
     assert r.latestOffset() == {"version": 4}  # caught up, stays put
+
+
+def test_cdf_source_via_streaming_yaml_config(spark, root, tmp_path):
+    """format: snapshot_cdf works as a step-language streaming SOURCE
+    (the generic reader + session auto-registration compose)."""
+    from easy_sql_spark.streaming.tables import StreamingTables
+
+    t = SnapshotTable(spark, root)
+    t.create(_df(spark, [(1, "a", "x")]), ["p"])
+    t.append(_df(spark, [(2, "b", "y")]))
+    config = {
+        "sources": [{
+            "name": "cdf_stream",
+            "format": "snapshot_cdf",
+            "options": {"root": root, "starting_version": 0},
+        }],
+        "sinks": [{
+            "name": "out",
+            "format": "parquet",
+            "trigger": "availableNow",
+            "checkpoint": str(tmp_path / "yck"),
+            "options": {"path": str(tmp_path / "yout")},
+        }],
+    }
+    st = StreamingTables(spark, config)
+    st.register_sources()
+    q = st.start_insert(spark.table("cdf_stream"), "out")
+    assert q.awaitTermination(240), "query still running"
+    q.stop()
+    rows = {(r.id, r._change_type, r._commit_version)
+            for r in spark.read.parquet(str(tmp_path / "yout")).collect()}
+    assert rows == {(1, "insert", 2), (2, "insert", 2)}
