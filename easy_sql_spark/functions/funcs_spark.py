@@ -297,8 +297,16 @@ def build(processor):
 
     def snapshot_rollback(root: str, version: str):
         """RESTORE the snapshot table to an earlier version (rolls
-        forward — the bad versions stay until vacuum)."""
-        m = _snapshot(root).rollback(int(version))
+        forward — the bad versions stay until vacuum).  ``version`` may
+        be an integer version or an epoch-seconds timestamp prefixed
+        ``ts:`` (restores the newest version at or before it)."""
+        t = _snapshot(root)
+        v = (
+            t.version_at(float(version[3:]))
+            if str(version).startswith("ts:")
+            else int(version)
+        )
+        m = t.rollback(v)
         processor.log(f"snapshot_rollback({root}, {version}): v{m['version']}")
 
     def snapshot_compact(root: str, target_mb: str = "128"):
@@ -373,6 +381,19 @@ def build(processor):
             f"rewrote {len(mf['removed'])} dirs"
         )
         return mf["version"]
+
+    def snapshot_changes(
+        root: str, view_name: str, from_version: str, to_version: str = ""
+    ):
+        """Batch change feed as a temp view: net insert/delete rows with
+        _change_type between two versions —
+        `func.snapshot_changes(/w/t, delta_view, 3, 7)` (omit the end
+        for latest)."""
+        df = _snapshot(root).changes(
+            int(from_version),
+            int(to_version) if to_version != "" else None,
+        )
+        backend.create_temp_view(df, view_name)
 
     def snapshot_history(root: str, view_name: str):
         """DESCRIBE HISTORY analogue: the version log of surviving

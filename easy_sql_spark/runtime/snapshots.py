@@ -804,6 +804,17 @@ class SnapshotTable:
             else:
                 self.spark.conf.set(advisory, prev)
 
+    def version_at(self, as_of: float) -> int:
+        """Newest surviving version with commit ts <= ``as_of``."""
+        v = max(
+            (x for x in self.existing_versions()
+             if self.manifest(x)["ts"] <= as_of),
+            default=None,
+        )
+        if v is None:
+            raise ValueError(f"no version at or before ts={as_of}")
+        return v
+
     def rollback(self, version: int) -> dict:
         """RESTORE: commit a NEW version whose live set is version N's —
         history rolls forward (the bad versions stay inspectable until

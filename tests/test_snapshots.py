@@ -814,3 +814,21 @@ def test_vacuum_dry_run_touches_nothing(spark, root):
     rep2 = t.vacuum(retain_versions=1, min_age_seconds=0)
     assert rep2["paths"] == rep["paths"]
     assert len(set(t.fs.list_names(f"{root}/data"))) == 1
+
+
+def test_rollback_by_timestamp_and_changes_step_func(spark, root):
+    from easy_sql_spark.runtime.processor import SqlProcessor
+
+    t = SnapshotTable(spark, root)
+    t.create(_df(spark, [(1, "a")]))
+    ts_after_v1 = t.manifest(1)["ts"]
+    t.overwrite(_df(spark, [(9, "z")]))
+
+    etl = f"""-- target=func.snapshot_changes({root}, delta_v, 1, 2)
+-- target=func.snapshot_rollback({root}, ts:{ts_after_v1})
+-- target=func.snapshot_view({root}, after_rb)
+"""
+    SqlProcessor(spark, etl, logger=lambda m: None).run()
+    delta = {(r.id, r._change_type) for r in spark.table("delta_v").collect()}
+    assert delta == {(9, "insert"), (1, "delete")}
+    assert {(r.id, r.v) for r in spark.table("after_rb").collect()} == {(1, "a")}
