@@ -2088,3 +2088,92 @@ def events_resample_ffill(spark, sf_dir):
         )
         .orderBy("user_id", "bucket")
     )
+
+
+EDIT_PREFIX = 160
+EDIT_MAX = 40
+
+
+@query(
+    "dedup_edit_distance_verify",
+    oracle=f"""
+    WITH shingles AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents WHERE doc_id <= 1500),
+             UNNEST(range(1, len(w) - 1)) AS t(i)
+        WHERE len(w) >= 3),
+    sigs AS (SELECT doc_id,
+                    MIN(md5('0|' || sh)) AS h0, MIN(md5('1|' || sh)) AS h1,
+                    MIN(md5('2|' || sh)) AS h2, MIN(md5('3|' || sh)) AS h3
+             FROM shingles GROUP BY doc_id),
+    bands AS (SELECT doc_id, md5(h0 || h1 || h2 || h3) AS band FROM sigs),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.doc_id < b.doc_id),
+    verified AS (
+        SELECT c.doc_a, c.doc_b,
+               levenshtein(substr(ta.text, 1, {EDIT_PREFIX}),
+                           substr(tb.text, 1, {EDIT_PREFIX})) AS dist
+        FROM cand c
+        JOIN documents ta ON ta.doc_id = c.doc_a
+        JOIN documents tb ON tb.doc_id = c.doc_b)
+    SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+           CAST(dist AS INT) AS edit_dist,
+           CAST(CASE WHEN dist <= {EDIT_MAX} THEN 1 ELSE 0 END AS INT)
+               AS is_dup
+    FROM verified ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_edit_distance_verify(spark, sf_dir):
+    """LSH candidates VERIFIED by edit distance — the verify stage a
+    precision-sensitive dedup adds after banding (jaccard treats
+    reorderings as similar; levenshtein does not).  One aggressive band
+    (all 4 signatures) proposes candidates; each pair is scored with
+    ``levenshtein`` over a bounded prefix (the O(len^2) DP cost is the
+    reason real pipelines cap the compare window — the bound is part of
+    the operator's contract, not a shortcut).  Both engines implement
+    the same integer DP, so distances match exactly.
+
+    Scale: candidates come from the band equi-join (never all-pairs);
+    the verify is a narrow map over candidate pairs joined back to the
+    two bounded text prefixes."""
+    from .llm_ops import minhash_bands
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") <= 1500
+    )
+    bands = (
+        minhash_bands(docs, n_hashes=4, n_bands=1)
+        .select("doc_id", "band")
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), "band")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+    )
+    pa = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.substring("text", 1, EDIT_PREFIX).alias("ta"),
+    )
+    pb = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.substring("text", 1, EDIT_PREFIX).alias("tb"),
+    )
+    return (
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .select(
+            F.col("doc_a").cast("bigint"),
+            F.col("doc_b").cast("bigint"),
+            F.levenshtein("ta", "tb").cast("int").alias("edit_dist"),
+            F.when(F.levenshtein("ta", "tb") <= EDIT_MAX, 1)
+            .otherwise(0).cast("int").alias("is_dup"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
