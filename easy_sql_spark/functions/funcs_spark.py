@@ -320,7 +320,8 @@ def build(processor):
         return m["version"]
 
     def snapshot_vacuum(
-        root: str, retain_versions: str = "1", min_age_seconds: str = ""
+        root: str, retain_versions: str = "1", min_age_seconds: str = "",
+        dry_run: str = "",
     ):
         """Delete data dirs only referenced by versions older than the
         retained window, plus orphaned staging dirs older than
@@ -330,6 +331,8 @@ def build(processor):
         kwargs = {"retain_versions": int(retain_versions)}
         if min_age_seconds != "":
             kwargs["min_age_seconds"] = float(min_age_seconds)
+        if dry_run != "":
+            kwargs["dry_run"] = dry_run.lower() in ("true", "1", "yes")
         rep = _snapshot(root).vacuum(**kwargs)
         processor.log(f"snapshot_vacuum({root}): {rep}")
         return rep["deleted_dirs"]
