@@ -449,6 +449,49 @@ def build(processor):
         processor.log(f"snapshot_rollup({src_root} -> {rollup_root}): {rep}")
         return rep["mode"]
 
+    def snapshot_clone(src_root: str, target_root: str, version: str = ""):
+        """Shallow CLONE: `func.snapshot_clone(/w/t, /w/t_branch)` — a
+        new snapshot table referencing the source's files in place (zero
+        data copied); writes to the clone never touch the source.
+        `func.snapshot_compact` on the clone materializes it."""
+        _snapshot(src_root).clone_to(
+            target_root, version=int(version) if version else None
+        )
+        processor.log(f"snapshot_clone({src_root} -> {target_root})")
+
+    def snapshot_add_constraint(root: str, name: str, expr: str):
+        """ADD CONSTRAINT name CHECK expr: validates existing data (one
+        scan), then every later write enforces the check inside the
+        write job itself: `func.snapshot_add_constraint(/w/t, amt_pos,
+        amount >= 0)`."""
+        m = _snapshot(root).add_constraint(name, expr)
+        processor.log(
+            f"snapshot_add_constraint({root}, {name}): v{m['version']}"
+        )
+
+    def snapshot_drop_constraint(root: str, name: str):
+        """DROP CONSTRAINT (metadata-only commit)."""
+        m = _snapshot(root).drop_constraint(name)
+        processor.log(
+            f"snapshot_drop_constraint({root}, {name}): v{m['version']}"
+        )
+
+    def snapshot_row_count(root: str, partitions: str = "", version: str = ""):
+        """Metadata-only COUNT(*): summed from the manifest's per-dir
+        row counts, no data scanned — `func.snapshot_row_count(/w/t,
+        dt=2024-01-01|dt=2024-01-02)` (partitions optional, values
+        |-separated as col=value)."""
+        parts: dict[str, list] = {}
+        for spec in (s for s in partitions.split("|") if s):
+            c, v = spec.split("=", 1)
+            parts.setdefault(c, []).append(v)
+        n = _snapshot(root).row_count(
+            version=int(version) if version else None,
+            partitions=parts or None,
+        )
+        processor.log(f"snapshot_row_count({root}): {n}")
+        return n
+
     def dedup_index_ingest(root: str, view: str, out_view: str, batch_id: str = ""):
         """Incremental fuzzy dedup against the persistent LSH band index
         at ``root`` (operators/dedup_index.py): `func.dedup_index_ingest(

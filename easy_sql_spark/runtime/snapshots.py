@@ -72,6 +72,11 @@ class SnapshotConflictError(RuntimeError):
     rebased automatically."""
 
 
+class SnapshotConstraintError(ValueError):
+    """A CHECK constraint rejected the batch (or, for
+    ``add_constraint``, the existing table data)."""
+
+
 class _FS:
     """Thin driver-side wrapper over the Hadoop FileSystem API (py4j) —
     the same code path works on file:// and hdfs:// (and any FS with a
@@ -217,27 +222,81 @@ class SnapshotTable:
         return out
 
     # -------------------------------------------------------------- commits
-    def _stage(self, df: DataFrame, partition_by: list[str], version_hint: int) -> tuple[str, list[str]]:
+    @staticmethod
+    def _constrained(df: DataFrame, constraints: dict[str, str] | None) -> DataFrame:
+        """Wrap the batch so the WRITE JOB ITSELF fails on the first row
+        violating a CHECK constraint — the guard rides the write's own
+        projection (nested ``when``/``raise_error`` around the first
+        column), so enforcement costs zero extra passes over the data
+        at any scale.  SQL CHECK semantics: a row passes when the
+        expression is TRUE **or NULL** (UNKNOWN passes, as in the
+        standard and Delta's CHECK constraints)."""
+        if not constraints:
+            return df
+        first = df.schema.fields[0]
+        guard = F.col(first.name)
+        for name, expr in sorted(constraints.items()):
+            viol = ~F.coalesce(F.expr(expr), F.lit(True))
+            guard = F.when(
+                viol,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"snapshot constraint {name!r} violated "
+                            f"(CHECK {expr}): row="
+                        ),
+                        F.substring(F.to_json(F.struct(*df.columns)), 1, 200),
+                    )
+                ).cast(first.dataType),
+            ).otherwise(guard)
+        return df.select(
+            guard.alias(first.name), *df.columns[1:]
+        )
+
+    def _stage(
+        self,
+        df: DataFrame,
+        partition_by: list[str],
+        version_hint: int,
+        constraints: dict[str, str] | None = None,
+    ) -> tuple[str, list[str]]:
         """Write the batch into a fresh commit dir; return (commit dir
-        name, its leaf dirs relative to data/)."""
+        name, its leaf dirs relative to data/).  ``constraints`` are
+        enforced inside the write projection (see :meth:`_constrained`);
+        a violating batch fails the write job and raises
+        :class:`SnapshotConstraintError` (the partial commit dir is an
+        orphan — invisible to readers, reaped by vacuum)."""
         commit = f"commit={version_hint}-{_uuid.uuid4().hex[:12]}"
         path = f"{self.data_dir}/{commit}"
-        writer = df.write.mode("error")
+        writer = self._constrained(df, constraints).write.mode("error")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(path)
+        try:
+            writer.parquet(path)
+        except Exception as e:  # noqa: BLE001 - py4j wraps the raise_error
+            if "snapshot constraint" in str(e):
+                msg = next(
+                    (ln for ln in str(e).splitlines() if "snapshot constraint" in ln),
+                    str(e),
+                )
+                raise SnapshotConstraintError(msg.strip()) from None
+            raise
         leaves = self.fs.leaf_dirs(path, len(partition_by))
         return commit, [f"{commit}/{leaf}" if leaf else commit for leaf in leaves]
 
     def _stage_stats(
         self, commit_dirs: list[str], stats_cols: list[str], partition_by: list[str]
-    ) -> dict[str, dict]:
-        """Per-leaf-dir [min, max] for each stats column, read back from
-        the freshly staged files — ONE small agg job per commit, grouped
-        on the dir path itself (input_file_name → dir), so stats land in
-        the manifest without a second pass over the source plan."""
-        if not stats_cols or not commit_dirs:
-            return {}
+    ) -> tuple[dict[str, dict], dict[str, int]]:
+        """Per-leaf-dir [min, max] for each stats column PLUS the dir's
+        row count, read back from the freshly staged files — ONE small
+        agg job per commit, grouped on the dir path itself
+        (input_file_name → dir), so stats land in the manifest without a
+        second pass over the source plan.  With no stats columns the job
+        projects ZERO data columns (parquet answers it from row-group
+        footers) and only the counts are recorded — they power
+        metadata-only ``row_count`` at any scale."""
+        if not commit_dirs:
+            return {}, {}
         scan = self.spark.read.option("basePath", self.data_dir).parquet(
             *[f"{self.data_dir}/{d}" for d in commit_dirs]
         )
@@ -253,7 +312,7 @@ class SnapshotTable:
         dir_expr = F.regexp_extract(
             F.input_file_name(), f"{esc}/(.+)/[^/]+$", 1
         )
-        aggs = []
+        aggs = [F.count(F.lit(1)).alias("__rows")]
         for c in stats_cols:
             aggs.append(F.min(c).alias(f"__mn_{c}"))
             aggs.append(F.max(c).alias(f"__mx_{c}"))
@@ -281,12 +340,14 @@ class SnapshotTable:
             return v if isinstance(v, (int, float, str, bool, type(None))) else str(v)
 
         out: dict[str, dict] = {}
+        counts: dict[str, int] = {}
         for r in rows:
+            counts[r["__dir"]] = int(r["__rows"])
             out[r["__dir"]] = {
                 c: [plain(r[f"__mn_{c}"], -1), plain(r[f"__mx_{c}"], +1)]
                 for c in stats_cols
             }
-        return out
+        return out, counts
 
     def _try_commit(self, manifest: dict) -> bool:
         body = json.dumps(manifest, indent=1).encode()
@@ -320,6 +381,9 @@ class SnapshotTable:
         }
         m["stats_cols"] = (parent or {}).get("stats_cols", [])
         m["stats"] = {}
+        constraints = (parent or {}).get("constraints") or {}
+        if constraints:
+            m["constraints"] = dict(constraints)
         m.update(extra or {})
         # cumulative per-stream last-committed batch id (Delta's txn
         # appId→version idiom): carried through EVERY commit, so replay
@@ -359,20 +423,35 @@ class SnapshotTable:
     def _merge_stats(
         self, m: dict, parent: dict | None, staged_dirs: list[str]
     ) -> None:
-        """Manifest stats: parent's entries for still-live dirs carry
-        forward; staged dirs get ONE small agg job over the fresh files."""
+        """Manifest per-dir metadata: parent's entries for still-live
+        dirs carry forward (stats, row counts, external-base mappings
+        from shallow clones); staged dirs get ONE small agg job over the
+        fresh files."""
         cols = m.get("stats_cols") or []
-        if not cols:
-            return
-        carried = {
-            d: s
-            for d, s in ((parent or {}).get("stats", {})).items()
-            if d in set(m["live"])
+        live = set(m["live"])
+        stats, counts = self._stage_stats(staged_dirs, cols, m["partition_cols"])
+        if cols:
+            carried = {
+                d: s
+                for d, s in ((parent or {}).get("stats", {})).items()
+                if d in live
+            }
+            carried.update(stats)
+            m["stats"] = carried
+        rows = {
+            d: n
+            for d, n in ((parent or {}).get("rows", {})).items()
+            if d in live
         }
-        carried.update(
-            self._stage_stats(staged_dirs, cols, m["partition_cols"])
-        )
-        m["stats"] = carried
+        rows.update(counts)
+        m["rows"] = rows
+        ext = {
+            d: b
+            for d, b in ((parent or {}).get("external", {})).items()
+            if d in live
+        }
+        if ext:
+            m["external"] = ext
 
     def _resolve_partition_by(self, parent: dict | None, partition_by: list[str] | None) -> list[str]:
         if parent is not None:
@@ -404,6 +483,224 @@ class SnapshotTable:
                 "if you really mean to drop)"
             )
 
+    # ---------------------------------------------------------- constraints
+    def _audit_dirs(
+        self,
+        dirs: list[str],
+        constraints: dict[str, str],
+        schema: StructType,
+        part_cols: list[str],
+        external: dict | None = None,
+    ) -> None:
+        """ONE aggregate pass over ``dirs`` counting violations of every
+        constraint; raises :class:`SnapshotConstraintError` with per-
+        constraint counts if any row fails.  NULL passes (SQL CHECK)."""
+        if not constraints or not dirs:
+            return
+        scan = self._read_dirs(dirs, schema, part_cols, external)
+        names = sorted(constraints)
+        counts = scan.agg(
+            *[
+                F.sum(
+                    F.when(
+                        ~F.coalesce(F.expr(constraints[n]), F.lit(True)), 1
+                    ).otherwise(0)
+                ).alias(f"c{i}")
+                for i, n in enumerate(names)
+            ]
+        ).first()
+        bad = {
+            names[i]: int(counts[f"c{i}"] or 0)
+            for i in range(len(names))
+            if int(counts[f"c{i}"] or 0) > 0
+        }
+        if bad:
+            raise SnapshotConstraintError(
+                f"constraint violation counts over existing data: {bad}"
+            )
+
+    def _recheck_constraints(
+        self, staged: dict, parent: dict | None, schema: StructType, pby: list[str]
+    ) -> None:
+        """Rebase safety: a concurrent ``add_constraint`` may have landed
+        between our stage and this commit attempt — audit the staged
+        files for exactly the DELTA constraints (one agg pass, rare
+        path), so the published manifest's constraints always hold over
+        its live set."""
+        current = (parent or {}).get("constraints") or {}
+        fresh = {
+            k: v
+            for k, v in current.items()
+            if staged.get("constraints", {}).get(k) != v
+        }
+        if fresh:
+            self._audit_dirs(staged["dirs"], fresh, schema, pby)
+            staged.setdefault("constraints", {}).update(fresh)
+
+    def _metadata_commit(self, op: str, mutate) -> dict:
+        """Commit a new version that changes ONLY table metadata —
+        ``mutate(manifest, parent)`` edits the manifest in place; live
+        set, stats, rows and schema all carry forward untouched."""
+        def build(parent, version):
+            if parent is None:
+                raise ValueError(f"no committed versions at {self.root}")
+            m = dict(parent)
+            m.update(
+                version=version,
+                parent=parent["version"],
+                operation=op,
+                ts=self.fs.now(),
+                added=[],
+                removed=[],
+                live=list(parent["live"]),
+            )
+            m.pop("batch_id", None)
+            m.pop("stream_key", None)
+            m["streams"] = dict(self._streams_state(parent))
+            mutate(m, parent)
+            return m
+
+        return self._commit_loop(build)
+
+    def add_constraint(self, name: str, expr: str) -> dict:
+        """ADD CONSTRAINT ``name`` CHECK ``expr`` (Delta semantics): the
+        EXISTING data is validated first with one aggregate scan —
+        manifest-stats-pruned is not possible here because CHECK must
+        hold for every row — then the constraint lands as a
+        metadata-only commit; every subsequent write enforces it inside
+        the write job itself (see :meth:`_constrained`)."""
+        latest = self.latest_version()
+        if not latest:
+            raise ValueError(f"no committed versions at {self.root}")
+        parent = self.manifest(latest)
+        if name in (parent.get("constraints") or {}):
+            raise ValueError(f"constraint {name!r} already exists")
+        schema = StructType.fromJson(json.loads(parent["schema"]))
+        self._audit_dirs(
+            parent["live"], {name: expr}, schema,
+            parent["partition_cols"], parent.get("external"),
+        )
+
+        def mutate(m, p):
+            cs = dict(p.get("constraints") or {})
+            if name in cs:
+                raise SnapshotConflictError(
+                    f"constraint {name!r} added concurrently"
+                )
+            cs[name] = expr
+            m["constraints"] = cs
+
+        return self._metadata_commit(f"add_constraint_{name}", mutate)
+
+    def drop_constraint(self, name: str) -> dict:
+        """DROP CONSTRAINT — metadata-only commit."""
+
+        def mutate(m, p):
+            cs = dict(p.get("constraints") or {})
+            if name not in cs:
+                raise ValueError(f"no constraint {name!r}")
+            del cs[name]
+            if cs:
+                m["constraints"] = cs
+            else:
+                m.pop("constraints", None)
+
+        return self._metadata_commit(f"drop_constraint_{name}", mutate)
+
+    def constraints(self, version: int | None = None) -> dict[str, str]:
+        v = version or self.latest_version()
+        return dict(self.manifest(v).get("constraints") or {}) if v else {}
+
+    # ------------------------------------------------------ metadata reads
+    def row_count(
+        self,
+        version: int | None = None,
+        partitions: dict[str, list] | None = None,
+    ) -> int:
+        """COUNT(*) answered from the manifest's per-dir row counts — no
+        file is listed, no byte of data is read: the 100 TB count is a
+        driver-side sum over the live set.  ``partitions`` restricts to
+        matching partition dirs (same spec filter as :meth:`read`).
+        Falls back to one Spark count ONLY when a live dir predates
+        row-count manifests (legacy table) — exactness is never
+        sacrificed."""
+        v = version or self.latest_version()
+        if not v:
+            raise ValueError(f"no committed versions at {self.root}")
+        m = self.manifest(v)
+        live = m["live"]
+        if partitions:
+            bad = [c for c in partitions if c not in m["partition_cols"]]
+            if bad:
+                raise ValueError(f"not partition columns: {bad}")
+            wanted = {c: {str(x) for x in vs} for c, vs in partitions.items()}
+
+            def keep(d: str) -> bool:
+                segs = dict(
+                    s.split("=", 1) for s in d.split("/")[1:] if "=" in s
+                )
+                return all(segs.get(c) in vals for c, vals in wanted.items())
+
+            live = [d for d in live if keep(d)]
+        rows = m.get("rows") or {}
+        missing = [d for d in live if d not in rows]
+        if missing:
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            scanned = self._read_dirs(
+                missing, schema, m["partition_cols"], m.get("external")
+            ).count()
+            return scanned + sum(rows[d] for d in live if d in rows)
+        return sum(rows[d] for d in live)
+
+    # ------------------------------------------------------------- cloning
+    def clone_to(self, target_root: str, version: int | None = None) -> "SnapshotTable":
+        """Shallow CLONE (Delta semantics): a NEW snapshot table whose v1
+        references this table's data files in place — zero data copied,
+        O(manifest) work regardless of table size.  Schema, partitioning,
+        stats, row counts and constraints all carry over; subsequent
+        writes to the clone land in the clone's own ``data/`` dir and
+        never touch the source.  ``compact()`` on the clone rewrites the
+        live set locally — the documented way to materialize it into a
+        self-contained (deep) copy.
+
+        Caveat (same as Delta's shallow clone): VACUUM on the SOURCE can
+        delete files a clone still references; clones are for
+        short-lived branches/experiments, or materialize them."""
+        src_v = version or self.latest_version()
+        if not src_v:
+            raise ValueError(f"no committed versions at {self.root}")
+        src = self.manifest(src_v)
+        target = SnapshotTable(self.spark, target_root)
+        if target.latest_version():
+            raise ValueError(f"snapshot table already exists at {target_root}")
+        src_ext = src.get("external") or {}
+        external = {
+            d: src_ext.get(d, self.data_dir) for d in src["live"]
+        }
+        m = {
+            "version": 1,
+            "parent": None,
+            "operation": f"clone_of_{self.root}@v{src_v}",
+            "ts": self.fs.now(),
+            "schema": src["schema"],
+            "partition_cols": src["partition_cols"],
+            "live": list(src["live"]),
+            "added": list(src["live"]),
+            "removed": [],
+            "stats_cols": src.get("stats_cols", []),
+            "stats": dict(src.get("stats") or {}),
+            "rows": dict(src.get("rows") or {}),
+            "streams": {},
+        }
+        if external:
+            m["external"] = external
+        if src.get("constraints"):
+            m["constraints"] = dict(src["constraints"])
+        target.fs.mkdirs(target.manifest_dir)
+        if not target._try_commit(m):
+            raise ValueError(f"snapshot table already exists at {target_root}")
+        return target
+
     def create(
         self,
         df: DataFrame,
@@ -426,7 +723,11 @@ class SnapshotTable:
             pby = self._resolve_partition_by(parent, None)
             self._check_schema_evolution(parent, df)
             if "dirs" not in staged:  # stage once, reuse across retries
-                staged["dirs"] = self._stage(df, pby, version)[1]
+                staged["constraints"] = dict((parent or {}).get("constraints") or {})
+                staged["dirs"] = self._stage(
+                    df, pby, version, staged["constraints"]
+                )[1]
+            self._recheck_constraints(staged, parent, df.schema, pby)
             m = self._base_manifest(version, parent, "append", df, pby, extra)
             m["added"] = staged["dirs"]
             m["live"] = (parent["live"] if parent else []) + staged["dirs"]
@@ -452,7 +753,11 @@ class SnapshotTable:
         def build(parent, version):
             pby = self._resolve_partition_by(parent, partition_by)
             if "dirs" not in staged:
-                staged["dirs"] = self._stage(df, pby, version)[1]
+                staged["constraints"] = dict((parent or {}).get("constraints") or {})
+                staged["dirs"] = self._stage(
+                    df, pby, version, staged["constraints"]
+                )[1]
+            self._recheck_constraints(staged, parent, df.schema, pby)
             m = self._base_manifest(version, parent, "overwrite", df, pby, extra)
             if stats_cols is not None:
                 m["stats_cols"] = list(stats_cols)
@@ -487,8 +792,12 @@ class SnapshotTable:
                 )
             self._check_schema_evolution(parent, df)
             if "dirs" not in staged:
-                staged["dirs"] = self._stage(df, pby, version)[1]
+                staged["constraints"] = dict((parent or {}).get("constraints") or {})
+                staged["dirs"] = self._stage(
+                    df, pby, version, staged["constraints"]
+                )[1]
                 staged["base"] = parent["version"] if parent else 0
+            self._recheck_constraints(staged, parent, df.schema, pby)
             new_dirs = staged["dirs"]
             # partition spec = the path suffix past the commit dir
             new_specs = {d.split("/", 1)[1] for d in new_dirs}
@@ -597,14 +906,33 @@ class SnapshotTable:
 
         # probe: which live dirs hold a matched key?  Column-pruned scan
         # (keys only) + broadcast semi-join; dir identity via file path.
+        # A cloned table's live set spans multiple data roots — the
+        # extract tries each base (longest first, so no base that is a
+        # prefix of another can shadow it) and takes the first match.
         import re as _re
 
-        esc = _re.escape(self.data_dir)
-        dir_expr = F.regexp_extract(
-            F.input_file_name(), f"{esc}/(.+)/[^/]+$", 1
+        ext0 = parent0.get("external") or {}
+        bases = sorted(
+            {ext0.get(d, self.data_dir) for d in parent0["live"]},
+            key=len,
+            reverse=True,
+        )
+        dir_expr = F.coalesce(
+            *[
+                F.nullif(
+                    F.regexp_extract(
+                        F.input_file_name(),
+                        f"{_re.escape(b)}/(.+)/[^/]+$",
+                        1,
+                    ),
+                    F.lit(""),
+                )
+                for b in bases
+            ],
+            F.lit(""),
         )
         target = self._read_dirs(
-            parent0["live"], schema0, parent0["partition_cols"]
+            parent0["live"], schema0, parent0["partition_cols"], ext0
         )
         hit_dirs = sorted(
             r["__dir"]
@@ -613,7 +941,7 @@ class SnapshotTable:
             .select("__dir").distinct().collect()
         )
         survivors = self._read_dirs(
-            hit_dirs, schema0, parent0["partition_cols"]
+            hit_dirs, schema0, parent0["partition_cols"], ext0
         ).join(key_side, keys, "left_anti")
         # additive evolution: new source columns read NULL from survivors
         for f in source.schema.fields:
@@ -634,7 +962,9 @@ class SnapshotTable:
                 )
             pby = self._resolve_partition_by(parent, None)
             if "dirs" not in staged:
-                staged["dirs"] = self._stage(merged, pby, version)[1]
+                staged["dirs"] = self._stage(
+                    merged, pby, version, parent.get("constraints")
+                )[1]
             m = self._base_manifest(
                 version, parent, "merge", merged, pby, extra
             )
@@ -687,7 +1017,8 @@ class SnapshotTable:
             }[op]
             pred = cond if pred is None else (pred & cond)
         survivors = self._read_dirs(
-            candidates, schema0, parent0["partition_cols"]
+            candidates, schema0, parent0["partition_cols"],
+            parent0.get("external"),
         ).where(~F.coalesce(pred, F.lit(False)))
 
         staged: dict = {}
@@ -738,7 +1069,9 @@ class SnapshotTable:
         parent = self.manifest(latest) if latest else None
         pby = self._resolve_partition_by(parent, None)
         self._check_schema_evolution(parent, df)
-        commit, dirs = self._stage(df, pby, latest + 1)
+        commit, dirs = self._stage(
+            df, pby, latest + 1, (parent or {}).get("constraints")
+        )
         staged = self._read_dirs(dirs, df.schema, pby) if dirs else df.limit(0)
         counts = staged.agg(
             *[
@@ -989,22 +1322,40 @@ class SnapshotTable:
                 )
 
             live = [d for d in live if keep(d)]
-        return self._read_dirs(live, schema, m["partition_cols"])
+        return self._read_dirs(
+            live, schema, m["partition_cols"], m.get("external")
+        )
 
     def _read_dirs(
-        self, dirs: list[str], schema: StructType, part_cols: list[str]
+        self,
+        dirs: list[str],
+        schema: StructType,
+        part_cols: list[str],
+        external: dict[str, str] | None = None,
     ) -> DataFrame:
-        """Scan exactly ``dirs`` (relative to data/) under the pinned
-        manifest schema; empty dir set yields an empty typed frame."""
+        """Scan exactly ``dirs`` (relative to data/, or to their
+        ``external`` base for shallow-clone entries) under the pinned
+        manifest schema; empty dir set yields an empty typed frame.
+        Dirs group by base (one scan per base, basePath pinned so the
+        ``commit=``/partition path segments parse identically) and
+        union — a non-clone table is always the single-scan fast path."""
         if not dirs:
             return self.spark.createDataFrame([], schema)
-        paths = [f"{self.data_dir}/{d}" for d in sorted(dirs)]
-        df = (
-            self.spark.read.option("basePath", self.data_dir)
-            .schema(self._read_schema(schema, part_cols))
-            .parquet(*paths)
-            .drop("commit")
-        )
+        external = external or {}
+        by_base: dict[str, list[str]] = {}
+        for d in sorted(dirs):
+            by_base.setdefault(external.get(d, self.data_dir), []).append(d)
+        parts = []
+        for base, ds in sorted(by_base.items()):
+            parts.append(
+                self.spark.read.option("basePath", base)
+                .schema(self._read_schema(schema, part_cols))
+                .parquet(*[f"{base}/{d}" for d in ds])
+                .drop("commit")
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
         return df.select(*[f.name for f in schema.fields])
 
     @staticmethod
@@ -1082,11 +1433,15 @@ class SnapshotTable:
         )
 
         part_cols = self.manifest(to_version)["partition_cols"]
+        ext = {
+            **(self.manifest(from_version).get("external") or {}),
+            **(self.manifest(to_version).get("external") or {}),
+        }
 
         def read_dirs(dirs: set[str], change: str) -> DataFrame:
-            return self._read_dirs(sorted(dirs), schema, part_cols).withColumn(
-                "_change_type", F.lit(change)
-            )
+            return self._read_dirs(
+                sorted(dirs), schema, part_cols, ext
+            ).withColumn("_change_type", F.lit(change))
 
         return read_dirs(to - frm, "insert").unionByName(
             read_dirs(frm - to, "delete")

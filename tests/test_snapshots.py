@@ -832,3 +832,177 @@ def test_rollback_by_timestamp_and_changes_step_func(spark, root):
     delta = {(r.id, r._change_type) for r in spark.table("delta_v").collect()}
     assert delta == {(9, "insert"), (1, "delete")}
     assert {(r.id, r.v) for r in spark.table("after_rb").collect()} == {(1, "a")}
+
+
+def test_check_constraints_enforced_in_write_path(spark, root):
+    from easy_sql_spark.runtime.snapshots import SnapshotConstraintError
+
+    t = SnapshotTable(spark, root)
+    t.create(_df(spark, [(1, "a"), (2, "b")]))
+    t.add_constraint("id_pos", "id > 0")
+    assert t.constraints() == {"id_pos": "id > 0"}
+
+    # violating batch fails the WRITE JOB itself; no version lands and
+    # readers never see the rows (the partial commit dir is an orphan)
+    v_before = t.latest_version()
+    with pytest.raises(SnapshotConstraintError, match="id_pos"):
+        t.append(_df(spark, [(0, "zero")]))
+    assert t.latest_version() == v_before
+    assert sorted(r.id for r in t.read().collect()) == [1, 2]
+
+    # SQL CHECK semantics: NULL (UNKNOWN) passes
+    t.append(_df(spark, [(None, "null-ok")]))
+    assert t.read().count() == 3
+
+    # merge enforces too
+    with pytest.raises(SnapshotConstraintError, match="id_pos"):
+        t.merge(_df(spark, [(-7, "neg")]), keys=["id"])
+
+    # add_constraint validates EXISTING data first
+    with pytest.raises(SnapshotConstraintError, match="v_len"):
+        t.add_constraint("v_len", "length(v) <= 1")
+    assert "v_len" not in t.constraints()
+
+    t.drop_constraint("id_pos")
+    assert t.constraints() == {}
+    t.append(_df(spark, [(0, "now-fine")]))
+    assert t.read().count() == 4
+    # constraint commits are metadata-only: no data dirs added
+    ops = [h["operation"] for h in t.history()]
+    assert "add_constraint_id_pos" in ops and "drop_constraint_id_pos" in ops
+    for h in t.history():
+        if h["operation"].startswith(("add_constraint", "drop_constraint")):
+            assert h["added_dirs"] == 0
+
+
+def test_row_count_metadata_only(spark, root):
+    t = SnapshotTable(spark, root)
+    df = spark.range(20).selectExpr("id", "cast(id % 3 as string) p")
+    t.create(df, partition_by=["p"])
+    t.append(spark.range(100, 104).selectExpr("id", "'0' p"))
+    assert t.row_count() == 24
+    assert t.row_count(partitions={"p": ["0"]}) == 7 + 4
+    assert t.row_count(version=1) == 20
+    with pytest.raises(ValueError, match="not partition columns"):
+        t.row_count(partitions={"id": [1]})
+
+    # metadata-only: answered without listing a single data file — prove
+    # it by making the data UNREADABLE and counting anyway
+    data = f"{root}/data"
+    shutil.move(data, data + ".hidden")
+    try:
+        assert t.row_count() == 24
+    finally:
+        shutil.move(data + ".hidden", data)
+
+    # legacy manifest without per-dir rows falls back to one scan
+    import json as _json
+
+    p = t._manifest_path(t.latest_version())
+    m = _json.loads(t.fs.read_bytes(p))
+    m.pop("rows")
+    t.fs.delete(p)
+    t.fs.create_atomic(p, _json.dumps(m).encode())
+    assert t.row_count() == 24
+
+
+def test_shallow_clone_independence_and_materialize(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(
+        spark.range(10).selectExpr("id", "cast(id % 2 as string) p"),
+        partition_by=["p"],
+        stats_cols=["id"],
+    )
+    t.add_constraint("id_nonneg", "id >= 0")
+
+    c = t.clone_to(root + "_clone")
+    # zero data copied: the clone's v1 references the source's files
+    assert c.manifest(1)["external"]
+    assert c.row_count() == 10
+    assert c.constraints() == {"id_nonneg": "id >= 0"}
+    assert sorted(r.id for r in c.read().collect()) == list(range(10))
+
+    # clone target must be fresh
+    with pytest.raises(ValueError, match="already exists"):
+        t.clone_to(root + "_clone")
+
+    # writes to the clone never touch the source
+    c.append(spark.range(50, 53).selectExpr("id", "'1' p"))
+    c.merge(
+        spark.createDataFrame([(0, "0")], "id long, p string"), keys=["id"]
+    )
+    c.delete_where([("id", ">=", 52)])
+    assert t.row_count() == 10
+    assert sorted(r.id for r in t.read().collect()) == list(range(10))
+    assert sorted(r.id for r in c.read().collect()) == list(range(10)) + [50, 51]
+
+    # manifest stats pruning still works through the clone boundary
+    pruned = c.read(where=[("id", ">=", 50)])
+    assert sorted(r.id for r in pruned.collect() if r.id >= 50) == [50, 51]
+
+    # compact materializes: live set rewritten locally, no external refs
+    c.compact()
+    assert not c.manifest(c.latest_version()).get("external")
+    assert sorted(r.id for r in c.read().collect()) == list(range(10)) + [50, 51]
+    # after materializing, vacuuming the SOURCE cannot hurt the clone
+    t.overwrite(spark.range(3).selectExpr("id", "'0' p"))
+    t.vacuum(retain_versions=1, min_age_seconds=0)
+    assert sorted(r.id for r in c.read().collect()) == list(range(10)) + [50, 51]
+
+
+def test_clone_of_clone_and_change_feed(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(_df(spark, [(1, "a"), (2, "b")]))
+    c1 = t.clone_to(root + "_c1")
+    c1.append(_df(spark, [(3, "c")]))
+    c2 = c1.clone_to(root + "_c2")
+    # grandchild resolves each dir to its ORIGINAL base, not the parent
+    assert sorted(r.id for r in c2.read().collect()) == [1, 2, 3]
+    assert c2.row_count() == 3
+    # CDF on a clone across its own commits
+    c2.append(_df(spark, [(4, "d")]))
+    delta = {(r.id, r._change_type) for r in c2.changes(1, 2).collect()}
+    assert delta == {(4, "insert")}
+
+
+def test_clone_constraint_rowcount_step_functions(spark, root):
+    """Round-5 step-language surface: clone, constraints, metadata
+    count — all via func. steps, with check. wiring the count into the
+    quality-gate machinery."""
+    from easy_sql_spark.runtime.processor import SqlProcessor
+
+    etl = f"""-- target=temp.batch1
+select 1 as id, 'x' as p, 10 as amount
+union all select 2, 'y', 20
+
+-- target=func.snapshot_commit({root}, batch1, append, p)
+-- target=func.snapshot_add_constraint({root}, amt_pos, amount >= 0)
+-- target=func.snapshot_clone({root}, {root}_branch)
+
+-- target=temp.batch2
+select 3 as id, 'x' as p, 30 as amount
+
+-- target=func.snapshot_commit({root}_branch, batch2, append)
+-- target=func.snapshot_view({root}, src_v)
+-- target=func.snapshot_view({root}_branch, branch_v)
+
+-- target=variables
+select ${{snapshot_row_count({root}_branch)}} as branch_rows
+
+-- target=check.branch_has_three_rows
+select ${{branch_rows}} = 3 as actual, true as expected
+"""
+    SqlProcessor(spark, etl, logger=lambda m: None).run()
+    assert spark.table("src_v").count() == 2
+    assert {r.id for r in spark.table("branch_v").collect()} == {1, 2, 3}
+
+    # the cloned constraint rejects a bad batch through the func surface
+    from easy_sql_spark.runtime.snapshots import SnapshotConstraintError
+
+    bad = f"""-- target=temp.badb
+select 9 as id, 'x' as p, -1 as amount
+
+-- target=func.snapshot_commit({root}_branch, badb, append)
+"""
+    with pytest.raises(SnapshotConstraintError):
+        SqlProcessor(spark, bad, logger=lambda m: None).run()
