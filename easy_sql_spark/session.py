@@ -26,6 +26,12 @@ SESSION_DEFAULTS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "134217728",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # runtime bloom-filter join pruning (Spark default, pinned): a
+    # selective dim filter becomes a might_contain() filter on the fact
+    # side of a shuffle join once the probe scan crosses the 10 GB
+    # threshold — the 100 TB regime; plan-tested in
+    # tests/test_plans.py::test_runtime_bloom_filter_prunes_big_probe_join
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
@@ -38,6 +44,7 @@ _RUNTIME_SETTABLE = {
     "spark.sql.adaptive.coalescePartitions.enabled",
     "spark.sql.adaptive.advisoryPartitionSizeInBytes",
     "spark.sql.adaptive.skewJoin.enabled",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled",
     "spark.sql.sources.partitionOverwriteMode",
 }
 

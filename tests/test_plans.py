@@ -307,3 +307,43 @@ def test_lateral_decorrelates_without_cartesian(spark):
     plan = plan_of(QUERIES["j9_lateral_topk"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_runtime_bloom_filter_prunes_big_probe_join(spark, tmp_path):
+    """Runtime-filter regime pin: sessions leave Spark's runtime bloom
+    filter ON, so a shuffle join between a huge fact and a selectively
+    filtered dim gets a `might_contain` filter injected on the FACT side
+    — at 100 TB that prunes the probe shuffle by the dim's selectivity
+    before a single row moves.  The 10 GB application-side threshold
+    means it never fires at test scale, so the large-probe regime is
+    simulated by lowering the threshold (same technique as the
+    dedup-index large-regime plan test)."""
+    from pyspark.sql import functions as F
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    d = str(tmp_path)
+    spark.range(0, 200_000).withColumn("k", F.col("id") % 50_000).withColumn(
+        "pay", F.md5(F.col("id").cast("string"))
+    ).write.parquet(d + "/fact")
+    spark.range(0, 20_000).withColumn("k", F.col("id")).withColumn(
+        "sel", F.col("id") % 1000
+    ).write.parquet(d + "/dim")
+    thr = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_thr = spark.conf.get(thr)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(thr, "0")
+    try:
+        fact = spark.read.parquet(d + "/fact")
+        dim = spark.read.parquet(d + "/dim").where(F.col("sel") == 7)
+        j = fact.join(dim, "k").agg(F.sum(F.length("pay")))
+        plan = plan_of(j, "extended")
+        assert "might_contain" in plan, plan
+        # and it's a real answer too
+        assert j.first()[0] is not None
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set(thr, old_thr)
