@@ -167,22 +167,11 @@ def _messy_urls(spark, sf_dir):
 # ships the full publicsuffix.org list the same way: a broadcast lookup)
 _PSL_2 = ("co.uk", "github.io", "com.au")
 
-_URL_ORACLE_CTE = """
-    WITH d AS (
-        SELECT doc_id, n_chars,
-               'HTTPS://WWW.' || UPPER(source) || '-' ||
-               CAST(doc_id % 7 AS VARCHAR) || '.' ||
-               CASE WHEN doc_id % 3 = 0 THEN 'Example.COM'
-                    WHEN doc_id % 3 = 1 THEN 'Sample.CO.UK'
-                    ELSE 'Pages.GitHub.IO' END ||
-               CASE WHEN doc_id % 4 = 0 THEN ':443'
-                    WHEN doc_id % 4 = 1 THEN ''
-                    WHEN doc_id % 4 = 2 THEN ':8080'
-                    ELSE ':443' END ||
-               '/Articles/' || CAST(doc_id AS VARCHAR) ||
-               '/?utm_source=feed&ref=' || lang ||
-               '&b=2&a=1&utm_campaign=x#frag' AS raw_url
-        FROM documents WHERE doc_id <= 3000),
+# canonicalization-only CTE chain: expects a relation ``d(doc_id,
+# n_chars, raw_url)`` in scope — the oracle prepends the fixture CTE,
+# the differential fuzz axis (tests/test_differential_fuzz.py) supplies
+# arbitrary generated URLs instead
+_URL_CANON_CTES = """
     parsed AS (
         SELECT doc_id, n_chars,
                LOWER(regexp_extract(raw_url, '^([A-Za-z]+)://', 1)) AS scheme,
@@ -198,10 +187,10 @@ _URL_ORACLE_CTE = """
                     WHEN path <> '/' AND path LIKE '%/'
                     THEN SUBSTRING(path, 1, LENGTH(path) - 1)
                     ELSE path END AS path,
-               array_to_string(
+               COALESCE(array_to_string(
                    list_sort(list_filter(string_split(query, '&'),
                        x -> x <> '' AND NOT starts_with(x, 'utm_'))),
-                   '&') AS canon_query
+                   '&'), '') AS canon_query
         FROM parsed),
     canon AS (
         SELECT doc_id, n_chars, host,
@@ -220,6 +209,27 @@ _URL_ORACLE_CTE = """
                END AS registered_domain
         FROM canon0)
 """
+
+_URL_ORACLE_CTE = (
+    """
+    WITH d AS (
+        SELECT doc_id, n_chars,
+               'HTTPS://WWW.' || UPPER(source) || '-' ||
+               CAST(doc_id % 7 AS VARCHAR) || '.' ||
+               CASE WHEN doc_id % 3 = 0 THEN 'Example.COM'
+                    WHEN doc_id % 3 = 1 THEN 'Sample.CO.UK'
+                    ELSE 'Pages.GitHub.IO' END ||
+               CASE WHEN doc_id % 4 = 0 THEN ':443'
+                    WHEN doc_id % 4 = 1 THEN ''
+                    WHEN doc_id % 4 = 2 THEN ':8080'
+                    ELSE ':443' END ||
+               '/Articles/' || CAST(doc_id AS VARCHAR) ||
+               '/?utm_source=feed&ref=' || lang ||
+               '&b=2&a=1&utm_campaign=x#frag' AS raw_url
+        FROM documents WHERE doc_id <= 3000),
+"""
+    + _URL_CANON_CTES
+)
 
 
 @query(

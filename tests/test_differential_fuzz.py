@@ -321,3 +321,72 @@ def test_random_array_hof_agree(spark, ducks, expr_ids, mod):
     got = [tuple(r) for r in spark.sql(q_s).collect()]
     want = ducks.execute(q_d).fetchall()
     assert got == want
+
+
+_SCHEMES = ["http", "https", "HTTP", "HTTPS", "HtTpS"]
+_LABELS = ["alpha", "Beta", "GAMMA", "d7", "x"]
+_SUFFIXES = ["com", "org", "io", "co.uk", "github.io", "com.au"]
+_PORTS = ["", ":80", ":443", ":8080"]
+_SEGS = ["a", "B", "posts", "2024"]
+_KEYS = ["a", "b", "ref", "z9", "utm_source", "utm_campaign", "UTMx"]
+
+url_parts = st.tuples(
+    st.sampled_from(_SCHEMES),
+    st.lists(st.sampled_from(_LABELS), min_size=1, max_size=3),
+    st.sampled_from(_SUFFIXES),
+    st.sampled_from(_PORTS),
+    st.lists(st.sampled_from(_SEGS), min_size=0, max_size=3),
+    st.booleans(),  # trailing slash
+    st.lists(
+        st.tuples(st.sampled_from(_KEYS), st.integers(0, 9)),
+        min_size=0,
+        max_size=4,
+    ),
+    st.booleans(),  # fragment
+)
+
+
+def _raw_url(parts):
+    scheme, labels, suffix, port, segs, trail, params, frag = parts
+    host = ".".join(labels + suffix.split("."))
+    path = "/" + "/".join(segs) if segs else ""
+    if trail and path != "":
+        path += "/"
+    q = "&".join(f"{k}={v}" for k, v in params)
+    return (
+        f"{scheme}://{host}{port}{path}"
+        + (f"?{q}" if q else "")
+        + ("#frag" if frag else "")
+    )
+
+
+@given(urls=st.lists(url_parts, min_size=1, max_size=8))
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_url_canonicalization_agrees(spark, ducks, urls):
+    """The URL canonicalizer (queries/llm_ops5.py) must agree with its
+    DuckDB oracle CTE chain on ARBITRARY generated URLs, not just the
+    curated fixture — regex-dialect drift (anchor semantics, char-class
+    quirks), list-sort collation and LIKE-vs-starts_with mismatches are
+    exactly the bugs a fixed fixture can mask (the ESCAPE-clause bug
+    this axis was added after was one)."""
+    from easy_sql_spark.queries.llm_ops5 import _URL_CANON_CTES, _canonicalized
+
+    rows = [(i, 1, _raw_url(p)) for i, p in enumerate(urls)]
+    sdf = spark.createDataFrame(rows, "doc_id long, n_chars int, raw_url string")
+    got = [
+        (r.doc_id, r.canon_url, r.registered_domain)
+        for r in _canonicalized(sdf).orderBy("doc_id").collect()
+    ]
+
+    ducks.execute("CREATE OR REPLACE TABLE fuzz_urls(doc_id BIGINT, n_chars INT, raw_url VARCHAR)")
+    ducks.executemany("INSERT INTO fuzz_urls VALUES (?, ?, ?)", rows)
+    expected = ducks.execute(
+        "WITH d AS (SELECT * FROM fuzz_urls),"
+        + _URL_CANON_CTES
+        + " SELECT doc_id, canon_url, registered_domain FROM canon ORDER BY doc_id"
+    ).fetchall()
+    assert got == [tuple(e) for e in expected], rows

@@ -1006,3 +1006,34 @@ select 9 as id, 'x' as p, -1 as amount
 """
     with pytest.raises(SnapshotConstraintError):
         SqlProcessor(spark, bad, logger=lambda m: None).run()
+
+
+def test_constraint_rebase_audits_staged_files(spark, root):
+    """A concurrent add_constraint can land between a writer's stage and
+    its commit attempt; the rebase must audit the already-staged files
+    for exactly the delta constraints rather than publish unvalidated
+    data under the new constraint."""
+    from pyspark.sql.types import StructType
+    import json as _json
+
+    from easy_sql_spark.runtime.snapshots import SnapshotConstraintError
+
+    t = SnapshotTable(spark, root)
+    t.create(_df(spark, [(1, "a")]))
+    schema = StructType.fromJson(
+        _json.loads(t.manifest(1)["schema"])
+    )
+
+    # stage WITHOUT constraints (simulates the pre-race stage)
+    _, bad_dirs = t._stage(_df(spark, [(-5, "bad")]), [], 90)
+    staged = {"dirs": bad_dirs, "constraints": {}}
+    parent_with_cs = {**t.manifest(1), "constraints": {"id_pos": "id > 0"}}
+    with pytest.raises(SnapshotConstraintError, match="id_pos"):
+        t._recheck_constraints(staged, parent_with_cs, schema, [])
+
+    # clean staged data passes and records the audited constraint so a
+    # second rebase does not re-scan
+    _, ok_dirs = t._stage(_df(spark, [(7, "ok")]), [], 91)
+    staged = {"dirs": ok_dirs, "constraints": {}}
+    t._recheck_constraints(staged, parent_with_cs, schema, [])
+    assert staged["constraints"] == {"id_pos": "id > 0"}

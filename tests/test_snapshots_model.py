@@ -53,7 +53,7 @@ def test_random_op_sequences_match_model(spark, root, seed):
     next_id = 100
     for step in range(10):
         op = rng.choice(["append", "overwrite_partitions", "merge",
-                         "delete", "rollback"])
+                         "delete", "rollback", "constraint"])
         if op == "append":
             rows = fresh_rows(rng.randrange(1, 4), next_id)
             next_id += 10
@@ -85,6 +85,12 @@ def test_random_op_sequences_match_model(spark, root, seed):
             t.delete_where([("v", "<", cut)])
             for i in [i for i, (v, _) in model.items() if v < cut]:
                 del model[i]
+        elif op == "constraint":
+            # metadata-only commit interleaved with the data ops: state
+            # is unchanged, version still advances (snap keeps indices
+            # aligned for later rollbacks); "v >= 0" always holds for
+            # generated data, so it validates and never rejects
+            t.add_constraint(f"c{step}", "v >= 0")
         else:  # rollback to a random earlier version
             target = rng.randrange(1, len(history) + 1)
             t.rollback(target)
@@ -93,7 +99,18 @@ def test_random_op_sequences_match_model(spark, root, seed):
             }
         snap()
         assert _read(t) == history[-1], (seed, step, op)
+        # metadata-only row count must track the model at every step
+        assert t.row_count() == len(model), (seed, step, op)
 
     # the whole history is still time-travelable and exact
     for ver, want in enumerate(history, start=1):
         assert _read(t, version=ver) == want, (seed, ver)
+
+    # shallow-clone the final state: same content, full independence
+    c = t.clone_to(root + str(seed) + "_clone")
+    assert _read(c) == history[-1]
+    assert c.row_count() == len(model)
+    c.append(_mk(spark, fresh_rows(2, next_id)))
+    c.delete_where([("v", ">=", 0)])  # wipe the clone
+    assert _read(c) == set()
+    assert _read(t) == history[-1], "clone ops leaked into the source"
