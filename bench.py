@@ -61,6 +61,7 @@ FAMILIES: dict[str, list[str]] = {
         "events_resample_ffill",
     ],
     "graph": ["graph_pagerank"],
+    "web": ["text_url_canonicalize", "text_domain_rollup"],
     "multimodal": [
         "mm_decode_stats",
         "mm_wav_roundtrip_stats",
