@@ -417,6 +417,33 @@ def build(processor):
         )
         backend.create_temp_view(df, view_name)
 
+    def snapshot_files(root: str, view_name: str, version: str = ""):
+        """DESCRIBE DETAIL analogue: one row per live data dir of the
+        (time-travel) version — dir path, row count, min/max stats JSON,
+        external base for shallow-clone dirs — registered as a temp
+        view.  Driver-side manifest read; no data touched."""
+        import json as _json
+
+        t = _snapshot(root)
+        v = int(version) if version else t.latest_version()
+        m = t.manifest(v)
+        rows_map = m.get("rows") or {}
+        stats = m.get("stats") or {}
+        ext = m.get("external") or {}
+        df = spark.createDataFrame(
+            [
+                (
+                    d,
+                    rows_map.get(d),
+                    _json.dumps(stats[d]) if d in stats else None,
+                    ext.get(d),
+                )
+                for d in sorted(m["live"])
+            ],
+            "dir string, rows long, stats string, external_base string",
+        )
+        backend.create_temp_view(df, view_name)
+
     def snapshot_wap(
         root: str, view: str, checks: str, mode: str = "append"
     ):

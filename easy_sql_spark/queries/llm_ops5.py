@@ -363,3 +363,134 @@ def text_domain_rollup(spark, sf_dir):
         )
         .orderBy("registered_domain")
     )
+
+
+# the classic UTF-8-bytes-decoded-as-cp1252 artifacts (what ftfy calls
+# mojibake), ordered longest-first so 3-char punctuation sequences are
+# consumed before any 2-char accent pair could alias a prefix
+_MOJIBAKE = [
+    ("â€™", "’"),  # â€™ -> ’
+    ("â€œ", "“"),  # â€œ -> “
+    ("â€“", "–"),  # â€“ -> –
+    ("â€”", "—"),  # â€” -> —
+    ("â€¦", "…"),  # â€¦ -> …
+    ("Ã©", "é"),  # Ã© -> é
+    ("Ã¨", "è"),  # Ã¨ -> è
+    ("Ã¼", "ü"),  # Ã¼ -> ü
+    ("Ã±", "ñ"),  # Ã± -> ñ
+    ("Ã§", "ç"),  # Ã§ -> ç
+    ("Â«", "«"),  # Â« -> «
+    ("Â»", "»"),  # Â» -> »
+]
+
+# deterministic corruption injected into the fixture text so the fixer
+# has something real to undo (the corpus itself is clean ASCII)
+_INJECT = [
+    (" the ", " thÃ© "),
+    (" and ", " Ã¤nd "),
+    (" is ", " â€™is "),
+    (" of ", " â€œof "),
+]
+
+
+def _mojibake_oracle() -> str:
+    corrupt = "text"
+    for a, b in _INJECT:
+        corrupt = f"replace({corrupt}, '{a}', '{b}')"
+    fixed = "corrupted"
+    for a, b in _MOJIBAKE:
+        fixed = f"replace({fixed}, '{a}', '{b}')"
+    return f"""
+    WITH c AS (
+        SELECT doc_id, {corrupt} AS corrupted
+        FROM documents WHERE doc_id <= 4000),
+    f AS (SELECT doc_id, corrupted, {fixed} AS fixed FROM c)
+    SELECT doc_id, md5(fixed) AS fixed_hash,
+           CAST(LENGTH(corrupted) - LENGTH(fixed) AS BIGINT) AS chars_removed,
+           LENGTH(fixed) <> LENGTH(corrupted) AS was_mojibake
+    FROM f ORDER BY doc_id
+    """
+
+
+@query("text_fix_mojibake", oracle=_mojibake_oracle())
+def text_fix_mojibake(spark, sf_dir):
+    """Mojibake repair — the ftfy pass every web-scale text pipeline
+    runs: UTF-8 bytes mis-decoded as cp1252 leave signature sequences
+    (``Ã©`` for ``é``, ``â€™`` for ``’``); an ordered longest-first
+    replacement table restores them.  The fixture corpus is clean
+    ASCII, so a deterministic corruption layer is injected first and
+    the FIXER (the ordered replace chain — the real operator) is what
+    the oracle checks, including the prefix-aliasing order (3-char
+    punctuation artifacts must be consumed before 2-char accent pairs).
+
+    Scale: a pure narrow map — a chain of ``replace`` builtins inside
+    whole-stage codegen, no UDF, no shuffle; the full ftfy table (a few
+    hundred pairs) compiles to the same shape."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") <= 4000)
+    corrupted = F.col("text")
+    for a, b in _INJECT:
+        corrupted = F.call_function("replace", corrupted, F.lit(a), F.lit(b))
+    c = d.select("doc_id", corrupted.alias("corrupted"))
+    fixed = F.col("corrupted")
+    for a, b in _MOJIBAKE:
+        fixed = F.call_function("replace", fixed, F.lit(a), F.lit(b))
+    return (
+        c.withColumn("fixed", fixed)
+        .select(
+            "doc_id",
+            F.md5(F.encode("fixed", "utf-8")).alias("fixed_hash"),
+            (F.length("corrupted") - F.length("fixed"))
+            .cast("bigint")
+            .alias("chars_removed"),
+            (F.length("fixed") != F.length("corrupted")).alias("was_mojibake"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query("text_compression_ratio")  # rows-only: per-row DEFLATE is not
+# SQL-expressible in DuckDB; bit-pinned against Python zlib in
+# tests/test_funcs_llm.py instead (same RFC-1950 stream, fixed level)
+def text_compression_ratio(spark, sf_dir):
+    """Compression-ratio quality signal — the RefinedWeb/MassiveText
+    trick: natural prose deflates to ~0.4-0.6 of its size, boilerplate
+    and template spam much further, random noise not at all; the ratio
+    is a cheap one-pass quality/repetition feature for filtering.
+
+    Implementation: Arrow-batched ``mapInPandas`` over a two-column
+    pruned scan (doc_id, text), zlib level 6 per document — the
+    canonical Python-on-executor shape (no per-row UDF, payloads never
+    shuffle); the output is the per-doc feature row a curation pipeline
+    joins back by doc_id.
+
+    Scale: narrow map, no shuffle; CPU-bound at ~100 MB/s/core for
+    DEFLATE — on a 100 TB corpus that is the dominant (and
+    irreducible) cost, so the plan's only job is to not add anything
+    on top, and it doesn't."""
+    import pandas as pd
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 4000)
+        .select("doc_id", "text")
+    )
+
+    def comp(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            raw_len = raw.str.len()
+            comp_len = raw.map(lambda b: len(zlib.compress(b, 6)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_len": raw_len.astype("int64"),
+                    "comp_len": comp_len.astype("int64"),
+                    "ratio": (comp_len / raw_len.clip(lower=1)).round(4),
+                }
+            )
+
+    return d.mapInPandas(
+        comp, "doc_id long, raw_len long, comp_len long, ratio double"
+    ).orderBy("doc_id")

@@ -233,3 +233,45 @@ def test_pii_patterns_adversarial(spark):
     got = [r.r for r in df.select(pii_redact_expr("t").alias("r")).collect()]
     for (t, want), r in zip(cases, got):
         assert r == (want if want is not None else t), (t, r)
+
+
+def test_compression_ratio_bit_pinned_and_discriminative(spark):
+    """text_compression_ratio (queries/llm_ops5.py) is rows-only at the
+    oracle gate (DuckDB has no per-row DEFLATE), so it is pinned here:
+    the distributed result must equal a direct driver-side zlib pass
+    byte-for-byte, and the signal must actually discriminate — a
+    repetitive document compresses materially further than prose-like
+    unique text (the property RefinedWeb-style filters rely on)."""
+    import zlib
+
+    from easy_sql_spark.queries import QUERIES
+
+    out = {
+        r.doc_id: (r.raw_len, r.comp_len, r.ratio)
+        for r in QUERIES["text_compression_ratio"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .where("doc_id <= 4000")
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert set(out) == set(docs)
+    for doc_id, text in docs.items():
+        raw = text.encode("utf-8")
+        comp = len(zlib.compress(raw, 6))
+        assert out[doc_id][0] == len(raw)
+        assert out[doc_id][1] == comp, doc_id
+        assert out[doc_id][2] == round(comp / max(len(raw), 1), 4)
+
+    # discriminative: boilerplate vs unique-ish text
+    rep = ("subscribe now click here " * 200).encode()
+    uniq = " ".join(
+        f"w{i * 7919 % 104729}" for i in range(1000)
+    ).encode()
+    r_rep = len(zlib.compress(rep, 6)) / len(rep)
+    r_uniq = len(zlib.compress(uniq, 6)) / len(uniq)
+    assert r_rep < 0.1 < r_uniq

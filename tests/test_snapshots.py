@@ -1037,3 +1037,52 @@ def test_constraint_rebase_audits_staged_files(spark, root):
     staged = {"dirs": ok_dirs, "constraints": {}}
     t._recheck_constraints(staged, parent_with_cs, schema, [])
     assert staged["constraints"] == {"id_pos": "id > 0"}
+
+
+def test_snapshot_files_detail_view(spark, root):
+    from easy_sql_spark.runtime.processor import SqlProcessor
+
+    t = SnapshotTable(spark, root)
+    t.create(
+        spark.createDataFrame(
+            [(1, "x"), (2, "y"), (3, "x")], "id int, p string"
+        ),
+        partition_by=["p"],
+        stats_cols=["id"],
+    )
+    c = t.clone_to(root + "_b")
+    c.append(spark.createDataFrame([(9, "z")], "id int, p string"))
+
+    etl = f"-- target=func.snapshot_files({root}_b, files_v)\n"
+    SqlProcessor(spark, etl, logger=lambda m: None).run()
+    rows = spark.table("files_v").collect()
+    assert sum(r.rows for r in rows) == 4
+    # cloned dirs carry their external base; the fresh append does not
+    assert {r.external_base is not None for r in rows} == {True, False}
+    import json as _json
+
+    with_stats = [r for r in rows if r.stats]
+    assert with_stats and all(
+        "id" in _json.loads(r.stats) for r in with_stats
+    )
+
+
+def test_streaming_commit_batch_enforces_constraints(spark, root, tmp_path):
+    """The exactly-once streaming sink and CHECK constraints compose: a
+    micro-batch violating a constraint fails the batch write; no version
+    lands, replay protection state is untouched."""
+    from easy_sql_spark.runtime.snapshots import SnapshotConstraintError
+
+    t = SnapshotTable(spark, root)
+    t.create(_df(spark, [(1, "a")]))
+    t.add_constraint("id_pos", "id > 0")
+    assert t.commit_batch(0, _df(spark, [(5, "b")])) is not None
+    v = t.latest_version()
+    with pytest.raises(SnapshotConstraintError):
+        t.commit_batch(1, _df(spark, [(-1, "bad")]))
+    assert t.latest_version() == v
+    assert t.last_committed_batch() == 0
+    # the fixed batch (same id, corrected rows) now lands exactly once
+    assert t.commit_batch(1, _df(spark, [(6, "c")])) is not None
+    assert t.commit_batch(1, _df(spark, [(6, "dup")])) is None
+    assert sorted(r.id for r in t.read().collect()) == [1, 5, 6]
