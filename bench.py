@@ -52,13 +52,15 @@ FAMILIES: dict[str, list[str]] = {
         "text_warc_roundtrip",
     ],
     "sim": ["sim_topk_bruteforce", "sim_ivf_topk", "sim_lsh_topk",
-            "sim_semantic_dedup", "sim_ann_index_search"],
+            "sim_semantic_dedup", "sim_ann_index_search",
+            "sim_mmr_rerank"],
     "asof": ["asof_events_orders", "interval_overlap_join"],
     "events": [
         "events_funnel",
         "events_retention_cohorts",
         "events_daily_anomaly",
         "events_resample_ffill",
+        "events_markov_transitions",
     ],
     "graph": ["graph_pagerank"],
     "web": ["text_url_canonicalize", "text_domain_rollup"],

@@ -494,3 +494,202 @@ def text_compression_ratio(spark, sf_dir):
     return d.mapInPandas(
         comp, "doc_id long, raw_len long, comp_len long, ratio double"
     ).orderBy("doc_id")
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM events),
+    seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM e),
+    pairs AS (
+        SELECT event_type AS src, next_type AS dst FROM seq
+        WHERE next_type IS NOT NULL),
+    counts AS (
+        SELECT src, dst, COUNT(*) AS n FROM pairs GROUP BY src, dst)
+    SELECT src, dst, CAST(n AS BIGINT) AS n,
+           CAST(ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY src), 6)
+                AS DOUBLE) AS p
+    FROM counts ORDER BY src, dst
+    """,
+)
+def events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over user event sequences —
+    the behavioral-analytics summary (next-event probabilities per
+    current event) that powers next-action prediction, anomaly scoring
+    and session simulation.
+
+    Plan shape: ONE window over the user_id partitioning (LEAD with a
+    deterministic (ts, event_id) order) to form adjacent pairs, then
+    one hash aggregate on (src, dst) — the pair key space is
+    |event_types|^2, tiny, so the final normalize-per-src window runs
+    over a frame that fits anywhere.  No self-joins (the naive
+    formulation joins events to itself on rank = rank+1)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .select(
+            F.col("event_type").alias("src"),
+            F.col("next_type").alias("dst"),
+        )
+    )
+    counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    norm = Window.partitionBy("src")
+    return (
+        counts.select(
+            "src",
+            "dst",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") / F.sum("n").over(norm), 6)
+            .cast("double")
+            .alias("p"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+def _mmr_oracle(k: int = 8, pool: int = 16, lam: float = 0.7) -> str:
+    """Unrolled-iteration MMR oracle (same technique as the incremental
+    dedup oracle's unrolled batches): each pick is a one-row CTE
+    selecting the argmax of lambda*rel - (1-lambda)*max-sim-to-picked,
+    all similarities quantized to 4 dp on both engines before any
+    comparison so the argmax is decided by identical doubles."""
+    ctes = [
+        f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    scored AS (
+        SELECT e.vec_id, e.v,
+               ROUND(list_cosine_similarity(e.v, (SELECT qv FROM q)), 4) AS rel
+        FROM e WHERE e.vec_id > 0),
+    pool AS MATERIALIZED (
+        SELECT vec_id, v, rel FROM scored
+        ORDER BY rel DESC, vec_id LIMIT {pool}),
+    sims AS MATERIALIZED (
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               ROUND(list_cosine_similarity(a.v, b.v), 4) AS s
+        FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+    p1 AS MATERIALIZED (
+        SELECT vec_id, ROUND({lam} * rel, 4) AS score FROM pool
+        ORDER BY score DESC, vec_id LIMIT 1)"""
+    ]
+    picked_union = "SELECT vec_id FROM p1"
+    for i in range(2, k + 1):
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+        SELECT p.vec_id,
+               ROUND({lam} * p.rel - {round(1 - lam, 10)} * (
+                   SELECT MAX(s.s) FROM sims s
+                   WHERE s.a = p.vec_id
+                     AND s.b IN ({picked_union})), 4) AS score
+        FROM pool p WHERE p.vec_id NOT IN ({picked_union})
+        ORDER BY score DESC, vec_id LIMIT 1)"""
+        )
+        picked_union += f" UNION ALL SELECT vec_id FROM p{i}"
+    finals = " UNION ALL ".join(
+        f"SELECT {i} AS rank, vec_id, score FROM p{i}" for i in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT CAST(rank AS BIGINT) AS rank, vec_id, "
+        f"CAST(score AS DOUBLE) AS score FROM ({finals}) ORDER BY rank"
+    )
+
+
+@query("sim_mmr_rerank", oracle=_mmr_oracle())
+def sim_mmr_rerank(spark, sf_dir):
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein):
+    from a relevance-ranked candidate pool, iteratively pick the item
+    maximizing ``lambda*rel - (1-lambda)*max_sim_to_already_picked`` —
+    the diversity-aware top-k every retrieval/RAG pipeline runs after
+    ANN search, and a dedup-aware sampling primitive for training-data
+    curation (pick representative, non-redundant documents).
+
+    Plan shape, the way a real re-ranker runs: the POOL is computed
+    distributed (one corpus scan, JVM fold dot products, top-16 by
+    relevance), the 16x16 pairwise similarity matrix is one tiny
+    broadcast self-join, and the k sequential argmax picks — inherently
+    iterative, O(k * pool) scalar ops — run driver-side on that bounded
+    matrix.  At 100 TB only the pool scan grows; the selection stays
+    256 numbers.  All sims quantized to 4 dp before comparison so the
+    cross-engine argmax is decided on identical values."""
+    k, pool_n, lam = 8, 16, 0.7
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    norm = F.sqrt(
+        F.expr("aggregate(transform(v, x -> x * x), 0D, (acc, z) -> acc + z)")
+    )
+    corpus = emb.withColumn("nrm", norm)
+    qv = corpus.where(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    dot_q = F.expr(
+        "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, z) -> acc + z)"
+    )
+    pool = (
+        corpus.where(F.col("vec_id") > 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "v",
+            F.round(dot_q / (F.col("qnrm") * F.col("nrm")), 4).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(pool_n)
+        .localCheckpoint(eager=True)
+    )
+    right = pool.select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("bv")
+    )
+    dot_ab = F.expr(
+        "aggregate(zip_with(v, bv, (x, y) -> x * y), 0D, (acc, z) -> acc + z)"
+    )
+    nrm = "sqrt(aggregate(transform({0}, x -> x * x), 0D, (acc, z) -> acc + z))"
+    sims_df = (
+        pool.crossJoin(F.broadcast(right))
+        .where(F.col("vec_id") != F.col("b_id"))
+        .select(
+            "vec_id",
+            "b_id",
+            F.round(
+                dot_ab / (F.expr(nrm.format("v")) * F.expr(nrm.format("bv"))),
+                4,
+            ).alias("s"),
+        )
+    )
+    rels = {  # bounded-driver: pool is capped at 16 rows by construction
+        r["vec_id"]: r["rel"] for r in pool.select("vec_id", "rel").collect()
+    }
+    sims = {  # bounded-driver: pool self-join is <= 16*15 rows
+        (r["vec_id"], r["b_id"]): r["s"] for r in sims_df.collect()
+    }
+    picked: list[tuple[int, int, float]] = []
+    chosen: list[int] = []
+    for rank in range(1, k + 1):
+        best = None
+        for vid in sorted(rels):
+            if vid in chosen:
+                continue
+            penalty = max((sims[(vid, c)] for c in chosen), default=0.0)
+            score = round(lam * rels[vid] - (1 - lam) * penalty, 4)
+            if best is None or score > best[1]:
+                best = (vid, score)
+        picked.append((rank, best[0], best[1]))
+        chosen.append(best[0])
+    return spark.createDataFrame(
+        picked, "rank long, vec_id long, score double"
+    ).orderBy("rank")
