@@ -693,3 +693,95 @@ def sim_mmr_rerank(spark, sf_dir):
     return spark.createDataFrame(
         picked, "rank long, vec_id long, score double"
     ).orderBy("rank")
+
+
+@query(
+    "f13_variant_json",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_id <= 20000),
+    j AS (
+        SELECT event_id,
+               '{"u": ' || user_id || ', "cents": ' || cents ||
+               ', "meta": {"t": "' || event_type || '", "parity": ' ||
+               (event_id % 2) || '}, "vals": [' || (event_id % 10) ||
+               ', ' || (event_id % 7) || ']}' AS payload
+        FROM e),
+    x AS (
+        SELECT CAST(json_extract_string(payload, '$.meta.t') AS VARCHAR) AS t,
+               CAST(json_extract(payload, '$.u') AS BIGINT) AS u,
+               CAST(json_extract(payload, '$.cents') AS BIGINT) AS cents,
+               CAST(json_extract(payload, '$.vals[1]') AS BIGINT) AS v1,
+               CAST(json_extract(payload, '$.meta.parity') AS BIGINT) AS parity
+        FROM j)
+    SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(u) AS BIGINT) AS sum_u,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(SUM(v1) AS BIGINT) AS sum_v1
+    FROM x WHERE parity = 1
+    GROUP BY t ORDER BY t
+    """,
+)
+def f13_variant_json(spark, sf_dir):
+    """Semi-structured analytics on Spark 4's VARIANT type: JSON payloads
+    parsed ONCE into the binary variant encoding (`parse_json`), then
+    path extractions (`try_variant_get` with typed casts — nested
+    object, array index) feed a relational filter + aggregate.  VARIANT
+    is the engine-native path for the event-properties / API-log columns
+    every telemetry pipeline carries: unlike per-query
+    ``get_json_object`` string re-parsing (the f4_json surface), the
+    parse cost is paid once and extractions are byte-offset reads.
+
+    The payload is constructed deterministically from events columns
+    (integers and strings only — float formatting is not cross-engine
+    stable) so the DuckDB oracle can extract the same fields with its
+    JSON operators.
+
+    Scale: narrow map + one small hash aggregate; no shuffle before the
+    agg, no UDF; extraction stays inside whole-stage codegen."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") <= 20000)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    payload = F.concat(
+        F.lit('{"u": '),
+        F.col("user_id").cast("string"),
+        F.lit(', "cents": '),
+        F.col("cents").cast("string"),
+        F.lit(', "meta": {"t": "'),
+        F.col("event_type"),
+        F.lit('", "parity": '),
+        (F.col("event_id") % 2).cast("string"),
+        F.lit('}, "vals": ['),
+        (F.col("event_id") % 10).cast("string"),
+        F.lit(", "),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit("]}"),
+    )
+    v = e.select(F.parse_json(payload).alias("v"))
+    x = v.select(
+        F.try_variant_get("v", "$.meta.t", "string").alias("t"),
+        F.try_variant_get("v", "$.u", "long").alias("u"),
+        F.try_variant_get("v", "$.cents", "long").alias("cents"),
+        F.try_variant_get("v", "$.vals[1]", "long").alias("v1"),
+        F.try_variant_get("v", "$.meta.parity", "long").alias("parity"),
+    )
+    return (
+        x.where(F.col("parity") == 1)
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("u").alias("sum_u"),
+            F.sum("cents").alias("sum_cents"),
+            F.sum("v1").alias("sum_v1"),
+        )
+        .orderBy("t")
+    )

@@ -155,3 +155,29 @@ def test_event_analytics_etl(spark):
     assert anomalies.count() >= 1
     assert {"event_type", "day", "n", "z"} <= set(anomalies.columns)
     p.backend.clean_temp_views()
+
+
+def test_branch_workflow_etl(spark, tmp_path):
+    """Round-5 branch workflow: constrained snapshot seed -> shallow
+    clone -> CDC merge on the branch -> metadata row-count gate ->
+    promotion back to main."""
+    register_views(spark, "/root/testdata/sf0.001", ("orders",))
+    with open(os.path.join(EXAMPLES, "branch_workflow.sql")) as f:
+        sql = f.read()
+    p = SqlProcessor(
+        spark,
+        sql,
+        variables={"snap_root": str(tmp_path / "snap")},
+        base_dir=EXAMPLES,
+        logger=lambda m: None,
+    )
+    p.run(dry_run=True)
+    from easy_sql_spark.runtime.snapshots import SnapshotTable
+
+    main = SnapshotTable(spark, str(tmp_path / "snap" / "main"))
+    # promotion carried the branch content and the constraint survives
+    assert main.constraints() == {"price_pos": "price >= 0"}
+    assert main.row_count() == spark.table("main_after").count()
+    files = spark.table("main_files").collect()
+    assert sum(r.rows for r in files) == main.row_count()
+    p.backend.clean_temp_views()
