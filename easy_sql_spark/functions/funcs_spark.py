@@ -417,6 +417,23 @@ def build(processor):
         )
         backend.create_temp_view(df, view_name)
 
+    def delta_view(path: str, view_name: str, version: str = ""):
+        """Register a Delta Lake table as a temp view WITHOUT delta-spark
+        jars, by replaying the open commit-log protocol
+        (sources/delta_log.py): `func.delta_view(/lake/events, ev, 7)` —
+        omit the version for latest; `ts:<epoch_ms>` time-travels by
+        commit timestamp.  Tables needing deletion vectors / column
+        mapping raise instead of returning wrong rows."""
+        from ..sources.delta_log import read_delta
+
+        if str(version).startswith("ts:"):
+            df = read_delta(spark, path, timestamp_ms=int(version[3:]))
+        else:
+            df = read_delta(
+                spark, path, version=int(version) if version else None
+            )
+        backend.create_temp_view(df, view_name)
+
     def snapshot_files(root: str, view_name: str, version: str = ""):
         """DESCRIBE DETAIL analogue: one row per live data dir of the
         (time-travel) version — dir path, row count, min/max stats JSON,

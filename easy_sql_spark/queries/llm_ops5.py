@@ -785,3 +785,135 @@ def f13_variant_json(spark, sf_dir):
         )
         .orderBy("t")
     )
+
+
+@query(
+    "delta_interop_read",
+    oracle="""
+    WITH seed AS (
+        SELECT o_orderkey AS k, o_totalprice AS price,
+               CAST(o_orderkey % 3 AS VARCHAR) AS pt
+        FROM orders WHERE o_orderkey <= 1200),
+    v1 AS (  -- commit 1 replaces partition pt=0 with doubled prices
+        SELECT k, CASE WHEN pt = '0' THEN price * 2 ELSE price END AS price, pt
+        FROM seed)
+    SELECT version, pt, n, sum_price FROM (
+        SELECT 0 AS version, pt, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(ROUND(SUM(price), 2) AS DOUBLE) AS sum_price
+        FROM seed GROUP BY pt
+        UNION ALL
+        SELECT 1, pt, CAST(COUNT(*) AS BIGINT),
+               CAST(ROUND(SUM(price), 2) AS DOUBLE)
+        FROM v1 GROUP BY pt
+    ) ORDER BY version, pt
+    """,
+)
+def delta_interop_read(spark, sf_dir):
+    """Delta Lake interop end-to-end (sources/delta_log.py): a delta
+    table is constructed TO THE PROTOCOL SPEC (parquet data files +
+    JSON action log with partition values only in the log, commit 1
+    overwriting one partition), then read back WITHOUT delta-spark via
+    commit-log replay — both versions, time-travel included.  The
+    oracle recomputes both versions' per-partition aggregates from the
+    source rows, so what's checked is the replay itself: adds, removes,
+    partition-value attachment, version selection.
+
+    Scale: the log is driver-side metadata (same split as the snapshot
+    layer); each partition group is one pinned-schema parquet scan —
+    Delta's own reader shape, minus the JVM."""
+    import os
+    import tempfile
+
+    from ..sources.delta_log import read_delta
+
+    t = tempfile.mkdtemp(prefix="delta_q_") + "/tbl"
+    seed = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 1200)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("price"),
+            (F.col("o_orderkey") % 3).cast("string").alias("pt"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    import json as _json
+
+    os.makedirs(t + "/_delta_log")
+    schema_str = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "price", "type": seed.schema["price"].dataType.jsonValue(),
+                 "nullable": True, "metadata": {}},
+                {"name": "pt", "type": "string", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+
+    def stage(df, rel):
+        df.coalesce(1).write.parquet(t + "/_stage")
+        part = next(
+            n for n in os.listdir(t + "/_stage") if n.endswith(".parquet")
+        )
+        os.replace(t + "/_stage/" + part, t + "/" + rel)
+        import shutil
+
+        shutil.rmtree(t + "/_stage")
+
+    def commit(version, actions):
+        with open(t + f"/_delta_log/{version:020d}.json", "w") as f:
+            for a in actions:
+                f.write(_json.dumps(a) + "\n")
+
+    adds0 = []
+    for p in ("0", "1", "2"):
+        stage(seed.where(F.col("pt") == p).select("k", "price"), f"f-{p}-v0.parquet")
+        adds0.append(
+            {"add": {"path": f"f-{p}-v0.parquet", "partitionValues": {"pt": p},
+                     "size": 1, "modificationTime": 0, "dataChange": True}}
+        )
+    commit(
+        0,
+        [
+            {"commitInfo": {"operation": "WRITE", "timestamp": 1000}},
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {"id": "t", "schemaString": schema_str,
+                          "partitionColumns": ["pt"],
+                          "format": {"provider": "parquet"}}},
+        ]
+        + adds0,
+    )
+    stage(
+        seed.where(F.col("pt") == "0").select(
+            "k", (F.col("price") * 2).alias("price")
+        ),
+        "f-0-v1.parquet",
+    )
+    commit(
+        1,
+        [
+            {"commitInfo": {"operation": "OVERWRITE", "timestamp": 2000}},
+            {"remove": {"path": "f-0-v0.parquet", "dataChange": True}},
+            {"add": {"path": "f-0-v1.parquet", "partitionValues": {"pt": "0"},
+                     "size": 1, "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+
+    outs = []
+    for v in (0, 1):
+        outs.append(
+            read_delta(spark, t, version=v)
+            .groupBy("pt")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("price"), 2).cast("double").alias("sum_price"),
+            )
+            .select(F.lit(v).alias("version"), "pt", "n", "sum_price")
+        )
+    return (
+        outs[0].unionByName(outs[1]).orderBy("version", "pt")
+        .localCheckpoint(eager=True)
+    )

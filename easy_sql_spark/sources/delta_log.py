@@ -1,0 +1,235 @@
+"""Delta Lake table READER over the open commit-log protocol — no
+delta-spark jar required.
+
+The reference ecosystem hands versioned tables to Hudi/Delta through
+engine connectors; this container (and many stripped clusters) carries
+no lakehouse jars, yet Delta's log is an open spec: line-delimited JSON
+actions under ``_delta_log/`` plus optional parquet checkpoints
+(https://github.com/delta-io/delta/blob/master/PROTOCOL.md).  Driver
+reads the LOG ONLY (metadata-sized); table data always flows through
+ordinary Spark parquet scans — the same split as the snapshot layer.
+
+Supported: state reconstruction from the newest checkpoint at-or-below
+the target version plus subsequent JSON commits; version and
+timestamp time travel; partitioned tables (partition values ride the
+log, not the file paths — files sharing a partition tuple share one
+scan); protocol gating (tables requiring reader features beyond plain
+parquet — deletion vectors, column mapping — raise with the feature
+names instead of returning silently wrong rows).
+
+Not supported (documented, loud): deletion vectors, column mapping,
+row tracking, type widening — i.e. ``readerFeatures`` beyond the empty
+set, or ``minReaderVersion`` 2 (column mapping's gate).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_LOG = "_delta_log"
+
+
+class DeltaProtocolError(NotImplementedError):
+    """The table requires reader capabilities this implementation does
+    not have; reading it anyway would return wrong data."""
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(path, _LOG)
+
+
+def _commit_versions(path: str) -> list[int]:
+    out = []
+    for n in os.listdir(_log_dir(path)):
+        stem, ext = os.path.splitext(n)
+        if ext == ".json" and len(stem) == 20 and stem.isdigit():
+            out.append(int(stem))
+    return sorted(out)
+
+
+def _checkpoint_at_or_below(path: str, version: int) -> int | None:
+    """Newest classic checkpoint version <= target (multi-part and v2
+    checkpoints are not emitted by the writers this targets; a
+    ``.checkpoint.parquet`` single file is the classic form)."""
+    best = None
+    for n in os.listdir(_log_dir(path)):
+        if n.endswith(".checkpoint.parquet"):
+            stem = n.split(".", 1)[0]
+            if stem.isdigit() and int(stem) <= version:
+                best = max(best or 0, int(stem))
+    return best
+
+
+def _check_protocol(protocol: dict | None) -> None:
+    if not protocol:
+        return
+    mrv = int(protocol.get("minReaderVersion", 1))
+    feats = protocol.get("readerFeatures") or []
+    unsupported = [
+        f
+        for f in feats
+        if f not in ("timestampNtz", "vacuumProtocolCheck", "v2Checkpoint")
+    ]
+    if mrv == 2 or unsupported:
+        raise DeltaProtocolError(
+            f"delta table requires reader features {unsupported or ['columnMapping']}"
+            " (deletion vectors / column mapping are not supported by this"
+            " log reader); read it with delta-spark instead"
+        )
+
+
+def _replay(spark: SparkSession, path: str, version: int) -> tuple[dict, dict]:
+    """Reconstruct (metaData, {file_path: add_action}) as of ``version``:
+    start from the newest checkpoint at-or-below it, then apply the JSON
+    commits after it in order — Delta's own state reconstruction."""
+    adds: dict[str, dict] = {}
+    meta: dict | None = None
+    protocol: dict | None = None
+    start = 0
+    cp = _checkpoint_at_or_below(path, version)
+    if cp is not None:
+        cp_file = os.path.join(_log_dir(path), f"{cp:020d}.checkpoint.parquet")
+        rows = spark.read.parquet(cp_file).collect()
+        for r in rows:
+            d = r.asDict(recursive=True)
+            if d.get("add"):
+                adds[d["add"]["path"]] = d["add"]
+            if d.get("remove"):
+                adds.pop(d["remove"]["path"], None)
+            if d.get("metaData") and d["metaData"].get("schemaString"):
+                meta = d["metaData"]
+            if d.get("protocol") and d["protocol"].get("minReaderVersion"):
+                protocol = d["protocol"]
+        start = cp + 1
+    for v in range(start, version + 1):
+        f = os.path.join(_log_dir(path), f"{v:020d}.json")
+        if not os.path.exists(f):
+            raise ValueError(
+                f"delta log is missing commit {v} (vacuumed below a "
+                "checkpoint?): cannot reconstruct state"
+            )
+        with open(f, encoding="utf-8") as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "add" in a:
+                    adds[a["add"]["path"]] = a["add"]
+                elif "remove" in a:
+                    adds.pop(a["remove"]["path"], None)
+                elif "metaData" in a:
+                    meta = a["metaData"]
+                elif "protocol" in a:
+                    protocol = a["protocol"]
+    _check_protocol(protocol)
+    if meta is None:
+        raise ValueError(f"no metaData action found in {path}/_delta_log")
+    return meta, adds
+
+
+def delta_latest_version(path: str) -> int:
+    vs = _commit_versions(path)
+    if not vs:
+        raise ValueError(f"no delta commits under {path}/{_LOG}")
+    return vs[-1]
+
+
+def delta_version_at(path: str, timestamp_ms: int) -> int:
+    """Newest version whose commit timestamp (commitInfo, falling back
+    to the commit file's mtime like Delta does) is <= the target."""
+    best = None
+    for v in _commit_versions(path):
+        f = os.path.join(_log_dir(path), f"{v:020d}.json")
+        ts = None
+        with open(f, encoding="utf-8") as fh:
+            for line in fh:
+                a = json.loads(line) if line.strip() else {}
+                if "commitInfo" in a and a["commitInfo"].get("timestamp"):
+                    ts = int(a["commitInfo"]["timestamp"])
+                    break
+        if ts is None:
+            ts = int(os.path.getmtime(f) * 1000)
+        if ts <= timestamp_ms:
+            best = v
+    if best is None:
+        raise ValueError(f"no delta version at or before ts={timestamp_ms}")
+    return best
+
+
+def delta_history(path: str) -> list[dict]:
+    """DESCRIBE HISTORY analogue from commitInfo actions, newest first."""
+    out = []
+    for v in reversed(_commit_versions(path)):
+        f = os.path.join(_log_dir(path), f"{v:020d}.json")
+        info: dict = {}
+        with open(f, encoding="utf-8") as fh:
+            for line in fh:
+                a = json.loads(line) if line.strip() else {}
+                if "commitInfo" in a:
+                    info = a["commitInfo"]
+                    break
+        out.append(
+            {
+                "version": v,
+                "operation": info.get("operation"),
+                "timestamp": info.get("timestamp"),
+            }
+        )
+    return out
+
+
+def read_delta(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
+) -> DataFrame:
+    """The delta table at a version (default latest) as a DataFrame.
+
+    Scan shape: files are grouped by their partition-value tuple (Delta
+    carries partition values in the LOG — file paths need not be
+    hive-layout); each group is ONE pinned-schema parquet scan of its
+    files with the partition columns attached as cast literals, then a
+    union.  Data columns prune/push down per group exactly as any
+    parquet scan; the log never touches an executor."""
+    if timestamp_ms is not None:
+        version = delta_version_at(path, timestamp_ms)
+    if version is None:
+        version = delta_latest_version(path)
+    meta, adds = _replay(spark, path, version)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = list(meta.get("partitionColumns") or [])
+    data_schema = StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
+    part_types = {f.name: f.dataType for f in schema.fields if f.name in part_cols}
+
+    if not adds:
+        return spark.createDataFrame([], schema)
+
+    groups: dict[tuple, list[str]] = {}
+    for a in adds.values():
+        pv = a.get("partitionValues") or {}
+        key = tuple(pv.get(c) for c in part_cols)
+        groups.setdefault(key, []).append(os.path.join(path, a["path"]))
+
+    parts = []
+    for key, files in sorted(groups.items()):
+        df = spark.read.schema(data_schema).parquet(*sorted(files))
+        for c, val in zip(part_cols, key):
+            df = df.withColumn(
+                c,
+                F.lit(val).cast(part_types[c])
+                if val is not None
+                else F.lit(None).cast(part_types[c]),
+            )
+        parts.append(df.select(*[f.name for f in schema.fields]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
