@@ -434,6 +434,18 @@ def build(processor):
             )
         backend.create_temp_view(df, view_name)
 
+    def snapshot_export_delta(root: str):
+        """Expose the snapshot table's current version as a Delta table
+        (zero copy — a `_delta_log` derived from the manifest, pointing
+        at the snapshot's own files): `func.snapshot_export_delta(/w/t)`
+        then any Delta reader opens `/w/t`.  Re-run after commits to
+        advance the delta log incrementally; export BEFORE vacuum."""
+        from ..sources.delta_log import export_snapshot_to_delta
+
+        rep = export_snapshot_to_delta(_snapshot(root))
+        processor.log(f"snapshot_export_delta({root}): {rep}")
+        return rep["delta_version"]
+
     def snapshot_files(root: str, view_name: str, version: str = ""):
         """DESCRIBE DETAIL analogue: one row per live data dir of the
         (time-travel) version — dir path, row count, min/max stats JSON,

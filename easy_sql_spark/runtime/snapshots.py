@@ -132,6 +132,16 @@ class _FS:
             s.getPath().getName() for s in self._fs.listStatus(self._path(p))
         ]
 
+    def list_files(self, p: str) -> list[tuple[str, int]]:
+        """(name, size) for the plain files directly under ``p``."""
+        if not self.exists(p):
+            return []
+        return [
+            (s.getPath().getName(), int(s.getLen()))
+            for s in self._fs.listStatus(self._path(p))
+            if not s.isDirectory()
+        ]
+
     def leaf_dirs(self, p: str, depth: int) -> list[str]:
         """Relative leaf dirs exactly ``depth`` levels under ``p``
         (depth 0 → [''] when p exists)."""

@@ -233,3 +233,105 @@ def read_delta(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def export_snapshot_to_delta(table) -> dict:
+    """Expose a snapshot table's CURRENT version as a Delta table by
+    writing/advancing a ``_delta_log`` under the snapshot root — ZERO
+    data copied: the add actions point at the snapshot's own parquet
+    files (relative for local dirs, absolute for unmaterialized-clone
+    dirs, which the Delta spec allows).  Re-export after new snapshot
+    commits appends a delta version carrying only the add/remove DIFF
+    vs the previous export, so downstream Delta readers (Trino, DuckDB
+    delta, polars, Databricks) see incremental versions, not rewrites.
+
+    The snapshot manifest stays the source of truth; the delta log is a
+    derived view of it.  Vacuum discipline: run exports BEFORE
+    ``vacuum`` so removed files leave the delta state first.
+
+    Returns {"delta_version", "adds", "removes", "snapshot_version"}.
+    """
+    import time as _time
+
+    spark = table.spark
+    root = table.root
+    snap_v = table.latest_version()
+    if not snap_v:
+        raise ValueError(f"no committed versions at {root}")
+    m = table.manifest(snap_v)
+    part_cols = m["partition_cols"]
+    ext = m.get("external") or {}
+
+    # current file set: {delta_path: (partitionValues, size)}
+    current: dict[str, tuple[dict, int]] = {}
+    for d in m["live"]:
+        base = ext.get(d)
+        abs_dir = f"{base}/{d}" if base else f"{table.data_dir}/{d}"
+        segs = [s for s in d.split("/")[1:] if "=" in s]
+        pv = dict(s.split("=", 1) for s in segs)
+        pv = {c: pv.get(c) for c in part_cols}
+        for name, size in table.fs.list_files(abs_dir):
+            if not name.endswith(".parquet"):
+                continue
+            delta_path = (
+                f"{abs_dir}/{name}" if base else f"data/{d}/{name}"
+            )
+            current[delta_path] = (pv, size)
+
+    log_dir = _log_dir(root)
+    os.makedirs(log_dir, exist_ok=True)
+    versions = _commit_versions(root)
+    if versions:
+        _, prev_adds = _replay(spark, root, versions[-1])
+        prev = set(prev_adds)
+    else:
+        prev = set()
+    next_v = (versions[-1] + 1) if versions else 0
+
+    adds = sorted(set(current) - prev)
+    removes = sorted(prev - set(current))
+    ts = int(_time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "operation": "SNAPSHOT_EXPORT",
+                "timestamp": ts,
+                "operationParameters": {"snapshotVersion": str(snap_v)},
+            }
+        }
+    ]
+    if next_v == 0:
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+    actions.append(
+        {
+            "metaData": {
+                "id": f"snapshot-{os.path.basename(root)}",
+                "schemaString": m["schema"],
+                "partitionColumns": part_cols,
+                "format": {"provider": "parquet"},
+                "configuration": {},
+            }
+        }
+    )
+    for p in removes:
+        actions.append(
+            {"remove": {"path": p, "dataChange": True,
+                        "deletionTimestamp": ts}}
+        )
+    for p in adds:
+        pv, size = current[p]
+        actions.append(
+            {"add": {"path": p, "partitionValues": pv, "size": size,
+                     "modificationTime": ts, "dataChange": True}}
+        )
+    with open(os.path.join(log_dir, f"{next_v:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    return {
+        "delta_version": next_v,
+        "adds": len(adds),
+        "removes": len(removes),
+        "snapshot_version": snap_v,
+    }

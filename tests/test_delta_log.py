@@ -225,3 +225,68 @@ select (select count(*) from dv) as actual, 5 as expected
 """
     SqlProcessor(spark, etl, logger=lambda m: None).run()
     assert spark.table("dv0").count() == 3
+
+
+def test_export_snapshot_to_delta_roundtrip(spark, tmp_path):
+    """Snapshot -> Delta export: zero-copy log derivation, incremental
+    re-export, and the exported table reading back identical to the
+    snapshot through the delta replay path (including an unmaterialized
+    clone whose files live under the SOURCE root — absolute add paths)."""
+    from easy_sql_spark.runtime.snapshots import SnapshotTable
+    from easy_sql_spark.sources.delta_log import export_snapshot_to_delta
+
+    t = SnapshotTable(spark, str(tmp_path / "snap"))
+    t.create(
+        spark.createDataFrame(
+            [(1, "x", "a"), (2, "y", "b"), (3, "z", "a")],
+            "id int, val string, p string",
+        ),
+        partition_by=["p"],
+    )
+    rep = export_snapshot_to_delta(t)
+    assert rep["delta_version"] == 0 and rep["removes"] == 0
+
+    snap = {(r.id, r.val, r.p) for r in t.read().collect()}
+    delta = {(r.id, r.val, r.p) for r in read_delta(spark, t.root).collect()}
+    assert delta == snap
+
+    # advance the snapshot (partition overwrite), re-export -> delta v1
+    t.overwrite_partitions(
+        spark.createDataFrame([(9, "w", "a")], "id int, val string, p string")
+    )
+    rep2 = export_snapshot_to_delta(t)
+    assert rep2["delta_version"] == 1
+    assert rep2["adds"] >= 1 and rep2["removes"] >= 1
+    assert {(r.id, r.p) for r in read_delta(spark, t.root).collect()} == {
+        (9, "a"), (2, "b"),
+    }
+    # delta time travel reaches the pre-overwrite export
+    assert {
+        (r.id, r.p) for r in read_delta(spark, t.root, version=0).collect()
+    } == {(1, "a"), (2, "b"), (3, "a")}
+
+    # clone export: unmaterialized clone files live under the SOURCE
+    # root, so its delta log must carry absolute paths — and still read
+    c = t.clone_to(str(tmp_path / "branch"))
+    c.append(spark.createDataFrame([(7, "q", "b")], "id int, val string, p string"))
+    export_snapshot_to_delta(c)
+    got = {(r.id, r.val, r.p) for r in read_delta(spark, c.root).collect()}
+    assert got == {(9, "w", "a"), (2, "y", "b"), (7, "q", "b")}
+
+
+def test_export_delta_step_function(spark, tmp_path):
+    from easy_sql_spark.runtime.processor import SqlProcessor
+
+    root = str(tmp_path / "s")
+    etl = f"""-- target=temp.seed
+select 1 as id, 'a' as p union all select 2, 'b'
+
+-- target=func.snapshot_commit({root}, seed, append, p)
+-- target=func.snapshot_export_delta({root})
+-- target=func.delta_view({root}, via_delta)
+
+-- target=check.delta_sees_snapshot
+select (select count(*) from via_delta) as actual, 2 as expected
+"""
+    SqlProcessor(spark, etl, logger=lambda m: None).run()
+    assert {r.id for r in spark.table("via_delta").collect()} == {1, 2}
