@@ -60,11 +60,31 @@ def register_udfs(spark, extra: dict[str, Callable] | None = None) -> None:
     (pandas) UDFs instead.  Accepted values: plain callables (string
     return), :class:`UDF` wrappers (explicit return type), or
     already-decorated ``@pandas_udf``/``udf`` objects (registered as-is —
-    the Arrow path for heavier per-row logic)."""
+    the Arrow path for heavier per-row logic).
+
+    Python UDTFs (Spark 4 table functions) register through the same
+    dict/pyfile path: pass an ``@udtf``-decorated object, or a plain
+    class with an ``eval`` generator and a ``returnType`` attribute
+    (DDL string or StructType) — both land in ``spark.udtf`` and are
+    callable as table functions (``SELECT * FROM my_udtf(...)`` /
+    ``LATERAL my_udtf(col)``)."""
     from pyspark.sql import types as T
+    from pyspark.sql.udtf import UserDefinedTableFunction
 
     for name, fn in {**BUILTIN_UDFS, **(extra or {})}.items():
-        if isinstance(fn, UDF):
+        if isinstance(fn, UserDefinedTableFunction):
+            spark.udtf.register(name, fn)
+        elif isinstance(fn, type) and hasattr(fn, "eval"):
+            rt = getattr(fn, "returnType", None)
+            if rt is None:
+                raise ValueError(
+                    f"UDTF class {name!r} needs a returnType attribute "
+                    "(DDL string or StructType)"
+                )
+            from pyspark.sql.functions import udtf as _udtf
+
+            spark.udtf.register(name, _udtf(fn, returnType=rt))
+        elif isinstance(fn, UDF):
             spark.udf.register(name, fn.func, fn.return_type)
         elif hasattr(fn, "returnType"):  # UserDefinedFunction (incl. pandas)
             spark.udf.register(name, fn)

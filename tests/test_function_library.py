@@ -462,3 +462,50 @@ def test_refresh_rollup_incremental_matches_full_recompute(spark):
         f for f in spark.table("rrl.rollup").inputFiles() if "dt=d1" in f
     )
     assert after_d1 == before_d1  # unchanged partition never rewritten
+
+
+def test_udtf_registration_decorated_and_plain_class(spark):
+    """Spark 4 Python UDTFs through the same udfs= dict as scalar UDFs:
+    an @udtf-decorated object and a plain eval-class with a returnType
+    attribute both become SQL table functions, usable standalone and
+    LATERAL."""
+    from pyspark.sql.functions import udtf
+
+    from easy_sql_spark.runtime.processor import SqlProcessor
+
+    @udtf(returnType="word string, pos int")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split()):
+                yield (w, i)
+
+    class NumberRange:  # undecorated: returnType attribute drives it
+        returnType = "n int"
+
+        def eval(self, lo: int, hi: int):
+            for n in range(lo, hi):
+                yield (n,)
+
+    etl = """-- target=temp.docs
+select 'alpha beta gamma' as text union all select 'delta' as text
+
+-- target=temp.words
+select w.word, w.pos from docs, lateral split_words(text) w
+
+-- target=temp.nums
+select * from number_range(2, 5)
+
+-- target=check.words_exploded
+select (select count(*) from words) as actual, 4 as expected
+
+-- target=check.nums_range
+select (select cast(sum(n) as int) from nums) as actual, 9 as expected
+"""
+    SqlProcessor(
+        spark,
+        etl,
+        udfs={"split_words": SplitWords, "number_range": NumberRange},
+        logger=lambda m: None,
+    ).run()
+    got = {(r.word, r.pos) for r in spark.table("words").collect()}
+    assert got == {("alpha", 0), ("beta", 1), ("gamma", 2), ("delta", 0)}

@@ -869,3 +869,88 @@ def test_snapshot_sink_exactly_once_via_yaml(spark, tmp_path):
     run_once()
     assert t.latest_version() == v  # all replayed batch ids skipped
     assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 3, 9]
+
+
+def test_streaming_fuzzy_dedup_via_index_in_foreach_batch(spark, tmp_path):
+    """Streaming NEAR-dup dedup end-to-end: a foreach_batch step ETL
+    routes each micro-batch through the persistent MinHash dedup index
+    (func.dedup_index_ingest keyed by ${__batch_id__}), admitting only
+    docs not fuzzy-matching anything already indexed — the streaming
+    face of the incremental batch dedup, exactly-once under replay
+    because the index commits carry the batch id."""
+    src = tmp_path / "fsrc"
+    src.mkdir()
+    base = "the quick brown fox jumps over the lazy dog and then naps in the warm afternoon sun near the barn"
+    docs = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base + " indeed"},  # near-dup of 1
+        {"doc_id": 3, "text": "completely different content about spark "
+                              "structured streaming state stores and arrow batches"},
+    ]
+    with open(src / "b1.json", "w") as f:
+        for r in docs:
+            f.write(json.dumps(r) + "\n")
+
+    didx = str(tmp_path / "didx")
+    out = tmp_path / "fout"
+    out.mkdir()
+    etl = f"""-- target=func.dedup_index_ingest({didx}, fd_batch, admitted, ${{__batch_id__}})
+
+-- target=temp.adm_count
+select count(*) as n, ${{__batch_id__}} as bid from admitted
+
+-- target=func.write_json_local(adm_count, {out}/adm_${{__batch_id__}}.json)
+"""
+    config = {
+        "sources": [
+            {
+                "name": "doc_stream",
+                "format": "json",
+                "schema": "doc_id long, text string",
+                "path": str(src),
+            }
+        ],
+        "sinks": [
+            {
+                "name": "sdb.fd",
+                "format": "foreach_batch",
+                "trigger": "availableNow",
+                "checkpoint": str(tmp_path / "fck"),
+                "options": {"etl_sql": etl, "view": "fd_batch"},
+            }
+        ],
+    }
+    sql = """-- backend: spark
+-- config: easy_sql.etl_type=streaming
+
+-- target=output.sdb.fd
+select doc_id, text from doc_stream
+
+-- target=func.execute_streaming_inserts()
+"""
+    p = SqlProcessor(spark, sql, streaming_config=config, logger=lambda m: None)
+    p.run()
+    for q in p.streaming_queries:
+        assert q.awaitTermination(240), "query still running"
+        q.stop()
+    p.backend.clean_temp_views()
+
+    # batch 0: doc 2 is a near-dup of doc 1 -> 2 admitted of 3
+    assert json.load(open(out / "adm_0.json"))[0]["n"] == 2
+
+    # a second batch re-sends doc 3's text (cross-batch fuzzy dup) plus
+    # one genuinely new doc -> only the new one admitted
+    import time
+
+    time.sleep(1.1)
+    with open(src / "b2.json", "w") as f:
+        f.write(json.dumps({"doc_id": 10, "text": docs[2]["text"]}) + "\n")
+        f.write(json.dumps({"doc_id": 11, "text": "fresh unrelated prose on "
+                            "lakehouse manifests and zero copy clones for branches"}) + "\n")
+    p2 = SqlProcessor(spark, sql, streaming_config=config, logger=lambda m: None)
+    p2.run()
+    for q in p2.streaming_queries:
+        assert q.awaitTermination(240), "query still running"
+        q.stop()
+    p2.backend.clean_temp_views()
+    assert json.load(open(out / "adm_1.json"))[0]["n"] == 1
