@@ -434,6 +434,23 @@ def build(processor):
             )
         backend.create_temp_view(df, view_name)
 
+    def iceberg_view(path: str, view_name: str, snapshot: str = ""):
+        """Register an Apache Iceberg table as a temp view WITHOUT the
+        iceberg runtime jar (sources/iceberg_meta.py: metadata JSON +
+        in-repo Avro codec): `func.iceberg_view(/lake/t, iv, 1234)` —
+        omit the snapshot for current; `ts:<epoch_ms>` time-travels via
+        the snapshot log.  Tables with row-level delete files raise
+        instead of returning wrong rows."""
+        from ..sources.iceberg_meta import read_iceberg
+
+        if str(snapshot).startswith("ts:"):
+            df = read_iceberg(spark, path, as_of_ms=int(snapshot[3:]))
+        else:
+            df = read_iceberg(
+                spark, path, snapshot_id=int(snapshot) if snapshot else None
+            )
+        backend.create_temp_view(df, view_name)
+
     def snapshot_export_delta(root: str):
         """Expose the snapshot table's current version as a Delta table
         (zero copy — a `_delta_log` derived from the manifest, pointing

@@ -1,0 +1,248 @@
+"""Iceberg reader (sources/iceberg_meta.py) over the in-repo Avro codec
+(sources/avro_lite.py): tables are constructed to the spec — metadata
+JSON, Avro manifest list + manifests (one deflate-compressed to cover
+the codec path) — the same artifacts an Iceberg writer produces."""
+
+import json
+import os
+
+import pytest
+
+from easy_sql_spark.sources.avro_lite import read_avro_file, write_avro_file
+from easy_sql_spark.sources.iceberg_meta import (
+    IcebergUnsupportedError,
+    iceberg_history,
+    read_iceberg,
+    schema_to_spark,
+)
+
+MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "added_snapshot_id", "type": "long"},
+    ],
+}
+
+MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "data_file_r",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
+ICE_SCHEMA = {
+    "schema-id": 0,
+    "type": "struct",
+    "fields": [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "val", "required": False, "type": "string"},
+    ],
+}
+
+
+def _data_file(spark, table, rel, rows):
+    df = spark.createDataFrame(rows, "id long, val string")
+    tmp = os.path.join(table, "_tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(n for n in os.listdir(tmp) if n.endswith(".parquet"))
+    dest = os.path.join(table, "data", rel)
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    os.replace(os.path.join(tmp, part), dest)
+    import shutil
+
+    shutil.rmtree(tmp)
+    return dest
+
+
+def _entry(status, path, content=0, fmt="PARQUET"):
+    return {
+        "status": status,
+        "snapshot_id": 1,
+        "data_file": {
+            "content": content,
+            "file_path": path,
+            "file_format": fmt,
+            "record_count": 1,
+            "file_size_in_bytes": 1,
+        },
+    }
+
+
+def _manifest(table, name, entries, codec="null"):
+    p = os.path.join(table, "metadata", name)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    with open(p, "wb") as f:
+        f.write(write_avro_file(MANIFEST_ENTRY_SCHEMA, entries, codec))
+    return p
+
+
+def _manifest_list(table, name, manifest_paths, contents=None):
+    p = os.path.join(table, "metadata", name)
+    rows = [
+        {
+            "manifest_path": mp,
+            "manifest_length": os.path.getsize(mp),
+            "partition_spec_id": 0,
+            "content": (contents or [0] * len(manifest_paths))[i],
+            "added_snapshot_id": 1,
+        }
+        for i, mp in enumerate(manifest_paths)
+    ]
+    with open(p, "wb") as f:
+        f.write(write_avro_file(MANIFEST_FILE_SCHEMA, rows))
+    return p
+
+
+def _metadata(table, snapshots, current, log):
+    meta = {
+        "format-version": 2,
+        "table-uuid": "0000",
+        "location": table,
+        "schemas": [ICE_SCHEMA],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "snapshots": snapshots,
+        "current-snapshot-id": current,
+        "snapshot-log": log,
+    }
+    p = os.path.join(table, "metadata", "v3.metadata.json")
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    with open(p, "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(table, "metadata", "version-hint.text"), "w") as f:
+        f.write("3")
+
+
+def _mk_table(spark, root):
+    t = str(root)
+    fa = _data_file(spark, t, "fa.parquet", [(1, "x"), (2, "y")])
+    fb = _data_file(spark, t, "fb.parquet", [(3, "z")])
+    fc = _data_file(spark, t, "fc.parquet", [(9, "w")])
+    # snapshot 100: A + B (deflate-compressed manifest covers that path)
+    m1 = _manifest(t, "m1.avro", [_entry(1, fa), _entry(1, fb)], codec="deflate")
+    ml1 = _manifest_list(t, "snap-100.avro", [m1])
+    # snapshot 200 (overwrite): B deleted, C added, A survives
+    m2 = _manifest(t, "m2.avro", [_entry(0, fa), _entry(2, fb), _entry(1, fc)])
+    ml2 = _manifest_list(t, "snap-200.avro", [m2])
+    _metadata(
+        t,
+        snapshots=[
+            {"snapshot-id": 100, "timestamp-ms": 1000,
+             "manifest-list": ml1, "summary": {"operation": "append"}},
+            {"snapshot-id": 200, "timestamp-ms": 2000,
+             "manifest-list": ml2, "summary": {"operation": "overwrite"}},
+        ],
+        current=200,
+        log=[
+            {"timestamp-ms": 1000, "snapshot-id": 100},
+            {"timestamp-ms": 2000, "snapshot-id": 200},
+        ],
+    )
+    return t
+
+
+def test_read_iceberg_snapshots_and_time_travel(spark, tmp_path):
+    t = _mk_table(spark, tmp_path / "ice")
+    cur = {(r.id, r.val) for r in read_iceberg(spark, t).collect()}
+    assert cur == {(1, "x"), (2, "y"), (9, "w")}
+
+    s100 = {(r.id, r.val) for r in read_iceberg(spark, t, snapshot_id=100).collect()}
+    assert s100 == {(1, "x"), (2, "y"), (3, "z")}
+
+    at = {(r.id,) for r in read_iceberg(spark, t, as_of_ms=1500).collect()}
+    assert at == {(1,), (2,), (3,)}
+    with pytest.raises(ValueError, match="no iceberg snapshot"):
+        read_iceberg(spark, t, as_of_ms=10)
+
+    hist = iceberg_history(t)
+    assert [(h["snapshot_id"], h["operation"]) for h in hist] == [
+        (200, "overwrite"), (100, "append"),
+    ]
+
+
+def test_iceberg_refuses_delete_files(spark, tmp_path):
+    t = str(tmp_path / "ice2")
+    fa = _data_file(spark, t, "fa.parquet", [(1, "x")])
+    fd = _data_file(spark, t, "fd.parquet", [(1, "x")])
+    m1 = _manifest(t, "m1.avro", [_entry(1, fa)])
+    md = _manifest(t, "md.avro", [_entry(1, fd, content=1)])
+    ml = _manifest_list(t, "snap-1.avro", [m1, md], contents=[0, 1])
+    _metadata(
+        t,
+        snapshots=[{"snapshot-id": 1, "timestamp-ms": 1,
+                    "manifest-list": ml, "summary": {"operation": "delete"}}],
+        current=1,
+        log=[{"timestamp-ms": 1, "snapshot-id": 1}],
+    )
+    with pytest.raises(IcebergUnsupportedError, match="DELETE manifest"):
+        read_iceberg(spark, t)
+
+
+def test_iceberg_schema_conversion_complex_types():
+    meta = {
+        "format-version": 2,
+        "schemas": [
+            {
+                "schema-id": 0,
+                "type": "struct",
+                "fields": [
+                    {"id": 1, "name": "d", "required": True,
+                     "type": "decimal(12, 2)"},
+                    {"id": 2, "name": "tags", "required": False,
+                     "type": {"type": "list", "element-id": 3,
+                              "element": "string", "element-required": False}},
+                    {"id": 4, "name": "kv", "required": False,
+                     "type": {"type": "map", "key-id": 5, "key": "string",
+                              "value-id": 6, "value": "long",
+                              "value-required": False}},
+                    {"id": 7, "name": "pos", "required": False,
+                     "type": {"type": "struct", "fields": [
+                         {"id": 8, "name": "x", "required": True,
+                          "type": "double"}]}},
+                ],
+            }
+        ],
+        "current-schema-id": 0,
+    }
+    s = schema_to_spark(meta)
+    assert s.simpleString() == (
+        "struct<d:decimal(12,2),tags:array<string>,"
+        "kv:map<string,bigint>,pos:struct<x:double>>"
+    )
+    assert not s["d"].nullable
+
+
+def test_iceberg_view_step_function(spark, tmp_path):
+    from easy_sql_spark.runtime.processor import SqlProcessor
+
+    t = _mk_table(spark, tmp_path / "ice3")
+    etl = f"""-- target=func.iceberg_view({t}, iv)
+-- target=func.iceberg_view({t}, iv100, 100)
+
+-- target=check.current_snapshot_rows
+select (select count(*) from iv) as actual, 3 as expected
+"""
+    SqlProcessor(spark, etl, logger=lambda m: None).run()
+    assert spark.table("iv100").count() == 3
+    assert {r.id for r in spark.table("iv").collect()} == {1, 2, 9}
