@@ -917,3 +917,152 @@ def delta_interop_read(spark, sf_dir):
         outs[0].unionByName(outs[1]).orderBy("version", "pt")
         .localCheckpoint(eager=True)
     )
+
+
+@query(
+    "iceberg_interop_read",
+    oracle="""
+    WITH seed AS (
+        SELECT o_orderkey AS k, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey <= 900),
+    s2 AS (SELECT k, cents FROM seed WHERE k % 2 = 0)
+    SELECT snap, CAST(n AS BIGINT) AS n, CAST(sum_cents AS BIGINT) AS sum_cents
+    FROM (
+        SELECT 1 AS snap, COUNT(*) AS n, SUM(cents) AS sum_cents FROM seed
+        UNION ALL
+        SELECT 2, COUNT(*), SUM(cents) FROM s2
+    ) ORDER BY snap
+    """,
+)
+def iceberg_interop_read(spark, sf_dir):
+    """Iceberg interop end-to-end (sources/iceberg_meta.py + the
+    avro_lite codec): an Iceberg v2 table is constructed to the spec —
+    parquet data files, Avro manifests (one deflate-compressed) and
+    manifest lists, metadata JSON with a snapshot log — then read back
+    via metadata replay at both snapshots.  Snapshot 1 holds an orders
+    slice across two files; snapshot 2 overwrites to the even keys
+    (one file deleted, one surviving, one added).  The oracle
+    recomputes both snapshots' aggregates from the source rows, so the
+    check covers manifest-entry status handling, Avro decoding and
+    schema conversion."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.avro_lite import write_avro_file
+    from ..sources.iceberg_meta import read_iceberg
+
+    t = tempfile.mkdtemp(prefix="ice_q_") + "/tbl"
+    seed = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 900)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def stage(df, rel):
+        df.coalesce(1).write.parquet(t + "/_s")
+        part = next(n for n in os.listdir(t + "/_s") if n.endswith(".parquet"))
+        dest = f"{t}/data/{rel}"
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        os.replace(f"{t}/_s/{part}", dest)
+        shutil.rmtree(t + "/_s")
+        return dest
+
+    f_odd = stage(seed.where(F.col("k") % 2 == 1), "odd.parquet")
+    f_ev1 = stage(
+        seed.where((F.col("k") % 2 == 0) & (F.col("k") % 3 == 0)), "ev1.parquet"
+    )
+    f_ev2 = stage(
+        seed.where((F.col("k") % 2 == 0) & (F.col("k") % 3 != 0)), "ev2.parquet"
+    )
+
+    entry_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "data_file_r", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                ]}},
+        ],
+    }
+    mlist_schema = {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "content", "type": "int"},
+        ],
+    }
+
+    def entry(status, path):
+        return {"status": status, "data_file": {
+            "content": 0, "file_path": path,
+            "file_format": "PARQUET", "record_count": 1}}
+
+    os.makedirs(f"{t}/metadata")
+
+    def manifest(name, entries, codec="null"):
+        p = f"{t}/metadata/{name}"
+        with open(p, "wb") as fh:
+            fh.write(write_avro_file(entry_schema, entries, codec))
+        return p
+
+    def mlist(name, paths):
+        p = f"{t}/metadata/{name}"
+        rows = [{"manifest_path": mp, "content": 0} for mp in paths]
+        with open(p, "wb") as fh:
+            fh.write(write_avro_file(mlist_schema, rows))
+        return p
+
+    m1 = manifest("m1.avro", [entry(1, f_odd), entry(1, f_ev1), entry(1, f_ev2)],
+                  codec="deflate")
+    ml1 = mlist("sl1.avro", [m1])
+    m2 = manifest("m2.avro", [entry(2, f_odd), entry(0, f_ev1), entry(0, f_ev2)])
+    ml2 = mlist("sl2.avro", [m2])
+    meta = {
+        "format-version": 2,
+        "table-uuid": "q",
+        "location": t,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "k", "required": False, "type": "long"},
+            {"id": 2, "name": "cents", "required": False, "type": "long"},
+        ]}],
+        "current-schema-id": 0,
+        "snapshots": [
+            {"snapshot-id": 1, "timestamp-ms": 1000, "manifest-list": ml1,
+             "summary": {"operation": "append"}},
+            {"snapshot-id": 2, "timestamp-ms": 2000, "manifest-list": ml2,
+             "summary": {"operation": "overwrite"}},
+        ],
+        "current-snapshot-id": 2,
+        "snapshot-log": [
+            {"timestamp-ms": 1000, "snapshot-id": 1},
+            {"timestamp-ms": 2000, "snapshot-id": 2},
+        ],
+    }
+    with open(f"{t}/metadata/v1.metadata.json", "w") as fh:
+        _json.dump(meta, fh)
+
+    outs = [
+        read_iceberg(spark, t, snapshot_id=s)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .select(F.lit(s).alias("snap"), "n", "sum_cents")
+        for s in (1, 2)
+    ]
+    return (
+        outs[0].unionByName(outs[1]).orderBy("snap")
+        .localCheckpoint(eager=True)
+    )
