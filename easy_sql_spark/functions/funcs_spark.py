@@ -451,6 +451,16 @@ def build(processor):
             )
         backend.create_temp_view(df, view_name)
 
+    def hudi_view(path: str, view_name: str, as_of: str = ""):
+        """Register a Hudi COPY_ON_WRITE table as a temp view without
+        the hudi bundle (sources/hudi_meta.py: timeline + file-slice
+        selection): `func.hudi_view(/lake/t, hv, 20240101103000000)` —
+        omit the instant for latest.  MERGE_ON_READ tables raise."""
+        from ..sources.hudi_meta import read_hudi
+
+        df = read_hudi(spark, path, as_of=as_of or None)
+        backend.create_temp_view(df, view_name)
+
     def snapshot_export_delta(root: str):
         """Expose the snapshot table's current version as a Delta table
         (zero copy — a `_delta_log` derived from the manifest, pointing

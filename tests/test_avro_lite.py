@@ -87,3 +87,36 @@ def test_corruption_is_loud():
     data[-1] ^= 0xFF  # flip a sync byte
     with pytest.raises(AvroError, match="sync marker"):
         read_avro_file(bytes(data))
+
+
+def test_avro_roundtrip_property():
+    """Hypothesis: random values under the fixed manifest-like schema
+    round-trip exactly, both codecs — varint edge values (7-bit group
+    boundaries), unicode, empty/large collections."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    vals = st.fixed_dictionaries(
+        {
+            "a": st.integers(min_value=-(2**62), max_value=2**62),
+            "s": st.text(max_size=40),
+            "u": st.one_of(st.none(), st.integers(-(2**30), 2**30)),
+            "arr": st.lists(st.text(max_size=8), max_size=20),
+            "m": st.dictionaries(st.text(min_size=1, max_size=6),
+                                 st.integers(-(2**40), 2**40), max_size=10),
+            "d": st.floats(allow_nan=False, allow_infinity=False),
+            "flag": st.booleans(),
+            "nested": st.fixed_dictionaries(
+                {"x": st.integers(-(2**31), 2**31 - 1)}
+            ),
+        }
+    )
+
+    @given(rows=st.lists(vals, max_size=12),
+           codec=st.sampled_from(["null", "deflate"]))
+    @settings(max_examples=120, deadline=None)
+    def check(rows, codec):
+        _, out = read_avro_file(write_avro_file(SCHEMA, rows, codec))
+        assert out == rows
+
+    check()
