@@ -473,6 +473,18 @@ def build(processor):
         processor.log(f"snapshot_export_delta({root}): {rep}")
         return rep["delta_version"]
 
+    def snapshot_export_iceberg(root: str):
+        """Expose the snapshot table's current version as an Iceberg v2
+        table (zero copy: metadata JSON + Avro manifests referencing the
+        snapshot's own files, with a name-mapping property for the
+        field-ID-less parquet): `func.snapshot_export_iceberg(/w/t)`.
+        Re-run after commits to append a new Iceberg snapshot."""
+        from ..sources.iceberg_meta import export_snapshot_to_iceberg
+
+        rep = export_snapshot_to_iceberg(_snapshot(root))
+        processor.log(f"snapshot_export_iceberg({root}): {rep}")
+        return rep["snapshot_id"]
+
     def snapshot_files(root: str, view_name: str, version: str = ""):
         """DESCRIBE DETAIL analogue: one row per live data dir of the
         (time-travel) version — dir path, row count, min/max stats JSON,

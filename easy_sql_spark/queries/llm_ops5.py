@@ -671,11 +671,15 @@ def sim_mmr_rerank(spark, sf_dir):
             ).alias("s"),
         )
     )
-    rels = {  # bounded-driver: pool is capped at 16 rows by construction
-        r["vec_id"]: r["rel"] for r in pool.select("vec_id", "rel").collect()
+    rels = {
+        r["vec_id"]: r["rel"]
+        for r in pool.select(
+            "vec_id", "rel"
+        ).collect()  # bounded-driver: pool is capped at 16 rows
     }
-    sims = {  # bounded-driver: pool self-join is <= 16*15 rows
-        (r["vec_id"], r["b_id"]): r["s"] for r in sims_df.collect()
+    sims = {
+        (r["vec_id"], r["b_id"]): r["s"]
+        for r in sims_df.collect()  # bounded-driver: pool self-join <= 16*15 rows
     }
     picked: list[tuple[int, int, float]] = []
     chosen: list[int] = []

@@ -171,10 +171,13 @@ def iceberg_history(path: str) -> list[dict]:
     return out
 
 
-def _live_files(path: str, snap: dict, format_version: int) -> list[str]:
+def _live_files(
+    path: str, snap: dict, format_version: int
+) -> list[tuple[str, dict]]:
+    """(file path, manifest partition record) per live data file."""
     with open(_strip_uri(snap["manifest-list"]), "rb") as f:
         _, manifests = read_avro_file(f.read())
-    files: list[str] = []
+    files: list[tuple[str, dict]] = []
     for m in manifests:
         if format_version >= 2 and m.get("content", 0) == 1:
             raise IcebergUnsupportedError(
@@ -197,8 +200,30 @@ def _live_files(path: str, snap: dict, format_version: int) -> list[str]:
                 raise IcebergUnsupportedError(
                     f"data file format {fmt} (only parquet supported)"
                 )
-            files.append(_strip_uri(df["file_path"]))
+            files.append(
+                (_strip_uri(df["file_path"]), df.get("partition") or {})
+            )
     return files
+
+
+def _identity_partition_names(meta: dict) -> list[str]:
+    """Schema column names of IDENTITY-transform partition fields of the
+    default spec — the columns whose values readers take from manifest
+    metadata constants (Iceberg's behavior; it is what makes migrated
+    hive-layout files, which lack the column, read correctly).
+    Non-identity transforms (bucket/day/truncate) derive, not mirror,
+    a source column, so their values stay in the data files."""
+    specs = meta.get("partition-specs") or []
+    spec_id = meta.get("default-spec-id", 0)
+    spec = next((s for s in specs if s.get("spec-id") == spec_id), None)
+    if spec is None:
+        return []
+    by_id = {f["id"]: f["name"] for f in _current_schema(meta)["fields"]}
+    return [
+        by_id[f["source-id"]]
+        for f in spec.get("fields", [])
+        if f.get("transform") == "identity" and f.get("source-id") in by_id
+    ]
 
 
 def read_iceberg(
@@ -208,9 +233,16 @@ def read_iceberg(
     as_of_ms: int | None = None,
 ) -> DataFrame:
     """The iceberg table at a snapshot (default: current) as a
-    DataFrame: ONE pinned-schema parquet scan over the snapshot's live
+    DataFrame: pinned-schema parquet scans over the snapshot's live
     data files — metadata JSON + two Avro hops on the driver, zero
-    executor-side metadata work."""
+    executor-side metadata work.
+
+    Identity-partition columns are attached from the manifests'
+    partition metadata (grouped: one scan per partition tuple) — the
+    Iceberg reader contract, and what makes migrated hive-layout files
+    that LACK the column read correctly."""
+    from pyspark.sql import functions as F
+
     meta = load_table_metadata(path)
     fv = int(meta.get("format-version", 1))
     snap = _pick_snapshot(meta, snapshot_id, as_of_ms)
@@ -218,8 +250,306 @@ def read_iceberg(
     files = _live_files(path, snap, fv)
     if not files:
         return spark.createDataFrame([], schema)
-    return (
-        spark.read.schema(schema)
-        .parquet(*sorted(files))
-        .select(*[f.name for f in schema.fields])
+    id_parts = _identity_partition_names(meta)
+    if not id_parts:
+        return (
+            spark.read.schema(schema)
+            .parquet(*sorted(p for p, _ in files))
+            .select(*[f.name for f in schema.fields])
+        )
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name not in id_parts]
     )
+    types = {f.name: f.dataType for f in schema.fields}
+    groups: dict[tuple, list[str]] = {}
+    for p, pv in files:
+        key = tuple(
+            None if pv.get(c) is None else str(pv.get(c)) for c in id_parts
+        )
+        groups.setdefault(key, []).append(p)
+    parts = []
+    for key, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
+        df = spark.read.schema(data_schema).parquet(*sorted(paths))
+        for c, val in zip(id_parts, key):
+            df = df.withColumn(c, F.lit(val).cast(types[c]))
+        parts.append(df.select(*[f.name for f in schema.fields]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------- export
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {
+                        "name": "partition",
+                        "type": {"type": "map", "values": ["null", "string"]},
+                    },
+                ],
+            },
+        },
+    ],
+}
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "added_snapshot_id", "type": "long"},
+    ],
+}
+
+
+def _spark_to_iceberg_type(dt, next_id) -> object:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return {
+            "type": "struct",
+            "fields": [
+                {
+                    "id": next_id(),
+                    "name": f.name,
+                    "required": False,
+                    "type": _spark_to_iceberg_type(f.dataType, next_id),
+                }
+                for f in dt.fields
+            ],
+        }
+    if isinstance(dt, T.ArrayType):
+        return {
+            "type": "list",
+            "element-id": next_id(),
+            "element": _spark_to_iceberg_type(dt.elementType, next_id),
+            "element-required": False,
+        }
+    if isinstance(dt, T.MapType):
+        return {
+            "type": "map",
+            "key-id": next_id(),
+            "key": _spark_to_iceberg_type(dt.keyType, next_id),
+            "value-id": next_id(),
+            "value": _spark_to_iceberg_type(dt.valueType, next_id),
+            "value-required": False,
+        }
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    m = {
+        "boolean": "boolean", "integer": "int", "long": "long",
+        "float": "float", "double": "double", "date": "date",
+        "timestamp": "timestamptz", "timestamp_ntz": "timestamp",
+        "string": "string", "binary": "binary",
+        "short": "int", "byte": "int",
+    }
+    name = dt.typeName()
+    if name not in m:
+        raise IcebergUnsupportedError(f"cannot map spark type {name} to iceberg")
+    return m[name]
+
+
+def _name_mapping(fields: list[dict]) -> list[dict]:
+    out = []
+    for f in fields:
+        entry = {"field-id": f["id"], "names": [f["name"]]}
+        t = f["type"]
+        if isinstance(t, dict) and t.get("type") == "struct":
+            entry["fields"] = _name_mapping(t["fields"])
+        out.append(entry)
+    return out
+
+
+def export_snapshot_to_iceberg(table) -> dict:
+    """Expose a snapshot table's CURRENT version as an Iceberg v2 table:
+    metadata JSON + Avro manifest/manifest-list written from the
+    manifest state — ZERO data copied (data files referenced in place,
+    absolute paths, which Iceberg allows).  Because the snapshot's
+    parquet files carry no Iceberg field IDs, the metadata includes a
+    ``schema.name-mapping.default`` property — the spec's mechanism for
+    exactly this migration case, honored by Spark/Trino/Flink readers.
+
+    Each export appends ONE new snapshot whose single manifest lists the
+    full live file set (existing Iceberg readers handle full manifests
+    fine; incremental manifest reuse is the growth path).  Returns
+    {"snapshot_id", "files", "metadata_file"}."""
+    import time as _time
+
+    from .avro_lite import write_avro_file
+
+    root = table.root
+    snap_v = table.latest_version()
+    if not snap_v:
+        raise ValueError(f"no committed versions at {root}")
+    m = table.manifest(snap_v)
+    ext = m.get("external") or {}
+
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    spark_schema = StructType.fromJson(_json.loads(m["schema"]))
+    counter = {"n": 0}
+
+    def next_id() -> int:
+        counter["n"] += 1
+        return counter["n"]
+
+    ice_struct = _spark_to_iceberg_type(spark_schema, next_id)
+    ice_schema = {"schema-id": 0, "type": "struct",
+                  "fields": ice_struct["fields"]}
+
+    meta_dir = os.path.join(root, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    snapshot_id = snap_v  # monotone with snapshot-table versions
+    ts = int(_time.time() * 1000)
+
+    # accurate per-file record counts (Iceberg engines trust them for
+    # count pushdown — a wrong count would corrupt COUNT(*) downstream):
+    # one driver-side footer read per file, the cost every metadata
+    # export pays exactly once per file
+    import pyarrow.parquet as _pq
+
+    part_cols = m["partition_cols"]
+    entries = []
+    n_files = 0
+    for d in sorted(m["live"]):
+        base = ext.get(d)
+        abs_dir = f"{base}/{d}" if base else f"{table.data_dir}/{d}"
+        segs = dict(
+            s.split("=", 1) for s in d.split("/")[1:] if "=" in s
+        )
+        pv = {c: segs.get(c) for c in part_cols}
+        for name, size in table.fs.list_files(abs_dir):
+            if not name.endswith(".parquet"):
+                continue
+            n_files += 1
+            fpath = f"{abs_dir}/{name}"
+            entries.append(
+                {
+                    "status": 1,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": fpath,
+                        "file_format": "PARQUET",
+                        "record_count": int(
+                            _pq.ParquetFile(fpath).metadata.num_rows
+                        ),
+                        "file_size_in_bytes": size,
+                        "partition": pv,
+                    },
+                }
+            )
+    manifest_path = os.path.join(meta_dir, f"manifest-{snapshot_id}.avro")
+    with open(manifest_path, "wb") as f:
+        f.write(write_avro_file(_MANIFEST_ENTRY_SCHEMA, entries, "deflate"))
+    mlist_path = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
+    with open(mlist_path, "wb") as f:
+        f.write(
+            write_avro_file(
+                _MANIFEST_FILE_SCHEMA,
+                [
+                    {
+                        "manifest_path": manifest_path,
+                        "manifest_length": os.path.getsize(manifest_path),
+                        "partition_spec_id": 0,
+                        "content": 0,
+                        "added_snapshot_id": snapshot_id,
+                    }
+                ],
+            )
+        )
+
+    # carry forward earlier exported snapshots (re-export = new snapshot)
+    prior_snaps: list[dict] = []
+    prior_log: list[dict] = []
+    try:
+        prev = load_table_metadata(root)
+        prior_snaps = [
+            s for s in prev.get("snapshots", [])
+            if s["snapshot-id"] != snapshot_id
+        ]
+        prior_log = [
+            e for e in prev.get("snapshot-log", [])
+            if e["snapshot-id"] != snapshot_id
+        ]
+        version_n = int(
+            os.path.basename(_metadata_file(root)).split(".")[0][1:]
+        ) + 1
+    except (ValueError, FileNotFoundError, OSError):
+        version_n = 1
+    meta = {
+        "format-version": 2,
+        "table-uuid": f"snapshot-{os.path.basename(root)}",
+        "location": root,
+        "last-updated-ms": ts,
+        "schemas": [ice_schema],
+        "current-schema-id": 0,
+        # identity spec over the snapshot's partition columns: readers
+        # (ours and real engines) fill these columns from the manifest
+        # partition records, which is exactly right for hive-layout
+        # files that do not carry the column
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {
+                        "name": c,
+                        "transform": "identity",
+                        "source-id": next(
+                            f["id"]
+                            for f in ice_schema["fields"]
+                            if f["name"] == c
+                        ),
+                        "field-id": 1000 + i,
+                    }
+                    for i, c in enumerate(part_cols)
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "properties": {
+            "schema.name-mapping.default": _json.dumps(
+                _name_mapping(ice_schema["fields"])
+            )
+        },
+        "snapshots": prior_snaps
+        + [
+            {
+                "snapshot-id": snapshot_id,
+                "timestamp-ms": ts,
+                "manifest-list": mlist_path,
+                "summary": {"operation": "append"},
+            }
+        ],
+        "current-snapshot-id": snapshot_id,
+        "snapshot-log": prior_log
+        + [{"timestamp-ms": ts, "snapshot-id": snapshot_id}],
+    }
+    meta_file = os.path.join(meta_dir, f"v{version_n}.metadata.json")
+    with open(meta_file, "w", encoding="utf-8") as f:
+        _json.dump(meta, f)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(version_n))
+    return {
+        "snapshot_id": snapshot_id,
+        "files": n_files,
+        "metadata_file": meta_file,
+    }
