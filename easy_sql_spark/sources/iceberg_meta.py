@@ -13,11 +13,15 @@ not a correctness requirement.
 
 Supported: format v1 and v2 append/overwrite tables, snapshot-id and
 timestamp time travel (snapshot-log), schema conversion for the full
-primitive set + struct/list/map/decimal.
+primitive set + struct/list/map/decimal, identity-partition metadata
+constants, and v2 POSITION deletes — applied Spark-first as a
+broadcast anti-join of the delete files' (file_path, pos) rows against
+``_metadata.row_index`` (deletes target exact file paths, so no
+sequence-number bookkeeping is needed: rewritten files have new paths
+and stale deletes match nothing).
 
-Refused, loudly (reading would return wrong rows): v2 row-level delete
-files (position or equality — any delete manifest in the snapshot),
-non-parquet data files.
+Refused, loudly (reading would return wrong rows): v2 EQUALITY deletes
+(their application is sequence-number ordered), non-parquet data files.
 """
 
 from __future__ import annotations
@@ -173,37 +177,43 @@ def iceberg_history(path: str) -> list[dict]:
 
 def _live_files(
     path: str, snap: dict, format_version: int
-) -> list[tuple[str, dict]]:
-    """(file path, manifest partition record) per live data file."""
+) -> tuple[list[tuple[str, dict]], list[str]]:
+    """(data files [(path, partition record)], POSITION-delete file
+    paths) for the snapshot.  Position deletes target data files by
+    exact path, so applying every live delete row is correct without
+    sequence-number bookkeeping (a rewritten data file has a new path
+    and old deletes simply match nothing).  EQUALITY deletes need
+    sequence-number ordering to apply correctly — those still refuse."""
     with open(_strip_uri(snap["manifest-list"]), "rb") as f:
         _, manifests = read_avro_file(f.read())
     files: list[tuple[str, dict]] = []
+    deletes: list[str] = []
     for m in manifests:
-        if format_version >= 2 and m.get("content", 0) == 1:
-            raise IcebergUnsupportedError(
-                "snapshot carries a DELETE manifest (row-level deletes); "
-                "reading without applying deletes would return wrong rows — "
-                "use an Iceberg-enabled engine for this table"
-            )
         with open(_strip_uri(m["manifest_path"]), "rb") as f:
             _, entries = read_avro_file(f.read())
         for e in entries:
             if e.get("status") == 2:  # DELETED entry: not part of state
                 continue
             df = e["data_file"]
-            if format_version >= 2 and df.get("content", 0) != 0:
-                raise IcebergUnsupportedError(
-                    "delete data_file in manifest; see above"
-                )
+            content = int(df.get("content", 0)) if format_version >= 2 else 0
             fmt = str(df.get("file_format", "PARQUET")).upper()
             if fmt != "PARQUET":
                 raise IcebergUnsupportedError(
                     f"data file format {fmt} (only parquet supported)"
                 )
-            files.append(
-                (_strip_uri(df["file_path"]), df.get("partition") or {})
-            )
-    return files
+            if content == 0:
+                files.append(
+                    (_strip_uri(df["file_path"]), df.get("partition") or {})
+                )
+            elif content == 1:
+                deletes.append(_strip_uri(df["file_path"]))
+            else:
+                raise IcebergUnsupportedError(
+                    "equality-delete file in snapshot: applying it needs "
+                    "sequence-number ordering this reader does not "
+                    "implement — use an Iceberg-enabled engine"
+                )
+    return files, deletes
 
 
 def _identity_partition_names(meta: dict) -> list[str]:
@@ -247,36 +257,66 @@ def read_iceberg(
     fv = int(meta.get("format-version", 1))
     snap = _pick_snapshot(meta, snapshot_id, as_of_ms)
     schema = schema_to_spark(meta)
-    files = _live_files(path, snap, fv)
+    files, delete_files = _live_files(path, snap, fv)
     if not files:
         return spark.createDataFrame([], schema)
     id_parts = _identity_partition_names(meta)
-    if not id_parts:
-        return (
-            spark.read.schema(schema)
-            .parquet(*sorted(p for p, _ in files))
-            .select(*[f.name for f in schema.fields])
-        )
-    data_schema = T.StructType(
-        [f for f in schema.fields if f.name not in id_parts]
-    )
-    types = {f.name: f.dataType for f in schema.fields}
-    groups: dict[tuple, list[str]] = {}
-    for p, pv in files:
-        key = tuple(
-            None if pv.get(c) is None else str(pv.get(c)) for c in id_parts
-        )
-        groups.setdefault(key, []).append(p)
-    parts = []
-    for key, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
+    with_pos = bool(delete_files)
+
+    def scan(data_schema, paths):
         df = spark.read.schema(data_schema).parquet(*sorted(paths))
-        for c, val in zip(id_parts, key):
-            df = df.withColumn(c, F.lit(val).cast(types[c]))
-        parts.append(df.select(*[f.name for f in schema.fields]))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        if with_pos:
+            df = df.withColumn(
+                "__ice_fp",
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+            ).withColumn("__ice_ri", F.col("_metadata.row_index"))
+        return df
+
+    if not id_parts:
+        out = scan(schema, [p for p, _ in files])
+        cols = [f.name for f in schema.fields]
+    else:
+        data_schema = T.StructType(
+            [f for f in schema.fields if f.name not in id_parts]
+        )
+        types = {f.name: f.dataType for f in schema.fields}
+        groups: dict[tuple, list[str]] = {}
+        for p, pv in files:
+            key = tuple(
+                None if pv.get(c) is None else str(pv.get(c))
+                for c in id_parts
+            )
+            groups.setdefault(key, []).append(p)
+        parts = []
+        extra = ["__ice_fp", "__ice_ri"] if with_pos else []
+        for key, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
+            df = scan(data_schema, paths)
+            for c, val in zip(id_parts, key):
+                df = df.withColumn(c, F.lit(val).cast(types[c]))
+            parts.append(
+                df.select(*[f.name for f in schema.fields], *extra)
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        cols = [f.name for f in schema.fields]
+    if with_pos:
+        # v2 position deletes: (file_path, pos) anti-join against the
+        # delete files — Spark's _metadata.row_index supplies the row
+        # position natively, so the merge-on-read stays one shuffle-free
+        # broadcast anti-join for typical delete volumes
+        dels = (
+            spark.read.schema("file_path string, pos long")
+            .parquet(*sorted(delete_files))
+            .select(
+                F.regexp_replace("file_path", "^file:/+", "/").alias("__ice_fp"),
+                F.col("pos").alias("__ice_ri"),
+            )
+        )
+        out = out.join(
+            F.broadcast(dels), ["__ice_fp", "__ice_ri"], "left_anti"
+        )
+    return out.select(*cols)
 
 
 # ---------------------------------------------------------------- export

@@ -181,12 +181,27 @@ def test_read_iceberg_snapshots_and_time_travel(spark, tmp_path):
     ]
 
 
-def test_iceberg_refuses_delete_files(spark, tmp_path):
+def test_iceberg_applies_position_deletes_refuses_equality(spark, tmp_path):
+    """v2 position deletes are APPLIED (anti-join on the delete file's
+    (file_path, pos) rows via _metadata.row_index); equality deletes
+    still refuse — they need sequence-number ordering."""
     t = str(tmp_path / "ice2")
-    fa = _data_file(spark, t, "fa.parquet", [(1, "x")])
-    fd = _data_file(spark, t, "fd.parquet", [(1, "x")])
+    fa = _data_file(spark, t, "fa.parquet", [(1, "x"), (2, "y"), (3, "z")])
+    # position-delete file: kill rows 0 and 2 of fa
+    dd = spark.createDataFrame(
+        [(fa, 0), (fa, 2)], "file_path string, pos long"
+    )
+    tmp = os.path.join(t, "_tmpd")
+    dd.coalesce(1).write.parquet(tmp)
+    part = next(n for n in os.listdir(tmp) if n.endswith(".parquet"))
+    fdel = os.path.join(t, "data", "del1.parquet")
+    os.replace(os.path.join(tmp, part), fdel)
+    import shutil
+
+    shutil.rmtree(tmp)
+
     m1 = _manifest(t, "m1.avro", [_entry(1, fa)])
-    md = _manifest(t, "md.avro", [_entry(1, fd, content=1)])
+    md = _manifest(t, "md.avro", [_entry(1, fdel, content=1)])
     ml = _manifest_list(t, "snap-1.avro", [m1, md], contents=[0, 1])
     _metadata(
         t,
@@ -195,8 +210,25 @@ def test_iceberg_refuses_delete_files(spark, tmp_path):
         current=1,
         log=[{"timestamp-ms": 1, "snapshot-id": 1}],
     )
-    with pytest.raises(IcebergUnsupportedError, match="DELETE manifest"):
-        read_iceberg(spark, t)
+    got = {(r.id, r.val) for r in read_iceberg(spark, t).collect()}
+    assert got == {(2, "y")}
+
+    # equality delete (content=2) refuses
+    t2 = str(tmp_path / "ice3")
+    fa2 = _data_file(spark, t2, "fa.parquet", [(1, "x")])
+    fe = _data_file(spark, t2, "fe.parquet", [(1, "x")])
+    m1b = _manifest(t2, "m1.avro", [_entry(1, fa2)])
+    mdb = _manifest(t2, "md.avro", [_entry(1, fe, content=2)])
+    mlb = _manifest_list(t2, "snap-1.avro", [m1b, mdb], contents=[0, 1])
+    _metadata(
+        t2,
+        snapshots=[{"snapshot-id": 1, "timestamp-ms": 1,
+                    "manifest-list": mlb, "summary": {"operation": "delete"}}],
+        current=1,
+        log=[{"timestamp-ms": 1, "snapshot-id": 1}],
+    )
+    with pytest.raises(IcebergUnsupportedError, match="equality-delete"):
+        read_iceberg(spark, t2)
 
 
 def test_iceberg_schema_conversion_complex_types():
