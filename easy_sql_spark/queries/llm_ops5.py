@@ -1070,3 +1070,72 @@ def iceberg_interop_read(spark, sf_dir):
         outs[0].unionByName(outs[1]).orderBy("snap")
         .localCheckpoint(eager=True)
     )
+
+
+@query(
+    "dedup_url_exact",
+    oracle=_URL_ORACLE_CTE
+    + """
+    , ranked AS (
+        SELECT doc_id, canon_url, registered_domain,
+               ROW_NUMBER() OVER (
+                   PARTITION BY canon_url ORDER BY doc_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY canon_url) AS n_dups
+        FROM canon)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN n_dups > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept_with_dups,
+           CAST((SELECT COUNT(*) FROM canon) AS BIGINT) AS n_total,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                          ORDER BY doc_id)) AS kept_ids_hash
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_url_exact(spark, sf_dir):
+    """URL-exact dedup — C4's very first dedup stage: one document per
+    CANONICAL URL (tracking params, case, ports, fragments already
+    folded away by the canonicalizer), keeping the smallest doc_id.
+    The messy-URL fixture maps ~7 docs onto each canonical URL (the
+    doc_id rides the path, but docs sharing (source, doc_id%7, tld
+    bucket, port bucket) collapse after canonicalization only when the
+    full path matches — so dup groups come from the port-bucket split:
+    :443 and bare hosts canonicalize identically).
+
+    Scale: narrow canonicalizer map + ONE window over the canon_url
+    partitioning (first-occurrence selection; a hot URL would route
+    through the operators/skew.py cap exactly like paragraph dedup) +
+    a single-row aggregate."""
+    from pyspark.sql import Window
+
+    c = _canonicalized(_messy_urls(spark, sf_dir))
+    w = Window.partitionBy("canon_url").orderBy("doc_id")
+    ranked = c.select(
+        "doc_id",
+        "canon_url",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("canon_url")).alias("n_dups"),
+    )
+    kept = ranked.where(F.col("rn") == 1)
+    return (
+        kept.agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum((F.col("n_dups") > 1).cast("bigint")).alias(
+                "n_kept_with_dups"
+            ),
+            F.md5(
+                F.encode(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.array_sort(F.collect_list(F.col("doc_id"))),
+                            lambda x: x.cast("string"),
+                        ),
+                    ),
+                    "utf-8",
+                )
+            ).alias("kept_ids_hash"),
+        )
+        .crossJoin(c.agg(F.count(F.lit(1)).cast("bigint").alias("n_total")))
+        .select("n_kept", "n_kept_with_dups", "n_total", "kept_ids_hash")
+    )
