@@ -183,11 +183,46 @@ def delta_history(path: str) -> list[dict]:
     return out
 
 
+def _add_survives(add: dict, where: list[tuple]) -> bool:
+    """Conservative file skipping on the add action's ``stats`` JSON
+    (minValues/maxValues, as Delta writers record): drop a file only
+    when its range PROVABLY excludes the predicate; missing stats or
+    incomparable types keep it — the same superset guarantee as the
+    snapshot layer's manifest pruning."""
+    stats = add.get("stats")
+    if not stats:
+        return True
+    if isinstance(stats, str):
+        try:
+            stats = json.loads(stats)
+        except ValueError:
+            return True
+    mins = stats.get("minValues") or {}
+    maxs = stats.get("maxValues") or {}
+    for col, op, val in where:
+        mn, mx = mins.get(col), maxs.get(col)
+        if mn is None or mx is None:
+            continue
+        if isinstance(mn, str) != isinstance(val, str) or isinstance(
+            mn, bool
+        ) != isinstance(val, bool):
+            continue
+        if (
+            (op == "=" and not (mn <= val <= mx))
+            or (op in ("<", "<=") and not (mn < val or (op == "<=" and mn <= val)))
+            or (op in (">", ">=") and not (mx > val or (op == ">=" and mx >= val)))
+        ):
+            return False
+    return True
+
+
 def read_delta(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     timestamp_ms: int | None = None,
+    partitions: dict[str, list] | None = None,
+    where: list[tuple] | None = None,
 ) -> DataFrame:
     """The delta table at a version (default latest) as a DataFrame.
 
@@ -196,7 +231,14 @@ def read_delta(
     hive-layout); each group is ONE pinned-schema parquet scan of its
     files with the partition columns attached as cast literals, then a
     union.  Data columns prune/push down per group exactly as any
-    parquet scan; the log never touches an executor."""
+    parquet scan; the log never touches an executor.
+
+    ``partitions`` — {col: [values…]} drops whole partition groups
+    DRIVER-side before Spark lists a file (values compared as the log's
+    strings); ``where`` — [(col, op, value)…], op in <,<=,>,>=,= —
+    skips files whose add-action stats provably exclude the predicate.
+    Both are superset guarantees: re-apply the predicates to the
+    returned frame, exactly as with parquet row-group stats."""
     if timestamp_ms is not None:
         version = delta_version_at(path, timestamp_ms)
     if version is None:
@@ -208,6 +250,22 @@ def read_delta(
         [f for f in schema.fields if f.name not in part_cols]
     )
     part_types = {f.name: f.dataType for f in schema.fields if f.name in part_cols}
+
+    if partitions:
+        bad = [c for c in partitions if c not in part_cols]
+        if bad:
+            raise ValueError(f"not partition columns: {bad}")
+        wanted = {c: {str(v) for v in vs} for c, vs in partitions.items()}
+        adds = {
+            p: a
+            for p, a in adds.items()
+            if all(
+                (a.get("partitionValues") or {}).get(c) in vals
+                for c, vals in wanted.items()
+            )
+        }
+    if where:
+        adds = {p: a for p, a in adds.items() if _add_survives(a, where)}
 
     if not adds:
         return spark.createDataFrame([], schema)

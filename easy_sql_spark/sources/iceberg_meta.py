@@ -241,6 +241,7 @@ def read_iceberg(
     path: str,
     snapshot_id: int | None = None,
     as_of_ms: int | None = None,
+    partitions: dict[str, list] | None = None,
 ) -> DataFrame:
     """The iceberg table at a snapshot (default: current) as a
     DataFrame: pinned-schema parquet scans over the snapshot's live
@@ -258,9 +259,24 @@ def read_iceberg(
     snap = _pick_snapshot(meta, snapshot_id, as_of_ms)
     schema = schema_to_spark(meta)
     files, delete_files = _live_files(path, snap, fv)
+    id_parts = _identity_partition_names(meta)
+    if partitions:
+        # driver-side manifest pruning: whole files skipped before any
+        # listing (identity partition values live in the manifests)
+        bad = [c for c in partitions if c not in id_parts]
+        if bad:
+            raise ValueError(f"not identity partition columns: {bad}")
+        wanted = {c: {str(v) for v in vs} for c, vs in partitions.items()}
+        files = [
+            (p, pv)
+            for p, pv in files
+            if all(
+                (None if pv.get(c) is None else str(pv.get(c))) in vals
+                for c, vals in wanted.items()
+            )
+        ]
     if not files:
         return spark.createDataFrame([], schema)
-    id_parts = _identity_partition_names(meta)
     with_pos = bool(delete_files)
 
     def scan(data_schema, paths):

@@ -290,3 +290,43 @@ select (select count(*) from via_delta) as actual, 2 as expected
 """
     SqlProcessor(spark, etl, logger=lambda m: None).run()
     assert {r.id for r in spark.table("via_delta").collect()} == {1, 2}
+
+
+def test_read_delta_partition_and_stats_pruning(spark, tmp_path):
+    """Driver-side file skipping: partition filters drop whole groups
+    before any listing; stats predicates skip files whose add-action
+    minValues/maxValues provably exclude them — proven by making the
+    pruned files UNREADABLE and reading anyway."""
+    t = str(tmp_path / "dtp")
+    _write_data(spark, t, "f-a.parquet", [(1, "x"), (2, "y")])
+    _write_data(spark, t, "f-b.parquet", [(30, "z")])
+    _commit(
+        t,
+        0,
+        [
+            {"commitInfo": {"operation": "WRITE", "timestamp": 1000}},
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _meta_action(),
+            {"add": {"path": "f-a.parquet", "partitionValues": {"p": "a"},
+                     "size": 1, "modificationTime": 0, "dataChange": True,
+                     "stats": json.dumps({"numRecords": 2,
+                                          "minValues": {"id": 1},
+                                          "maxValues": {"id": 2}})}},
+            {"add": {"path": "f-b.parquet", "partitionValues": {"p": "b"},
+                     "size": 1, "modificationTime": 0, "dataChange": True,
+                     "stats": json.dumps({"numRecords": 1,
+                                          "minValues": {"id": 30},
+                                          "maxValues": {"id": 30}})}},
+        ],
+    )
+    # corrupt the file the filters should skip
+    with open(os.path.join(t, "f-b.parquet"), "wb") as f:
+        f.write(b"not parquet")
+
+    got = {(r.id, r.p) for r in
+           read_delta(spark, t, partitions={"p": ["a"]}).collect()}
+    assert got == {(1, "a"), (2, "a")}
+    got2 = {r.id for r in read_delta(spark, t, where=[("id", "<=", 5)]).collect()}
+    assert got2 == {1, 2}
+    with pytest.raises(ValueError, match="not partition columns"):
+        read_delta(spark, t, partitions={"id": [1]})

@@ -357,3 +357,35 @@ select (select count(*) from via_ice) as actual, 2 as expected
 """
     SqlProcessor(spark, etl, logger=lambda m: None).run()
     assert {r.id for r in spark.table("via_ice").collect()} == {1, 2}
+
+
+def test_iceberg_partition_pruning_driver_side(spark, tmp_path):
+    """partitions= drops files by manifest identity-partition values
+    before listing — proven by corrupting the skipped file."""
+    from easy_sql_spark.runtime.snapshots import SnapshotTable
+    from easy_sql_spark.sources.iceberg_meta import export_snapshot_to_iceberg
+
+    t = SnapshotTable(spark, str(tmp_path / "snapp"))
+    t.create(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "a")], "id long, p string"
+        ),
+        partition_by=["p"],
+    )
+    export_snapshot_to_iceberg(t)
+    # corrupt every p=b data file; the pruned read must never touch them
+    for cur, _dirs, files in os.walk(t.root + "/data"):
+        if "p=b" in cur:
+            for n in files:
+                if n.endswith(".parquet"):
+                    with open(os.path.join(cur, n), "wb") as f:
+                        f.write(b"broken")
+    got = {
+        (r.id, r.p)
+        for r in read_iceberg(
+            spark, t.root, partitions={"p": ["a"]}
+        ).collect()
+    }
+    assert got == {(1, "a"), (3, "a")}
+    with pytest.raises(ValueError, match="not identity partition"):
+        read_iceberg(spark, t.root, partitions={"id": [1]})
