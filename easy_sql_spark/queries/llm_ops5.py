@@ -1139,3 +1139,92 @@ def dedup_url_exact(spark, sf_dir):
         .crossJoin(c.agg(F.count(F.lit(1)).cast("bigint").alias("n_total")))
         .select("n_kept", "n_kept_with_dups", "n_total", "kept_ids_hash")
     )
+
+
+@query("emb_pca_project")  # rows-only: eigendecomposition is not
+# SQL-expressible in DuckDB; bit-pinned against a driver-side numpy PCA
+# of the same vectors in tests/test_funcs_llm.py
+def emb_pca_project(spark, sf_dir):
+    """PCA projection of the embedding corpus — the dimensionality
+    reduction step before clustering/visualization/cheap-ANN in every
+    embedding pipeline.
+
+    The distributed part is the only part that touches the corpus: ONE
+    Arrow-batched pass accumulates per-partition moment partials
+    (count, sum, X^T X — dim 64 makes a partial 4K doubles), the driver
+    combines them into the covariance and eigendecomposes (64x64 —
+    microseconds), then the projection runs as JVM fold dot products
+    against the broadcast (constant-folded) component vectors.  At
+    100 TB the two corpus passes are both narrow maps; nothing about
+    the eigensolve grows with the data.
+
+    Determinism: components are sign-normalized (largest-|coord| entry
+    positive) and coordinates rounded to 6 dp."""
+    import numpy as np
+    import pandas as pd
+
+    k = 4
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["v"].to_numpy())
+            yield pd.DataFrame(
+                {
+                    "n": [len(x)],
+                    "s": [x.sum(axis=0).tolist()],
+                    "xtx": [(x.T @ x).reshape(-1).tolist()],
+                }
+            )
+
+    rows = emb.select("v").mapInPandas(
+        partials, "n long, s array<double>, xtx array<double>"
+    ).collect()  # bounded-driver: one partial row per input partition
+    n = sum(r["n"] for r in rows)
+    dim = len(rows[0]["s"])
+    s = np.zeros(dim)
+    xtx = np.zeros((dim, dim))
+    for r in rows:
+        s += np.array(r["s"])
+        xtx += np.array(r["xtx"]).reshape(dim, dim)
+    mean = s / n
+    cov = xtx / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # (k, dim)
+    for i in range(k):
+        if comps[i][np.argmax(np.abs(comps[i]))] < 0:
+            comps[i] = -comps[i]
+    explained = (evals[order] / evals.sum()).round(6)
+
+    centered = F.expr(
+        "zip_with(v, __mean, (x, m) -> x - m)"
+    )
+    proj_cols = [
+        F.round(
+            F.expr(
+                f"aggregate(zip_with(__c, __pc{i}, (x, c) -> x * c), "
+                "0D, (acc, z) -> acc + z)"
+            ),
+            6,
+        ).alias(f"pc{i}")
+        for i in range(k)
+    ]
+    out = (
+        emb.withColumn("__mean", F.lit(mean.round(12).tolist()).cast("array<double>"))
+        .withColumn("__c", centered)
+    )
+    for i in range(k):
+        out = out.withColumn(
+            f"__pc{i}", F.lit(comps[i].round(12).tolist()).cast("array<double>")
+        )
+    out = out.select("vec_id", "label", *proj_cols)
+    for i in range(k):
+        out = out.withColumn(f"evr{i}", F.lit(float(explained[i])))
+    return out.orderBy("vec_id")

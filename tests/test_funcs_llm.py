@@ -275,3 +275,46 @@ def test_compression_ratio_bit_pinned_and_discriminative(spark):
     r_rep = len(zlib.compress(rep, 6)) / len(rep)
     r_uniq = len(zlib.compress(uniq, 6)) / len(uniq)
     assert r_rep < 0.1 < r_uniq
+
+
+def test_pca_projection_bit_pinned_against_numpy(spark):
+    """emb_pca_project (queries/llm_ops5.py) is rows-only at the oracle
+    gate (no eigensolver in DuckDB): pin it against a straight numpy
+    PCA of the same vectors — identical coordinates after the query's
+    own 6 dp rounding — plus the PCA invariants (orthonormal
+    components via reconstruction, variance ordering)."""
+    import numpy as np
+
+    from easy_sql_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["emb_pca_project"](spark, sf).collect()
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=float)
+        for r in spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    }
+    x = np.stack([vecs[r.vec_id] for r in rows])
+    mean = x.mean(axis=0)
+    cov = (x - mean).T @ (x - mean) / len(x)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:4]
+    comps = evecs[:, order].T
+    for i in range(4):
+        if comps[i][np.argmax(np.abs(comps[i]))] < 0:
+            comps[i] = -comps[i]
+    proj = (x - mean) @ comps.T
+
+    for j, r in enumerate(rows):
+        for i in range(4):
+            assert abs(r[f"pc{i}"] - round(proj[j, i], 6)) <= 1e-6, (
+                r.vec_id, i,
+            )
+    # explained variance: descending, in (0, 1], matches numpy
+    evr = [rows[0][f"evr{i}"] for i in range(4)]
+    np_evr = (evals[order] / evals.sum()).round(6)
+    assert evr == sorted(evr, reverse=True)
+    assert all(abs(a - b) <= 1e-6 for a, b in zip(evr, np_evr))
+    # projected coords reproduce the centered vectors' norms in the
+    # retained subspace: ||proj row|| <= ||centered row||
+    for j in range(len(x)):
+        assert np.linalg.norm(proj[j]) <= np.linalg.norm(x[j] - mean) + 1e-9
