@@ -1,0 +1,31 @@
+-- backend: spark
+-- Open-format interop tour: land data in the snapshot layer, export it
+-- as BOTH Delta and Iceberg (zero copy — derived metadata over the same
+-- parquet), then read it back through each format's replay path and
+-- prove all three views agree.  ${lake_root} injected by the caller.
+-- (tests/test_examples.py keeps it green.)
+
+-- target=temp.seed
+select o_orderkey as k, o_totalprice as price,
+       cast(o_orderkey % 3 as string) as pt
+from orders where o_orderkey <= 600
+
+-- target=func.snapshot_commit(${lake_root}/t, seed, append, pt)
+-- target=func.snapshot_export_delta(${lake_root}/t)
+-- target=func.snapshot_export_iceberg(${lake_root}/t)
+
+-- target=func.snapshot_view(${lake_root}/t, via_snapshot)
+-- target=func.delta_view(${lake_root}/t, via_delta)
+-- target=func.iceberg_view(${lake_root}/t, via_iceberg)
+
+-- target=check.delta_agrees_with_snapshot
+select (select count(*) from via_delta) as actual,
+       (select count(*) from via_snapshot) as expected
+
+-- target=check.iceberg_agrees_with_snapshot
+select (select cast(sum(k) as bigint) from via_iceberg) as actual,
+       (select cast(sum(k) as bigint) from via_snapshot) as expected
+
+-- every partition survived both exports
+-- target=check.partitions_intact
+select (select count(distinct pt) from via_iceberg) as actual, 3 as expected

@@ -181,3 +181,23 @@ def test_branch_workflow_etl(spark, tmp_path):
     files = spark.table("main_files").collect()
     assert sum(r.rows for r in files) == main.row_count()
     p.backend.clean_temp_views()
+
+
+def test_lakehouse_interop_etl(spark, tmp_path):
+    """Snapshot -> Delta + Iceberg exports -> read back through each
+    replay path, all views agreeing — the open-format interop tour."""
+    register_views(spark, "/root/testdata/sf0.001", ("orders",))
+    with open(os.path.join(EXAMPLES, "lakehouse_interop.sql")) as f:
+        sql = f.read()
+    p = SqlProcessor(
+        spark,
+        sql,
+        variables={"lake_root": str(tmp_path / "lake")},
+        base_dir=EXAMPLES,
+        logger=lambda m: None,
+    )
+    p.run(dry_run=True)
+    snap = {(r.k, r.pt) for r in spark.table("via_snapshot").collect()}
+    assert snap == {(r.k, r.pt) for r in spark.table("via_delta").collect()}
+    assert snap == {(r.k, r.pt) for r in spark.table("via_iceberg").collect()}
+    p.backend.clean_temp_views()
