@@ -1116,29 +1116,28 @@ def dedup_url_exact(spark, sf_dir):
         F.row_number().over(w).alias("rn"),
         F.count(F.lit(1)).over(Window.partitionBy("canon_url")).alias("n_dups"),
     )
-    kept = ranked.where(F.col("rn") == 1)
-    return (
-        kept.agg(
-            F.count(F.lit(1)).alias("n_kept"),
-            F.sum((F.col("n_dups") > 1).cast("bigint")).alias(
-                "n_kept_with_dups"
-            ),
-            F.md5(
-                F.encode(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.array_sort(F.collect_list(F.col("doc_id"))),
-                            lambda x: x.cast("string"),
+    kept = F.col("rn") == 1
+    return ranked.agg(
+        F.sum(kept.cast("bigint")).alias("n_kept"),
+        F.sum((kept & (F.col("n_dups") > 1)).cast("bigint")).alias(
+            "n_kept_with_dups"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.md5(
+            F.encode(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.when(kept, F.col("doc_id")))
                         ),
+                        lambda x: x.cast("string"),
                     ),
-                    "utf-8",
-                )
-            ).alias("kept_ids_hash"),
-        )
-        .crossJoin(c.agg(F.count(F.lit(1)).cast("bigint").alias("n_total")))
-        .select("n_kept", "n_kept_with_dups", "n_total", "kept_ids_hash")
-    )
+                ),
+                "utf-8",
+            )
+        ).alias("kept_ids_hash"),
+    ).select("n_kept", "n_kept_with_dups", "n_total", "kept_ids_hash")
 
 
 @query("emb_pca_project")  # rows-only: eigendecomposition is not
