@@ -451,6 +451,39 @@ def build(processor):
             )
         backend.create_temp_view(df, view_name)
 
+    def delta_history_view(path: str, view_name: str):
+        """Delta DESCRIBE HISTORY analogue from commitInfo actions
+        (sources/delta_log.py), newest first, as a temp view."""
+        from ..sources.delta_log import delta_history
+
+        rows = delta_history(path)
+        df = spark.createDataFrame(
+            [
+                (int(h["version"]), h["operation"],
+                 None if h["timestamp"] is None else int(h["timestamp"]))
+                for h in rows
+            ],
+            "version int, operation string, timestamp_ms long",
+        )
+        backend.create_temp_view(df, view_name)
+
+    def iceberg_snapshots_view(path: str, view_name: str):
+        """Iceberg snapshot log (sources/iceberg_meta.py), newest first,
+        as a temp view."""
+        from ..sources.iceberg_meta import iceberg_history
+
+        rows = iceberg_history(path)
+        df = spark.createDataFrame(
+            [
+                (int(h["snapshot_id"]),
+                 None if h["timestamp_ms"] is None else int(h["timestamp_ms"]),
+                 h["operation"])
+                for h in rows
+            ],
+            "snapshot_id long, timestamp_ms long, operation string",
+        )
+        backend.create_temp_view(df, view_name)
+
     def hudi_view(path: str, view_name: str, as_of: str = ""):
         """Register a Hudi COPY_ON_WRITE table as a temp view without
         the hudi bundle (sources/hudi_meta.py: timeline + file-slice

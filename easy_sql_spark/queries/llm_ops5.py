@@ -1102,35 +1102,25 @@ def dedup_url_exact(spark, sf_dir):
     full path matches — so dup groups come from the port-bucket split:
     :443 and bare hosts canonicalize identically).
 
-    Scale: narrow canonicalizer map + ONE window over the canon_url
-    partitioning (first-occurrence selection; a hot URL would route
-    through the operators/skew.py cap exactly like paragraph dedup) +
-    a single-row aggregate."""
-    from pyspark.sql import Window
-
+    Scale: narrow canonicalizer map + ONE hash aggregate on canon_url
+    (min doc_id + group size — first-occurrence-by-min needs no window,
+    and partial aggregation makes a viral hot URL a non-event: the map
+    side collapses it before the shuffle) + a single-row aggregate."""
     c = _canonicalized(_messy_urls(spark, sf_dir))
-    w = Window.partitionBy("canon_url").orderBy("doc_id")
-    ranked = c.select(
-        "doc_id",
-        "canon_url",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("canon_url")).alias("n_dups"),
+    g = c.groupBy("canon_url").agg(
+        F.min("doc_id").alias("keeper"),
+        F.count(F.lit(1)).alias("n_dups"),
     )
-    kept = F.col("rn") == 1
-    return ranked.agg(
-        F.sum(kept.cast("bigint")).alias("n_kept"),
-        F.sum((kept & (F.col("n_dups") > 1)).cast("bigint")).alias(
-            "n_kept_with_dups"
-        ),
-        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum((F.col("n_dups") > 1).cast("bigint")).alias("n_kept_with_dups"),
+        F.sum("n_dups").cast("bigint").alias("n_total"),
         F.md5(
             F.encode(
                 F.concat_ws(
                     ",",
                     F.transform(
-                        F.array_sort(
-                            F.collect_list(F.when(kept, F.col("doc_id")))
-                        ),
+                        F.array_sort(F.collect_list("keeper")),
                         lambda x: x.cast("string"),
                     ),
                 ),

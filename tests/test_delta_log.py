@@ -330,3 +330,18 @@ def test_read_delta_partition_and_stats_pruning(spark, tmp_path):
     assert got2 == {1, 2}
     with pytest.raises(ValueError, match="not partition columns"):
         read_delta(spark, t, partitions={"id": [1]})
+
+
+def test_history_step_functions(spark, tmp_path):
+    from easy_sql_spark.runtime.processor import SqlProcessor
+
+    t = _mk_table(spark, tmp_path / "dth")
+    etl = f"""-- target=func.delta_history_view({t}, dh)
+
+-- target=check.three_commits
+select (select count(*) from dh) as actual, 3 as expected
+"""
+    SqlProcessor(spark, etl, logger=lambda m: None).run()
+    assert [r.operation for r in spark.table("dh").collect()] == [
+        "WRITE", "MERGE", "WRITE",
+    ]

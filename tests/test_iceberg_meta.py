@@ -389,3 +389,18 @@ def test_iceberg_partition_pruning_driver_side(spark, tmp_path):
     assert got == {(1, "a"), (3, "a")}
     with pytest.raises(ValueError, match="not identity partition"):
         read_iceberg(spark, t.root, partitions={"id": [1]})
+
+
+def test_iceberg_snapshots_step_function(spark, tmp_path):
+    from easy_sql_spark.runtime.processor import SqlProcessor
+
+    t = _mk_table(spark, tmp_path / "iceh")
+    etl = f"""-- target=func.iceberg_snapshots_view({t}, isv)
+
+-- target=check.two_snapshots
+select (select count(*) from isv) as actual, 2 as expected
+"""
+    SqlProcessor(spark, etl, logger=lambda m: None).run()
+    assert [r.operation for r in spark.table("isv").collect()] == [
+        "overwrite", "append",
+    ]
