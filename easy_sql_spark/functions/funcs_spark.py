@@ -494,6 +494,18 @@ def build(processor):
         df = read_hudi(spark, path, as_of=as_of or None)
         backend.create_temp_view(df, view_name)
 
+    def hudi_timeline_view(path: str, view_name: str):
+        """Hudi timeline (completed instants, newest first) as a temp
+        view."""
+        from ..sources.hudi_meta import hudi_history
+
+        rows = hudi_history(path)
+        df = spark.createDataFrame(
+            [(h["instant"], h["action"]) for h in rows],
+            "instant string, action string",
+        )
+        backend.create_temp_view(df, view_name)
+
     def snapshot_export_delta(root: str):
         """Expose the snapshot table's current version as a Delta table
         (zero copy — a `_delta_log` derived from the manifest, pointing

@@ -115,3 +115,18 @@ select (select count(*) from hv) as actual, 4 as expected
 """
     SqlProcessor(spark, etl, logger=lambda m: None).run()
     assert spark.table("hv_old").count() == 3
+
+
+def test_hudi_timeline_step_function(spark, tmp_path):
+    from easy_sql_spark.runtime.processor import SqlProcessor
+
+    t = _mk_table(spark, tmp_path / "hudih")
+    etl = f"""-- target=func.hudi_timeline_view({t}, htv)
+
+-- target=check.three_instants
+select (select count(*) from htv) as actual, 3 as expected
+"""
+    SqlProcessor(spark, etl, logger=lambda m: None).run()
+    assert [r.action for r in spark.table("htv").collect()] == [
+        "replacecommit", "commit", "commit",
+    ]
