@@ -30,7 +30,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dedup, snapshot/merge, multimodal) only had the in-repo full-registry
     gate (tests/test_oracle_all.py, which stays authoritative over ALL
     entries).  To rotate driver coverage, present NEWEST-first this
-    round: the window lands on the round-3..5 queries that have never
+    round: the 50-entry window lands on the round-5 queries (snapshot
+    branching, URL curation, mojibake, compression ratio, MMR, Markov,
+    VARIANT, Delta/Iceberg interop, PCA) and round-4 tail that never
     had a driver-side verdict."""
     from easy_sql_spark.queries import QUERIES
 
