@@ -417,37 +417,57 @@ def build(processor):
         )
         backend.create_temp_view(df, view_name)
 
-    def delta_view(path: str, view_name: str, version: str = ""):
+    def _part_spec(partitions: str) -> dict | None:
+        parts: dict[str, list] = {}
+        for spec in (s for s in partitions.split("|") if s):
+            c, v = spec.split("=", 1)
+            parts.setdefault(c, []).append(v)
+        return parts or None
+
+    def delta_view(
+        path: str, view_name: str, version: str = "", partitions: str = ""
+    ):
         """Register a Delta Lake table as a temp view WITHOUT delta-spark
         jars, by replaying the open commit-log protocol
-        (sources/delta_log.py): `func.delta_view(/lake/events, ev, 7)` —
-        omit the version for latest; `ts:<epoch_ms>` time-travels by
-        commit timestamp.  Tables needing deletion vectors / column
-        mapping raise instead of returning wrong rows."""
+        (sources/delta_log.py): `func.delta_view(/lake/events, ev, 7,
+        dt=2024-01-01|dt=2024-01-02)` — omit the version for latest;
+        `ts:<epoch_ms>` time-travels by commit timestamp; the optional
+        partition spec prunes files DRIVER-side from the log.  Tables
+        needing deletion vectors / column mapping raise instead of
+        returning wrong rows."""
         from ..sources.delta_log import read_delta
 
+        kw = {"partitions": _part_spec(partitions)}
         if str(version).startswith("ts:"):
-            df = read_delta(spark, path, timestamp_ms=int(version[3:]))
+            df = read_delta(spark, path, timestamp_ms=int(version[3:]), **kw)
         else:
             df = read_delta(
-                spark, path, version=int(version) if version else None
+                spark, path, version=int(version) if version else None, **kw
             )
         backend.create_temp_view(df, view_name)
 
-    def iceberg_view(path: str, view_name: str, snapshot: str = ""):
+    def iceberg_view(
+        path: str, view_name: str, snapshot: str = "", partitions: str = ""
+    ):
         """Register an Apache Iceberg table as a temp view WITHOUT the
         iceberg runtime jar (sources/iceberg_meta.py: metadata JSON +
-        in-repo Avro codec): `func.iceberg_view(/lake/t, iv, 1234)` —
-        omit the snapshot for current; `ts:<epoch_ms>` time-travels via
-        the snapshot log.  Tables with row-level delete files raise
-        instead of returning wrong rows."""
+        in-repo Avro codec): `func.iceberg_view(/lake/t, iv, 1234,
+        p=a|p=b)` — omit the snapshot for current; `ts:<epoch_ms>`
+        time-travels via the snapshot log; the optional partition spec
+        prunes files driver-side from the manifests.  v2 position
+        deletes are applied; equality deletes raise instead of
+        returning wrong rows."""
         from ..sources.iceberg_meta import read_iceberg
 
+        kw = {"partitions": _part_spec(partitions)}
         if str(snapshot).startswith("ts:"):
-            df = read_iceberg(spark, path, as_of_ms=int(snapshot[3:]))
+            df = read_iceberg(spark, path, as_of_ms=int(snapshot[3:]), **kw)
         else:
             df = read_iceberg(
-                spark, path, snapshot_id=int(snapshot) if snapshot else None
+                spark,
+                path,
+                snapshot_id=int(snapshot) if snapshot else None,
+                **kw,
             )
         backend.create_temp_view(df, view_name)
 
