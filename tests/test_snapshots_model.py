@@ -106,6 +106,26 @@ def test_random_op_sequences_match_model(spark, root, seed):
     for ver, want in enumerate(history, start=1):
         assert _read(t, version=ver) == want, (seed, ver)
 
+    # the final state exports to BOTH open formats and reads back
+    # byte-identical through their replay paths — whatever op sequence
+    # the model produced (partition overwrites, merges, deletes,
+    # rollbacks, constraint commits)
+    from easy_sql_spark.sources.delta_log import export_snapshot_to_delta, read_delta
+    from easy_sql_spark.sources.iceberg_meta import (
+        export_snapshot_to_iceberg,
+        read_iceberg,
+    )
+
+    export_snapshot_to_delta(t)
+    export_snapshot_to_iceberg(t)
+    want = history[-1]
+    assert {
+        (r.id, r.v, r.p) for r in read_delta(spark, t.root).collect()
+    } == want, (seed, "delta export")
+    assert {
+        (r.id, r.v, r.p) for r in read_iceberg(spark, t.root).collect()
+    } == want, (seed, "iceberg export")
+
     # shallow-clone the final state: same content, full independence
     c = t.clone_to(root + str(seed) + "_clone")
     assert _read(c) == history[-1]
