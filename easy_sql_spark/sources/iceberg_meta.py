@@ -440,7 +440,16 @@ def export_snapshot_to_iceberg(table) -> dict:
     absolute paths, which Iceberg allows).  Because the snapshot's
     parquet files carry no Iceberg field IDs, the metadata includes a
     ``schema.name-mapping.default`` property — the spec's mechanism for
-    exactly this migration case, honored by Spark/Trino/Flink readers.
+    exactly this migration case.
+
+    Compatibility scope, stated honestly: the export is verified
+    end-to-end against THIS module's replay path (and the randomized
+    snapshot model test) — the container has no third-party Iceberg
+    reader to verify against.  Known gaps for strict external readers:
+    manifest Avro schemas lack the spec's fixed field-id attributes,
+    the partition record is encoded as a map rather than the typed
+    r102 struct, and sequence-number bookkeeping is absent — all
+    documented growth path, none affecting the replay semantics here.
 
     Each export appends ONE new snapshot whose single manifest lists the
     full live file set (existing Iceberg readers handle full manifests
