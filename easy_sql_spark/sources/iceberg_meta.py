@@ -336,24 +336,31 @@ def read_iceberg(
 
 
 # ---------------------------------------------------------------- export
+# Avro "field-id" attributes are the spec's FIXED ids for manifest
+# fields (Iceberg spec, Appendix C) — external Iceberg readers resolve
+# manifest avro by id, not name; extra attributes are transparent to
+# the in-repo codec
 _MANIFEST_ENTRY_SCHEMA = {
     "type": "record",
     "name": "manifest_entry",
     "fields": [
-        {"name": "status", "type": "int"},
+        {"name": "status", "type": "int", "field-id": 0},
         {
             "name": "data_file",
+            "field-id": 2,
             "type": {
                 "type": "record",
                 "name": "r2",
                 "fields": [
-                    {"name": "content", "type": "int"},
-                    {"name": "file_path", "type": "string"},
-                    {"name": "file_format", "type": "string"},
-                    {"name": "record_count", "type": "long"},
-                    {"name": "file_size_in_bytes", "type": "long"},
+                    {"name": "content", "type": "int", "field-id": 134},
+                    {"name": "file_path", "type": "string", "field-id": 100},
+                    {"name": "file_format", "type": "string", "field-id": 101},
+                    {"name": "record_count", "type": "long", "field-id": 103},
+                    {"name": "file_size_in_bytes", "type": "long",
+                     "field-id": 104},
                     {
                         "name": "partition",
+                        "field-id": 102,
                         "type": {"type": "map", "values": ["null", "string"]},
                     },
                 ],
@@ -366,11 +373,11 @@ _MANIFEST_FILE_SCHEMA = {
     "type": "record",
     "name": "manifest_file",
     "fields": [
-        {"name": "manifest_path", "type": "string"},
-        {"name": "manifest_length", "type": "long"},
-        {"name": "partition_spec_id", "type": "int"},
-        {"name": "content", "type": "int"},
-        {"name": "added_snapshot_id", "type": "long"},
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
     ],
 }
 
@@ -445,10 +452,10 @@ def export_snapshot_to_iceberg(table) -> dict:
     Compatibility scope, stated honestly: the export is verified
     end-to-end against THIS module's replay path (and the randomized
     snapshot model test) — the container has no third-party Iceberg
-    reader to verify against.  Known gaps for strict external readers:
-    manifest Avro schemas lack the spec's fixed field-id attributes,
-    the partition record is encoded as a map rather than the typed
-    r102 struct, and sequence-number bookkeeping is absent — all
+    reader to verify against.  Known gaps for strict external readers
+    (the manifest avro schemas DO carry the spec's fixed field-id
+    attributes): the partition record is encoded as a map rather than
+    the typed r102 struct, and sequence-number bookkeeping is absent —
     documented growth path, none affecting the replay semantics here.
 
     Each export appends ONE new snapshot whose single manifest lists the
