@@ -358,16 +358,43 @@ _MANIFEST_ENTRY_SCHEMA = {
                     {"name": "record_count", "type": "long", "field-id": 103},
                     {"name": "file_size_in_bytes", "type": "long",
                      "field-id": 104},
-                    {
-                        "name": "partition",
-                        "field-id": 102,
-                        "type": {"type": "map", "values": ["null", "string"]},
-                    },
+                    # "partition" is appended per-table by
+                    # _entry_schema_for (typed r102 record over the
+                    # partition columns)
                 ],
             },
         },
     ],
 }
+
+
+def _entry_schema_for(part_cols: list[str]) -> dict:
+    """Manifest-entry avro schema with the spec's typed r102 partition
+    record over this table's partition columns (field-ids 1000+i; values
+    union[null,string] — the snapshot layer's partition values are the
+    hive path strings)."""
+    import copy
+
+    schema = copy.deepcopy(_MANIFEST_ENTRY_SCHEMA)
+    schema["fields"][1]["type"]["fields"].append(
+        {
+            "name": "partition",
+            "field-id": 102,
+            "type": {
+                "type": "record",
+                "name": "r102",
+                "fields": [
+                    {
+                        "name": c,
+                        "type": ["null", "string"],
+                        "field-id": 1000 + i,
+                    }
+                    for i, c in enumerate(part_cols)
+                ],
+            },
+        }
+    )
+    return schema
 
 _MANIFEST_FILE_SCHEMA = {
     "type": "record",
@@ -531,7 +558,9 @@ def export_snapshot_to_iceberg(table) -> dict:
             )
     manifest_path = os.path.join(meta_dir, f"manifest-{snapshot_id}.avro")
     with open(manifest_path, "wb") as f:
-        f.write(write_avro_file(_MANIFEST_ENTRY_SCHEMA, entries, "deflate"))
+        f.write(
+            write_avro_file(_entry_schema_for(part_cols), entries, "deflate")
+        )
     mlist_path = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
     with open(mlist_path, "wb") as f:
         f.write(
@@ -602,10 +631,12 @@ def export_snapshot_to_iceberg(table) -> dict:
                 _name_mapping(ice_schema["fields"])
             )
         },
+        "last-sequence-number": snapshot_id,
         "snapshots": prior_snaps
         + [
             {
                 "snapshot-id": snapshot_id,
+                "sequence-number": snapshot_id,
                 "timestamp-ms": ts,
                 "manifest-list": mlist_path,
                 "summary": {"operation": "append"},
