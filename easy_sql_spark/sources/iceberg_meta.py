@@ -177,8 +177,9 @@ def iceberg_history(path: str) -> list[dict]:
 
 def _live_files(
     path: str, snap: dict, format_version: int
-) -> tuple[list[tuple[str, dict]], list[str]]:
-    """(data files [(path, partition record)], POSITION-delete file
+) -> tuple[list[tuple[str, dict, dict]], list[str]]:
+    """(data files [(path, partition record, raw data_file entry)],
+    POSITION-delete file
     paths) for the snapshot.  Position deletes target data files by
     exact path, so applying every live delete row is correct without
     sequence-number bookkeeping (a rewritten data file has a new path
@@ -203,7 +204,11 @@ def _live_files(
                 )
             if content == 0:
                 files.append(
-                    (_strip_uri(df["file_path"]), df.get("partition") or {})
+                    (
+                        _strip_uri(df["file_path"]),
+                        df.get("partition") or {},
+                        df,
+                    )
                 )
             elif content == 1:
                 deletes.append(_strip_uri(df["file_path"]))
@@ -242,6 +247,7 @@ def read_iceberg(
     snapshot_id: int | None = None,
     as_of_ms: int | None = None,
     partitions: dict[str, list] | None = None,
+    where: list[tuple] | None = None,
 ) -> DataFrame:
     """The iceberg table at a snapshot (default: current) as a
     DataFrame: pinned-schema parquet scans over the snapshot's live
@@ -268,12 +274,25 @@ def read_iceberg(
             raise ValueError(f"not identity partition columns: {bad}")
         wanted = {c: {str(v) for v in vs} for c, vs in partitions.items()}
         files = [
-            (p, pv)
-            for p, pv in files
+            (p, pv, e)
+            for p, pv, e in files
             if all(
                 (None if pv.get(c) is None else str(pv.get(c))) in vals
                 for c, vals in wanted.items()
             )
+        ]
+    if where:
+        # per-file skipping on manifest lower/upper bounds (superset
+        # guarantee: re-apply the predicates to the returned frame)
+        field_ids = {
+            f["name"]: (f["id"], f["type"])
+            for f in _current_schema(meta)["fields"]
+            if isinstance(f["type"], str)
+        }
+        files = [
+            (p, pv, e)
+            for p, pv, e in files
+            if _file_survives(e, where, field_ids)
         ]
     if not files:
         return spark.createDataFrame([], schema)
@@ -289,7 +308,7 @@ def read_iceberg(
         return df
 
     if not id_parts:
-        out = scan(schema, [p for p, _ in files])
+        out = scan(schema, [p for p, _, _ in files])
         cols = [f.name for f in schema.fields]
     else:
         data_schema = T.StructType(
@@ -297,7 +316,7 @@ def read_iceberg(
         )
         types = {f.name: f.dataType for f in schema.fields}
         groups: dict[tuple, list[str]] = {}
-        for p, pv in files:
+        for p, pv, _e in files:
             key = tuple(
                 None if pv.get(c) is None else str(pv.get(c))
                 for c in id_parts
@@ -358,6 +377,16 @@ _MANIFEST_ENTRY_SCHEMA = {
                     {"name": "record_count", "type": "long", "field-id": 103},
                     {"name": "file_size_in_bytes", "type": "long",
                      "field-id": 104},
+                    {
+                        "name": "lower_bounds",
+                        "field-id": 125,
+                        "type": {"type": "map", "values": ["null", "bytes"]},
+                    },
+                    {
+                        "name": "upper_bounds",
+                        "field-id": 128,
+                        "type": {"type": "map", "values": ["null", "bytes"]},
+                    },
                     # "partition" is appended per-table by
                     # _entry_schema_for (typed r102 record over the
                     # partition columns)
@@ -527,6 +556,13 @@ def export_snapshot_to_iceberg(table) -> dict:
     import pyarrow.parquet as _pq
 
     part_cols = m["partition_cols"]
+    stats = m.get("stats") or {}
+    ice_types = {
+        f["name"]: f["type"]
+        for f in ice_schema["fields"]
+        if isinstance(f["type"], str)
+    }
+    ids_by_name = {f["name"]: f["id"] for f in ice_schema["fields"]}
     entries = []
     n_files = 0
     for d in sorted(m["live"]):
@@ -541,6 +577,17 @@ def export_snapshot_to_iceberg(table) -> dict:
                 continue
             n_files += 1
             fpath = f"{abs_dir}/{name}"
+            lowers: dict[str, bytes] = {}
+            uppers: dict[str, bytes] = {}
+            for col, rng in (stats.get(d) or {}).items():
+                t = ice_types.get(col)
+                if t is None or rng[0] is None or rng[1] is None:
+                    continue
+                lo = _encode_bound(t, rng[0])
+                hi = _encode_bound(t, rng[1])
+                if lo is not None and hi is not None:
+                    lowers[str(ids_by_name[col])] = lo
+                    uppers[str(ids_by_name[col])] = hi
             entries.append(
                 {
                     "status": 1,
@@ -552,6 +599,8 @@ def export_snapshot_to_iceberg(table) -> dict:
                             _pq.ParquetFile(fpath).metadata.num_rows
                         ),
                         "file_size_in_bytes": size,
+                        "lower_bounds": lowers,
+                        "upper_bounds": uppers,
                         "partition": pv,
                     },
                 }
@@ -656,3 +705,72 @@ def export_snapshot_to_iceberg(table) -> dict:
         "files": n_files,
         "metadata_file": meta_file,
     }
+
+
+# -------------------------------------------------- bounds (file skipping)
+def _encode_bound(ice_type: str, v) -> bytes | None:
+    """Iceberg single-value binary serialization for the bound types the
+    export records: int/long little-endian, float/double IEEE LE,
+    string UTF-8.  Anything else returns None (no bound written —
+    conservative)."""
+    import struct as _struct
+
+    try:
+        if ice_type == "int":
+            return _struct.pack("<i", int(v))
+        if ice_type == "long":
+            return _struct.pack("<q", int(v))
+        if ice_type == "float":
+            return _struct.pack("<f", float(v))
+        if ice_type == "double":
+            return _struct.pack("<d", float(v))
+        if ice_type == "string":
+            return str(v).encode("utf-8")
+    except (ValueError, OverflowError, _struct.error):
+        return None
+    return None
+
+
+def _decode_bound(ice_type: str, b: bytes):
+    import struct as _struct
+
+    if b is None:
+        return None
+    if ice_type == "int":
+        return _struct.unpack("<i", bytes(b))[0]
+    if ice_type == "long":
+        return _struct.unpack("<q", bytes(b))[0]
+    if ice_type == "float":
+        return _struct.unpack("<f", bytes(b))[0]
+    if ice_type == "double":
+        return _struct.unpack("<d", bytes(b))[0]
+    if ice_type == "string":
+        return bytes(b).decode("utf-8", "replace")
+    return None
+
+
+def _file_survives(
+    df_entry: dict, where: list[tuple], field_ids: dict[str, tuple[int, str]]
+) -> bool:
+    """Conservative per-file skipping on lower_bounds/upper_bounds
+    (field-id keyed): drop only when the range PROVABLY excludes the
+    predicate; missing/undecodable bounds keep the file."""
+    lowers = df_entry.get("lower_bounds") or {}
+    uppers = df_entry.get("upper_bounds") or {}
+    for col, op, val in where:
+        if col not in field_ids:
+            continue
+        fid, ice_type = field_ids[col]
+        lo = _decode_bound(ice_type, lowers.get(str(fid)))
+        hi = _decode_bound(ice_type, uppers.get(str(fid)))
+        if lo is None or hi is None:
+            continue
+        if isinstance(lo, str) != isinstance(val, str):
+            continue
+        if (
+            (op == "=" and not (lo <= val <= hi))
+            or (op in ("<", "<=") and not (lo < val or (op == "<=" and lo <= val)))
+            or (op in (">", ">=") and not (hi > val or (op == ">=" and hi >= val)))
+        ):
+            return False
+    return True

@@ -404,3 +404,44 @@ select (select count(*) from isv) as actual, 2 as expected
     assert [r.operation for r in spark.table("isv").collect()] == [
         "overwrite", "append",
     ]
+
+
+def test_iceberg_bounds_file_skipping(spark, tmp_path):
+    """where= prunes files via exported lower/upper bounds (Iceberg
+    single-value serialization), proven by corrupting the file the
+    predicate should never touch."""
+    from easy_sql_spark.runtime.snapshots import SnapshotTable
+    from easy_sql_spark.sources.iceberg_meta import export_snapshot_to_iceberg
+
+    t = SnapshotTable(spark, str(tmp_path / "snapb"))
+    t.create(
+        spark.range(0, 100).selectExpr("id", "cast(id as double) * 1.5 as x"),
+        stats_cols=["id", "x"],
+    )
+    t.append(spark.range(1000, 1100).selectExpr("id", "cast(id as double) * 1.5 as x"))
+    export_snapshot_to_iceberg(t)
+
+    # corrupt the high-range commit's files; a low-range predicate must
+    # never open them
+    import os as _os
+
+    m = t.manifest(t.latest_version())
+    high_dir = m["added"][0]
+    for n in _os.listdir(f"{t.data_dir}/{high_dir}"):
+        if n.endswith(".parquet"):
+            with open(f"{t.data_dir}/{high_dir}/{n}", "wb") as f:
+                f.write(b"broken")
+
+    got = {
+        r.id
+        for r in read_iceberg(
+            spark, t.root, where=[("id", "<=", 50)]
+        ).collect()
+    }
+    assert got == set(range(100)), "bounds should keep the low file whole"
+    # double-typed bound works too
+    got2 = {
+        r.id
+        for r in read_iceberg(spark, t.root, where=[("x", "<", 200.0)]).collect()
+    }
+    assert got2 == set(range(100))
