@@ -362,23 +362,7 @@ def build(processor):
         `col<op>value` with op in <, <=, >, >=, = (values parsed as
         numbers when they look numeric); manifest-stats-pruned, rows
         with NULL predicate are kept (SQL semantics)."""
-        import re as _re
-
-        conds = []
-        for raw in where.split("|"):
-            m = _re.match(r"^\s*(\w+)\s*(<=|>=|<|>|=)\s*(.+?)\s*$", raw)
-            if not m:
-                raise ValueError(f"bad delete condition {raw!r}")
-            col, op, val = m.groups()
-            try:
-                val = int(val)
-            except ValueError:
-                try:
-                    val = float(val)
-                except ValueError:
-                    pass
-            conds.append((col, op, val))
-        mf = _snapshot(root).delete_where(conds)
+        mf = _snapshot(root).delete_where(_parse_conds(where) or [])
         processor.log(
             f"snapshot_delete({root}, {where}): v{mf['version']}, "
             f"rewrote {len(mf['removed'])} dirs"
@@ -417,6 +401,25 @@ def build(processor):
         )
         backend.create_temp_view(df, view_name)
 
+    def _parse_conds(where: str) -> list | None:
+        import re as _re
+
+        conds = []
+        for raw in (w for w in where.split("|") if w.strip()):
+            m = _re.match(r"^\s*(\w+)\s*(<=|>=|<|>|=)\s*(.+?)\s*$", raw)
+            if not m:
+                raise ValueError(f"bad condition {raw!r}")
+            col, op, val = m.groups()
+            try:
+                val = int(val)
+            except ValueError:
+                try:
+                    val = float(val)
+                except ValueError:
+                    pass
+            conds.append((col, op, val))
+        return conds or None
+
     def _part_spec(partitions: str) -> dict | None:
         parts: dict[str, list] = {}
         for spec in (s for s in partitions.split("|") if s):
@@ -425,7 +428,8 @@ def build(processor):
         return parts or None
 
     def delta_view(
-        path: str, view_name: str, version: str = "", partitions: str = ""
+        path: str, view_name: str, version: str = "",
+        partitions: str = "", where: str = "",
     ):
         """Register a Delta Lake table as a temp view WITHOUT delta-spark
         jars, by replaying the open commit-log protocol
@@ -437,7 +441,8 @@ def build(processor):
         returning wrong rows."""
         from ..sources.delta_log import read_delta
 
-        kw = {"partitions": _part_spec(partitions)}
+        kw = {"partitions": _part_spec(partitions),
+              "where": _parse_conds(where)}
         if str(version).startswith("ts:"):
             df = read_delta(spark, path, timestamp_ms=int(version[3:]), **kw)
         else:
@@ -447,7 +452,8 @@ def build(processor):
         backend.create_temp_view(df, view_name)
 
     def iceberg_view(
-        path: str, view_name: str, snapshot: str = "", partitions: str = ""
+        path: str, view_name: str, snapshot: str = "",
+        partitions: str = "", where: str = "",
     ):
         """Register an Apache Iceberg table as a temp view WITHOUT the
         iceberg runtime jar (sources/iceberg_meta.py: metadata JSON +
@@ -459,7 +465,8 @@ def build(processor):
         returning wrong rows."""
         from ..sources.iceberg_meta import read_iceberg
 
-        kw = {"partitions": _part_spec(partitions)}
+        kw = {"partitions": _part_spec(partitions),
+              "where": _parse_conds(where)}
         if str(snapshot).startswith("ts:"):
             df = read_iceberg(spark, path, as_of_ms=int(snapshot[3:]), **kw)
         else:
