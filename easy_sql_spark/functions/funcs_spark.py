@@ -362,7 +362,10 @@ def build(processor):
         `col<op>value` with op in <, <=, >, >=, = (values parsed as
         numbers when they look numeric); manifest-stats-pruned, rows
         with NULL predicate are kept (SQL semantics)."""
-        mf = _snapshot(root).delete_where(_parse_conds(where) or [])
+        conds = _parse_conds(where)
+        if not conds:
+            raise ValueError("snapshot_delete needs at least one condition")
+        mf = _snapshot(root).delete_where(conds)
         processor.log(
             f"snapshot_delete({root}, {where}): v{mf['version']}, "
             f"rewrote {len(mf['removed'])} dirs"
