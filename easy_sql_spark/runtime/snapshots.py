@@ -326,6 +326,9 @@ class SnapshotTable:
         for c in stats_cols:
             aggs.append(F.min(c).alias(f"__mn_{c}"))
             aggs.append(F.max(c).alias(f"__mx_{c}"))
+            aggs.append(
+                F.sum(F.col(c).isNull().cast("bigint")).alias(f"__nc_{c}")
+            )
         rows = scan.groupBy(dir_expr.alias("__dir")).agg(*aggs).collect()
 
         def plain(v, toward):
@@ -353,8 +356,16 @@ class SnapshotTable:
         counts: dict[str, int] = {}
         for r in rows:
             counts[r["__dir"]] = int(r["__rows"])
+            # third element: the column's NULL count in this dir — powers
+            # IS NULL / IS NOT NULL dir pruning; 2-element entries from
+            # older manifests stay readable (pruning treats a missing
+            # null count as unknown)
             out[r["__dir"]] = {
-                c: [plain(r[f"__mn_{c}"], -1), plain(r[f"__mx_{c}"], +1)]
+                c: [
+                    plain(r[f"__mn_{c}"], -1),
+                    plain(r[f"__mx_{c}"], +1),
+                    int(r[f"__nc_{c}"] or 0),
+                ]
                 for c in stats_cols
             }
         return out, counts
@@ -1230,18 +1241,34 @@ class SnapshotTable:
 
     # ---------------------------------------------------------------- reads
     @staticmethod
-    def _dir_survives(stats: dict | None, where: list[tuple]) -> bool:
-        """Conservative stats pruning: drop a dir only when its [min,max]
-        range PROVABLY excludes the predicate; missing stats keep it."""
+    def _dir_survives(
+        stats: dict | None, where: list[tuple], rows: int | None = None
+    ) -> bool:
+        """Conservative stats pruning: drop a dir only when its stats
+        PROVABLY exclude the predicate; missing stats keep it.  Entries
+        are [min, max] or [min, max, null_count] (newer manifests);
+        ``is_null``/``not_null`` ops prune on the null count (with the
+        dir row count for the not_null side)."""
         import decimal as _dec
 
         if not stats:
             return True
         for col, op, val in where:
             rng = stats.get(col)
-            if rng is None or rng[0] is None or rng[1] is None:
+            if rng is None:
                 continue
-            mn, mx = rng
+            nc = rng[2] if len(rng) > 2 else None
+            if op == "is_null":
+                if nc == 0:
+                    return False
+                continue
+            if op == "not_null":
+                if nc is not None and rows is not None and nc >= rows > 0:
+                    return False
+                continue
+            if rng[0] is None or rng[1] is None:
+                continue
+            mn, mx = rng[0], rng[1]
             if op == "in":
                 vals = [
                     float(v) if isinstance(v, _dec.Decimal) else v
@@ -1316,7 +1343,12 @@ class SnapshotTable:
                     "via stats_cols on create/overwrite"
                 )
             stats = m.get("stats", {})
-            live = [d for d in live if self._dir_survives(stats.get(d), where)]
+            rows_map = m.get("rows") or {}
+            live = [
+                d
+                for d in live
+                if self._dir_survives(stats.get(d), where, rows_map.get(d))
+            ]
         if partitions:
             bad = [c for c in partitions if c not in m["partition_cols"]]
             if bad:

@@ -518,7 +518,9 @@ def test_decimal_stats_prune_numerically(spark, root):
     t.append(hi)
     m = t.manifest(t.latest_version())
     for rng in (s["d"] for s in m["stats"].values()):
-        assert all(isinstance(x, float) for x in rng), rng
+        # [min, max, null_count]: the bounds must be numeric floats
+        # (decimal STRINGS are not lexicographically ordered)
+        assert all(isinstance(x, float) for x in rng[:2]), rng
     # d > 10 must keep the hi dir (min 9.5 <= 10 <= max 10.5 range
     # under the buggy string compare min '9.5' > '10' pruned it)
     got = sorted(r.id for r in t.read(where=[("d", ">", 10)])
@@ -1086,3 +1088,69 @@ def test_streaming_commit_batch_enforces_constraints(spark, root, tmp_path):
     assert t.commit_batch(1, _df(spark, [(6, "c")])) is not None
     assert t.commit_batch(1, _df(spark, [(6, "dup")])) is None
     assert sorted(r.id for r in t.read().collect()) == [1, 5, 6]
+
+
+def test_null_count_stats_pruning(spark, root):
+    """IS NULL / IS NOT NULL dir pruning on the manifest's per-dir null
+    counts: the dir that provably cannot match is never scanned —
+    proven by corrupting its files; legacy 2-element stats entries
+    (no null count) stay readable and are never pruned on null ops."""
+    t = SnapshotTable(spark, root)
+    t.create(
+        spark.range(10).selectExpr("id", "cast(id as string) v"),
+        stats_cols=["id", "v"],
+    )  # v never NULL here
+    t.append(
+        spark.range(10, 15).selectExpr("id", "cast(null as string) v")
+    )  # v always NULL here
+
+    m = t.manifest(t.latest_version())
+    all_null_dir = m["added"][0]
+    no_null_dir = next(d for d in m["live"] if d != all_null_dir)
+
+    # corrupt the all-NULL dir; IS NOT NULL must never open it
+    import os
+
+    for n in os.listdir(f"{t.data_dir}/{all_null_dir}"):
+        if n.endswith(".parquet"):
+            with open(f"{t.data_dir}/{all_null_dir}/{n}", "wb") as f:
+                f.write(b"broken")
+    got = {r.id for r in t.read(where=[("v", "not_null", None)]).collect()}
+    assert got == set(range(10))
+
+    # restore a fresh table the other way round for IS NULL
+    t2 = SnapshotTable(spark, root + "_b")
+    t2.create(
+        spark.range(10).selectExpr("id", "cast(id as string) v"),
+        stats_cols=["v"],
+    )
+    t2.append(spark.range(10, 15).selectExpr("id", "cast(null as string) v"))
+    m2 = t2.manifest(t2.latest_version())
+    clean_dir = next(d for d in m2["live"] if d != m2["added"][0])
+    for n in os.listdir(f"{t2.data_dir}/{clean_dir}"):
+        if n.endswith(".parquet"):
+            with open(f"{t2.data_dir}/{clean_dir}/{n}", "wb") as f:
+                f.write(b"broken")
+    got2 = {r.id for r in t2.read(where=[("v", "is_null", None)]).collect()}
+    assert got2 == {10, 11, 12, 13, 14}
+
+    # legacy manifests (2-element entries): null ops keep every dir
+    import json as _json
+
+    p = t2._manifest_path(t2.latest_version())
+    legacy = _json.loads(t2.fs.read_bytes(p))
+    legacy["stats"] = {
+        d: {c: e[:2] for c, e in cols.items()}
+        for d, cols in legacy["stats"].items()
+    }
+    t2.fs.delete(p)
+    t2.fs.create_atomic(p, _json.dumps(legacy).encode())
+    live = [
+        d
+        for d in legacy["live"]
+        if SnapshotTable._dir_survives(
+            legacy["stats"].get(d), [("v", "is_null", None)],
+            (legacy.get("rows") or {}).get(d),
+        )
+    ]
+    assert sorted(live) == sorted(legacy["live"])
