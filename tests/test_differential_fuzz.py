@@ -390,3 +390,81 @@ def test_random_url_canonicalization_agrees(spark, ducks, urls):
         + " SELECT doc_id, canon_url, registered_domain FROM canon ORDER BY doc_id"
     ).fetchall()
     assert got == [tuple(e) for e in expected], rows
+
+
+_json_scalar = st.one_of(
+    st.integers(-(2**40), 2**40),
+    st.text(alphabet="abxyz09 _", max_size=12),
+)
+_json_value = st.one_of(
+    _json_scalar,
+    st.lists(st.integers(-1000, 1000), min_size=0, max_size=4),
+    st.dictionaries(
+        st.sampled_from(["p", "q", "r"]), _json_scalar, min_size=0, max_size=3
+    ),
+)
+_json_doc = st.dictionaries(
+    st.sampled_from(["a", "b", "c", "d", "e"]),
+    _json_value,
+    min_size=1,
+    max_size=5,
+)
+
+
+def _paths_of(doc, prefix="$"):
+    """Every (path, leaf value) pair in the generated document."""
+    out = []
+    for k, v in doc.items():
+        p = f"{prefix}.{k}"
+        if isinstance(v, dict):
+            out.extend(_paths_of(v, p))
+        elif isinstance(v, list):
+            for i, item in enumerate(v):
+                out.append((f"{p}[{i}]", item))
+        else:
+            out.append((p, v))
+    return out
+
+
+@given(docs=st.lists(_json_doc, min_size=1, max_size=6))
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_variant_json_extraction_agrees(spark, ducks, docs):
+    """Spark VARIANT path extraction (parse_json + try_variant_get, the
+    f13 surface) must agree with DuckDB's JSON operators on arbitrary
+    generated documents — typed per the generator's known leaf type, so
+    the axis pins path syntax and value decoding, not cross-type
+    coercion folklore."""
+    import json as _json
+
+    rows = [(i, _json.dumps(d, sort_keys=True)) for i, d in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id long, payload string")
+    ducks.execute(
+        "CREATE OR REPLACE TABLE fuzz_json(doc_id BIGINT, payload VARCHAR)"
+    )
+    ducks.executemany("INSERT INTO fuzz_json VALUES (?, ?)", rows)
+
+    for doc_id, doc in enumerate(docs):
+        paths = _paths_of(doc)[:8]
+        if not paths:
+            continue
+        exprs, dexprs = [], []
+        for i, (path, leaf) in enumerate(paths):
+            t = "long" if isinstance(leaf, int) else "string"
+            exprs.append(
+                f"try_variant_get(parse_json(payload), '{path}', '{t}') as c{i}"
+            )
+            dexprs.append(
+                f"CAST(json_extract(payload, '{path}') AS BIGINT) AS c{i}"
+                if t == "long"
+                else f"json_extract_string(payload, '{path}') AS c{i}"
+            )
+        got = sdf.where(f"doc_id = {doc_id}").selectExpr(*exprs).first()
+        exp = ducks.execute(
+            f"SELECT {', '.join(dexprs)} FROM fuzz_json WHERE doc_id = {doc_id}"
+        ).fetchone()
+        for i, (path, _leaf) in enumerate(paths):
+            assert got[f"c{i}"] == exp[i], (doc_id, path, got[f"c{i}"], exp[i])
