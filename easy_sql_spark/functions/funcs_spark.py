@@ -372,6 +372,21 @@ def build(processor):
         )
         return mf["version"]
 
+    def snapshot_delete_dv(root: str, where: str):
+        """DELETE via a deletion vector (merge-on-read): O(matched rows)
+        written instead of rewriting dirs — `func.snapshot_delete_dv(
+        /w/events, dt<=2024-01-01)`.  Reads apply the DV automatically;
+        `func.snapshot_compact` materializes (applies + clears) it."""
+        conds = _parse_conds(where)
+        if not conds:
+            raise ValueError("snapshot_delete_dv needs at least one condition")
+        mf = _snapshot(root).delete_where_dv(conds)
+        processor.log(
+            f"snapshot_delete_dv({root}, {where}): v{mf['version']}, "
+            f"{mf['deleted_rows']} rows"
+        )
+        return mf["deleted_rows"]
+
     def snapshot_changes(
         root: str, view_name: str, from_version: str, to_version: str = ""
     ):

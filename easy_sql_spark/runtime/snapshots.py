@@ -473,6 +473,24 @@ class SnapshotTable:
         }
         if ext:
             m["external"] = ext
+        # deletion vectors carry forward with target-dir bookkeeping: a
+        # DV whose target dirs all died (rewritten/overwritten) is
+        # dropped; one with SOME dead targets stays (path-matching reads
+        # remain exact) but loses its trusted row count, so metadata
+        # row_count falls back to a scan instead of overcounting
+        dvs = []
+        for dv in (parent or {}).get("dvs", []):
+            alive = [t for t in dv.get("targets", []) if t in live]
+            if not alive and dv.get("targets"):
+                continue
+            entry = dict(dv)
+            if len(alive) < len(dv.get("targets", [])):
+                entry["rows"] = None
+            dvs.append(entry)
+        if dvs:
+            m["dvs"] = dvs
+        else:
+            m.pop("dvs", None)
 
     def _resolve_partition_by(self, parent: dict | None, partition_by: list[str] | None) -> list[str]:
         if parent is not None:
@@ -664,6 +682,16 @@ class SnapshotTable:
 
             live = [d for d in live if keep(d)]
         rows = m.get("rows") or {}
+        dvs = m.get("dvs") or []
+        if dvs:
+            if partitions is None and all(
+                dv.get("rows") is not None for dv in dvs
+            ):
+                base = sum(rows[d] for d in live if d in rows)
+                if all(d in rows for d in live):
+                    return base - sum(int(dv["rows"]) for dv in dvs)
+            # partition-scoped or untrusted DV counts: exact via scan
+            return self.read(version=v, partitions=partitions).count()
         missing = [d for d in live if d not in rows]
         if missing:
             schema = StructType.fromJson(json.loads(m["schema"]))
@@ -695,8 +723,10 @@ class SnapshotTable:
         if target.latest_version():
             raise ValueError(f"snapshot table already exists at {target_root}")
         src_ext = src.get("external") or {}
+        src_dv_dirs = [dv["dir"] for dv in src.get("dvs", [])]
         external = {
-            d: src_ext.get(d, self.data_dir) for d in src["live"]
+            d: src_ext.get(d, self.data_dir)
+            for d in list(src["live"]) + src_dv_dirs
         }
         m = {
             "version": 1,
@@ -717,6 +747,8 @@ class SnapshotTable:
             m["external"] = external
         if src.get("constraints"):
             m["constraints"] = dict(src["constraints"])
+        if src.get("dvs"):
+            m["dvs"] = [dict(dv) for dv in src["dvs"]]
         target.fs.mkdirs(target.manifest_dir)
         if not target._try_commit(m):
             raise ValueError(f"snapshot table already exists at {target_root}")
@@ -938,22 +970,26 @@ class SnapshotTable:
             key=len,
             reverse=True,
         )
+        dv0 = self._dv_frame(parent0)
+        target = self._read_dirs(
+            parent0["live"], schema0, parent0["partition_cols"], ext0,
+            with_meta=True,
+        )
+        if dv0 is not None:
+            target = target.join(
+                F.broadcast(dv0), ["__snap_fp", "__snap_ri"], "left_anti"
+            )
         dir_expr = F.coalesce(
             *[
                 F.nullif(
                     F.regexp_extract(
-                        F.input_file_name(),
-                        f"{_re.escape(b)}/(.+)/[^/]+$",
-                        1,
+                        F.col("__snap_fp"), f"{_re.escape(b)}/(.+)/[^/]+$", 1
                     ),
                     F.lit(""),
                 )
                 for b in bases
             ],
             F.lit(""),
-        )
-        target = self._read_dirs(
-            parent0["live"], schema0, parent0["partition_cols"], ext0
         )
         hit_dirs = sorted(
             r["__dir"]
@@ -962,8 +998,16 @@ class SnapshotTable:
             .select("__dir").distinct().collect()
         )
         survivors = self._read_dirs(
-            hit_dirs, schema0, parent0["partition_cols"], ext0
-        ).join(key_side, keys, "left_anti")
+            hit_dirs, schema0, parent0["partition_cols"], ext0,
+            with_meta=True,
+        )
+        if dv0 is not None:
+            survivors = survivors.join(
+                F.broadcast(dv0), ["__snap_fp", "__snap_ri"], "left_anti"
+            )
+        survivors = survivors.drop("__snap_fp", "__snap_ri").join(
+            key_side, keys, "left_anti"
+        )
         # additive evolution: new source columns read NULL from survivors
         for f in source.schema.fields:
             if f.name not in {x.name for x in schema0.fields}:
@@ -1037,10 +1081,9 @@ class SnapshotTable:
                 "=": c == F.lit(val),
             }[op]
             pred = cond if pred is None else (pred & cond)
-        survivors = self._read_dirs(
-            candidates, schema0, parent0["partition_cols"],
-            parent0.get("external"),
-        ).where(~F.coalesce(pred, F.lit(False)))
+        survivors = self._read_state(parent0, candidates, schema0).where(
+            ~F.coalesce(pred, F.lit(False))
+        )
 
         staged: dict = {}
 
@@ -1364,9 +1407,7 @@ class SnapshotTable:
                 )
 
             live = [d for d in live if keep(d)]
-        return self._read_dirs(
-            live, schema, m["partition_cols"], m.get("external")
-        )
+        return self._read_state(m, live, schema)
 
     def _read_dirs(
         self,
@@ -1374,6 +1415,7 @@ class SnapshotTable:
         schema: StructType,
         part_cols: list[str],
         external: dict[str, str] | None = None,
+        with_meta: bool = False,
     ) -> DataFrame:
         """Scan exactly ``dirs`` (relative to data/, or to their
         ``external`` base for shallow-clone entries) under the pinned
@@ -1382,23 +1424,37 @@ class SnapshotTable:
         ``commit=``/partition path segments parse identically) and
         union — a non-clone table is always the single-scan fast path."""
         if not dirs:
-            return self.spark.createDataFrame([], schema)
+            out = self.spark.createDataFrame([], schema)
+            if with_meta:
+                out = out.withColumn("__snap_fp", F.lit(None).cast("string")) \
+                    .withColumn("__snap_ri", F.lit(None).cast("long"))
+            return out
         external = external or {}
         by_base: dict[str, list[str]] = {}
         for d in sorted(dirs):
             by_base.setdefault(external.get(d, self.data_dir), []).append(d)
         parts = []
+        cols = [f.name for f in schema.fields]
+        if with_meta:
+            cols = cols + ["__snap_fp", "__snap_ri"]
         for base, ds in sorted(by_base.items()):
-            parts.append(
+            p = (
                 self.spark.read.option("basePath", base)
                 .schema(self._read_schema(schema, part_cols))
                 .parquet(*[f"{base}/{d}" for d in ds])
-                .drop("commit")
             )
+            if with_meta:
+                p = p.withColumn(
+                    "__snap_fp",
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:/+", "/"
+                    ),
+                ).withColumn("__snap_ri", F.col("_metadata.row_index"))
+            parts.append(p.drop("commit"))
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
-        return df.select(*[f.name for f in schema.fields])
+        return df.select(*cols)
 
     @staticmethod
     def _read_schema(schema: StructType, part_cols: list[str]) -> StructType:
@@ -1412,6 +1468,140 @@ class SnapshotTable:
         return StructType(
             data_fields + part_fields + [StructField("commit", StringType())]
         )
+
+    # ---------------------------------------------------------- deletion vectors
+    def _dv_frame(self, m: dict):
+        """Union of the manifest's live deletion-vector files as a
+        (``__snap_fp``, ``__snap_ri``) frame, or None.  DV files are tiny
+        relative to data (O(deleted rows)); the anti-join broadcasts."""
+        dvs = m.get("dvs") or []
+        if not dvs:
+            return None
+        ext = m.get("external") or {}
+        paths = []
+        for dv in dvs:
+            d = dv["dir"]
+            base = ext.get(d, self.data_dir)
+            paths.append(f"{base}/{d}")
+        return (
+            self.spark.read.schema("file_path string, pos long")
+            .parquet(*sorted(paths))
+            .select(
+                F.regexp_replace("file_path", "^file:/+", "/").alias("__snap_fp"),
+                F.col("pos").alias("__snap_ri"),
+            )
+        )
+
+    def _read_state(
+        self, m: dict, dirs: list[str], schema: StructType
+    ) -> DataFrame:
+        """``dirs`` under manifest ``m`` with deletion vectors APPLIED —
+        the one true row-visibility read every consumer (read, merge,
+        delete, compact-via-read) goes through."""
+        dv = self._dv_frame(m)
+        if dv is None:
+            return self._read_dirs(
+                dirs, schema, m["partition_cols"], m.get("external")
+            )
+        df = self._read_dirs(
+            dirs, schema, m["partition_cols"], m.get("external"),
+            with_meta=True,
+        )
+        return df.join(
+            F.broadcast(dv), ["__snap_fp", "__snap_ri"], "left_anti"
+        ).drop("__snap_fp", "__snap_ri")
+
+    def delete_where_dv(self, where: list[tuple], extra: dict | None = None) -> dict:
+        """DELETE via a DELETION VECTOR — the merge-on-read alternative
+        to :meth:`delete_where`'s copy-on-write: instead of rewriting
+        every possibly-matching dir, ONE tiny parquet of
+        (file_path, row position) is committed and every read
+        anti-joins it.  Cost is O(matched rows) written and a broadcast
+        anti-join per read — on a 100 TB table a one-in-a-million
+        delete costs kilobytes, not a dir rewrite.  ``compact()``
+        applies and clears DVs (the materialize step); exports require
+        that first (they would otherwise resurrect deleted rows).
+
+        Serializable like :meth:`delete_where`: an intervening commit
+        raises :class:`SnapshotConflictError`."""
+        ops = {"<", "<=", ">", ">=", "="}
+        for _, op, _v in where:
+            if op not in ops:
+                raise ValueError(f"unsupported delete op {op!r}")
+        latest = self.latest_version()
+        if not latest:
+            raise ValueError(f"no committed versions at {self.root}")
+        parent0 = self.manifest(latest)
+        schema0 = StructType.fromJson(json.loads(parent0["schema"]))
+        stats = parent0.get("stats", {})
+        rows_map = parent0.get("rows") or {}
+        candidates = [
+            d for d in parent0["live"]
+            if self._dir_survives(stats.get(d), where, rows_map.get(d))
+        ]
+        pred = None
+        for col, op, val in where:
+            c = F.col(col)
+            cond = {
+                "<": c < F.lit(val), "<=": c <= F.lit(val),
+                ">": c > F.lit(val), ">=": c >= F.lit(val),
+                "=": c == F.lit(val),
+            }[op]
+            pred = cond if pred is None else (pred & cond)
+        # matched rows' positions, with any EXISTING DVs already applied
+        # (double-deleting a row would corrupt counts)
+        dv_prev = self._dv_frame(parent0)
+        matched = self._read_dirs(
+            candidates, schema0, parent0["partition_cols"],
+            parent0.get("external"), with_meta=True,
+        ).where(F.coalesce(pred, F.lit(False)))
+        if dv_prev is not None:
+            matched = matched.join(
+                F.broadcast(dv_prev), ["__snap_fp", "__snap_ri"], "left_anti"
+            )
+        dv_df = matched.select(
+            F.col("__snap_fp").alias("file_path"),
+            F.col("__snap_ri").alias("pos"),
+        ).localCheckpoint(eager=True)
+        n_deleted = dv_df.count()
+
+        staged: dict = {}
+
+        def build(parent, version):
+            if parent["version"] != latest:
+                raise SnapshotConflictError(
+                    f"delete_dv computed against v{latest} but v"
+                    f"{parent['version']} committed concurrently; retry"
+                )
+            if "dir" not in staged:
+                commit = f"commit={version}-dv-{_uuid.uuid4().hex[:12]}"
+                dv_df.write.mode("error").parquet(
+                    f"{self.data_dir}/{commit}"
+                )
+                staged["dir"] = commit
+            m = self._base_manifest(
+                version, parent, "delete_dv", dv_df, parent["partition_cols"],
+                extra,
+            )
+            # schema must stay the TABLE schema, not the DV schema
+            m["schema"] = parent["schema"]
+            m["added"] = []
+            m["removed"] = []
+            m["live"] = list(parent["live"])
+            self._merge_stats(m, parent, [])
+            m.setdefault("dvs", [])
+            m["dvs"] = list(m.get("dvs") or []) + [
+                {
+                    "dir": staged["dir"],
+                    "rows": int(n_deleted),
+                    "targets": list(candidates),
+                }
+            ]
+            return m
+
+        out = self._commit_loop(build)
+        out["deleted_rows"] = int(n_deleted)
+        return out
 
     def changes(
         self,
@@ -1456,6 +1646,18 @@ class SnapshotTable:
                     f"range crosses vacuumed version(s) {vacuumed}: rewrite "
                     "detection is impossible without their manifests; pass "
                     "allow_rewrites=True to diff the surviving endpoints anyway"
+                )
+            dv_commits = [
+                v
+                for v in range(from_version + 1, to_version + 1)
+                if v in existing
+                and self.manifest(v)["operation"] == "delete_dv"
+            ]
+            if dv_commits:
+                raise ValueError(
+                    f"range crosses deletion-vector commit(s) {dv_commits}: "
+                    "the dir-level feed cannot express sub-file deletes — "
+                    "compact() first (applies and clears DVs)"
                 )
             rewriters = [
                 v
@@ -1527,8 +1729,10 @@ class SnapshotTable:
             m = self.manifest(v)
             ever.update(m["live"])
             ever.update(m["added"])
+            ever.update(dv["dir"] for dv in m.get("dvs", []))
             if v >= keep_from:
                 referenced.update(m["live"])
+                referenced.update(dv["dir"] for dv in m.get("dvs", []))
         ref_commits = {d.split("/", 1)[0] for d in referenced}
         ever_commits = {d.split("/", 1)[0] for d in ever}
 

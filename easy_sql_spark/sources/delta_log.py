@@ -317,6 +317,12 @@ def export_snapshot_to_delta(table) -> dict:
     if not snap_v:
         raise ValueError(f"no committed versions at {root}")
     m = table.manifest(snap_v)
+    if m.get("dvs"):
+        raise ValueError(
+            "snapshot has live deletion vectors; exporting would "
+            "resurrect deleted rows — run compact() first (it applies "
+            "and clears DVs)"
+        )
     part_cols = m["partition_cols"]
     ext = m.get("external") or {}
 

@@ -527,6 +527,12 @@ def export_snapshot_to_iceberg(table) -> dict:
     if not snap_v:
         raise ValueError(f"no committed versions at {root}")
     m = table.manifest(snap_v)
+    if m.get("dvs"):
+        raise ValueError(
+            "snapshot has live deletion vectors; exporting would "
+            "resurrect deleted rows — run compact() first (it applies "
+            "and clears DVs)"
+        )
     ext = m.get("external") or {}
 
     import json as _json

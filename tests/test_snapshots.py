@@ -1154,3 +1154,92 @@ def test_null_count_stats_pruning(spark, root):
         )
     ]
     assert sorted(live) == sorted(legacy["live"])
+
+
+def test_deletion_vector_delete_end_to_end(spark, root):
+    """delete_where_dv: O(deleted rows) merge-on-read DELETE — reads,
+    metadata counts, merges and copy-on-write deletes all respect the
+    DV; compact applies-and-clears; exports refuse until then; vacuum
+    never reaps a referenced DV dir; time travel sees pre-DV state."""
+    t = SnapshotTable(spark, root)
+    t.create(
+        spark.range(100).selectExpr("id", "id % 7 as g"), stats_cols=["id"]
+    )
+    t.append(spark.range(100, 150).selectExpr("id", "id % 7 as g"))
+
+    rep = t.delete_where_dv([("id", "<", 20)])
+    assert rep["deleted_rows"] == 20 and rep["operation"] == "delete_dv"
+    assert sorted(r.id for r in t.read().collect()) == list(range(20, 150))
+    assert t.row_count() == 130  # metadata: rows minus trusted DV counts
+    # stats-pruned reads still apply the DV (where= is a superset
+    # guarantee — re-apply the predicate, as the contract requires)
+    assert {
+        r.id
+        for r in t.read(where=[("id", "<", 25)]).where("id < 25").collect()
+    } == {20, 21, 22, 23, 24}
+
+    # overlapping second DV never double-counts already-deleted rows
+    assert t.delete_where_dv([("id", "<", 30)])["deleted_rows"] == 10
+    assert t.row_count() == 120
+    # time travel to the pre-DV version
+    assert t.read(version=2).count() == 150
+
+    # merge: DV'd rows are not matchable and never resurrect
+    t.merge(
+        spark.createDataFrame([(25, 99), (500, 1)], "id long, g long"),
+        keys=["id"],
+    )
+    got = {r.id: r.g for r in t.read().collect()}
+    assert 29 not in got and got[25] == 99 and got[500] == 1
+    # merge invalidated a DV's trusted count -> row_count falls back to
+    # a (DV-applied) scan and stays exact
+    # 150 - 20 - 10 deleted, then BOTH merge keys insert (25 was
+    # DV-deleted, so it re-inserts rather than updates): 122
+    assert t.row_count() == t.read().count() == 122
+
+    # exports refuse while DVs are live
+    from easy_sql_spark.sources.delta_log import export_snapshot_to_delta
+    from easy_sql_spark.sources.iceberg_meta import export_snapshot_to_iceberg
+
+    with pytest.raises(ValueError, match="deletion vectors"):
+        export_snapshot_to_delta(t)
+    with pytest.raises(ValueError, match="deletion vectors"):
+        export_snapshot_to_iceberg(t)
+
+    # changes() refuses a DV-crossing range
+    with pytest.raises(ValueError, match="deletion-vector"):
+        t.changes(1, t.latest_version())
+
+    # compact applies + clears; exports work again
+    t.compact()
+    assert not t.manifest(t.latest_version()).get("dvs")
+    assert t.row_count() == 122
+    export_snapshot_to_delta(t)
+
+    # vacuum keeps the RETAINED versions' dv dirs; here all DV versions
+    # are below the retained window, so their dirs may go — but the
+    # compacted data survives intact
+    t.vacuum(retain_versions=1, min_age_seconds=0)
+    assert t.read().count() == 122
+
+
+def test_deletion_vector_vacuum_protects_referenced_dv(spark, root):
+    t = SnapshotTable(spark, root)
+    t.create(spark.range(50).selectExpr("id"))
+    t.delete_where_dv([("id", ">=", 40)])
+
+    # rollback to the pre-DV version restores full visibility (and the
+    # DV state itself is versioned: rolling forward again re-applies)
+    t.rollback(1)
+    assert t.read().count() == 50 and t.row_count() == 50
+    t.rollback(2)
+    assert t.read().count() == 40 and t.row_count() == 40
+
+    # the retained window references the DV dir: vacuum must not reap it
+    t.vacuum(retain_versions=1, min_age_seconds=0)
+    assert sorted(r.id for r in t.read().collect()) == list(range(40))
+    assert t.row_count() == 40
+
+    # clone carries the DV (external-resolved) and reads identically
+    c = t.clone_to(root + "_c")
+    assert sorted(r.id for r in c.read().collect()) == list(range(40))

@@ -53,7 +53,7 @@ def test_random_op_sequences_match_model(spark, root, seed):
     next_id = 100
     for step in range(10):
         op = rng.choice(["append", "overwrite_partitions", "merge",
-                         "delete", "rollback", "constraint"])
+                         "delete", "delete_dv", "rollback", "constraint"])
         if op == "append":
             rows = fresh_rows(rng.randrange(1, 4), next_id)
             next_id += 10
@@ -84,6 +84,12 @@ def test_random_op_sequences_match_model(spark, root, seed):
             cut = rng.randrange(20, 90)
             t.delete_where([("v", "<", cut)])
             for i in [i for i, (v, _) in model.items() if v < cut]:
+                del model[i]
+        elif op == "delete_dv":
+            # merge-on-read delete: same model semantics, DV mechanism
+            cut = rng.randrange(20, 90)
+            t.delete_where_dv([("v", ">=", cut)])
+            for i in [i for i, (v, _) in model.items() if v >= cut]:
                 del model[i]
         elif op == "constraint":
             # metadata-only commit interleaved with the data ops: state
@@ -116,6 +122,11 @@ def test_random_op_sequences_match_model(spark, root, seed):
         read_iceberg,
     )
 
+    if t.manifest(t.latest_version()).get("dvs"):
+        # live deletion vectors block exports by design: materialize
+        # first (content unchanged — the model must still match)
+        t.compact()
+        assert _read(t) == history[-1], (seed, "compact-applied DVs")
     export_snapshot_to_delta(t)
     export_snapshot_to_iceberg(t)
     want = history[-1]
