@@ -1217,3 +1217,75 @@ def emb_pca_project(spark, sf_dir):
     for i in range(k):
         out = out.withColumn(f"evr{i}", F.lit(float(explained[i])))
     return out.orderBy("vec_id")
+
+
+@query(
+    "snapshot_dv_delete",
+    oracle="""
+    WITH seed AS (
+        SELECT o_orderkey AS k, o_totalprice AS price
+        FROM orders WHERE o_orderkey <= 2000),
+    v_dv AS (SELECT * FROM seed WHERE NOT (k < 300)),
+    v_dv2 AS (SELECT * FROM v_dv WHERE NOT (k < 500)),
+    fin AS (SELECT * FROM v_dv2 WHERE NOT (k > 1800))
+    SELECT stage, n, sum_k FROM (
+        SELECT 'a_after_dv' AS stage, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(k) AS BIGINT) AS sum_k FROM v_dv
+        UNION ALL SELECT 'b_after_dv2', COUNT(*), SUM(k) FROM v_dv2
+        UNION ALL SELECT 'c_time_travel', COUNT(*), SUM(k) FROM seed
+        UNION ALL SELECT 'd_after_compact_cow', COUNT(*), SUM(k) FROM fin
+    ) ORDER BY stage
+    """,
+)
+def snapshot_dv_delete(spark, sf_dir):
+    """Deletion-vector DELETE lifecycle under an oracle
+    (runtime/snapshots.py:delete_where_dv): seed an orders slice, DV
+    two overlapping deletes (the second must not double-count rows the
+    first already removed), time-travel to the pre-DV version, compact
+    (applies + clears the DVs), then a copy-on-write delete on the
+    compacted table — every stage's (count, sum) is recomputed by the
+    oracle from the raw rows, and the counts come from the
+    metadata-only ``row_count`` wherever DV counts are trusted.
+
+    Scale: each DV write is O(matched rows); reads pay one broadcast
+    anti-join; compact is the amortization valve — Delta's DV+OPTIMIZE
+    split on the manifest layer."""
+    import tempfile
+
+    from ..runtime.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="snap_dv_") + "/t")
+    seed = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 2000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    t.create(seed, stats_cols=["k"])
+    t.delete_where_dv([("k", "<", 300)])
+    s1 = t.read().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+    ).select(F.lit("a_after_dv").alias("stage"), "n", "sum_k")
+    # overlapping DV: rows already deleted must not re-count
+    t.delete_where_dv([("k", "<", 500)])
+    s2 = t.read().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+    ).select(F.lit("b_after_dv2").alias("stage"), "n", "sum_k")
+    # metadata-only count (trusted DV counts) must equal the real scan
+    assert t.row_count() == t.read().count()
+    s3 = t.read(version=1).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+    ).select(F.lit("c_time_travel").alias("stage"), "n", "sum_k")
+    t.compact()
+    t.delete_where([("k", ">", 1800)])
+    s4 = t.read().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+    ).select(F.lit("d_after_compact_cow").alias("stage"), "n", "sum_k")
+    out = s1.unionByName(s2).unionByName(s3).unionByName(s4)
+    return out.orderBy("stage").localCheckpoint(eager=True)
