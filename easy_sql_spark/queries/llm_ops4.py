@@ -882,11 +882,12 @@ def snapshot_time_travel(spark, sf_dir):
         F.lit(1).alias("version"),
         (F.col("doc_id") % 3).cast("int").alias("pt"),
     )
-    t.create(seed, partition_by=["pt"])
-    t.overwrite_partitions(
+    # capture every committed version (commit retries may shift numbering)
+    v1 = t.create(seed, partition_by=["pt"])["version"]
+    v2 = t.overwrite_partitions(
         seed.where(F.col("pt") == 0).withColumn("version", F.lit(2))
-    )
-    t.append(
+    )["version"]
+    v3 = t.append(
         load_table(spark, sf_dir, "documents")
         .where((F.col("doc_id") > 300) & (F.col("doc_id") <= 350))
         .select(
@@ -894,18 +895,18 @@ def snapshot_time_travel(spark, sf_dir):
             F.lit(1).alias("version"),
             (F.col("doc_id") % 3).cast("int").alias("pt"),
         )
-    )
-    t.rollback(2)
+    )["version"]
+    v4 = t.rollback(v2)["version"]
 
     per_version = [
         t.read(version=v)
         .agg(
-            F.lit(v).alias("version"),
+            F.lit(stage).alias("version"),
             F.count("*").alias("n"),
             F.sum("doc_id").cast("bigint").alias("sum_doc"),
             F.sum((F.col("version") == 2).cast("bigint")).alias("n_v2"),
         )
-        for v in (1, 2, 3, 4)
+        for stage, v in enumerate((v1, v2, v3, v4), start=1)
     ]
     out = per_version[0]
     for p in per_version[1:]:
@@ -961,7 +962,8 @@ def snapshot_merge_delete(spark, sf_dir):
         .where(F.col("o_orderkey") <= 2000)
         .select(F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("price"))
     )
-    t.create(seed, stats_cols=["k"])
+    # capture every committed version (commit retries may shift numbering)
+    v1 = t.create(seed, stats_cols=["k"])["version"]
     src = (
         seed.where(F.col("k") % 7 == 0)
         .withColumn("price", F.col("price") * 2)
@@ -970,17 +972,17 @@ def snapshot_merge_delete(spark, sf_dir):
             .select((F.col("k") + 1000000).alias("k"), "price")
         )
     )
-    t.merge(src, keys=["k"])
-    t.delete_where([("k", "<", 100)])
+    v2 = t.merge(src, keys=["k"])["version"]
+    v3 = t.delete_where([("k", "<", 100)])["version"]
 
     per_version = [
         t.read(version=v).agg(
-            F.lit(v).cast("int").alias("version"),
+            F.lit(stage).cast("int").alias("version"),
             F.count("*").alias("n"),
             F.sum("k").cast("bigint").alias("sum_k"),
             F.round(F.sum("price"), 2).alias("sum_price"),
         )
-        for v in (1, 2, 3)
+        for stage, v in enumerate((v1, v2, v3), start=1)
     ]
     out = per_version[0]
     for p in per_version[1:]:
@@ -1275,11 +1277,12 @@ def snapshot_change_feed(spark, sf_dir):
         F.lit(1).alias("version"),
         (F.col("doc_id") % 3).cast("int").alias("pt"),
     )
-    t.create(seed, partition_by=["pt"])
+    # capture committed versions (commit retries may shift numbering)
+    v1 = t.create(seed, partition_by=["pt"])["version"]
     t.overwrite_partitions(
         seed.where(F.col("pt") == 0).withColumn("version", F.lit(2))
     )
-    t.append(
+    v3 = t.append(
         load_table(spark, sf_dir, "documents")
         .where((F.col("doc_id") > 300) & (F.col("doc_id") <= 350))
         .select(
@@ -1287,9 +1290,9 @@ def snapshot_change_feed(spark, sf_dir):
             F.lit(1).alias("version"),
             (F.col("doc_id") % 3).cast("int").alias("pt"),
         )
-    )
+    )["version"]
     return (
-        t.changes(1, 3)
+        t.changes(v1, v3)
         .select("doc_id", F.col("_change_type").alias("change_type"))
         .orderBy("doc_id", "change_type")
         .localCheckpoint(eager=True)

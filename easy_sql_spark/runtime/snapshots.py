@@ -481,7 +481,9 @@ class SnapshotTable:
         dvs = []
         for dv in (parent or {}).get("dvs", []):
             alive = [t for t in dv.get("targets", []) if t in live]
-            if not alive and dv.get("targets"):
+            if not alive:
+                # all target dirs died (rewritten/overwritten) — or a
+                # legacy empty-target entry, which can delete nothing
                 continue
             entry = dict(dv)
             if len(alive) < len(dv.get("targets", [])):
@@ -530,13 +532,22 @@ class SnapshotTable:
         schema: StructType,
         part_cols: list[str],
         external: dict | None = None,
+        dv_manifest: dict | None = None,
     ) -> None:
         """ONE aggregate pass over ``dirs`` counting violations of every
         constraint; raises :class:`SnapshotConstraintError` with per-
-        constraint counts if any row fails.  NULL passes (SQL CHECK)."""
+        constraint counts if any row fails.  NULL passes (SQL CHECK).
+
+        ``dv_manifest`` — when auditing EXISTING table data (vs freshly
+        staged files), pass the manifest so live deletion vectors are
+        applied first: rows already deleted by ``delete_where_dv`` are
+        invisible to every read and must not count as violations."""
         if not constraints or not dirs:
             return
-        scan = self._read_dirs(dirs, schema, part_cols, external)
+        if dv_manifest is not None:
+            scan = self._read_state(dv_manifest, dirs, schema)
+        else:
+            scan = self._read_dirs(dirs, schema, part_cols, external)
         names = sorted(constraints)
         counts = scan.agg(
             *[
@@ -618,6 +629,7 @@ class SnapshotTable:
         self._audit_dirs(
             parent["live"], {name: expr}, schema,
             parent["partition_cols"], parent.get("external"),
+            dv_manifest=parent,
         )
 
         def mutate(m, p):
@@ -1524,6 +1536,11 @@ class SnapshotTable:
 
         Serializable like :meth:`delete_where`: an intervening commit
         raises :class:`SnapshotConflictError`."""
+        if not where:
+            raise ValueError(
+                "delete_where_dv requires at least one (col, op, value) "
+                "condition; an unconditional delete should use overwrite"
+            )
         ops = {"<", "<=", ">", ">=", "="}
         for _, op, _v in where:
             if op not in ops:
@@ -1564,6 +1581,14 @@ class SnapshotTable:
             F.col("__snap_ri").alias("pos"),
         ).localCheckpoint(eager=True)
         n_deleted = dv_df.count()
+        if n_deleted == 0:
+            # nothing matched: an empty-target DV entry would persist
+            # forever (no target dir can ever die) and tax every later
+            # read with a pointless DV-file scan — commit metadata-only
+            # (version still advances; callers see a normal manifest)
+            out = self._metadata_commit("delete_dv", lambda m, p: None)
+            out["deleted_rows"] = 0
+            return out
 
         staged: dict = {}
 
@@ -1670,25 +1695,23 @@ class SnapshotTable:
                     "are not data changes; pass allow_rewrites=True to see "
                     "them as delete+insert anyway"
                 )
-        frm = set(self.manifest(from_version)["live"])
-        to = set(self.manifest(to_version)["live"])
-        schema = StructType.fromJson(
-            json.loads(self.manifest(to_version)["schema"])
-        )
+        m_frm = self.manifest(from_version)
+        m_to = self.manifest(to_version)
+        frm = set(m_frm["live"])
+        to = set(m_to["live"])
+        schema = StructType.fromJson(json.loads(m_to["schema"]))
 
-        part_cols = self.manifest(to_version)["partition_cols"]
-        ext = {
-            **(self.manifest(from_version).get("external") or {}),
-            **(self.manifest(to_version).get("external") or {}),
-        }
-
-        def read_dirs(dirs: set[str], change: str) -> DataFrame:
-            return self._read_dirs(
-                sorted(dirs), schema, part_cols, ext
+        def read_dirs(m: dict, dirs: set[str], change: str) -> DataFrame:
+            # read through _read_state so live DVs carried by the
+            # ENDPOINT manifest (committed before from_version) are
+            # applied — rows already deleted by delete_where_dv must
+            # not surface in the feed
+            return self._read_state(
+                m, sorted(dirs), schema
             ).withColumn("_change_type", F.lit(change))
 
-        return read_dirs(to - frm, "insert").unionByName(
-            read_dirs(frm - to, "delete")
+        return read_dirs(m_to, to - frm, "insert").unionByName(
+            read_dirs(m_frm, frm - to, "delete")
         )
 
     # --------------------------------------------------------------- vacuum

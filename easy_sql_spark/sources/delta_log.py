@@ -332,7 +332,15 @@ def export_snapshot_to_delta(table) -> dict:
         base = ext.get(d)
         abs_dir = f"{base}/{d}" if base else f"{table.data_dir}/{d}"
         segs = [s for s in d.split("/")[1:] if "=" in s]
-        pv = dict(s.split("=", 1) for s in segs)
+        # Spark escapes special chars in partition dir names (space,
+        # ':', '%', … via escapePathName) — unescape so the exported
+        # partitionValues carry the LOGICAL value, not the path form
+        from urllib.parse import unquote as _unquote
+
+        pv = {
+            k: _unquote(v)
+            for k, v in (s.split("=", 1) for s in segs)
+        }
         pv = {c: pv.get(c) for c in part_cols}
         for name, size in table.fs.list_files(abs_dir):
             if not name.endswith(".parquet"):

@@ -221,6 +221,48 @@ def _live_files(
     return files, deletes
 
 
+def _typed_partition_value(val, dtype):
+    """Convert a raw Avro identity-partition value to the LOGICAL Python
+    value for the Spark column type.  Iceberg manifests store partition
+    values in their physical Avro form (spec, Appendix A: date = int
+    epoch-days, timestamp/timestamptz = long epoch-micros, decimal =
+    big-endian unscaled bytes) — stringify-then-cast turns those into
+    NULL for every row, so the conversion must be type-driven."""
+    import datetime as _dt
+    import decimal as _dec
+
+    if val is None:
+        return None
+    if isinstance(dtype, T.DateType):
+        return _dt.date(1970, 1, 1) + _dt.timedelta(days=int(val))
+    if isinstance(dtype, T.TimestampType):
+        return _dt.datetime(
+            1970, 1, 1, tzinfo=_dt.timezone.utc
+        ) + _dt.timedelta(microseconds=int(val))
+    if isinstance(dtype, getattr(T, "TimestampNTZType", ())):
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(
+            microseconds=int(val)
+        )
+    if isinstance(dtype, T.DecimalType):
+        if isinstance(val, (bytes, bytearray)):
+            unscaled = int.from_bytes(bytes(val), "big", signed=True)
+            return _dec.Decimal(unscaled).scaleb(-dtype.scale)
+        return _dec.Decimal(str(val))
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int(val)
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return float(val)
+    if isinstance(dtype, T.BooleanType):
+        return bool(val)
+    if isinstance(dtype, T.StringType):
+        return str(val)
+    if isinstance(dtype, T.BinaryType):
+        return bytes(val)
+    raise IcebergUnsupportedError(
+        f"identity partition of Spark type {dtype} unsupported"
+    )
+
+
 def _identity_partition_names(meta: dict) -> list[str]:
     """Schema column names of IDENTITY-transform partition fields of the
     default spec — the columns whose values readers take from manifest
@@ -273,11 +315,17 @@ def read_iceberg(
         if bad:
             raise ValueError(f"not identity partition columns: {bad}")
         wanted = {c: {str(v) for v in vs} for c, vs in partitions.items()}
+        ptypes = {f.name: f.dataType for f in schema.fields}
         files = [
             (p, pv, e)
             for p, pv, e in files
             if all(
-                (None if pv.get(c) is None else str(pv.get(c))) in vals
+                (
+                    None
+                    if pv.get(c) is None
+                    else str(_typed_partition_value(pv.get(c), ptypes[c]))
+                )
+                in vals
                 for c, vals in wanted.items()
             )
         ]
@@ -317,8 +365,12 @@ def read_iceberg(
         types = {f.name: f.dataType for f in schema.fields}
         groups: dict[tuple, list[str]] = {}
         for p, pv, _e in files:
+            # typed conversion BEFORE grouping: raw Avro physical values
+            # (epoch-days ints, unscaled decimal bytes) become logical
+            # Python values, so both the group key and the attached
+            # literal are exact
             key = tuple(
-                None if pv.get(c) is None else str(pv.get(c))
+                _typed_partition_value(pv.get(c), types[c])
                 for c in id_parts
             )
             groups.setdefault(key, []).append(p)
@@ -510,9 +562,10 @@ def export_snapshot_to_iceberg(table) -> dict:
     snapshot model test) — the container has no third-party Iceberg
     reader to verify against.  Known gaps for strict external readers
     (the manifest avro schemas DO carry the spec's fixed field-id
-    attributes): the partition record is encoded as a map rather than
-    the typed r102 struct, and sequence-number bookkeeping is absent —
-    documented growth path, none affecting the replay semantics here.
+    attributes, and the partition record is the typed r102 struct with
+    spec field-ids via ``_entry_schema_for``): sequence-number
+    bookkeeping is absent — documented growth path, not affecting the
+    replay semantics here.
 
     Each export appends ONE new snapshot whose single manifest lists the
     full live file set (existing Iceberg readers handle full manifests
@@ -574,9 +627,16 @@ def export_snapshot_to_iceberg(table) -> dict:
     for d in sorted(m["live"]):
         base = ext.get(d)
         abs_dir = f"{base}/{d}" if base else f"{table.data_dir}/{d}"
-        segs = dict(
-            s.split("=", 1) for s in d.split("/")[1:] if "=" in s
-        )
+        # unescape Spark's escapePathName encoding (space, ':', '%', …)
+        # so the exported partition record carries the logical value
+        from urllib.parse import unquote as _unquote
+
+        segs = {
+            k: _unquote(v)
+            for k, v in (
+                s.split("=", 1) for s in d.split("/")[1:] if "=" in s
+            )
+        }
         pv = {c: segs.get(c) for c in part_cols}
         for name, size in table.fs.list_files(abs_dir):
             if not name.endswith(".parquet"):
