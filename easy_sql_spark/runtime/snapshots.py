@@ -77,6 +77,11 @@ class SnapshotConstraintError(ValueError):
     ``add_constraint``, the existing table data)."""
 
 
+class _FooterUnusable(Exception):
+    """Internal: parquet footers cannot answer the commit statistics
+    exactly — fall back to the distributed scan path."""
+
+
 class _FS:
     """Thin driver-side wrapper over the Hadoop FileSystem API (py4j) —
     the same code path works on file:// and hdfs:// (and any FS with a
@@ -295,18 +300,201 @@ class SnapshotTable:
         return commit, [f"{commit}/{leaf}" if leaf else commit for leaf in leaves]
 
     def _stage_stats(
-        self, commit_dirs: list[str], stats_cols: list[str], partition_by: list[str]
+        self,
+        commit_dirs: list[str],
+        stats_cols: list[str],
+        partition_by: list[str],
+        schema_json: str | None = None,
     ) -> tuple[dict[str, dict], dict[str, int]]:
-        """Per-leaf-dir [min, max] for each stats column PLUS the dir's
-        row count, read back from the freshly staged files — ONE small
-        agg job per commit, grouped on the dir path itself
-        (input_file_name → dir), so stats land in the manifest without a
-        second pass over the source plan.  With no stats columns the job
-        projects ZERO data columns (parquet answers it from row-group
-        footers) and only the counts are recorded — they power
-        metadata-only ``row_count`` at any scale."""
+        """Per-leaf-dir [min, max, null-count] for each stats column PLUS
+        the dir's row count for the manifest.
+
+        Fast path: the freshly written parquet FOOTERS already carry
+        exactly these statistics — row counts and per-row-group
+        min/max/null-count — so the commit reads O(files) footers (tiny
+        metadata I/O) instead of re-scanning the staged data.  At 100 TB
+        of daily ingest the old staged-data re-scan was 2× read
+        amplification on the whole write path.
+
+        Fallback (``_scan_stats``): one distributed agg job over the
+        staged files — taken when footers cannot answer (non-local
+        filesystem, a column without usable footer stats such as legacy
+        INT96 timestamps, very large file counts)."""
         if not commit_dirs:
             return {}, {}
+        got = self._footer_stats(commit_dirs, stats_cols, partition_by, schema_json)
+        if got is not None:
+            return got
+        return self._scan_stats(commit_dirs, stats_cols, partition_by)
+
+    # footer reads above this many staged files would serialize on the
+    # driver; hand the work back to a distributed scan instead
+    _FOOTER_STATS_MAX_FILES = 4096
+
+    def _footer_stats(
+        self,
+        commit_dirs: list[str],
+        stats_cols: list[str],
+        partition_by: list[str],
+        schema_json: str | None,
+    ) -> tuple[dict[str, dict], dict[str, int]] | None:
+        """Commit statistics straight from the staged files' parquet
+        footers (driver-side, metadata-only I/O); None when the footers
+        cannot answer exactly and the distributed scan must run.
+
+        Partition columns are not stored in the data files — their
+        single per-dir value is parsed from the hive path segment and
+        typed via the table schema.  Decimal columns whose physical type
+        pyarrow cannot convert (INT32/INT64-backed) decode from the raw
+        unscaled statistics.  tz-aware timestamp stats are normalized to
+        naive local time to match what a Spark scan would collect."""
+        if "://" in self.data_dir and not self.data_dir.startswith("file:"):
+            return None  # remote FS: footers aren't locally readable
+        if len(commit_dirs) > self._FOOTER_STATS_MAX_FILES:
+            return None
+        import datetime as _dt
+        import decimal as _dec
+        from urllib.parse import unquote as _unquote
+
+        import pyarrow.parquet as _pq
+
+        local_base = self.data_dir
+        if local_base.startswith("file:"):
+            local_base = "/" + local_base.split(":", 1)[1].lstrip("/")
+
+        part_set = set(partition_by or [])
+        types: dict = {}
+        if schema_json and any(c in part_set for c in stats_cols):
+            sch = StructType.fromJson(json.loads(schema_json))
+            types = {f.name: f.dataType for f in sch.fields}
+
+        def part_value(d: str, col: str):
+            for seg in d.split("/")[1:]:
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    if k == col:
+                        if v == "__HIVE_DEFAULT_PARTITION__":
+                            return None
+                        v = _unquote(v)
+                        t = types.get(col)
+                        s = t.simpleString() if t is not None else "string"
+                        if s in ("tinyint", "smallint", "int", "bigint"):
+                            return int(v)
+                        if s in ("float", "double"):
+                            return float(v)
+                        if s.startswith("decimal"):
+                            return _dec.Decimal(v)
+                        if s == "date":
+                            return _dt.date.fromisoformat(v)
+                        if s == "boolean":
+                            return v.lower() == "true"
+                        if s == "string":
+                            return v
+                        raise _FooterUnusable(f"partition type {s}")
+            raise _FooterUnusable(f"no path value for {col} in {d}")
+
+        def chunk_min_max(st, cc):
+            """(min, max) of one column chunk, or None for an all-null
+            chunk; raises _FooterUnusable when the footer can't say."""
+            if st is None or st.null_count is None:
+                raise _FooterUnusable("no statistics")
+            if st.num_values == 0:
+                return None
+            if not st.has_min_max:
+                raise _FooterUnusable("no min/max")
+            try:
+                mn, mx = st.min, st.max
+            except Exception:
+                # pyarrow can't logically convert some physical types;
+                # small-precision decimals carry raw unscaled ints
+                lt = json.loads(st.logical_type.to_json())
+                if lt.get("Type") == "Decimal" and isinstance(st.min_raw, int):
+                    scale = int(lt["scale"])
+                    q = _dec.Decimal(1).scaleb(-scale)
+                    mn = _dec.Decimal(st.min_raw).scaleb(-scale).quantize(q)
+                    mx = _dec.Decimal(st.max_raw).scaleb(-scale).quantize(q)
+                else:
+                    raise _FooterUnusable(f"unconvertible stats: {cc.physical_type}")
+
+            def norm(v):
+                if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+                    return v.astimezone().replace(tzinfo=None)
+                return v
+
+            return norm(mn), norm(mx)
+
+        data_cols = [c for c in stats_cols if c not in part_set]
+        out: dict[str, dict] = {}
+        counts: dict[str, int] = {}
+        n_files = 0
+        try:
+            for d in commit_dirs:
+                abs_dir = f"{local_base}/{d}" if d else local_base
+                names = [
+                    n
+                    for n, _sz in self.fs.list_files(f"{self.data_dir}/{d}" if d else self.data_dir)
+                    if n.endswith(".parquet")
+                ]
+                n_files += len(names)
+                if n_files > self._FOOTER_STATS_MAX_FILES:
+                    return None
+                rows = 0
+                agg: dict[str, list] = {c: [None, None, 0] for c in data_cols}
+                for name in names:
+                    md = _pq.ParquetFile(f"{abs_dir}/{name}").metadata
+                    rows += md.num_rows
+                    if not data_cols:
+                        continue
+                    for gi in range(md.num_row_groups):
+                        rg = md.row_group(gi)
+                        idx = {
+                            rg.column(j).path_in_schema: j
+                            for j in range(rg.num_columns)
+                        }
+                        for c in data_cols:
+                            j = idx.get(c)
+                            if j is None:
+                                raise _FooterUnusable(f"column {c} absent")
+                            cc = rg.column(j)
+                            st = cc.statistics
+                            mm = chunk_min_max(st, cc)
+                            a = agg[c]
+                            a[2] += st.null_count
+                            if mm is None:
+                                continue
+                            mn, mx = mm
+                            a[0] = mn if a[0] is None else min(a[0], mn)
+                            a[1] = mx if a[1] is None else max(a[1], mx)
+                counts[d] = rows
+                if stats_cols:
+                    entry = {}
+                    for c in stats_cols:
+                        if c in part_set:
+                            v = part_value(d, c)
+                            entry[c] = [
+                                self._plain_stat(v, -1),
+                                self._plain_stat(v, +1),
+                                rows if v is None else 0,
+                            ]
+                        else:
+                            mn, mx, nc = agg[c]
+                            entry[c] = [
+                                self._plain_stat(mn, -1),
+                                self._plain_stat(mx, +1),
+                                int(nc),
+                            ]
+                    out[d] = entry
+        except _FooterUnusable:
+            return None
+        return out, counts
+
+    def _scan_stats(
+        self, commit_dirs: list[str], stats_cols: list[str], partition_by: list[str]
+    ) -> tuple[dict[str, dict], dict[str, int]]:
+        """Distributed fallback for :meth:`_stage_stats`: ONE small agg
+        job over the staged files, grouped on the dir path itself
+        (input_file_name → dir).  With no stats columns the job projects
+        ZERO data columns (parquet answers it from row-group footers)."""
         scan = self.spark.read.option("basePath", self.data_dir).parquet(
             *[f"{self.data_dir}/{d}" for d in commit_dirs]
         )
@@ -331,27 +519,6 @@ class SnapshotTable:
             )
         rows = scan.groupBy(dir_expr.alias("__dir")).agg(*aggs).collect()
 
-        def plain(v, toward):
-            # JSON-safe, ORDER-PRESERVING within a column's type: numbers
-            # and strings pass through; decimals go to float (decimal
-            # STRINGS are not lexicographically ordered — '9.5' > '10.5'
-            # — so stringifying them would let _dir_survives wrongly
-            # prune live dirs), widened by one ulp OUTWARD (toward=-1 for
-            # min, +1 for max) whenever float rounding moved the bound
-            # inward, keeping pruning strictly conservative;
-            # dates/timestamps go to their naturally-ordered ISO forms
-            import decimal as _dec
-            import math as _math
-
-            if isinstance(v, _dec.Decimal):
-                f = float(v)
-                if toward < 0 and _dec.Decimal(f) > v:
-                    f = _math.nextafter(f, -_math.inf)
-                elif toward > 0 and _dec.Decimal(f) < v:
-                    f = _math.nextafter(f, _math.inf)
-                return f
-            return v if isinstance(v, (int, float, str, bool, type(None))) else str(v)
-
         out: dict[str, dict] = {}
         counts: dict[str, int] = {}
         for r in rows:
@@ -362,13 +529,36 @@ class SnapshotTable:
             # null count as unknown)
             out[r["__dir"]] = {
                 c: [
-                    plain(r[f"__mn_{c}"], -1),
-                    plain(r[f"__mx_{c}"], +1),
+                    self._plain_stat(r[f"__mn_{c}"], -1),
+                    self._plain_stat(r[f"__mx_{c}"], +1),
                     int(r[f"__nc_{c}"] or 0),
                 ]
                 for c in stats_cols
             }
         return out, counts
+
+    @staticmethod
+    def _plain_stat(v, toward):
+        """JSON-safe, ORDER-PRESERVING within a column's type: numbers
+        and strings pass through; decimals go to float (decimal STRINGS
+        are not lexicographically ordered — '9.5' > '10.5' — so
+        stringifying them would let _dir_survives wrongly prune live
+        dirs), widened by one ulp OUTWARD (toward=-1 for min, +1 for
+        max) whenever float rounding moved the bound inward, keeping
+        pruning strictly conservative; dates/timestamps go to their
+        naturally-ordered ISO forms.  Shared by the footer and scan
+        stats paths so both encode manifests identically."""
+        import decimal as _dec
+        import math as _math
+
+        if isinstance(v, _dec.Decimal):
+            f = float(v)
+            if toward < 0 and _dec.Decimal(f) > v:
+                f = _math.nextafter(f, -_math.inf)
+            elif toward > 0 and _dec.Decimal(f) < v:
+                f = _math.nextafter(f, _math.inf)
+            return f
+        return v if isinstance(v, (int, float, str, bool, type(None))) else str(v)
 
     def _try_commit(self, manifest: dict) -> bool:
         body = json.dumps(manifest, indent=1).encode()
@@ -450,7 +640,9 @@ class SnapshotTable:
         fresh files."""
         cols = m.get("stats_cols") or []
         live = set(m["live"])
-        stats, counts = self._stage_stats(staged_dirs, cols, m["partition_cols"])
+        stats, counts = self._stage_stats(
+            staged_dirs, cols, m["partition_cols"], m.get("schema")
+        )
         if cols:
             carried = {
                 d: s

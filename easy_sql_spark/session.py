@@ -33,6 +33,10 @@ SESSION_DEFAULTS = {
     # tests/test_plans.py::test_runtime_bloom_filter_prunes_big_probe_join
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # modern parquet timestamps (µs int64, not deprecated INT96): footer
+    # min/max statistics are readable, which the snapshot layer's
+    # footer-based commit stats depend on (INT96 carries no usable stats)
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
@@ -46,6 +50,7 @@ _RUNTIME_SETTABLE = {
     "spark.sql.adaptive.skewJoin.enabled",
     "spark.sql.optimizer.runtime.bloomFilter.enabled",
     "spark.sql.sources.partitionOverwriteMode",
+    "spark.sql.parquet.outputTimestampType",
 }
 
 
