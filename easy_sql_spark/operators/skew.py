@@ -176,6 +176,7 @@ def first_occurrence_flag(
     flag_col: str = "__first",
     hot_threshold: int = 50_000,
     detect_fraction: float | None = None,
+    detect_df: DataFrame | None = None,
 ) -> DataFrame:
     """Skew-safe exact first-occurrence marking: adds boolean
     ``flag_col``, true on the one row per ``key_col`` group that is
@@ -204,26 +205,37 @@ def first_occurrence_flag(
     exact, so a detection miss costs speed, never correctness).  Output
     is bit-identical to the naive window regardless of which path a key
     takes.
+
+    ``detect_df`` — an ALREADY-SAMPLED cheap stand-in for ``df`` used
+    only by heavy-hitter detection (must carry ``key_col`` at sampling
+    rate ``detect_fraction``).  When ``df`` is itself derived by an
+    expensive transform (e.g. a corpus-wide explode), sampling ``df``
+    directly re-runs that transform on ALL rows just to throw 95% away;
+    the caller can instead sample the UPSTREAM frame and hand the small
+    derived counterpart here.  Detection is routing-only, so a sampling
+    mismatch costs speed, never correctness.
     """
     o = F.struct(*[F.col(c) for c in order_cols])
     w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
     if detect_fraction:
         cut = max(2.0, hot_threshold * detect_fraction / 4.0)
-        counts = (
-            df.sample(fraction=float(detect_fraction), seed=7)
-            .groupBy(key_col)
-            .agg(F.count(F.lit(1)).alias("__n_focc"))
+        src = (
+            detect_df
+            if detect_df is not None
+            else df.sample(fraction=float(detect_fraction), seed=7)
         )
+        counts = src.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n_focc"))
     else:
         cut = float(hot_threshold)
         counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n_focc"))
-    hot_keys = (
-        counts.where(F.col("__n_focc") >= cut)
-        .select(key_col)
-        .localCheckpoint(eager=True)
-    )
-    if not hot_keys.take(1):  # no heavy hitters: single-scan window plan
+    hot_schema = counts.select(key_col).schema
+    # bounded-driver collect: at most |rows counted| / cut keys can clear
+    # the threshold (e.g. ≤ corpus/50k), and ONE job replaces the former
+    # eager-checkpoint + take(1) pair — detection overhead halves
+    hot_rows = counts.where(F.col("__n_focc") >= cut).select(key_col).collect()
+    if not hot_rows:  # no heavy hitters: single-scan window plan
         return df.withColumn(flag_col, F.row_number().over(w) == 1)
+    hot_keys = df.sparkSession.createDataFrame(hot_rows, hot_schema)
 
     marked = df.join(
         F.broadcast(hot_keys.withColumn("__hot_focc", F.lit(True))),

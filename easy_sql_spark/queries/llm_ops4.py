@@ -1083,6 +1083,13 @@ def text_paragraph_dedup(spark, sf_dir):
     operators/skew.py:first_occurrence_flag's min-aggregate + broadcast
     path, so no single task ever sees a viral chunk's full row set."""
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") <= 2000)
+    # the filtered slice can arrive in fewer file splits than cores (one,
+    # at fixture scale), which would serialize the explode on one task;
+    # one narrow shuffle of the raw docs restores parallelism.  At corpus
+    # scale the scan already has ≥ cores splits and this is a no-op.
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
     words = F.split(F.col("text"), " ")
     n_chunks = F.ceil(F.size(words) / F.lit(4.0)).cast("int")
     c = d.select(
@@ -1108,11 +1115,30 @@ def text_paragraph_dedup(spark, sf_dir):
 
     from ..operators.skew import first_occurrence_flag
 
+    # heavy-hitter detection runs on a DOC-LEVEL 5% sample exploded to
+    # keys only — sampling the exploded frame itself would re-run the
+    # full corpus explode just to discard 95% of it; sampling upstream
+    # makes detection ~20× cheaper at identical routing quality
+    detect = d.sample(fraction=0.05, seed=7).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda k: F.array_join(
+                    F.transform(
+                        F.slice(words, k * 4 + 1, 4),
+                        lambda x: F.substring(x, 1, 1),
+                    ),
+                    "",
+                ),
+            )
+        ).alias("key")
+    )
     # skew-safe first-occurrence: cold keys window as before; a hot
     # boilerplate chunk (the 100 TB straggler this docstring warns of)
     # routes through min-aggregate + broadcast — bit-identical output
     r = first_occurrence_flag(
-        c, "key", ["doc_id", "pos"], flag_col="kept", detect_fraction=0.05
+        c, "key", ["doc_id", "pos"], flag_col="kept",
+        detect_fraction=0.05, detect_df=detect,
     )
     kept_sorted = F.transform(
         F.array_sort(
