@@ -1088,17 +1088,55 @@ class SnapshotTable:
 
         return self._commit_loop(build)
 
+    def apply_changes(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        op_col: str = "__op",
+        precombine: str | None = None,
+        extra: dict | None = None,
+        delete_op: str = "delete",
+    ) -> dict:
+        """Apply a CHANGELOG batch (CDC apply): ``source`` carries an
+        ``op_col`` whose value is ``delete`` for deletions and anything
+        else (``upsert``) for insert-or-update rows.  One atomic commit:
+        matched upserts replace, unmatched upserts insert, delete keys
+        vanish, untouched dirs survive — MERGE … WHEN MATCHED [AND op =
+        'delete'] THEN DELETE semantics, the apply half of the
+        reference's Flink postgres-cdc pipelines
+        (easy_sql/sql_processor/backend/flink.py:339,
+        test/sample_etl.flink.postgres-cdc.sql).
+
+        ``precombine`` (strongly recommended: the changelog's LSN or
+        ts_ms column) picks the LATEST change per key inside the batch —
+        an upsert followed by a delete of the same key inside one batch
+        nets to the delete, and vice versa."""
+        if op_col not in source.columns:
+            raise ValueError(f"apply_changes needs op column {op_col!r}")
+        return self.merge(
+            source,
+            keys,
+            precombine=precombine,
+            extra=extra,
+            op_col=op_col,
+            delete_op=delete_op,
+        )
+
     def merge(
         self,
         source: DataFrame,
         keys: list[str],
         precombine: str | None = None,
         extra: dict | None = None,
+        op_col: str | None = None,
+        delete_op: str = "delete",
     ) -> dict:
         """Keyed SCD1 upsert (MERGE): target rows matching a source key
         are replaced by the source row, unmatched source rows insert,
         everything else survives untouched — Delta/Hudi MERGE semantics
-        on the snapshot layer.
+        on the snapshot layer.  With ``op_col`` set (see
+        :meth:`apply_changes`) rows whose op equals ``delete_op`` DELETE
+        their key instead of upserting — same probe, same single commit.
 
         Dir-granular copy-on-write: one column-pruned probe scan finds
         the live dirs that actually hold a matched key (semi-join against
@@ -1124,7 +1162,10 @@ class SnapshotTable:
         for k in keys:
             if k not in source.columns or k not in {f.name for f in schema0.fields}:
                 raise ValueError(f"merge key {k!r} missing from source or target")
-        self._check_schema_evolution(parent0, source)
+        # the op column is changelog METADATA, never part of the payload —
+        # schema evolution and the written rows both exclude it
+        payload = source.drop(op_col) if op_col else source
+        self._check_schema_evolution(parent0, payload)
 
         if precombine:
             from pyspark.sql import Window
@@ -1151,6 +1192,14 @@ class SnapshotTable:
                     "pass precombine to resolve them"
                 )
         source = source.localCheckpoint(eager=True)
+        if op_col:
+            # delete keys participate in the probe (their dirs must be
+            # rewritten without those rows) but contribute no output rows
+            upserts = source.where(
+                ~F.coalesce(F.col(op_col) == F.lit(delete_op), F.lit(False))
+            ).drop(op_col)
+        else:
+            upserts = source
         src_keys = source.select(*keys).distinct().localCheckpoint(eager=True)
         # broadcast the key set only while it plausibly fits an executor;
         # a bulk backfill merge beyond that degrades to a shuffled
@@ -1213,14 +1262,15 @@ class SnapshotTable:
             key_side, keys, "left_anti"
         )
         # additive evolution: new source columns read NULL from survivors
-        for f in source.schema.fields:
+        for f in upserts.schema.fields:
             if f.name not in {x.name for x in schema0.fields}:
                 survivors = survivors.withColumn(
                     f.name, F.lit(None).cast(f.dataType)
                 )
-        merged = survivors.select(*source.columns).unionByName(source)
+        merged = survivors.select(*upserts.columns).unionByName(upserts)
 
         staged: dict = {}
+        op_name = "apply_changes" if op_col else "merge"
 
         def build(parent, version):
             if parent["version"] != latest:
@@ -1235,7 +1285,7 @@ class SnapshotTable:
                     merged, pby, version, parent.get("constraints")
                 )[1]
             m = self._base_manifest(
-                version, parent, "merge", merged, pby, extra
+                version, parent, op_name, merged, pby, extra
             )
             m["added"] = staged["dirs"]
             m["removed"] = hit_dirs

@@ -83,6 +83,23 @@ class StreamingTables:
         if "path" in src:
             reader = reader.option("path", src["path"])
         df = reader.load()
+        cdc = src.get("cdc")
+        if cdc:
+            # changelog decode (reference's postgres-cdc connector analog,
+            # flink.py:339): raw Debezium-JSON envelopes → typed changelog
+            # frame with __op/__ts_ms/__seq; pair with a `snapshot_cdc`
+            # sink (or any MERGE-capable foreach_batch ETL) to apply
+            envelope = cdc.get("envelope", "debezium-json")
+            if envelope != "debezium-json":
+                raise ValueError(
+                    f"source {src.get('name')}: unsupported cdc envelope "
+                    f"{envelope!r} (supported: debezium-json)"
+                )
+            from .cdc import decode_debezium
+
+            df = decode_debezium(
+                df, cdc["schema"], value_col=cdc.get("value_col", "value")
+            )
         et = src.get("event_time")
         if et:
             # derive the event-time column BEFORE the watermark applies —
@@ -127,6 +144,8 @@ class StreamingTables:
             return self._start_foreach_batch(df, sink)
         if sink.format == "snapshot":
             return self._start_snapshot(df, sink)
+        if sink.format == "snapshot_cdc":
+            return self._start_snapshot_cdc(df, sink)
         writer = df.writeStream.format(sink.format).outputMode(sink.output_mode)
         if sink.path:
             writer = writer.option("path", sink.path)
@@ -186,6 +205,72 @@ class StreamingTables:
         elif sink.trigger:
             writer = writer.trigger(processingTime=sink.trigger)
         return writer.start()
+
+    def _start_snapshot_cdc(self, df: DataFrame, sink: SinkConfig):
+        """``snapshot_cdc`` sink: apply a decoded changelog stream (see
+        ``streaming/cdc.py`` — columns ``__op``/``__ts_ms``/``__seq``)
+        to a versioned snapshot table, one atomic
+        ``SnapshotTable.apply_changes`` commit per micro-batch: upserts
+        replace/insert, deletes vanish, batch ids ride the manifest so
+        checkpoint-restart replays are skipped (exactly-once apply over
+        the at-least-once stream).
+
+        Options: ``keys`` (``a|b``, required), ``precombine`` (default
+        ``__seq`` — the LSN order the decoder emits), ``stream_key``,
+        ``partition_by`` (first commit only)."""
+        from pyspark.sql import functions as F
+
+        from ..runtime.snapshots import SnapshotTable
+
+        if not sink.path:
+            raise ValueError(f"snapshot_cdc sink {sink.name} needs `path`")
+        keys = [k for k in sink.options.get("keys", "").split("|") if k]
+        if not keys:
+            raise ValueError(
+                f"snapshot_cdc sink {sink.name} needs `keys` in options "
+                "(pipe-separated primary-key columns)"
+            )
+        precombine = sink.options.get("precombine", "__seq")
+        stream_key = sink.options.get("stream_key", sink.name)
+        pby = [
+            c for c in sink.options.get("partition_by", "").split("|") if c
+        ] or None
+        table = SnapshotTable(self.spark, sink.path)
+
+        def _apply(batch_df: DataFrame, batch_id: int) -> None:
+            last = table.last_committed_batch(stream_key)
+            if last is not None and int(batch_id) <= last:
+                return  # checkpoint-restart replay: already applied
+            extra = {"batch_id": int(batch_id), "stream_key": stream_key}
+            if not table.latest_version():
+                # first-ever commit: seed from the batch's net upserts
+                # (latest change per key, deletes dropped), recording the
+                # batch id in the SAME manifest — a restart before the
+                # stream checkpoint lands must not re-apply batch 0
+                from pyspark.sql import Window
+
+                w = Window.partitionBy(*keys).orderBy(F.col(precombine).desc())
+                seed = (
+                    batch_df.withColumn("__cdc_rn", F.row_number().over(w))
+                    .where(F.col("__cdc_rn") == 1)
+                    .where(F.col("__op") != "delete")
+                    .drop("__cdc_rn", "__op")
+                )
+                table.overwrite(seed, partition_by=pby, extra=extra)
+                return
+            table.apply_changes(
+                batch_df, keys, op_col="__op", precombine=precombine,
+                extra=extra,
+            )
+
+        writer = df.writeStream.foreachBatch(_apply)
+        if sink.checkpoint:
+            writer = writer.option("checkpointLocation", sink.checkpoint)
+        if sink.trigger == "availableNow":
+            writer = writer.trigger(availableNow=True)
+        elif sink.trigger:
+            writer = writer.trigger(processingTime=sink.trigger)
+        return writer.queryName(sink.name.replace(".", "_")).start()
 
     def _start_foreach_batch(self, df: DataFrame, sink: SinkConfig):
         """``foreach_batch`` sink: run a step-language ETL per micro-batch —
