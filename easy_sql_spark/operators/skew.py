@@ -260,6 +260,35 @@ def first_occurrence_flag(
     return cold_out.unionByName(hot_out)
 
 
+def first_occurrence_flag_agg(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    flag_col: str = "__first",
+) -> DataFrame:
+    """Detection-free skew-safe exact first-occurrence marking: the
+    per-key minimum of ``struct(order_cols)`` is an ALGEBRAIC aggregate
+    (combines map-side, so a viral key's rows collapse to one partial
+    per task before the shuffle), joined back on the key to flag the
+    minimal row.  AQE's skew-join split bounds the join's hot-key
+    partition, so no single task ever holds a hot key's full row set —
+    without :func:`first_occurrence_flag`'s heavy-hitter detection
+    pass, its second scan of the input, or its driver collect.
+
+    Trade vs the window plan: one extra shuffle (agg + join vs one
+    window), but both shuffles are skew-immune by construction and the
+    input is scanned once.  Output is bit-identical to
+    ``row_number() over (partition by key order by …) == 1`` (the
+    order tuple must be unique per row within a key)."""
+    o = F.struct(*[F.col(c) for c in order_cols])
+    firsts = df.groupBy(key_col).agg(F.min(o).alias("__first_agg"))
+    return (
+        df.join(firsts, [key_col])
+        .withColumn(flag_col, o == F.col("__first_agg"))
+        .drop("__first_agg")
+    )
+
+
 def salted_join(
     large: DataFrame,
     small: DataFrame,

@@ -1075,13 +1075,14 @@ def text_paragraph_dedup(spark, sf_dir):
     lowercase/strip-punct/digit-fold pass a real corpus gets; the
     pipeline shape is exactly CCNet's.
 
-    Scale: one narrow explode (no payload duplication — chunks are
-    derived in place), one shuffle on the normalized key for the
-    first-occurrence selection, one group-back per doc.  The key space
-    is corpus-sized but each group is tiny EXCEPT hot boilerplate
-    paragraphs — those are routed through
-    operators/skew.py:first_occurrence_flag's min-aggregate + broadcast
-    path, so no single task ever sees a viral chunk's full row set."""
+    Scale: ONE scan + one narrow explode (no payload duplication —
+    chunks are derived in place), then
+    operators/skew.py:first_occurrence_flag_agg: the per-key minimum is
+    an algebraic aggregate (map-side combined, so a viral boilerplate
+    chunk collapses to one partial per task before its shuffle) joined
+    back on the key with AQE's skew-join split bounding the hot-key
+    partition — no single task ever holds a hot key's full row set, no
+    heavy-hitter detection pass, no second scan, no driver collect."""
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") <= 2000)
     # the filtered slice can arrive in fewer file splits than cores (one,
     # at fixture scale), which would serialize the explode on one task;
@@ -1113,33 +1114,9 @@ def text_paragraph_dedup(spark, sf_dir):
         ).alias("pos", "ck"),
     ).select("doc_id", "pos", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
 
-    from ..operators.skew import first_occurrence_flag
+    from ..operators.skew import first_occurrence_flag_agg
 
-    # heavy-hitter detection runs on a DOC-LEVEL 5% sample exploded to
-    # keys only — sampling the exploded frame itself would re-run the
-    # full corpus explode just to discard 95% of it; sampling upstream
-    # makes detection ~20× cheaper at identical routing quality
-    detect = d.sample(fraction=0.05, seed=7).select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda k: F.array_join(
-                    F.transform(
-                        F.slice(words, k * 4 + 1, 4),
-                        lambda x: F.substring(x, 1, 1),
-                    ),
-                    "",
-                ),
-            )
-        ).alias("key")
-    )
-    # skew-safe first-occurrence: cold keys window as before; a hot
-    # boilerplate chunk (the 100 TB straggler this docstring warns of)
-    # routes through min-aggregate + broadcast — bit-identical output
-    r = first_occurrence_flag(
-        c, "key", ["doc_id", "pos"], flag_col="kept",
-        detect_fraction=0.05, detect_df=detect,
-    )
+    r = first_occurrence_flag_agg(c, "key", ["doc_id", "pos"], flag_col="kept")
     kept_sorted = F.transform(
         F.array_sort(
             F.collect_list(

@@ -328,3 +328,25 @@ def test_first_occurrence_flag_bounds_hot_window_input(spark, chunked):
     # all flags still correct for a cold key with multiple rows
     k3 = sorted((r.doc_id, r.pos, r.kept) for r in out.where("key = 'k3'").collect())
     assert [x[2] for x in k3] == [True] + [False] * (len(k3) - 1)
+
+
+def test_first_occurrence_flag_agg_matches_naive_window(spark, chunked):
+    """The detection-free agg+join variant must be bit-identical to
+    row_number()==1 — including on the hot key — and its plan must be
+    window-free (the whole point: no per-key row ordering anywhere)."""
+    from pyspark.sql import Window
+
+    from easy_sql_spark.operators.skew import first_occurrence_flag_agg
+
+    w = Window.partitionBy("key").orderBy("doc_id", "pos")
+    naive = {
+        (r.doc_id, r.pos, r.key): r.kept
+        for r in chunked.withColumn("kept", F.row_number().over(w) == 1).collect()
+    }
+    out = first_occurrence_flag_agg(chunked, "key", ["doc_id", "pos"], "kept")
+    got = {(r.doc_id, r.pos, r.key): r.kept for r in out.collect()}
+    assert got == naive
+    assert sum(1 for (d, p, k), kept in got.items() if k == "boiler" and kept) == 1
+    assert got[(0, 0, "boiler")] is True
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # min() is algebraic: map-side combined
