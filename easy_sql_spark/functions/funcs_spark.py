@@ -530,10 +530,11 @@ def build(processor):
         backend.create_temp_view(df, view_name)
 
     def hudi_view(path: str, view_name: str, as_of: str = ""):
-        """Register a Hudi COPY_ON_WRITE table as a temp view without
-        the hudi bundle (sources/hudi_meta.py: timeline + file-slice
-        selection): `func.hudi_view(/lake/t, hv, 20240101103000000)` —
-        omit the instant for latest.  MERGE_ON_READ tables raise."""
+        """Register a Hudi table (COPY_ON_WRITE or MERGE_ON_READ) as a
+        temp view without the hudi bundle (sources/hudi_meta.py:
+        timeline + file-slice selection; MOR log blocks replayed in
+        executor tasks): `func.hudi_view(/lake/t, hv,
+        20240101103000000)` — omit the instant for latest."""
         from ..sources.hudi_meta import read_hudi
 
         df = read_hudi(spark, path, as_of=as_of or None)

@@ -1289,3 +1289,129 @@ def snapshot_dv_delete(spark, sf_dir):
     ).select(F.lit("d_after_compact_cow").alias("stage"), "n", "sum_k")
     out = s1.unionByName(s2).unionByName(s3).unionByName(s4)
     return out.orderBy("stage").localCheckpoint(eager=True)
+
+
+@query(
+    "hudi_mor_interop_read",
+    oracle="""
+    WITH seed AS (
+        SELECT o_orderkey AS k,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey <= 600),
+    merged AS (
+        SELECT k,
+               CASE WHEN k % 5 = 0 THEN cents + 7 ELSE cents END AS cents
+        FROM seed WHERE k % 7 <> 0
+        UNION ALL
+        SELECT 900001 + i, 4200 + i FROM range(3) t(i))
+    SELECT snap, CAST(n AS BIGINT) AS n, CAST(sum_cents AS BIGINT) AS sum_cents
+    FROM (
+        SELECT 1 AS snap, COUNT(*) AS n, SUM(cents) AS sum_cents FROM seed
+        UNION ALL
+        SELECT 2, COUNT(*), SUM(cents) FROM merged
+    ) ORDER BY snap
+    """,
+)
+def hudi_mor_interop_read(spark, sf_dir):
+    """Hudi MERGE_ON_READ interop end-to-end (sources/hudi_meta.py +
+    the hudi_log.py block codec): a MOR table is constructed to the
+    open layout — a committed base parquet file with populated hoodie
+    meta columns, then one log file carrying an AVRO data block
+    (updates + inserts, deltacommit 002) and a DELETE block
+    (deltacommit 003) — and read back at both the pre-delta instant
+    (pure base) and the latest snapshot (executor-side log replay +
+    latest-event-wins merge).  This is the read path for the
+    reference's Flink-Hudi upsert samples
+    (test/sample_etl.flink.hudi-agg.sql writes MOR by default); the
+    oracle replays the same changelog in SQL, so what's checked is the
+    framed-block decode, file-slice selection, commit filtering and
+    the per-key merge itself."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..sources.hudi_log import write_data_block, write_delete_block
+    from ..sources.hudi_meta import read_hudi
+
+    t = _tempfile.mkdtemp(prefix="hudi_q_") + "/tbl"
+    seed = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 600)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # --- base file slice at instant 001 (commit), meta cols populated
+    base = seed.selectExpr(
+        "'001' as _hoodie_commit_time",
+        "cast(k as string) as _hoodie_record_key",
+        "'' as _hoodie_partition_path",
+        "k",
+        "cents",
+    )
+    base.coalesce(1).write.parquet(t + "/_s")
+    part = next(n for n in _os.listdir(t + "/_s") if n.endswith(".parquet"))
+    _os.replace(f"{t}/_s/{part}", f"{t}/f1_0-1-0_001.parquet")
+    _shutil.rmtree(t + "/_s")
+
+    avro_schema = {
+        "type": "record",
+        "name": "rec",
+        "fields": [
+            {"name": "_hoodie_commit_time", "type": ["null", "string"]},
+            {"name": "_hoodie_record_key", "type": ["null", "string"]},
+            {"name": "_hoodie_partition_path", "type": ["null", "string"]},
+            {"name": "k", "type": ["null", "long"]},
+            {"name": "cents", "type": ["null", "long"]},
+        ],
+    }
+
+    def _rec(instant, k, cents):
+        return {
+            "_hoodie_commit_time": instant,
+            "_hoodie_record_key": str(k),
+            "_hoodie_partition_path": "",
+            "k": k,
+            "cents": cents,
+        }
+
+    # updates (k%5==0: cents+7) — bounded collect: <=120 rows at any sf
+    # (the k<=600 filter caps the slice regardless of table size)
+    updates = [
+        _rec("002", r.k, r.cents + 7)
+        for r in seed.where(F.col("k") % 5 == 0).collect()
+    ]
+    inserts = [_rec("002", 900001 + i, 4200 + i) for i in range(3)]
+    deletes = [
+        (str(r.k), "") for r in seed.where(F.col("k") % 7 == 0).collect()
+    ]
+    payload = write_data_block(
+        avro_schema, updates + inserts, "002"
+    ) + write_delete_block(deletes, "003")
+    with open(f"{t}/.f1_001.log.1_0-1-0", "wb") as fh:
+        fh.write(payload)
+
+    _os.makedirs(f"{t}/.hoodie")
+    with open(f"{t}/.hoodie/hoodie.properties", "w") as fh:
+        fh.write("hoodie.table.name=q\nhoodie.table.type=MERGE_ON_READ\n")
+    for instant, action in (("001", "commit"), ("002", "deltacommit"),
+                            ("003", "deltacommit")):
+        with open(f"{t}/.hoodie/{instant}.{action}", "w") as fh:
+            fh.write("{}")
+
+    outs = [
+        read_hudi(spark, t, as_of=as_of)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .select(F.lit(snap).alias("snap"), "n", "sum_cents")
+        for snap, as_of in ((1, "001"), (2, None))
+    ]
+    return (
+        outs[0].unionByName(outs[1]).orderBy("snap")
+        .localCheckpoint(eager=True)
+    )

@@ -249,6 +249,20 @@ class _Writer:
             raise AvroError(f"unsupported avro type {t!r}")
 
 
+def decode_datum(schema, data: bytes) -> object:
+    """Decode ONE binary-encoded Avro datum (no container framing) —
+    the shape Hudi log blocks embed records in."""
+    schema = _resolve_named(schema, {}) if isinstance(schema, dict) else schema
+    return _Reader(data).value(schema)
+
+
+def encode_datum(schema, value) -> bytes:
+    """Encode ONE value as a bare binary Avro datum."""
+    w = _Writer()
+    w.value(schema, value)
+    return w.out.getvalue()
+
+
 def write_avro_file(schema: dict, rows: list, codec: str = "null") -> bytes:
     """Encode rows as a container file (test/export helper)."""
     body = _Writer()

@@ -1,0 +1,267 @@
+"""Hudi log-file (HoodieLogFormat v1) block codec — pure stdlib.
+
+MERGE_ON_READ file groups append delta records to *log files* named
+``.{fileId}_{baseInstant}.log.{version}_{writeToken}`` (hidden files
+next to the base parquet).  Each log file is a sequence of framed
+blocks; the layout below follows the public format writer
+(hudi/hudi-common ``HoodieLogFormatWriter.appendBlocks`` /
+``HoodieLogBlock.getLogMetadataBytes``, Hudi 0.12-0.14 line), the same
+format the reference's Flink-Hudi samples produce on MOR tables
+(reference test/sample_etl.flink.hudi-agg.sql, backend/flink.py):
+
+    6  bytes  magic ``#HUDI#``
+    8  bytes  big-endian length of everything after this field
+    4  bytes  log-format version (1)
+    4  bytes  block type ordinal (HoodieLogBlockType)
+    header    metadata map: int32 count, then per entry
+              (int32 HeaderMetadataType ordinal, int32 len, utf-8)
+    8  bytes  content length
+    content   block-type-specific payload (below)
+    footer    metadata map (same encoding, usually empty)
+    8  bytes  total block length INCLUDING the magic (re-read check /
+              reverse traversal support)
+
+Block types handled (ordinals from ``HoodieLogBlockType``):
+
+* ``AVRO_DATA_BLOCK`` (3) — content: int32 format version, int32 record
+  count, then per record int32 size + a bare binary Avro datum of the
+  header's ``SCHEMA``;
+* ``DELETE_BLOCK`` (1) — content: int32 version, int32 length, payload.
+  Version >= 3 payload is a bare Avro datum of the public
+  ``HoodieDeleteRecordList`` record (recordKey / partitionPath /
+  orderingVal); versions 1-2 are JVM-Kryo-serialized ``HoodieKey[]``
+  and are REFUSED loudly (not parseable outside the JVM);
+* ``COMMAND_BLOCK`` (0) — empty content; header ``TARGET_INSTANT_TIME``
+  names the instant whose earlier blocks a rollback invalidates.
+
+Header metadata ordinals (``HeaderMetadataType``): INSTANT_TIME 0,
+TARGET_INSTANT_TIME 1, SCHEMA 2, COMMAND_BLOCK_TYPE 3.
+
+The decoder is picklable pure-Python over bytes, so MOR log parsing
+runs INSIDE executor tasks (one task per file group) — the driver never
+touches log payloads.  The encoder exists for tests and fixtures to
+build spec-conformant MOR tables without real Hudi in the container.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+from .avro_lite import decode_datum, encode_datum
+
+MAGIC = b"#HUDI#"
+LOG_FORMAT_VERSION = 1
+
+# HoodieLogBlockType ordinals
+COMMAND_BLOCK = 0
+DELETE_BLOCK = 1
+CORRUPT_BLOCK = 2
+AVRO_DATA_BLOCK = 3
+
+# HeaderMetadataType ordinals
+INSTANT_TIME = 0
+TARGET_INSTANT_TIME = 1
+SCHEMA = 2
+COMMAND_BLOCK_TYPE = 3
+
+#: hudi-common/src/main/avro/HoodieDeleteRecordList.avsc (0.13+): the
+#: kryo-free delete-block payload.  orderingVal is narrowed to the
+#: branches our merge understands; others raise at decode time.
+DELETE_RECORD_LIST_SCHEMA: dict = {
+    "type": "record",
+    "name": "HoodieDeleteRecordList",
+    "fields": [
+        {
+            "name": "deleteRecordList",
+            "type": {
+                "type": "array",
+                "items": {
+                    "type": "record",
+                    "name": "HoodieDeleteRecord",
+                    "fields": [
+                        {"name": "recordKey", "type": ["null", "string"]},
+                        {"name": "partitionPath", "type": ["null", "string"]},
+                        {
+                            "name": "orderingVal",
+                            "type": ["null", "long", "double", "string"],
+                        },
+                    ],
+                },
+            },
+        }
+    ],
+}
+
+
+class HudiLogError(ValueError):
+    pass
+
+
+class HudiLogUnsupportedError(NotImplementedError):
+    pass
+
+
+@dataclass
+class LogBlock:
+    type: int
+    header: dict[int, str] = field(default_factory=dict)
+    #: AVRO_DATA_BLOCK: decoded records (list[dict]); DELETE_BLOCK:
+    #: list[(recordKey, partitionPath)]; COMMAND_BLOCK: None
+    records: list | None = None
+
+
+def _read_meta_map(buf: bytes, pos: int) -> tuple[dict[int, str], int]:
+    (count,) = struct.unpack_from(">i", buf, pos)
+    pos += 4
+    out: dict[int, str] = {}
+    for _ in range(count):
+        ordinal, ln = struct.unpack_from(">ii", buf, pos)
+        pos += 8
+        out[ordinal] = buf[pos : pos + ln].decode("utf-8")
+        pos += ln
+    return out, pos
+
+
+def _write_meta_map(meta: dict[int, str]) -> bytes:
+    out = struct.pack(">i", len(meta))
+    for ordinal, val in meta.items():
+        enc = val.encode("utf-8")
+        out += struct.pack(">ii", ordinal, len(enc)) + enc
+    return out
+
+
+def _decode_content(btype: int, header: dict[int, str], content: bytes):
+    import json
+
+    if btype == COMMAND_BLOCK:
+        return None
+    if btype == AVRO_DATA_BLOCK:
+        schema = json.loads(header[SCHEMA])
+        version, count = struct.unpack_from(">ii", content, 0)
+        pos = 8
+        records = []
+        for _ in range(count):
+            (size,) = struct.unpack_from(">i", content, pos)
+            pos += 4
+            records.append(decode_datum(schema, content[pos : pos + size]))
+            pos += size
+        return records
+    if btype == DELETE_BLOCK:
+        (version,) = struct.unpack_from(">i", content, 0)
+        if version < 3:
+            raise HudiLogUnsupportedError(
+                f"delete block version {version} is Kryo-serialized "
+                "HoodieKey[] (JVM-only); only the avro "
+                "HoodieDeleteRecordList payload (v3+) is readable"
+            )
+        (size,) = struct.unpack_from(">i", content, 4)
+        datum = decode_datum(DELETE_RECORD_LIST_SCHEMA, content[8 : 8 + size])
+        return [
+            (r["recordKey"], r["partitionPath"] or "")
+            for r in datum["deleteRecordList"]
+        ]
+    if btype == CORRUPT_BLOCK:
+        raise HudiLogError("corrupt block in hudi log file")
+    raise HudiLogUnsupportedError(
+        f"hudi log block type ordinal {btype} (HFILE/PARQUET/CDC data "
+        "blocks are not supported)"
+    )
+
+
+def read_log_blocks(data: bytes) -> list[LogBlock]:
+    """Decode every framed block in one log file, in file order."""
+    blocks: list[LogBlock] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if data[pos : pos + 6] != MAGIC:
+            raise HudiLogError(f"bad magic at offset {pos}")
+        start = pos
+        pos += 6
+        (after_len,) = struct.unpack_from(">q", data, pos)
+        pos += 8
+        block_end = pos + after_len
+        if block_end > n:
+            raise HudiLogError("truncated log block")
+        version, btype = struct.unpack_from(">ii", data, pos)
+        pos += 8
+        if version != LOG_FORMAT_VERSION:
+            raise HudiLogUnsupportedError(
+                f"log format version {version} (only v1 supported)"
+            )
+        header, pos = _read_meta_map(data, pos)
+        (content_len,) = struct.unpack_from(">q", data, pos)
+        pos += 8
+        content = data[pos : pos + content_len]
+        pos += content_len
+        _footer, pos = _read_meta_map(data, pos)
+        (total_len,) = struct.unpack_from(">q", data, pos)
+        pos += 8
+        if pos != block_end or total_len != pos - start:
+            raise HudiLogError("log block length bookkeeping mismatch")
+        blocks.append(
+            LogBlock(btype, header, _decode_content(btype, header, content))
+        )
+    return blocks
+
+
+# ----------------------------------------------------------------- encode
+def _frame(btype: int, header: dict[int, str], content: bytes) -> bytes:
+    hdr = _write_meta_map(header)
+    ftr = _write_meta_map({})
+    body = (
+        struct.pack(">ii", LOG_FORMAT_VERSION, btype)
+        + hdr
+        + struct.pack(">q", len(content))
+        + content
+        + ftr
+    )
+    # total block length including magic = 6 + 8 + len(body) + 8
+    total = 6 + 8 + len(body) + 8
+    return (
+        MAGIC
+        + struct.pack(">q", len(body) + 8)
+        + body
+        + struct.pack(">q", total)
+    )
+
+
+def write_data_block(schema: dict, records: list[dict], instant: str) -> bytes:
+    """One framed AVRO_DATA_BLOCK (fixture/export helper)."""
+    import json
+
+    content = struct.pack(">ii", 3, len(records))
+    for rec in records:
+        datum = encode_datum(schema, rec)
+        content += struct.pack(">i", len(datum)) + datum
+    header = {INSTANT_TIME: instant, SCHEMA: json.dumps(schema)}
+    return _frame(AVRO_DATA_BLOCK, header, content)
+
+
+def write_delete_block(
+    keys: list[tuple[str, str]], instant: str
+) -> bytes:
+    """One framed DELETE_BLOCK (v3 avro payload)."""
+    datum = encode_datum(
+        DELETE_RECORD_LIST_SCHEMA,
+        {
+            "deleteRecordList": [
+                {"recordKey": k, "partitionPath": p, "orderingVal": None}
+                for k, p in keys
+            ]
+        },
+    )
+    content = struct.pack(">ii", 3, len(datum)) + datum
+    return _frame(DELETE_BLOCK, {INSTANT_TIME: instant}, content)
+
+
+def write_rollback_block(target_instant: str, instant: str) -> bytes:
+    """One framed COMMAND_BLOCK (ROLLBACK_PREVIOUS_BLOCK): readers must
+    skip earlier blocks whose INSTANT_TIME == target_instant."""
+    header = {
+        INSTANT_TIME: instant,
+        TARGET_INSTANT_TIME: target_instant,
+        COMMAND_BLOCK_TYPE: "0",  # ROLLBACK_BLOCK ordinal
+    }
+    return _frame(COMMAND_BLOCK, header, b"")

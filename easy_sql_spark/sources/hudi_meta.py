@@ -1,27 +1,44 @@
-"""Apache Hudi copy-on-write table READER — no hudi-spark bundle.
+"""Apache Hudi table READER (COPY_ON_WRITE + MERGE_ON_READ) — no
+hudi-spark bundle.
 
 The reference's own versioned-table story IS Hudi (its Flink samples
 upsert into Hudi tables — reference test/sample_etl.flink.hudi-agg.sql,
-backend/flink.py); this module closes the loop by reading Hudi COW
-tables directly from their open layout: a ``.hoodie/`` timeline of
-instant files plus base parquet files named
-``{fileId}_{writeToken}_{instantTime}.parquet``.
+backend/flink.py); this module closes the loop by reading Hudi tables
+directly from their open layout: a ``.hoodie/`` timeline of instant
+files plus base parquet files named
+``{fileId}_{writeToken}_{instantTime}.parquet`` and (MOR) hidden log
+files ``.{fileId}_{baseInstant}.log.{version}_{writeToken}``.
 
-Snapshot semantics implemented exactly as Hudi's COW reader:
+Snapshot semantics implemented exactly as Hudi's readers:
 
-- completed instants = ``<t>.commit`` / ``<t>.replacecommit`` timeline
-  entries (inflight/requested instants and their data files are
-  invisible);
+- completed instants = ``<t>.commit`` / ``<t>.replacecommit`` (and, on
+  MOR tables, ``<t>.deltacommit``) timeline entries — inflight or
+  requested instants and their files are invisible;
 - each (partition, fileId) FILE GROUP contributes its newest committed
-  base file (file slice) at or below the target instant;
+  base file at or below the target instant; on MOR, the log files
+  attached to that base instant (the FILE SLICE) are replayed over it:
+  later records win per record key (OverwriteWithLatestAvroPayload
+  commit-time ordering, Hudi's default merge), delete blocks drop
+  keys, rollback command blocks invalidate the blocks of their target
+  instant.  Log-only file groups (inserts into MOR before any
+  compaction) are supported;
 - ``replacecommit`` metadata (clustering / insert_overwrite) kills the
   file groups it lists from that instant onward — time travel BELOW the
   replace still sees them;
 - hoodie meta columns (``_hoodie_*``) are dropped by default.
 
-Refused loudly: MERGE_ON_READ tables (log files would need compaction
-semantics — ``hoodie.table.type`` checked AND ``.log.`` files detected)
-and bootstrap/externally-referenced base files.
+Scale notes: log-block decoding (``hudi_log.py``, picklable pure
+Python) runs in executor tasks, one task per file group — the driver
+only lists the timeline and file names.  Base files are scanned as ONE
+vectorized parquet read; only base rows whose file group actually has
+log deltas take the per-key merge window (delta keys are broadcast for
+the split), so a lightly-updated 100 TB MOR table pays the merge only
+on the updated slice.
+
+Refused loudly: Kryo-serialized delete blocks (pre-0.13 JVM-only
+payload), HFILE/PARQUET/CDC log blocks, bootstrap/externally-referenced
+base files, and base files missing the populated ``_hoodie_record_key``
+meta column (virtual-key tables) when a merge is required.
 """
 
 from __future__ import annotations
@@ -30,6 +47,8 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 class HudiUnsupportedError(NotImplementedError):
@@ -40,7 +59,18 @@ def _timeline_dir(path: str) -> str:
     return os.path.join(path, ".hoodie")
 
 
-def _completed_instants(path: str) -> dict[str, str]:
+def _table_type(path: str) -> str:
+    props = os.path.join(_timeline_dir(path), "hoodie.properties")
+    if os.path.exists(props):
+        with open(props, encoding="utf-8") as f:
+            for line in f:
+                s = line.strip()
+                if s.startswith("hoodie.table.type"):
+                    return s.split("=", 1)[1].strip()
+    return "COPY_ON_WRITE"
+
+
+def _completed_instants(path: str, mor: bool = False) -> dict[str, str]:
     """{instant_time: action} for completed commits, ascending keys."""
     out: dict[str, str] = {}
     td = _timeline_dir(path)
@@ -51,23 +81,14 @@ def _completed_instants(path: str) -> dict[str, str]:
         if ext in ("commit", "replacecommit") and stem.isdigit():
             out[stem] = ext
         if ext == "deltacommit":
-            raise HudiUnsupportedError(
-                "deltacommit in timeline: MERGE_ON_READ table — reading "
-                "base files without log merge would return stale rows"
-            )
+            if not mor:
+                raise HudiUnsupportedError(
+                    "deltacommit in the timeline of a COPY_ON_WRITE "
+                    "table — corrupt or mis-declared table type"
+                )
+            if stem.isdigit():
+                out[stem] = ext
     return dict(sorted(out.items()))
-
-
-def _check_cow(path: str) -> None:
-    props = os.path.join(_timeline_dir(path), "hoodie.properties")
-    if os.path.exists(props):
-        with open(props, encoding="utf-8") as f:
-            for line in f:
-                if line.strip().startswith("hoodie.table.type") and \
-                        "MERGE_ON_READ" in line:
-                    raise HudiUnsupportedError(
-                        "hoodie.table.type=MERGE_ON_READ is not supported"
-                    )
 
 
 def _replaced_groups(path: str, instants: dict[str, str], up_to: str) -> set[tuple[str, str]]:
@@ -86,24 +107,27 @@ def _replaced_groups(path: str, instants: dict[str, str], up_to: str) -> set[tup
 
 
 def hudi_history(path: str) -> list[dict]:
+    mor = _table_type(path) == "MERGE_ON_READ"
     return [
         {"instant": t, "action": a}
-        for t, a in reversed(_completed_instants(path).items())
+        for t, a in reversed(_completed_instants(path, mor=mor).items())
     ]
 
 
-def _base_files(path: str):
+def _base_files(path: str, mor: bool):
     """Yield (partition_rel, fileId, instant, abs_path) for every base
-    parquet file; raise on MOR log fragments."""
+    parquet file; raise on MOR log fragments in a COW table."""
     for cur, dirs, files in os.walk(path):
         dirs[:] = [d for d in dirs if d != ".hoodie"]
         rel = os.path.relpath(cur, path)
         rel = "" if rel == "." else rel
         for n in files:
             if ".log." in n:
-                raise HudiUnsupportedError(
-                    f"log file {n}: MERGE_ON_READ file slice"
-                )
+                if not mor:
+                    raise HudiUnsupportedError(
+                        f"log file {n} under a COPY_ON_WRITE table"
+                    )
+                continue
             if not n.endswith(".parquet") or n.startswith("."):
                 continue
             parts = n[: -len(".parquet")].split("_")
@@ -113,16 +137,39 @@ def _base_files(path: str):
             yield rel, file_id, instant, os.path.join(cur, n)
 
 
+def _log_files(path: str):
+    """Yield (partition_rel, fileId, baseInstant, version, abs_path)
+    for every MOR log file, discovered from the hidden-file naming
+    ``.{fileId}_{baseInstant}.log.{version}_{writeToken}``."""
+    for cur, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if d != ".hoodie"]
+        rel = os.path.relpath(cur, path)
+        rel = "" if rel == "." else rel
+        for n in files:
+            if not (n.startswith(".") and ".log." in n):
+                continue
+            left, _, right = n[1:].partition(".log.")
+            if "_" not in left:
+                continue
+            file_id, base_instant = left.rsplit("_", 1)
+            version = right.split("_", 1)[0]
+            if not version.isdigit():
+                continue
+            yield rel, file_id, base_instant, int(version), os.path.join(cur, n)
+
+
 def read_hudi(
     spark: SparkSession,
     path: str,
     as_of: str | None = None,
     keep_meta: bool = False,
 ) -> DataFrame:
-    """The COW table's snapshot at ``as_of`` (an instant time string;
-    default latest): one parquet scan over the chosen file slices."""
-    _check_cow(path)
-    instants = _completed_instants(path)
+    """The table's snapshot at ``as_of`` (an instant time string;
+    default latest).  COW: one parquet scan over the chosen file
+    slices.  MOR: the base scan merged with executor-decoded log
+    deltas (module docstring)."""
+    mor = _table_type(path) == "MERGE_ON_READ"
+    instants = _completed_instants(path, mor=mor)
     if not instants:
         raise ValueError(f"hudi table has no completed commits: {path}")
     target = max(instants) if as_of is None else str(as_of)
@@ -132,7 +179,7 @@ def read_hudi(
     dead_groups = _replaced_groups(path, instants, target)
 
     newest: dict[tuple[str, str], tuple[str, str]] = {}
-    for part, fid, instant, abspath in _base_files(path):
+    for part, fid, instant, abspath in _base_files(path, mor):
         if instant not in live:
             continue  # uncommitted, later than target, or rolled back
         if (part, fid) in dead_groups:
@@ -140,9 +187,240 @@ def read_hudi(
         cur = newest.get((part, fid))
         if cur is None or instant > cur[0]:
             newest[(part, fid)] = (instant, abspath)
-    if not newest:
-        raise ValueError(f"no committed base files under {path}")
-    df = spark.read.parquet(*sorted(p for _, p in newest.values()))
-    if not keep_meta:
-        df = df.drop(*[c for c in df.columns if c.startswith("_hoodie_")])
-    return df
+
+    if not mor:
+        if not newest:
+            raise ValueError(f"no committed base files under {path}")
+        df = spark.read.parquet(*sorted(p for _, p in newest.values()))
+        return df if keep_meta else _drop_meta(df)
+
+    # ----------------------------------------------------------- MOR
+    # group log files into FILE SLICES: logs attach to the group's
+    # chosen base instant; log-only groups (no base yet) attach to the
+    # deltacommit that opened them
+    slices: dict[tuple[str, str], list[tuple[int, str]]] = {}
+    for part, fid, base_instant, version, abspath in _log_files(path):
+        if base_instant not in live:
+            continue
+        key = (part, fid)
+        cur = newest.get(key)
+        if cur is not None and base_instant != cur[0]:
+            continue  # pre-compaction slice, superseded by newer base
+        if cur is None and (part, fid) in dead_groups:
+            continue
+        slices.setdefault(key, []).append((version, abspath))
+
+    if not newest and not slices:
+        raise ValueError(f"no committed file slices under {path}")
+
+    base = (
+        spark.read.parquet(*sorted(p for _, p in newest.values()))
+        if newest
+        else None
+    )
+    if not slices:
+        return base if keep_meta else _drop_meta(base)
+
+    out_schema = base.schema if base is not None else None
+    delta = _log_delta_frame(spark, slices, live, out_schema)
+    merged = _merge_slices(base, delta)
+    return merged if keep_meta else _drop_meta(merged)
+
+
+def _drop_meta(df: DataFrame) -> DataFrame:
+    return df.drop(*[c for c in df.columns if c.startswith("_hoodie_")])
+
+
+_KEY, _PART, _SEQ, _DEL = (
+    "__hudi_key",
+    "__hudi_part",
+    "__hudi_seq",
+    "__hudi_del",
+)
+
+
+def _avro_to_spark(avro_schema: dict) -> T.StructType:
+    """Minimal Avro→Spark schema mapping for log-only groups (no base
+    parquet to borrow a schema from)."""
+    prim = {
+        "boolean": T.BooleanType(),
+        "int": T.IntegerType(),
+        "long": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+        "string": T.StringType(),
+        "bytes": T.BinaryType(),
+    }
+
+    def conv(s):
+        if isinstance(s, list):  # union: first non-null branch
+            branches = [b for b in s if b != "null"]
+            if len(branches) != 1:
+                raise HudiUnsupportedError(f"avro union {s} in log schema")
+            return conv(branches[0])
+        t = s if isinstance(s, str) else s.get("type")
+        if t in prim:
+            return prim[t]
+        raise HudiUnsupportedError(f"avro type {t!r} in log schema")
+
+    return T.StructType(
+        [
+            T.StructField(f["name"], conv(f["type"]), True)
+            for f in avro_schema["fields"]
+        ]
+    )
+
+
+def _log_delta_frame(
+    spark: SparkSession,
+    slices: dict[tuple[str, str], list[tuple[int, str]]],
+    live: set[str],
+    out_schema: T.StructType | None,
+) -> DataFrame:
+    """Decode every file slice's log blocks INSIDE executor tasks (one
+    task per file group — Hudi's own reader parallelism) and return a
+    typed changelog frame: data columns + (key, partition, seq, del).
+
+    RDD flatMap is deliberate here: the payload is a bespoke framed
+    binary format no DataFrame source reads, and the decode closure
+    (``hudi_log.read_log_blocks``) is pure stdlib and picklable."""
+    from . import hudi_log as hl
+
+    plans = [
+        (part, sorted(paths))
+        for (part, _fid), paths in sorted(slices.items())
+    ]
+    live_f = frozenset(live)
+
+    if out_schema is None:
+        # no base file anywhere: borrow the writer schema from the
+        # first data block (driver-side peek at ONE log file)
+        first_path = plans[0][1][0][1]
+        with open(first_path, "rb") as fh:
+            blocks = hl.read_log_blocks(fh.read())
+        data_blocks = [b for b in blocks if b.type == hl.AVRO_DATA_BLOCK]
+        if not data_blocks:
+            raise ValueError("log-only hudi group with no data block")
+        out_schema = _avro_to_spark(
+            json.loads(data_blocks[0].header[hl.SCHEMA])
+        )
+
+    data_fields = [f for f in out_schema.fields]
+    data_names = [f.name for f in data_fields]
+    full = T.StructType(
+        data_fields
+        + [
+            T.StructField(_KEY, T.StringType(), True),
+            T.StructField(_PART, T.StringType(), True),
+            T.StructField(_SEQ, T.LongType(), False),
+            T.StructField(_DEL, T.BooleanType(), False),
+        ]
+    )
+
+    def parse(plan):
+        part, paths = plan
+        events: list[tuple[str, str, int, bool, dict | None]] = []
+        seq = 0
+        for _version, p in paths:
+            with open(p, "rb") as fh:
+                blocks = hl.read_log_blocks(fh.read())
+            for b in blocks:
+                instant = b.header.get(hl.INSTANT_TIME)
+                if b.type == hl.COMMAND_BLOCK:
+                    tgt = b.header.get(hl.TARGET_INSTANT_TIME)
+                    # rollback: drop already-scanned events of the
+                    # target instant (Hudi reader command semantics)
+                    events = [e for e in events if e[0] != tgt]
+                    continue
+                if instant not in live_f:
+                    continue  # inflight/failed delta, invisible
+                if b.type == hl.AVRO_DATA_BLOCK:
+                    for rec in b.records:
+                        key = rec.get("_hoodie_record_key")
+                        if key is None:
+                            raise HudiUnsupportedError(
+                                "log record without populated "
+                                "_hoodie_record_key (virtual keys)"
+                            )
+                        events.append((instant, key, seq, False, rec))
+                        seq += 1
+                elif b.type == hl.DELETE_BLOCK:
+                    for rk, _pp in b.records:
+                        events.append((instant, rk, seq, True, None))
+                        seq += 1
+        for _instant, key, s, is_del, rec in events:
+            row = tuple(
+                (rec.get(n) if rec is not None else None)
+                for n in data_names
+            )
+            yield row + (key, part, s, is_del)
+
+    n_tasks = max(1, len(plans))
+    rdd = spark.sparkContext.parallelize(plans, n_tasks).flatMap(parse)
+    return spark.createDataFrame(rdd, full)
+
+
+def _merge_slices(base: DataFrame | None, delta: DataFrame) -> DataFrame:
+    """Latest-event-wins merge of base rows (seq = -1) with the log
+    changelog, keyed by (partition path, record key).  Only base rows
+    whose key actually appears in the delta take the merge window; the
+    untouched majority streams through the anti-join unchanged."""
+    from pyspark.sql import Window
+
+    out_cols = (
+        base.columns
+        if base is not None
+        else [c for c in delta.columns if c not in (_KEY, _PART, _SEQ, _DEL)]
+    )
+
+    if base is not None:
+        if "_hoodie_record_key" not in base.columns:
+            raise HudiUnsupportedError(
+                "MOR merge needs populated _hoodie_record_key meta "
+                "columns in base files (virtual-key tables unsupported)"
+            )
+        keyed = base.withColumn(
+            _KEY, F.col("_hoodie_record_key")
+        ).withColumn(
+            _PART, F.coalesce(F.col("_hoodie_partition_path"), F.lit(""))
+        )
+        delta_keys = delta.select(_KEY, _PART).distinct()
+        untouched = keyed.join(
+            F.broadcast(delta_keys), [_KEY, _PART], "left_anti"
+        ).select(*out_cols)
+        contested = keyed.join(
+            F.broadcast(delta_keys), [_KEY, _PART], "left_semi"
+        )
+        contested = contested.select(
+            *[
+                F.col(c) if c in contested.columns else F.lit(None).alias(c)
+                for c in out_cols
+            ],
+            F.col(_KEY),
+            F.col(_PART),
+            F.lit(-1).cast("long").alias(_SEQ),
+            F.lit(False).alias(_DEL),
+        )
+        aligned_delta = delta.select(
+            *[
+                F.col(c) if c in delta.columns else F.lit(None).alias(c)
+                for c in out_cols
+            ],
+            _KEY,
+            _PART,
+            _SEQ,
+            _DEL,
+        )
+        pool = contested.unionByName(aligned_delta)
+    else:
+        untouched = None
+        pool = delta
+
+    w = Window.partitionBy(_KEY, _PART).orderBy(F.col(_SEQ).desc())
+    latest = (
+        pool.withColumn("__hudi_rn", F.row_number().over(w))
+        .where(F.col("__hudi_rn") == 1)
+        .where(~F.col(_DEL))
+        .select(*out_cols)
+    )
+    return latest if untouched is None else untouched.unionByName(latest)

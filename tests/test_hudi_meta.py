@@ -87,20 +87,196 @@ def test_hudi_snapshot_time_travel_and_replace(spark, tmp_path):
     ]
 
 
-def test_hudi_refuses_merge_on_read(spark, tmp_path):
-    t = str(tmp_path / "mor")
-    _props(t, "MERGE_ON_READ")
-    _base_file(spark, t, "p=a", "f1", "001", [(1, "x")])
-    _instant(t, "001")
-    with pytest.raises(HudiUnsupportedError, match="MERGE_ON_READ"):
-        read_hudi(spark, t)
-
+def test_hudi_cow_refuses_mor_artifacts(spark, tmp_path):
+    """A COPY_ON_WRITE table whose timeline or data dirs carry MOR
+    artifacts is corrupt / mis-declared — refuse rather than return
+    stale rows."""
     t2 = str(tmp_path / "mor2")
     _props(t2)
     _base_file(spark, t2, "p=a", "f1", "001", [(1, "x")])
     _instant(t2, "001", "deltacommit")
-    with pytest.raises(HudiUnsupportedError, match="MERGE_ON_READ"):
+    with pytest.raises(HudiUnsupportedError, match="COPY_ON_WRITE"):
         read_hudi(spark, t2)
+
+    t3 = str(tmp_path / "mor3")
+    _props(t3)
+    _base_file(spark, t3, "p=a", "f1", "001", [(1, "x")])
+    _instant(t3, "001")
+    os.makedirs(os.path.join(t3, "p=a"), exist_ok=True)
+    with open(os.path.join(t3, "p=a", ".f1_001.log.1_0-1-0"), "wb") as f:
+        f.write(b"")
+    with pytest.raises(HudiUnsupportedError, match="COPY_ON_WRITE"):
+        read_hudi(spark, t3)
+
+
+# ----------------------------------------------------------------- MOR
+MOR_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "rec",
+    "fields": [
+        {"name": "_hoodie_commit_time", "type": ["null", "string"]},
+        {"name": "_hoodie_record_key", "type": ["null", "string"]},
+        {"name": "id", "type": ["null", "long"]},
+        {"name": "val", "type": ["null", "string"]},
+    ],
+}
+
+
+def _mor_base_file(spark, table, partition, file_id, instant, rows):
+    """Base parquet WITH populated hoodie key/partition meta columns
+    (real Hudi writers always materialize them unless virtual keys)."""
+    df = spark.createDataFrame(rows, "id long, val string")
+    df = df.selectExpr(
+        f"'{instant}' as _hoodie_commit_time",
+        "cast(id as string) as _hoodie_record_key",
+        f"'{partition}' as _hoodie_partition_path",
+        "id",
+        "val",
+    )
+    tmp = os.path.join(table, "_tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(n for n in os.listdir(tmp) if n.endswith(".parquet"))
+    dest_dir = os.path.join(table, partition) if partition else table
+    os.makedirs(dest_dir, exist_ok=True)
+    os.replace(
+        os.path.join(tmp, part),
+        os.path.join(dest_dir, f"{file_id}_0-1-0_{instant}.parquet"),
+    )
+    import shutil
+
+    shutil.rmtree(tmp)
+
+
+def _log_file(table, partition, file_id, base_instant, version, payload):
+    dest_dir = os.path.join(table, partition) if partition else table
+    os.makedirs(dest_dir, exist_ok=True)
+    name = f".{file_id}_{base_instant}.log.{version}_0-1-0"
+    with open(os.path.join(dest_dir, name), "wb") as f:
+        f.write(payload)
+
+
+def _rec(instant, id_, val):
+    return {
+        "_hoodie_commit_time": instant,
+        "_hoodie_record_key": str(id_),
+        "id": id_,
+        "val": val,
+    }
+
+
+def test_hudi_mor_merge_update_delete_insert(spark, tmp_path):
+    """The canonical MOR shape: base file + a log with an update, an
+    insert and a delete; latest event per record key wins."""
+    from easy_sql_spark.sources.hudi_log import (
+        write_data_block,
+        write_delete_block,
+    )
+
+    t = str(tmp_path / "mor")
+    _props(t, "MERGE_ON_READ")
+    _mor_base_file(spark, t, "p=a", "f1", "001", [(1, "x"), (2, "y"), (3, "z")])
+    _instant(t, "001")
+    payload = write_data_block(
+        MOR_AVRO_SCHEMA, [_rec("002", 1, "x2"), _rec("002", 9, "new")], "002"
+    ) + write_delete_block([("2", "p=a")], "003")
+    _log_file(t, "p=a", "f1", "001", 1, payload)
+    _instant(t, "002", "deltacommit")
+    _instant(t, "003", "deltacommit")
+
+    cur = {(r.id, r.val) for r in read_hudi(spark, t).collect()}
+    assert cur == {(1, "x2"), (3, "z"), (9, "new")}
+    # meta columns dropped by default
+    assert all(not c.startswith("_hoodie_") for c in read_hudi(spark, t).columns)
+
+    # time travel: below the deltas, pure base
+    at1 = {(r.id, r.val) for r in read_hudi(spark, t, as_of="001").collect()}
+    assert at1 == {(1, "x"), (2, "y"), (3, "z")}
+    # between the two delta commits: update+insert visible, delete not
+    at2 = {(r.id, r.val) for r in read_hudi(spark, t, as_of="002").collect()}
+    assert at2 == {(1, "x2"), (2, "y"), (3, "z"), (9, "new")}
+
+    assert [(h["instant"], h["action"]) for h in hudi_history(t)] == [
+        ("003", "deltacommit"), ("002", "deltacommit"), ("001", "commit"),
+    ]
+
+
+def test_hudi_mor_log_only_group_and_rollback(spark, tmp_path):
+    """Inserts into MOR before any compaction produce log-only file
+    groups; a rollback command block invalidates its target instant's
+    earlier blocks."""
+    from easy_sql_spark.sources.hudi_log import (
+        write_data_block,
+        write_rollback_block,
+    )
+
+    t = str(tmp_path / "morlo")
+    _props(t, "MERGE_ON_READ")
+    payload = (
+        write_data_block(MOR_AVRO_SCHEMA, [_rec("001", 1, "a")], "001")
+        + write_data_block(MOR_AVRO_SCHEMA, [_rec("002", 2, "bad")], "002")
+        + write_rollback_block("002", "003")
+        + write_data_block(MOR_AVRO_SCHEMA, [_rec("004", 2, "good")], "004")
+    )
+    _log_file(t, "p=a", "f1", "001", 1, payload)
+    _instant(t, "001", "deltacommit")
+    _instant(t, "004", "deltacommit")
+
+    cur = {(r.id, r.val) for r in read_hudi(spark, t).collect()}
+    assert cur == {(1, "a"), (2, "good")}
+
+
+def test_hudi_mor_uncommitted_delta_invisible(spark, tmp_path):
+    """A data block whose instant never completed (no .deltacommit)
+    must not surface — inflight writes are invisible."""
+    from easy_sql_spark.sources.hudi_log import write_data_block
+
+    t = str(tmp_path / "morinf")
+    _props(t, "MERGE_ON_READ")
+    _mor_base_file(spark, t, "", "f1", "001", [(1, "x")])
+    _instant(t, "001")
+    payload = write_data_block(MOR_AVRO_SCHEMA, [_rec("005", 1, "inflight")], "005")
+    _log_file(t, "", "f1", "001", 1, payload)
+    # no 005.deltacommit
+    cur = {(r.id, r.val) for r in read_hudi(spark, t).collect()}
+    assert cur == {(1, "x")}
+
+
+def test_hudi_mor_compaction_supersedes_logs(spark, tmp_path):
+    """After compaction (a .commit writing a newer base for the file
+    group), the old slice's log files are dead — newest base wins."""
+    from easy_sql_spark.sources.hudi_log import write_data_block
+
+    t = str(tmp_path / "morc")
+    _props(t, "MERGE_ON_READ")
+    _mor_base_file(spark, t, "p=a", "f1", "001", [(1, "x")])
+    _instant(t, "001")
+    payload = write_data_block(MOR_AVRO_SCHEMA, [_rec("002", 1, "x2")], "002")
+    _log_file(t, "p=a", "f1", "001", 1, payload)
+    _instant(t, "002", "deltacommit")
+    # compaction at 003 folds the log into a new base
+    _mor_base_file(spark, t, "p=a", "f1", "003", [(1, "x2")])
+    _instant(t, "003")
+
+    cur = {(r.id, r.val) for r in read_hudi(spark, t).collect()}
+    assert cur == {(1, "x2")}
+    at2 = {(r.id, r.val) for r in read_hudi(spark, t, as_of="002").collect()}
+    assert at2 == {(1, "x2")}  # via log merge, pre-compaction
+
+
+def test_hudi_mor_virtual_keys_refused(spark, tmp_path):
+    """Base files without _hoodie_record_key cannot be merged with log
+    deltas — refuse loudly rather than mis-merge."""
+    from easy_sql_spark.sources.hudi_log import write_data_block
+
+    t = str(tmp_path / "morvk")
+    _props(t, "MERGE_ON_READ")
+    _base_file(spark, t, "p=a", "f1", "001", [(1, "x")])  # no key meta col
+    _instant(t, "001")
+    payload = write_data_block(MOR_AVRO_SCHEMA, [_rec("002", 1, "x2")], "002")
+    _log_file(t, "p=a", "f1", "001", 1, payload)
+    _instant(t, "002", "deltacommit")
+    with pytest.raises(HudiUnsupportedError, match="_hoodie_record_key"):
+        read_hudi(spark, t).collect()
 
 
 def test_hudi_view_step_function(spark, tmp_path):
