@@ -800,7 +800,9 @@ def f13_variant_json(spark, sf_dir):
         FROM orders WHERE o_orderkey <= 1200),
     v1 AS (  -- commit 1 replaces partition pt=0 with doubled prices
         SELECT k, CASE WHEN pt = '0' THEN price * 2 ELSE price END AS price, pt
-        FROM seed)
+        FROM seed),
+    v2 AS (  -- commit 2 deletes k%5=0 from pt=1 via a deletion vector
+        SELECT * FROM v1 WHERE NOT (pt = '1' AND k % 5 = 0))
     SELECT version, pt, n, sum_price FROM (
         SELECT 0 AS version, pt, CAST(COUNT(*) AS BIGINT) AS n,
                CAST(ROUND(SUM(price), 2) AS DOUBLE) AS sum_price
@@ -809,6 +811,10 @@ def f13_variant_json(spark, sf_dir):
         SELECT 1, pt, CAST(COUNT(*) AS BIGINT),
                CAST(ROUND(SUM(price), 2) AS DOUBLE)
         FROM v1 GROUP BY pt
+        UNION ALL
+        SELECT 2, pt, CAST(COUNT(*) AS BIGINT),
+               CAST(ROUND(SUM(price), 2) AS DOUBLE)
+        FROM v2 GROUP BY pt
     ) ORDER BY version, pt
     """,
 )
@@ -816,11 +822,14 @@ def delta_interop_read(spark, sf_dir):
     """Delta Lake interop end-to-end (sources/delta_log.py): a delta
     table is constructed TO THE PROTOCOL SPEC (parquet data files +
     JSON action log with partition values only in the log, commit 1
-    overwriting one partition), then read back WITHOUT delta-spark via
-    commit-log replay — both versions, time-travel included.  The
-    oracle recomputes both versions' per-partition aggregates from the
-    source rows, so what's checked is the replay itself: adds, removes,
-    partition-value attachment, version selection.
+    overwriting one partition, commit 2 deleting rows from another
+    partition via a DELETION VECTOR — Z85 uuid path, roaring bitmap,
+    reader-feature protocol upgrade), then read back WITHOUT
+    delta-spark via commit-log replay — all three versions,
+    time-travel included.  The oracle recomputes every version's
+    per-partition aggregates from the source rows, so what's checked
+    is the replay itself: adds, removes, partition-value attachment,
+    version selection, and the DV anti-join (delta_dv.py decode).
 
     Scale: the log is driver-side metadata (same split as the snapshot
     layer); each partition group is one pinned-schema parquet scan —
@@ -906,8 +915,46 @@ def delta_interop_read(spark, sf_dir):
         ],
     )
 
+    # commit 2: deletion vector on pt=1 (k % 5 == 0) — resolve row
+    # positions from the staged file itself (bounded: one small file),
+    # encode to the spec's uuid-addressed DV file
+    import uuid as _uuid
+
+    from ..sources.delta_dv import write_dv_file, z85_encode
+
+    positions = [
+        r.ri
+        for r in spark.read.parquet(t + "/f-1-v0.parquet")
+        .select(F.col("_metadata.row_index").alias("ri"), "k")
+        .where(F.col("k") % 5 == 0)
+        .collect()
+    ]
+    u = _uuid.uuid4()
+    blob, spans = write_dv_file([positions])
+    with open(t + f"/deletion_vector_{u}.bin", "wb") as fh:
+        fh.write(blob)
+    commit(
+        2,
+        [
+            {"commitInfo": {"operation": "DELETE", "timestamp": 3000}},
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors"],
+                          "writerFeatures": ["deletionVectors"]}},
+            {"remove": {"path": "f-1-v0.parquet", "dataChange": True}},
+            {"add": {"path": "f-1-v0.parquet", "partitionValues": {"pt": "1"},
+                     "size": 1, "modificationTime": 0, "dataChange": True,
+                     "deletionVector": {
+                         "storageType": "u",
+                         "pathOrInlineDv": z85_encode(u.bytes),
+                         "offset": spans[0][0],
+                         "sizeInBytes": spans[0][1],
+                         "cardinality": len(positions),
+                     }}},
+        ],
+    )
+
     outs = []
-    for v in (0, 1):
+    for v in (0, 1, 2):
         outs.append(
             read_delta(spark, t, version=v)
             .groupBy("pt")
@@ -917,10 +964,10 @@ def delta_interop_read(spark, sf_dir):
             )
             .select(F.lit(v).alias("version"), "pt", "n", "sum_price")
         )
-    return (
-        outs[0].unionByName(outs[1]).orderBy("version", "pt")
-        .localCheckpoint(eager=True)
-    )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("version", "pt").localCheckpoint(eager=True)
 
 
 @query(

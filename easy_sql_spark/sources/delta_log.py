@@ -13,13 +13,18 @@ Supported: state reconstruction from the newest checkpoint at-or-below
 the target version plus subsequent JSON commits; version and
 timestamp time travel; partitioned tables (partition values ride the
 log, not the file paths — files sharing a partition tuple share one
-scan); protocol gating (tables requiring reader features beyond plain
-parquet — deletion vectors, column mapping — raise with the feature
-names instead of returning silently wrong rows).
+scan); DELETION VECTORS (``readerFeatures: [deletionVectors]``,
+``minReaderVersion`` 3): files carrying a live DV are scanned with
+``_metadata.row_index`` and the deleted (file, position) set —
+expanded from the spec's Z85/roaring encoding in executor tasks by
+``delta_dv.py`` — is anti-joined away, Delta's own merge-on-read;
+protocol gating for everything else (tables requiring column mapping /
+row tracking raise with the feature names instead of returning
+silently wrong rows).
 
-Not supported (documented, loud): deletion vectors, column mapping,
-row tracking, type widening — i.e. ``readerFeatures`` beyond the empty
-set, or ``minReaderVersion`` 2 (column mapping's gate).
+Not supported (documented, loud): column mapping, row tracking, type
+widening — i.e. unsupported ``readerFeatures`` entries, or
+``minReaderVersion`` 2 (column mapping's legacy gate).
 """
 
 from __future__ import annotations
@@ -73,12 +78,18 @@ def _check_protocol(protocol: dict | None) -> None:
     unsupported = [
         f
         for f in feats
-        if f not in ("timestampNtz", "vacuumProtocolCheck", "v2Checkpoint")
+        if f
+        not in (
+            "timestampNtz",
+            "vacuumProtocolCheck",
+            "v2Checkpoint",
+            "deletionVectors",
+        )
     ]
     if mrv == 2 or unsupported:
         raise DeltaProtocolError(
             f"delta table requires reader features {unsupported or ['columnMapping']}"
-            " (deletion vectors / column mapping are not supported by this"
+            " (column mapping / row tracking are not supported by this"
             " log reader); read it with delta-spark instead"
         )
 
@@ -271,14 +282,26 @@ def read_delta(
         return spark.createDataFrame([], schema)
 
     groups: dict[tuple, list[str]] = {}
+    dv_groups: dict[tuple, list[str]] = {}
+    dv_descs: list[tuple[str, dict]] = []
     for a in adds.values():
         pv = a.get("partitionValues") or {}
         key = tuple(pv.get(c) for c in part_cols)
-        groups.setdefault(key, []).append(os.path.join(path, a["path"]))
+        abs_path = os.path.join(path, a["path"])
+        dv = a.get("deletionVector")
+        if dv and dv.get("cardinality"):
+            dv_groups.setdefault(key, []).append(abs_path)
+            dv_descs.append((abs_path, dv))
+        else:
+            groups.setdefault(key, []).append(abs_path)
 
-    parts = []
-    for key, files in sorted(groups.items()):
+    def scan_group(key, files, with_meta):
         df = spark.read.schema(data_schema).parquet(*sorted(files))
+        if with_meta:
+            df = df.withColumn(
+                "__dl_fp",
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+            ).withColumn("__dl_ri", F.col("_metadata.row_index"))
         for c, val in zip(part_cols, key):
             df = df.withColumn(
                 c,
@@ -286,7 +309,36 @@ def read_delta(
                 if val is not None
                 else F.lit(None).cast(part_types[c]),
             )
-        parts.append(df.select(*[f.name for f in schema.fields]))
+        cols = [f.name for f in schema.fields]
+        return df.select(*(cols + (["__dl_fp", "__dl_ri"] if with_meta else [])))
+
+    parts = [scan_group(k, fs, False) for k, fs in sorted(groups.items())]
+    if dv_groups:
+        # files carrying a live deletion vector: scan with row-position
+        # metadata and anti-join the deleted (file, position) set —
+        # merge-on-read, never a file rewrite.  DV bitmaps expand in
+        # EXECUTOR tasks (one per descriptor; descriptors are O(files),
+        # positions O(deleted rows) — the driver ships neither)
+        from .delta_dv import dv_positions
+
+        dv_scans = [scan_group(k, fs, True) for k, fs in sorted(dv_groups.items())]
+        dv_df = dv_scans[0]
+        for p in dv_scans[1:]:
+            dv_df = dv_df.unionByName(p)
+        table_abs = os.path.abspath(path)
+        dv_plan = [(os.path.abspath(fp), dv) for fp, dv in dv_descs]
+
+        def expand(fp_dv):
+            fp, dv = fp_dv
+            return ((fp, p) for p in dv_positions(dv, table_abs))
+
+        n_tasks = max(1, min(len(dv_plan), 64))
+        pos_rdd = spark.sparkContext.parallelize(dv_plan, n_tasks).flatMap(expand)
+        pos_df = spark.createDataFrame(pos_rdd, "__dl_fp string, __dl_ri long")
+        survived = dv_df.join(
+            F.broadcast(pos_df), ["__dl_fp", "__dl_ri"], "left_anti"
+        ).drop("__dl_fp", "__dl_ri")
+        parts.append(survived)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

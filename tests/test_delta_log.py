@@ -203,14 +203,88 @@ def test_protocol_gate_refuses_unsupported_features(spark, tmp_path):
         0,
         [
             {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                          "readerFeatures": ["deletionVectors"]}},
+                          "readerFeatures": ["columnMapping"]}},
             _meta_action(),
             {"add": {"path": "f1.parquet", "partitionValues": {"p": "a"},
                      "size": 1, "modificationTime": 0, "dataChange": True}},
         ],
     )
-    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
+    with pytest.raises(DeltaProtocolError, match="columnMapping"):
         read_delta(spark, t)
+    # legacy column-mapping gate: minReaderVersion 2 without features
+    t2 = str(tmp_path / "dt2b")
+    _write_data(spark, t2, "f1.parquet", [(1, "x")])
+    _commit(
+        t2,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            _meta_action(),
+            {"add": {"path": "f1.parquet", "partitionValues": {"p": "a"},
+                     "size": 1, "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    with pytest.raises(DeltaProtocolError):
+        read_delta(spark, t2)
+
+
+def test_read_delta_with_deletion_vectors(spark, tmp_path):
+    """DV-bearing table end-to-end: uuid-addressed and inline vectors,
+    a DV update (re-add of the same file with a wider vector), time
+    travel across DV versions, and untouched files unaffected."""
+    import uuid as _uuid
+
+    from easy_sql_spark.sources.delta_dv import (
+        encode_bitmap_array,
+        write_dv_file,
+        z85_encode,
+    )
+
+    t = str(tmp_path / "dvt")
+    # f-a rows by position: 0=(1,x) 1=(2,y) 2=(3,z); f-b: 0=(7,c)
+    _write_data(spark, t, "f-a.parquet", [(1, "x"), (2, "y"), (3, "z")])
+    _write_data(spark, t, "f-b.parquet", [(7, "c")])
+    proto = {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors"],
+                          "writerFeatures": ["deletionVectors"]}}
+    add_a = {"path": "f-a.parquet", "partitionValues": {"p": "a"},
+             "size": 1, "modificationTime": 0, "dataChange": True}
+    add_b = {"path": "f-b.parquet", "partitionValues": {"p": "b"},
+             "size": 1, "modificationTime": 0, "dataChange": True}
+    _commit(t, 0, [{"commitInfo": {"operation": "WRITE", "timestamp": 1000}},
+                   proto, _meta_action(), {"add": add_a}, {"add": add_b}])
+
+    # v1: delete position 1 of f-a via a uuid-addressed DV file
+    u = _uuid.uuid4()
+    blob, spans = write_dv_file([[1]])
+    with open(os.path.join(t, f"deletion_vector_{u}.bin"), "wb") as fh:
+        fh.write(blob)
+    dv1 = {"storageType": "u", "pathOrInlineDv": z85_encode(u.bytes),
+           "offset": spans[0][0], "sizeInBytes": spans[0][1], "cardinality": 1}
+    _commit(t, 1, [
+        {"commitInfo": {"operation": "DELETE", "timestamp": 2000}},
+        {"remove": {"path": "f-a.parquet", "dataChange": True}},
+        {"add": {**add_a, "deletionVector": dv1}},
+    ])
+
+    # v2: widen the DV (positions 1 and 2) — inline this time
+    data = encode_bitmap_array([1, 2])
+    dv2 = {"storageType": "i", "pathOrInlineDv": z85_encode(data),
+           "sizeInBytes": len(data), "cardinality": 2}
+    _commit(t, 2, [
+        {"commitInfo": {"operation": "DELETE", "timestamp": 3000}},
+        {"remove": {"path": "f-a.parquet", "dataChange": True}},
+        {"add": {**add_a, "deletionVector": dv2}},
+    ])
+
+    got = lambda v: {  # noqa: E731
+        (r.id, r.val, r.p) for r in read_delta(spark, t, version=v).collect()
+    }
+    assert got(0) == {(1, "x", "a"), (2, "y", "a"), (3, "z", "a"), (7, "c", "b")}
+    assert got(1) == {(1, "x", "a"), (3, "z", "a"), (7, "c", "b")}
+    assert got(2) == {(1, "x", "a"), (7, "c", "b")}
+    # latest = v2; schema unchanged by the DV path
+    assert read_delta(spark, t).columns == ["id", "val", "p"]
 
 
 def test_delta_view_step_function(spark, tmp_path):
