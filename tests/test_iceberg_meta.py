@@ -445,3 +445,57 @@ def test_iceberg_bounds_file_skipping(spark, tmp_path):
         for r in read_iceberg(spark, t.root, where=[("x", "<", 200.0)]).collect()
     }
     assert got2 == set(range(100))
+
+
+def test_iceberg_distributed_manifest_parsing(spark, tmp_path):
+    """Above DIST_MANIFEST_THRESHOLD manifests, the per-manifest Avro
+    decode runs as an executor job; result must be IDENTICAL to the
+    driver loop (order included), and unsupported entries must still
+    raise driver-side with the same message."""
+    from easy_sql_spark.sources import iceberg_meta as im
+
+    t = str(tmp_path / "ice_many")
+    # 2 real data files, referenced round-robin by 80 manifests (the
+    # point is manifest COUNT, not data volume)
+    f1 = _data_file(spark, t, "f1.parquet", [(1, "a")])
+    f2 = _data_file(spark, t, "f2.parquet", [(2, "b")])
+    mpaths = [
+        _manifest(t, f"m{i:03d}.avro", [_entry(1, f1 if i % 2 else f2)])
+        for i in range(80)
+    ]
+    ml = _manifest_list(t, "ml.avro", mpaths)
+    _metadata(
+        t,
+        [{"snapshot-id": 1, "timestamp-ms": 1000, "manifest-list": ml,
+          "summary": {"operation": "append"}}],
+        1,
+        [{"timestamp-ms": 1000, "snapshot-id": 1}],
+    )
+
+    meta = im.load_table_metadata(t)
+    snap = im._pick_snapshot(meta, None, None)
+    assert len(mpaths) > im.DIST_MANIFEST_THRESHOLD
+    dist_files, dist_dels = im._live_files(t, snap, 2, spark=spark)
+    drv_files, drv_dels = im._live_files(t, snap, 2, spark=None)
+    assert dist_files == drv_files  # order-identical, slim tuples equal
+    assert dist_dels == drv_dels
+    assert len(dist_files) == 80
+
+    # whole-table read agrees (80 duplicate-entry scans of 2 files)
+    out = im.read_iceberg(spark, t)
+    assert out.count() == 80
+
+    # error entries raise driver-side from the executor path too
+    bad = _manifest(t, "bad.avro", [_entry(1, f1, fmt="ORC")])
+    ml2 = _manifest_list(t, "ml2.avro", mpaths + [bad])
+    _metadata(
+        t,
+        [{"snapshot-id": 2, "timestamp-ms": 2000, "manifest-list": ml2,
+          "summary": {"operation": "append"}}],
+        2,
+        [{"timestamp-ms": 2000, "snapshot-id": 2}],
+    )
+    meta2 = im.load_table_metadata(t)
+    snap2 = im._pick_snapshot(meta2, None, None)
+    with pytest.raises(IcebergUnsupportedError, match="ORC"):
+        im._live_files(t, snap2, 2, spark=spark)
