@@ -344,8 +344,12 @@ def main() -> None:
     # EXACT regime for the oracle gate; the bench times the production
     # accuracy-10000 sketch (the 100 TB path) under the same name
     from easy_sql_spark.queries.llm_ops3 import a9_sketch_bench
+    from easy_sql_spark.queries.llm_ops5 import text_deflate_bench
 
-    bench_only = {"a9_approx_quantiles": a9_sketch_bench}
+    bench_only = {
+        "a9_approx_quantiles": a9_sketch_bench,
+        "text_compression_ratio": text_deflate_bench,
+    }
 
     def run(name: str) -> float:
         fn = bench_only.get(name) or QUERIES[name]

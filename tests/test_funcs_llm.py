@@ -236,19 +236,22 @@ def test_pii_patterns_adversarial(spark):
 
 
 def test_compression_ratio_bit_pinned_and_discriminative(spark):
-    """text_compression_ratio (queries/llm_ops5.py) is rows-only at the
-    oracle gate (DuckDB has no per-row DEFLATE), so it is pinned here:
+    """text_deflate_bench (queries/llm_ops5.py) — the production DEFLATE
+    variant bench.py times under the text_compression_ratio name — has
+    no DuckDB oracle (no per-row DEFLATE scalar), so it is pinned here:
     the distributed result must equal a direct driver-side zlib pass
     byte-for-byte, and the signal must actually discriminate — a
     repetitive document compresses materially further than prose-like
-    unique text (the property RefinedWeb-style filters rely on)."""
+    unique text (the property RefinedWeb-style filters rely on).
+    The registry entry itself (a token-dictionary coding estimate) is
+    oracle-checked cross-engine instead."""
     import zlib
 
-    from easy_sql_spark.queries import QUERIES
+    from easy_sql_spark.queries.llm_ops5 import text_deflate_bench
 
     out = {
         r.doc_id: (r.raw_len, r.comp_len, r.ratio)
-        for r in QUERIES["text_compression_ratio"](
+        for r in text_deflate_bench(
             spark, "/root/testdata/sf0.001"
         ).collect()
     }
