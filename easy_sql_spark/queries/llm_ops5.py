@@ -1047,12 +1047,17 @@ def delta_interop_read(spark, sf_dir):
     WITH seed AS (
         SELECT o_orderkey AS k, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
         FROM orders WHERE o_orderkey <= 900),
-    s2 AS (SELECT k, cents FROM seed WHERE k % 2 = 0)
+    s2 AS (SELECT k, cents FROM seed WHERE k % 2 = 0),
+    s3 AS (
+        SELECT k, CASE WHEN k % 10 = 0 THEN cents + 1 ELSE cents END AS cents
+        FROM s2)
     SELECT snap, CAST(n AS BIGINT) AS n, CAST(sum_cents AS BIGINT) AS sum_cents
     FROM (
         SELECT 1 AS snap, COUNT(*) AS n, SUM(cents) AS sum_cents FROM seed
         UNION ALL
         SELECT 2, COUNT(*), SUM(cents) FROM s2
+        UNION ALL
+        SELECT 3, COUNT(*), SUM(cents) FROM s3
     ) ORDER BY snap
     """,
 )
@@ -1061,12 +1066,16 @@ def iceberg_interop_read(spark, sf_dir):
     avro_lite codec): an Iceberg v2 table is constructed to the spec —
     parquet data files, Avro manifests (one deflate-compressed) and
     manifest lists, metadata JSON with a snapshot log — then read back
-    via metadata replay at both snapshots.  Snapshot 1 holds an orders
+    via metadata replay at every snapshot.  Snapshot 1 holds an orders
     slice across two files; snapshot 2 overwrites to the even keys
-    (one file deleted, one surviving, one added).  The oracle
-    recomputes both snapshots' aggregates from the source rows, so the
-    check covers manifest-entry status handling, Avro decoding and
-    schema conversion."""
+    (one file deleted, one surviving, one added); snapshot 3 is an
+    EQUALITY-DELETE upsert — the k%10 keys are deleted by value and
+    re-inserted with bumped cents IN THE SAME sequence number, so the
+    spec's strictly-less-than ordering (old rows die, same-commit
+    re-inserts survive) is what makes the aggregate match.  The oracle
+    recomputes all three snapshots' aggregates from the source rows,
+    so the check covers manifest-entry status handling, sequence-number
+    inheritance, Avro decoding and schema conversion."""
     import json as _json
     import os
     import shutil
@@ -1108,12 +1117,15 @@ def iceberg_interop_read(spark, sf_dir):
         "name": "manifest_entry",
         "fields": [
             {"name": "status", "type": "int"},
+            {"name": "sequence_number", "type": ["null", "long"]},
             {"name": "data_file", "type": {
                 "type": "record", "name": "data_file_r", "fields": [
                     {"name": "content", "type": "int"},
                     {"name": "file_path", "type": "string"},
                     {"name": "file_format", "type": "string"},
                     {"name": "record_count", "type": "long"},
+                    {"name": "equality_ids",
+                     "type": ["null", {"type": "array", "items": "int"}]},
                 ]}},
         ],
     }
@@ -1123,13 +1135,15 @@ def iceberg_interop_read(spark, sf_dir):
         "fields": [
             {"name": "manifest_path", "type": "string"},
             {"name": "content", "type": "int"},
+            {"name": "sequence_number", "type": ["null", "long"]},
         ],
     }
 
-    def entry(status, path):
-        return {"status": status, "data_file": {
-            "content": 0, "file_path": path,
-            "file_format": "PARQUET", "record_count": 1}}
+    def entry(status, path, content=0, seq=None, eq_ids=None):
+        return {"status": status, "sequence_number": seq, "data_file": {
+            "content": content, "file_path": path,
+            "file_format": "PARQUET", "record_count": 1,
+            "equality_ids": eq_ids}}
 
     os.makedirs(f"{t}/metadata")
 
@@ -1139,18 +1153,39 @@ def iceberg_interop_read(spark, sf_dir):
             fh.write(write_avro_file(entry_schema, entries, codec))
         return p
 
-    def mlist(name, paths):
+    def mlist(name, paths, contents=None, seqs=None):
         p = f"{t}/metadata/{name}"
-        rows = [{"manifest_path": mp, "content": 0} for mp in paths]
+        rows = [
+            {"manifest_path": mp,
+             "content": (contents or [0] * len(paths))[i],
+             "sequence_number": (seqs or [None] * len(paths))[i]}
+            for i, mp in enumerate(paths)
+        ]
         with open(p, "wb") as fh:
             fh.write(write_avro_file(mlist_schema, rows))
         return p
 
     m1 = manifest("m1.avro", [entry(1, f_odd), entry(1, f_ev1), entry(1, f_ev2)],
                   codec="deflate")
-    ml1 = mlist("sl1.avro", [m1])
-    m2 = manifest("m2.avro", [entry(2, f_odd), entry(0, f_ev1), entry(0, f_ev2)])
-    ml2 = mlist("sl2.avro", [m2])
+    ml1 = mlist("sl1.avro", [m1], seqs=[1])
+    m2 = manifest("m2.avro", [entry(2, f_odd), entry(0, f_ev1, seq=1),
+                              entry(0, f_ev2, seq=1)])
+    ml2 = mlist("sl2.avro", [m2], seqs=[2])
+
+    # snapshot 3: equality-delete upsert of the k%10 keys — delete by
+    # value + re-insert with bumped cents at the SAME sequence number
+    # (3): the spec's strictly-below rule kills the seq-1 originals and
+    # keeps the seq-3 re-inserts
+    upd = (
+        seed.where((F.col("k") % 2 == 0) & (F.col("k") % 10 == 0))
+        .withColumn("cents", F.col("cents") + 1)
+    )
+    f_upd = stage(upd, "upd.parquet")
+    f_eqd = stage(upd.select("k"), "eqd.parquet")
+    m3 = manifest("m3.avro", [entry(0, f_ev1, seq=1), entry(0, f_ev2, seq=1),
+                              entry(1, f_upd)])
+    m3d = manifest("m3d.avro", [entry(1, f_eqd, content=2, eq_ids=[1])])
+    ml3 = mlist("sl3.avro", [m3, m3d], contents=[0, 1], seqs=[3, 3])
     meta = {
         "format-version": 2,
         "table-uuid": "q",
@@ -1165,11 +1200,14 @@ def iceberg_interop_read(spark, sf_dir):
              "summary": {"operation": "append"}},
             {"snapshot-id": 2, "timestamp-ms": 2000, "manifest-list": ml2,
              "summary": {"operation": "overwrite"}},
+            {"snapshot-id": 3, "timestamp-ms": 3000, "manifest-list": ml3,
+             "summary": {"operation": "overwrite"}},
         ],
-        "current-snapshot-id": 2,
+        "current-snapshot-id": 3,
         "snapshot-log": [
             {"timestamp-ms": 1000, "snapshot-id": 1},
             {"timestamp-ms": 2000, "snapshot-id": 2},
+            {"timestamp-ms": 3000, "snapshot-id": 3},
         ],
     }
     with open(f"{t}/metadata/v1.metadata.json", "w") as fh:
@@ -1182,12 +1220,12 @@ def iceberg_interop_read(spark, sf_dir):
             F.sum("cents").cast("bigint").alias("sum_cents"),
         )
         .select(F.lit(s).alias("snap"), "n", "sum_cents")
-        for s in (1, 2)
+        for s in (1, 2, 3)
     ]
-    return (
-        outs[0].unionByName(outs[1]).orderBy("snap")
-        .localCheckpoint(eager=True)
-    )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("snap").localCheckpoint(eager=True)
 
 
 @query(

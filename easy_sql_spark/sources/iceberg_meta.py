@@ -14,14 +14,18 @@ not a correctness requirement.
 Supported: format v1 and v2 append/overwrite tables, snapshot-id and
 timestamp time travel (snapshot-log), schema conversion for the full
 primitive set + struct/list/map/decimal, identity-partition metadata
-constants, and v2 POSITION deletes — applied Spark-first as a
-broadcast anti-join of the delete files' (file_path, pos) rows against
-``_metadata.row_index`` (deletes target exact file paths, so no
-sequence-number bookkeeping is needed: rewritten files have new paths
-and stale deletes match nothing).
+constants, and BOTH v2 row-level delete flavors — POSITION deletes as
+a broadcast anti-join of the delete files' (file_path, pos) rows
+against ``_metadata.row_index`` (deletes target exact file paths, so
+no sequence bookkeeping is needed: rewritten files have new paths and
+stale deletes match nothing), and EQUALITY deletes with the spec's
+sequence-number ordering (a delete applies only to data files whose
+data sequence number is strictly below the delete file's; sequence
+numbers come from the manifest entries with manifest-list inheritance)
+as per-equality-id-set broadcast anti-joins with null-safe matching.
 
-Refused, loudly (reading would return wrong rows): v2 EQUALITY deletes
-(their application is sequence-number ordered), non-parquet data files.
+Refused, loudly (reading would return wrong rows): non-parquet data
+files, equality deletes naming nested/non-current fields.
 """
 
 from __future__ import annotations
@@ -37,7 +41,8 @@ from .avro_lite import read_avro_file
 
 class IcebergUnsupportedError(NotImplementedError):
     """The table uses features whose silent omission would corrupt the
-    result (row-level deletes, non-parquet files)."""
+    result (non-parquet files, malformed or nested-field equality
+    deletes)."""
 
 
 # ------------------------------------------------------------- metadata
@@ -184,20 +189,26 @@ DIST_MANIFEST_THRESHOLD = 64
 
 
 def _parse_manifest(
-    manifest_path: str, format_version: int
-) -> list[tuple[int, str, str, dict | None, dict | None]]:
+    manifest_path: str, format_version: int, manifest_seq: int = 0
+) -> list[tuple[int, str, str, dict | None, dict | None, int, tuple]]:
     """Decode ONE manifest file to slim entry tuples
-    ``(entry_idx, kind, file_path, partition, bounds)`` — kind is
-    ``data`` | ``delete`` | ``error`` (message in file_path; raised
-    driver-side so executor tasks never fail the job on an unsupported
-    table).  Pure function of its arguments: safe to run in executors
-    (avro_lite is dependency-free and picklable)."""
+    ``(entry_idx, kind, file_path, partition, bounds, seq, eq_ids)`` —
+    kind is ``data`` | ``posdel`` | ``eqdel`` | ``error`` (message in
+    file_path; raised driver-side so executor tasks never fail the job
+    on an unsupported table).  ``seq`` is the entry's DATA sequence
+    number with the spec's inheritance rule (a null sequence number
+    inherits the manifest-list entry's, spec §"Sequence Number
+    Inheritance"); ``eq_ids`` is the equality-field-id tuple for
+    eqdel entries.  Pure function of its arguments: safe to run in
+    executors (avro_lite is dependency-free and picklable)."""
     with open(_strip_uri(manifest_path), "rb") as f:
         _, entries = read_avro_file(f.read())
-    out: list[tuple[int, str, str, dict | None, dict | None]] = []
+    out: list[tuple[int, str, str, dict | None, dict | None, int, tuple]] = []
     for i, e in enumerate(entries):
         if e.get("status") == 2:  # DELETED entry: not part of state
             continue
+        seq = e.get("sequence_number")
+        seq = int(manifest_seq) if seq is None else int(seq)
         df = e["data_file"]
         content = int(df.get("content", 0)) if format_version >= 2 else 0
         fmt = str(df.get("file_format", "PARQUET")).upper()
@@ -205,7 +216,7 @@ def _parse_manifest(
             out.append(
                 (i, "error",
                  f"data file format {fmt} (only parquet supported)",
-                 None, None)
+                 None, None, seq, ())
             )
         elif content == 0:
             bounds = {
@@ -215,31 +226,48 @@ def _parse_manifest(
             }
             out.append(
                 (i, "data", _strip_uri(df["file_path"]),
-                 df.get("partition") or {}, bounds)
+                 df.get("partition") or {}, bounds, seq, ())
             )
         elif content == 1:
-            out.append((i, "delete", _strip_uri(df["file_path"]), None, None))
-        else:
             out.append(
-                (i, "error",
-                 "equality-delete file in snapshot: applying it needs "
-                 "sequence-number ordering this reader does not "
-                 "implement — use an Iceberg-enabled engine",
-                 None, None)
+                (i, "posdel", _strip_uri(df["file_path"]),
+                 None, None, seq, ())
             )
+        else:
+            eq_ids = tuple(int(x) for x in (df.get("equality_ids") or ()))
+            if not eq_ids:
+                out.append(
+                    (i, "error",
+                     "equality-delete file without equality_ids in its "
+                     "manifest entry — malformed table",
+                     None, None, seq, ())
+                )
+            else:
+                out.append(
+                    (i, "eqdel", _strip_uri(df["file_path"]),
+                     None, None, seq, eq_ids)
+                )
     return out
 
 
 def _live_files(
     path: str, snap: dict, format_version: int, spark=None
-) -> tuple[list[tuple[str, dict, dict]], list[str]]:
-    """(data files [(path, partition record, stats-bounds dict)],
-    POSITION-delete file
-    paths) for the snapshot.  Position deletes target data files by
-    exact path, so applying every live delete row is correct without
-    sequence-number bookkeeping (a rewritten data file has a new path
-    and old deletes simply match nothing).  EQUALITY deletes need
-    sequence-number ordering to apply correctly — those still refuse.
+) -> tuple[
+    list[tuple[str, dict, dict, int]],
+    list[str],
+    list[tuple[str, int, tuple]],
+]:
+    """(data files [(path, partition record, stats-bounds dict, seq)],
+    POSITION-delete file paths,
+    EQUALITY-delete files [(path, seq, equality-field-id tuple)]) for
+    the snapshot.  Position deletes target data files by exact path, so
+    applying every live delete row is correct without sequence-number
+    bookkeeping (a rewritten data file has a new path and old deletes
+    simply match nothing).  Equality deletes DO need sequence numbers:
+    a delete row applies only to data files whose data sequence number
+    is STRICTLY LESS than the delete file's (spec §"Scan Planning") —
+    both sides are returned with their seq so the read path can apply
+    that ordering.
 
     With ``spark`` given and more than :data:`DIST_MANIFEST_THRESHOLD`
     manifests in the list, the per-manifest Avro decode runs as an
@@ -249,13 +277,17 @@ def _live_files(
     memory O(files), not O(manifest bytes)."""
     with open(_strip_uri(snap["manifest-list"]), "rb") as f:
         _, manifests = read_avro_file(f.read())
-    files: list[tuple[str, dict, dict]] = []
-    deletes: list[str] = []
-    mpaths = [m["manifest_path"] for m in manifests]
+    files: list[tuple[str, dict, dict, int]] = []
+    pos_deletes: list[str] = []
+    eq_deletes: list[tuple[str, int, tuple]] = []
+    mrows = [
+        (m["manifest_path"], int(m.get("sequence_number") or 0))
+        for m in manifests
+    ]
 
-    if spark is not None and len(mpaths) > DIST_MANIFEST_THRESHOLD:
+    if spark is not None and len(mrows) > DIST_MANIFEST_THRESHOLD:
         fv = format_version
-        indexed = list(enumerate(mpaths))
+        indexed = [(mi, mp, ms) for mi, (mp, ms) in enumerate(mrows)]
         # chunky tasks: ~256 manifests each — task-launch + result
         # pickling overhead dominates below that (measured: 5k tiny
         # manifests parse at ~4k/s on the driver; the job only wins
@@ -263,8 +295,8 @@ def _live_files(
         n_tasks = max(1, min(len(indexed) // 256 + 1, 512))
 
         def parse_one(im):
-            mi, mp = im
-            return [(mi, *t) for t in _parse_manifest(mp, fv)]
+            mi, mp, ms = im
+            return [(mi, *t) for t in _parse_manifest(mp, fv, ms)]
 
         rows = (
             spark.sparkContext.parallelize(indexed, n_tasks)
@@ -276,18 +308,20 @@ def _live_files(
     else:
         slim = [
             t[1:]
-            for mp in mpaths
-            for t in _parse_manifest(mp, format_version)
+            for mp, ms in mrows
+            for t in _parse_manifest(mp, format_version, ms)
         ]
 
-    for kind, fp, pv, bounds in slim:
+    for kind, fp, pv, bounds, seq, eq_ids in slim:
         if kind == "error":
             raise IcebergUnsupportedError(fp)
         if kind == "data":
-            files.append((fp, pv, bounds))
+            files.append((fp, pv, bounds, seq))
+        elif kind == "posdel":
+            pos_deletes.append(fp)
         else:
-            deletes.append(fp)
-    return files, deletes
+            eq_deletes.append((fp, seq, eq_ids))
+    return files, pos_deletes, eq_deletes
 
 
 def _typed_partition_value(val, dtype):
@@ -375,7 +409,9 @@ def read_iceberg(
     fv = int(meta.get("format-version", 1))
     snap = _pick_snapshot(meta, snapshot_id, as_of_ms)
     schema = schema_to_spark(meta)
-    files, delete_files = _live_files(path, snap, fv, spark=spark)
+    files, delete_files, eq_delete_files = _live_files(
+        path, snap, fv, spark=spark
+    )
     id_parts = _identity_partition_names(meta)
     if partitions:
         # driver-side manifest pruning: whole files skipped before any
@@ -386,8 +422,8 @@ def read_iceberg(
         wanted = {c: {str(v) for v in vs} for c, vs in partitions.items()}
         ptypes = {f.name: f.dataType for f in schema.fields}
         files = [
-            (p, pv, e)
-            for p, pv, e in files
+            (p, pv, e, sq)
+            for p, pv, e, sq in files
             if all(
                 (
                     None
@@ -407,25 +443,32 @@ def read_iceberg(
             if isinstance(f["type"], str)
         }
         files = [
-            (p, pv, e)
-            for p, pv, e in files
+            (p, pv, e, sq)
+            for p, pv, e, sq in files
             if _file_survives(e, where, field_ids)
         ]
     if not files:
         return spark.createDataFrame([], schema)
     with_pos = bool(delete_files)
+    with_eq = bool(eq_delete_files)
+    track_fp = with_pos or with_eq
 
     def scan(data_schema, paths):
         df = spark.read.schema(data_schema).parquet(*sorted(paths))
-        if with_pos:
+        if track_fp:
             df = df.withColumn(
                 "__ice_fp",
                 F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
-            ).withColumn("__ice_ri", F.col("_metadata.row_index"))
+            )
+        if with_pos:
+            df = df.withColumn("__ice_ri", F.col("_metadata.row_index"))
         return df
 
+    extra = (["__ice_fp"] if track_fp else []) + (
+        ["__ice_ri"] if with_pos else []
+    )
     if not id_parts:
-        out = scan(schema, [p for p, _, _ in files])
+        out = scan(schema, [p for p, _, _, _ in files])
         cols = [f.name for f in schema.fields]
     else:
         data_schema = T.StructType(
@@ -433,7 +476,7 @@ def read_iceberg(
         )
         types = {f.name: f.dataType for f in schema.fields}
         groups: dict[tuple, list[str]] = {}
-        for p, pv, _e in files:
+        for p, pv, _e, _sq in files:
             # typed conversion BEFORE grouping: raw Avro physical values
             # (epoch-days ints, unscaled decimal bytes) become logical
             # Python values, so both the group key and the attached
@@ -444,7 +487,6 @@ def read_iceberg(
             )
             groups.setdefault(key, []).append(p)
         parts = []
-        extra = ["__ice_fp", "__ice_ri"] if with_pos else []
         for key, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
             df = scan(data_schema, paths)
             for c, val in zip(id_parts, key):
@@ -472,7 +514,75 @@ def read_iceberg(
         out = out.join(
             F.broadcast(dels), ["__ice_fp", "__ice_ri"], "left_anti"
         )
+    if with_eq:
+        out = _apply_equality_deletes(
+            spark, out, meta, schema, files, eq_delete_files
+        )
     return out.select(*cols)
+
+
+def _apply_equality_deletes(spark, out, meta, schema, files, eq_deletes):
+    """Apply v2 EQUALITY delete files: a delete row kills every data row
+    whose equality columns match it null-safely AND whose data file's
+    sequence number is STRICTLY LESS than the delete file's (spec
+    §"Scan Planning" — rows written in the same or a later commit than
+    the delete are kept, which is what makes the upsert pattern
+    'delete by key + re-insert in one commit' read correctly).
+
+    Plan shape: the per-file sequence number joins in via a broadcast
+    (file_path → seq) map — O(live files) driver state, a few MB at
+    10^5 files; each distinct equality-id set becomes ONE broadcast
+    left_anti join with the extra seq inequality in the condition.
+    Delete frames are bulk parquet scans (not per-file reads) with
+    their own (path → seq) broadcast map, so the whole merge-on-read
+    stays shuffle-free for typical delete volumes."""
+    from pyspark.sql import functions as F
+
+    by_id = {
+        f["id"]: f["name"]
+        for f in _current_schema(meta)["fields"]
+        if isinstance(f["type"], str)
+    }
+    types = {f.name: f.dataType for f in schema.fields}
+    seq_map = spark.createDataFrame(
+        [(p, sq) for p, _pv, _e, sq in files], "__ice_fp string, __ice_seq long"
+    )
+    out = out.join(F.broadcast(seq_map), "__ice_fp", "left")
+
+    by_ids: dict[tuple, list[tuple[str, int]]] = {}
+    for p, sq, eq_ids in eq_deletes:
+        by_ids.setdefault(eq_ids, []).append((p, sq))
+    for eq_ids, dfiles in sorted(by_ids.items()):
+        missing = [i for i in eq_ids if i not in by_id]
+        if missing:
+            raise IcebergUnsupportedError(
+                f"equality delete on field ids {missing} — not top-level "
+                "primitive columns of the current schema"
+            )
+        eq_cols = [by_id[i] for i in eq_ids]
+        del_schema = T.StructType(
+            [T.StructField(c, types[c]) for c in eq_cols]
+        )
+        dseq = spark.createDataFrame(
+            dfiles, "__eqd_fp string, __eqd_seq long"
+        )
+        dels = (
+            spark.read.schema(del_schema)
+            .parquet(*sorted({p for p, _ in dfiles}))
+            .withColumn(
+                "__eqd_fp",
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+            )
+            .join(F.broadcast(dseq), "__eqd_fp")
+            .select(
+                *[F.col(c).alias(f"__eqd_{c}") for c in eq_cols], "__eqd_seq"
+            )
+        )
+        cond = F.col("__eqd_seq") > F.col("__ice_seq")
+        for c in eq_cols:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__eqd_{c}"))
+        out = out.join(F.broadcast(dels), cond, "left_anti")
+    return out
 
 
 # ---------------------------------------------------------------- export

@@ -24,6 +24,7 @@ MANIFEST_FILE_SCHEMA = {
         {"name": "manifest_length", "type": "long"},
         {"name": "partition_spec_id", "type": "int"},
         {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": ["null", "long"]},
         {"name": "added_snapshot_id", "type": "long"},
     ],
 }
@@ -34,6 +35,7 @@ MANIFEST_ENTRY_SCHEMA = {
     "fields": [
         {"name": "status", "type": "int"},
         {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "sequence_number", "type": ["null", "long"]},
         {
             "name": "data_file",
             "type": {
@@ -45,6 +47,10 @@ MANIFEST_ENTRY_SCHEMA = {
                     {"name": "file_format", "type": "string"},
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
+                    {
+                        "name": "equality_ids",
+                        "type": ["null", {"type": "array", "items": "int"}],
+                    },
                 ],
             },
         },
@@ -75,16 +81,18 @@ def _data_file(spark, table, rel, rows):
     return dest
 
 
-def _entry(status, path, content=0, fmt="PARQUET"):
+def _entry(status, path, content=0, fmt="PARQUET", seq=None, eq_ids=None):
     return {
         "status": status,
         "snapshot_id": 1,
+        "sequence_number": seq,
         "data_file": {
             "content": content,
             "file_path": path,
             "file_format": fmt,
             "record_count": 1,
             "file_size_in_bytes": 1,
+            "equality_ids": eq_ids,
         },
     }
 
@@ -97,7 +105,7 @@ def _manifest(table, name, entries, codec="null"):
     return p
 
 
-def _manifest_list(table, name, manifest_paths, contents=None):
+def _manifest_list(table, name, manifest_paths, contents=None, seqs=None):
     p = os.path.join(table, "metadata", name)
     rows = [
         {
@@ -105,6 +113,7 @@ def _manifest_list(table, name, manifest_paths, contents=None):
             "manifest_length": os.path.getsize(mp),
             "partition_spec_id": 0,
             "content": (contents or [0] * len(manifest_paths))[i],
+            "sequence_number": (seqs or [None] * len(manifest_paths))[i],
             "added_snapshot_id": 1,
         }
         for i, mp in enumerate(manifest_paths)
@@ -183,8 +192,9 @@ def test_read_iceberg_snapshots_and_time_travel(spark, tmp_path):
 
 def test_iceberg_applies_position_deletes_refuses_equality(spark, tmp_path):
     """v2 position deletes are APPLIED (anti-join on the delete file's
-    (file_path, pos) rows via _metadata.row_index); equality deletes
-    still refuse — they need sequence-number ordering."""
+    (file_path, pos) rows via _metadata.row_index); an equality delete
+    whose manifest entry is missing equality_ids is malformed and
+    refuses loudly."""
     t = str(tmp_path / "ice2")
     fa = _data_file(spark, t, "fa.parquet", [(1, "x"), (2, "y"), (3, "z")])
     # position-delete file: kill rows 0 and 2 of fa
@@ -213,7 +223,7 @@ def test_iceberg_applies_position_deletes_refuses_equality(spark, tmp_path):
     got = {(r.id, r.val) for r in read_iceberg(spark, t).collect()}
     assert got == {(2, "y")}
 
-    # equality delete (content=2) refuses
+    # equality delete (content=2) WITHOUT equality_ids is malformed
     t2 = str(tmp_path / "ice3")
     fa2 = _data_file(spark, t2, "fa.parquet", [(1, "x")])
     fe = _data_file(spark, t2, "fe.parquet", [(1, "x")])
@@ -227,8 +237,114 @@ def test_iceberg_applies_position_deletes_refuses_equality(spark, tmp_path):
         current=1,
         log=[{"timestamp-ms": 1, "snapshot-id": 1}],
     )
-    with pytest.raises(IcebergUnsupportedError, match="equality-delete"):
+    with pytest.raises(IcebergUnsupportedError, match="equality_ids"):
         read_iceberg(spark, t2)
+
+
+def _eq_delete_file(spark, table, rel, rows, schema):
+    df = spark.createDataFrame(rows, schema)
+    tmp = os.path.join(table, "_tmpe")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(n for n in os.listdir(tmp) if n.endswith(".parquet"))
+    dest = os.path.join(table, "data", rel)
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    os.replace(os.path.join(tmp, part), dest)
+    import shutil
+
+    shutil.rmtree(tmp)
+    return dest
+
+
+def test_iceberg_applies_equality_deletes_with_sequence_ordering(
+    spark, tmp_path
+):
+    """v2 equality deletes apply with the spec's sequence rule: a delete
+    row at data sequence s kills matching rows only in data files with
+    sequence STRICTLY BELOW s — the upsert pattern (delete key + re-add
+    in the same or a later commit) must read back the re-added row.
+    Covers null-safe matching and inheritance of the manifest-list
+    sequence number by entries with a null sequence_number."""
+    t = str(tmp_path / "ice_eq")
+    # seq 1: original rows, including a NULL-val row (null-safe match)
+    fa = _data_file(spark, t, "fa.parquet", [(1, "x"), (2, "y"), (3, None)])
+    # seq 3: id=2 re-inserted AFTER the delete — must survive
+    fb = _data_file(spark, t, "fb.parquet", [(2, "y2")])
+    # seq 2 equality delete on (id): kills id=2 from fa only
+    fe1 = _eq_delete_file(spark, t, "eq1.parquet", [(2,)], "id long")
+    # seq 2 equality delete on (val): NULL val matches null-safely
+    fe2 = _eq_delete_file(
+        spark, t, "eq2.parquet", [(None,)], "val string"
+    )
+    m1 = _manifest(t, "m1.avro", [_entry(1, fa, seq=1)])
+    m2 = _manifest(t, "m2.avro", [_entry(1, fb, seq=3)])
+    # entries carry NULL seq -> inherit the manifest-list entry's (2)
+    md = _manifest(
+        t,
+        "md.avro",
+        [
+            _entry(1, fe1, content=2, eq_ids=[1]),
+            _entry(1, fe2, content=2, eq_ids=[2]),
+        ],
+    )
+    ml = _manifest_list(
+        t, "snap-1.avro", [m1, m2, md], contents=[0, 0, 1], seqs=[1, 3, 2]
+    )
+    _metadata(
+        t,
+        snapshots=[{"snapshot-id": 1, "timestamp-ms": 1,
+                    "manifest-list": ml, "summary": {"operation": "overwrite"}}],
+        current=1,
+        log=[{"timestamp-ms": 1, "snapshot-id": 1}],
+    )
+    got = {(r.id, r.val) for r in read_iceberg(spark, t).collect()}
+    # (2,"y") killed by eq1, (3,None) killed null-safely by eq2,
+    # (1,"x") untouched, (2,"y2") survives (seq 3 > delete seq 2)
+    assert got == {(1, "x"), (2, "y2")}
+
+
+def test_iceberg_equality_deletes_compose_with_position_deletes(
+    spark, tmp_path
+):
+    """Both delete flavors in one snapshot: the position delete kills by
+    (file, row) and the equality delete by key — independent anti-joins
+    whose composition must equal applying either first."""
+    t = str(tmp_path / "ice_both")
+    fa = _data_file(
+        spark, t, "fa.parquet", [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    )
+    # position delete: row 0 of fa  -> kills (1,"a")
+    dd = spark.createDataFrame([(fa, 0)], "file_path string, pos long")
+    tmp = os.path.join(t, "_tmpd")
+    dd.coalesce(1).write.parquet(tmp)
+    part = next(n for n in os.listdir(tmp) if n.endswith(".parquet"))
+    fpos = os.path.join(t, "data", "pos1.parquet")
+    os.replace(os.path.join(tmp, part), fpos)
+    import shutil
+
+    shutil.rmtree(tmp)
+    # equality delete on id=3 at seq 2
+    feq = _eq_delete_file(spark, t, "eq.parquet", [(3,)], "id long")
+    m1 = _manifest(t, "m1.avro", [_entry(1, fa, seq=1)])
+    md = _manifest(
+        t,
+        "md.avro",
+        [
+            _entry(1, fpos, content=1, seq=2),
+            _entry(1, feq, content=2, seq=2, eq_ids=[1]),
+        ],
+    )
+    ml = _manifest_list(
+        t, "snap-1.avro", [m1, md], contents=[0, 1], seqs=[1, 2]
+    )
+    _metadata(
+        t,
+        snapshots=[{"snapshot-id": 1, "timestamp-ms": 1,
+                    "manifest-list": ml, "summary": {"operation": "delete"}}],
+        current=1,
+        log=[{"timestamp-ms": 1, "snapshot-id": 1}],
+    )
+    got = {(r.id, r.val) for r in read_iceberg(spark, t).collect()}
+    assert got == {(2, "b"), (4, "d")}
 
 
 def test_iceberg_schema_conversion_complex_types():
@@ -475,10 +591,11 @@ def test_iceberg_distributed_manifest_parsing(spark, tmp_path):
     meta = im.load_table_metadata(t)
     snap = im._pick_snapshot(meta, None, None)
     assert len(mpaths) > im.DIST_MANIFEST_THRESHOLD
-    dist_files, dist_dels = im._live_files(t, snap, 2, spark=spark)
-    drv_files, drv_dels = im._live_files(t, snap, 2, spark=None)
+    dist_files, dist_dels, dist_eq = im._live_files(t, snap, 2, spark=spark)
+    drv_files, drv_dels, drv_eq = im._live_files(t, snap, 2, spark=None)
     assert dist_files == drv_files  # order-identical, slim tuples equal
     assert dist_dels == drv_dels
+    assert dist_eq == drv_eq
     assert len(dist_files) == 80
 
     # whole-table read agrees (80 duplicate-entry scans of 2 files)
