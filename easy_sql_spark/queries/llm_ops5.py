@@ -873,7 +873,11 @@ def f13_variant_json(spark, sf_dir):
         SELECT k, CASE WHEN pt = '0' THEN price * 2 ELSE price END AS price, pt
         FROM seed),
     v2 AS (  -- commit 2 deletes k%5=0 from pt=1 via a deletion vector
-        SELECT * FROM v1 WHERE NOT (pt = '1' AND k % 5 = 0))
+        SELECT * FROM v1 WHERE NOT (pt = '1' AND k % 5 = 0)),
+    cm AS (  -- separate COLUMN-MAPPED table over the k<=300 slice
+        SELECT o_orderkey AS k, o_totalprice AS price,
+               CAST(o_orderkey % 3 AS VARCHAR) AS pt
+        FROM orders WHERE o_orderkey <= 300)
     SELECT version, pt, n, sum_price FROM (
         SELECT 0 AS version, pt, CAST(COUNT(*) AS BIGINT) AS n,
                CAST(ROUND(SUM(price), 2) AS DOUBLE) AS sum_price
@@ -886,6 +890,10 @@ def f13_variant_json(spark, sf_dir):
         SELECT 2, pt, CAST(COUNT(*) AS BIGINT),
                CAST(ROUND(SUM(price), 2) AS DOUBLE)
         FROM v2 GROUP BY pt
+        UNION ALL
+        SELECT 3, pt, CAST(COUNT(*) AS BIGINT),
+               CAST(ROUND(SUM(price), 2) AS DOUBLE)
+        FROM cm GROUP BY pt
     ) ORDER BY version, pt
     """,
 )
@@ -1035,6 +1043,72 @@ def delta_interop_read(spark, sf_dir):
             )
             .select(F.lit(v).alias("version"), "pt", "n", "sum_price")
         )
+
+    # version-3 rows: a second, COLUMN-MAPPED table (mode=name,
+    # minReaderVersion 2) — parquet columns live under uuid-ish
+    # physical names and the log keys partitionValues by them; the
+    # read must resolve back to logical (k, price, pt)
+    t2 = tempfile.mkdtemp(prefix="delta_qcm_") + "/tbl"
+    os.makedirs(t2 + "/_delta_log")
+    cm_seed = seed.where(F.col("k") <= 300)
+
+    def cm_field(name, typ, phys, cid):
+        return {"name": name, "type": typ, "nullable": True,
+                "metadata": {"delta.columnMapping.id": cid,
+                             "delta.columnMapping.physicalName": phys}}
+
+    cm_schema_str = _json.dumps({
+        "type": "struct",
+        "fields": [
+            cm_field("k", "long", "col-k9", 1),
+            cm_field("price", seed.schema["price"].dataType.jsonValue(),
+                     "col-p7", 2),
+            cm_field("pt", "string", "col-t3", 3),
+        ],
+    })
+    cm_adds = []
+    for p in ("0", "1", "2"):
+        df = cm_seed.where(F.col("pt") == p).select(
+            F.col("k").alias("col-k9"), F.col("price").alias("col-p7")
+        )
+        df.coalesce(1).write.parquet(t2 + "/_stage")
+        part = next(
+            n for n in os.listdir(t2 + "/_stage") if n.endswith(".parquet")
+        )
+        os.replace(t2 + "/_stage/" + part, t2 + f"/f-{p}.parquet")
+        import shutil
+
+        shutil.rmtree(t2 + "/_stage")
+        cm_adds.append(
+            {"add": {"path": f"f-{p}.parquet",
+                     "partitionValues": {"col-t3": p},
+                     "size": 1, "modificationTime": 0, "dataChange": True}}
+        )
+    with open(t2 + "/_delta_log/00000000000000000000.json", "w") as f:
+        for a in (
+            [
+                {"commitInfo": {"operation": "WRITE", "timestamp": 1000}},
+                {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+                {"metaData": {
+                    "id": "t2", "schemaString": cm_schema_str,
+                    "partitionColumns": ["pt"],
+                    "format": {"provider": "parquet"},
+                    "configuration": {
+                        "delta.columnMapping.mode": "name",
+                        "delta.columnMapping.maxColumnId": "3"}}},
+            ]
+            + cm_adds
+        ):
+            f.write(_json.dumps(a) + "\n")
+    outs.append(
+        read_delta(spark, t2)
+        .groupBy("pt")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("price"), 2).cast("double").alias("sum_price"),
+        )
+        .select(F.lit(3).alias("version"), "pt", "n", "sum_price")
+    )
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)

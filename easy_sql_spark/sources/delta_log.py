@@ -18,13 +18,15 @@ scan); DELETION VECTORS (``readerFeatures: [deletionVectors]``,
 ``_metadata.row_index`` and the deleted (file, position) set —
 expanded from the spec's Z85/roaring encoding in executor tasks by
 ``delta_dv.py`` — is anti-joined away, Delta's own merge-on-read;
-protocol gating for everything else (tables requiring column mapping /
-row tracking raise with the feature names instead of returning
-silently wrong rows).
+COLUMN MAPPING (``name``/``id`` modes, ``minReaderVersion`` 2 or the
+``columnMapping`` reader feature): parquet columns resolve by each
+field's ``delta.columnMapping.physicalName`` (nested structs
+included), log-side partitionValues/stats keys translate through the
+same map; protocol gating for everything else (unknown reader
+features raise by name instead of returning silently wrong rows).
 
-Not supported (documented, loud): column mapping, row tracking, type
-widening — i.e. unsupported ``readerFeatures`` entries, or
-``minReaderVersion`` 2 (column mapping's legacy gate).
+Not supported (documented, loud): row tracking, type widening — i.e.
+``readerFeatures`` entries outside the supported set.
 """
 
 from __future__ import annotations
@@ -73,7 +75,6 @@ def _checkpoint_at_or_below(path: str, version: int) -> int | None:
 def _check_protocol(protocol: dict | None) -> None:
     if not protocol:
         return
-    mrv = int(protocol.get("minReaderVersion", 1))
     feats = protocol.get("readerFeatures") or []
     unsupported = [
         f
@@ -84,14 +85,73 @@ def _check_protocol(protocol: dict | None) -> None:
             "vacuumProtocolCheck",
             "v2Checkpoint",
             "deletionVectors",
+            "columnMapping",
         )
     ]
-    if mrv == 2 or unsupported:
+    # minReaderVersion 2 is column mapping's legacy gate (pre-feature
+    # protocol); supported now, so only explicit unknown features refuse
+    if unsupported:
         raise DeltaProtocolError(
-            f"delta table requires reader features {unsupported or ['columnMapping']}"
-            " (column mapping / row tracking are not supported by this"
-            " log reader); read it with delta-spark instead"
+            f"delta table requires reader features {unsupported}"
+            " (not supported by this log reader); read it with"
+            " delta-spark instead"
         )
+
+
+def _column_mapping(meta: dict, schema: StructType) -> dict | None:
+    """Physical-name resolution state for a column-mapped table, or
+    ``None`` when ``delta.columnMapping.mode`` is none/absent.
+
+    Under column mapping the parquet files store columns by the
+    per-field ``delta.columnMapping.physicalName`` (uuid-ish) recorded
+    in the schema metadata, and the LOG keys ``partitionValues`` and
+    per-file ``stats`` by physical name too — so the reader scans with
+    a physicalized schema and renames back.  Both modes resolve here
+    via physicalName: for ``name`` mode that IS the spec's rule; for
+    ``id`` mode the spec resolves by parquet field id, but Delta
+    writers store the columns under the same physicalName they record
+    in the metadata, so name resolution is equivalent for
+    writer-produced files (cf. PROTOCOL.md §Column Mapping)."""
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode in (None, "", "none"):
+        return None
+    from pyspark.sql.types import ArrayType, MapType, StructField
+
+    def phys(f: StructField) -> str:
+        return (f.metadata or {}).get(
+            "delta.columnMapping.physicalName", f.name
+        )
+
+    def to_physical(dt):
+        if isinstance(dt, StructType):
+            return StructType(
+                [
+                    StructField(phys(f), to_physical(f.dataType), f.nullable)
+                    for f in dt.fields
+                ]
+            )
+        if isinstance(dt, ArrayType):
+            return ArrayType(to_physical(dt.elementType), dt.containsNull)
+        if isinstance(dt, MapType):
+            return MapType(
+                to_physical(dt.keyType),
+                to_physical(dt.valueType),
+                dt.valueContainsNull,
+            )
+        return dt
+
+    return {
+        "mode": mode,
+        "phys_of": {f.name: phys(f) for f in schema.fields},
+        "physical_schema": StructType(
+            [
+                StructField(phys(f), to_physical(f.dataType), f.nullable)
+                for f in schema.fields
+            ]
+        ),
+    }
 
 
 def _replay(spark: SparkSession, path: str, version: int) -> tuple[dict, dict]:
@@ -257,9 +317,26 @@ def read_delta(
     meta, adds = _replay(spark, path, version)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
-    data_schema = StructType(
-        [f for f in schema.fields if f.name not in part_cols]
+    cmap = _column_mapping(meta, schema)
+    phys_of = (
+        cmap["phys_of"] if cmap else {f.name: f.name for f in schema.fields}
     )
+    # under column mapping, partitionColumns in metaData are LOGICAL
+    # names while the add actions' partitionValues / stats keys are
+    # PHYSICAL — every log-side lookup goes through phys_of
+    if cmap:
+        phys_part = {phys_of[c] for c in part_cols}
+        data_schema = StructType(
+            [
+                f
+                for f in cmap["physical_schema"].fields
+                if f.name not in phys_part
+            ]
+        )
+    else:
+        data_schema = StructType(
+            [f for f in schema.fields if f.name not in part_cols]
+        )
     part_types = {f.name: f.dataType for f in schema.fields if f.name in part_cols}
 
     if partitions:
@@ -271,12 +348,13 @@ def read_delta(
             p: a
             for p, a in adds.items()
             if all(
-                (a.get("partitionValues") or {}).get(c) in vals
+                (a.get("partitionValues") or {}).get(phys_of[c]) in vals
                 for c, vals in wanted.items()
             )
         }
     if where:
-        adds = {p: a for p, a in adds.items() if _add_survives(a, where)}
+        phys_where = [(phys_of.get(c, c), op, v) for c, op, v in where]
+        adds = {p: a for p, a in adds.items() if _add_survives(a, phys_where)}
 
     if not adds:
         return spark.createDataFrame([], schema)
@@ -286,7 +364,7 @@ def read_delta(
     dv_descs: list[tuple[str, dict]] = []
     for a in adds.values():
         pv = a.get("partitionValues") or {}
-        key = tuple(pv.get(c) for c in part_cols)
+        key = tuple(pv.get(phys_of[c]) for c in part_cols)
         abs_path = os.path.join(path, a["path"])
         dv = a.get("deletionVector")
         if dv and dv.get("cardinality"):
@@ -302,6 +380,16 @@ def read_delta(
                 "__dl_fp",
                 F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
             ).withColumn("__dl_ri", F.col("_metadata.row_index"))
+        if cmap:
+            # physical -> logical: top-level by alias, nested struct
+            # fields by cast (struct casts match by POSITION, so the
+            # logical type's field names replace the physical ones)
+            for f in schema.fields:
+                if f.name in part_cols:
+                    continue
+                df = df.withColumn(
+                    f.name, F.col(phys_of[f.name]).cast(f.dataType)
+                )
         for c, val in zip(part_cols, key):
             df = df.withColumn(
                 c,

@@ -203,29 +203,144 @@ def test_protocol_gate_refuses_unsupported_features(spark, tmp_path):
         0,
         [
             {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                          "readerFeatures": ["columnMapping"]}},
+                          "readerFeatures": ["typeWidening"]}},
             _meta_action(),
             {"add": {"path": "f1.parquet", "partitionValues": {"p": "a"},
                      "size": 1, "modificationTime": 0, "dataChange": True}},
         ],
     )
-    with pytest.raises(DeltaProtocolError, match="columnMapping"):
+    with pytest.raises(DeltaProtocolError, match="typeWidening"):
         read_delta(spark, t)
-    # legacy column-mapping gate: minReaderVersion 2 without features
-    t2 = str(tmp_path / "dt2b")
-    _write_data(spark, t2, "f1.parquet", [(1, "x")])
+
+
+def _cm_schema_str():
+    """Logical schema (id, val, s struct<x>, p) with column-mapping
+    physical names, as a Delta writer records them."""
+
+    def f(name, typ, phys, cid):
+        return {
+            "name": name, "type": typ, "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": cid,
+                "delta.columnMapping.physicalName": phys,
+            },
+        }
+
+    return json.dumps({
+        "type": "struct",
+        "fields": [
+            f("id", "long", "col-aaa", 1),
+            f("val", "string", "col-bbb", 2),
+            f("s", {
+                "type": "struct",
+                "fields": [f("x", "long", "col-eee", 4)],
+            }, "col-ddd", 3),
+            f("p", "string", "col-ccc", 5),
+        ],
+    })
+
+
+def _write_cm_data(spark, table, rel, rows):
+    """Rows of (id, val, x) written under PHYSICAL column names,
+    including the nested struct field."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    phys = StructType([
+        StructField("col-aaa", LongType()),
+        StructField("col-bbb", StringType()),
+        StructField("col-ddd", StructType([StructField("col-eee", LongType())])),
+    ])
+    df = spark.createDataFrame(
+        [(i, v, (x,)) for i, v, x in rows], phys
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(table, "_tmp"))
+    part = next(
+        n
+        for n in os.listdir(os.path.join(table, "_tmp"))
+        if n.endswith(".parquet")
+    )
+    os.makedirs(os.path.dirname(os.path.join(table, rel)) or table, exist_ok=True)
+    os.replace(os.path.join(table, "_tmp", part), os.path.join(table, rel))
+    import shutil
+
+    shutil.rmtree(os.path.join(table, "_tmp"))
+
+
+def test_read_delta_column_mapping(spark, tmp_path):
+    """Column-mapped table (mode=name, minReaderVersion 2): parquet
+    columns stored under physicalName (nested struct field renamed
+    too), partitionValues and stats keyed by physical names in the
+    log.  The read must surface LOGICAL names with partition pruning
+    and stats file-skipping working through the name map."""
+    t = str(tmp_path / "dtcm")
+    _write_cm_data(spark, t, "f-a.parquet", [(1, "x", 10), (2, "y", 20)])
+    _write_cm_data(spark, t, "f-b.parquet", [(3, "z", 30)])
+    meta = {
+        "metaData": {
+            "id": "tbl-cm",
+            "schemaString": _cm_schema_str(),
+            "partitionColumns": ["p"],
+            "format": {"provider": "parquet"},
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "5"},
+        }
+    }
+    _commit(
+        t,
+        0,
+        [
+            {"commitInfo": {"operation": "WRITE", "timestamp": 1000}},
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            meta,
+            {"add": {"path": "f-a.parquet",
+                     "partitionValues": {"col-ccc": "a"},
+                     "stats": json.dumps({
+                         "numRecords": 2,
+                         "minValues": {"col-aaa": 1},
+                         "maxValues": {"col-aaa": 2}}),
+                     "size": 1, "modificationTime": 0, "dataChange": True}},
+            {"add": {"path": "f-b.parquet",
+                     "partitionValues": {"col-ccc": "b"},
+                     "stats": json.dumps({
+                         "numRecords": 1,
+                         "minValues": {"col-aaa": 3},
+                         "maxValues": {"col-aaa": 3}}),
+                     "size": 1, "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    out = read_delta(spark, t)
+    assert [f.name for f in out.schema.fields] == ["id", "val", "s", "p"]
+    got = {(r.id, r.val, r.s.x, r.p) for r in out.collect()}
+    assert got == {(1, "x", 10, "a"), (2, "y", 20, "a"), (3, "z", 30, "b")}
+
+    # partition pruning through the physical-name map
+    got_a = {r.id for r in read_delta(spark, t, partitions={"p": ["a"]}).collect()}
+    assert got_a == {1, 2}
+
+    # stats skipping: f-a's (min=1, max=2) provably excludes id >= 3,
+    # so only f-b survives the file list
+    df_w = read_delta(spark, t, where=[("id", ">=", 3)])
+    assert {r.id for r in df_w.collect()} == {3}
+    assert all("f-b" in f for f in df_w.inputFiles())
+
+    # the columnMapping READER FEATURE form (mrv 3) reads identically
+    t2 = str(tmp_path / "dtcm2")
+    _write_cm_data(spark, t2, "f-a.parquet", [(1, "x", 10)])
     _commit(
         t2,
         0,
         [
-            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
-            _meta_action(),
-            {"add": {"path": "f1.parquet", "partitionValues": {"p": "a"},
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["columnMapping"]}},
+            meta,
+            {"add": {"path": "f-a.parquet",
+                     "partitionValues": {"col-ccc": "a"},
                      "size": 1, "modificationTime": 0, "dataChange": True}},
         ],
     )
-    with pytest.raises(DeltaProtocolError):
-        read_delta(spark, t2)
+    assert {(r.id, r.p) for r in read_delta(spark, t2).collect()} == {(1, "a")}
 
 
 def test_read_delta_with_deletion_vectors(spark, tmp_path):
