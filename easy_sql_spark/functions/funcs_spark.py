@@ -576,6 +576,25 @@ def build(processor):
         processor.log(f"snapshot_export_iceberg({root}): {rep}")
         return rep["snapshot_id"]
 
+    def snapshot_export_hudi(
+        root: str, dest: str = "", materialize: str = "false"
+    ):
+        """Expose the snapshot table's current version as a Hudi
+        COPY_ON_WRITE table: `func.snapshot_export_hudi(/w/t)` (default
+        dest `<root>/_hudi_export`).  Unpartitioned tables export zero
+        copy (hardlinked base files, incremental instants);
+        partitioned tables need materialize=true (one rewrite job) —
+        see sources/hudi_meta.py export_snapshot_to_hudi."""
+        from ..sources.hudi_meta import export_snapshot_to_hudi
+
+        rep = export_snapshot_to_hudi(
+            _snapshot(root),
+            dest=dest or None,
+            materialize=str(materialize).lower() == "true",
+        )
+        processor.log(f"snapshot_export_hudi({root}): {rep}")
+        return rep["instant"]
+
     def snapshot_files(root: str, view_name: str, version: str = ""):
         """DESCRIBE DETAIL analogue: one row per live data dir of the
         (time-travel) version — dir path, row count, min/max stats JSON,

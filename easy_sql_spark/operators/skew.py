@@ -232,7 +232,7 @@ def first_occurrence_flag(
     # bounded-driver collect: at most |rows counted| / cut keys can clear
     # the threshold (e.g. ≤ corpus/50k), and ONE job replaces the former
     # eager-checkpoint + take(1) pair — detection overhead halves
-    hot_rows = counts.where(F.col("__n_focc") >= cut).select(key_col).collect()
+    hot_rows = counts.where(F.col("__n_focc") >= cut).select(key_col).collect()  # bounded-driver: <= rows/cut keys clear the threshold
     if not hot_rows:  # no heavy hitters: single-scan window plan
         return df.withColumn(flag_col, F.row_number().over(w) == 1)
     hot_keys = df.sparkSession.createDataFrame(hot_rows, hot_schema)

@@ -1089,7 +1089,7 @@ def text_paragraph_dedup(spark, sf_dir):
     # one narrow shuffle of the raw docs restores parallelism.  At corpus
     # scale the scan already has ≥ cores splits and this is a no-op.
     par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < par:
+    if d.rdd.getNumPartitions() < par:  # bounded-driver: partition-count metadata, no rows move
         d = d.repartition(par)
     words = F.split(F.col("text"), " ")
     n_chunks = F.ceil(F.size(words) / F.lit(4.0)).cast("int")

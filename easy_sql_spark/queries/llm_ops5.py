@@ -1006,7 +1006,7 @@ def delta_interop_read(spark, sf_dir):
         for r in spark.read.parquet(t + "/f-1-v0.parquet")
         .select(F.col("_metadata.row_index").alias("ri"), "k")
         .where(F.col("k") % 5 == 0)
-        .collect()
+        .collect()  # bounded-driver: one staged fixture file, <=80 rows (k<=1200 slice)
     ]
     u = _uuid.uuid4()
     blob, spans = write_dv_file([positions])
@@ -1612,11 +1612,11 @@ def hudi_mor_interop_read(spark, sf_dir):
     # (the k<=600 filter caps the slice regardless of table size)
     updates = [
         _rec("002", r.k, r.cents + 7)
-        for r in seed.where(F.col("k") % 5 == 0).collect()
+        for r in seed.where(F.col("k") % 5 == 0).collect()  # bounded-driver: <=120 rows (k<=600 cap)
     ]
     inserts = [_rec("002", 900001 + i, 4200 + i) for i in range(3)]
     deletes = [
-        (str(r.k), "") for r in seed.where(F.col("k") % 7 == 0).collect()
+        (str(r.k), "") for r in seed.where(F.col("k") % 7 == 0).collect()  # bounded-driver: <=86 rows (k<=600 cap)
     ]
     payload = write_data_block(
         avro_schema, updates + inserts, "002"
@@ -1640,6 +1640,85 @@ def hudi_mor_interop_read(spark, sf_dir):
         )
         .select(F.lit(snap).alias("snap"), "n", "sum_cents")
         for snap, as_of in ((1, "001"), (2, None))
+    ]
+    return (
+        outs[0].unionByName(outs[1]).orderBy("snap")
+        .localCheckpoint(eager=True)
+    )
+
+
+@query(
+    "hudi_export_roundtrip",
+    oracle="""
+    WITH seed AS (
+        SELECT o_orderkey AS k,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey <= 800),
+    v2 AS (
+        SELECT k, cents FROM seed
+        UNION ALL
+        SELECT 900001 + i, 5000 + i FROM range(4) t(i))
+    SELECT snap, CAST(n AS BIGINT) AS n, CAST(sum_cents AS BIGINT) AS sum_cents
+    FROM (
+        SELECT 1 AS snap, COUNT(*) AS n, SUM(cents) AS sum_cents FROM seed
+        UNION ALL
+        SELECT 2, COUNT(*), SUM(cents) FROM v2
+    ) ORDER BY snap
+    """,
+)
+def hudi_export_roundtrip(spark, sf_dir):
+    """Snapshot -> Hudi COW export roundtrip (sources/hudi_meta.py
+    ``export_snapshot_to_hudi``), closing the WRITE side of the
+    lakehouse interop triangle (Delta and Iceberg exports already
+    oracle-verified via their interop reads): an orders slice becomes
+    a snapshot table, exports zero-copy (hardlinked base files +
+    .hoodie timeline), a second snapshot commit re-exports
+    INCREMENTALLY (only the new file links, at a fresh instant), and
+    ``read_hudi`` reads BOTH exported instants back — time travel
+    through the exported timeline.  The oracle replays the same two
+    states in SQL, so what's checked is the export's timeline/layout
+    correctness as seen by an independent timeline-replaying reader.
+
+    Scale: export cost is O(changed files) driver-side metadata +
+    hardlinks (no data bytes move); the read is ordinary parquet
+    scans.  Same split as the Delta/Iceberg exports."""
+    import tempfile
+
+    from ..runtime.snapshots import SnapshotTable
+    from ..sources.hudi_meta import export_snapshot_to_hudi, read_hudi
+
+    seed = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 800)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    root = tempfile.mkdtemp(prefix="hudi_exp_") + "/tbl"
+    t = SnapshotTable(spark, root)
+    t.create(seed)
+    rep1 = export_snapshot_to_hudi(t)
+    extra = spark.createDataFrame(
+        [(900001 + i, 5000 + i) for i in range(4)], "k long, cents long"
+    )
+    t.append(extra)
+    rep2 = export_snapshot_to_hudi(t)
+    dest = rep1["dest"]
+    outs = [
+        read_hudi(spark, dest, as_of=rep1["instant"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .select(F.lit(1).alias("snap"), "n", "sum_cents"),
+        read_hudi(spark, dest, as_of=rep2["instant"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .select(F.lit(2).alias("snap"), "n", "sum_cents"),
     ]
     return (
         outs[0].unionByName(outs[1]).orderBy("snap")

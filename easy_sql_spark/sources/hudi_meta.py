@@ -424,3 +424,200 @@ def _merge_slices(base: DataFrame | None, delta: DataFrame) -> DataFrame:
         .select(*out_cols)
     )
     return latest if untouched is None else untouched.unionByName(latest)
+
+
+# ---------------------------------------------------------------- export
+def export_snapshot_to_hudi(
+    table, dest: str | None = None, materialize: bool = False
+) -> dict:
+    """Expose a snapshot table's CURRENT version as a Hudi
+    COPY_ON_WRITE table at ``dest`` (default ``<root>/_hudi_export``) —
+    completing the export triangle next to ``export_snapshot_to_delta``
+    / ``export_snapshot_to_iceberg`` (the reference's Flink samples
+    write Hudi: ``test/sample_etl.flink.hudi-agg.sql``).
+
+    Hudi has no manifest indirection — the LAYOUT is the metadata
+    (``.hoodie`` timeline + ``{fileId}_{token}_{instant}.parquet``
+    base-file names), so:
+
+    - UNPARTITIONED snapshots export zero-copy: every live parquet
+      HARDLINKS (copy fallback cross-device) to a base-file name whose
+      fileId is derived from the source path, and re-export after new
+      snapshot commits is INCREMENTAL — unchanged files keep their
+      fileId/instant, new files link at a fresh instant, dead fileIds
+      are killed via a ``replacecommit`` — so ``read_hudi(as_of=…)``
+      time-travels across exports.
+    - PARTITIONED snapshots store hive-layout files that LACK the
+      partition column; Hudi base files must carry every column
+      physically (no metadata-constant mechanism exists), so the
+      export requires ``materialize=True``: one distributed job
+      rewrites the current state with partition columns embedded
+      (partition dirs via duplicated write-columns, renamed back),
+      and each such export fully replaces the previous one.
+
+    Compatibility scope (stated, not implied): the export carries no
+    ``_hoodie_*`` meta columns and no metadata table — readable by
+    timeline-replaying readers (this repo's ``read_hudi``, Trino's
+    hudi connector tolerates absent meta fields); Hudi's own Spark
+    datasource wants the meta columns and should use the Delta/Iceberg
+    exports instead.
+
+    Returns {"instant", "adds", "removes", "snapshot_version", "dest"}.
+    """
+    import hashlib
+    import shutil
+    import time as _time
+
+    root = table.root
+    dest = dest or os.path.join(root, "_hudi_export")
+    snap_v = table.latest_version()
+    if not snap_v:
+        raise ValueError(f"no committed versions at {root}")
+    m = table.manifest(snap_v)
+    if m.get("dvs"):
+        raise ValueError(
+            "snapshot has live deletion vectors; exporting would "
+            "resurrect deleted rows — run compact() first (it applies "
+            "and clears DVs)"
+        )
+    part_cols = m["partition_cols"]
+    if part_cols and not materialize:
+        raise ValueError(
+            "partitioned snapshot: hudi base files must physically "
+            "carry the partition columns (hive-layout snapshot files "
+            "do not) — pass materialize=True to rewrite, or use the "
+            "zero-copy Delta/Iceberg exports"
+        )
+
+    td = _timeline_dir(dest)
+    os.makedirs(td, exist_ok=True)
+    props = os.path.join(td, "hoodie.properties")
+    if not os.path.exists(props):
+        with open(props, "w", encoding="utf-8") as f:
+            f.write(
+                "hoodie.table.name="
+                + os.path.basename(root.rstrip("/"))
+                + "\nhoodie.table.type=COPY_ON_WRITE\n"
+                "hoodie.table.version=6\n"
+                "hoodie.timeline.layout.version=1\n"
+                "hoodie.datasource.write.hive_style_partitioning=true\n"
+                + (
+                    "hoodie.table.partition.fields="
+                    + ",".join(part_cols) + "\n"
+                    if part_cols
+                    else ""
+                )
+            )
+
+    # monotonic digit instant (hudi convention: yyyyMMddHHmmssSSS)
+    prior = _completed_instants(dest) if os.listdir(td) else {}
+    prior = {t: a for t, a in prior.items()}
+    now_instant = _time.strftime("%Y%m%d%H%M%S") + "000"
+    instant = max(
+        now_instant, str(int(max(prior)) + 1) if prior else now_instant
+    )
+
+    # previously exported live groups: {fileId: partition_rel}
+    exported: dict[str, str] = {}
+    if prior:
+        dead = _replaced_groups(dest, prior, max(prior))
+        for part, fid, inst, _p in _base_files(dest, mor=False):
+            if inst in prior and (part, fid) not in dead:
+                exported[fid] = part
+
+    def fid_of(rel: str) -> str:
+        return hashlib.md5(rel.encode()).hexdigest()
+
+    token = "0-0-0"
+    adds: dict[str, list[str]] = {}
+    current_fids: dict[str, str] = {}
+
+    if not part_cols:
+        ext = m.get("external") or {}
+        for d in m["live"]:
+            base = ext.get(d)
+            abs_dir = f"{base}/{d}" if base else f"{table.data_dir}/{d}"
+            for name, _size in table.fs.list_files(abs_dir):
+                if not name.endswith(".parquet"):
+                    continue
+                rel = f"{d}/{name}"
+                fid = fid_of(rel)
+                current_fids[fid] = ""
+                if fid in exported:
+                    continue  # unchanged file keeps its slice
+                link = os.path.join(dest, f"{fid}_{token}_{instant}.parquet")
+                try:
+                    os.link(f"{abs_dir}/{name}", link)
+                except OSError:
+                    shutil.copy2(f"{abs_dir}/{name}", link)
+                adds.setdefault("", []).append(fid)
+        removes = {
+            part: [f for f in (fid for fid, p in exported.items() if p == part)
+                   if f not in current_fids]
+            for part in {p for p in exported.values()}
+        }
+        removes = {p: fs for p, fs in removes.items() if fs}
+    else:
+        # materialized full replace: one job writes the current state
+        # with partition columns embedded (duplicated write-columns so
+        # the data files keep the logical columns), then files rename
+        # to hudi base-file convention
+        from pyspark.sql import functions as F
+
+        df = table.read()
+        dup = [f"__hudi_pt_{c}" for c in part_cols]
+        staging = os.path.join(dest, "_stage")
+        shutil.rmtree(staging, ignore_errors=True)
+        w = df
+        for c, dc in zip(part_cols, dup):
+            w = w.withColumn(dc, F.col(c))
+        w.write.partitionBy(*dup).mode("overwrite").parquet(staging)
+        for cur, dirs, files in os.walk(staging, topdown=False):
+            for n in files:
+                if not n.endswith(".parquet") or n.startswith("."):
+                    continue
+                rel_dir = os.path.relpath(cur, staging)
+                segs = [] if rel_dir == "." else rel_dir.split(os.sep)
+                logical = [
+                    s.split("=", 1)[0][len("__hudi_pt_"):] + "=" + s.split("=", 1)[1]
+                    for s in segs
+                ]
+                part_rel = "/".join(logical)
+                out_dir = os.path.join(dest, *logical) if logical else dest
+                os.makedirs(out_dir, exist_ok=True)
+                fid = fid_of(f"{part_rel}/{n}")
+                current_fids[fid] = part_rel
+                os.replace(
+                    os.path.join(cur, n),
+                    os.path.join(out_dir, f"{fid}_{token}_{instant}.parquet"),
+                )
+                adds.setdefault(part_rel, []).append(fid)
+        shutil.rmtree(staging, ignore_errors=True)
+        removes = {}
+        for fid, part in exported.items():
+            if fid not in current_fids:
+                removes.setdefault(part, []).append(fid)
+
+    commit_meta = {
+        "partitionToWriteStats": {
+            p: [{"fileId": f} for f in sorted(fs)] for p, fs in adds.items()
+        },
+        "operation": "snapshot_export",
+        "extraMetadata": {"snapshotVersion": str(snap_v)},
+    }
+    if removes:
+        commit_meta["partitionToReplaceFileIds"] = {
+            p: sorted(fs) for p, fs in removes.items()
+        }
+        fname = f"{instant}.replacecommit"
+    else:
+        fname = f"{instant}.commit"
+    with open(os.path.join(td, fname), "w", encoding="utf-8") as f:
+        json.dump(commit_meta, f)
+    return {
+        "instant": instant,
+        "adds": sum(len(v) for v in adds.values()),
+        "removes": sum(len(v) for v in removes.values()),
+        "snapshot_version": snap_v,
+        "dest": dest,
+    }

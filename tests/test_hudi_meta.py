@@ -306,3 +306,121 @@ select (select count(*) from htv) as actual, 3 as expected
     assert [r.action for r in spark.table("htv").collect()] == [
         "replacecommit", "commit", "commit",
     ]
+
+
+# ---------------------------------------------------------------- export
+def test_export_snapshot_to_hudi_roundtrip_incremental(spark, tmp_path):
+    """Unpartitioned snapshot -> Hudi COW export: zero-copy hardlinks,
+    incremental re-export (unchanged files keep their slice, dead
+    fileIds die via replacecommit), and time travel across exported
+    instants through read_hudi."""
+    from easy_sql_spark.runtime.snapshots import SnapshotTable
+    from easy_sql_spark.sources.hudi_meta import export_snapshot_to_hudi
+
+    root = str(tmp_path / "snap")
+    t = SnapshotTable(spark, root)
+    t.create(spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"))
+    rep1 = export_snapshot_to_hudi(t)
+    dest = rep1["dest"]
+    assert rep1["adds"] >= 1 and rep1["removes"] == 0
+
+    got1 = {(r.id, r.v) for r in read_hudi(spark, dest).collect()}
+    assert got1 == {(1, "a"), (2, "b")}
+    # zero copy: every exported base file is a hardlink (nlink > 1)
+    base_files = [
+        os.path.join(dest, n)
+        for n in os.listdir(dest)
+        if n.endswith(".parquet")
+    ]
+    assert base_files and all(os.stat(p).st_nlink > 1 for p in base_files)
+
+    # v2: append -> incremental export adds only the new file
+    t.append(spark.createDataFrame([(3, "c")], "id int, v string"))
+    rep2 = export_snapshot_to_hudi(t)
+    assert rep2["instant"] > rep1["instant"]
+    assert rep2["removes"] == 0
+    got2 = {(r.id, r.v) for r in read_hudi(spark, dest).collect()}
+    assert got2 == {(1, "a"), (2, "b"), (3, "c")}
+    # time travel to the first exported instant
+    back = {(r.id, r.v)
+            for r in read_hudi(spark, dest, as_of=rep1["instant"]).collect()}
+    assert back == got1
+
+    # v3: full overwrite -> dead fileIds leave via replacecommit
+    t.overwrite(spark.createDataFrame([(9, "z")], "id int, v string"))
+    rep3 = export_snapshot_to_hudi(t)
+    assert rep3["removes"] >= 1
+    assert {(r.id, r.v) for r in read_hudi(spark, dest).collect()} == {(9, "z")}
+    assert {(r.id, r.v)
+            for r in read_hudi(spark, dest, as_of=rep2["instant"]).collect()
+            } == got2
+    assert hudi_history(dest)[0]["action"] == "replacecommit"
+
+
+def test_export_snapshot_to_hudi_partitioned_materialize(spark, tmp_path):
+    """Partitioned snapshots refuse zero-copy (hive-layout files lack
+    the partition column) and materialize on request: the exported base
+    files physically carry the partition columns and read back exactly;
+    re-export after a snapshot commit fully replaces."""
+    from easy_sql_spark.runtime.snapshots import SnapshotTable
+    from easy_sql_spark.sources.hudi_meta import export_snapshot_to_hudi
+
+    root = str(tmp_path / "snap_p")
+    t = SnapshotTable(spark, root)
+    t.create(
+        spark.createDataFrame(
+            [(1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2")],
+            "id int, v string, pt string",
+        ),
+        partition_by=["pt"],
+    )
+    with pytest.raises(ValueError, match="materialize"):
+        export_snapshot_to_hudi(t)
+    rep = export_snapshot_to_hudi(t, materialize=True)
+    dest = rep["dest"]
+    got = {(r.id, r.v, r.pt) for r in read_hudi(spark, dest).collect()}
+    assert got == {(1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2")}
+    # hive-style partition dirs with hudi-named files inside
+    assert os.path.isdir(os.path.join(dest, "pt=p1"))
+
+    t.overwrite_partitions(
+        spark.createDataFrame([(5, "e", "p2")], "id int, v string, pt string")
+    )
+    rep2 = export_snapshot_to_hudi(t, materialize=True)
+    assert rep2["removes"] >= 1
+    got2 = {(r.id, r.v, r.pt) for r in read_hudi(spark, dest).collect()}
+    assert got2 == {(1, "a", "p1"), (2, "b", "p1"), (5, "e", "p2")}
+    # prior instant still reconstructs the old state
+    assert {(r.id, r.v, r.pt)
+            for r in read_hudi(spark, dest, as_of=rep["instant"]).collect()
+            } == got
+
+
+def test_export_snapshot_to_hudi_refuses_live_dvs(spark, tmp_path):
+    from easy_sql_spark.runtime.snapshots import SnapshotTable
+    from easy_sql_spark.sources.hudi_meta import export_snapshot_to_hudi
+
+    root = str(tmp_path / "snap_dv")
+    t = SnapshotTable(spark, root)
+    t.create(spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"))
+    t.delete_where_dv([("id", "=", 1)])
+    with pytest.raises(ValueError, match="deletion vectors"):
+        export_snapshot_to_hudi(t)
+
+
+def test_export_hudi_step_function(spark, tmp_path):
+    from easy_sql_spark.runtime.processor import SqlProcessor
+
+    root = str(tmp_path / "s")
+    etl = f"""-- target=temp.seed
+select 1 as id, 'a' as v union all select 2, 'b'
+
+-- target=func.snapshot_commit({root}, seed, append)
+-- target=func.snapshot_export_hudi({root})
+-- target=func.hudi_view({root}/_hudi_export, via_hudi)
+
+-- target=check.hudi_sees_snapshot
+select (select count(*) from via_hudi) as actual, 2 as expected
+"""
+    SqlProcessor(spark, etl, logger=lambda m: None).run()
+    assert {r.id for r in spark.table("via_hudi").collect()} == {1, 2}
