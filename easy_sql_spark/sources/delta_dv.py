@@ -199,10 +199,21 @@ def encode_bitmap_array(positions: list[int]) -> bytes:
 def write_dv_file(bitmaps: list[list[int]]) -> tuple[bytes, list[tuple[int, int]]]:
     """Pack bitmaps into ONE DV file (format version 1); returns
     (file bytes, [(offset, sizeInBytes) per bitmap]) for descriptors."""
+    return write_dv_file_encoded(
+        [encode_bitmap_array(positions) for positions in bitmaps]
+    )
+
+
+def write_dv_file_encoded(
+    datas: list[bytes],
+) -> tuple[bytes, list[tuple[int, int]]]:
+    """Same framing over PRE-ENCODED bitmap-array bytes — the shape the
+    snapshot->Delta exporter needs: per-file bitmaps encode in executor
+    tasks (positions never reach the driver) and only the compact bytes
+    assemble here."""
     out = bytearray(b"\x01")
     spans = []
-    for positions in bitmaps:
-        data = encode_bitmap_array(positions)
+    for data in datas:
         spans.append((len(out), len(data)))
         out += struct.pack(">i", len(data))
         out += data

@@ -457,17 +457,11 @@ def export_snapshot_to_delta(table) -> dict:
     if not snap_v:
         raise ValueError(f"no committed versions at {root}")
     m = table.manifest(snap_v)
-    if m.get("dvs"):
-        raise ValueError(
-            "snapshot has live deletion vectors; exporting would "
-            "resurrect deleted rows — run compact() first (it applies "
-            "and clears DVs)"
-        )
     part_cols = m["partition_cols"]
     ext = m.get("external") or {}
 
-    # current file set: {delta_path: (partitionValues, size)}
-    current: dict[str, tuple[dict, int]] = {}
+    # current file set: {delta_path: (partitionValues, size, abs_path)}
+    current: dict[str, tuple[dict, int, str]] = {}
     for d in m["live"]:
         base = ext.get(d)
         abs_dir = f"{base}/{d}" if base else f"{table.data_dir}/{d}"
@@ -488,20 +482,41 @@ def export_snapshot_to_delta(table) -> dict:
             delta_path = (
                 f"{abs_dir}/{name}" if base else f"data/{d}/{name}"
             )
-            current[delta_path] = (pv, size)
+            current[delta_path] = (pv, size, f"{abs_dir}/{name}")
 
     log_dir = _log_dir(root)
     os.makedirs(log_dir, exist_ok=True)
     versions = _commit_versions(root)
+    prev_adds: dict[str, dict] = {}
     if versions:
         _, prev_adds = _replay(spark, root, versions[-1])
-        prev = set(prev_adds)
-    else:
-        prev = set()
+    prev = set(prev_adds)
     next_v = (versions[-1] + 1) if versions else 0
+
+    # live snapshot deletion vectors export as real Delta DVs: per-file
+    # roaring bitmaps (encoded in executor tasks) packed into one
+    # CONTENT-ADDRESSED DV file, descriptors attached to the adds —
+    # deterministic blob -> deterministic uuid/offsets, so re-exports
+    # with unchanged DV state produce identical descriptors and no churn
+    dv_descs = (
+        _export_dv_descriptors(
+            table, m, root,
+            {os.path.abspath(a): p for p, (_pv, _s, a) in current.items()},
+        )
+        if m.get("dvs")
+        else {}
+    )
 
     adds = sorted(set(current) - prev)
     removes = sorted(prev - set(current))
+    # a surviving file whose DV descriptor changed (new/grown/cleared
+    # DV) re-enters the log as remove + add, Delta's own DV-update shape
+    readds = sorted(
+        p
+        for p in (set(current) & prev)
+        if (prev_adds[p].get("deletionVector") or None)
+        != (dv_descs.get(p) or None)
+    )
     ts = int(_time.time() * 1000)
     actions: list[dict] = [
         {
@@ -512,7 +527,13 @@ def export_snapshot_to_delta(table) -> dict:
             }
         }
     ]
-    if next_v == 0:
+    if dv_descs:
+        actions.append(
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors"],
+                          "writerFeatures": ["deletionVectors"]}}
+        )
+    elif next_v == 0:
         actions.append(
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
         )
@@ -527,23 +548,81 @@ def export_snapshot_to_delta(table) -> dict:
             }
         }
     )
-    for p in removes:
+    for p in removes + readds:
         actions.append(
             {"remove": {"path": p, "dataChange": True,
                         "deletionTimestamp": ts}}
         )
-    for p in adds:
-        pv, size = current[p]
-        actions.append(
-            {"add": {"path": p, "partitionValues": pv, "size": size,
-                     "modificationTime": ts, "dataChange": True}}
-        )
+    for p in adds + readds:
+        pv, size, _abs = current[p]
+        add = {"path": p, "partitionValues": pv, "size": size,
+               "modificationTime": ts, "dataChange": True}
+        if p in dv_descs:
+            add["deletionVector"] = dv_descs[p]
+        actions.append({"add": add})
     with open(os.path.join(log_dir, f"{next_v:020d}.json"), "w") as f:
         for a in actions:
             f.write(json.dumps(a) + "\n")
     return {
         "delta_version": next_v,
-        "adds": len(adds),
-        "removes": len(removes),
+        "adds": len(adds) + len(readds),
+        "removes": len(removes) + len(readds),
         "snapshot_version": snap_v,
+        "dv_files": len(dv_descs),
     }
+
+
+def _export_dv_descriptors(
+    table, m: dict, root: str, abs_to_delta: dict[str, str]
+) -> dict[str, dict]:
+    """{delta_path: DeletionVectorDescriptor} for every live data file
+    the snapshot's deletion vectors touch.
+
+    Scale split: the DV parquet rows (O(deleted rows)) group by file and
+    encode to roaring-bitmap bytes INSIDE executor tasks — the driver
+    collects only the compact bitmap bytes per file, packs them into one
+    DV file named by content hash (md5 -> uuid), and writes descriptors
+    whose offsets are deterministic.  DV rows referencing files that
+    left the live set (partially-dead target dirs) are skipped — Delta
+    readers would never scan those files."""
+    import hashlib
+    import uuid as _uuid
+
+    from .delta_dv import (
+        encode_bitmap_array,
+        write_dv_file_encoded,
+        z85_encode,
+    )
+
+    dv = table._dv_frame(m)
+    if dv is None:
+        return {}
+    rows = (
+        dv.groupBy("__snap_fp")
+        .agg(F.collect_set("__snap_ri").alias("ps"))
+        .rdd.map(
+            lambda r: (r[0], encode_bitmap_array(sorted(r[1])), len(r[1]))
+        )
+        .collect()
+    )
+    rows = sorted(
+        (fp, b, c) for fp, b, c in rows if os.path.abspath(fp) in abs_to_delta
+    )
+    if not rows:
+        return {}
+    blob, spans = write_dv_file_encoded([b for _fp, b, _c in rows])
+    u = _uuid.UUID(bytes=hashlib.md5(blob).digest())
+    dv_path = os.path.join(root, f"deletion_vector_{u}.bin")
+    if not os.path.exists(dv_path):
+        with open(dv_path, "wb") as fh:
+            fh.write(blob)
+    out: dict[str, dict] = {}
+    for (fp, _b, card), (off, size) in zip(rows, spans):
+        out[abs_to_delta[os.path.abspath(fp)]] = {
+            "storageType": "u",
+            "pathOrInlineDv": z85_encode(u.bytes),
+            "offset": off,
+            "sizeInBytes": size,
+            "cardinality": card,
+        }
+    return out

@@ -748,8 +748,14 @@ def export_snapshot_to_iceberg(table) -> dict:
 
     Each export appends ONE new snapshot whose single manifest lists the
     full live file set (existing Iceberg readers handle full manifests
-    fine; incremental manifest reuse is the growth path).  Returns
-    {"snapshot_id", "files", "metadata_file"}."""
+    fine; incremental manifest reuse is the growth path).  Live
+    DELETION VECTORS on an unpartitioned table export zero-copy as v2
+    POSITION DELETE files — the snapshot's DV parquets already carry
+    the spec's (file_path, pos) delete schema, a content=1 manifest
+    references them in place; partitioned tables with live DVs refuse
+    (position-delete records are per-partition) with compact()/Delta
+    guidance.  Returns {"snapshot_id", "files", "dv_files",
+    "metadata_file"}."""
     import time as _time
 
     from .avro_lite import write_avro_file
@@ -759,11 +765,14 @@ def export_snapshot_to_iceberg(table) -> dict:
     if not snap_v:
         raise ValueError(f"no committed versions at {root}")
     m = table.manifest(snap_v)
-    if m.get("dvs"):
+    dvs = m.get("dvs") or []
+    if dvs and m["partition_cols"]:
         raise ValueError(
-            "snapshot has live deletion vectors; exporting would "
-            "resurrect deleted rows — run compact() first (it applies "
-            "and clears DVs)"
+            "snapshot has live deletion vectors on a PARTITIONED table: "
+            "iceberg position-delete records are per-partition and the "
+            "DV files span partitions — run compact() first (it applies "
+            "and clears DVs), or export via Delta (DV descriptors are "
+            "partition-agnostic)"
         )
     ext = m.get("external") or {}
 
@@ -855,6 +864,51 @@ def export_snapshot_to_iceberg(table) -> dict:
         f.write(
             write_avro_file(_entry_schema_for(part_cols), entries, "deflate")
         )
+    manifests = [(manifest_path, 0)]
+
+    # live deletion vectors export ZERO-COPY as Iceberg v2 POSITION
+    # DELETE files: the snapshot's DV parquets already carry the spec's
+    # (file_path, pos) delete-file schema, so a content=1 manifest just
+    # references them in place.  Position deletes apply to data files
+    # with sequence <= the delete's (equal allowed), so listing both in
+    # the same exported snapshot is spec-correct.
+    n_dv_files = 0
+    if dvs:
+        del_entries = []
+        for d in sorted({dv["dir"] for dv in dvs}):
+            base2 = ext.get(d)
+            abs_dir = f"{base2}/{d}" if base2 else f"{table.data_dir}/{d}"
+            for name, size in table.fs.list_files(abs_dir):
+                if not name.endswith(".parquet"):
+                    continue
+                fpath = f"{abs_dir}/{name}"
+                n_dv_files += 1
+                del_entries.append(
+                    {
+                        "status": 1,
+                        "data_file": {
+                            "content": 1,
+                            "file_path": fpath,
+                            "file_format": "PARQUET",
+                            "record_count": int(
+                                _pq.ParquetFile(fpath).metadata.num_rows
+                            ),
+                            "file_size_in_bytes": size,
+                            "lower_bounds": {},
+                            "upper_bounds": {},
+                            "partition": {},
+                        },
+                    }
+                )
+        del_manifest = os.path.join(
+            meta_dir, f"manifest-del-{snapshot_id}.avro"
+        )
+        with open(del_manifest, "wb") as f:
+            f.write(
+                write_avro_file(_entry_schema_for([]), del_entries, "deflate")
+            )
+        manifests.append((del_manifest, 1))
+
     mlist_path = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
     with open(mlist_path, "wb") as f:
         f.write(
@@ -862,12 +916,13 @@ def export_snapshot_to_iceberg(table) -> dict:
                 _MANIFEST_FILE_SCHEMA,
                 [
                     {
-                        "manifest_path": manifest_path,
-                        "manifest_length": os.path.getsize(manifest_path),
+                        "manifest_path": mp,
+                        "manifest_length": os.path.getsize(mp),
                         "partition_spec_id": 0,
-                        "content": 0,
+                        "content": content,
                         "added_snapshot_id": snapshot_id,
                     }
+                    for mp, content in manifests
                 ],
             )
         )
@@ -948,6 +1003,7 @@ def export_snapshot_to_iceberg(table) -> dict:
     return {
         "snapshot_id": snapshot_id,
         "files": n_files,
+        "dv_files": n_dv_files,
         "metadata_file": meta_file,
     }
 

@@ -534,3 +534,44 @@ select (select count(*) from dh) as actual, 3 as expected
     assert [r.operation for r in spark.table("dh").collect()] == [
         "WRITE", "MERGE", "WRITE",
     ]
+
+
+def test_export_snapshot_to_delta_with_deletion_vectors(spark, tmp_path):
+    """Snapshot DV deletes export as REAL Delta deletion vectors: the
+    roaring bitmaps pack into one content-addressed DV file, descriptors
+    ride the adds, protocol upgrades to the deletionVectors feature, and
+    an independent read_delta replay sees exactly the snapshot's visible
+    rows.  Re-export with unchanged DV state must produce NO add/remove
+    churn (deterministic descriptors); growing the DV re-adds the file."""
+    from easy_sql_spark.runtime.snapshots import SnapshotTable
+    from easy_sql_spark.sources.delta_log import export_snapshot_to_delta
+
+    root = str(tmp_path / "sdv")
+    t = SnapshotTable(spark, root)
+    t.create(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(1, 7)], "id int, v string"
+        )
+    )
+    t.delete_where_dv([("id", "=", 2)])
+    rep = export_snapshot_to_delta(t)
+    assert rep["dv_files"] >= 1
+    got = {(r.id, r.v) for r in read_delta(spark, root).collect()}
+    assert got == {(i, f"v{i}") for i in (1, 3, 4, 5, 6)}
+    assert got == {(r.id, r.v) for r in t.read().collect()}
+
+    # unchanged state re-export: no churn (content-addressed DV file)
+    rep2 = export_snapshot_to_delta(t)
+    assert rep2["adds"] == 0 and rep2["removes"] == 0
+
+    # DV grows -> the touched file re-enters the log with a new
+    # descriptor; replay still matches the snapshot read
+    t.delete_where_dv([("id", "=", 5)])
+    rep3 = export_snapshot_to_delta(t)
+    assert rep3["adds"] >= 1
+    got3 = {(r.id, r.v) for r in read_delta(spark, root).collect()}
+    assert got3 == {(i, f"v{i}") for i in (1, 3, 4, 6)}
+    # time travel: the previous delta version still shows id=5
+    prev = {(r.id, r.v)
+            for r in read_delta(spark, root, version=rep2["delta_version"]).collect()}
+    assert prev == got

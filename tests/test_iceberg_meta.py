@@ -616,3 +616,53 @@ def test_iceberg_distributed_manifest_parsing(spark, tmp_path):
     snap2 = im._pick_snapshot(meta2, None, None)
     with pytest.raises(IcebergUnsupportedError, match="ORC"):
         im._live_files(t, snap2, 2, spark=spark)
+
+
+def test_export_snapshot_to_iceberg_with_deletion_vectors(spark, tmp_path):
+    """Snapshot DV deletes on an UNPARTITIONED table export zero-copy as
+    Iceberg v2 position-delete files (the DV parquets ARE the spec's
+    (file_path, pos) delete schema); the independent replay must see
+    exactly the snapshot's visible rows.  Partitioned tables with live
+    DVs refuse with guidance."""
+    from easy_sql_spark.runtime.snapshots import SnapshotTable
+    from easy_sql_spark.sources.iceberg_meta import export_snapshot_to_iceberg
+
+    root = str(tmp_path / "sidv")
+    t = SnapshotTable(spark, root)
+    t.create(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(1, 7)], "id int, v string"
+        )
+    )
+    t.delete_where_dv([("id", "=", 3)])
+    rep = export_snapshot_to_iceberg(t)
+    assert rep["dv_files"] >= 1
+    got = {(r.id, r.v) for r in read_iceberg(spark, root).collect()}
+    assert got == {(i, f"v{i}") for i in (1, 2, 4, 5, 6)}
+    assert got == {(r.id, r.v) for r in t.read().collect()}
+
+    # growing the DV and re-exporting appends a snapshot that still agrees
+    t.delete_where_dv([("id", "=", 6)])
+    rep2 = export_snapshot_to_iceberg(t)
+    got2 = {(r.id, r.v) for r in read_iceberg(spark, root).collect()}
+    assert got2 == {(i, f"v{i}") for i in (1, 2, 4, 5)}
+    # snapshot-id time travel back to the first export
+    assert {
+        (r.id, r.v)
+        for r in read_iceberg(
+            spark, root, snapshot_id=rep["snapshot_id"]
+        ).collect()
+    } == got
+
+    # partitioned + live DVs: refuse with guidance
+    root2 = str(tmp_path / "sidv_p")
+    t2 = SnapshotTable(spark, root2)
+    t2.create(
+        spark.createDataFrame(
+            [(1, "a", "p1"), (2, "b", "p2")], "id int, v string, pt string"
+        ),
+        partition_by=["pt"],
+    )
+    t2.delete_where_dv([("id", "=", 1)])
+    with pytest.raises(ValueError, match="compact"):
+        export_snapshot_to_iceberg(t2)

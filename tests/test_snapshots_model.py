@@ -123,8 +123,15 @@ def test_random_op_sequences_match_model(spark, root, seed):
     )
 
     if t.manifest(t.latest_version()).get("dvs"):
-        # live deletion vectors block exports by design: materialize
-        # first (content unchanged — the model must still match)
+        # live deletion vectors export as REAL Delta DVs — the replay
+        # must agree with the model BEFORE any materialization…
+        export_snapshot_to_delta(t)
+        assert {
+            (r.id, r.v, r.p) for r in read_delta(spark, t.root).collect()
+        } == history[-1], (seed, "delta export with live DVs")
+        # …then compact (content unchanged — the model must still
+        # match; partitioned iceberg DV export refuses by design) and
+        # the next delta export exercises the DV-cleared re-add path
         t.compact()
         assert _read(t) == history[-1], (seed, "compact-applied DVs")
     export_snapshot_to_delta(t)
