@@ -34,6 +34,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .iterate import iter_checkpoint
+
 _WORD_RE = "[a-z]+"
 
 
@@ -79,7 +81,7 @@ def bpe_train(
     vocab = word_frequencies(docs, text_col)
     seqs = vocab.select(
         "weight", F.split("word", "").alias("syms")
-    ).localCheckpoint(eager=True)
+    ).transform(iter_checkpoint)
 
     pair_expr = (
         "transform(slice(syms, 1, size(syms) - 1), "
@@ -100,7 +102,7 @@ def bpe_train(
         merges.append((rank, left, right, weight))
         seqs = seqs.select(
             "weight", F.expr(_merge_fold_expr("syms", left, right)).alias("syms")
-        ).localCheckpoint(eager=True)
+        ).transform(iter_checkpoint)
     return merges
 
 

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .iterate import iter_checkpoint
+
 
 def _large_star(edges: DataFrame) -> DataFrame:
     und = edges.unionAll(
@@ -90,13 +92,13 @@ def connected_components_star(
         edges.select(F.col(u).alias("u"), F.col(v).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(iter_checkpoint)
     )
     nodes = (
         e.select("u")
         .unionAll(e.select(F.col("v").alias("u")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(iter_checkpoint)
     )
     if max_rounds is None:
         n_nodes = nodes.count()
@@ -105,7 +107,7 @@ def connected_components_star(
     prev = _checksum(e)
     converged = False
     for _ in range(max_rounds):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = _small_star(_large_star(e)).transform(iter_checkpoint)
         cur = _checksum(e)
         if cur == prev:
             converged = True
@@ -136,12 +138,12 @@ def label_propagation_components(
     regardless of diameter) and still returns exact labels.
 
     Returns ``(u, label)`` with label = component minimum."""
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.transform(iter_checkpoint)
     labels = (
         edges.select("u")
         .distinct()
         .select("u", F.col("u").alias("label"))
-        .localCheckpoint(eager=True)
+        .transform(iter_checkpoint)
     )
     changed = 0
     for _ in range(max_rounds):
@@ -168,7 +170,7 @@ def label_propagation_components(
                     < F.col("l2.label")
                 ).alias("moved"),
             )
-        ).localCheckpoint(eager=True)
+        ).transform(iter_checkpoint)
         changed = updated.where("moved").limit(1).count()
         labels = updated.drop("moved")
         if changed == 0:

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .iterate import iter_checkpoint
+
 
 def assign_clusters(
     df: DataFrame, centroids: list[list[float]], vec_col: str = "v",
@@ -168,7 +170,7 @@ def semantic_dedup(
     af = (
         assign(df, cents, vec_col=vec_col)
         .withColumn("nrm", norm)
-        .localCheckpoint(eager=True)
+        .transform(iter_checkpoint)
     )
     x = af.select(
         F.col(id_col).alias("xid"), F.col(vec_col).alias("xv"),

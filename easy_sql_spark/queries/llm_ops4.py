@@ -1869,8 +1869,10 @@ def graph_pagerank(spark, sf_dir):
     Scale: each iteration is one equi-join of the rank vector against
     the edge list (shuffle on src) plus one map-side-combined
     per-destination aggregate — the standard Pregel/GraphX plan shape
-    without the framework; the rank frame is localCheckpoint-ed per
-    round so plans stay flat.  Complements the two connected-components
+    without the framework; the rank frame checkpoints per round
+    (operators/iterate.py: RELIABLE checkpoint when the session has a
+    checkpoint dir — the cluster-safe mode — else localCheckpoint) so
+    plans stay flat.  Complements the two connected-components
     operators as the graph-analytics family."""
     pairs = (
         load_table(spark, sf_dir, "lineitem")
@@ -1903,6 +1905,8 @@ def graph_pagerank(spark, sf_dir):
                 ).alias("s")
             )
         )
+        from ..operators.iterate import iter_checkpoint
+
         r = (
             nodes.join(contrib, "node", "left")
             .select(
@@ -1912,7 +1916,7 @@ def graph_pagerank(spark, sf_dir):
                     + F.lit(PR_DAMP) * F.coalesce(F.col("s"), F.lit(0)).cast("double")
                 ).alias("r"),
             )
-            .localCheckpoint(eager=True)
+            .transform(iter_checkpoint)
         )
 
     from pyspark.sql import Window

@@ -664,6 +664,8 @@ _MANIFEST_FILE_SCHEMA = {
         {"name": "manifest_length", "type": "long", "field-id": 501},
         {"name": "partition_spec_id", "type": "int", "field-id": 502},
         {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
         {"name": "added_snapshot_id", "type": "long", "field-id": 503},
     ],
 }
@@ -739,12 +741,13 @@ def export_snapshot_to_iceberg(table) -> dict:
     Compatibility scope, stated honestly: the export is verified
     end-to-end against THIS module's replay path (and the randomized
     snapshot model test) — the container has no third-party Iceberg
-    reader to verify against.  Known gaps for strict external readers
-    (the manifest avro schemas DO carry the spec's fixed field-id
-    attributes, and the partition record is the typed r102 struct with
-    spec field-ids via ``_entry_schema_for``): sequence-number
-    bookkeeping is absent — documented growth path, not affecting the
-    replay semantics here.
+    reader to verify against.  The manifest avro schemas carry the
+    spec's fixed field-id attributes, the partition record is the typed
+    r102 struct with spec field-ids via ``_entry_schema_for``, and
+    manifest-list entries carry sequence_number/min_sequence_number
+    (the snapshot's — every listed entry was added by it, and entries
+    inherit per the spec), so v2 sequence ordering is well-defined for
+    strict external readers too.
 
     Each export appends ONE new snapshot whose single manifest lists the
     full live file set (existing Iceberg readers handle full manifests
@@ -920,6 +923,12 @@ def export_snapshot_to_iceberg(table) -> dict:
                         "manifest_length": os.path.getsize(mp),
                         "partition_spec_id": 0,
                         "content": content,
+                        # every entry in an exported manifest was added
+                        # by this snapshot: its data sequence number is
+                        # the snapshot's (entries inherit it, spec
+                        # §Sequence Number Inheritance)
+                        "sequence_number": snapshot_id,
+                        "min_sequence_number": snapshot_id,
                         "added_snapshot_id": snapshot_id,
                     }
                     for mp, content in manifests

@@ -370,3 +370,50 @@ def test_semantic_dedup_arrow_path_matches_fold_path(spark):
              for r in semantic_dedup(emb, 4, 2, 0.30, arrow=True).collect()}
     assert fold == arrow and len(fold) > 0
     assert any(kept == 0 for _, _, kept in fold)  # drops something
+
+
+def test_iter_checkpoint_reliable_mode(spark, tmp_path):
+    """iter_checkpoint (operators/iterate.py) picks RELIABLE
+    DataFrame.checkpoint when the session has a checkpoint dir (the
+    cluster-safe mode — executor loss cannot kill an iteration) and
+    localCheckpoint otherwise; both truncate lineage and preserve
+    content.  Iterative operators must keep working in reliable mode."""
+    from easy_sql_spark.operators.components import connected_components_star
+    from easy_sql_spark.operators.iterate import iter_checkpoint
+
+    import os
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "x int")
+    out = iter_checkpoint(df.selectExpr("x * 2 as y"))
+    assert {r.y for r in out.collect()} == {i * 2 for i in range(10)}
+
+    sc = spark.sparkContext
+    assert not sc.getCheckpointDir()
+    ckpt = str(tmp_path / "ckpt")
+    sc.setCheckpointDir(ckpt)
+    try:
+        rel = iter_checkpoint(df.selectExpr("x + 1 as y"))
+        assert {r.y for r in rel.collect()} == {i + 1 for i in range(10)}
+        # reliable mode actually wrote checkpoint data to the dir
+        found = [
+            os.path.join(cur, n)
+            for cur, _d, files in os.walk(ckpt)
+            for n in files
+        ]
+        assert found, "no reliable checkpoint files written"
+        # an iterative operator end-to-end in reliable mode
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "u long, v long"
+        )
+        comp = {
+            (r.u, r.label)
+            for r in connected_components_star(edges).collect()
+        }
+        assert comp == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    finally:
+        # tests share one session: truly UNSET so later suites stay in
+        # localCheckpoint mode (no public unset API; scala setter)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None)
+        )
+        assert not sc.getCheckpointDir()
