@@ -433,7 +433,7 @@ def read_delta(
     return out
 
 
-def export_snapshot_to_delta(table) -> dict:
+def export_snapshot_to_delta(table, checkpoint_interval: int = 10) -> dict:
     """Expose a snapshot table's CURRENT version as a Delta table by
     writing/advancing a ``_delta_log`` under the snapshot root — ZERO
     data copied: the add actions point at the snapshot's own parquet
@@ -563,6 +563,12 @@ def export_snapshot_to_delta(table) -> dict:
     with open(os.path.join(log_dir, f"{next_v:020d}.json"), "w") as f:
         for a in actions:
             f.write(json.dumps(a) + "\n")
+    # classic checkpoint every N versions: log replay stays O(N) JSON
+    # commits regardless of export count, and Delta's log-cleanup
+    # regime (old JSONs deleted) keeps working — the scale knob for a
+    # long-lived exported table
+    if checkpoint_interval and next_v > 0 and next_v % checkpoint_interval == 0:
+        _write_classic_checkpoint(spark, root, next_v)
     return {
         "delta_version": next_v,
         "adds": len(adds) + len(readds),
@@ -570,6 +576,88 @@ def export_snapshot_to_delta(table) -> dict:
         "snapshot_version": snap_v,
         "dv_files": len(dv_descs),
     }
+
+
+def _write_classic_checkpoint(spark: SparkSession, path: str, version: int) -> None:
+    """Write the classic single-file parquet checkpoint for ``version``:
+    full reconstructed state (metaData + protocol + live adds, deletion
+    vectors included) as one action-struct row each — exactly the form
+    ``_replay`` consumes, and what external Delta readers expect after
+    log cleanup.  Also writes ``_last_checkpoint``."""
+    meta, adds = _replay(spark, path, version)
+    has_dv = any(a.get("deletionVector") for a in adds.values())
+    schema = (
+        "metaData struct<id string, schemaString string, "
+        "partitionColumns array<string>, format struct<provider string>, "
+        "configuration map<string,string>>, "
+        "protocol struct<minReaderVersion int, minWriterVersion int, "
+        "readerFeatures array<string>, writerFeatures array<string>>, "
+        "add struct<path string, partitionValues map<string,string>, "
+        "size long, modificationTime long, dataChange boolean, "
+        "deletionVector struct<storageType string, pathOrInlineDv string, "
+        "offset int, sizeInBytes int, cardinality long>>, "
+        "remove struct<path string>"
+    )
+    proto = (
+        (3, 7, ["deletionVectors"], ["deletionVectors"])
+        if has_dv
+        else (1, 2, None, None)
+    )
+    rows = [
+        (
+            (
+                meta.get("id"),
+                meta["schemaString"],
+                list(meta.get("partitionColumns") or []),
+                ((meta.get("format") or {}).get("provider", "parquet"),),
+                meta.get("configuration") or {},
+            ),
+            None,
+            None,
+            None,
+        ),
+        (None, proto, None, None),
+    ]
+    for p in sorted(adds):
+        a = adds[p]
+        dv = a.get("deletionVector")
+        rows.append(
+            (
+                None,
+                None,
+                (
+                    a["path"],
+                    a.get("partitionValues") or {},
+                    int(a.get("size") or 0),
+                    int(a.get("modificationTime") or 0),
+                    bool(a.get("dataChange", True)),
+                    (
+                        dv["storageType"],
+                        dv["pathOrInlineDv"],
+                        int(dv.get("offset") or 0),
+                        int(dv["sizeInBytes"]),
+                        int(dv["cardinality"]),
+                    )
+                    if dv
+                    else None,
+                ),
+                None,
+            )
+        )
+    df = spark.createDataFrame(rows, schema)
+    log_dir = _log_dir(path)
+    tmp = os.path.join(log_dir, "_cp_tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(n for n in os.listdir(tmp) if n.endswith(".parquet"))
+    os.replace(
+        os.path.join(tmp, part),
+        os.path.join(log_dir, f"{version:020d}.checkpoint.parquet"),
+    )
+    import shutil
+
+    shutil.rmtree(tmp)
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
+        json.dump({"version": version, "size": len(rows)}, f)
 
 
 def _export_dv_descriptors(

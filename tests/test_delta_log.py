@@ -575,3 +575,33 @@ def test_export_snapshot_to_delta_with_deletion_vectors(spark, tmp_path):
     prev = {(r.id, r.v)
             for r in read_delta(spark, root, version=rep2["delta_version"]).collect()}
     assert prev == got
+
+
+def test_export_writes_classic_checkpoints(spark, tmp_path):
+    """Every checkpoint_interval exported versions the export writes a
+    classic parquet checkpoint (+ _last_checkpoint); after Delta-style
+    log cleanup deletes the older JSON commits, replay must reconstruct
+    from the checkpoint alone — deletion vectors included."""
+    from easy_sql_spark.runtime.snapshots import SnapshotTable
+    from easy_sql_spark.sources.delta_log import export_snapshot_to_delta
+
+    root = str(tmp_path / "scp")
+    t = SnapshotTable(spark, root)
+    t.create(spark.createDataFrame([(1, "a")], "id int, v string"))
+    export_snapshot_to_delta(t, checkpoint_interval=2)  # v0
+    t.append(spark.createDataFrame([(2, "b")], "id int, v string"))
+    export_snapshot_to_delta(t, checkpoint_interval=2)  # v1
+    t.append(spark.createDataFrame([(3, "c")], "id int, v string"))
+    t.delete_where_dv([("id", "=", 1)])
+    rep = export_snapshot_to_delta(t, checkpoint_interval=2)  # v2 + ckpt
+    assert rep["delta_version"] == 2
+    log = os.path.join(root, "_delta_log")
+    assert os.path.exists(os.path.join(log, f"{2:020d}.checkpoint.parquet"))
+    assert os.path.exists(os.path.join(log, "_last_checkpoint"))
+
+    # log cleanup: drop every JSON at or below the checkpoint
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+    got = {(r.id, r.v) for r in read_delta(spark, root).collect()}
+    assert got == {(2, "b"), (3, "c")}
+    assert got == {(r.id, r.v) for r in t.read().collect()}
