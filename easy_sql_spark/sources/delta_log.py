@@ -10,7 +10,8 @@ reads the LOG ONLY (metadata-sized); table data always flows through
 ordinary Spark parquet scans — the same split as the snapshot layer.
 
 Supported: state reconstruction from the newest checkpoint at-or-below
-the target version plus subsequent JSON commits; version and
+the target version (single-file AND multi-part classic forms;
+incomplete part sets skipped) plus subsequent JSON commits; version and
 timestamp time travel; partitioned tables (partition values ride the
 log, not the file paths — files sharing a partition tuple share one
 scan); DELETION VECTORS (``readerFeatures: [deletionVectors]``,
@@ -59,17 +60,49 @@ def _commit_versions(path: str) -> list[int]:
     return sorted(out)
 
 
-def _checkpoint_at_or_below(path: str, version: int) -> int | None:
-    """Newest classic checkpoint version <= target (multi-part and v2
-    checkpoints are not emitted by the writers this targets; a
-    ``.checkpoint.parquet`` single file is the classic form)."""
-    best = None
-    for n in os.listdir(_log_dir(path)):
-        if n.endswith(".checkpoint.parquet"):
-            stem = n.split(".", 1)[0]
-            if stem.isdigit() and int(stem) <= version:
-                best = max(best or 0, int(stem))
-    return best
+def _checkpoint_at_or_below(
+    path: str, version: int
+) -> tuple[int, list[str]] | None:
+    """Newest COMPLETE classic checkpoint at-or-below the target:
+    ``(version, part files)`` — the single-file form
+    (``{v}.checkpoint.parquet``) or the multi-part form large tables
+    write (``{v}.checkpoint.{i:010d}.{n:010d}.parquet``, all n parts
+    required; an incomplete part set is an aborted checkpoint write and
+    is skipped, per the protocol).  V2/uuid-named checkpoints are not
+    selected — replay falls back to the JSON commits, which is correct
+    while they exist and fails loudly (missing commit) after cleanup."""
+    singles: dict[int, str] = {}
+    parts: dict[int, dict[int, tuple[int, str]]] = {}
+    log = _log_dir(path)
+    for n in os.listdir(log):
+        if not n.endswith(".parquet") or ".checkpoint" not in n:
+            continue
+        segs = n[: -len(".parquet")].split(".")
+        if len(segs) == 2 and segs[1] == "checkpoint" and segs[0].isdigit():
+            v = int(segs[0])
+            if v <= version:
+                singles[v] = os.path.join(log, n)
+        elif (
+            len(segs) == 4
+            and segs[1] == "checkpoint"
+            and all(s.isdigit() for s in (segs[0], segs[2], segs[3]))
+        ):
+            v, i, total = int(segs[0]), int(segs[2]), int(segs[3])
+            if v <= version:
+                parts.setdefault(v, {})[i] = (total, os.path.join(log, n))
+    complete_multi = {
+        v: [fp for _i, (_t, fp) in sorted(d.items())]
+        for v, d in parts.items()
+        if d and len(d) == next(iter(d.values()))[0]
+        and all(t == len(d) for t, _fp in d.values())
+    }
+    candidates = {v: [fp] for v, fp in singles.items()}
+    for v, fps in complete_multi.items():
+        candidates.setdefault(v, fps)
+    if not candidates:
+        return None
+    best = max(candidates)
+    return best, candidates[best]
 
 
 def _check_protocol(protocol: dict | None) -> None:
@@ -162,10 +195,10 @@ def _replay(spark: SparkSession, path: str, version: int) -> tuple[dict, dict]:
     meta: dict | None = None
     protocol: dict | None = None
     start = 0
-    cp = _checkpoint_at_or_below(path, version)
-    if cp is not None:
-        cp_file = os.path.join(_log_dir(path), f"{cp:020d}.checkpoint.parquet")
-        rows = spark.read.parquet(cp_file).collect()
+    found = _checkpoint_at_or_below(path, version)
+    if found is not None:
+        cp, cp_files = found
+        rows = spark.read.parquet(*cp_files).collect()
         for r in rows:
             d = r.asDict(recursive=True)
             if d.get("add"):

@@ -605,3 +605,58 @@ def test_export_writes_classic_checkpoints(spark, tmp_path):
     got = {(r.id, r.v) for r in read_delta(spark, root).collect()}
     assert got == {(2, "b"), (3, "c")}
     assert got == {(r.id, r.v) for r in t.read().collect()}
+
+
+def test_read_delta_from_multipart_checkpoint(spark, tmp_path):
+    """Multi-part classic checkpoints ({v}.checkpoint.{i}.{n}.parquet —
+    the form large tables write) reconstruct state after log cleanup;
+    an INCOMPLETE part set (aborted checkpoint write) is skipped."""
+    t = _mk_table(spark, tmp_path / "dtm")
+    log = os.path.join(t, "_delta_log")
+
+    def cp_part(rows, name):
+        cp_schema = (
+            "metaData struct<id string, schemaString string, "
+            "partitionColumns array<string>>, "
+            "protocol struct<minReaderVersion int>, "
+            "add struct<path string, partitionValues map<string,string>>, "
+            "remove struct<path string>"
+        )
+        df = spark.createDataFrame(rows, cp_schema)
+        tmp = os.path.join(t, "_cpp")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(n for n in os.listdir(tmp) if n.endswith(".parquet"))
+        os.replace(os.path.join(tmp, part), os.path.join(log, name))
+        import shutil
+
+        shutil.rmtree(tmp)
+
+    md = json.loads(json.dumps(_meta_action()["metaData"]))
+    cp_part(
+        [((md["id"], md["schemaString"], md["partitionColumns"]),
+          (1,), None, None),
+         (None, None, ("f-a2.parquet", {"p": "a"}), None)],
+        f"{1:020d}.checkpoint.{1:010d}.{2:010d}.parquet",
+    )
+    cp_part(
+        [(None, None, ("f-b1.parquet", {"p": "b"}), None)],
+        f"{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet",
+    )
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+
+    latest = {(r.id, r.val, r.p) for r in read_delta(spark, t).collect()}
+    assert latest == {
+        (1, "x2", "a"), (2, "y2", "a"), (9, "w", "a"),
+        (3, "z", "b"), (7, "c", "c"),
+    }
+
+    # an aborted multi-part set (1 of 2 parts) must NOT be selected:
+    # with version-2 parts incomplete, replay still uses the complete
+    # version-1 checkpoint + the version-2 JSON
+    cp_part(
+        [(None, None, ("f-a2.parquet", {"p": "a"}), None)],
+        f"{2:020d}.checkpoint.{1:010d}.{2:010d}.parquet",
+    )
+    again = {(r.id, r.val, r.p) for r in read_delta(spark, t).collect()}
+    assert again == latest
