@@ -540,6 +540,22 @@ def build(processor):
         df = read_hudi(spark, path, as_of=as_of or None)
         backend.create_temp_view(df, view_name)
 
+    def hudi_incremental_view(
+        path: str, view_name: str, from_instant: str, to_instant: str = ""
+    ):
+        """Hudi INCREMENTAL QUERY as a temp view: rows written by
+        commits in (from_instant, to_instant] — the read-only-what-
+        changed pattern of the reference's Flink-Hudi pipelines:
+        `func.hudi_incremental_view(/lake/t, delta_rows,
+        20240101103000000)`.  Untouched file groups are pruned before
+        listing (sources/hudi_meta.py read_hudi_incremental)."""
+        from ..sources.hudi_meta import read_hudi_incremental
+
+        df = read_hudi_incremental(
+            spark, path, from_instant, to_instant=to_instant or None
+        )
+        backend.create_temp_view(df, view_name)
+
     def hudi_timeline_view(path: str, view_name: str):
         """Hudi timeline (completed instants, newest first) as a temp
         view."""

@@ -424,3 +424,85 @@ select (select count(*) from via_hudi) as actual, 2 as expected
 """
     SqlProcessor(spark, etl, logger=lambda m: None).run()
     assert {r.id for r in spark.table("via_hudi").collect()} == {1, 2}
+
+
+def test_hudi_incremental_query_cow(spark, tmp_path):
+    """Incremental query: rows written by commits in (from, to] — the
+    003 rewrite of group f1 resolves to its FINAL rows only, untouched
+    groups are pruned from the file list, and an empty change window
+    returns an empty frame with the table schema."""
+    from easy_sql_spark.sources.hudi_meta import read_hudi_incremental
+
+    t = _mk_table(spark, tmp_path / "hinc")
+
+    # (001, 003]: only the rewritten f1 slice, rows stamped 003
+    inc = read_hudi_incremental(spark, t, "001", "003")
+    got = {(r.id, r.val) for r in inc.collect()}
+    assert got == {(1, "x2"), (2, "y2"), (9, "w")}
+    # pruning: the scan lists ONLY f1's 003 base file
+    files = inc.inputFiles()
+    assert files and all("f1_" in os.path.basename(f) for f in files)
+
+    # (003, latest]: only the replacecommit's new file f3
+    got2 = {(r.id, r.val)
+            for r in read_hudi_incremental(spark, t, "003").collect()}
+    assert got2 == {(7, "c")}
+
+    # empty window: no rows, schema intact
+    empty = read_hudi_incremental(spark, t, "005")
+    assert empty.count() == 0
+    assert "id" in empty.columns and "val" in empty.columns
+
+    # step-function surface
+    from easy_sql_spark.runtime.processor import SqlProcessor
+
+    etl = f"""-- target=func.hudi_incremental_view({t}, hinc_v, 001, 003)
+
+-- target=check.incremental_rows
+select (select count(*) from hinc_v) as actual, 3 as expected
+"""
+    SqlProcessor(spark, etl, logger=lambda m: None).run()
+    assert {r.id for r in spark.table("hinc_v").collect()} == {1, 2, 9}
+
+
+def test_hudi_incremental_query_mor(spark, tmp_path):
+    """MOR incremental: delta events carry their own commit time, so an
+    incremental pull over (from, to] returns exactly the post-merge
+    rows written in the window — updates resolve to final state,
+    deleted keys vanish, untouched base rows stay out."""
+    from easy_sql_spark.sources.hudi_log import (
+        write_data_block,
+        write_delete_block,
+    )
+    from easy_sql_spark.sources.hudi_meta import read_hudi_incremental
+
+    t = str(tmp_path / "mor_inc")
+    _props(t, "MERGE_ON_READ")
+    _mor_base_file(spark, t, "p=a", "f1", "001", [(1, "x"), (2, "y"), (3, "z")])
+    _mor_base_file(spark, t, "p=b", "f2", "001", [(5, "q")])
+    _instant(t, "001")
+    payload = write_data_block(
+        MOR_AVRO_SCHEMA, [_rec("002", 1, "x2"), _rec("002", 9, "new")], "002"
+    ) + write_delete_block([("2", "p=a")], "003")
+    _log_file(t, "p=a", "f1", "001", 1, payload)
+    _instant(t, "002", "deltacommit")
+    _instant(t, "003", "deltacommit")
+
+    # (001, 003]: the update's final value and the insert; the deleted
+    # key and untouched rows (3, 5) are absent
+    got = {
+        (r.id, r.val)
+        for r in read_hudi_incremental(spark, t, "001").collect()
+    }
+    assert got == {(1, "x2"), (9, "new")}
+    # (001, 002]: same rows (delete at 003 contributes no row)
+    got2 = {
+        (r.id, r.val)
+        for r in read_hudi_incremental(spark, t, "001", "002").collect()
+    }
+    assert got2 == {(1, "x2"), (9, "new")}
+    # untouched group f2 never enters the scan
+    assert not any(
+        "f2_" in os.path.basename(f)
+        for f in read_hudi_incremental(spark, t, "001").inputFiles()
+    )
