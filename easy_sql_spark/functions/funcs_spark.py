@@ -592,6 +592,24 @@ def build(processor):
         processor.log(f"snapshot_export_iceberg({root}): {rep}")
         return rep["snapshot_id"]
 
+    def delta_changes_view(
+        path: str, view_name: str, from_version: str, to_version: str = ""
+    ):
+        """Delta CHANGE DATA FEED as a temp view: per-commit change rows
+        (_change_type / _commit_version / _commit_timestamp) for
+        versions [from, to] — `func.delta_changes_view(/lake/t, cdf, 3)`
+        reads every change since version 3 without delta-spark jars
+        (sources/delta_log.py delta_changes)."""
+        from ..sources.delta_log import delta_changes
+
+        df = delta_changes(
+            spark,
+            path,
+            int(from_version),
+            int(to_version) if to_version else None,
+        )
+        backend.create_temp_view(df, view_name)
+
     def snapshot_export_hudi(
         root: str, dest: str = "", materialize: str = "false"
     ):

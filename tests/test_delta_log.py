@@ -660,3 +660,91 @@ def test_read_delta_from_multipart_checkpoint(spark, tmp_path):
     )
     again = {(r.id, r.val, r.p) for r in read_delta(spark, t).collect()}
     assert again == latest
+
+
+def test_delta_changes_cdf(spark, tmp_path):
+    """delta_changes: add/remove-derived inserts and deletes per commit,
+    cdc actions authoritative when present (adds of the same commit
+    ignored), DV-without-cdc refuses, and the step-function view."""
+    from easy_sql_spark.sources.delta_log import delta_changes
+
+    t = _mk_table(spark, tmp_path / "dtc")
+    ch = delta_changes(spark, t, 0, 2)
+    rows = {
+        (r._commit_version, r._change_type, r.id, r.val, r.p)
+        for r in ch.collect()
+    }
+    assert rows == {
+        (0, "insert", 1, "x", "a"), (0, "insert", 2, "y", "a"),
+        (0, "insert", 3, "z", "b"),
+        (1, "delete", 1, "x", "a"), (1, "delete", 2, "y", "a"),
+        (1, "insert", 1, "x2", "a"), (1, "insert", 2, "y2", "a"),
+        (1, "insert", 9, "w", "a"),
+        (2, "insert", 7, "c", "c"),
+    }
+    # timestamps ride commitInfo
+    assert {r._commit_timestamp for r in ch.where("_commit_version=1").collect()} == {2000}
+
+    # a cdc-action commit: its cdc files are authoritative, the add in
+    # the same commit contributes nothing
+    cdc_dir = os.path.join(t, "_change_data")
+    os.makedirs(cdc_dir, exist_ok=True)
+    cdf = spark.createDataFrame(
+        [(1, "x2", "update_preimage"), (1, "x3", "update_postimage")],
+        "id long, val string, _change_type string",
+    )
+    tmp = os.path.join(t, "_cdc_tmp")
+    cdf.coalesce(1).write.parquet(tmp)
+    part = next(n for n in os.listdir(tmp) if n.endswith(".parquet"))
+    os.replace(os.path.join(tmp, part), os.path.join(cdc_dir, "c1.parquet"))
+    import shutil
+
+    shutil.rmtree(tmp)
+    _write_data(spark, t, "f-a3.parquet", [(1, "x3"), (2, "y2"), (9, "w")])
+    _commit(
+        t,
+        3,
+        [
+            {"commitInfo": {"operation": "UPDATE", "timestamp": 4000}},
+            {"remove": {"path": "f-a2.parquet", "dataChange": True}},
+            {"add": {"path": "f-a3.parquet", "partitionValues": {"p": "a"},
+                     "size": 1, "modificationTime": 0, "dataChange": True}},
+            {"cdc": {"path": "_change_data/c1.parquet",
+                     "partitionValues": {"p": "a"}, "size": 1,
+                     "dataChange": False}},
+        ],
+    )
+    ch3 = {
+        (r._change_type, r.id, r.val, r.p)
+        for r in delta_changes(spark, t, 3, 3).collect()
+    }
+    assert ch3 == {
+        ("update_preimage", 1, "x2", "a"),
+        ("update_postimage", 1, "x3", "a"),
+    }
+
+    # DV change without cdc files: not derivable -> loud refusal
+    _commit(
+        t,
+        4,
+        [
+            {"commitInfo": {"operation": "DELETE", "timestamp": 5000}},
+            {"add": {"path": "f-a3.parquet", "partitionValues": {"p": "a"},
+                     "size": 1, "modificationTime": 0, "dataChange": True,
+                     "deletionVector": {
+                         "storageType": "i", "pathOrInlineDv": "x",
+                         "offset": 0, "sizeInBytes": 1, "cardinality": 1}}},
+        ],
+    )
+    with pytest.raises(DeltaProtocolError, match="cdc"):
+        delta_changes(spark, t, 4, 4)
+
+    # step-function surface
+    from easy_sql_spark.runtime.processor import SqlProcessor
+
+    etl = f"""-- target=func.delta_changes_view({t}, cdf_v, 0, 2)
+
+-- target=check.cdf_rows
+select (select count(*) from cdf_v) as actual, 9 as expected
+"""
+    SqlProcessor(spark, etl, logger=lambda m: None).run()
