@@ -540,6 +540,23 @@ def build(processor):
         df = read_hudi(spark, path, as_of=as_of or None)
         backend.create_temp_view(df, view_name)
 
+    def iceberg_incremental_view(
+        path: str, view_name: str, from_snapshot: str, to_snapshot: str = ""
+    ):
+        """Iceberg incremental APPEND scan as a temp view: rows in data
+        files added by snapshots after from_snapshot (replace/compaction
+        snapshots skipped, other operations refuse):
+        `func.iceberg_incremental_view(/lake/t, new_rows, 100)`."""
+        from ..sources.iceberg_meta import read_iceberg_incremental
+
+        df = read_iceberg_incremental(
+            spark,
+            path,
+            int(from_snapshot),
+            int(to_snapshot) if to_snapshot else None,
+        )
+        backend.create_temp_view(df, view_name)
+
     def hudi_incremental_view(
         path: str, view_name: str, from_instant: str, to_instant: str = ""
     ):

@@ -1084,3 +1084,109 @@ def _file_survives(
         ):
             return False
     return True
+
+
+# ------------------------------------------------------- incremental
+def read_iceberg_incremental(
+    spark: SparkSession,
+    path: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Iceberg INCREMENTAL APPEND scan: the rows in data files added by
+    snapshots AFTER ``from_snapshot_id`` up to ``to_snapshot_id``
+    (inclusive; default current) — Iceberg's own incremental-read
+    contract, completing the incremental-consumption matrix next to the
+    snapshot layer's ``changes()``, ``delta_changes`` and
+    ``read_hudi_incremental``.
+
+    Exactly the engine's semantics: ``append`` snapshots contribute the
+    entries their own manifests ADDED (status=1 in manifests with
+    ``added_snapshot_id`` = that snapshot — never re-emitting EXISTING
+    entries), ``replace`` snapshots (compactions) are skipped (they
+    move rows, not add them), and any other operation in the range
+    refuses loudly — an overwrite/delete cannot be represented as
+    appended rows.
+
+    Scale: the walk is metadata-only (manifest-list + added manifests
+    per snapshot in range); rows flow through one grouped parquet scan
+    with identity-partition constants attached, same as
+    :func:`read_iceberg`."""
+    from pyspark.sql import functions as F
+
+    meta = load_table_metadata(path)
+    snaps = sorted(
+        meta.get("snapshots", []), key=lambda s: s.get("timestamp-ms", 0)
+    )
+    ids = [s["snapshot-id"] for s in snaps]
+    if from_snapshot_id not in ids:
+        raise ValueError(f"unknown from snapshot-id {from_snapshot_id}")
+    start = ids.index(from_snapshot_id)
+    if to_snapshot_id is None:
+        end = len(ids) - 1
+    elif to_snapshot_id in ids:
+        end = ids.index(to_snapshot_id)
+    else:
+        raise ValueError(f"unknown to snapshot-id {to_snapshot_id}")
+    schema = schema_to_spark(meta)
+    id_parts = _identity_partition_names(meta)
+    fv = int(meta.get("format-version", 1))
+
+    added: list[tuple[str, dict]] = []
+    for s in snaps[start + 1 : end + 1]:
+        op = (s.get("summary") or {}).get("operation")
+        if op == "replace":
+            continue
+        if op != "append":
+            raise IcebergUnsupportedError(
+                f"snapshot {s['snapshot-id']} in the incremental range "
+                f"is {op!r}: only append (and skippable replace) "
+                "snapshots can be read incrementally"
+            )
+        with open(_strip_uri(s["manifest-list"]), "rb") as f:
+            _, manifests = read_avro_file(f.read())
+        for mrow in manifests:
+            if int(mrow.get("added_snapshot_id") or -1) != s["snapshot-id"]:
+                continue
+            with open(_strip_uri(mrow["manifest_path"]), "rb") as f:
+                _, entries = read_avro_file(f.read())
+            for e in entries:
+                if e.get("status") != 1:
+                    continue
+                df_ = e["data_file"]
+                content = int(df_.get("content", 0)) if fv >= 2 else 0
+                if content != 0:
+                    raise IcebergUnsupportedError(
+                        "delete file added by an 'append' snapshot — "
+                        "malformed table"
+                    )
+                added.append(
+                    (_strip_uri(df_["file_path"]), df_.get("partition") or {})
+                )
+    if not added:
+        return spark.createDataFrame([], schema)
+
+    if not id_parts:
+        return spark.read.schema(schema).parquet(
+            *sorted(p for p, _ in added)
+        )
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name not in id_parts]
+    )
+    types = {f.name: f.dataType for f in schema.fields}
+    groups: dict[tuple, list[str]] = {}
+    for p, pv in added:
+        key = tuple(
+            _typed_partition_value(pv.get(c), types[c]) for c in id_parts
+        )
+        groups.setdefault(key, []).append(p)
+    parts = []
+    for key, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
+        df = spark.read.schema(data_schema).parquet(*sorted(paths))
+        for c, val in zip(id_parts, key):
+            df = df.withColumn(c, F.lit(val).cast(types[c]))
+        parts.append(df.select(*[f.name for f in schema.fields]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -105,7 +105,9 @@ def _manifest(table, name, entries, codec="null"):
     return p
 
 
-def _manifest_list(table, name, manifest_paths, contents=None, seqs=None):
+def _manifest_list(
+    table, name, manifest_paths, contents=None, seqs=None, added_snaps=None
+):
     p = os.path.join(table, "metadata", name)
     rows = [
         {
@@ -114,7 +116,9 @@ def _manifest_list(table, name, manifest_paths, contents=None, seqs=None):
             "partition_spec_id": 0,
             "content": (contents or [0] * len(manifest_paths))[i],
             "sequence_number": (seqs or [None] * len(manifest_paths))[i],
-            "added_snapshot_id": 1,
+            "added_snapshot_id": (
+                added_snaps or [1] * len(manifest_paths)
+            )[i],
         }
         for i, mp in enumerate(manifest_paths)
     ]
@@ -666,3 +670,72 @@ def test_export_snapshot_to_iceberg_with_deletion_vectors(spark, tmp_path):
     t2.delete_where_dv([("id", "=", 1)])
     with pytest.raises(ValueError, match="compact"):
         export_snapshot_to_iceberg(t2)
+
+
+def test_iceberg_incremental_append_scan(spark, tmp_path):
+    """Incremental read over (from, to]: append snapshots contribute
+    ONLY the entries their own manifests added (EXISTING entries never
+    re-emitted), replace snapshots are skipped, an overwrite in range
+    refuses, and the step-function view works."""
+    from easy_sql_spark.sources.iceberg_meta import read_iceberg_incremental
+
+    t = str(tmp_path / "ice_inc")
+    fa = _data_file(spark, t, "fa.parquet", [(1, "x")])
+    fb = _data_file(spark, t, "fb.parquet", [(2, "y")])
+    fc = _data_file(spark, t, "fc.parquet", [(2, "y9")])  # compaction rewrite
+    fd = _data_file(spark, t, "fd.parquet", [(3, "z")])
+    # s1: append fa; s2: append fb (manifest carries fa as EXISTING);
+    # s3: replace fb -> fc; s4: append fd
+    m1 = _manifest(t, "m1.avro", [_entry(1, fa)])
+    ml1 = _manifest_list(t, "sl1.avro", [m1], added_snaps=[1])
+    m2 = _manifest(t, "m2.avro", [_entry(0, fa), _entry(1, fb)])
+    ml2 = _manifest_list(t, "sl2.avro", [m2], added_snaps=[2])
+    m3 = _manifest(t, "m3.avro", [_entry(0, fa), _entry(2, fb), _entry(1, fc)])
+    ml3 = _manifest_list(t, "sl3.avro", [m3], added_snaps=[3])
+    m4 = _manifest(t, "m4.avro", [_entry(1, fd)])
+    ml4 = _manifest_list(t, "sl4.avro", [m3, m4], added_snaps=[3, 4])
+    _metadata(
+        t,
+        snapshots=[
+            {"snapshot-id": 1, "timestamp-ms": 1000, "manifest-list": ml1,
+             "summary": {"operation": "append"}},
+            {"snapshot-id": 2, "timestamp-ms": 2000, "manifest-list": ml2,
+             "summary": {"operation": "append"}},
+            {"snapshot-id": 3, "timestamp-ms": 3000, "manifest-list": ml3,
+             "summary": {"operation": "replace"}},
+            {"snapshot-id": 4, "timestamp-ms": 4000, "manifest-list": ml4,
+             "summary": {"operation": "append"}},
+        ],
+        current=4,
+        log=[{"timestamp-ms": i * 1000, "snapshot-id": i} for i in (1, 2, 3, 4)],
+    )
+    # (1, current]: fb (added by s2) + fd (added by s4); the replace's
+    # fc never appears, fa (EXISTING in later manifests) never re-emits
+    got = {
+        (r.id, r.val)
+        for r in read_iceberg_incremental(spark, t, 1).collect()
+    }
+    assert got == {(2, "y"), (3, "z")}
+    # (2, 4]: only fd
+    got2 = {
+        (r.id, r.val)
+        for r in read_iceberg_incremental(spark, t, 2, 4).collect()
+    }
+    assert got2 == {(3, "z")}
+    # empty range
+    assert read_iceberg_incremental(spark, t, 4).count() == 0
+
+    # an overwrite snapshot in range refuses
+    t2 = _mk_table(spark, tmp_path / "ice_inc2")  # 100 append, 200 overwrite
+    with pytest.raises(IcebergUnsupportedError, match="overwrite"):
+        read_iceberg_incremental(spark, t2, 100)
+
+    # step-function surface
+    from easy_sql_spark.runtime.processor import SqlProcessor
+
+    etl = f"""-- target=func.iceberg_incremental_view({t}, ice_inc_v, 1)
+
+-- target=check.incremental_rows
+select (select count(*) from ice_inc_v) as actual, 2 as expected
+"""
+    SqlProcessor(spark, etl, logger=lambda m: None).run()

@@ -1159,8 +1159,9 @@ def test_null_count_stats_pruning(spark, root):
 def test_deletion_vector_delete_end_to_end(spark, root):
     """delete_where_dv: O(deleted rows) merge-on-read DELETE — reads,
     metadata counts, merges and copy-on-write deletes all respect the
-    DV; compact applies-and-clears; exports refuse until then; vacuum
-    never reaps a referenced DV dir; time travel sees pre-DV state."""
+    DV; compact applies-and-clears; exports carry live DVs through
+    (Delta DV descriptors / Iceberg position deletes); vacuum never
+    reaps a referenced DV dir; time travel sees pre-DV state."""
     t = SnapshotTable(spark, root)
     t.create(
         spark.range(100).selectExpr("id", "id % 7 as g"), stats_cols=["id"]
@@ -1197,14 +1198,23 @@ def test_deletion_vector_delete_end_to_end(spark, root):
     # DV-deleted, so it re-inserts rather than updates): 122
     assert t.row_count() == t.read().count() == 122
 
-    # exports refuse while DVs are live
-    from easy_sql_spark.sources.delta_log import export_snapshot_to_delta
-    from easy_sql_spark.sources.iceberg_meta import export_snapshot_to_iceberg
+    # exports carry the live DVs through: both replay paths must see
+    # exactly the DV-applied visible rows (unpartitioned table, so the
+    # iceberg position-delete export applies too)
+    from easy_sql_spark.sources.delta_log import (
+        export_snapshot_to_delta,
+        read_delta,
+    )
+    from easy_sql_spark.sources.iceberg_meta import (
+        export_snapshot_to_iceberg,
+        read_iceberg,
+    )
 
-    with pytest.raises(ValueError, match="deletion vectors"):
-        export_snapshot_to_delta(t)
-    with pytest.raises(ValueError, match="deletion vectors"):
-        export_snapshot_to_iceberg(t)
+    want = {(r.id, r.g) for r in t.read().collect()}
+    export_snapshot_to_delta(t)
+    assert {(r.id, r.g) for r in read_delta(spark, t.root).collect()} == want
+    export_snapshot_to_iceberg(t)
+    assert {(r.id, r.g) for r in read_iceberg(spark, t.root).collect()} == want
 
     # changes() refuses a DV-crossing range
     with pytest.raises(ValueError, match="deletion-vector"):
