@@ -21,50 +21,37 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["a1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-#: Registry entries that had NO driver-side verdict in any of rounds 1-5
-#: (union of CORRECTNESS_r01..r05 keys vs the registry): rounds 1-4
-#: presented registration order (window = oldest 50), round 5 presented
-#: newest-first (window = newest 50); these 57 middle entries were only
-#: ever covered by the in-repo full gate (tests/test_oracle_all.py).
-_NEVER_DRIVER_CHECKED = (
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "text_stats_by_lang",
-    "text_token_count", "text_quality", "sim_topk_bruteforce",
-    "sim_label_centroids", "dedup_simhash", "text_lang_id",
-    "sim_neardup_pairs", "sim_ivf_topk", "dedup_components",
-    "sim_quantize_int8", "py_groupwise_mad", "asof_events_orders",
-    "q3_shipping_priority", "q5_local_supplier_volume",
-    "q13_customer_distribution", "q10_returned_items", "q18_large_orders",
-    "q14_promo_revenue", "mm_decode_stats", "mm_hist_profile",
-    "mm_jpeg_roundtrip_stats", "mm_jpeg_progressive_stats",
-    "mm_exif_orientation", "mm_frame_sample", "mm_mp4_demux_stats",
-    "mm_image_ahash", "mm_wav_dominant_freq", "mm_mp3_id3_tags",
-    "mm_mp3_demux_stats", "q2_min_cost_supplier", "q4_order_priority",
-    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "q11_important_stock", "q12_shipping_lag", "q15_top_supplier",
-    "q16_supplier_part_cnt", "q17_small_qty_revenue",
-    "q19_discounted_revenue", "q20_part_promotion", "q21_waiting_suppliers",
-    "q22_global_sales_opportunity", "sim_lsh_topk", "text_winnow_pairs",
-    "text_source_cap", "text_repetition_filter", "s6b_setops_all",
-    "text_pii_redact", "data_shard_split", "seq_pack_bins",
-    "mm_gif_frames_stats", "dedup_incremental",
-    # rows-only (no hash verdict possible) go last inside this block
+#: Round-7 driver-window front (VERDICT r6 ask #2).  After six rounds the
+#: union of driver-checked entries covers all but these 9 (the overflow of
+#: the 50-entry r6 window plus the two r6 Hudi additions) — front them so
+#: driver coverage closes to 159/159.  Then the two entries whose only
+#: driver verdict was red-but-since-fixed: sim_quantize_int8 (r6 red: the
+#: driver canonicalizer crashed on its raw array<int> column, now
+#: flattened via array_join) and snapshot_dv_delete (r5 red, fixed +
+#: stress-tested in r6, never re-adjudicated).
+_ROUND7_FRONT = (
+    "s6b_setops_all", "text_pii_redact", "data_shard_split",
+    "seq_pack_bins", "mm_gif_frames_stats", "dedup_incremental",
+    "hudi_mor_interop_read", "hudi_export_roundtrip",
+    # rows-only (no hash verdict possible) goes last in the never-checked
+    # block so oracle-backed entries get hash verdicts first
     "a9_approx_quantiles",
+    # red-row re-confirmations
+    "sim_quantize_int8", "snapshot_dv_delete",
 )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    The driver's correctness gate samples the FIRST 50 entries.  Round-6
-    rotation: present the ``_NEVER_DRIVER_CHECKED`` middle block first
-    (oracle-backed entries before rows-only ones) so the TPC-H tail,
-    sim/text mid-families and multimodal queries finally get a
-    driver-side verdict, then everything else newest-first (so round-6
-    additions sit just past the window, first in line for round 7).
+    The driver's correctness gate samples the FIRST 50 entries.  Round-7
+    rotation: the 9 never-driver-checked entries and the 2 red-row
+    re-confirmations first (``_ROUND7_FRONT``), then everything else
+    newest-first so round-6/7 additions fill the rest of the window.
     tests/test_oracle_all.py stays authoritative over ALL entries."""
     from easy_sql_spark.queries import QUERIES
 
-    front = {k: QUERIES[k] for k in _NEVER_DRIVER_CHECKED if k in QUERIES}
+    front = {k: QUERIES[k] for k in _ROUND7_FRONT if k in QUERIES}
     rest = {
         k: v
         for k, v in reversed(list(QUERIES.items()))

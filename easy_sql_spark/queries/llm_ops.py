@@ -827,8 +827,9 @@ def dedup_components(spark, sf_dir):
         FROM e)
     SELECT vec_id,
            amax,
-           list_transform(v, x -> CAST(FLOOR(x * 127.0 / amax + 0.5) AS INT))
-               AS q,
+           array_to_string(
+               list_transform(v, x -> CAST(FLOOR(x * 127.0 / amax + 0.5) AS INT)),
+               ',') AS q,
            CAST(list_sum(list_transform(v,
                 x -> abs(x - FLOOR(x * 127.0 / amax + 0.5) * amax / 127.0)))
                 / len(v) AS DOUBLE) AS mean_abs_err
@@ -840,7 +841,12 @@ def sim_quantize_int8(spark, sf_dir):
     the 4× storage lever for 100 TB embedding corpora.  Pure JVM
     ``transform`` lambdas; ``floor(x+0.5)`` instead of round() because both
     engines floor identically while round() half-up ties can differ on
-    doubles.  Also emits mean reconstruction error per vector."""
+    doubles.  Also emits mean reconstruction error per vector.
+
+    The quantized vector ``q`` is emitted flattened (``array_join`` with
+    ',') per the registry convention (see ``f6_array``): the driver's
+    canonicalizer sorts result cells with pandas and cannot hash raw
+    list-typed columns (CORRECTNESS_r06's ``unhashable type: 'list'``)."""
     e = (
         load_table(spark, sf_dir, "embeddings")
         .where(F.col("vec_id") < 50)
@@ -858,7 +864,10 @@ def sim_quantize_int8(spark, sf_dir):
         " 0D, (acc, z) -> acc + z) / size(v)"
     )
     return scaled.select(
-        "vec_id", "amax", q.alias("q"), err.cast("double").alias("mean_abs_err")
+        "vec_id",
+        "amax",
+        F.array_join(q, ",").alias("q"),
+        err.cast("double").alias("mean_abs_err"),
     ).orderBy("vec_id")
 
 

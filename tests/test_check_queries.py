@@ -60,6 +60,22 @@ def test_fail_on_spark_error_and_oracle_error(spark, con):
     assert status == "fail" and "duckdb error" in detail
 
 
+def test_fail_on_list_valued_output_column(spark, con):
+    """Reproduce the r6 driver crash locally: a raw array<int> output
+    column must FAIL the gate (the driver's pandas canonicalizer dies
+    with `unhashable type: 'list'` before any comparison)."""
+    df = spark.createDataFrame([(1, [1, 2, 3])], "k int, q array<int>")
+    status, detail = check_one(
+        spark, con, "", "t", _fn(df), "SELECT 1 AS k, [1,2,3] AS q"
+    )
+    assert status == "fail" and "non-atomic" in detail and "q" in detail
+
+    # map and struct outputs die the same way
+    df2 = spark.createDataFrame([(1, {"a": 1})], "k int, m map<string,int>")
+    status, detail = check_one(spark, con, "", "t", _fn(df2), None)
+    assert status == "fail" and "non-atomic" in detail
+
+
 def test_rows_only_when_no_oracle(spark, con):
     df = spark.createDataFrame([(1,)], "k int")
     status, _ = check_one(spark, con, "", "t", _fn(df), None)

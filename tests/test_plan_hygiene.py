@@ -43,6 +43,23 @@ def test_no_cartesian_or_unexpected_bnlj_anywhere(spark):
     assert not flagged, f"scale-killing plans: {flagged}"
 
 
+def test_every_query_schema_is_atomic(spark):
+    """Driver-canon contract: no query's FINAL schema may contain a
+    top-level Array/Map/Struct column — the driver's correctness gate
+    sorts result cells with pandas and crashes on them
+    (CORRECTNESS_r06: sim_quantize_int8, `unhashable type: 'list'`).
+    Flatten with array_join / to_json per the f6_array convention.
+    Schema-only (lazy), so this sweeps all ~160 queries in seconds."""
+    from tools.check_queries import nonatomic_columns
+
+    flagged = {
+        name: bad
+        for name, fn in QUERIES.items()
+        if (bad := nonatomic_columns(fn(spark, SF).schema))
+    }
+    assert not flagged, f"non-atomic output columns: {flagged}"
+
+
 def test_bnlj_whitelist_is_not_stale(spark):
     """Every whitelisted query must still NEED its entry — a stale
     whitelist hides a future regression behind an old exemption."""

@@ -23,6 +23,21 @@ TABLES = (
 )
 
 
+def nonatomic_columns(schema):
+    """Top-level Array/Map/Struct columns in a Spark schema.
+
+    The driver's canonicalizer (pandas ``sort_values`` over raw cells)
+    crashes on them, so the registry contract is: every query's FINAL
+    schema is atomic — flatten collections with ``array_join`` etc."""
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
 def canon(rows, cols):
     """Stringify values in name-sorted column order (matching the driver's
     hash), sort rows — but return the ORDERED column list so the schema
@@ -71,6 +86,16 @@ def check_one(spark, con, sf_dir, name, fn, oracle):
     t0 = time.time()
     try:
         df = fn(spark, sf_dir)
+        bad = nonatomic_columns(df.schema)
+        if bad:
+            # the DRIVER's canonicalizer sorts result cells with pandas and
+            # dies on list/map/struct values (CORRECTNESS_r06:
+            # `unhashable type: 'list'`) — fail here the way it fails there
+            return "fail", (
+                f"non-atomic output column(s) {bad}: driver canonicalizer "
+                "crashes on list/map/struct cells — flatten with array_join "
+                "(registry convention, see f6_array)"
+            )
         scols = df.columns
         srows = [tuple(r) for r in df.collect()]
     except Exception as e:
