@@ -894,6 +894,10 @@ def f13_variant_json(spark, sf_dir):
         SELECT 3, pt, CAST(COUNT(*) AS BIGINT),
                CAST(ROUND(SUM(price), 2) AS DOUBLE)
         FROM cm GROUP BY pt
+        UNION ALL
+        SELECT 4, pt, CAST(COUNT(*) AS BIGINT),
+               CAST(ROUND(SUM(price), 2) AS DOUBLE)
+        FROM v2 GROUP BY pt
     ) ORDER BY version, pt
     """,
 )
@@ -909,6 +913,10 @@ def delta_interop_read(spark, sf_dir):
     per-partition aggregates from the source rows, so what's checked
     is the replay itself: adds, removes, partition-value attachment,
     version selection, and the DV anti-join (delta_dv.py decode).
+    Version-4 rows re-read the table after FULL log cleanup through a
+    spec-built V2 (uuid-named) checkpoint manifest + sidecars —
+    current delta-spark's default checkpoint form — and must equal
+    the version-2 rows.
 
     Scale: the log is driver-side metadata (same split as the snapshot
     layer); each partition group is one pinned-schema parquet scan —
@@ -1108,6 +1116,84 @@ def delta_interop_read(spark, sf_dir):
             F.round(F.sum("price"), 2).cast("double").alias("sum_price"),
         )
         .select(F.lit(3).alias("version"), "pt", "n", "sum_price")
+    )
+
+    # version-4 rows: the SAME table reconstructed through a V2
+    # (uuid-named) checkpoint — the form current delta-spark writes by
+    # default — after FULL log cleanup: every JSON commit deleted, state
+    # lives only in the manifest + _sidecars/ parquet files (DV
+    # descriptor riding a sidecar add).  Must equal the version-2 rows.
+    # Versions 0-2 were already replayed above (read_delta walks the log
+    # at plan-build time), so deleting the JSONs now is safe.
+    side = t + "/_delta_log/_sidecars"
+    os.makedirs(side)
+
+    def pq_actions(rows, schema, dest):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.parquet(t + "/_stage")
+        part = next(
+            n for n in os.listdir(t + "/_stage") if n.endswith(".parquet")
+        )
+        os.replace(t + "/_stage/" + part, dest)
+        import shutil
+
+        shutil.rmtree(t + "/_stage")
+
+    sc_schema = (
+        "add struct<path string, partitionValues map<string,string>, "
+        "deletionVector struct<storageType string, pathOrInlineDv string, "
+        "offset int, sizeInBytes int, cardinality long>>, "
+        "remove struct<path string>"
+    )
+    dv_desc = (
+        "u", z85_encode(u.bytes), spans[0][0], spans[0][1], len(positions)
+    )
+    pq_actions(
+        [(("f-0-v1.parquet", {"pt": "0"}, None), None),
+         (("f-2-v0.parquet", {"pt": "2"}, None), None),
+         (None, ("f-0-v0.parquet",))],
+        sc_schema,
+        side + "/c0a80001-0000-4000-8000-000000000001.parquet",
+    )
+    pq_actions(
+        [(("f-1-v0.parquet", {"pt": "1"}, dv_desc), None)],
+        sc_schema,
+        side + "/c0a80001-0000-4000-8000-000000000002.parquet",
+    )
+    mf_schema = (
+        "checkpointMetadata struct<version long>, "
+        "metaData struct<id string, schemaString string, "
+        "partitionColumns array<string>, format struct<provider string>>, "
+        "protocol struct<minReaderVersion int, minWriterVersion int, "
+        "readerFeatures array<string>, writerFeatures array<string>>, "
+        "sidecar struct<path string, sizeInBytes long>"
+    )
+    pq_actions(
+        [
+            ((2,), None, None, None),
+            (None, ("t", schema_str, ["pt"], ("parquet",)), None, None),
+            (None, None,
+             (3, 7, ["v2Checkpoint", "deletionVectors"],
+              ["v2Checkpoint", "deletionVectors"]), None),
+            (None, None, None,
+             ("c0a80001-0000-4000-8000-000000000001.parquet", 1)),
+            (None, None, None,
+             ("c0a80001-0000-4000-8000-000000000002.parquet", 1)),
+        ],
+        mf_schema,
+        t + f"/_delta_log/{2:020d}.checkpoint."
+        "9f3c6f9f-1111-4222-8333-444455556666.parquet",
+    )
+    for v in (0, 1, 2):
+        os.remove(t + f"/_delta_log/{v:020d}.json")
+    outs.append(
+        read_delta(spark, t)
+        .groupBy("pt")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("price"), 2).cast("double").alias("sum_price"),
+        )
+        .select(F.lit(4).alias("version"), "pt", "n", "sum_price")
     )
     out = outs[0]
     for o in outs[1:]:

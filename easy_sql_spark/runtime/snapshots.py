@@ -402,6 +402,16 @@ class SnapshotTable:
                 return None
             if not st.has_min_max:
                 raise _FooterUnusable("no min/max")
+            if cc.physical_type in ("FLOAT", "DOUBLE"):
+                # parquet float min/max EXCLUDE NaN while Spark orders
+                # NaN ABOVE every value (a scan's max IS NaN when one is
+                # present); the footer cannot prove NaN absence, so a
+                # too-small max could wrongly prune a dir whose only
+                # matching rows are NaN.  Widen the max to NaN — the
+                # "could contain NaN" sentinel `_dir_survives` treats as
+                # an unknown upper bound; the (NaN-safe) min stays
+                # (ADVICE r6 #4)
+                return st.min, float("nan")
             try:
                 mn, mx = st.min, st.max
             except Exception:
@@ -1547,6 +1557,14 @@ class SnapshotTable:
         ``is_null``/``not_null`` ops prune on the null count (with the
         dir row count for the not_null side)."""
         import decimal as _dec
+        import math as _math
+
+        # a NaN bound means "unknown": Spark orders NaN above every
+        # value, so a scan max of NaN (NaN rows present) or a footer
+        # max widened to NaN (NaN absence unprovable) gives no upper
+        # bound to prune on; any comparison against it proves nothing
+        def known(v):
+            return not (isinstance(v, float) and _math.isnan(v))
 
         if not stats:
             return True
@@ -1566,6 +1584,12 @@ class SnapshotTable:
             if rng[0] is None or rng[1] is None:
                 continue
             mn, mx = rng[0], rng[1]
+            # ops needing only the min (<, <=) survive a NaN max;
+            # everything else needs both bounds to prove exclusion
+            if not known(mn):
+                continue
+            if not known(mx) and op not in ("<", "<="):
+                continue
             if op == "in":
                 vals = [
                     float(v) if isinstance(v, _dec.Decimal) else v
@@ -1827,8 +1851,11 @@ class SnapshotTable:
             # nothing matched: an empty-target DV entry would persist
             # forever (no target dir can ever die) and tax every later
             # read with a pointless DV-file scan — commit metadata-only
-            # (version still advances; callers see a normal manifest)
-            out = self._metadata_commit("delete_dv", lambda m, p: None)
+            # (version still advances; callers see a normal manifest).
+            # DISTINCT op name: changes() refuses ranges crossing a
+            # "delete_dv" commit, and a no-op delete must not poison the
+            # change feed over its range forever (ADVICE r6 #3)
+            out = self._metadata_commit("delete_dv_noop", lambda m, p: None)
             out["deleted_rows"] = 0
             return out
 

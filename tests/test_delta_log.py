@@ -662,6 +662,125 @@ def test_read_delta_from_multipart_checkpoint(spark, tmp_path):
     assert again == latest
 
 
+_V1_STATE = {
+    (1, "x2", "a"), (2, "y2", "a"), (9, "w", "a"),
+    (3, "z", "b"), (7, "c", "c"),
+}
+
+
+def _pq_actions(spark, rows, schema, dest):
+    df = spark.createDataFrame(rows, schema)
+    tmp = dest + "_tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(n for n in os.listdir(tmp) if n.endswith(".parquet"))
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    os.replace(os.path.join(tmp, part), dest)
+    import shutil
+
+    shutil.rmtree(tmp)
+
+
+_SIDECAR_SCHEMA = (
+    "add struct<path string, partitionValues map<string,string>>, "
+    "remove struct<path string>"
+)
+
+
+def test_read_delta_from_v2_checkpoint_with_sidecars(spark, tmp_path):
+    """V2 (uuid-named) checkpoints — what current delta-spark writes by
+    default — reconstruct state after log cleanup: the manifest carries
+    metaData/protocol + sidecar pointers; add/remove state lives in
+    ``_delta_log/_sidecars/`` parquet files (PROTOCOL.md §V2 Spec)."""
+    t = _mk_table(spark, tmp_path / "dtv2")
+    log = os.path.join(t, "_delta_log")
+    side = os.path.join(log, "_sidecars")
+    # state at v1 split across two sidecars + a remove tombstone
+    _pq_actions(
+        spark,
+        [(("f-a2.parquet", {"p": "a"}), None),
+         (None, ("f-a1.parquet",))],
+        _SIDECAR_SCHEMA,
+        os.path.join(side, "3a1c0000-0000-4000-8000-000000000001.parquet"),
+    )
+    _pq_actions(
+        spark,
+        [(("f-b1.parquet", {"p": "b"}), None)],
+        _SIDECAR_SCHEMA,
+        os.path.join(side, "3a1c0000-0000-4000-8000-000000000002.parquet"),
+    )
+    md = json.loads(json.dumps(_meta_action()["metaData"]))
+    manifest_schema = (
+        "checkpointMetadata struct<version long>, "
+        "metaData struct<id string, schemaString string, "
+        "partitionColumns array<string>>, "
+        "protocol struct<minReaderVersion int, minWriterVersion int, "
+        "readerFeatures array<string>, writerFeatures array<string>>, "
+        "sidecar struct<path string, sizeInBytes long>"
+    )
+    uuid = "7a44c8d2-9c3e-4c6f-9f30-5c9f3c6f9f30"
+    _pq_actions(
+        spark,
+        [
+            ((1,), None, None, None),
+            (None,
+             (md["id"], md["schemaString"], md["partitionColumns"]),
+             None, None),
+            (None, None, (3, 7, ["v2Checkpoint"], ["v2Checkpoint"]), None),
+            (None, None, None,
+             ("3a1c0000-0000-4000-8000-000000000001.parquet", 1)),
+            (None, None, None,
+             ("3a1c0000-0000-4000-8000-000000000002.parquet", 1)),
+        ],
+        manifest_schema,
+        os.path.join(log, f"{1:020d}.checkpoint.{uuid}.parquet"),
+    )
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+
+    latest = {(r.id, r.val, r.p) for r in read_delta(spark, t).collect()}
+    assert latest == _V1_STATE
+    with pytest.raises(ValueError, match="missing commit"):
+        read_delta(spark, t, version=0)
+
+    # a missing sidecar must fail LOUDLY, not read partial state
+    os.remove(
+        os.path.join(side, "3a1c0000-0000-4000-8000-000000000002.parquet")
+    )
+    with pytest.raises(ValueError, match="sidecar"):
+        read_delta(spark, t)
+
+
+def test_read_delta_from_v2_json_checkpoint_inline_actions(spark, tmp_path):
+    """The json-format V2 manifest with INLINE file actions (no
+    sidecars) — the other writer-chosen layout the spec allows."""
+    t = _mk_table(spark, tmp_path / "dtv2j")
+    log = os.path.join(t, "_delta_log")
+    md = _meta_action()["metaData"]
+    uuid = "11112222-3333-4444-8555-666677778888"
+    actions = [
+        {"checkpointMetadata": {"version": 1}},
+        {"metaData": md},
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["v2Checkpoint"],
+                      "writerFeatures": ["v2Checkpoint"]}},
+        {"add": {"path": "f-a2.parquet", "partitionValues": {"p": "a"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "f-b1.parquet", "partitionValues": {"p": "b"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+        {"remove": {"path": "f-a1.parquet"}},
+    ]
+    with open(
+        os.path.join(log, f"{1:020d}.checkpoint.{uuid}.json"), "w"
+    ) as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+
+    latest = {(r.id, r.val, r.p) for r in read_delta(spark, t).collect()}
+    assert latest == _V1_STATE
+
+
 def test_delta_changes_cdf(spark, tmp_path):
     """delta_changes: add/remove-derived inserts and deletes per commit,
     cdc actions authoritative when present (adds of the same commit
@@ -723,13 +842,68 @@ def test_delta_changes_cdf(spark, tmp_path):
         ("update_postimage", 1, "x3", "a"),
     }
 
-    # DV change without cdc files: not derivable -> loud refusal
+    # a commit that REMOVES a file whose prior add carried a live DV
+    # (no cdc): the DV-dead rows were already deleted and must NOT
+    # re-emit as fresh delete rows — only the still-live rows do
+    u = __import__("uuid").uuid4()
+    from easy_sql_spark.sources.delta_dv import write_dv_file, z85_encode
+
+    blob, spans = write_dv_file([[1]])  # f-a3 position 1 = (2, y2)
+    with open(os.path.join(t, f"deletion_vector_{u}.bin"), "wb") as fh:
+        fh.write(blob)
+    cdf2 = spark.createDataFrame(
+        [(2, "y2", "delete")], "id long, val string, _change_type string"
+    )
+    tmp2 = os.path.join(t, "_cdc_tmp2")
+    cdf2.coalesce(1).write.parquet(tmp2)
+    part2 = next(n for n in os.listdir(tmp2) if n.endswith(".parquet"))
+    os.replace(os.path.join(tmp2, part2), os.path.join(cdc_dir, "c2.parquet"))
+    shutil.rmtree(tmp2)
     _commit(
         t,
         4,
         [
             {"commitInfo": {"operation": "DELETE", "timestamp": 5000}},
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors"],
+                          "writerFeatures": ["deletionVectors"]}},
+            {"remove": {"path": "f-a3.parquet", "dataChange": True}},
             {"add": {"path": "f-a3.parquet", "partitionValues": {"p": "a"},
+                     "size": 1, "modificationTime": 0, "dataChange": True,
+                     "deletionVector": {
+                         "storageType": "u",
+                         "pathOrInlineDv": z85_encode(u.bytes),
+                         "offset": spans[0][0],
+                         "sizeInBytes": spans[0][1],
+                         "cardinality": 1}}},
+            {"cdc": {"path": "_change_data/c2.parquet",
+                     "partitionValues": {"p": "a"}, "size": 1,
+                     "dataChange": False}},
+        ],
+    )
+    _commit(
+        t,
+        5,
+        [
+            {"commitInfo": {"operation": "DELETE", "timestamp": 6000}},
+            {"remove": {"path": "f-a3.parquet", "dataChange": True}},
+        ],
+    )
+    ch5 = {
+        (r._change_type, r.id, r.val, r.p)
+        for r in delta_changes(spark, t, 5, 5).collect()
+    }
+    # f-a3 had rows (1,x3) (2,y2) (9,w); position 1 (2,y2) was already
+    # DV-dead at v4 — removing the file deletes only the live two
+    assert ch5 == {("delete", 1, "x3", "a"), ("delete", 9, "w", "a")}
+
+    # DV change without cdc files: not derivable -> loud refusal
+    _commit(
+        t,
+        6,
+        [
+            {"commitInfo": {"operation": "DELETE", "timestamp": 7000}},
+            {"add": {"path": "f-c1.parquet", "partitionValues": {"p": "c"},
                      "size": 1, "modificationTime": 0, "dataChange": True,
                      "deletionVector": {
                          "storageType": "i", "pathOrInlineDv": "x",
@@ -737,7 +911,7 @@ def test_delta_changes_cdf(spark, tmp_path):
         ],
     )
     with pytest.raises(DeltaProtocolError, match="cdc"):
-        delta_changes(spark, t, 4, 4)
+        delta_changes(spark, t, 6, 6)
 
     # step-function surface
     from easy_sql_spark.runtime.processor import SqlProcessor

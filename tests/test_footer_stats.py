@@ -54,6 +54,8 @@ STATS_COLS = [
 
 
 def test_footer_stats_match_scan_stats(spark, typed_table):
+    import math
+
     t = SnapshotTable(spark, tempfile.mkdtemp(prefix="snap_fstats_") + "/t")
     m = t.create(typed_table, partition_by=["pt"], stats_cols=STATS_COLS)
     dirs = m["added"]
@@ -65,10 +67,56 @@ def test_footer_stats_match_scan_stats(spark, typed_table):
     assert set(f_stats) == set(s_stats)
     for d in s_stats:
         for c in STATS_COLS:
+            if c == "d":
+                # DELIBERATE divergence on float/double: parquet footer
+                # min/max exclude NaN and cannot prove NaN absence, so
+                # the footer path widens the max to NaN (unknown upper
+                # bound); the scan path keeps Spark's exact max
+                fmn, fmx, fnc = f_stats[d][c]
+                smn, _smx, snc = s_stats[d][c]
+                assert fmn == smn and fnc == snc
+                assert math.isnan(fmx)
+                continue
             assert f_stats[d][c] == s_stats[d][c], (d, c, f_stats[d][c], s_stats[d][c])
     # the committed manifest took the footer path's values
-    assert m["stats"] == f_stats
     assert m["rows"] == f_counts
+    for d in f_stats:
+        for c in STATS_COLS:
+            a, b = m["stats"][d][c], f_stats[d][c]
+            assert a[0] == b[0] and a[2] == b[2]
+            assert a[1] == b[1] or (
+                isinstance(a[1], float)
+                and math.isnan(a[1])
+                and math.isnan(b[1])
+            )
+
+
+def test_float_nan_rows_never_pruned_away(spark):
+    """Spark orders NaN above every double; parquet footers exclude NaN
+    from min/max.  A dir whose only rows matching ``x > v`` are NaN
+    must survive stats pruning on BOTH stats paths (r6 advice)."""
+    rows = [(1, 1.0), (2, 2.5), (3, float("nan"))]
+    df = spark.createDataFrame(rows, "k long, x double")
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="snap_fnan_") + "/t")
+    m = t.create(df, stats_cols=["x"])
+
+    import math
+
+    got = t.read(where=[("x", ">", 100.0)]).where("x > 100.0 or isnan(x)")
+    assert [r.k for r in got.collect()] == [3]
+    # the committed (footer-path) max is the NaN sentinel
+    d = m["added"][0]
+    assert math.isnan(m["stats"][d]["x"][1])
+    # lower-bound pruning still works: nothing below min 1.0
+    assert t.read(where=[("x", "<", 0.5)]).count() == 0
+
+    # scan path records the same NaN max when NaN rows exist
+    s_stats, _ = t._scan_stats(m["added"], ["x"], [])
+    assert math.isnan(s_stats[d]["x"][1])
+    from easy_sql_spark.runtime.snapshots import SnapshotTable as S
+
+    assert S._dir_survives(s_stats[d], [("x", ">", 100.0)])
+    assert not S._dir_survives(s_stats[d], [("x", "<", 0.5)])
 
 
 def test_footer_stats_power_dir_pruning(spark, typed_table):

@@ -1168,6 +1168,15 @@ def test_deletion_vector_delete_end_to_end(spark, root):
     )
     t.append(spark.range(100, 150).selectExpr("id", "id % 7 as g"))
 
+    # zero-match delete: metadata-only commit under a DISTINCT op name —
+    # changes() refuses real delete_dv commits, and a no-op must not
+    # poison the change feed over its range forever (r6 advice)
+    v_before = t.latest_version()
+    rep0 = t.delete_where_dv([("id", "<", 0)])
+    assert rep0["deleted_rows"] == 0
+    assert t.manifest(t.latest_version())["operation"] == "delete_dv_noop"
+    assert t.changes(v_before, t.latest_version()).count() == 0
+
     rep = t.delete_where_dv([("id", "<", 20)])
     assert rep["deleted_rows"] == 20 and rep["operation"] == "delete_dv"
     assert sorted(r.id for r in t.read().collect()) == list(range(20, 150))
