@@ -103,10 +103,17 @@ class IVFIndex:
         path where a bit-pinned oracle replay matters (same contract as
         operators/kmeans.py's arrow paths)."""
         cents = self.centroids()
-        cent_rows = [(i, c) for i, c in enumerate(cents)]
-        cent_df = self.spark.createDataFrame(
-            cent_rows, "cell int, cv array<double>"
-        )
+        # one posexplode over a single-row literal, NOT
+        # createDataFrame(local rows): parallelize slices local data to
+        # cluster width, so every broadcast build of the centroid frame
+        # would run a 32-task job for 16 rows
+        cent_lit = "array(" + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+            for c in cents
+        ) + ")"
+        cent_df = self.spark.range(0, 1, 1, 1).select(
+            F.posexplode(F.expr(cent_lit)).alias("cell", "cv")
+        ).select(F.col("cell").cast("int").alias("cell"), "cv")
         norm = lambda c: F.sqrt(F.expr(
             f"aggregate(transform({c}, t -> t * t), 0D, (acc, z) -> acc + z)"
         ))

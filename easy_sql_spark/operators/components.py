@@ -145,20 +145,41 @@ def label_propagation_components(
         .select("u", F.col("u").alias("label"))
         .transform(iter_checkpoint)
     )
-    changed = 0
-    for _ in range(max_rounds):
-        neighbor_min = (
+
+    def _neighbor_min(lab: DataFrame) -> DataFrame:
+        return (
             edges.alias("e")
-            .join(labels.alias("l"), F.col("e.v") == F.col("l.u"))
+            .join(lab.alias("l"), F.col("e.v") == F.col("l.u"))
             .groupBy(F.col("e.u").alias("nu"))
             .agg(F.min(F.col("l.label")).alias("nmin"))
+        )
+
+    changed = 0
+    # TWO propagation steps fused per iteration: near-dup components
+    # have diameter 1-2, so the common case converges with ONE
+    # checkpoint + ONE convergence count instead of two of each — the
+    # barrier (job) count, not the data volume, is what this loop costs
+    # at small diameters.  The moved flag reflects the SECOND step: if
+    # nothing moved there, the first step's output (== the returned
+    # labels) is a fixed point, so stopping is exact.
+    for _ in range((max_rounds + 1) // 2):
+        mid = (
+            labels.alias("l2")
+            .join(_neighbor_min(labels), F.col("l2.u") == F.col("nu"), "left")
+            .select(
+                F.col("l2.u").alias("u"),
+                F.least(
+                    F.col("l2.label"),
+                    F.coalesce(F.col("nmin"), F.col("l2.label")),
+                ).alias("label"),
+            )
         )
         # carry a per-row moved flag so convergence detection is a filter
         # over the materialized checkpoint instead of an extra old-vs-new
         # join per round (one fewer shuffle join per iteration)
         updated = (
-            labels.alias("l2")
-            .join(neighbor_min, F.col("l2.u") == F.col("nu"), "left")
+            mid.alias("l2")
+            .join(_neighbor_min(mid), F.col("l2.u") == F.col("nu"), "left")
             .select(
                 F.col("l2.u").alias("u"),
                 F.least(

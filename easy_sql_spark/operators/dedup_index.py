@@ -61,6 +61,11 @@ class MinHashDedupIndex:
     #: the index's actual on-disk footprint — never a planner guess.
     SMALL_INDEX_BYTES = 32 << 20
 
+    #: band rows per post-fold partition (~100 B/row → ~50 MB tasks); a
+    #: 10⁹-band-row daily batch still fans out to ~2000 partitions, a
+    #: 400-row test batch collapses to 1
+    BAND_ROWS_PER_PARTITION = 1 << 19
+
     def _index_bytes(self) -> int:
         """On-disk size of the live index dirs, from the snapshot
         manifest's dir list — a handful of driver FS calls, no scan;
@@ -146,12 +151,29 @@ class MinHashDedupIndex:
     ) -> DataFrame:
         """Admit the non-duplicate part of ``docs`` (columns: doc_id,
         text) and index it.  Returns the admitted doc_ids as a
-        materialized single-column frame.  ``batch_id`` makes the commit
-        idempotent (streaming replay protection)."""
+        single-column frame over already-materialized inputs (stable
+        under later ingests — it never re-reads the index table).
+        ``batch_id`` makes the commit idempotent (streaming replay
+        protection)."""
         from ..queries.llm_ops import _lsh_capped_pairs
         from .components import label_propagation_components
 
-        bands = self._bands(docs).localCheckpoint(eager=True)
+        # ``minhash_bands`` already materializes the signature table
+        # (the CPU-heavy fold) at cluster width; ``bands`` is a narrow
+        # posexplode over that checkpoint — cheap to recompute, so no
+        # second materialization.  Right-size the partitioning for the
+        # REST of the lifecycle: band rows are narrow (~100 B), and
+        # carrying width-of-cluster partitions through the probe, the
+        # clustering rounds and the index commit costs a full task wave
+        # per stage and one tiny file per partition per commit.  One
+        # count (cheap: counts the materialized checkpoint) sizes the
+        # partitions by rows; ``coalesce`` is narrow — no shuffle.
+        bands = self._bands(docs)
+        n_rows = bands.count()
+        width = bands.rdd.getNumPartitions()
+        target = max(1, min(width, -(-n_rows // self.BAND_ROWS_PER_PARTITION)))
+        if target < width:
+            bands = bands.coalesce(target)
 
         if self.table.latest_version():
             hit_ids = self._probe_hits(bands)
@@ -188,7 +210,11 @@ class MinHashDedupIndex:
             self.table.append(admitted_bands)
 
         # docs too short to shingle carry no bands — no dup evidence, so
-        # they are admitted (but there is nothing of them to index)
+        # they are admitted (but there is nothing of them to index).
+        # No eager materialization here: every input is either already
+        # checkpointed (admitted_bands) or a narrow derivation of a
+        # checkpoint, so the frame is cheap to evaluate and adding a
+        # barrier per ingest only pays job-latency tax.
         bandless = docs.select("doc_id").join(
             bands.select("doc_id").distinct(), "doc_id", "left_anti"
         )
@@ -196,7 +222,6 @@ class MinHashDedupIndex:
             admitted_bands.select("doc_id")
             .distinct()
             .unionByName(bandless)
-            .localCheckpoint(eager=True)
         )
 
     def indexed_docs(self) -> DataFrame:

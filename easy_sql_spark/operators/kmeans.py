@@ -34,9 +34,20 @@ def assign_clusters(
 ) -> DataFrame:
     """Add ``out_col``: the 0-based index of the nearest centroid
     (squared L2, sequential fold, first-min tie-break).  Pure narrow
-    projection — centroids ride as a literal, nothing shuffles."""
-    lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    projection — centroids ride as a literal, nothing shuffles.
+
+    The K x dim literal is built as ONE parsed SQL expression, not
+    K*dim nested ``F.lit`` Column objects: each Column constructor is a
+    py4j round-trip, and at k=16 x 64 dims the old form cost ~1000
+    driver<->JVM calls PER assignment — the dominant constant of the
+    kmeans lifecycle queries (measured via cProfile: socket.recv_into).
+    ``repr(float)`` is shortest-round-trip, so the parsed doubles are
+    bit-identical to the originals."""
+    lit = F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+            for c in centroids
+        ) + ")"
     )
     dists = F.expr(
         f"transform(__cents, c -> aggregate("
