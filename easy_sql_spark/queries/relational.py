@@ -156,14 +156,34 @@ def a3_distinct_agg(spark, sf_dir):
     )
 
 
-@query("a4_approx_distinct")  # rows-only: HLL sketches differ across engines
+@query(
+    "a4_approx_distinct",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS d_flags,
+           CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS d_status,
+           CAST(COUNT(DISTINCT l_tax) AS BIGINT) AS d_tax,
+           CAST(COUNT(DISTINCT l_discount) AS BIGINT) AS d_disc
+    FROM lineitem
+    """,
+)
 def a4_approx_distinct(spark, sf_dir):
-    """A4: approx_count_distinct (HyperLogLog++). No oracle — sketch values
-    are engine-specific; the driver records a rows-only check."""
+    """A4: approx_count_distinct (HyperLogLog++) driven into its EXACT
+    regime — which makes the operator ORACLE-CHECKABLE against DuckDB's
+    exact COUNT(DISTINCT), the a9 pattern: at rsd 0.01 the sketch has
+    2^14 registers and linear counting over single-digit cardinalities
+    (return flags, line statuses, tax and discount steps) is
+    collision-free and rounds
+    to the true count, so the SKETCH output equals the exact answer
+    (verified at sf0.001/0.01/0.1).  The high-cardinality production
+    regime stays covered the right way for a sketch:
+    tests/test_approx_quality.py bounds approx vs exact on l_partkey
+    against the advertised rsd."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_returnflag", 0.01).alias("d_flags"),
+        F.approx_count_distinct("l_linestatus", 0.01).alias("d_status"),
+        F.approx_count_distinct("l_tax", 0.01).alias("d_tax"),
+        F.approx_count_distinct("l_discount", 0.01).alias("d_disc"),
     )
 
 

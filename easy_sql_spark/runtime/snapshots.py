@@ -1120,7 +1120,16 @@ class SnapshotTable:
         ``precombine`` (strongly recommended: the changelog's LSN or
         ts_ms column) picks the LATEST change per key inside the batch —
         an upsert followed by a delete of the same key inside one batch
-        nets to the delete, and vice versa."""
+        nets to the delete, and vice versa.  ACROSS batches the same
+        column guards against LATE/OUT-OF-ORDER events (WAL replays,
+        merged topic partitions): when the target table stores the
+        precombine column, a source event whose value is strictly below
+        the stored row's is STALE and is ignored — the Hudi
+        DefaultHoodieRecordPayload contract, and what makes a CDC mirror
+        converge to source-database state regardless of arrival order
+        (equal values apply, so exact redelivery stays idempotent).  On
+        a target without the column (e.g. the pre-evolution first batch)
+        there is nothing to compare — plain last-writer-wins merge."""
         if op_col not in source.columns:
             raise ValueError(f"apply_changes needs op column {op_col!r}")
         return self.merge(
@@ -1130,6 +1139,7 @@ class SnapshotTable:
             extra=extra,
             op_col=op_col,
             delete_op=delete_op,
+            drop_stale=True,
         )
 
     def merge(
@@ -1140,6 +1150,7 @@ class SnapshotTable:
         extra: dict | None = None,
         op_col: str | None = None,
         delete_op: str = "delete",
+        drop_stale: bool = False,
     ) -> dict:
         """Keyed SCD1 upsert (MERGE): target rows matching a source key
         are replaced by the source row, unmatched source rows insert,
@@ -1157,7 +1168,13 @@ class SnapshotTable:
         one day, never the table.  Source batches must be unique per
         key; ``precombine`` (column name) resolves duplicates by
         greatest value (row-hash tiebreak), the Hudi precombine-field
-        contract — without it duplicate keys raise.
+        contract — without it duplicate keys raise.  ``drop_stale``
+        (used by :meth:`apply_changes`) extends the contract ACROSS
+        batches: when the target stores the precombine column, a source
+        row strictly below the stored row's value is ignored and the
+        stored row survives untouched (late-event protection; equal
+        values apply, so redelivery is idempotent; a NULL on either
+        side disables the comparison and the source wins).
 
         Concurrency: the rewrite set is computed against the parent
         version, so ANY intervening commit invalidates it — a lost race
@@ -1268,9 +1285,37 @@ class SnapshotTable:
             survivors = survivors.join(
                 F.broadcast(dv0), ["__snap_fp", "__snap_ri"], "left_anti"
             )
-        survivors = survivors.drop("__snap_fp", "__snap_ri").join(
-            key_side, keys, "left_anti"
+        surv_rows = survivors.drop("__snap_fp", "__snap_ri")
+        survivors = surv_rows.join(key_side, keys, "left_anti")
+        stale_guard = (
+            drop_stale
+            and precombine is not None
+            and precombine in {f.name for f in schema0.fields}
         )
+        if stale_guard:
+            # late-event protection: a stored row strictly NEWER than
+            # its source event keeps ALL its rows and the source row is
+            # dropped.  stale_keys is bounded by the source key set, so
+            # it rides the same broadcast/shuffle regime as key_side.
+            src_pc = source.select(
+                *keys, F.col(precombine).alias("__src_pc")
+            )
+            if n_keys <= 5_000_000:
+                src_pc = F.broadcast(src_pc)
+            stale_keys = (
+                surv_rows.join(src_pc, keys)
+                .where(F.col(precombine) > F.col("__src_pc"))
+                .select(*keys)
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            stale_side = (
+                F.broadcast(stale_keys) if n_keys <= 5_000_000 else stale_keys
+            )
+            survivors = survivors.unionByName(
+                surv_rows.join(stale_side, keys, "left_semi")
+            )
+            upserts = upserts.join(stale_side, keys, "left_anti")
         # additive evolution: new source columns read NULL from survivors
         for f in upserts.schema.fields:
             if f.name not in {x.name for x in schema0.fields}:

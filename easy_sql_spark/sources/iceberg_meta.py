@@ -22,10 +22,13 @@ stale deletes match nothing), and EQUALITY deletes with the spec's
 sequence-number ordering (a delete applies only to data files whose
 data sequence number is strictly below the delete file's; sequence
 numbers come from the manifest entries with manifest-list inheritance)
-as per-equality-id-set broadcast anti-joins with null-safe matching.
+as per-equality-id-set broadcast anti-joins with null-safe matching —
+including equality ids naming fields NESTED inside structs (resolved to
+dotted paths; the delete file is read with the minimal nested schema).
 
 Refused, loudly (reading would return wrong rows): non-parquet data
-files, equality deletes naming nested/non-current fields.
+files, equality deletes naming non-current/dropped field ids or fields
+inside lists/maps (not equality-delete-eligible per the spec).
 """
 
 from __future__ import annotations
@@ -41,8 +44,8 @@ from .avro_lite import read_avro_file
 
 class IcebergUnsupportedError(NotImplementedError):
     """The table uses features whose silent omission would corrupt the
-    result (non-parquet files, malformed or nested-field equality
-    deletes)."""
+    result (non-parquet files, malformed equality deletes, equality ids
+    naming dropped fields or fields inside lists/maps)."""
 
 
 # ------------------------------------------------------------- metadata
@@ -538,12 +541,7 @@ def _apply_equality_deletes(spark, out, meta, schema, files, eq_deletes):
     stays shuffle-free for typical delete volumes."""
     from pyspark.sql import functions as F
 
-    by_id = {
-        f["id"]: f["name"]
-        for f in _current_schema(meta)["fields"]
-        if isinstance(f["type"], str)
-    }
-    types = {f.name: f.dataType for f in schema.fields}
+    by_id = _eq_id_paths(meta)
     seq_map = spark.createDataFrame(
         [(p, sq) for p, _pv, _e, sq in files], "__ice_fp string, __ice_seq long"
     )
@@ -556,13 +554,18 @@ def _apply_equality_deletes(spark, out, meta, schema, files, eq_deletes):
         missing = [i for i in eq_ids if i not in by_id]
         if missing:
             raise IcebergUnsupportedError(
-                f"equality delete on field ids {missing} — not top-level "
-                "primitive columns of the current schema"
+                f"equality delete on field ids {missing} — not primitive "
+                "columns of the current schema reachable through structs "
+                "(fields inside lists/maps are not equality-delete-"
+                "eligible per the spec, and dropped/renamed-away ids "
+                "cannot be resolved)"
             )
-        eq_cols = [by_id[i] for i in eq_ids]
-        del_schema = T.StructType(
-            [T.StructField(c, types[c]) for c in eq_cols]
-        )
+        eq_paths = [by_id[i] for i in eq_ids]
+        # delete files store the equality columns under their full
+        # nested structure; read with the minimal nested schema and
+        # flatten the leaves for the join
+        del_schema = _paths_schema(schema, eq_paths)
+        flat = {p: "__eqd_" + p.replace(".", "_") for p in eq_paths}
         dseq = spark.createDataFrame(
             dfiles, "__eqd_fp string, __eqd_seq long"
         )
@@ -575,14 +578,60 @@ def _apply_equality_deletes(spark, out, meta, schema, files, eq_deletes):
             )
             .join(F.broadcast(dseq), "__eqd_fp")
             .select(
-                *[F.col(c).alias(f"__eqd_{c}") for c in eq_cols], "__eqd_seq"
+                *[F.col(p).alias(a) for p, a in flat.items()], "__eqd_seq"
             )
         )
         cond = F.col("__eqd_seq") > F.col("__ice_seq")
-        for c in eq_cols:
-            cond = cond & F.col(c).eqNullSafe(F.col(f"__eqd_{c}"))
+        for p, a in flat.items():
+            cond = cond & F.col(p).eqNullSafe(F.col(a))
         out = out.join(F.broadcast(dels), cond, "left_anti")
     return out
+
+
+def _eq_id_paths(meta) -> dict[int, str]:
+    """field id → dotted column path for every equality-delete-ELIGIBLE
+    field of the current schema: primitive columns at top level or
+    nested inside STRUCTS (the spec's eligibility rule — fields inside
+    lists/maps cannot carry equality deletes, so their subtrees are
+    deliberately not walked and their ids resolve to a loud refusal)."""
+    out: dict[int, str] = {}
+
+    def walk(fields, prefix):
+        for f in fields:
+            t = f["type"]
+            path = prefix + f["name"]
+            if isinstance(t, str):
+                out[f["id"]] = path
+            elif isinstance(t, dict) and t.get("type") == "struct":
+                walk(t["fields"], path + ".")
+
+    walk(_current_schema(meta)["fields"], "")
+    return out
+
+
+def _paths_schema(schema: T.StructType, paths: list[str]) -> T.StructType:
+    """Minimal nested Spark read schema containing exactly the given
+    dotted leaf paths (types from the table schema) — what an equality
+    delete file stores for nested equality ids."""
+    tree: dict = {}
+    for p in paths:
+        node = tree
+        for seg in p.split("."):
+            node = node.setdefault(seg, {})
+
+    def build(node: dict, stype: T.StructType) -> T.StructType:
+        fields = []
+        for name, child in node.items():
+            f = stype[name]
+            fields.append(
+                T.StructField(
+                    name,
+                    build(child, f.dataType) if child else f.dataType,
+                )
+            )
+        return T.StructType(fields)
+
+    return build(tree, schema)
 
 
 # ---------------------------------------------------------------- export

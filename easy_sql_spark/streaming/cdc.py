@@ -33,6 +33,16 @@ Output columns: the payload fields (taken from ``after`` for upserts,
 Rows that decode to no op (tombstones, malformed JSON) are dropped —
 Kafka tombstone records carry a null value and exist for log compaction,
 not state.
+
+Ordering semantics downstream (``SnapshotTable.apply_changes`` with
+``precombine=__seq``): within a micro-batch the LARGEST ``__seq`` per
+key wins (update-then-delete nets to the delete); ACROSS batches a
+late/out-of-order event whose ``__seq`` is strictly below the stored
+row's is ignored (LSN-regression protection — WAL replays and merged
+topic partitions cannot regress the mirror), while an equal ``__seq``
+re-applies so exact redelivery stays idempotent.  Pinned end-to-end in
+tests/test_cdc.py (out-of-order batch + tombstone burst + same-key
+update/delete).
 """
 
 from __future__ import annotations

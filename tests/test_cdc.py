@@ -203,6 +203,116 @@ def test_snapshot_cdc_sink_end_to_end(spark):
     assert t.latest_version() == v_before
 
 
+def _replay_by_seq(events):
+    """Replay (op, id, val, seq) in SEQ order with stale-drop: the state
+    a WAL consumer converges to regardless of arrival order."""
+    state: dict[int, tuple[int, str]] = {}
+    for op, i, val, seq in sorted(events, key=lambda e: e[3]):
+        cur = state.get(i)
+        if cur is not None and cur[0] > seq:
+            continue
+        if op == "d":
+            state.pop(i, None)
+        else:
+            state[i] = (seq, val)
+    return {(i, v) for i, (_s, v) in state.items()}
+
+
+def test_apply_changes_same_key_update_then_delete_in_one_batch(spark):
+    """upsert followed by delete of the same key inside ONE micro-batch
+    nets to the delete (precombine picks the larger __seq)."""
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="cdc_ud_") + "/t")
+    t.create(
+        spark.createDataFrame(
+            [(1, "a", 0), (2, "b", 0)], "id int, val string, __seq long"
+        )
+    )
+    batch = spark.createDataFrame(
+        [(1, "a2", "upsert", 5), (1, None, "delete", 6)],
+        "id int, val string, __op string, __seq long",
+    )
+    t.apply_changes(batch, ["id"], precombine="__seq")
+    got = {(r["id"], r["val"]) for r in t.read().select("id", "val").collect()}
+    assert got == {(2, "b")}
+
+
+def test_apply_changes_drops_cross_batch_stale_events(spark):
+    """Late-arrival protection: events whose __seq is BELOW the stored
+    row's (WAL replays, LSN regressions across merged partitions) must
+    not regress state — stale upserts AND stale deletes are ignored;
+    equal __seq re-applies (exact redelivery stays idempotent)."""
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="cdc_stale_") + "/t")
+    t.create(
+        spark.createDataFrame(
+            [(1, "v10", 10), (2, "w20", 20), (3, "x30", 30)],
+            "id int, val string, __seq long",
+        )
+    )
+    late = spark.createDataFrame(
+        [
+            (1, "OLD", "upsert", 5),    # stale upsert: ignored
+            (2, None, "delete", 7),     # stale delete: ignored
+            (3, "x31", "upsert", 31),   # fresh upsert: applies
+            (4, "new", "upsert", 1),    # unmatched key: inserts
+            (1, "v10b", "upsert", 10),  # equal seq: idempotent re-apply
+        ],
+        "id int, val string, __op string, __seq long",
+    )
+    t.apply_changes(late, ["id"], precombine="__seq")
+    got = {(r["id"], r["val"]) for r in t.read().select("id", "val").collect()}
+    assert got == {(1, "v10b"), (2, "w20"), (3, "x31"), (4, "new")}
+
+
+def test_snapshot_cdc_sink_out_of_order_and_tombstones(spark):
+    """End-to-end against the snapshot_cdc sink: batch 2 arrives with
+    LSN regressions relative to batch 1 (late replayed events), a
+    tombstone burst (null-value records) interleaved, and same-key
+    update+delete inside one micro-batch — the mirror must converge to
+    the SEQ-ordered replay, not the arrival-ordered one."""
+    root = tempfile.mkdtemp(prefix="cdc_ooo_")
+    in_dir, table, ck = f"{root}/in", f"{root}/mirror", f"{root}/ck"
+    # batch 1: seq 10..13
+    b1 = [("c", 1, "a", 10), ("c", 2, "b", 11), ("u", 1, "a1", 12),
+          ("c", 3, "c", 13)]
+    _write_changelog(
+        in_dir,
+        "b1.json",
+        [env(op, before={"id": i, "val": v} if op == "d" else None,
+             after=None if op == "d" else {"id": i, "val": v},
+             ts=seq, lsn=seq)
+         for op, i, v, seq in b1],
+    )
+    st = StreamingTables(spark, _cdc_config(in_dir, table, ck))
+    st.register_sources()
+    st.start_insert(spark.table("orders_cdc"), "cdc.orders_mirror").awaitTermination(60)
+
+    # batch 2: late events BELOW batch 1's seqs + fresh ones + a
+    # tombstone burst + update-then-delete of one key in the same batch
+    b2 = [
+        ("u", 1, "STALE", 5),    # LSN regression: must not clobber a1
+        ("d", 2, "b", 7),        # stale delete: must not kill b
+        ("u", 3, "c2", 20),      # fresh update
+        ("c", 4, "d", 21),       # fresh insert
+        ("u", 4, "d1", 22),      # same-key update...
+        ("d", 4, "d1", 23),      # ...then delete in the same batch
+    ]
+    lines = [env(op, before={"id": i, "val": v} if op == "d" else None,
+                 after=None if op == "d" else {"id": i, "val": v},
+                 ts=seq, lsn=seq)
+             for op, i, v, seq in b2]
+    # tombstone burst (Kafka log-compaction nulls) + garbage interleaved
+    lines[2:2] = ["", "null", "{not json"]
+    _write_changelog(in_dir, "b2.json", lines)
+    st2 = StreamingTables(spark, _cdc_config(in_dir, table, ck))
+    st2.register_sources()
+    st2.start_insert(spark.table("orders_cdc"), "cdc.orders_mirror").awaitTermination(60)
+
+    t = SnapshotTable(spark, table)
+    got = {(r["id"], r["val"]) for r in t.read().select("id", "val").collect()}
+    assert got == _replay_by_seq(b1 + b2)
+    assert got == {(1, "a1"), (2, "b"), (3, "c2")}
+
+
 def test_cdc_example_etl(spark, tmp_path):
     """The examples/cdc_pipeline.sql ETL end-to-end (reference sample
     parity: test/sample_etl.flink.postgres-cdc.sql)."""

@@ -127,12 +127,12 @@ def _manifest_list(
     return p
 
 
-def _metadata(table, snapshots, current, log):
+def _metadata(table, snapshots, current, log, schema=None):
     meta = {
         "format-version": 2,
         "table-uuid": "0000",
         "location": table,
-        "schemas": [ICE_SCHEMA],
+        "schemas": [schema or ICE_SCHEMA],
         "current-schema-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": []}],
         "snapshots": snapshots,
@@ -349,6 +349,90 @@ def test_iceberg_equality_deletes_compose_with_position_deletes(
     )
     got = {(r.id, r.val) for r in read_iceberg(spark, t).collect()}
     assert got == {(2, "b"), (4, "d")}
+
+
+NESTED_ICE_SCHEMA = {
+    "schema-id": 0,
+    "type": "struct",
+    "fields": [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 3, "name": "info", "required": False,
+         "type": {"type": "struct", "fields": [
+             {"id": 4, "name": "zip", "required": False, "type": "string"},
+             {"id": 5, "name": "city", "required": False, "type": "string"},
+         ]}},
+        {"id": 6, "name": "tags", "required": False,
+         "type": {"type": "list", "element-id": 7, "element": "string",
+                  "element-required": False}},
+    ],
+}
+
+
+def _mk_nested_eq_table(spark, root, eq_ids, del_rows, del_ddl):
+    """Table over NESTED_ICE_SCHEMA: one seq-1 data file, one seq-2
+    equality delete file with the given ids/rows/schema."""
+    t = str(root)
+    df = spark.createDataFrame(
+        [(1, ("94107", "sf"), ["a"]),
+         (2, ("10001", "ny"), []),
+         (3, (None, "la"), [])],
+        "id long, info struct<zip string, city string>, tags array<string>",
+    )
+    tmp = os.path.join(t, "_tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(n for n in os.listdir(tmp) if n.endswith(".parquet"))
+    fa = os.path.join(t, "data", "fa.parquet")
+    os.makedirs(os.path.dirname(fa), exist_ok=True)
+    os.replace(os.path.join(tmp, part), fa)
+    import shutil
+
+    shutil.rmtree(tmp)
+    feq = _eq_delete_file(spark, t, "eq.parquet", del_rows, del_ddl)
+    m1 = _manifest(t, "m1.avro", [_entry(1, fa, seq=1)])
+    md = _manifest(
+        t, "md.avro", [_entry(1, feq, content=2, seq=2, eq_ids=eq_ids)]
+    )
+    ml = _manifest_list(
+        t, "snap-1.avro", [m1, md], contents=[0, 1], seqs=[1, 2]
+    )
+    _metadata(
+        t,
+        snapshots=[{"snapshot-id": 1, "timestamp-ms": 1,
+                    "manifest-list": ml, "summary": {"operation": "delete"}}],
+        current=1,
+        log=[{"timestamp-ms": 1, "snapshot-id": 1}],
+        schema=NESTED_ICE_SCHEMA,
+    )
+    return t
+
+
+def test_iceberg_equality_delete_on_nested_struct_field(spark, tmp_path):
+    """Equality ids may name fields NESTED inside structs (spec: any
+    primitive not under a list/map): the id resolves to a dotted path,
+    the delete file is read with the minimal nested schema, and
+    matching is null-safe on the leaf."""
+    t = _mk_nested_eq_table(
+        spark, tmp_path / "ice_nested",
+        eq_ids=[4],  # info.zip
+        del_rows=[(("10001",),), ((None,),)],
+        del_ddl="info struct<zip string>",
+    )
+    got = {(r.id, r.info.city) for r in read_iceberg(spark, t).collect()}
+    # zip=10001 killed, zip NULL killed null-safely, sf row survives
+    assert got == {(1, "sf")}
+
+
+def test_iceberg_equality_delete_inside_list_refuses(spark, tmp_path):
+    """An equality id under a list/map is not eligible per the spec —
+    the reader must refuse loudly, never silently skip the delete."""
+    t = _mk_nested_eq_table(
+        spark, tmp_path / "ice_listref",
+        eq_ids=[7],  # tags.element — ineligible
+        del_rows=[("a",)],
+        del_ddl="tag string",
+    )
+    with pytest.raises(IcebergUnsupportedError, match=r"\[7\]"):
+        read_iceberg(spark, t).collect()
 
 
 def test_iceberg_schema_conversion_complex_types():
