@@ -167,13 +167,12 @@ class MinHashDedupIndex:
         # clustering rounds and the index commit costs a full task wave
         # per stage and one tiny file per partition per commit.  One
         # count (cheap: counts the materialized checkpoint) sizes the
-        # partitions by rows; ``coalesce`` is narrow — no shuffle.
+        # partitions by rows; ``coalesce`` is narrow — no shuffle, and
+        # it never RAISES a partition count, so no width probe needed.
         bands = self._bands(docs)
         n_rows = bands.count()
-        width = bands.rdd.getNumPartitions()
-        target = max(1, min(width, -(-n_rows // self.BAND_ROWS_PER_PARTITION)))
-        if target < width:
-            bands = bands.coalesce(target)
+        target = max(1, -(-n_rows // self.BAND_ROWS_PER_PARTITION))
+        bands = bands.coalesce(target)
 
         if self.table.latest_version():
             hit_ids = self._probe_hits(bands)
