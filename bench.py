@@ -93,6 +93,15 @@ FAMILIES: dict[str, list[str]] = {
         "global_row_number_order",
         "text_unicode_nfc",
     ],
+    # round-7 data-selection stage: repetition quality, importance
+    # weighting, lexical retrieval, window chunking, mixture balancing
+    "selection": [
+        "text_repetition_signals",
+        "text_dsir_weights",
+        "text_bm25_topk",
+        "seq_chunk_windows",
+        "data_mixture_weights",
+    ],
 }
 HEADLINE = [q for fam in FAMILIES.values() for q in fam]
 

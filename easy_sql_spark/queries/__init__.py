@@ -45,3 +45,4 @@ from . import llm_ops2  # noqa: E402,F401  pre-existing queries() positions
 from . import llm_ops3  # noqa: E402,F401  stable for the driver gate)
 from . import llm_ops4  # noqa: E402,F401
 from . import llm_ops5  # noqa: E402,F401
+from . import llm_ops6  # noqa: E402,F401

@@ -1,0 +1,415 @@
+"""Round-7 additions: the data-selection stage of a training-data
+pipeline — Gopher repetition signals, DSIR importance weights, BM25
+retrieval, sliding-window sequence chunking, and domain-mixture
+reweighting.
+
+These extend the corpus-curation surface (quality → dedup → selection →
+packing) the same way llm_ops3/4 extended filtering and sampling; each
+is a narrow map + keyed aggregation, so every shuffle is keyed on
+``doc_id`` / ``source`` / a 256-value hash bucket — no all-pairs work,
+no driver-side state, broadcast only for provably tiny frames (per-term
+document frequencies, 256-row bucket tables, single-row corpus stats).
+
+Separate module (imported after llm_ops5) so pre-existing ``queries()``
+positions stay stable for the driver gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..datasets import load_table
+from . import query
+
+#: The portable tokenizer every cross-engine text query in this repo
+#: uses: lowercase alpha runs (identical regex semantics in Spark and
+#: DuckDB, cf. text_gopher_filter).
+_TOKENIZE = "regexp_extract_all(lower(text), '[a-z]+', 0)"
+
+
+@query(
+    "text_repetition_signals",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        FROM documents),
+    base AS (
+        SELECT doc_id, ws, len(ws) AS n_words,
+               CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS distinct_ratio
+        FROM w WHERE len(ws) >= 3),
+    grams AS (
+        SELECT doc_id, 1 AS ord, unnest(ws) AS gram FROM base
+        UNION ALL
+        SELECT doc_id, 2 AS ord,
+               unnest(list_transform(range(1, len(ws)),
+                      i -> ws[i] || ' ' || ws[i+1])) AS gram
+        FROM base
+        UNION ALL
+        SELECT doc_id, 3 AS ord,
+               unnest(list_transform(range(1, len(ws)-1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+        FROM base),
+    cnt AS (
+        SELECT doc_id, ord, gram, COUNT(*) AS c, length(gram) AS glen
+        FROM grams GROUP BY doc_id, ord, gram),
+    top AS (
+        SELECT doc_id, ord,
+               MAX(c * glen) AS top_chars, SUM(c * glen) AS tot_chars
+        FROM cnt GROUP BY doc_id, ord)
+    SELECT b.doc_id AS doc_id, CAST(b.n_words AS BIGINT) AS n_words,
+           ROUND(b.distinct_ratio, 4) AS distinct_ratio,
+           ROUND(MAX(CASE WHEN ord = 1
+                     THEN CAST(top_chars AS DOUBLE) / tot_chars END), 4)
+               AS top1_frac,
+           ROUND(MAX(CASE WHEN ord = 2
+                     THEN CAST(top_chars AS DOUBLE) / tot_chars END), 4)
+               AS top2_frac,
+           ROUND(MAX(CASE WHEN ord = 3
+                     THEN CAST(top_chars AS DOUBLE) / tot_chars END), 4)
+               AS top3_frac
+    FROM base b JOIN top t ON b.doc_id = t.doc_id
+    GROUP BY b.doc_id, b.n_words, b.distinct_ratio
+    ORDER BY doc_id
+    """,
+)
+def text_repetition_signals(spark, sf_dir):
+    """Gopher repetition rules (Rae et al. 2021 §A1.1, rules 5-8): the
+    character fraction captured by the single most frequent {1,2,3}-gram
+    plus the distinct-word ratio — the signals that kill template spam
+    and keyboard-mash documents that pass length/stopword filters.
+
+    Plan: one narrow tokenize, n-gram arrays built per row with
+    ``transform(sequence(...))`` (no self-join), then ONE
+    (doc_id, ord, gram) hash aggregate and ONE (doc_id, ord) max — both
+    shuffles are keyed on doc_id so they scale linearly and pivot back
+    to columns with conditional aggregation (3 rows/doc, no second
+    explode).  At 100 TB every stage is embarrassingly parallel; gram
+    cardinality is bounded by corpus token count, never quadratic."""
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(_TOKENIZE).alias("ws"))
+        .where(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            "ws",
+            F.size("ws").alias("n_words"),
+            (F.size(F.array_distinct("ws")).cast("double") / F.size("ws")).alias(
+                "distinct_ratio"
+            ),
+        )
+    )
+    g2 = F.expr(
+        "transform(sequence(1, size(ws)-1),"
+        " i -> concat(element_at(ws, i), ' ', element_at(ws, i+1)))"
+    )
+    g3 = F.expr(
+        "transform(sequence(1, size(ws)-2),"
+        " i -> concat(element_at(ws, i), ' ', element_at(ws, i+1),"
+        "             ' ', element_at(ws, i+2)))"
+    )
+    grams = (
+        base.select("doc_id", F.lit(1).alias("ord"), F.explode("ws").alias("gram"))
+        .unionAll(
+            base.select("doc_id", F.lit(2).alias("ord"), F.explode(g2).alias("gram"))
+        )
+        .unionAll(
+            base.select("doc_id", F.lit(3).alias("ord"), F.explode(g3).alias("gram"))
+        )
+    )
+    top = (
+        grams.groupBy("doc_id", "ord", "gram")
+        .agg(F.count("*").alias("c"), F.length(F.first("gram")).alias("glen"))
+        .groupBy("doc_id", "ord")
+        .agg(
+            F.max(F.col("c") * F.col("glen")).alias("top_chars"),
+            F.sum(F.col("c") * F.col("glen")).alias("tot_chars"),
+        )
+    )
+
+    def frac(ord_no):
+        part = F.when(
+            F.col("ord") == ord_no,
+            F.col("top_chars").cast("double") / F.col("tot_chars"),
+        )
+        return F.round(F.max(part), 4)
+
+    return (
+        base.select("doc_id", "n_words", "distinct_ratio")
+        .join(top, "doc_id")
+        .groupBy("doc_id", "n_words", "distinct_ratio")
+        .agg(
+            frac(1).alias("top1_frac"),
+            frac(2).alias("top2_frac"),
+            frac(3).alias("top3_frac"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_words").cast("bigint").alias("n_words"),
+            F.round("distinct_ratio", 4).alias("distinct_ratio"),
+            "top1_frac",
+            "top2_frac",
+            "top3_frac",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_dsir_weights",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents),
+    b AS (SELECT doc_id, lang, substr(md5(w), 1, 2) AS bk FROM tok),
+    tgt AS (SELECT bk, COUNT(*) AS tc FROM b WHERE lang = 'en' GROUP BY bk),
+    raw AS (SELECT bk, COUNT(*) AS rc FROM b GROUP BY bk),
+    tot AS (SELECT (SELECT SUM(tc) FROM tgt) AS tt,
+                   (SELECT SUM(rc) FROM raw) AS rt),
+    scored AS (
+        SELECT b.doc_id AS doc_id,
+               ln((COALESCE(t.tc, 0) + 1.0) / (tot.tt + 256.0))
+             - ln((r.rc + 1.0) / (tot.rt + 256.0)) AS ll
+        FROM b JOIN raw r USING (bk) LEFT JOIN tgt t USING (bk)
+        CROSS JOIN tot)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(ll), 4) + 0.0 AS dsir_weight
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection via
+    Importance Resampling"): score every document by the hashed-n-gram
+    log-likelihood ratio between a target distribution (here the 'en'
+    slice) and the raw corpus, add-one smoothed.  The standard way to
+    tilt a 100 TB crawl toward a small high-quality target set without
+    training a classifier.
+
+    Feature space: 256 md5-prefix buckets (the repo's portable-hash
+    discipline — Spark's murmur hash and DuckDB's differ, md5 doesn't).
+    Plan: tokenize → bucket (narrow), TWO 256-row bucket-count
+    aggregates that auto-broadcast back onto the token stream, then one
+    doc_id-keyed average.  Token volume dominates; both joins are
+    broadcasts, so the only real shuffle is the final per-doc agg."""
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.explode(F.expr(_TOKENIZE)).alias("w"))
+        .select("doc_id", "lang", F.substring(F.md5("w"), 1, 2).alias("bk"))
+    )
+    tgt = tok.where(F.col("lang") == "en").groupBy("bk").agg(
+        F.count("*").alias("tc")
+    )
+    raw = tok.groupBy("bk").agg(F.count("*").alias("rc"))
+    tot = tgt.agg(F.sum("tc").alias("tt")).crossJoin(
+        raw.agg(F.sum("rc").alias("rt"))
+    )
+    ll = F.log((F.coalesce(F.col("tc"), F.lit(0)) + 1.0) / (F.col("tt") + 256.0)) - F.log(
+        (F.col("rc") + 1.0) / (F.col("rt") + 256.0)
+    )
+    scored = (
+        tok.join(F.broadcast(raw), "bk")
+        .join(F.broadcast(tgt), "bk", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", ll.alias("ll"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            (F.round(F.avg("ll"), 4) + 0.0).alias("dsir_weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: BM25 query terms — fixed, present in the synthetic vocabulary.
+_BM25_TERMS = ("spark", "table", "hash", "merge", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        FROM documents),
+    d AS (SELECT doc_id, ws, len(ws) AS dl FROM w WHERE len(ws) > 0),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM d),
+    tf AS (
+        SELECT doc_id, w AS term, COUNT(*) AS tf, MIN(dl) AS dl
+        FROM (SELECT doc_id, dl, unnest(ws) AS w FROM d)
+        WHERE w IN {_BM25_TERMS!r}
+        GROUP BY doc_id, w),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    sc AS (
+        SELECT tf.doc_id AS doc_id,
+               ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.tf * ({_BM25_K1} + 1.0)
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                                        + {_BM25_B} * tf.dl / s.avgdl)) AS part
+        FROM tf JOIN df USING (term) CROSS JOIN stats s)
+    SELECT doc_id, ROUND(SUM(part), 4) AS bm25
+    FROM sc GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def text_bm25_topk(spark, sf_dir):
+    """BM25 (Robertson-Spärck Jones) top-k retrieval over the corpus for
+    a fixed term set — the lexical half of every retrieval-augmented
+    pipeline and the classic relevance baseline ANN rerankers are judged
+    against (k1=1.2, b=0.75).
+
+    Plan: tokenize → filter to the query terms BEFORE any shuffle (the
+    per-term stream is a tiny fraction of token volume), one
+    (doc_id, term) tf aggregate, a ≤|terms|-row document-frequency
+    aggregate and a single-row corpus-stats frame — both broadcast back.
+    The only data-sized shuffle is the tf aggregate; the final top-k is
+    a TakeOrdered, no global sort materialization."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(_TOKENIZE).alias("ws"))
+        .where(F.size("ws") > 0)
+        .select("doc_id", "ws", F.size("ws").alias("dl"))
+    )
+    stats = d.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        d.select("doc_id", "dl", F.explode("ws").alias("term"))
+        .where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.min("dl").alias("dl"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    part = (
+        idf
+        * F.col("tf")
+        * (_BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", part.alias("part"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("part"), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+#: Training-window geometry: 64-token windows on a 48-token stride.
+_WIN, _STRIDE = 64, 48
+
+
+@query(
+    "seq_chunk_windows",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z]+')) AS n_toks
+        FROM documents),
+    s AS (
+        SELECT doc_id, n_toks,
+               unnest(range(0, n_toks, {_STRIDE})) AS tok_start
+        FROM w WHERE n_toks > 0)
+    SELECT doc_id, CAST(tok_start / {_STRIDE} AS BIGINT) AS win_idx,
+           CAST(tok_start AS BIGINT) AS tok_start,
+           CAST(LEAST(tok_start + {_WIN}, n_toks) AS BIGINT) AS tok_end
+    FROM s ORDER BY doc_id, win_idx
+    """,
+)
+def seq_chunk_windows(spark, sf_dir):
+    """Sliding-window chunking: split each document's token stream into
+    fixed-size training windows with overlap (window 64, stride 48) —
+    how long documents become training sequences without losing
+    cross-boundary context.  Complements seq_pack_bins (which packs
+    SHORT sequences); together they are the length-normalization stage.
+
+    Plan: pure narrow map — token count per doc, start offsets via
+    ``sequence(0, n-1, stride)`` exploded per row.  Zero shuffles, zero
+    joins; at 100 TB this is a single embarrassingly-parallel pass whose
+    output is ~n_tokens/stride rows."""
+    w = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.expr(_TOKENIZE)).alias("n_toks"))
+        .where(F.col("n_toks") > 0)
+    )
+    starts = F.explode(
+        F.sequence(F.lit(0), F.col("n_toks") - 1, F.lit(_STRIDE))
+    )
+    return (
+        w.select("doc_id", "n_toks", starts.alias("tok_start"))
+        .select(
+            "doc_id",
+            (F.col("tok_start") / _STRIDE).cast("bigint").alias("win_idx"),
+            F.col("tok_start").cast("bigint").alias("tok_start"),
+            F.least(F.col("tok_start") + _WIN, F.col("n_toks"))
+            .cast("bigint")
+            .alias("tok_end"),
+        )
+        .orderBy("doc_id", "win_idx")
+    )
+
+
+@query(
+    "data_mixture_weights",
+    oracle="""
+    WITH per AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+')))
+                    AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+    tot AS (SELECT SUM(n_tokens) AS t, COUNT(*) AS k FROM per)
+    SELECT source, n_docs, n_tokens,
+           ROUND(LEAST(1.0, (0.5 * tot.t / tot.k) / n_tokens), 4) AS mix_rate,
+           CAST(FLOOR(ROUND(LEAST(1.0, (0.5 * tot.t / tot.k) / n_tokens), 4)
+                      * n_tokens + 0.5) AS BIGINT) AS expected_tokens
+    FROM per CROSS JOIN tot ORDER BY source
+    """,
+)
+def data_mixture_weights(spark, sf_dir):
+    """Domain-mixture reweighting: given a token budget (50% of the
+    corpus) and a uniform per-source target, compute each source's
+    sampling rate and expected token yield — the static version of the
+    DoReMi/Pile mixture table that decides how much of each domain a
+    training run actually sees.  Rates cap at 1.0 (a source can't be
+    sampled above its own volume; the shortfall is visible as
+    expected_tokens < budget share, which is what mixture tuning
+    iterates on).
+
+    Plan: one source-keyed aggregate (20 groups) + a single-row total
+    broadcast back — metadata-scale output regardless of corpus size.
+    expected_tokens goes through round-then-floor(+0.5) in BOTH engines
+    so no float boundary can flip a count."""
+    per = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.size(F.expr(_TOKENIZE)).alias("n_toks"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        )
+    )
+    tot = per.agg(F.sum("n_tokens").alias("t"), F.count("*").alias("k"))
+    rate = F.round(
+        F.least(F.lit(1.0), (0.5 * F.col("t") / F.col("k")) / F.col("n_tokens")), 4
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            rate.alias("mix_rate"),
+            F.floor(rate * F.col("n_tokens") + 0.5)
+            .cast("bigint")
+            .alias("expected_tokens"),
+        )
+        .orderBy("source")
+    )

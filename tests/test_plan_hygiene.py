@@ -26,6 +26,9 @@ BNLJ_OK = {
     "q11_important_stock",  # 1-row scalar threshold crossJoin-broadcast
     "q22_global_sales_opportunity",  # ditto
     "a10_kmv_distinct",  # 1-row sketch x 1-row exact-count join
+    "text_dsir_weights",  # 1-row (target, raw) totals crossJoin-broadcast
+    "text_bm25_topk",  # 1-row corpus stats (N, avgdl) crossJoin-broadcast
+    "data_mixture_weights",  # 1-row token-budget total crossJoin-broadcast
 }
 
 
