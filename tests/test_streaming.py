@@ -246,10 +246,12 @@ def test_streaming_session_window(spark, tmp_path):
     assert rows == {"2024-01-01 00:00:00": 3}
 
 
-def test_stream_stream_interval_join(spark, tmp_path):
+def test_stream_stream_interval_join_raw_api(spark, tmp_path):
     """Stream-stream inner join with watermarks and an event-time interval
     condition — Spark buffers both sides in state, bounded by the
-    watermark + interval (the scale-safe configuration)."""
+    watermark + interval (the scale-safe configuration).  Raw DataFrame
+    API variant; the YAML-surface variant is further down (this one was
+    silently shadowed by that same-named test until round 7)."""
     import json as _json
 
     from pyspark.sql import functions as F
