@@ -101,6 +101,9 @@ FAMILIES: dict[str, list[str]] = {
         "text_bm25_topk",
         "seq_chunk_windows",
         "data_mixture_weights",
+        "sim_recall_at_k",
+        "tokenizer_oov_rate",
+        "text_minhash_containment",
     ],
 }
 HEADLINE = [q for fam in FAMILIES.values() for q in fam]

@@ -394,3 +394,194 @@ def data_mixture_weights(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+#: Retrieval-eval geometry: LSH's top-5 judged against brute-force truth.
+_RECALL_K = 5
+
+
+def _recall_oracle() -> str:
+    """Composed from the two registered oracles (WITH-in-subquery is
+    valid DuckDB) so the eval can never drift from what the evaluated
+    queries actually compute."""
+    from . import ORACLES
+
+    return f"""
+    WITH lsh AS (SELECT * FROM ({ORACLES["sim_lsh_topk"]})),
+    bf AS (SELECT * FROM ({ORACLES["sim_topk_bruteforce"]})
+           WHERE rank <= {_RECALL_K})
+    SELECT b.query_id AS query_id,
+           CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits,
+           ROUND(CAST(COUNT(l.neighbor_id) AS DOUBLE) / {_RECALL_K}, 4)
+               AS recall_at_5
+    FROM bf b LEFT JOIN lsh l
+      ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id ORDER BY query_id
+    """
+
+
+@query("sim_recall_at_k", oracle=_recall_oracle())
+def sim_recall_at_k(spark, sf_dir):
+    """ANN quality eval: recall@5 of the LSH index (sim_lsh_topk) against
+    brute-force cosine ground truth (sim_topk_bruteforce) per query — the
+    measurement that decides whether an approximate index is allowed to
+    replace the exact scan in a production retrieval pipeline.
+
+    Composes the two REGISTERED queries (not copies), so the eval tracks
+    the evaluated code by construction; the oracle composes the same two
+    oracle strings.  Plan cost is the two parents' plans plus a k-row
+    join — at 100 TB the eval runs on a sampled query set exactly like
+    this one (5 queries), never the full corpus."""
+    from .llm_ops import sim_topk_bruteforce
+    from .llm_ops2 import sim_lsh_topk
+
+    lsh = sim_lsh_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    bf = (
+        sim_topk_bruteforce(spark, sf_dir)
+        .where(F.col("rank") <= _RECALL_K)
+        .select("query_id", "neighbor_id")
+    )
+    hits = bf.join(
+        lsh.withColumn("__hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.count("__hit").cast("bigint").alias("n_hits"),
+            F.round(F.count("__hit").cast("double") / _RECALL_K, 4).alias(
+                "recall_at_5"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+#: OOV vocabulary size — the synthetic corpus has ~31 distinct words, so
+#: a top-10 vocabulary leaves a meaningful out-of-vocabulary tail.
+_VOCAB_K = 10
+
+
+@query(
+    "tokenizer_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents),
+    wc AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    vocab AS (
+        SELECT w FROM (
+            SELECT w, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS r FROM wc)
+        WHERE r <= {_VOCAB_K})
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           ROUND(CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS oov_rate
+    FROM tok LEFT JOIN vocab v USING (w)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def tokenizer_oov_rate(spark, sf_dir):
+    """Vocabulary-coverage analysis: per-document out-of-vocabulary rate
+    against the corpus's own top-K word vocabulary — the fertility/OOV
+    measurement that sizes a tokenizer's vocab before training, and the
+    per-document signal that flags domain-mismatched text.
+
+    Plan: one (word) count aggregate (vocabulary-sized — tiny), ranked
+    with a single window over it, broadcast back onto the token stream;
+    per-doc aggregation is the only data-sized shuffle.  Tie-break on
+    (count DESC, word) makes the vocabulary deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.expr(_TOKENIZE)).alias("w"))
+    )
+    wc = tok.groupBy("w").agg(F.count("*").alias("c"))
+    vocab = (
+        wc.withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(F.col("c").desc(), "w")
+            ),
+        )
+        .where(F.col("r") <= _VOCAB_K)
+        .select("w")
+    )
+    flagged = tok.join(
+        F.broadcast(vocab.withColumn("__in", F.lit(1))), "w", "left"
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count("*"),
+                4,
+            ).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_minhash_containment",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        FROM documents WHERE doc_id < 20),
+    sets AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(ws)-1),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shs
+        FROM w WHERE len(ws) >= 3)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+                 / len(a.shs), 4) AS containment_ab,
+           ROUND(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+                 / len(b.shs), 4) AS containment_ba
+    FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+)
+def text_minhash_containment(spark, sf_dir):
+    """Asymmetric shingle CONTAINMENT (|A∩B|/|A|, both directions) over a
+    bounded candidate set — the doc-in-doc detector Jaccard misses: a
+    short document quoted inside a long one has near-zero Jaccard but
+    containment ≈ 1 on the short side (the reason near-dup pipelines run
+    containment beside Jaccard, cf. dedup_ngram_jaccard).
+
+    Same scale shape as the Jaccard verify stage: shingle sets built
+    per-row (no explode, no collect_set shuffle), candidates bounded —
+    at 100 TB the pairing comes from LSH buckets, never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    sh = (
+        "array_distinct(transform(sequence(1, size(ws)-2),"
+        " i -> concat(element_at(ws, i), ' ', element_at(ws, i+1),"
+        "             ' ', element_at(ws, i+2))))"
+    )
+    sets = (
+        docs.select("doc_id", F.expr(_TOKENIZE).alias("ws"))
+        .where(F.size("ws") >= 3)
+        .select("doc_id", F.expr(sh).alias("shs"))
+    )
+    a, b = sets.alias("a"), sets.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shs"), F.col("b.shs"))).cast(
+        "double"
+    )
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter / F.size(F.col("a.shs")), 4).alias("containment_ab"),
+            F.round(inter / F.size(F.col("b.shs")), 4).alias("containment_ba"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

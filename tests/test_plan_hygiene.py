@@ -29,6 +29,8 @@ BNLJ_OK = {
     "text_dsir_weights",  # 1-row (target, raw) totals crossJoin-broadcast
     "text_bm25_topk",  # 1-row corpus stats (N, avgdl) crossJoin-broadcast
     "data_mixture_weights",  # 1-row token-budget total crossJoin-broadcast
+    "sim_recall_at_k",  # composes sim_topk_bruteforce/sim_lsh_topk (both OK)
+    "text_minhash_containment",  # bounded candidate theta-join (cf. jaccard)
 }
 
 
