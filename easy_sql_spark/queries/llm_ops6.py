@@ -585,3 +585,88 @@ def text_minhash_containment(spark, sf_dir):
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "hudi_export_mor_roundtrip",
+    oracle="""
+    WITH seed AS (
+        SELECT o_orderkey AS k,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey <= 800),
+    v2 AS (
+        SELECT k, CASE WHEN k <= 10 THEN cents + 1000 ELSE cents END AS cents
+        FROM seed WHERE k NOT BETWEEN 11 AND 14
+        UNION ALL
+        SELECT 900001 + i, 5000 + i FROM range(4) t(i))
+    SELECT snap, CAST(n AS BIGINT) AS n, CAST(sum_cents AS BIGINT) AS sum_cents
+    FROM (
+        SELECT 1 AS snap, COUNT(*) AS n, SUM(cents) AS sum_cents FROM seed
+        UNION ALL
+        SELECT 2, COUNT(*), SUM(cents) FROM v2
+    ) ORDER BY snap
+    """,
+)
+def hudi_export_mor_roundtrip(spark, sf_dir):
+    """Snapshot -> Hudi MERGE_ON_READ export roundtrip
+    (sources/hudi_meta.py ``export_snapshot_to_hudi_mor``): an orders
+    slice becomes a snapshot table, exports as bucket-routed base files
+    (with real ``_hoodie_*`` meta columns), then an upsert + delete
+    round exports INCREMENTALLY as log files only — delete block + data
+    block per affected file group, framed executor-side — and
+    ``read_hudi`` merges both instants back (time travel through the
+    exported MOR timeline).  The oracle replays the same two states in
+    SQL, so what's checked is the log-block framing + per-key merge
+    semantics as seen by an independent timeline-replaying reader.
+
+    Scale: the incremental export moves O(changed rows) through
+    ``table.changes`` and writes one log file per affected bucket (one
+    executor task each, driver sees bucket ids only); the base export
+    is one distributed rewrite.  The MOR shape is exactly what the
+    reference's Flink Hudi samples write (upserts without base-file
+    rewrites)."""
+    import tempfile
+
+    from ..runtime.snapshots import SnapshotTable
+    from ..sources.hudi_meta import export_snapshot_to_hudi_mor, read_hudi
+
+    seed = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 800)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    root = tempfile.mkdtemp(prefix="hudi_mor_exp_") + "/tbl"
+    t = SnapshotTable(spark, root)
+    t.create(seed)
+    rep1 = export_snapshot_to_hudi_mor(t, key_col="k")
+    upd = seed.where(F.col("k") <= 10).select(
+        "k", (F.col("cents") + 1000).alias("cents")
+    )
+    ins = spark.createDataFrame(
+        [(900001 + i, 5000 + i) for i in range(4)], "k long, cents long"
+    )
+    t.merge(upd.unionByName(ins), keys=["k"])
+    t.delete_where([("k", ">=", 11), ("k", "<=", 14)])
+    rep2 = export_snapshot_to_hudi_mor(t, key_col="k")
+    dest = rep1["dest"]
+
+    def state(snap, instant):
+        return (
+            read_hudi(spark, dest, as_of=instant)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+            .select(F.lit(snap).alias("snap"), "n", "sum_cents")
+        )
+
+    return (
+        state(1, rep1["instant"])
+        .unionByName(state(2, rep2["instant"]))
+        .orderBy("snap")
+        .localCheckpoint(eager=True)
+    )

@@ -39,6 +39,13 @@ Refused loudly: Kryo-serialized delete blocks (pre-0.13 JVM-only
 payload), HFILE/PARQUET/CDC log blocks, bootstrap/externally-referenced
 base files, and base files missing the populated ``_hoodie_record_key``
 meta column (virtual-key tables) when a merge is required.
+
+The WRITE side lives here too: ``export_snapshot_to_hudi`` (COW —
+zero-copy hardlinks, incremental re-export, replacecommit retirement)
+and ``export_snapshot_to_hudi_mor`` (MOR — bucket-routed base files
+once, then every further snapshot commit exports as log files only:
+delete block + data block per affected file group, framed executor-side
+from the snapshot change feed).
 """
 
 from __future__ import annotations
@@ -681,6 +688,280 @@ def export_snapshot_to_hudi(
         "instant": instant,
         "adds": sum(len(v) for v in adds.values()),
         "removes": sum(len(v) for v in removes.values()),
+        "snapshot_version": snap_v,
+        "dest": dest,
+    }
+
+
+def _spark_to_avro(schema: T.StructType, name: str = "hudi_mor_export") -> dict:
+    """Minimal Spark→Avro record mapping for log data blocks — the exact
+    inverse of :func:`_avro_to_spark` (every field a nullable union of
+    one primitive branch, which is what Hudi's writer emits too)."""
+    prim = {
+        T.BooleanType(): "boolean",
+        T.IntegerType(): "int",
+        T.LongType(): "long",
+        T.FloatType(): "float",
+        T.DoubleType(): "double",
+        T.StringType(): "string",
+        T.BinaryType(): "bytes",
+    }
+    fields = []
+    for f in schema.fields:
+        a = prim.get(f.dataType)
+        if a is None:
+            raise HudiUnsupportedError(
+                f"column {f.name!r}: spark type {f.dataType.simpleString()} "
+                "has no avro log-block mapping (MOR export scope: "
+                "boolean/int/long/float/double/string/binary)"
+            )
+        fields.append({"name": f.name, "type": ["null", a]})
+    return {"type": "record", "name": name, "fields": fields}
+
+
+def _mor_bucket(key_col: str, n_buckets: int) -> F.Column:
+    """Deterministic md5 bucket of the record key — Hudi's BUCKET index
+    idea (fileId derivable from the key alone), which is what lets an
+    incremental export route updates/deletes to the right file group
+    WITHOUT reading any base file."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+        ).cast("bigint"),
+        F.lit(n_buckets),
+    )
+
+
+def export_snapshot_to_hudi_mor(
+    table,
+    dest: str | None = None,
+    key_col: str | None = None,
+    n_buckets: int = 4,
+) -> dict:
+    """Expose a snapshot table as a Hudi MERGE_ON_READ table at ``dest``
+    (default ``<root>/_hudi_mor_export``) — the streaming-write Hudi
+    shape the reference's Flink samples target
+    (test/sample_etl.flink.hudi-agg.sql upserts MOR), completing the
+    export matrix: Delta, Iceberg, Hudi COW (``export_snapshot_to_hudi``)
+    and now Hudi MOR.
+
+    First export: ONE distributed job rewrites the current state into
+    ``n_buckets`` base files carrying populated ``_hoodie_record_key`` /
+    ``_hoodie_partition_path`` / ``_hoodie_commit_time`` meta columns
+    (MOR merge requires real keys — zero-copy hardlinking is COW-only by
+    construction), rows routed by md5 key bucket (Hudi's BUCKET index:
+    the fileId is a pure function of the key).
+
+    Re-export after further snapshot commits is INCREMENTAL and writes
+    NO base file: the snapshot change feed (``table.changes``) between
+    the last exported version and the current one becomes one hidden
+    log file per affected file group — a DELETE_BLOCK for dropped keys
+    followed by an AVRO_DATA_BLOCK for upserts, framed executor-side
+    (``hudi_log.write_*``, pure stdlib, one task per bucket; the driver
+    sees only bucket ids).  ``read_hudi`` (and Hudi's own MOR snapshot
+    readers) then merge per key: later seq wins, exactly
+    OverwriteWithLatestAvroPayload.
+
+    Scope (stated): unpartitioned snapshots; primitive column types
+    (see ``_spark_to_avro``); live DVs must be compacted first; no
+    compaction scheduling (readers merge logs until one is run
+    elsewhere).  Returns {"instant", "mode", "base_files"|"log_files",
+    "snapshot_version", "dest"}.
+    """
+    import time as _time
+
+    from pyspark.sql.types import StructType
+
+    from . import hudi_log as hl
+
+    root = table.root
+    dest = dest or os.path.join(root, "_hudi_mor_export")
+    snap_v = table.latest_version()
+    if not snap_v:
+        raise ValueError(f"no committed versions at {root}")
+    m = table.manifest(snap_v)
+    if m.get("dvs"):
+        raise ValueError(
+            "snapshot has live deletion vectors; exporting would "
+            "resurrect deleted rows — run compact() first"
+        )
+    if m["partition_cols"]:
+        raise HudiUnsupportedError(
+            "MOR export is unpartitioned-scope v1 — partitioned "
+            "snapshots use the COW export with materialize=True, or "
+            "the Delta/Iceberg exports"
+        )
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    key_col = key_col or schema.fields[0].name
+    if key_col not in schema.fieldNames():
+        raise ValueError(f"key column {key_col!r} not in snapshot schema")
+
+    td = _timeline_dir(dest)
+    os.makedirs(td, exist_ok=True)
+    prior = _completed_instants(dest, mor=True) if os.listdir(td) else {}
+    now_instant = _time.strftime("%Y%m%d%H%M%S") + "000"
+    instant = max(
+        now_instant, str(int(max(prior)) + 1) if prior else now_instant
+    )
+    spark = table.spark
+
+    if not prior:
+        # ------------------------------------------------- first export
+        props = os.path.join(td, "hoodie.properties")
+        with open(props, "w", encoding="utf-8") as f:
+            f.write(
+                "hoodie.table.name="
+                + os.path.basename(root.rstrip("/"))
+                + "\nhoodie.table.type=MERGE_ON_READ\n"
+                "hoodie.table.version=6\n"
+                "hoodie.timeline.layout.version=1\n"
+                f"hoodie.index.type=BUCKET\n"
+                f"hoodie.bucket.index.num.buckets={n_buckets}\n"
+                f"hoodie.table.recordkey.fields={key_col}\n"
+            )
+        staging = os.path.join(dest, "_stage")
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        (
+            table.read()
+            .withColumn(
+                "_hoodie_record_key", F.col(key_col).cast("string")
+            )
+            .withColumn("_hoodie_partition_path", F.lit(""))
+            .withColumn("_hoodie_commit_time", F.lit(instant))
+            .withColumn("__b", _mor_bucket(key_col, n_buckets))
+            .repartition(n_buckets, "__b")
+            .write.partitionBy("__b")
+            .mode("overwrite")
+            .parquet(staging)
+        )
+        fids: list[str] = []
+        for b in range(n_buckets):
+            bdir = os.path.join(staging, f"__b={b}")
+            if not os.path.isdir(bdir):
+                continue  # empty bucket at this corpus size
+            files = [
+                n
+                for n in os.listdir(bdir)
+                if n.endswith(".parquet") and not n.startswith(".")
+            ]
+            fid = f"mor-{b:05d}"
+            fids.append(fid)
+            os.replace(
+                os.path.join(bdir, files[0]),
+                os.path.join(dest, f"{fid}_0-0-0_{instant}.parquet"),
+            )
+        shutil.rmtree(staging, ignore_errors=True)
+        meta = {
+            "partitionToWriteStats": {
+                "": [{"fileId": f} for f in sorted(fids)]
+            },
+            "operation": "mor_export_base",
+            "extraMetadata": {"snapshotVersion": str(snap_v)},
+        }
+        with open(
+            os.path.join(td, f"{instant}.deltacommit"), "w", encoding="utf-8"
+        ) as f:
+            json.dump(meta, f)
+        return {
+            "instant": instant,
+            "mode": "base",
+            "base_files": len(fids),
+            "snapshot_version": snap_v,
+            "dest": dest,
+        }
+
+    # --------------------------------------------------- incremental
+    last_instant = max(prior)
+    with open(
+        os.path.join(td, f"{last_instant}.{prior[last_instant]}"),
+        encoding="utf-8",
+    ) as f:
+        last_meta = json.load(f)
+    last_v = int(last_meta["extraMetadata"]["snapshotVersion"])
+    if last_v >= snap_v:
+        return {
+            "instant": last_instant,
+            "mode": "noop",
+            "snapshot_version": last_v,
+            "dest": dest,
+        }
+
+    # per-fileId base instant (slice anchor) and next log version
+    base_instant: dict[str, str] = {}
+    for _part, fid, inst, _p in _base_files(dest, mor=True):
+        cur = base_instant.get(fid)
+        if cur is None or inst > cur:
+            base_instant[fid] = inst
+    next_ver: dict[str, int] = {}
+    for _part, fid, _bi, version, _p in _log_files(dest):
+        next_ver[fid] = max(next_ver.get(fid, 0), version)
+
+    avro_schema = _spark_to_avro(schema)
+    avro_schema["fields"].append(
+        {"name": "_hoodie_record_key", "type": ["null", "string"]}
+    )
+    data_names = [f.name for f in schema.fields]
+    first_export_instant = min(prior)
+
+    ch = (
+        table.changes(last_v, snap_v)
+        .withColumn("__key", F.col(key_col).cast("string"))
+        .withColumn("__b", _mor_bucket(key_col, n_buckets))
+    )
+
+    def write_bucket(bidx: int, rows):
+        dels, ups = [], []
+        for r in rows:
+            if r["_change_type"] == "delete":
+                dels.append((r["__key"], ""))
+            else:
+                rec = {n: r[n] for n in data_names}
+                rec["_hoodie_record_key"] = r["__key"]
+                ups.append(rec)
+        if not dels and not ups:
+            return iter(())
+        payload = b""
+        if dels:
+            payload += hl.write_delete_block(sorted(dels), instant)
+        if ups:
+            ups.sort(key=lambda rec: rec["_hoodie_record_key"])
+            payload += hl.write_data_block(avro_schema, ups, instant)
+        fid = f"mor-{bidx:05d}"
+        anchor = base_instant.get(fid, first_export_instant)
+        ver = next_ver.get(fid, 0) + 1
+        final = os.path.join(
+            dest, f".{fid}_{anchor}.log.{ver}_0-0-0"
+        )
+        tmp = final + f".inprogress.{os.getpid()}"
+        with open(tmp, "wb") as fh:
+            fh.write(payload)
+        os.replace(tmp, final)
+        return iter((bidx,))
+
+    written = (
+        ch.rdd.map(lambda r: (int(r["__b"]), r))
+        .partitionBy(n_buckets, lambda b: b)
+        .values()
+        .mapPartitionsWithIndex(write_bucket)
+        .collect()  # bucket ids only — bounded by n_buckets
+    )
+    meta = {
+        "partitionToWriteStats": {
+            "": [{"fileId": f"mor-{b:05d}"} for b in sorted(written)]
+        },
+        "operation": "mor_export_delta",
+        "extraMetadata": {"snapshotVersion": str(snap_v)},
+    }
+    with open(
+        os.path.join(td, f"{instant}.deltacommit"), "w", encoding="utf-8"
+    ) as f:
+        json.dump(meta, f)
+    return {
+        "instant": instant,
+        "mode": "delta",
+        "log_files": len(written),
         "snapshot_version": snap_v,
         "dest": dest,
     }

@@ -506,3 +506,82 @@ def test_hudi_incremental_query_mor(spark, tmp_path):
         "f2_" in os.path.basename(f)
         for f in read_hudi_incremental(spark, t, "001").inputFiles()
     )
+
+
+def test_export_snapshot_to_hudi_mor_roundtrip(spark, tmp_path):
+    """Unpartitioned snapshot -> Hudi MOR export: base files at the
+    first instant (populated _hoodie meta columns, bucket-routed),
+    incremental exports as LOG FILES only (delete block + data block
+    per affected file group), layered log versions, time travel, and
+    replay idempotence."""
+    from easy_sql_spark.runtime.snapshots import SnapshotTable
+    from easy_sql_spark.sources.hudi_meta import (
+        HudiUnsupportedError,
+        export_snapshot_to_hudi_mor,
+    )
+
+    root = str(tmp_path / "snap_mor")
+    t = SnapshotTable(spark, root)
+    t.create(
+        spark.range(1, 21).selectExpr("id as k", "id * 10 as val")
+    )
+    rep1 = export_snapshot_to_hudi_mor(t, key_col="k", n_buckets=3)
+    dest = rep1["dest"]
+    assert rep1["mode"] == "base" and rep1["base_files"] >= 1
+    base1 = {(r.k, r.val) for r in read_hudi(spark, dest).collect()}
+    assert base1 == {(i, i * 10) for i in range(1, 21)}
+    # meta columns are real (merge requires them)
+    withmeta = read_hudi(spark, dest, keep_meta=True)
+    assert "_hoodie_record_key" in withmeta.columns
+    assert withmeta.where("_hoodie_record_key is null").count() == 0
+
+    # v2: update 1-3, insert 100-101, delete 5-6 -> ONE delta export
+    t.merge(
+        spark.createDataFrame(
+            [(1, 999), (2, 998), (3, 997), (100, 5), (101, 6)],
+            "k long, val long",
+        ),
+        keys=["k"],
+    )
+    t.delete_where([("k", ">=", 5), ("k", "<=", 6)])
+    rep2 = export_snapshot_to_hudi_mor(t, key_col="k", n_buckets=3)
+    assert rep2["mode"] == "delta" and rep2["log_files"] >= 1
+    # no new base file appeared
+    n_base = len([n for n in os.listdir(dest) if n.endswith(".parquet")])
+    assert n_base == rep1["base_files"]
+    # hidden log naming is reader-discoverable
+    logs = [n for n in os.listdir(dest) if ".log." in n]
+    assert logs and all(n.startswith(".") for n in logs)
+
+    got2 = {(r.k, r.val) for r in read_hudi(spark, dest).collect()}
+    want2 = {(r.k, r.val) for r in t.read().collect()}
+    assert got2 == want2
+    # time travel back to the base instant
+    back = {
+        (r.k, r.val)
+        for r in read_hudi(spark, dest, as_of=rep1["instant"]).collect()
+    }
+    assert back == base1
+
+    # v3: second delta layer on the same groups (log version bumps)
+    t.merge(
+        spark.createDataFrame([(1, 1), (100, 2)], "k long, val long"),
+        keys=["k"],
+    )
+    rep3 = export_snapshot_to_hudi_mor(t, key_col="k", n_buckets=3)
+    assert rep3["mode"] == "delta"
+    got3 = {(r.k, r.val) for r in read_hudi(spark, dest).collect()}
+    assert got3 == {(r.k, r.val) for r in t.read().collect()}
+
+    # replay with no new snapshot version is a no-op
+    rep4 = export_snapshot_to_hudi_mor(t, key_col="k", n_buckets=3)
+    assert rep4["mode"] == "noop"
+
+    # partitioned snapshots refuse loudly
+    tp = SnapshotTable(spark, str(tmp_path / "snap_mor_p"))
+    tp.create(
+        spark.createDataFrame([(1, "a", "p1")], "id int, v string, pt string"),
+        partition_by=["pt"],
+    )
+    with pytest.raises(HudiUnsupportedError, match="unpartitioned"):
+        export_snapshot_to_hudi_mor(tp, key_col="id")
