@@ -646,6 +646,26 @@ def build(processor):
         processor.log(f"snapshot_export_hudi({root}): {rep}")
         return rep["instant"]
 
+    def snapshot_export_hudi_mor(
+        root: str, dest: str = "", key_col: str = "", n_buckets: str = "4"
+    ):
+        """Expose the snapshot table as a Hudi MERGE_ON_READ table:
+        `func.snapshot_export_hudi_mor(/w/t, , k)` writes bucket-routed
+        base files once, then every further call exports ONLY the
+        snapshot change feed as log files (delete + data blocks per
+        affected file group) — the streaming-write Hudi shape; see
+        sources/hudi_meta.py export_snapshot_to_hudi_mor."""
+        from ..sources.hudi_meta import export_snapshot_to_hudi_mor
+
+        rep = export_snapshot_to_hudi_mor(
+            _snapshot(root),
+            dest=dest or None,
+            key_col=key_col or None,
+            n_buckets=int(n_buckets),
+        )
+        processor.log(f"snapshot_export_hudi_mor({root}): {rep}")
+        return rep["instant"]
+
     def snapshot_files(root: str, view_name: str, version: str = ""):
         """DESCRIBE DETAIL analogue: one row per live data dir of the
         (time-travel) version — dir path, row count, min/max stats JSON,

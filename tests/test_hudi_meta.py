@@ -585,3 +585,33 @@ def test_export_snapshot_to_hudi_mor_roundtrip(spark, tmp_path):
     )
     with pytest.raises(HudiUnsupportedError, match="unpartitioned"):
         export_snapshot_to_hudi_mor(tp, key_col="id")
+
+
+def test_export_hudi_mor_step_function(spark, tmp_path):
+    """func.snapshot_export_hudi_mor from the step language: base export
+    + incremental log export + read-back through func.hudi_view."""
+    from easy_sql_spark.runtime.processor import SqlProcessor
+
+    root = str(tmp_path / "sm")
+    etl = f"""-- target=temp.seed
+select 1 as id, 'a' as v union all select 2, 'b'
+
+-- target=func.snapshot_commit({root}, seed, append)
+-- target=func.snapshot_export_hudi_mor({root}, , id)
+
+-- target=temp.more
+select 2 as id, 'B' as v union all select 3, 'c'
+
+-- target=func.snapshot_merge({root}, more, id)
+-- target=func.snapshot_export_hudi_mor({root}, , id)
+-- target=func.hudi_view({root}/_hudi_mor_export, via_mor)
+
+-- target=check.mor_sees_merged_state
+select (select count(*) from via_mor) as actual, 3 as expected
+"""
+    SqlProcessor(spark, etl, logger=lambda m: None).run()
+    assert {(r.id, r.v) for r in spark.table("via_mor").collect()} == {
+        (1, "a"),
+        (2, "B"),
+        (3, "c"),
+    }
