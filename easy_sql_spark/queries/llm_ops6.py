@@ -26,6 +26,32 @@ from . import query
 #: DuckDB, cf. text_gopher_filter).
 _TOKENIZE = "regexp_extract_all(lower(text), '[a-z]+', 0)"
 
+#: One pass over a SORTED gram array: track the current equal-run, the
+#: best count×len seen, and the occurrence-weighted total chars — the
+#: per-row mode that lets text_repetition_signals run shuffle-free.
+#: Module-level so the differential fuzz suite exercises the SAME
+#: expression the query ships (no drift).
+_TOP_SCAN = (
+    "aggregate(array_sort({g}),"
+    " named_struct('prev', '', 'run', 0L, 'best', 0L, 'tot', 0L),"
+    " (acc, x) -> named_struct("
+    "   'prev', x,"
+    "   'run', IF(x = acc.prev, acc.run + 1L, 1L),"
+    "   'best', greatest(acc.best,"
+    "                    IF(x = acc.prev, acc.run + 1L, 1L) * length(x)),"
+    "   'tot', acc.tot + length(x)),"
+    " acc -> round(CAST(acc.best AS DOUBLE) / acc.tot, 4))"
+)
+_G2 = (
+    "transform(sequence(1, size(ws)-1),"
+    " i -> concat(element_at(ws, i), ' ', element_at(ws, i+1)))"
+)
+_G3 = (
+    "transform(sequence(1, size(ws)-2),"
+    " i -> concat(element_at(ws, i), ' ', element_at(ws, i+1),"
+    "             ' ', element_at(ws, i+2)))"
+)
+
 
 @query(
     "text_repetition_signals",
@@ -86,28 +112,7 @@ def text_repetition_signals(spark, sf_dir):
     document is processed independently inside whole-stage codegen, so
     at 100 TB this is one embarrassingly-parallel map with no gram
     shuffle at all (the explode formulation shuffles ~3× token volume)."""
-    # one pass over the SORTED gram array: track the current equal-run,
-    # the best count×len seen, and the total occurrence-weighted chars
-    top_scan = (
-        "aggregate(array_sort({g}),"
-        " named_struct('prev', '', 'run', 0L, 'best', 0L, 'tot', 0L),"
-        " (acc, x) -> named_struct("
-        "   'prev', x,"
-        "   'run', IF(x = acc.prev, acc.run + 1L, 1L),"
-        "   'best', greatest(acc.best,"
-        "                    IF(x = acc.prev, acc.run + 1L, 1L) * length(x)),"
-        "   'tot', acc.tot + length(x)),"
-        " acc -> round(CAST(acc.best AS DOUBLE) / acc.tot, 4))"
-    )
-    g2 = (
-        "transform(sequence(1, size(ws)-1),"
-        " i -> concat(element_at(ws, i), ' ', element_at(ws, i+1)))"
-    )
-    g3 = (
-        "transform(sequence(1, size(ws)-2),"
-        " i -> concat(element_at(ws, i), ' ', element_at(ws, i+1),"
-        "             ' ', element_at(ws, i+2)))"
-    )
+    top_scan, g2, g3 = _TOP_SCAN, _G2, _G3
     return (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.expr(_TOKENIZE).alias("ws"))

@@ -468,3 +468,79 @@ def test_random_variant_json_extraction_agrees(spark, ducks, docs):
         ).fetchone()
         for i, (path, _leaf) in enumerate(paths):
             assert got[f"c{i}"] == exp[i], (doc_id, path, got[f"c{i}"], exp[i])
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            # tiny alphabet forces heavy gram repetition — the adversarial
+            # regime for the sorted-run-length scan (equal runs, ties,
+            # single-gram docs, all-same-word docs)
+            st.sampled_from(["a", "bb", "ccc", "dd", "e"]),
+            min_size=3,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_repetition_topgram_scan_agrees(spark, ducks, docs):
+    """The SHIPPED per-row sorted-run-length top-gram scan
+    (queries/llm_ops6._TOP_SCAN — what text_repetition_signals runs,
+    zero-shuffle) must agree with an independent explode+GROUP BY
+    formulation in DuckDB on adversarial word lists for all three gram
+    orders."""
+    from easy_sql_spark.queries.llm_ops6 import _G2, _G3, _TOP_SCAN
+
+    rows = [(i, words) for i, words in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id int, ws array<string>")
+    got = {
+        r.doc_id: (r.f1, r.f2, r.f3)
+        for r in sdf.select(
+            "doc_id",
+            F.expr(_TOP_SCAN.format(g="ws")).alias("f1"),
+            F.expr(_TOP_SCAN.format(g=_G2)).alias("f2"),
+            F.expr(_TOP_SCAN.format(g=_G3)).alias("f3"),
+        ).collect()
+    }
+
+    values = ", ".join(
+        "(%d, [%s])" % (i, ", ".join(f"'{w}'" for w in words))
+        for i, words in rows
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in ducks.execute(
+            f"""
+            WITH d(doc_id, ws) AS (VALUES {values}),
+            grams AS (
+                SELECT doc_id, 1 AS ord, unnest(ws) AS gram FROM d
+                UNION ALL
+                SELECT doc_id, 2, unnest(list_transform(range(1, len(ws)),
+                       i -> ws[i] || ' ' || ws[i+1])) FROM d
+                UNION ALL
+                SELECT doc_id, 3, unnest(list_transform(range(1, len(ws)-1),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                FROM d),
+            cnt AS (
+                SELECT doc_id, ord, gram, COUNT(*) AS c, length(gram) AS glen
+                FROM grams GROUP BY ALL),
+            top AS (
+                SELECT doc_id, ord,
+                       ROUND(CAST(MAX(c * glen) AS DOUBLE)
+                             / SUM(c * glen), 4) AS frac
+                FROM cnt GROUP BY doc_id, ord)
+            SELECT doc_id,
+                   MAX(CASE WHEN ord = 1 THEN frac END),
+                   MAX(CASE WHEN ord = 2 THEN frac END),
+                   MAX(CASE WHEN ord = 3 THEN frac END)
+            FROM top GROUP BY doc_id
+            """
+        ).fetchall()
+    }
+    assert got == want
