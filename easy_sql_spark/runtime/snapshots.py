@@ -354,6 +354,7 @@ class SnapshotTable:
             return None
         import datetime as _dt
         import decimal as _dec
+        import math as _math
         from urllib.parse import unquote as _unquote
 
         import pyarrow.parquet as _pq
@@ -410,8 +411,16 @@ class SnapshotTable:
                 # matching rows are NaN.  Widen the max to NaN — the
                 # "could contain NaN" sentinel `_dir_survives` treats as
                 # an unknown upper bound; the (NaN-safe) min stays
-                # (ADVICE r6 #4)
-                return st.min, float("nan")
+                # (ADVICE r6 #4).  An ALL-NaN chunk can carry min=NaN
+                # (writer-dependent): it contributes NO lower bound —
+                # NaN rows never satisfy x < v, and a NaN min merged via
+                # Python min() would poison the dir bound ORDER-
+                # DEPENDENTLY (min(1.0, nan)=1.0 but min(nan, 1.0)=nan),
+                # which was a real pruning flake at 3-rows-3-files.
+                mn = st.min
+                if isinstance(mn, float) and _math.isnan(mn):
+                    mn = None
+                return mn, float("nan")
             try:
                 mn, mx = st.min, st.max
             except Exception:
@@ -473,7 +482,8 @@ class SnapshotTable:
                             if mm is None:
                                 continue
                             mn, mx = mm
-                            a[0] = mn if a[0] is None else min(a[0], mn)
+                            if mn is not None:  # all-NaN float chunk: no bound
+                                a[0] = mn if a[0] is None else min(a[0], mn)
                             a[1] = mx if a[1] is None else max(a[1], mx)
                 counts[d] = rows
                 if stats_cols:

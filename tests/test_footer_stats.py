@@ -94,9 +94,14 @@ def test_footer_stats_match_scan_stats(spark, typed_table):
 def test_float_nan_rows_never_pruned_away(spark):
     """Spark orders NaN above every double; parquet footers exclude NaN
     from min/max.  A dir whose only rows matching ``x > v`` are NaN
-    must survive stats pruning on BOTH stats paths (r6 advice)."""
+    must survive stats pruning on BOTH stats paths (r6 advice).
+
+    The frame is FORCED to one file per row so the dir always contains
+    an all-NaN file — whose footer min can itself be NaN, which must
+    contribute no lower bound regardless of file iteration order (the
+    r7 pruning flake: min(1.0, nan)=1.0 but min(nan, 1.0)=nan)."""
     rows = [(1, 1.0), (2, 2.5), (3, float("nan"))]
-    df = spark.createDataFrame(rows, "k long, x double")
+    df = spark.createDataFrame(rows, "k long, x double").repartition(3, "k")
     t = SnapshotTable(spark, tempfile.mkdtemp(prefix="snap_fnan_") + "/t")
     m = t.create(df, stats_cols=["x"])
 
