@@ -42,9 +42,12 @@ def main() -> None:
     from easy_sql_spark.queries.llm_ops5 import text_deflate_bench
     from easy_sql_spark.session import build_session
 
-    bench_only = {
-        "a9_approx_quantiles": a9_sketch_bench,
-        "text_compression_ratio": text_deflate_bench,
+    # EXACTLY bench.py's mapping: variants run under their OWN names
+    # (ADVICE r6 #5 — registry names always time the oracle-verified
+    # path); anything else resolves from the registry
+    bench_variants = {
+        "a9_sketch_bench": a9_sketch_bench,
+        "text_deflate_bench": text_deflate_bench,
     }
 
     spark = build_session("bench_local", extra_conf={"spark.ui.enabled": "false"})
@@ -55,7 +58,7 @@ def main() -> None:
         return time.time() - t0
 
     # identical warmup to bench.py
-    q0 = bench_only.get("a1_pricing_summary") or QUERIES["a1_pricing_summary"]
+    q0 = QUERIES["a1_pricing_summary"]
     q0(spark, sf_dir).write.format("noop").mode("overwrite").save()
     spark.range(64).repartition(32).mapInPandas(
         lambda it: it, "id long"
@@ -63,7 +66,7 @@ def main() -> None:
 
     samples: dict[str, list[float]] = {}
     for name in HEADLINE:
-        fn = bench_only.get(name) or QUERIES[name]
+        fn = bench_variants.get(name) or QUERIES[name]
         samples[name] = [
             time_df(
                 lambda: fn(spark, sf_dir)
