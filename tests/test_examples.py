@@ -201,3 +201,23 @@ def test_lakehouse_interop_etl(spark, tmp_path):
     assert snap == {(r.k, r.pt) for r in spark.table("via_delta").collect()}
     assert snap == {(r.k, r.pt) for r in spark.table("via_iceberg").collect()}
     p.backend.clean_temp_views()
+
+
+def test_data_selection_pipeline_etl(spark):
+    """Round-7 selection-stage ETL: repetition gate -> DSIR weighting ->
+    mixture rates -> median-thresholded selection -> window chunking,
+    composed in the step language over the documents fixture."""
+    register_views(spark, "/root/testdata/sf0.001", ("documents",))
+    with open(os.path.join(EXAMPLES, "data_selection_pipeline.sql")) as f:
+        sql = f.read()
+    p = SqlProcessor(spark, sql, base_dir=EXAMPLES, logger=lambda m: None)
+    p.run(dry_run=True)
+
+    chunks = spark.table("chunks").collect()
+    assert chunks, "selection produced no training windows"
+    for r in chunks:
+        assert 0 <= r.tok_start < r.tok_end
+        assert r.tok_end - r.tok_start <= 64
+    mix = {r.source: r.mix_rate for r in spark.table("mixture").collect()}
+    assert mix and all(0 < v <= 1 for v in mix.values())
+    p.backend.clean_temp_views()
