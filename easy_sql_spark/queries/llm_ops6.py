@@ -166,17 +166,20 @@ def text_dsir_weights(spark, sf_dir):
 
     Feature space: 256 md5-prefix buckets (the repo's portable-hash
     discipline — Spark's murmur hash and DuckDB's differ, md5 doesn't).
-    Plan: ONE tokenize pass folded per-row into (bucket → count) pairs,
-    ONE (doc_id, bucket) aggregate whose Exchange is consumed by both
-    the 256-row weight table and the final per-doc score (ReusedExchange
-    — the corpus is scanned and tokenized exactly once), the weight
-    table broadcast back.  At 100 TB the only data-sized shuffle is the
-    (doc_id, bucket) aggregate, ≤256 rows per document."""
+    Plan: ONE tokenize pass folded into a (doc_id, bucket) count
+    aggregate that is MATERIALIZED once (localCheckpoint — the
+    minhash_bands recipe; Spark's ReuseExchange does not fire across
+    the three consumers, measured 6 duplicate scans without it), then
+    read back by the 256-row weight table, its 1-row total, and the
+    final per-doc score.  At 100 TB the only data-sized shuffle is the
+    (doc_id, bucket) aggregate, ≤256 rows per document — strictly
+    smaller than the corpus it summarizes."""
     per = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "lang", F.explode(F.expr(_TOKENIZE)).alias("w"))
         .groupBy("doc_id", "lang", F.substring(F.md5("w"), 1, 2).alias("bk"))
         .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     # 256-row bucket stats: raw and target counts in ONE aggregate
     bkstats = per.groupBy("bk").agg(
