@@ -248,27 +248,41 @@ def text_bm25_topk(spark, sf_dir):
     pipeline and the classic relevance baseline ANN rerankers are judged
     against (k1=1.2, b=0.75).
 
-    Plan: tokenize → filter to the query terms BEFORE any shuffle (the
-    per-term stream is a tiny fraction of token volume), one
-    (doc_id, term) tf aggregate, a ≤|terms|-row document-frequency
-    aggregate and a single-row corpus-stats frame — both broadcast back.
-    The only data-sized shuffle is the tf aggregate; the final top-k is
-    a TakeOrdered, no global sort materialization."""
+    Plan: ONE corpus pass — per-row term counts via 5 narrow
+    ``size(filter(ws, …))`` columns (no explode, no token shuffle),
+    materialized as a (doc_id, dl, tf×5) frame a few ints wide per doc;
+    the single-row corpus stats, the per-term document frequencies and
+    the final score all read that checkpoint (without it Spark re-ran
+    the tokenize once per consumer — measured 3 corpus scans).  The
+    final top-k is a TakeOrdered, no global sort materialization."""
+    def _eq(term):
+        # single-arg lambda ON PURPOSE: a second parameter (even a
+        # defaulted one) makes pyspark pass (element, index) and the
+        # captured term would be shadowed by the index column
+        return lambda x: x == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(F.col("ws"), _eq(t))).alias(f"tf_{i}")
+        for i, t in enumerate(_BM25_TERMS)
+    ]
     d = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.expr(_TOKENIZE).alias("ws"))
         .where(F.size("ws") > 0)
-        .select("doc_id", "ws", F.size("ws").alias("dl"))
+        .select("doc_id", F.size("ws").alias("dl"), *tf_cols)
+        .localCheckpoint(eager=True)
     )
     stats = d.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    tf = (
-        d.select("doc_id", "dl", F.explode("ws").alias("term"))
-        .where(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"), F.min("dl").alias("dl"))
+    stack = ", ".join(
+        f"'{t}', tf_{i}" for i, t in enumerate(_BM25_TERMS)
     )
+    tf = d.selectExpr(
+        "doc_id",
+        "dl",
+        f"stack({len(_BM25_TERMS)}, {stack}) as (term, tf)",
+    ).where(F.col("tf") > 0)
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
@@ -384,6 +398,9 @@ def data_mixture_weights(spark, sf_dir):
             F.count("*").cast("bigint").alias("n_docs"),
             F.sum("n_toks").cast("bigint").alias("n_tokens"),
         )
+        # one row per SOURCE — materialized so its two consumers (the
+        # budget total and the final select) tokenize the corpus once
+        .localCheckpoint(eager=True)
     )
     tot = per.agg(F.sum("n_tokens").alias("t"), F.count("*").alias("k"))
     rate = F.round(
@@ -495,17 +512,24 @@ def tokenizer_oov_rate(spark, sf_dir):
     measurement that sizes a tokenizer's vocab before training, and the
     per-document signal that flags domain-mismatched text.
 
-    Plan: one (word) count aggregate (vocabulary-sized — tiny), ranked
-    with a single window over it, broadcast back onto the token stream;
-    per-doc aggregation is the only data-sized shuffle.  Tie-break on
+    Plan: ONE corpus pass into a (doc_id, word) count aggregate,
+    materialized once (≤ per-doc-distinct-words rows — strictly smaller
+    than the token stream it summarizes; without the checkpoint Spark
+    tokenized the corpus once for the vocabulary and again for the
+    flagging).  The vocabulary is a word-keyed rollup of that frame,
+    ranked with one window over ~|vocab| rows and broadcast back; the
+    only other shuffle is the per-doc aggregation.  Tie-break on
     (count DESC, word) makes the vocabulary deterministic cross-engine."""
     from pyspark.sql import Window
 
-    tok = (
+    per = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.explode(F.expr(_TOKENIZE)).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
     )
-    wc = tok.groupBy("w").agg(F.count("*").alias("c"))
+    wc = per.groupBy("w").agg(F.sum("cnt").alias("c"))
     vocab = (
         wc.withColumn(
             "r",
@@ -516,23 +540,18 @@ def tokenizer_oov_rate(spark, sf_dir):
         .where(F.col("r") <= _VOCAB_K)
         .select("w")
     )
-    flagged = tok.join(
+    flagged = per.join(
         F.broadcast(vocab.withColumn("__in", F.lit(1))), "w", "left"
+    )
+    oov = F.sum(
+        F.when(F.col("__in").isNull(), F.col("cnt")).otherwise(0)
     )
     return (
         flagged.groupBy("doc_id")
         .agg(
-            F.count("*").cast("bigint").alias("n_tokens"),
-            F.sum(
-                F.when(F.col("__in").isNull(), 1).otherwise(0)
-            ).cast("bigint").alias("n_oov"),
-            F.round(
-                F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).cast(
-                    "double"
-                )
-                / F.count("*"),
-                4,
-            ).alias("oov_rate"),
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            oov.cast("bigint").alias("n_oov"),
+            F.round(oov.cast("double") / F.sum("cnt"), 4).alias("oov_rate"),
         )
         .orderBy("doc_id")
     )
@@ -578,6 +597,9 @@ def text_minhash_containment(spark, sf_dir):
         docs.select("doc_id", F.expr(_TOKENIZE).alias("ws"))
         .where(F.size("ws") >= 3)
         .select("doc_id", F.expr(sh).alias("shs"))
+        # bounded candidate set, consumed as BOTH join sides —
+        # materialize once instead of shingling twice
+        .localCheckpoint(eager=True)
     )
     a, b = sets.alias("a"), sets.alias("b")
     inter = F.size(F.array_intersect(F.col("a.shs"), F.col("b.shs"))).cast(
