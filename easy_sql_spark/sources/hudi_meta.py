@@ -765,7 +765,10 @@ def export_snapshot_to_hudi_mor(
     Scope (stated): unpartitioned snapshots; primitive column types
     (see ``_spark_to_avro``); live DVs must be compacted first; no
     compaction scheduling (readers merge logs until one is run
-    elsewhere).  Returns {"instant", "mode", "base_files"|"log_files",
+    elsewhere).  ``key_col`` must be UNIQUE in the snapshot — Hudi's
+    record-key precondition: a duplicate key would collapse to one row
+    under the reader's per-key merge (use the COW export for keyless
+    tables).  Returns {"instant", "mode", "base_files"|"log_files",
     "snapshot_version", "dest"}.
     """
     import time as _time

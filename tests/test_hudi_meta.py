@@ -615,3 +615,63 @@ select (select count(*) from via_mor) as actual, 3 as expected
         (2, "B"),
         (3, "c"),
     }
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_export_snapshot_to_hudi_mor_random_walk(spark, tmp_path, seed):
+    """Randomized op walk: a seeded sequence of merge/delete/append
+    commits, exported after EVERY commit, must read back equal to the
+    snapshot table at each step — and each exported instant must still
+    time-travel to its own historical state at the end."""
+    import random
+
+    from easy_sql_spark.runtime.snapshots import SnapshotTable
+    from easy_sql_spark.sources.hudi_meta import export_snapshot_to_hudi_mor
+
+    rng = random.Random(seed)
+    root = str(tmp_path / f"walk{seed}")
+    t = SnapshotTable(spark, root)
+    t.create(
+        spark.createDataFrame(
+            [(k, k * 100) for k in range(1, 31)], "k long, val long"
+        )
+    )
+    reps = [export_snapshot_to_hudi_mor(t, key_col="k", n_buckets=3)]
+    dest = reps[0]["dest"]
+    expected = [{(k, k * 100) for k in range(1, 31)}]
+
+    live = {k: k * 100 for k in range(1, 31)}
+    next_key = 1000
+    for _ in range(4):
+        op = rng.choice(["merge_update", "merge_insert", "delete", "append"])
+        if op == "merge_update" and live:
+            ks = rng.sample(sorted(live), min(4, len(live)))
+            rows = [(k, rng.randrange(10_000)) for k in ks]
+            t.merge(spark.createDataFrame(rows, "k long, val long"), keys=["k"])
+            live.update(dict(rows))
+        elif op == "merge_insert":
+            rows = [(next_key + i, rng.randrange(10_000)) for i in range(3)]
+            next_key += 10
+            t.merge(spark.createDataFrame(rows, "k long, val long"), keys=["k"])
+            live.update(dict(rows))
+        elif op == "delete" and len(live) > 5:
+            lo = rng.choice(sorted(live)[:10])
+            t.delete_where([("k", ">=", lo), ("k", "<=", lo + 2)])
+            live = {k: v for k, v in live.items() if not (lo <= k <= lo + 2)}
+        else:
+            rows = [(next_key + i, rng.randrange(10_000)) for i in range(2)]
+            next_key += 10
+            t.append(spark.createDataFrame(rows, "k long, val long"))
+            live.update(dict(rows))
+        reps.append(export_snapshot_to_hudi_mor(t, key_col="k", n_buckets=3))
+        expected.append(set(live.items()))
+        got = {(r.k, r.val) for r in read_hudi(spark, dest).collect()}
+        assert got == expected[-1], f"mismatch after {op}"
+
+    # every exported instant still time-travels to its own state
+    for rep, want in zip(reps, expected):
+        back = {
+            (r.k, r.val)
+            for r in read_hudi(spark, dest, as_of=rep["instant"]).collect()
+        }
+        assert back == want, f"time travel to {rep['instant']} broken"
