@@ -265,6 +265,35 @@ def build(processor):
         backend.create_temp_view(out, out_view)
         return True
 
+    def dsir_weights(
+        table: str, out_view: str, target_lang: str = "en"
+    ):
+        """DSIR importance weights (Xie et al. 2023) of a
+        (doc_id, lang, text) view against its ``target_lang`` slice —
+        the registered ``text_dsir_weights`` plan as a reusable step
+        (queries/llm_ops6.dsir_weight_frame, the SAME code path the
+        oracle gate verifies).  Adds ``n_tokens``/``dsir_weight``."""
+        from ..queries.llm_ops6 import dsir_weight_frame
+
+        out = dsir_weight_frame(spark.table(table), target_lang=target_lang)
+        backend.create_temp_view(out, out_view)
+        return True
+
+    def mixture_weights(
+        table: str, out_view: str, budget_frac: str = "0.5"
+    ):
+        """Per-source mixture sampling rates under a token budget —
+        the registered ``data_mixture_weights`` plan as a reusable step
+        (queries/llm_ops6.mixture_weight_frame).  One row per source:
+        n_docs, n_tokens, mix_rate, expected_tokens."""
+        from ..queries.llm_ops6 import mixture_weight_frame
+
+        out = mixture_weight_frame(
+            spark.table(table), budget_frac=float(budget_frac)
+        )
+        backend.create_temp_view(out, out_view)
+        return True
+
     return {
         k: v
         for k, v in locals().items()

@@ -176,7 +176,20 @@ def text_dsir_weights(spark, sf_dir):
     smaller than the corpus it summarizes."""
     per = (
         load_table(spark, sf_dir, "documents")
-        .select("doc_id", "lang", F.explode(F.expr(_TOKENIZE)).alias("w"))
+        .select("doc_id", "lang", "text")
+    )
+    return dsir_weight_frame(per, target_lang="en")
+
+
+def dsir_weight_frame(docs, target_lang: str = "en"):
+    """Reusable DSIR core over any (doc_id, lang, text) frame — the
+    step-language func (``func.dsir_weights``) and the registered query
+    share this exact plan.  See :func:`text_dsir_weights` for the plan
+    rationale."""
+    per = (
+        docs.select(
+            "doc_id", "lang", F.explode(F.expr(_TOKENIZE)).alias("w")
+        )
         .groupBy("doc_id", "lang", F.substring(F.md5("w"), 1, 2).alias("bk"))
         .agg(F.count("*").alias("cnt"))
         .localCheckpoint(eager=True)
@@ -184,7 +197,9 @@ def text_dsir_weights(spark, sf_dir):
     # 256-row bucket stats: raw and target counts in ONE aggregate
     bkstats = per.groupBy("bk").agg(
         F.sum("cnt").alias("rc"),
-        F.sum(F.when(F.col("lang") == "en", F.col("cnt")).otherwise(0)).alias("tc"),
+        F.sum(
+            F.when(F.col("lang") == target_lang, F.col("cnt")).otherwise(0)
+        ).alias("tc"),
     )
     tot = bkstats.agg(F.sum("rc").alias("rt"), F.sum("tc").alias("tt"))
     weights = bkstats.crossJoin(F.broadcast(tot)).select(
@@ -390,9 +405,16 @@ def data_mixture_weights(spark, sf_dir):
     broadcast back — metadata-scale output regardless of corpus size.
     expected_tokens goes through round-then-floor(+0.5) in BOTH engines
     so no float boundary can flip a count."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    return mixture_weight_frame(docs, budget_frac=0.5)
+
+
+def mixture_weight_frame(docs, budget_frac: float = 0.5):
+    """Reusable mixture-rate core over any (source, text) frame — the
+    step-language func (``func.mixture_weights``) and the registered
+    query share this exact plan; see :func:`data_mixture_weights`."""
     per = (
-        load_table(spark, sf_dir, "documents")
-        .select("source", F.size(F.expr(_TOKENIZE)).alias("n_toks"))
+        docs.select("source", F.size(F.expr(_TOKENIZE)).alias("n_toks"))
         .groupBy("source")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
@@ -404,7 +426,11 @@ def data_mixture_weights(spark, sf_dir):
     )
     tot = per.agg(F.sum("n_tokens").alias("t"), F.count("*").alias("k"))
     rate = F.round(
-        F.least(F.lit(1.0), (0.5 * F.col("t") / F.col("k")) / F.col("n_tokens")), 4
+        F.least(
+            F.lit(1.0),
+            (float(budget_frac) * F.col("t") / F.col("k")) / F.col("n_tokens"),
+        ),
+        4,
     )
     return (
         per.crossJoin(F.broadcast(tot))

@@ -321,3 +321,37 @@ def test_pca_projection_bit_pinned_against_numpy(spark):
     # retained subspace: ||proj row|| <= ||centered row||
     for j in range(len(x)):
         assert np.linalg.norm(proj[j]) <= np.linalg.norm(x[j] - mean) + 1e-9
+
+
+def test_dsir_and_mixture_weight_funcs(spark):
+    """func.dsir_weights / func.mixture_weights delegate to the SAME
+    frame helpers the oracle-gated registry queries run."""
+    rows = []
+    for i in range(40):
+        lang = "en" if i % 2 == 0 else "de"
+        text = ("spark table merge " if lang == "en" else "der die das ") * 4
+        rows.append((i, lang, f"src{i % 4}", text + f"word{i}"))
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    ).createOrReplaceTempView("sel_docs")
+    etl = """-- target=func.dsir_weights(sel_docs, dsir_view, en)
+
+-- target=func.mixture_weights(sel_docs, mix_view, 0.5)
+
+-- target=check.dsir_covers_all_docs
+select (select count(*) from dsir_view) as actual,
+       (select count(*) from sel_docs) as expected
+"""
+    p = SqlProcessor(spark, etl, logger=lambda m: None)
+    p.run(dry_run=True)
+    w = {r.doc_id: r.dsir_weight for r in spark.table("dsir_view").collect()}
+    # english docs must importance-score above german ones on an 'en' target
+    en_avg = sum(v for k, v in w.items() if k % 2 == 0) / 20
+    de_avg = sum(v for k, v in w.items() if k % 2 == 1) / 20
+    assert en_avg > de_avg
+    mix = {r.source: r for r in spark.table("mix_view").collect()}
+    assert set(mix) == {f"src{i}" for i in range(4)}
+    for r in mix.values():
+        assert 0 < r.mix_rate <= 1.0
+        assert r.expected_tokens <= r.n_tokens
+    p.backend.clean_temp_views()
