@@ -636,7 +636,11 @@ def read_delta(
     return out
 
 
-def export_snapshot_to_delta(table, checkpoint_interval: int = 10) -> dict:
+def export_snapshot_to_delta(
+    table,
+    checkpoint_interval: int = 10,
+    checkpoint_format: str = "classic",
+) -> dict:
     """Expose a snapshot table's CURRENT version as a Delta table by
     writing/advancing a ``_delta_log`` under the snapshot root — ZERO
     data copied: the add actions point at the snapshot's own parquet
@@ -649,6 +653,13 @@ def export_snapshot_to_delta(table, checkpoint_interval: int = 10) -> dict:
     The snapshot manifest stays the source of truth; the delta log is a
     derived view of it.  Vacuum discipline: run exports BEFORE
     ``vacuum`` so removed files leave the delta state first.
+
+    ``checkpoint_format``: "classic" (default — the single-file parquet
+    checkpoint every reader understands) or "v2" (the uuid-named
+    manifest + ``_sidecars/`` form current delta-spark writes; requires
+    readers with the ``v2Checkpoint`` feature, so it is OPT-IN — the
+    protocol action is upgraded to carry the feature from the first
+    commit on, as the spec requires before any v2 checkpoint exists).
 
     Returns {"delta_version", "adds", "removes", "snapshot_version"}.
     """
@@ -730,11 +741,16 @@ def export_snapshot_to_delta(table, checkpoint_interval: int = 10) -> dict:
             }
         }
     ]
-    if dv_descs:
+    if checkpoint_format not in ("classic", "v2"):
+        raise ValueError(f"unknown checkpoint_format {checkpoint_format!r}")
+    feats = (["deletionVectors"] if dv_descs else []) + (
+        ["v2Checkpoint"] if checkpoint_format == "v2" else []
+    )
+    if feats:
         actions.append(
             {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                          "readerFeatures": ["deletionVectors"],
-                          "writerFeatures": ["deletionVectors"]}}
+                          "readerFeatures": feats,
+                          "writerFeatures": feats}}
         )
     elif next_v == 0:
         actions.append(
@@ -771,7 +787,10 @@ def export_snapshot_to_delta(table, checkpoint_interval: int = 10) -> dict:
     # regime (old JSONs deleted) keeps working — the scale knob for a
     # long-lived exported table
     if checkpoint_interval and next_v > 0 and next_v % checkpoint_interval == 0:
-        _write_classic_checkpoint(spark, root, next_v)
+        if checkpoint_format == "v2":
+            _write_v2_checkpoint(spark, root, next_v)
+        else:
+            _write_classic_checkpoint(spark, root, next_v)
     return {
         "delta_version": next_v,
         "adds": len(adds) + len(readds),
@@ -779,6 +798,109 @@ def export_snapshot_to_delta(table, checkpoint_interval: int = 10) -> dict:
         "snapshot_version": snap_v,
         "dv_files": len(dv_descs),
     }
+
+
+def _write_v2_checkpoint(spark: SparkSession, path: str, version: int) -> None:
+    """Write a V2 (uuid-named) checkpoint for ``version`` — the form
+    current delta-spark leaves after log cleanup: a manifest
+    ``{v:020d}.checkpoint.{uuid}.parquet`` carrying the non-file actions
+    (checkpointMetadata + protocol + metaData) plus one ``sidecar``
+    pointer, and the live add actions in
+    ``_delta_log/_sidecars/{uuid}.parquet``.  The uuid derives from
+    (path, version) so re-writes are idempotent, and the protocol row
+    carries the ``v2Checkpoint`` feature as PROTOCOL.md requires."""
+    import hashlib
+    import shutil
+
+    meta, adds = _replay(spark, path, version)
+    has_dv = any(a.get("deletionVector") for a in adds.values())
+    uid = hashlib.md5(f"{path}:{version}".encode()).hexdigest()
+    uuid = f"{uid[:8]}-{uid[8:12]}-{uid[12:16]}-{uid[16:20]}-{uid[20:32]}"
+    log_dir = _log_dir(path)
+    side_dir = os.path.join(log_dir, "_sidecars")
+    os.makedirs(side_dir, exist_ok=True)
+
+    def one_file(df, dest):
+        tmp = dest + "._tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(n for n in os.listdir(tmp) if n.endswith(".parquet"))
+        os.replace(os.path.join(tmp, part), dest)
+        shutil.rmtree(tmp)
+        return os.path.getsize(dest)
+
+    add_schema = (
+        "add struct<path string, partitionValues map<string,string>, "
+        "size long, modificationTime long, dataChange boolean, "
+        "deletionVector struct<storageType string, pathOrInlineDv string, "
+        "offset int, sizeInBytes int, cardinality long>>"
+    )
+    add_rows = []
+    for p in sorted(adds):
+        a = adds[p]
+        dv = a.get("deletionVector")
+        add_rows.append(
+            (
+                (
+                    a["path"],
+                    a.get("partitionValues") or {},
+                    int(a.get("size") or 0),
+                    int(a.get("modificationTime") or 0),
+                    bool(a.get("dataChange", True)),
+                    (
+                        dv["storageType"],
+                        dv["pathOrInlineDv"],
+                        int(dv.get("offset") or 0),
+                        int(dv["sizeInBytes"]),
+                        int(dv["cardinality"]),
+                    )
+                    if dv
+                    else None,
+                ),
+            )
+        )
+    side_name = f"{uuid}.parquet"
+    side_size = one_file(
+        spark.createDataFrame(add_rows, add_schema),
+        os.path.join(side_dir, side_name),
+    )
+
+    feats = ["v2Checkpoint"] + (["deletionVectors"] if has_dv else [])
+    manifest_schema = (
+        "checkpointMetadata struct<version long>, "
+        "protocol struct<minReaderVersion int, minWriterVersion int, "
+        "readerFeatures array<string>, writerFeatures array<string>>, "
+        "metaData struct<id string, schemaString string, "
+        "partitionColumns array<string>, format struct<provider string>, "
+        "configuration map<string,string>>, "
+        "sidecar struct<path string, sizeInBytes long>"
+    )
+    manifest_rows = [
+        ((version,), None, None, None),
+        (None, (3, 7, feats, feats), None, None),
+        (
+            None,
+            None,
+            (
+                meta.get("id"),
+                meta["schemaString"],
+                list(meta.get("partitionColumns") or []),
+                ((meta.get("format") or {}).get("provider", "parquet"),),
+                meta.get("configuration") or {},
+            ),
+            None,
+        ),
+        (None, None, None, (side_name, side_size)),
+    ]
+    one_file(
+        spark.createDataFrame(manifest_rows, manifest_schema),
+        os.path.join(log_dir, f"{version:020d}.checkpoint.{uuid}.parquet"),
+    )
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
+        json.dump(
+            {"version": version, "size": len(add_rows) + 3,
+             "sizeInBytes": side_size, "numOfAddFiles": len(add_rows)},
+            f,
+        )
 
 
 def _write_classic_checkpoint(spark: SparkSession, path: str, version: int) -> None:

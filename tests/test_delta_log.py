@@ -991,3 +991,52 @@ def test_delta_changes_cdf(spark, tmp_path):
 select (select count(*) from cdf_v) as actual, 9 as expected
 """
     SqlProcessor(spark, etl, logger=lambda m: None).run()
+
+
+def test_export_writes_v2_checkpoints_optin(spark, tmp_path):
+    """checkpoint_format='v2': the export writes the uuid-named manifest
+    + _sidecars/ form (what current delta-spark leaves after cleanup),
+    upgrades the protocol with the v2Checkpoint feature, and replay
+    reconstructs from the v2 checkpoint alone after log cleanup —
+    deletion vectors included."""
+    from easy_sql_spark.runtime.snapshots import SnapshotTable
+    from easy_sql_spark.sources.delta_log import export_snapshot_to_delta
+
+    root = str(tmp_path / "scp2")
+    t = SnapshotTable(spark, root)
+    t.create(spark.createDataFrame([(1, "a")], "id int, v string"))
+    export_snapshot_to_delta(t, checkpoint_interval=2, checkpoint_format="v2")
+    t.append(spark.createDataFrame([(2, "b")], "id int, v string"))
+    export_snapshot_to_delta(t, checkpoint_interval=2, checkpoint_format="v2")
+    t.append(spark.createDataFrame([(3, "c")], "id int, v string"))
+    t.delete_where_dv([("id", "=", 1)])
+    rep = export_snapshot_to_delta(
+        t, checkpoint_interval=2, checkpoint_format="v2"
+    )
+    assert rep["delta_version"] == 2
+    log = os.path.join(root, "_delta_log")
+    manifests = [
+        n for n in os.listdir(log)
+        if n.startswith(f"{2:020d}.checkpoint.") and n.endswith(".parquet")
+        and len(n.split(".")) == 4  # {v}.checkpoint.{uuid}.parquet
+    ]
+    assert len(manifests) == 1, os.listdir(log)
+    sidecars = os.listdir(os.path.join(log, "_sidecars"))
+    assert len(sidecars) == 1 and sidecars[0].endswith(".parquet")
+    # the json protocol carries the feature (spec precondition)
+    with open(os.path.join(log, f"{2:020d}.json")) as fh:
+        protos = [json.loads(x) for x in fh if '"protocol"' in x]
+    assert protos and "v2Checkpoint" in protos[0]["protocol"]["readerFeatures"]
+
+    # log cleanup: state lives ONLY in the v2 checkpoint + sidecar
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+    got = {(r.id, r.v) for r in read_delta(spark, root).collect()}
+    assert got == {(2, "b"), (3, "c")}
+    assert got == {(r.id, r.v) for r in t.read().collect()}
+
+    # idempotent re-write: same (path, version) -> same uuid, no churn
+    from easy_sql_spark.sources.delta_log import _write_v2_checkpoint
+
+    _write_v2_checkpoint(spark, root, 2)
+    assert len(os.listdir(os.path.join(log, "_sidecars"))) == 1
