@@ -585,15 +585,19 @@ def build(processor):
         )
         backend.create_temp_view(df, view_name)
 
-    def snapshot_export_delta(root: str):
+    def snapshot_export_delta(root: str, checkpoint_format: str = "classic"):
         """Expose the snapshot table's current version as a Delta table
         (zero copy — a `_delta_log` derived from the manifest, pointing
         at the snapshot's own files): `func.snapshot_export_delta(/w/t)`
         then any Delta reader opens `/w/t`.  Re-run after commits to
-        advance the delta log incrementally; export BEFORE vacuum."""
+        advance the delta log incrementally; export BEFORE vacuum.
+        `checkpoint_format=v2` opts into uuid-manifest + sidecar
+        checkpoints (requires v2Checkpoint-capable readers)."""
         from ..sources.delta_log import export_snapshot_to_delta
 
-        rep = export_snapshot_to_delta(_snapshot(root))
+        rep = export_snapshot_to_delta(
+            _snapshot(root), checkpoint_format=checkpoint_format
+        )
         processor.log(f"snapshot_export_delta({root}): {rep}")
         return rep["delta_version"]
 
