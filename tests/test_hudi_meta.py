@@ -675,3 +675,37 @@ def test_export_snapshot_to_hudi_mor_random_walk(spark, tmp_path, seed):
             for r in read_hudi(spark, dest, as_of=rep["instant"]).collect()
         }
         assert back == want, f"time travel to {rep['instant']} broken"
+
+
+def test_export_hudi_mor_log_only_group(spark, tmp_path):
+    """An incremental insert whose key hashes to a bucket that was EMPTY
+    at base-export time creates a log-only file group (no base file) —
+    the reader must surface it, and deletes against it must hold."""
+    from easy_sql_spark.runtime.snapshots import SnapshotTable
+    from easy_sql_spark.sources.hudi_meta import export_snapshot_to_hudi_mor
+
+    root = str(tmp_path / "snap_lo")
+    t = SnapshotTable(spark, root)
+    # 2 seed keys over 16 buckets -> most buckets have no base file
+    t.create(spark.createDataFrame([(1, 10), (2, 20)], "k long, val long"))
+    rep1 = export_snapshot_to_hudi_mor(t, key_col="k", n_buckets=16)
+    dest = rep1["dest"]
+
+    # insert enough new keys that SOME land in base-less buckets
+    rows = [(k, k * 7) for k in range(100, 130)]
+    t.merge(spark.createDataFrame(rows, "k long, val long"), keys=["k"])
+    rep2 = export_snapshot_to_hudi_mor(t, key_col="k", n_buckets=16)
+    assert rep2["mode"] == "delta"
+    n_base = len([n for n in os.listdir(dest) if n.endswith(".parquet")])
+    n_logs = len([n for n in os.listdir(dest) if ".log." in n])
+    assert n_logs > n_base, "expected log files in base-less buckets"
+
+    got = {(r.k, r.val) for r in read_hudi(spark, dest).collect()}
+    assert got == {(r.k, r.val) for r in t.read().collect()}
+
+    # delete keys living ONLY in log-only groups; read must drop them
+    t.delete_where([("k", ">=", 100), ("k", "<=", 110)])
+    export_snapshot_to_hudi_mor(t, key_col="k", n_buckets=16)
+    got = {(r.k, r.val) for r in read_hudi(spark, dest).collect()}
+    assert got == {(r.k, r.val) for r in t.read().collect()}
+    assert not any(100 <= k <= 110 for k, _ in got)
