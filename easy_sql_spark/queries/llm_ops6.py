@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..datasets import load_table
+from ..datasets import SPREAD_MODERATE, load_table, spread
 from . import query
 
 #: The portable tokenizer every cross-engine text query in this repo
@@ -104,17 +104,19 @@ def text_repetition_signals(spark, sf_dir):
     plus the distinct-word ratio — the signals that kill template spam
     and keyboard-mash documents that pass length/stopword filters.
 
-    Plan: ZERO shuffles (bar the output sort).  The per-doc top-gram is
-    a mode over a per-row array — no explode needed: sort the gram
-    array, then a single ``aggregate()`` pass finds the longest
-    equal-run weighted by gram length (count × chars of the most
-    frequent gram) and the occurrence-weighted total chars.  Every
-    document is processed independently inside whole-stage codegen, so
-    at 100 TB this is one embarrassingly-parallel map with no gram
-    shuffle at all (the explode formulation shuffles ~3× token volume)."""
+    Plan: no gram shuffle at all.  The per-doc top-gram is a mode over
+    a per-row array — no explode needed: sort the gram array, then a
+    single ``aggregate()`` pass finds the longest equal-run weighted by
+    gram length (count × chars of the most frequent gram) and the
+    occurrence-weighted total chars.  Every document is processed
+    independently inside whole-stage codegen; the only exchange is
+    ``spread``'s coarse-input fan-out, a no-op at real split counts
+    (the explode formulation shuffles ~3× token volume instead)."""
     top_scan, g2, g3 = _TOP_SCAN, _G2, _G3
+    # spread: 3 per-row sorts + run scans are gram-heavy work — a coarse
+    # local scan must fan out (no-op at real split counts)
     return (
-        load_table(spark, sf_dir, "documents")
+        spread(load_table(spark, sf_dir, "documents"))
         .select("doc_id", F.expr(_TOKENIZE).alias("ws"))
         .where(F.size("ws") >= 3)
         .select(
@@ -175,7 +177,7 @@ def text_dsir_weights(spark, sf_dir):
     (doc_id, bucket) aggregate, ≤256 rows per document — strictly
     smaller than the corpus it summarizes."""
     per = (
-        load_table(spark, sf_dir, "documents")
+        spread(load_table(spark, sf_dir, "documents"), min_bytes=SPREAD_MODERATE)
         .select("doc_id", "lang", "text")
     )
     return dsir_weight_frame(per, target_lang="en")
@@ -281,7 +283,7 @@ def text_bm25_topk(spark, sf_dir):
         for i, t in enumerate(_BM25_TERMS)
     ]
     d = (
-        load_table(spark, sf_dir, "documents")
+        spread(load_table(spark, sf_dir, "documents"), min_bytes=SPREAD_MODERATE)
         .select("doc_id", F.expr(_TOKENIZE).alias("ws"))
         .where(F.size("ws") > 0)
         .select("doc_id", F.size("ws").alias("dl"), *tf_cols)
@@ -549,7 +551,7 @@ def tokenizer_oov_rate(spark, sf_dir):
     from pyspark.sql import Window
 
     per = (
-        load_table(spark, sf_dir, "documents")
+        spread(load_table(spark, sf_dir, "documents"), min_bytes=SPREAD_MODERATE)
         .select("doc_id", F.explode(F.expr(_TOKENIZE)).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("cnt"))
