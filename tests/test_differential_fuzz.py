@@ -544,3 +544,74 @@ def test_random_repetition_topgram_scan_agrees(spark, ducks, docs):
         ).fetchall()
     }
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["spark", "table", "hash", "merge", "window",
+                             "filler", "pad", "noise"]),
+            min_size=1,
+            max_size=20,
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_bm25_scoring_agrees(spark, ducks, docs):
+    """The SHIPPED BM25 scorer (queries/llm_ops6.text_bm25_topk run over
+    a temp parquet corpus) must agree with an independent DuckDB replay
+    on random term mixes — including docs with zero query terms, all
+    query terms, and tf saturation."""
+    import tempfile
+
+    from easy_sql_spark.queries.llm_ops6 import text_bm25_topk
+
+    rows = [(i, "en", "src0", " ".join(words)) for i, words in enumerate(docs)]
+    d = tempfile.mkdtemp(prefix="bm25_fuzz_")
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    ).withColumn("n_chars", F.length("text")).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    got = {
+        r.doc_id: r.bm25 for r in text_bm25_topk(spark, d).collect()
+    }
+
+    values = ", ".join(
+        "(%d, '%s')" % (i, " ".join(words)) for i, words in enumerate(docs)
+    )
+    want = {
+        r[0]: r[1]
+        for r in ducks.execute(
+            f"""
+            WITH documents(doc_id, text) AS (VALUES {values}),
+            w AS (SELECT doc_id,
+                         regexp_extract_all(lower(text), '[a-z]+') AS ws
+                  FROM documents),
+            d AS (SELECT doc_id, ws, len(ws) AS dl FROM w WHERE len(ws) > 0),
+            stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM d),
+            tf AS (
+                SELECT doc_id, w AS term, COUNT(*) AS tf, MIN(dl) AS dl
+                FROM (SELECT doc_id, dl, unnest(ws) AS w FROM d)
+                WHERE w IN ('spark', 'table', 'hash', 'merge', 'window')
+                GROUP BY doc_id, w),
+            df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            sc AS (
+                SELECT tf.doc_id AS doc_id,
+                       ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+                           AS part
+                FROM tf JOIN df USING (term) CROSS JOIN stats s)
+            SELECT doc_id, ROUND(SUM(part), 4) FROM sc GROUP BY doc_id
+            ORDER BY 2 DESC, 1 LIMIT 20
+            """
+        ).fetchall()
+    }
+    assert got == want
