@@ -21,37 +21,37 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["a1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-#: Round-7 driver-window front (VERDICT r6 ask #2).  After six rounds the
-#: union of driver-checked entries covers all but these 9 (the overflow of
-#: the 50-entry r6 window plus the two r6 Hudi additions) — front them so
-#: driver coverage closes to 159/159.  Then the two entries whose only
-#: driver verdict was red-but-since-fixed: sim_quantize_int8 (r6 red: the
-#: driver canonicalizer crashed on its raw array<int> column, now
-#: flattened via array_join) and snapshot_dv_delete (r5 red, fixed +
-#: stress-tested in r6, never re-adjudicated).
-_ROUND7_FRONT = (
-    "s6b_setops_all", "text_pii_redact", "data_shard_split",
-    "seq_pack_bins", "mm_gif_frames_stats", "dedup_incremental",
-    "hudi_mor_interop_read", "hudi_export_roundtrip",
-    # rows-only (no hash verdict possible) goes last in the never-checked
-    # block so oracle-backed entries get hash verdicts first
-    "a9_approx_quantiles",
-    # red-row re-confirmations
-    "sim_quantize_int8", "snapshot_dv_delete",
+#: Round-8 driver-window front (VERDICT r7 asks #1/#3).  Stale-verdict
+#: entries first — entries whose oracle or query code changed AFTER their
+#: last driver verdict:
+#:   - snapshot_dv_delete: the r7 red row.  Adjudicated an ORACLE dtype
+#:     bug (uncast UNION ALL legs widened SUM(k) to HUGEINT -> pandas
+#:     float64 "1956150.0" vs Spark bigint "1956150"); outer CAST landed
+#:     r8 (queries/llm_ops5.py) — must end the r5/r7 red streak.
+#:   - a4_approx_distinct: its exact-regime oracle landed r7 AFTER the r7
+#:     window was sampled; the new oracle has never been
+#:     driver-adjudicated.
+#: Then entries new or re-planned in r8 so they get first verdicts.
+_ROUND8_FRONT = (
+    "snapshot_dv_delete",
+    "a4_approx_distinct",
+    "hudi_mor_kryo_delete_read",
+    "dedup_index_incremental",
 )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    The driver's correctness gate samples the FIRST 50 entries.  Round-7
-    rotation: the 9 never-driver-checked entries and the 2 red-row
-    re-confirmations first (``_ROUND7_FRONT``), then everything else
-    newest-first so round-6/7 additions fill the rest of the window.
-    tests/test_oracle_all.py stays authoritative over ALL entries."""
+    The driver's correctness gate samples the FIRST 50 entries.  Round-8
+    rotation: stale-verdict entries (oracle/code changed after their last
+    driver verdict) and round-8 additions first (``_ROUND8_FRONT``), then
+    everything else newest-first so recent rounds' entries fill the rest
+    of the window.  tests/test_oracle_all.py stays authoritative over ALL
+    entries."""
     from easy_sql_spark.queries import QUERIES
 
-    front = {k: QUERIES[k] for k in _ROUND7_FRONT if k in QUERIES}
+    front = {k: QUERIES[k] for k in _ROUND8_FRONT if k in QUERIES}
     rest = {
         k: v
         for k, v in reversed(list(QUERIES.items()))

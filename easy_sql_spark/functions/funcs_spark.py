@@ -651,7 +651,7 @@ def build(processor):
         return rep["instant"]
 
     def snapshot_export_hudi_mor(
-        root: str, dest: str = "", key_col: str = "", n_buckets: str = "4"
+        root: str, dest: str = "", key_col: str = "", n_buckets: str = ""
     ):
         """Expose the snapshot table as a Hudi MERGE_ON_READ table:
         `func.snapshot_export_hudi_mor(/w/t, , k)` writes bucket-routed
@@ -665,7 +665,9 @@ def build(processor):
             _snapshot(root),
             dest=dest or None,
             key_col=key_col or None,
-            n_buckets=int(n_buckets),
+            # empty -> None: re-exports take bucket config from
+            # hoodie.properties; an explicit value must MATCH it
+            n_buckets=int(n_buckets) if n_buckets else None,
         )
         processor.log(f"snapshot_export_hudi_mor({root}): {rep}")
         return rep["instant"]

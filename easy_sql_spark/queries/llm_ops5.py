@@ -1544,7 +1544,11 @@ def emb_pca_project(spark, sf_dir):
     v_dv AS (SELECT * FROM seed WHERE NOT (k < 300)),
     v_dv2 AS (SELECT * FROM v_dv WHERE NOT (k < 500)),
     fin AS (SELECT * FROM v_dv2 WHERE NOT (k > 1800))
-    SELECT stage, n, sum_k FROM (
+    -- outer CASTs are load-bearing: without them DuckDB widens the
+    -- unioned SUM column to HUGEINT (legs 2-4 are uncast) and the
+    -- driver's pandas canonicalizer renders it float64 ("1956150.0")
+    -- against Spark's bigint ("1956150") -> hash mismatch (r5/r7 red).
+    SELECT stage, CAST(n AS BIGINT) AS n, CAST(sum_k AS BIGINT) AS sum_k FROM (
         SELECT 'a_after_dv' AS stage, CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(k) AS BIGINT) AS sum_k FROM v_dv
         UNION ALL SELECT 'b_after_dv2', COUNT(*), SUM(k) FROM v_dv2

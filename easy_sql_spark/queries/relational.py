@@ -177,7 +177,15 @@ def a4_approx_distinct(spark, sf_dir):
     (verified at sf0.001/0.01/0.1).  The high-cardinality production
     regime stays covered the right way for a sketch:
     tests/test_approx_quality.py bounds approx vs exact on l_partkey
-    against the advertised rsd."""
+    against the advertised rsd.
+
+    PINNED DEPENDENCY (ADVICE r7 #5): the exact-equality oracle relies
+    on Spark's HLL++ linear-counting rounding at rsd=0.01 over
+    single-digit cardinalities — verified on pyspark 4.1.x.  If a Spark
+    upgrade flips this gate red while test_approx_quality still passes,
+    the SKETCH is fine: the implementation changed its small-range bias
+    correction, and this oracle should be relaxed to the a9 tolerance
+    pattern rather than the query "fixed"."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
         F.approx_count_distinct("l_returnflag", 0.01).alias("d_flags"),

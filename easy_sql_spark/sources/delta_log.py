@@ -345,8 +345,11 @@ def _v2_checkpoint_state(
     return meta, protocol, adds
 
 
-def _replay(spark: SparkSession, path: str, version: int) -> tuple[dict, dict]:
-    """Reconstruct (metaData, {file_path: add_action}) as of ``version``:
+def _replay(
+    spark: SparkSession, path: str, version: int
+) -> tuple[dict, dict, dict | None]:
+    """Reconstruct (metaData, {file_path: add_action}, protocol) as of
+    ``version``:
     start from the newest checkpoint at-or-below it (classic single or
     multi-part, or a V2/uuid manifest + sidecars), then apply the JSON
     commits after it in order — Delta's own state reconstruction.
@@ -389,7 +392,11 @@ def _replay(spark: SparkSession, path: str, version: int) -> tuple[dict, dict]:
     _check_protocol(protocol)
     if meta is None:
         raise ValueError(f"no metaData action found in {path}/_delta_log")
-    return meta, adds
+    # the protocol rides along so checkpoint writers preserve DECLARED
+    # features (a checkpoint derived only from current live-add state
+    # would silently downgrade e.g. deletionVectors the moment no live
+    # DV exists, breaking external readers after log cleanup)
+    return meta, adds, protocol
 
 
 def delta_latest_version(path: str) -> int:
@@ -509,7 +516,7 @@ def read_delta(
         version = delta_version_at(path, timestamp_ms)
     if version is None:
         version = delta_latest_version(path)
-    meta, adds = _replay(spark, path, version)
+    meta, adds, _ = _replay(spark, path, version)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
     cmap = _column_mapping(meta, schema)
@@ -623,8 +630,13 @@ def read_delta(
         # from the log, no job needed) is bounded — a broadcast funnels
         # the expanded positions through the driver, so very large DVs
         # must take the shuffled anti-join instead (ADVICE r6 #2)
-        total_dead = sum(int(dv.get("cardinality") or 0) for _fp, dv in dv_descs)
-        if total_dead <= 2_000_000:
+        # a descriptor missing cardinality counts as UNBOUNDED, not 0 —
+        # counting it 0 would let an arbitrarily large DV sneak onto the
+        # driver-funneling broadcast path this gate exists to avoid
+        cards = [dv.get("cardinality") for _fp, dv in dv_descs]
+        if all(c is not None for c in cards) and sum(
+            int(c) for c in cards
+        ) <= 2_000_000:
             pos_df = F.broadcast(pos_df)
         survived = dv_df.join(
             pos_df, ["__dl_fp", "__dl_ri"], "left_anti"
@@ -703,7 +715,7 @@ def export_snapshot_to_delta(
     versions = _commit_versions(root)
     prev_adds: dict[str, dict] = {}
     if versions:
-        _, prev_adds = _replay(spark, root, versions[-1])
+        _, prev_adds, _ = _replay(spark, root, versions[-1])
     prev = set(prev_adds)
     next_v = (versions[-1] + 1) if versions else 0
 
@@ -800,6 +812,40 @@ def export_snapshot_to_delta(
     }
 
 
+def _checkpoint_protocol(
+    replayed: dict | None, has_dv: bool, v2: bool
+) -> tuple[int, int, list[str] | None, list[str] | None]:
+    """Protocol tuple a checkpoint must carry: the REPLAYED protocol's
+    declared features unioned with the ones derivable from current state.
+
+    Deriving from state alone silently downgrades the table the moment a
+    declared feature is momentarily unused — e.g. deletionVectors
+    declared but no live DV at checkpoint time, or v2Checkpoint when a
+    later classic checkpoint is written — and after log cleanup external
+    readers reconstruct protocol FROM the checkpoint, so the downgrade
+    becomes permanent (ADVICE r7 #4)."""
+    rfeats = set(["deletionVectors"] if has_dv else [])
+    wfeats = set(rfeats)
+    if v2:
+        rfeats.add("v2Checkpoint")
+        wfeats.add("v2Checkpoint")
+    mr = mw = 0
+    if replayed:
+        mr = int(replayed.get("minReaderVersion") or 1)
+        mw = int(replayed.get("minWriterVersion") or 2)
+        rfeats |= set(replayed.get("readerFeatures") or [])
+        wfeats |= set(replayed.get("writerFeatures") or [])
+        # legacy column-mapping gate: bumping a (2, x) table to the
+        # feature protocol must carry the implied feature explicitly
+        # (mr == 3 already lists its features; only legacy 2 implies one)
+        if mr == 2 and (rfeats or wfeats):
+            rfeats.add("columnMapping")
+            wfeats.add("columnMapping")
+    if rfeats or wfeats:
+        return max(mr, 3), max(mw, 7), sorted(rfeats), sorted(wfeats)
+    return max(mr, 1), max(mw, 2), None, None
+
+
 def _write_v2_checkpoint(spark: SparkSession, path: str, version: int) -> None:
     """Write a V2 (uuid-named) checkpoint for ``version`` — the form
     current delta-spark leaves after log cleanup: a manifest
@@ -812,7 +858,7 @@ def _write_v2_checkpoint(spark: SparkSession, path: str, version: int) -> None:
     import hashlib
     import shutil
 
-    meta, adds = _replay(spark, path, version)
+    meta, adds, replayed_proto = _replay(spark, path, version)
     has_dv = any(a.get("deletionVector") for a in adds.values())
     uid = hashlib.md5(f"{path}:{version}".encode()).hexdigest()
     uuid = f"{uid[:8]}-{uid[8:12]}-{uid[12:16]}-{uid[16:20]}-{uid[20:32]}"
@@ -864,7 +910,9 @@ def _write_v2_checkpoint(spark: SparkSession, path: str, version: int) -> None:
         os.path.join(side_dir, side_name),
     )
 
-    feats = ["v2Checkpoint"] + (["deletionVectors"] if has_dv else [])
+    mr, mw, rfeats, wfeats = _checkpoint_protocol(
+        replayed_proto, has_dv, v2=True
+    )
     manifest_schema = (
         "checkpointMetadata struct<version long>, "
         "protocol struct<minReaderVersion int, minWriterVersion int, "
@@ -876,7 +924,7 @@ def _write_v2_checkpoint(spark: SparkSession, path: str, version: int) -> None:
     )
     manifest_rows = [
         ((version,), None, None, None),
-        (None, (3, 7, feats, feats), None, None),
+        (None, (mr, mw, rfeats, wfeats), None, None),
         (
             None,
             None,
@@ -909,7 +957,7 @@ def _write_classic_checkpoint(spark: SparkSession, path: str, version: int) -> N
     vectors included) as one action-struct row each — exactly the form
     ``_replay`` consumes, and what external Delta readers expect after
     log cleanup.  Also writes ``_last_checkpoint``."""
-    meta, adds = _replay(spark, path, version)
+    meta, adds, replayed_proto = _replay(spark, path, version)
     has_dv = any(a.get("deletionVector") for a in adds.values())
     schema = (
         "metaData struct<id string, schemaString string, "
@@ -923,11 +971,7 @@ def _write_classic_checkpoint(spark: SparkSession, path: str, version: int) -> N
         "offset int, sizeInBytes int, cardinality long>>, "
         "remove struct<path string>"
     )
-    proto = (
-        (3, 7, ["deletionVectors"], ["deletionVectors"])
-        if has_dv
-        else (1, 2, None, None)
-    )
+    proto = _checkpoint_protocol(replayed_proto, has_dv, v2=False)
     rows = [
         (
             (
@@ -1081,7 +1125,7 @@ def delta_changes(
                 f"delta log is missing commit {v}: cannot compute "
                 "changes (vacuumed/cleaned history)"
             )
-        meta, _ = _replay(spark, path, v)
+        meta, _, _ = _replay(spark, path, v)
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
         part_cols = list(meta.get("partitionColumns") or [])
         cmap = _column_mapping(meta, schema)
@@ -1201,7 +1245,7 @@ def delta_changes(
                 # deletes — those rows were already dead; scan it with
                 # row positions and anti-join the DV away (the exact
                 # mirror of the dv_adds refusal above, ADVICE r6 #1).
-                _pm, prev_state = _replay(spark, path, v - 1)
+                _pm, prev_state, _ = _replay(spark, path, v - 1)
                 filled = []
                 for r in removes:
                     prior = prev_state.get(r["path"]) or {}
@@ -1265,7 +1309,7 @@ def delta_changes(
                     )
                 )
     if not frames:
-        meta, _ = _replay(spark, path, to_version)
+        meta, _, _ = _replay(spark, path, to_version)
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
         empty = StructType(
             schema.fields

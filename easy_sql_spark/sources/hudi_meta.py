@@ -732,11 +732,32 @@ def _mor_bucket(key_col: str, n_buckets: int) -> F.Column:
     )
 
 
+def _read_mor_props(dest: str) -> dict[str, str]:
+    """Parse ``hoodie.properties`` written by the first MOR export.
+
+    The bucket count and record-key column are part of the TABLE, not the
+    call: every log file's fileId is a pure function of
+    ``md5(key) % n_buckets``, so an incremental export that used a
+    different n_buckets/key_col than the base files would route
+    delete/data blocks into the wrong file groups — spec-compliant Hudi
+    readers merge per file slice and would return wrong rows (the in-repo
+    ``read_hudi`` merges per key globally, which masked it)."""
+    props: dict[str, str] = {}
+    path = os.path.join(_timeline_dir(dest), "hoodie.properties")
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if line and "=" in line and not line.startswith("#"):
+                k, _, v = line.partition("=")
+                props[k] = v
+    return props
+
+
 def export_snapshot_to_hudi_mor(
     table,
     dest: str | None = None,
     key_col: str | None = None,
-    n_buckets: int = 4,
+    n_buckets: int | None = None,
 ) -> dict:
     """Expose a snapshot table as a Hudi MERGE_ON_READ table at ``dest``
     (default ``<root>/_hudi_mor_export``) — the streaming-write Hudi
@@ -795,13 +816,41 @@ def export_snapshot_to_hudi_mor(
             "the Delta/Iceberg exports"
         )
     schema = StructType.fromJson(json.loads(m["schema"]))
-    key_col = key_col or schema.fields[0].name
-    if key_col not in schema.fieldNames():
-        raise ValueError(f"key column {key_col!r} not in snapshot schema")
 
     td = _timeline_dir(dest)
     os.makedirs(td, exist_ok=True)
     prior = _completed_instants(dest, mor=True) if os.listdir(td) else {}
+
+    if prior:
+        # bucket routing config is persisted table state (hoodie.properties,
+        # first export) — re-exports MUST use it; an explicit argument that
+        # disagrees is a hard error, never a silent re-route
+        props = _read_mor_props(dest)
+        stored_key = props.get("hoodie.table.recordkey.fields")
+        stored_buckets = props.get("hoodie.bucket.index.num.buckets")
+        if stored_key is None or stored_buckets is None:
+            raise ValueError(
+                f"{dest}: hoodie.properties lacks recordkey/bucket config — "
+                "not a table written by export_snapshot_to_hudi_mor"
+            )
+        if key_col is not None and key_col != stored_key:
+            raise ValueError(
+                f"key_col={key_col!r} conflicts with the table's persisted "
+                f"record key {stored_key!r} (hoodie.properties); log blocks "
+                "would be routed into the wrong file groups"
+            )
+        if n_buckets is not None and n_buckets != int(stored_buckets):
+            raise ValueError(
+                f"n_buckets={n_buckets} conflicts with the table's persisted "
+                f"bucket count {stored_buckets} (hoodie.properties); log "
+                "blocks would be routed into the wrong file groups"
+            )
+        key_col, n_buckets = stored_key, int(stored_buckets)
+    else:
+        key_col = key_col or schema.fields[0].name
+        n_buckets = n_buckets or 4
+    if key_col not in schema.fieldNames():
+        raise ValueError(f"key column {key_col!r} not in snapshot schema")
     now_instant = _time.strftime("%Y%m%d%H%M%S") + "000"
     instant = max(
         now_instant, str(int(max(prior)) + 1) if prior else now_instant
@@ -849,6 +898,16 @@ def export_snapshot_to_hudi_mor(
                 for n in os.listdir(bdir)
                 if n.endswith(".parquet") and not n.startswith(".")
             ]
+            if len(files) != 1:
+                # repartition(n_buckets, "__b") + partitionBy guarantees one
+                # part file per bucket dir; anything else (task-retry
+                # leftovers, a future partitioning change) would silently
+                # drop rows if we moved only files[0]
+                raise RuntimeError(
+                    f"MOR base staging wrote {len(files)} part files in "
+                    f"{bdir} (expected exactly 1); refusing to export a "
+                    "partial base file"
+                )
             fid = f"mor-{b:05d}"
             fids.append(fid)
             os.replace(

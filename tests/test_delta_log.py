@@ -1040,3 +1040,72 @@ def test_export_writes_v2_checkpoints_optin(spark, tmp_path):
 
     _write_v2_checkpoint(spark, root, 2)
     assert len(os.listdir(os.path.join(log, "_sidecars"))) == 1
+
+
+def test_checkpoint_preserves_declared_protocol_features(spark, tmp_path):
+    """A checkpoint written while a declared feature is momentarily
+    unused must NOT downgrade the protocol: deletionVectors was declared
+    by an earlier commit; after compact() clears every live DV, the
+    checkpoint still carries the feature — external readers reconstruct
+    protocol FROM the checkpoint after log cleanup, so a derived-from-
+    state protocol would make the downgrade permanent (ADVICE r7 #4)."""
+    import pyarrow.parquet as pq
+
+    from easy_sql_spark.runtime.snapshots import SnapshotTable
+    from easy_sql_spark.sources.delta_log import (
+        _checkpoint_protocol,
+        export_snapshot_to_delta,
+    )
+
+    # unit surface first: replayed features survive, derived ones union in
+    assert _checkpoint_protocol(None, has_dv=False, v2=False) == (1, 2, None, None)
+    assert _checkpoint_protocol(None, has_dv=True, v2=False) == (
+        3, 7, ["deletionVectors"], ["deletionVectors"],
+    )
+    replayed = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"],
+        "writerFeatures": ["deletionVectors"],
+    }
+    assert _checkpoint_protocol(replayed, has_dv=False, v2=False) == (
+        3, 7, ["deletionVectors"], ["deletionVectors"],
+    )
+    assert _checkpoint_protocol(replayed, has_dv=False, v2=True) == (
+        3, 7,
+        ["deletionVectors", "v2Checkpoint"],
+        ["deletionVectors", "v2Checkpoint"],
+    )
+
+    root = str(tmp_path / "sproto")
+    t = SnapshotTable(spark, root)
+    t.create(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(1, 7)], "id int, v string"
+        )
+    )
+    t.delete_where_dv([("id", "=", 2)])
+    export_snapshot_to_delta(t, checkpoint_interval=2)  # v0: declares DVs
+    t.compact()  # applies + clears the DVs: no live DV remains
+    export_snapshot_to_delta(t, checkpoint_interval=2)  # v1
+    t.append(spark.createDataFrame([(9, "z")], "id int, v string"))
+    rep = export_snapshot_to_delta(t, checkpoint_interval=2)  # v2 + ckpt
+    assert rep["delta_version"] == 2 and rep["dv_files"] == 0
+
+    log = os.path.join(root, "_delta_log")
+    cp = os.path.join(log, f"{2:020d}.checkpoint.parquet")
+    assert os.path.exists(cp)
+    protos = [
+        p for p in pq.read_table(cp).to_pylist() if p.get("protocol")
+        and p["protocol"].get("minReaderVersion") is not None
+    ]
+    assert len(protos) == 1
+    proto = protos[0]["protocol"]
+    assert proto["minReaderVersion"] == 3
+    assert "deletionVectors" in (proto["readerFeatures"] or [])
+
+    # and the table still reads correctly from the checkpoint alone
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+    got = {(r.id, r.v) for r in read_delta(spark, root).collect()}
+    assert got == {(r.id, r.v) for r in t.read().collect()}

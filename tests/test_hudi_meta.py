@@ -709,3 +709,42 @@ def test_export_hudi_mor_log_only_group(spark, tmp_path):
     got = {(r.k, r.val) for r in read_hudi(spark, dest).collect()}
     assert got == {(r.k, r.val) for r in t.read().collect()}
     assert not any(100 <= k <= 110 for k, _ in got)
+
+
+def test_export_mor_bucket_config_is_table_state(spark, tmp_path):
+    """Incremental MOR exports take n_buckets/key_col from
+    hoodie.properties (written at first export) — a fileId is
+    md5(key) % n_buckets, so re-routing with different values would put
+    log blocks in the wrong file groups.  Defaults resolve to the
+    persisted values; explicit mismatches raise (ADVICE r7 #1)."""
+    from easy_sql_spark.runtime.snapshots import SnapshotTable
+    from easy_sql_spark.sources.hudi_meta import export_snapshot_to_hudi_mor
+
+    root = str(tmp_path / "snap_cfg")
+    t = SnapshotTable(spark, root)
+    t.create(spark.range(1, 31).selectExpr("id as k", "id * 7 as val"))
+    rep1 = export_snapshot_to_hudi_mor(t, key_col="k", n_buckets=8)
+    dest = rep1["dest"]
+
+    t.merge(
+        spark.createDataFrame([(1, 0), (50, 1)], "k long, val long"),
+        keys=["k"],
+    )
+    # defaulted call (the step-func shape) resolves from hoodie.properties
+    rep2 = export_snapshot_to_hudi_mor(t)
+    assert rep2["mode"] == "delta"
+    got = {(r.k, r.val) for r in read_hudi(spark, dest).collect()}
+    assert got == {(r.k, r.val) for r in t.read().collect()}
+    # every log file anchors to a fileId in the 8-bucket space
+    for n in os.listdir(dest):
+        if ".log." in n:
+            assert int(n.lstrip(".").split("_")[0].split("-")[1]) < 8
+
+    t.merge(spark.createDataFrame([(2, 0)], "k long, val long"), keys=["k"])
+    with pytest.raises(ValueError, match="persisted bucket count 8"):
+        export_snapshot_to_hudi_mor(t, key_col="k", n_buckets=4)
+    with pytest.raises(ValueError, match="persisted record key 'k'"):
+        export_snapshot_to_hudi_mor(t, key_col="val", n_buckets=8)
+    # matching explicit values still fine
+    rep3 = export_snapshot_to_hudi_mor(t, key_col="k", n_buckets=8)
+    assert rep3["mode"] == "delta"

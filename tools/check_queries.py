@@ -63,8 +63,68 @@ def _s(v):
             return "\x00NaN"
         return repr(v)
     if isinstance(v, (datetime.datetime, datetime.date)):
+        # pd.NaT is a datetime subclass whose isoformat() is "NaT";
+        # canonicalize it as NULL like the driver's pandas path does
+        if v != v:
+            return "\x00NULL"
         return v.isoformat()
     return str(v)
+
+
+def oracle_rows_via_pandas(res):
+    """Fetch a DuckDB result THROUGH PANDAS — the driver's fetch path.
+
+    r7 shipped local-green/driver-red on ``snapshot_dv_delete`` because
+    this gate fetched via ``fetchall()`` (HUGEINT -> Python int ->
+    ``"1956150"``, matches Spark) while the driver canonicalizes via
+    ``fetchdf()`` (HUGEINT -> float64 -> ``"1956150.0"``, mismatch).
+    Fetching through pandas here makes the local gate dtype-faithful to
+    the driver, so oracle typing bugs fail locally first (VERDICT r7 #2).
+    """
+    pdf = res.fetchdf()
+    cols = list(pdf.columns)
+    rows = []
+    for tup in pdf.itertuples(index=False, name=None):
+        rows.append(tuple(_scalar(v) for v in tup))
+    return cols, rows
+
+
+def _scalar(v):
+    """Unwrap numpy/pandas scalars to plain Python the way pandas repr
+    does for the driver: numpy floats are float subclasses already;
+    numpy ints/bools stringify identically to Python's."""
+    import numpy as np
+
+    if isinstance(v, np.generic):
+        return v.item()
+    return v
+
+
+BANNED_ORACLE_TYPES = ("HUGEINT", "UHUGEINT")
+
+
+def lint_oracle_types(con, oracles):
+    """Registry lint: no oracle may emit HUGEINT/UHUGEINT columns.
+
+    DuckDB widens uncast integer SUM()s (and UNION legs) to HUGEINT,
+    which pandas renders as float64 — guaranteed driver hash mismatch
+    against Spark's bigint even when values are identical.  Binding via
+    ``con.sql(...)`` is lazy, so this costs no execution.  Returns a
+    list of ``(name, [bad 'col TYPE' strings])`` offenders.
+    """
+    bad = []
+    for name, sql in oracles.items():
+        if sql is None:
+            continue
+        rel = con.sql(sql)
+        offend = [
+            f"{c} {t}"
+            for c, t in zip(rel.columns, [str(t).upper() for t in rel.types])
+            if any(b in t for b in BANNED_ORACLE_TYPES)
+        ]
+        if offend:
+            bad.append((name, offend))
+    return bad
 
 
 def oracle_connection(sf_dir):
@@ -96,8 +156,17 @@ def check_one(spark, con, sf_dir, name, fn, oracle):
                 "crashes on list/map/struct cells — flatten with array_join "
                 "(registry convention, see f6_array)"
             )
-        scols = df.columns
-        srows = [tuple(r) for r in df.collect()]
+        # canonicalize the SPARK side through pandas too — the driver
+        # does (proof: j8_nullsafe/w2_analytic/scd2_history_merge emit
+        # nullable-int columns that pandas renders float64/NaN; they are
+        # driver-GREEN, which is only possible if both sides take the
+        # same pandas dtype path)
+        spdf = df.toPandas()
+        scols = list(spdf.columns)
+        srows = [
+            tuple(_scalar(v) for v in t)
+            for t in spdf.itertuples(index=False, name=None)
+        ]
     except Exception as e:
         return "fail", f"spark error: {e}"
     dt = time.time() - t0
@@ -105,8 +174,7 @@ def check_one(spark, con, sf_dir, name, fn, oracle):
         return "rows-only", f"{len(srows)} rows ({dt:.1f}s)"
     try:
         res = con.execute(oracle)
-        dcols = [d[0] for d in res.description]
-        drows = res.fetchall()
+        dcols, drows = oracle_rows_via_pandas(res)
     except Exception as e:
         return "fail", f"duckdb error: {e}"
     sc, sv = canon(srows, scols)
@@ -132,8 +200,19 @@ def run_checks(spark, sf_dir, only=None, verbose=True):
     con = oracle_connection(sf_dir)
     qs, oracles = se.queries(), se.oracle_sql()
     results = []
-    for name, fn in qs.items():
+    for name, offend in lint_oracle_types(con, oracles):
         if only and name not in only:
+            continue
+        results.append(
+            (name, "fail", f"oracle emits banned type(s): {offend} "
+             "(pandas renders HUGEINT as float64 -> driver hash mismatch; "
+             "CAST the outer select)")
+        )
+        if verbose:
+            print(f"FAIL {name}: {results[-1][2]}")
+    linted_bad = {n for n, s, _ in results if s == "fail"}
+    for name, fn in qs.items():
+        if (only and name not in only) or name in linted_bad:
             continue
         status, detail = check_one(spark, con, sf_dir, name, fn, oracles.get(name))
         results.append((name, status, detail))
