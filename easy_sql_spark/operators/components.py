@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .iterate import iter_checkpoint
+from .iterate import iter_checkpoint, iter_checkpoint_lazy
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -88,17 +88,19 @@ def connected_components_star(
     genuine bug, not on a legal-but-long chain."""
     import math
 
+    # lazy: the prev-checksum aggregate below (full scan) materializes e;
+    # nodes materialize inside their first consumer (count or final join)
     e = (
         edges.select(F.col(u).alias("u"), F.col(v).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .transform(iter_checkpoint)
+        .transform(iter_checkpoint_lazy)
     )
     nodes = (
         e.select("u")
         .unionAll(e.select(F.col("v").alias("u")))
         .distinct()
-        .transform(iter_checkpoint)
+        .transform(iter_checkpoint_lazy)
     )
     if max_rounds is None:
         n_nodes = nodes.count()
@@ -107,7 +109,9 @@ def connected_components_star(
     prev = _checksum(e)
     converged = False
     for _ in range(max_rounds):
-        e = _small_star(_large_star(e)).transform(iter_checkpoint)
+        # lazy checkpoint: the checksum's full-scan aggregate is the
+        # materializing action, so each round costs ONE job not two
+        e = _small_star(_large_star(e)).transform(iter_checkpoint_lazy)
         cur = _checksum(e)
         if cur == prev:
             converged = True
@@ -124,8 +128,50 @@ def connected_components_star(
     )
 
 
+def _local_components(spark, rows, u_type) -> DataFrame:
+    """Union-find over a DRIVER-collected edge list — the 'finish
+    locally once the graph is small' step of Kiveris et al. §6 (their
+    MapReduce rounds also hand off to a single machine below a size
+    threshold).  Union always attaches the larger root under the
+    smaller, so every root IS its component's minimum — the same label
+    contract as the distributed paths.  Deterministic: no ordering
+    dependence (min is commutative over any union order)."""
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        a, b = r[0], r[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    schema = StructType(
+        [StructField("u", u_type), StructField("label", u_type)]
+    )
+    return spark.createDataFrame(
+        [(n, find(n)) for n in parent], schema
+    )
+
+
+#: edge rows at/below this finish on the driver (~200k rows ≈ tens of
+#: MB collected); above it the distributed rounds run.  Per-batch
+#: near-dup graphs of a daily load are almost always below — the
+#: distributed machinery exists for the exceptions, not the rule.
+LOCAL_COMPONENT_EDGE_ROWS = 200_000
+
+
 def label_propagation_components(
-    edges: DataFrame, max_rounds: int = 20
+    edges: DataFrame,
+    max_rounds: int = 20,
+    local_threshold: int | None = LOCAL_COMPONENT_EDGE_ROWS,
 ) -> DataFrame:
     """Neighbor-min label propagation with automatic escalation.
 
@@ -137,8 +183,28 @@ def label_propagation_components(
     loop ESCALATES to ``connected_components_star`` (O(log n) rounds
     regardless of diameter) and still returns exact labels.
 
+    Graphs at/below ``local_threshold`` edge rows FINISH ON THE DRIVER
+    (:func:`_local_components`): one bounded limit-collect + union-find
+    replaces 4-6 AQE stage jobs per converged iteration — at daily-batch
+    sizes the scheduler constant dominates the actual propagation work
+    (SCALE.md, dedup-index lifecycle).  The size probe is a single
+    ``limit(threshold+1)`` job; oversized graphs pay it once and take
+    the distributed rounds unchanged.  Pass ``local_threshold=None``
+    to force the distributed path.
+
     Returns ``(u, label)`` with label = component minimum."""
-    edges = edges.transform(iter_checkpoint)
+    # lazy: iteration 1's fused materialize+convergence job is the first
+    # full-scan action over the edges; later iterations and the star
+    # escalation read the cached blocks
+    edges = edges.transform(iter_checkpoint_lazy)
+    if local_threshold:
+        head = edges.limit(
+            local_threshold + 1
+        ).collect()  # bounded-driver: ≤ local_threshold+1 narrow rows
+        if len(head) <= local_threshold:
+            return _local_components(
+                edges.sparkSession, head, edges.schema[0].dataType
+            )
     # labels is a cheap distinct over the CHECKPOINTED edges — its two
     # consumers inside iteration 1 reuse the distinct's Exchange within
     # that one job, so a separate checkpoint here would only add a
@@ -149,12 +215,32 @@ def label_propagation_components(
         .select("u", F.col("u").alias("label"))
     )
 
-    def _neighbor_min(lab: DataFrame) -> DataFrame:
-        return (
+    def _step(lab: DataFrame) -> DataFrame:
+        """One propagation step as ONE join + ONE aggregate: each node's
+        own (u, label) row is unioned into the neighbor-label stream and
+        the previous label rides the same groupBy as a conditional min —
+        so the update AND the moved flag come out of a single exchange,
+        with no post-aggregation join back to the label table (the
+        former _neighbor_min + left-join shape paid two extra exchanges
+        per step, i.e. two extra AQE stage jobs on small graphs)."""
+        contrib = (
             edges.alias("e")
             .join(lab.alias("l"), F.col("e.v") == F.col("l.u"))
-            .groupBy(F.col("e.u").alias("nu"))
-            .agg(F.min(F.col("l.label")).alias("nmin"))
+            .select(
+                F.col("e.u").alias("u"),
+                F.col("l.label").alias("label"),
+                F.lit(False).alias("own"),
+            )
+            .unionAll(
+                lab.select("u", "label", F.lit(True).alias("own"))
+            )
+        )
+        # every node has exactly ONE own row, so min(label WHERE own) is
+        # its previous label; min over all contribs is least(own label,
+        # neighbor minimum) — the propagation update
+        return contrib.groupBy("u").agg(
+            F.min("label").alias("label"),
+            F.min(F.when(F.col("own"), F.col("label"))).alias("__old"),
         )
 
     changed = 0
@@ -166,36 +252,26 @@ def label_propagation_components(
     # nothing moved there, the first step's output (== the returned
     # labels) is a fixed point, so stopping is exact.
     for _ in range((max_rounds + 1) // 2):
-        mid = (
-            labels.alias("l2")
-            .join(_neighbor_min(labels), F.col("l2.u") == F.col("nu"), "left")
-            .select(
-                F.col("l2.u").alias("u"),
-                F.least(
-                    F.col("l2.label"),
-                    F.coalesce(F.col("nmin"), F.col("l2.label")),
-                ).alias("label"),
-            )
-        )
-        # carry a per-row moved flag so convergence detection is a filter
-        # over the materialized checkpoint instead of an extra old-vs-new
-        # join per round (one fewer shuffle join per iteration)
+        mid = _step(labels).select("u", "label")
         updated = (
-            mid.alias("l2")
-            .join(_neighbor_min(mid), F.col("l2.u") == F.col("nu"), "left")
+            _step(mid)
             .select(
-                F.col("l2.u").alias("u"),
-                F.least(
-                    F.col("l2.label"),
-                    F.coalesce(F.col("nmin"), F.col("l2.label")),
-                ).alias("label"),
-                (
-                    F.coalesce(F.col("nmin"), F.col("l2.label"))
-                    < F.col("l2.label")
-                ).alias("moved"),
+                "u",
+                "label",
+                (F.col("label") < F.col("__old")).alias("moved"),
             )
-        ).transform(iter_checkpoint)
-        changed = updated.where("moved").limit(1).count()
+        ).transform(iter_checkpoint_lazy)
+        # full-scan aggregate (not limit(1)) ON PURPOSE: it is the lazy
+        # checkpoint's materializing action, fusing ckpt + convergence
+        # count into one job per iteration — and a partial action could
+        # leave checkpoint partitions unmaterialized for later consumers
+        changed = int(
+            updated.agg(
+                F.coalesce(
+                    F.sum(F.col("moved").cast("long")), F.lit(0)
+                ).alias("n")
+            ).first()["n"]
+        )
         labels = updated.drop("moved")
         if changed == 0:
             break

@@ -49,10 +49,12 @@ class MinHashDedupIndex:
         self.n_hashes = n_hashes or N_MINHASH
         self.n_bands = n_bands or N_BANDS
 
-    def _bands(self, docs: DataFrame) -> DataFrame:
+    def _bands(self, docs: DataFrame, with_count: bool = False):
         from ..queries.llm_ops import minhash_bands
 
-        return minhash_bands(docs, self.n_hashes, self.n_bands)
+        return minhash_bands(
+            docs, self.n_hashes, self.n_bands, with_count=with_count
+        )
 
     #: index payloads at/below this (compressed parquet bytes) ride a
     #: direct explicit broadcast; above it the two-step probe keeps the
@@ -147,31 +149,47 @@ class MinHashDedupIndex:
         )
 
     def ingest(
-        self, docs: DataFrame, batch_id: int | None = None
+        self,
+        docs: DataFrame,
+        batch_id: int | None = None,
+        bands: DataFrame | None = None,
+        n_band_rows: int | None = None,
     ) -> DataFrame:
         """Admit the non-duplicate part of ``docs`` (columns: doc_id,
         text) and index it.  Returns the admitted doc_ids as a
         single-column frame over already-materialized inputs (stable
         under later ingests — it never re-reads the index table).
         ``batch_id`` makes the commit idempotent (streaming replay
-        protection)."""
+        protection).
+
+        ``bands``/``n_band_rows``: precomputed LSH band table for
+        EXACTLY these docs (``minhash_bands(docs, with_count=True)``
+        shape) — the production pattern when one physical load splits
+        into several priority-ordered admission batches: signature the
+        whole load ONCE, slice the band table per batch, and each
+        ingest skips the per-batch signature job.  Signatures are
+        per-row, so slicing cannot change admission semantics."""
         from ..queries.llm_ops import _lsh_capped_pairs
         from .components import label_propagation_components
 
-        # ``minhash_bands`` already materializes the signature table
-        # (the CPU-heavy fold) at cluster width; ``bands`` is a narrow
-        # posexplode over that checkpoint — cheap to recompute, so no
-        # second materialization.  Right-size the partitioning for the
-        # REST of the lifecycle: band rows are narrow (~100 B), and
-        # carrying width-of-cluster partitions through the probe, the
-        # clustering rounds and the index commit costs a full task wave
-        # per stage and one tiny file per partition per commit.  One
-        # count (cheap: counts the materialized checkpoint) sizes the
-        # partitions by rows; ``coalesce`` is narrow — no shuffle, and
-        # it never RAISES a partition count, so no width probe needed.
-        bands = self._bands(docs)
-        n_rows = bands.count()
-        target = max(1, -(-n_rows // self.BAND_ROWS_PER_PARTITION))
+        # ``minhash_bands(with_count=True)`` materializes the signature
+        # table (the CPU-heavy fold) at cluster width with a COUNT as
+        # the materializing action — one job does both, and the exact
+        # band-row count is sigs × n_bands, so the sizing count that
+        # used to be its own job is free.  The lifecycle's cost at
+        # daily-batch sizes is the scheduler constant per job, not the
+        # scan (SCALE.md).  Right-size the partitioning for the REST of
+        # the lifecycle: band rows are narrow (~100 B), and carrying
+        # width-of-cluster partitions through the probe, the clustering
+        # rounds and the index commit costs a full task wave per stage
+        # and one tiny file per partition per commit; ``coalesce`` is
+        # narrow — no shuffle, and it never RAISES a partition count,
+        # so no width probe needed.
+        if bands is None:
+            bands, n_band_rows = self._bands(docs, with_count=True)
+        elif n_band_rows is None:
+            n_band_rows = bands.count()
+        target = max(1, -(-n_band_rows // self.BAND_ROWS_PER_PARTITION))
         bands = bands.coalesce(target)
 
         if self.table.latest_version():
@@ -179,9 +197,19 @@ class MinHashDedupIndex:
             surv_bands = bands.join(hit_ids, "doc_id", "left_anti")
         else:
             surv_bands = bands
+        # the ONE materialization of the survivor band table, shared by
+        # every downstream consumer (LSH self-join, component edges, the
+        # admitted frame, the returned ids).  Without it each consumer
+        # re-derives the probe anti-join — re-reading the INDEX parquet
+        # per consumer (measured 0.4-1.3 s/batch of repeated index scans
+        # when this was left lazy); with it the index is read once per
+        # ingest, which is the module's O(batch + matched bands) claim.
+        surv_bands = surv_bands.localCheckpoint(eager=True)
 
-        # intra-batch near-dup clustering among survivors
-        pairs = _lsh_capped_pairs(surv_bands)
+        # intra-batch near-dup clustering among survivors;
+        # pre_materialized: surv_bands IS the checkpoint, so the pairs
+        # helper skips its own (formerly duplicate) materialization
+        pairs = _lsh_capped_pairs(surv_bands, pre_materialized=True)
         edges = pairs.selectExpr("doc_a as u", "doc_b as v").unionAll(
             pairs.selectExpr("doc_b as u", "doc_a as v")
         )
@@ -189,15 +217,15 @@ class MinHashDedupIndex:
         dropped = labels.where(F.col("label") < F.col("u")).select(
             F.col("u").alias("doc_id")
         )
-        # checkpointed ON PURPOSE: the commit write below and the
-        # returned-ids consumer both need these rows, and serving the
-        # second consumer from executor-cached blocks is measurably
-        # cheaper than re-listing + re-scanning the just-committed
-        # parquet (tried in r7: the read-back spent 0.5s/batch on file
-        # listing + AQE jobs that the cached blocks don't pay)
-        admitted_bands = surv_bands.join(
-            dropped, "doc_id", "left_anti"
-        ).localCheckpoint(eager=True)
+        # NO checkpoint here: both consumers (the commit write and the
+        # returned-ids frame) derive it narrowly from the surv_bands
+        # cache plus the tiny ``dropped`` side — re-deriving is cheaper
+        # than a materialization barrier, and stability is inherited
+        # from the immutable checkpoint blocks (r7's read-back variant
+        # re-scanned the committed parquet and was rejected on
+        # measurement; this keeps its stability argument without the
+        # extra job)
+        admitted_bands = surv_bands.join(dropped, "doc_id", "left_anti")
 
         if not self.table.latest_version():
             # record the batch id on the CREATE commit too, or a replayed

@@ -31,3 +31,23 @@ def iter_checkpoint(df: DataFrame) -> DataFrame:
     if sc.getCheckpointDir():
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+
+def iter_checkpoint_lazy(df: DataFrame) -> DataFrame:
+    """Lineage-truncating checkpoint whose materialization FUSES into the
+    caller's next full-scan action instead of paying a dedicated job.
+
+    Iterative loops that immediately follow each round's checkpoint with
+    an aggregate over the same frame (convergence counts, edge-set
+    checksums) pay two scheduler round-trips per round with the eager
+    form — at small data sizes the job-launch constant, not the scan,
+    dominates (SCALE.md, dedup-index lifecycle).  The lazy form
+    materializes the checkpoint inside the first action's job; every
+    later consumer reads the cached blocks exactly as with the eager
+    form.  Only safe when the caller GUARANTEES a full-scan action runs
+    before the frame is consumed elsewhere (a limit/partial action may
+    materialize a subset of partitions and defer the rest)."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir():
+        return df.checkpoint(eager=False)
+    return df.localCheckpoint(eager=False)

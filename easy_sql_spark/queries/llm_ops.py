@@ -41,7 +41,8 @@ _SHINGLES_ORACLE = """
 
 
 def minhash_bands(
-    docs, n_hashes: int = N_MINHASH, n_bands: int = N_BANDS
+    docs, n_hashes: int = N_MINHASH, n_bands: int = N_BANDS,
+    with_count: bool = False,
 ):
     """(doc_id, text) → (doc_id, band_id, band) LSH band table.
 
@@ -53,7 +54,14 @@ def minhash_bands(
     shingle rows.  min-of-md5 over the same shingle set is what the
     explode+groupBy formulation (and the DuckDB oracle) computes, so
     results are identical; at 100 TB this removes the one fact-sized
-    shuffle the previous plan had."""
+    shuffle the previous plan had.
+
+    ``with_count=True`` returns ``(bands, n_band_rows)`` — the signature
+    checkpoint is materialized by a COUNT (one job doing both) instead
+    of an eager no-op job, and the exact band-row count is
+    ``n_sig_rows * n_bands`` (posexplode emits one row per band per
+    signature row).  Callers that need the count anyway (dedup_index's
+    partition sizing) save a dedicated count job per call."""
     sh_arr = (
         "transform(sequence(0, size(w)-3),"
         " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
@@ -75,8 +83,9 @@ def minhash_bands(
         # materialize the narrow signature table before posexplode:
         # Generate re-evaluates its generator per emitted element, which
         # would run every signature fold n_bands× (measured 2× at sf0.1)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=not with_count)
     )
+    n_band_rows = sigs.count() * n_bands if with_count else None
     rows_per_band = n_hashes // n_bands
     band_hashes = [
         F.md5(
@@ -89,12 +98,15 @@ def minhash_bands(
         )
         for b in range(n_bands)
     ]
-    return sigs.select(
+    bands = sigs.select(
         "doc_id", F.posexplode(F.array(*band_hashes)).alias("band_id", "band")
     )
+    return (bands, n_band_rows) if with_count else bands
 
 
-def _lsh_capped_pairs(bands, max_bucket: int = LSH_MAX_BUCKET):
+def _lsh_capped_pairs(
+    bands, max_bucket: int = LSH_MAX_BUCKET, pre_materialized: bool = False
+):
     """Band table → distinct candidate pairs (doc_a < doc_b), with a
     bucket-size cap that bounds pair expansion on duplicate-heavy corpora.
 
@@ -115,8 +127,14 @@ def _lsh_capped_pairs(bands, max_bucket: int = LSH_MAX_BUCKET):
     aggregation — without the checkpoint each self-join side recomputes
     that subtree (measured 2.7× slower at sf0.1).  At 100 TB you always
     materialize the signature table before the join.
+
+    ``pre_materialized``: the caller already checkpointed ``bands`` (or
+    a cheap narrow derivation of a checkpoint, e.g. dedup_index's
+    coalesce + broadcast anti-join over cached blocks) — skip the
+    internal checkpoint and its dedicated job.
     """
-    bands = bands.localCheckpoint(eager=True)
+    if not pre_materialized:
+        bands = bands.localCheckpoint(eager=True)
     bw = W.partitionBy("band_id", "band")
     sized = bands.select(
         "doc_id",

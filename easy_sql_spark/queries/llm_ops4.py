@@ -1211,10 +1211,15 @@ def dedup_index_incremental(spark, sf_dir):
     Scale: per batch the corpus is touched ONLY through the band index
     (narrow md5 rows, snapshot-versioned parquet); cost is O(batch +
     matched bands), the property that keeps fuzzy dedup sustainable at
-    a 100 TB corpus with 0.1%-sized daily loads."""
+    a 100 TB corpus with 0.1%-sized daily loads.  The three batches are
+    one physical LOAD split into priority-ordered admissions, so the
+    signature fold (the CPU stage) runs ONCE over the whole load and
+    each ingest takes its band-table SLICE — signatures are per-row, so
+    slicing cannot change admission semantics (ingest(bands=...))."""
     import tempfile
 
     from ..operators.dedup_index import MinHashDedupIndex
+    from .llm_ops import minhash_bands
 
     idx = MinHashDedupIndex(spark, tempfile.mkdtemp(prefix="dedup_idx_"))
     docs = (
@@ -1222,11 +1227,15 @@ def dedup_index_incremental(spark, sf_dir):
         .where(F.col("doc_id") <= 600)
         .select("doc_id", "text")
     )
+    all_bands, n_total = minhash_bands(docs, with_count=True)
     admitted = None
     for bno, (lo, hi) in enumerate([(0, 200), (200, 400), (400, 600)], 1):
+        sl = (F.col("doc_id") > lo) & (F.col("doc_id") <= hi)
         adm = idx.ingest(
-            docs.where((F.col("doc_id") > lo) & (F.col("doc_id") <= hi)),
+            docs.where(sl),
             batch_id=bno,
+            bands=all_bands.where(sl),
+            n_band_rows=max(1, n_total // 3),
         )
         admitted = adm if admitted is None else admitted.unionByName(adm)
     batch_id = (
