@@ -728,3 +728,109 @@ def hudi_export_mor_roundtrip(spark, sf_dir):
         .orderBy("snap")
         .localCheckpoint(eager=True)
     )
+
+
+@query(
+    "hudi_mor_kryo_delete_read",
+    oracle="""
+    WITH seed AS (
+        SELECT o_orderkey AS k,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey <= 500),
+    after_v1 AS (SELECT * FROM seed WHERE k % 6 <> 0),
+    after_v2 AS (SELECT * FROM after_v1 WHERE k % 11 <> 0)
+    SELECT snap, CAST(n AS BIGINT) AS n, CAST(sum_cents AS BIGINT) AS sum_cents
+    FROM (
+        SELECT 1 AS snap, COUNT(*) AS n, SUM(cents) AS sum_cents FROM seed
+        UNION ALL SELECT 2, COUNT(*), SUM(cents) FROM after_v1
+        UNION ALL SELECT 3, COUNT(*), SUM(cents) FROM after_v2
+    ) ORDER BY snap
+    """,
+)
+def hudi_mor_kryo_delete_read(spark, sf_dir):
+    """Hudi MOR read over LEGACY (pre-v3) delete blocks — the
+    Kryo-serialized ``HoodieKey[]`` (block v1) and ``DeleteRecord[]``
+    (block v2) payloads that pre-0.14 Hudi writers (and many current
+    deployments) emit for deletes, decoded by the pure-Python Kryo 4
+    subset codec (sources/kryo_lite.py; wire format validated
+    byte-for-byte against the real kryo-shaded 4.0.3 in
+    tests/test_hudi_log.py).  The v1 block shares one partitionPath
+    string instance across keys, so the stream exercises Kryo
+    back-references; the v2 block carries mixed orderingVal classes
+    (null / long / double / string).  The oracle replays the same two
+    delete waves in SQL — what's checked is the Kryo decode itself,
+    plus commit filtering and the per-key merge.
+
+    Scale: same as every MOR read here — log payloads decode inside
+    executor tasks (one per file group), the driver never touches
+    block bytes."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..sources.hudi_log import write_delete_block_kryo
+    from ..sources.hudi_meta import read_hudi
+
+    t = _tempfile.mkdtemp(prefix="hudi_kryo_q_") + "/tbl"
+    _os.makedirs(t)
+    seed = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 500)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    base = seed.selectExpr(
+        "'001' as _hoodie_commit_time",
+        "cast(k as string) as _hoodie_record_key",
+        "'' as _hoodie_partition_path",
+        "k",
+        "cents",
+    )
+    base.coalesce(1).write.parquet(t + "/_s")
+    part = next(n for n in _os.listdir(t + "/_s") if n.endswith(".parquet"))
+    _os.replace(f"{t}/_s/{part}", f"{t}/f1_0-1-0_001.parquet")
+    _shutil.rmtree(t + "/_s")
+
+    del_v1 = [
+        (str(r.k), "") for r in seed.where(F.col("k") % 6 == 0).collect()  # bounded-driver: <=84 rows (k<=500 cap)
+    ]
+    del_v2 = [
+        (str(r.k), "") for r in seed.where((F.col("k") % 11 == 0) & (F.col("k") % 6 != 0)).collect()  # bounded-driver: <=46 rows (k<=500 cap)
+    ]
+    ordering = [
+        (None, 7, 1.5, "seq-3")[i % 4] for i in range(len(del_v2))
+    ]
+    payload = write_delete_block_kryo(
+        del_v1, "002", version=1, shared_partition_path=True
+    ) + write_delete_block_kryo(
+        del_v2, "003", version=2, ordering_vals=ordering
+    )
+    with open(f"{t}/.f1_001.log.1_0-1-0", "wb") as fh:
+        fh.write(payload)
+
+    _os.makedirs(f"{t}/.hoodie")
+    with open(f"{t}/.hoodie/hoodie.properties", "w") as fh:
+        fh.write("hoodie.table.name=qk\nhoodie.table.type=MERGE_ON_READ\n")
+    for instant, action in (("001", "commit"), ("002", "deltacommit"),
+                            ("003", "deltacommit")):
+        with open(f"{t}/.hoodie/{instant}.{action}", "w") as fh:
+            fh.write("{}")
+
+    outs = [
+        read_hudi(spark, t, as_of=as_of)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .select(F.lit(snap).alias("snap"), "n", "sum_cents")
+        for snap, as_of in ((1, "001"), (2, "002"), (3, None))
+    ]
+    return (
+        outs[0].unionByName(outs[1]).unionByName(outs[2])
+        .orderBy("snap")
+        .localCheckpoint(eager=True)
+    )

@@ -29,8 +29,11 @@ Block types handled (ordinals from ``HoodieLogBlockType``):
 * ``DELETE_BLOCK`` (1) — content: int32 version, int32 length, payload.
   Version >= 3 payload is a bare Avro datum of the public
   ``HoodieDeleteRecordList`` record (recordKey / partitionPath /
-  orderingVal); versions 1-2 are JVM-Kryo-serialized ``HoodieKey[]``
-  and are REFUSED loudly (not parseable outside the JVM);
+  orderingVal); versions 1-2 are Kryo-4-serialized ``HoodieKey[]`` /
+  ``DeleteRecord[]`` (hudi-common SerializationUtils) and decode via
+  the pure-Python subset codec in ``kryo_lite.py`` — orderingVal
+  classes outside {null, Integer, Long, Float, Double, String} refuse
+  loudly by class name;
 * ``COMMAND_BLOCK`` (0) — empty content; header ``TARGET_INSTANT_TIME``
   names the instant whose earlier blocks a rollback invalidates.
 
@@ -149,13 +152,15 @@ def _decode_content(btype: int, header: dict[int, str], content: bytes):
         return records
     if btype == DELETE_BLOCK:
         (version,) = struct.unpack_from(">i", content, 0)
-        if version < 3:
-            raise HudiLogUnsupportedError(
-                f"delete block version {version} is Kryo-serialized "
-                "HoodieKey[] (JVM-only); only the avro "
-                "HoodieDeleteRecordList payload (v3+) is readable"
-            )
         (size,) = struct.unpack_from(">i", content, 4)
+        if version < 3:
+            # v1 (HoodieKey[]) / v2 (DeleteRecord[]) payloads are Kryo 4
+            # streams from hudi-common SerializationUtils — the block
+            # shape every pre-0.14 writer (and many current ones) emits
+            # for deletes; decoded by the pure-Python subset codec
+            from .kryo_lite import read_delete_records
+
+            return read_delete_records(content[8 : 8 + size])
         datum = decode_datum(DELETE_RECORD_LIST_SCHEMA, content[8 : 8 + size])
         return [
             (r["recordKey"], r["partitionPath"] or "")
@@ -253,6 +258,28 @@ def write_delete_block(
         },
     )
     content = struct.pack(">ii", 3, len(datum)) + datum
+    return _frame(DELETE_BLOCK, {INSTANT_TIME: instant}, content)
+
+
+def write_delete_block_kryo(
+    keys: list[tuple[str, str]],
+    instant: str,
+    version: int = 1,
+    ordering_vals: list | None = None,
+    shared_partition_path: bool = False,
+) -> bytes:
+    """One framed legacy DELETE_BLOCK (v1 HoodieKey[] / v2
+    DeleteRecord[], Kryo payload) — fixture writer for tables produced
+    by pre-v3 Hudi writers; see ``kryo_lite.write_delete_records``."""
+    from .kryo_lite import write_delete_records
+
+    payload = write_delete_records(
+        keys,
+        version=version,
+        ordering_vals=ordering_vals,
+        shared_partition_path=shared_partition_path,
+    )
+    content = struct.pack(">ii", version, len(payload)) + payload
     return _frame(DELETE_BLOCK, {INSTANT_TIME: instant}, content)
 
 
