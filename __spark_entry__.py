@@ -37,6 +37,8 @@ _ROUND8_FRONT = (
     "a4_approx_distinct",
     "hudi_mor_kryo_delete_read",
     "dedup_index_incremental",
+    # oracle+code changed r8 (explicit zero-token rate, found by fuzzing)
+    "data_mixture_weights",
 )
 
 

@@ -615,3 +615,198 @@ def test_random_bm25_scoring_agrees(spark, ducks, docs):
         ).fetchall()
     }
     assert got == want
+
+
+_FUZZ_WORDS = ["spark", "table", "hash", "merge", "window",
+               "filler", "pad", "noise", "zz"]
+
+
+def _write_docs(spark, docs, langs=None, sources=None):
+    """Temp sf-dir with a documents.parquet in the standard shape."""
+    import tempfile
+
+    rows = [
+        (
+            i,
+            (langs or ["en"] * len(docs))[i],
+            (sources or ["src0"] * len(docs))[i],
+            " ".join(words),
+        )
+        for i, words in enumerate(docs)
+    ]
+    d = tempfile.mkdtemp(prefix="self_fuzz_")
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    ).withColumn("n_chars", F.length("text")).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    values = ", ".join(
+        "(%d, '%s', '%s', '%s')" % (i, la, so, tx)
+        for i, la, so, tx in rows
+    )
+    return d, f"(VALUES {values}) documents(doc_id, lang, source, text)"
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_FUZZ_WORDS), min_size=0, max_size=15),
+        min_size=1,
+        max_size=8,
+    ),
+    lang_bits=st.lists(st.booleans(), min_size=8, max_size=8),
+)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_dsir_weights_agree(spark, ducks, docs, lang_bits):
+    """The SHIPPED DSIR bucket-LLR scorer (queries/llm_ops6.
+    text_dsir_weights — groupBy formulation over one materialized
+    (doc_id, bucket) aggregate) must agree with an independent DuckDB
+    unnest+join replay on random corpora — including empty docs, corpora
+    with NO target-language rows, and all-target corpora (VERDICT r7
+    ask #7)."""
+    from easy_sql_spark.queries.llm_ops6 import text_dsir_weights
+
+    langs = [("en" if lang_bits[i % 8] else "de") for i in range(len(docs))]
+    d, values = _write_docs(spark, docs, langs=langs)
+    got = {
+        r.doc_id: (r.n_tokens, r.dsir_weight)
+        for r in text_dsir_weights(spark, d).collect()
+    }
+
+    want = {
+        r[0]: (r[1], r[2])
+        for r in ducks.execute(
+            f"""
+            WITH tok AS (
+                SELECT doc_id, lang,
+                       unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+                FROM {values}),
+            b AS (SELECT doc_id, lang, substr(md5(w), 1, 2) AS bk FROM tok),
+            tgt AS (SELECT bk, COUNT(*) AS tc FROM b WHERE lang = 'en'
+                    GROUP BY bk),
+            raw AS (SELECT bk, COUNT(*) AS rc FROM b GROUP BY bk),
+            tot AS (SELECT (SELECT COALESCE(SUM(tc), 0) FROM tgt) AS tt,
+                           (SELECT COALESCE(SUM(rc), 0) FROM raw) AS rt),
+            scored AS (
+                SELECT b.doc_id AS doc_id,
+                       ln((COALESCE(t.tc, 0) + 1.0) / (tot.tt + 256.0))
+                     - ln((r.rc + 1.0) / (tot.rt + 256.0)) AS ll
+                FROM b JOIN raw r USING (bk) LEFT JOIN tgt t USING (bk)
+                CROSS JOIN tot)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT),
+                   ROUND(AVG(ll), 4) + 0.0
+            FROM scored GROUP BY doc_id
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_FUZZ_WORDS), min_size=0, max_size=15),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_oov_rate_agrees(spark, ducks, docs):
+    """The SHIPPED OOV scorer (queries/llm_ops6.tokenizer_oov_rate —
+    top-K vocabulary with (count DESC, word) tie-break, broadcast flag
+    join) must agree with an independent DuckDB replay on random
+    corpora — vocab ties, all-in-vocab docs, and sub-K vocabularies
+    (corpora with fewer than K distinct words) included."""
+    from easy_sql_spark.queries.llm_ops6 import _VOCAB_K, tokenizer_oov_rate
+
+    d, values = _write_docs(spark, docs)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.oov_rate)
+        for r in tokenizer_oov_rate(spark, d).collect()
+    }
+
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in ducks.execute(
+            f"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+                FROM {values}),
+            wc AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+            vocab AS (
+                SELECT w FROM (
+                    SELECT w, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS r
+                    FROM wc)
+                WHERE r <= {_VOCAB_K})
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   ROUND(CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+                              AS DOUBLE) / COUNT(*), 4)
+            FROM tok LEFT JOIN vocab v USING (w)
+            GROUP BY doc_id
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_FUZZ_WORDS), min_size=0, max_size=15),
+        min_size=1,
+        max_size=10,
+    ),
+    src_ids=st.lists(st.integers(0, 3), min_size=10, max_size=10),
+)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_mixture_weights_agree(spark, ducks, docs, src_ids):
+    """The SHIPPED mixture-rate table (queries/llm_ops6.
+    data_mixture_weights — source aggregate + 1-row budget broadcast,
+    round-then-floor(+0.5) discipline) must agree with an independent
+    DuckDB replay — including sources made entirely of token-less docs
+    (division by zero must cap at rate 1.0 identically in both
+    engines)."""
+    from easy_sql_spark.queries.llm_ops6 import data_mixture_weights
+
+    sources = [f"s{src_ids[i % 10]}" for i in range(len(docs))]
+    d, values = _write_docs(spark, docs, sources=sources)
+    got = {
+        r.source: (r.n_docs, r.n_tokens, r.mix_rate, r.expected_tokens)
+        for r in data_mixture_weights(spark, d).collect()
+    }
+
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in ducks.execute(
+            f"""
+            WITH per AS (
+                SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+')))
+                            AS BIGINT) AS n_tokens
+                FROM {values} GROUP BY source),
+            tot AS (SELECT SUM(n_tokens) AS t, COUNT(*) AS k FROM per)
+            SELECT source, n_docs, n_tokens,
+                   CASE WHEN n_tokens = 0 THEN 1.0 ELSE
+                     ROUND(LEAST(1.0, (0.5 * tot.t / tot.k) / n_tokens), 4)
+                   END,
+                   CAST(FLOOR(CASE WHEN n_tokens = 0 THEN 1.0 ELSE
+                                ROUND(LEAST(1.0, (0.5 * tot.t / tot.k)
+                                                 / n_tokens), 4)
+                              END * n_tokens + 0.5) AS BIGINT)
+            FROM per CROSS JOIN tot
+            """
+        ).fetchall()
+    }
+    assert got == want
