@@ -280,7 +280,9 @@ class StreamingTables:
 
         Sink config keys (``options``): ``etl`` (path to a ``.sql`` ETL
         file) or ``etl_sql`` (inline text); ``view`` (temp-view name the
-        micro-batch registers as; default ``<sink>_batch``).  The ETL sees
+        micro-batch registers as; default ``<sink>_batch``); ``vars`` (a
+        mapping of extra ETL variables — e.g. state-table roots — made
+        available as ``${name}``).  The ETL sees
         ``${__batch_id__}`` and runs ON THE DRIVER per batch — executors
         only see the DataFrame work the ETL declares, so state and
         parallelism behave exactly as in batch mode.
@@ -305,6 +307,10 @@ class StreamingTables:
         view = sink.options.get(
             "view", f"{sink.name.replace('.', '_')}_batch"
         )
+        extra_vars = {
+            str(k): str(v)
+            for k, v in (sink.options.get("vars") or {}).items()
+        }
 
         def _run_batch(batch_df: DataFrame, batch_id: int) -> None:
             from ..runtime.processor import SqlProcessor
@@ -315,7 +321,7 @@ class StreamingTables:
             SqlProcessor(
                 batch_df.sparkSession,
                 etl_sql,
-                variables={"__batch_id__": str(batch_id)},
+                variables={"__batch_id__": str(batch_id), **extra_vars},
                 logger=lambda m: None,
             ).run()
 

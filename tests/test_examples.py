@@ -221,3 +221,149 @@ def test_data_selection_pipeline_etl(spark):
     mix = {r.source: r.mix_rate for r in spark.table("mixture").collect()}
     assert mix and all(0 < v <= 1 for v in mix.values())
     p.backend.clean_temp_views()
+
+
+def test_incremental_selection_stream(spark, tmp_path):
+    """Round-8 streaming-selection composition (VERDICT r7 ask #8): the
+    snapshot_cdf source streams a growing corpus's net changes into the
+    foreach_batch ETL (examples/incremental_selection_stream.sql), which
+    maintains per-source mixture stats and per-bucket DSIR counts by
+    SIGNED-delta merges — corpus never rescanned.  The gold invariant:
+    after every drained batch, the derived mixture and DSIR weight
+    tables EXACTLY equal a full-corpus batch recompute (the oracle-gated
+    mixture_weight_frame / dsir bucket math)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from easy_sql_spark.queries.llm_ops6 import mixture_weight_frame
+    from easy_sql_spark.runtime.snapshots import SnapshotTable
+    from easy_sql_spark.streaming.cdf_source import (
+        SnapshotChangeFeedDataSource,
+    )
+    from easy_sql_spark.streaming.tables import StreamingTables
+
+    spark.dataSource.register(SnapshotChangeFeedDataSource)
+    roots = {
+        n: str(tmp_path / n)
+        for n in ("corpus", "state_src", "state_bk", "mixture",
+                  "weights", "scored")
+    }
+
+    def _docs(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, lang string, source string, text string"
+        )
+
+    corpus = SnapshotTable(spark, roots["corpus"])
+    corpus.create(_docs([
+        (0, "en", "s0", "spark table merge spark"),
+        (1, "en", "s0", "window hash hash pad"),
+        (2, "de", "s1", "noise filler pad pad pad"),
+        (3, "en", "s1", ""),  # token-less doc: the fuzz-found edge
+        (4, "de", "s0", "table table table spark"),
+    ]))
+    # empty typed state seeds (batch 0 reads them as empty frames)
+    SnapshotTable(spark, roots["state_src"]).create(
+        spark.createDataFrame([], "source string, n_docs bigint, n_tokens bigint")
+    )
+    SnapshotTable(spark, roots["state_bk"]).create(
+        spark.createDataFrame([], "bk string, rc bigint, tc bigint")
+    )
+    SnapshotTable(spark, roots["scored"]).create(
+        spark.createDataFrame(
+            [], "doc_id bigint, scored_at_batch bigint, dsir_weight double"
+        )
+    )
+
+    config = {
+        "sources": [{
+            "name": "corpus_cdf",
+            "format": "snapshot_cdf",
+            "options": {"root": roots["corpus"], "starting_version": 0},
+        }],
+        "sinks": [{
+            "name": "sel_maint",
+            "format": "foreach_batch",
+            "trigger": "availableNow",
+            "checkpoint": str(tmp_path / "ck"),
+            "options": {
+                "etl": os.path.join(
+                    EXAMPLES, "incremental_selection_stream.sql"
+                ),
+                "view": "corpus_changes",
+                "vars": {k: v for k, v in roots.items() if k != "corpus"},
+            },
+        }],
+    }
+    st = StreamingTables(spark, config)
+
+    def drain():
+        st.register_sources()
+        q = st.start_insert(spark.table("corpus_cdf"), "sel_maint")
+        assert q.awaitTermination(240), "stream still running"
+        q.stop()
+
+    def assert_matches_full_recompute():
+        full = corpus.read()
+        want_mix = {
+            (r.source, r.n_docs, r.n_tokens, r.mix_rate)
+            for r in mixture_weight_frame(
+                full.select("source", "text")
+            ).collect()
+        }
+        got_mix = {
+            (r.source, r.n_docs, r.n_tokens, r.mix_rate)
+            for r in SnapshotTable(spark, roots["mixture"]).read().collect()
+        }
+        assert got_mix == want_mix
+
+        # independent bucket-LLR recompute over the full corpus
+        bk = (
+            full.select(
+                "lang", F.explode(F.expr(
+                    "regexp_extract_all(lower(text), '[a-z]+', 0)"
+                )).alias("w"),
+            )
+            .groupBy(F.substring(F.md5("w"), 1, 2).alias("bk"))
+            .agg(
+                F.count("*").alias("rc"),
+                F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tc"),
+            )
+            .collect()
+        )
+        rt = sum(r.rc for r in bk)
+        tt = sum(r.tc for r in bk)
+        want_w = {
+            r.bk: math.log((r.tc + 1.0) / (tt + 256.0))
+            - math.log((r.rc + 1.0) / (rt + 256.0))
+            for r in bk
+        }
+        got_w = {
+            r.bk: r.ll
+            for r in SnapshotTable(spark, roots["weights"]).read().collect()
+        }
+        assert set(got_w) == set(want_w)
+        for k in want_w:
+            assert abs(got_w[k] - want_w[k]) < 1e-12, k
+
+    drain()
+    assert_matches_full_recompute()
+
+    # the corpus grows AND retracts: new docs + a delete of doc 2
+    corpus.append(_docs([
+        (5, "en", "s2", "merge window spark spark hash"),
+        (6, "de", "s2", "pad pad"),
+    ]))
+    corpus.delete_where([("doc_id", "=", 2)])
+    drain()  # checkpointed resume: only the new versions stream
+    assert_matches_full_recompute()
+
+    # scores were assigned at ingest, once per inserted doc
+    scored = SnapshotTable(spark, roots["scored"]).read().collect()
+    by_doc = {r.doc_id: r for r in scored}
+    # every tokenful insert scored exactly once (doc 3 has no tokens;
+    # doc 2's delete does not retract its historic score)
+    assert set(by_doc) == {0, 1, 2, 4, 5, 6}
+    assert len(scored) == len(by_doc)
+    assert {r.scored_at_batch for r in scored} == {0, 1}
