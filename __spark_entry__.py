@@ -39,6 +39,9 @@ _ROUND8_FRONT = (
     "dedup_index_incremental",
     # oracle+code changed r8 (explicit zero-token rate, found by fuzzing)
     "data_mixture_weights",
+    # plan changed r8 (training-slice materialized once; semantics pinned
+    # by the unchanged oracle)
+    "sim_ann_index_search",
 )
 
 
