@@ -172,9 +172,22 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
             for s in partition.rel_dir.split("/")[1:]
             if "=" in s
         )
+        pa_types = {
+            "tinyint": pa.int8(), "smallint": pa.int16(),
+            "int": pa.int32(), "bigint": pa.int64(),
+            "float": pa.float32(), "double": pa.float64(),
+            "string": pa.string(),
+        }
         for fpath in files:
             t = pq.read_table(fpath)
             n = t.num_rows
+            if n == 0:
+                # skewed/empty writer tasks leave 0-row part files; a
+                # zero-length batch would also carry NULL-typed constant
+                # columns (pa.array([]) infers null) and poison the arrow
+                # stream's schema ("Tried to write record batch with
+                # different schema") — skip, they carry no changes
+                continue
             cols, names = [], []
             for field in spark_schema.fields:
                 names.append(field.name)
@@ -190,8 +203,13 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                         val = int(raw)
                     elif raw is not None and typ in ("double", "float"):
                         val = float(raw)
-                    cols.append(pa.array([val] * n))
-            cols.append(pa.array([partition.change] * n))
+                    # explicit arrow type: an all-NULL constant column
+                    # must not infer pa.null() in one batch and clash
+                    # with a typed one in the next
+                    cols.append(
+                        pa.array([val] * n, type=pa_types.get(typ))
+                    )
+            cols.append(pa.array([partition.change] * n, type=pa.string()))
             cols.append(pa.array([partition.version] * n, type=pa.int32()))
             names += ["_change_type", "_commit_version"]
             yield pa.RecordBatch.from_arrays(cols, names=names)

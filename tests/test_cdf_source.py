@@ -157,3 +157,49 @@ def test_cdf_source_via_streaming_yaml_config(spark, root, tmp_path):
     rows = {(r.id, r._change_type, r._commit_version)
             for r in spark.read.parquet(str(tmp_path / "yout")).collect()}
     assert rows == {(1, "insert", 2), (2, "insert", 2)}
+
+
+def test_cdf_stream_tolerates_empty_part_files(spark, root, tmp_path):
+    """A commit whose writer tasks left 0-row part files (skewed writes
+    do this routinely) must stream cleanly: the zero-length batch used
+    to carry NULL-typed constant columns (pa.array([]) infers null) and
+    poison the arrow stream's schema mid-partition
+    ("Tried to write record batch with different schema")."""
+    spark.dataSource.register(SnapshotChangeFeedDataSource)
+    t = SnapshotTable(spark, root)
+    # 4 rows through 32 createDataFrame slices: slice 0 is empty, and
+    # this write shape leaves an EMPTY part-00000 next to the data files
+    t.create(
+        spark.createDataFrame(
+            [(i, "x", "p1") for i in range(4)], "id int, v string, p string"
+        ),
+        ["p"],
+    )
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    empties = [
+        f
+        for f in glob.glob(f"{root}/data/commit=*/**/*.parquet", recursive=True)
+        if pq.read_metadata(f).num_rows == 0
+    ]
+    if not empties:
+        # the writer didn't produce one this time — force the shape the
+        # fix defends against by planting an empty file with the schema
+        some = glob.glob(
+            f"{root}/data/commit=*/**/*.parquet", recursive=True
+        )[0]
+        import pyarrow as pa
+
+        pq.write_table(
+            pq.read_table(some).slice(0, 0),
+            os.path.join(os.path.dirname(some), "part-99999-empty.parquet"),
+        )
+
+    out, ckpt = tmp_path / "eo", tmp_path / "ec"
+    _drain(spark, root, out, ckpt, starting_version=0)
+    rows = {(r.id, r._change_type, r.p)
+            for r in spark.read.parquet(str(out)).collect()}
+    assert rows == {(i, "insert", "p1") for i in range(4)}

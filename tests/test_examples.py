@@ -367,3 +367,98 @@ def test_incremental_selection_stream(spark, tmp_path):
     assert set(by_doc) == {0, 1, 2, 4, 5, 6}
     assert len(scored) == len(by_doc)
     assert {r.scored_at_batch for r in scored} == {0, 1}
+
+
+def test_streaming_dedup_index(spark, tmp_path):
+    """Streaming fuzzy dedup (examples/streaming_dedup_index.sql): the
+    change feed drives per-batch admission through the persistent LSH
+    band index; the admitted table must equal a direct batch replay of
+    MinHashDedupIndex over the same batch split, intra-batch near-dups
+    and cross-batch collisions included, and rejected docs are never
+    retried (seen-table discipline)."""
+    from easy_sql_spark.operators.dedup_index import MinHashDedupIndex
+    from easy_sql_spark.runtime.snapshots import SnapshotTable
+    from easy_sql_spark.streaming.cdf_source import (
+        SnapshotChangeFeedDataSource,
+    )
+    from easy_sql_spark.streaming.tables import StreamingTables
+
+    spark.dataSource.register(SnapshotChangeFeedDataSource)
+    roots = {n: str(tmp_path / n)
+             for n in ("corpus", "didx", "seen", "admitted")}
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    batch1 = [
+        (0, base),
+        (1, "completely different words about spark shuffles and joins"),
+        (2, "completely different words about spark shuffles and joins"),
+        (3, "a third unique document mentioning parquet footers only"),
+    ]
+    batch2 = [
+        (6, base + " bank"),  # near-dup of doc 0 -> index collision
+        (7, "yet another novel text with fresh vocabulary entirely"),
+        (8, "yet another novel text with fresh vocabulary entirely"),
+    ]
+
+    def _docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    corpus = SnapshotTable(spark, roots["corpus"])
+    corpus.create(_docs(batch1))
+    SnapshotTable(spark, roots["seen"]).create(
+        spark.createDataFrame([], "doc_id bigint")
+    )
+
+    config = {
+        "sources": [{
+            "name": "corpus_cdf",
+            "format": "snapshot_cdf",
+            "options": {"root": roots["corpus"], "starting_version": 0},
+        }],
+        "sinks": [{
+            "name": "didx_maint",
+            "format": "foreach_batch",
+            "trigger": "availableNow",
+            "checkpoint": str(tmp_path / "ck"),
+            "options": {
+                "etl": os.path.join(EXAMPLES, "streaming_dedup_index.sql"),
+                "view": "corpus_changes",
+                "vars": {k: v for k, v in roots.items() if k != "corpus"},
+            },
+        }],
+    }
+    st = StreamingTables(spark, config)
+
+    def drain():
+        st.register_sources()
+        q = st.start_insert(spark.table("corpus_cdf"), "didx_maint")
+        assert q.awaitTermination(240), "stream still running"
+        q.stop()
+
+    drain()
+    corpus.append(_docs(batch2))
+    drain()
+
+    got = {
+        (r.doc_id, r.admitted_at_batch)
+        for r in SnapshotTable(spark, roots["admitted"]).read().collect()
+    }
+
+    # reference: direct batch replay over the same split
+    ref = MinHashDedupIndex(spark, str(tmp_path / "ref_didx"))
+    want = set()
+    for bno, rows in enumerate([batch1, batch2]):
+        adm = ref.ingest(_docs(rows), batch_id=bno)
+        want |= {(r.doc_id, bno) for r in adm.collect()}
+    assert got == want
+    # the known shapes: one of the exact pair (1,2) admitted, the
+    # near-dup 6 rejected against the index, one of (7,8) admitted
+    admitted_ids = {d for d, _ in got}
+    assert 0 in admitted_ids and 3 in admitted_ids
+    assert len({1, 2} & admitted_ids) == 1
+    assert 6 not in admitted_ids
+    assert len({7, 8} & admitted_ids) == 1
+
+    # every processed doc is in seen exactly once (no retries)
+    seen = [r.doc_id for r in SnapshotTable(spark, roots["seen"]).read().collect()]
+    assert sorted(seen) == [0, 1, 2, 3, 6, 7, 8]
