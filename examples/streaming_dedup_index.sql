@@ -36,9 +36,16 @@ left anti join seen_prev p on b.doc_id = p.doc_id
 -- probe + cluster + index append, exactly-once under ${__batch_id__}
 -- target=func.dedup_index_ingest(${didx}, batch_new, batch_admitted, ${__batch_id__})
 
+-- target=func.snapshot_view(${admitted}, admitted_prev)
+
+-- replay-safe append: the index commit itself is batch-id-idempotent,
+-- but a crash between this append and the seen append would replay the
+-- batch — the anti-join makes the second append a no-op instead of a
+-- duplicate row
 -- target=temp.admitted_rows
-select doc_id, cast(${__batch_id__} as bigint) as admitted_at_batch
-from batch_admitted
+select b.doc_id, cast(${__batch_id__} as bigint) as admitted_at_batch
+from batch_admitted b
+left anti join admitted_prev p on b.doc_id = p.doc_id
 
 -- target=func.snapshot_commit(${admitted}, admitted_rows, append)
 

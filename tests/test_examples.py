@@ -408,6 +408,9 @@ def test_streaming_dedup_index(spark, tmp_path):
     SnapshotTable(spark, roots["seen"]).create(
         spark.createDataFrame([], "doc_id bigint")
     )
+    SnapshotTable(spark, roots["admitted"]).create(
+        spark.createDataFrame([], "doc_id bigint, admitted_at_batch bigint")
+    )
 
     config = {
         "sources": [{
