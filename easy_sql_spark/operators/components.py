@@ -147,7 +147,7 @@ def _local_components(spark, rows, u_type) -> DataFrame:
         return x
 
     for r in rows:
-        a, b = r[0], r[1]
+        a, b = r["u"], r["v"]
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)
@@ -203,7 +203,7 @@ def label_propagation_components(
         ).collect()  # bounded-driver: ≤ local_threshold+1 narrow rows
         if len(head) <= local_threshold:
             return _local_components(
-                edges.sparkSession, head, edges.schema[0].dataType
+                edges.sparkSession, head, edges.schema["u"].dataType
             )
     # labels is a cheap distinct over the CHECKPOINTED edges — its two
     # consumers inside iteration 1 reuse the distinct's Exchange within
