@@ -193,10 +193,10 @@ def label_propagation_components(
     to force the distributed path.
 
     Returns ``(u, label)`` with label = component minimum."""
-    # lazy: iteration 1's fused materialize+convergence job is the first
-    # full-scan action over the edges; later iterations and the star
-    # escalation read the cached blocks
-    edges = edges.transform(iter_checkpoint_lazy)
+    # size-probe BEFORE any checkpoint: converting a plan to a (lazy)
+    # localCheckpoint RDD executes its non-final AQE stages eagerly, so
+    # checkpointing first would pay 1-2 stage jobs even when the graph
+    # takes the driver path and never iterates
     if local_threshold:
         head = edges.limit(
             local_threshold + 1
@@ -205,6 +205,10 @@ def label_propagation_components(
             return _local_components(
                 edges.sparkSession, head, edges.schema["u"].dataType
             )
+    # distributed path: lazy checkpoint — iteration 1's fused
+    # materialize+convergence job is the first full-scan action over the
+    # edges; later iterations and the star escalation read cached blocks
+    edges = edges.transform(iter_checkpoint_lazy)
     # labels is a cheap distinct over the CHECKPOINTED edges — its two
     # consumers inside iteration 1 reuse the distinct's Exchange within
     # that one job, so a separate checkpoint here would only add a
