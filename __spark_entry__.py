@@ -21,42 +21,51 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["a1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-#: Round-8 driver-window front (VERDICT r7 asks #1/#3).  Stale-verdict
-#: entries first — entries whose oracle or query code changed AFTER their
-#: last driver verdict:
-#:   - snapshot_dv_delete: the r7 red row.  Adjudicated an ORACLE dtype
-#:     bug (uncast UNION ALL legs widened SUM(k) to HUGEINT -> pandas
-#:     float64 "1956150.0" vs Spark bigint "1956150"); outer CAST landed
-#:     r8 (queries/llm_ops5.py) — must end the r5/r7 red streak.
-#:   - a4_approx_distinct: its exact-regime oracle landed r7 AFTER the r7
-#:     window was sampled; the new oracle has never been
-#:     driver-adjudicated.
-#: Then entries new or re-planned in r8 so they get first verdicts.
-_ROUND8_FRONT = (
-    "snapshot_dv_delete",
-    "a4_approx_distinct",
-    "hudi_mor_kryo_delete_read",
-    "dedup_index_incremental",
-    # oracle+code changed r8 (explicit zero-token rate, found by fuzzing)
-    "data_mixture_weights",
-    # plan changed r8 (training-slice materialized once; semantics pinned
-    # by the unchanged oracle)
-    "sim_ann_index_search",
+#: Round-9 driver-window front (VERDICT r8 ask #5): changed-this-round
+#: entries first, then the entries with the STALEST driver verdicts —
+#: every registry entry has been driver-green at least once (union
+#: r1–r8), but 49 entries' last verdict is r4 vintage (7+ rounds of code
+#: movement since); fronting them refreshes the oldest evidence.  The
+#: driver samples the first 50 ``queries()`` entries.
+_ROUND9_FRONT = (
+    # changed in r9:
+    "hudi_mor_parquet_block_read",  # NEW — PARQUET-format Hudi log data blocks
+    "dedup_index_incremental",      # re-planned: deferred one-commit lifecycle
+    "hudi_mor_kryo_delete_read",    # kryo_lite decode path: varlong cap, Utf8
+    # stalest (last driver verdict r4), registry order:
+    "a1_pricing_summary", "a2_global_agg", "a3_distinct_agg", "a5_rollup",
+    "a5_cube", "a5_grouping_sets", "a6_having", "j1_inner_equi",
+    "j2_left_outer", "j3_full_outer", "j4_semi_anti", "j5_cross",
+    "j6_broadcast", "j7_range_theta", "j8_nullsafe", "w1_ranking",
+    "w2_analytic", "w3_framed", "s1_project_filter", "s2_topk",
+    "s3_limit_offset", "q6_forecast_revenue", "s4_union_all",
+    "s5_union_distinct", "s6_intersect_except", "s7_cte",
+    "s8_correlated_subquery", "s9_values_inline", "s10_explode",
+    "f1_string", "f2_datetime", "f3_math", "f4_json", "f5_hash",
+    "f6_array", "f7_conversion", "f8_conditional", "a7_percentiles",
+    "a8_derived_moments", "f9_string_agg", "w4_distribution", "s11_pivot",
+    "f10_map_ops", "f11_struct_ops", "f2b_date_arith", "s12_unpivot",
+    "dedup_exact_groups",
 )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    The driver's correctness gate samples the FIRST 50 entries.  Round-8
-    rotation: stale-verdict entries (oracle/code changed after their last
-    driver verdict) and round-8 additions first (``_ROUND8_FRONT``), then
-    everything else newest-first so recent rounds' entries fill the rest
-    of the window.  tests/test_oracle_all.py stays authoritative over ALL
-    entries."""
+    The driver's correctness gate samples the FIRST 50 entries.  Round-9
+    rotation: r9-changed entries then stalest-verdict entries
+    (``_ROUND9_FRONT``), then everything else newest-first.  An unknown
+    front name RAISES — a typo'd or renamed entry must not silently skip
+    its re-adjudication (VERDICT r8 "what's wrong" #3).
+    tests/test_oracle_all.py stays authoritative over ALL entries."""
     from easy_sql_spark.queries import QUERIES
 
-    front = {k: QUERIES[k] for k in _ROUND8_FRONT if k in QUERIES}
+    unknown = [k for k in _ROUND9_FRONT if k not in QUERIES]
+    if unknown:
+        raise KeyError(
+            f"_ROUND9_FRONT names not in the query registry: {unknown}"
+        )
+    front = {k: QUERIES[k] for k in _ROUND9_FRONT}
     rest = {
         k: v
         for k, v in reversed(list(QUERIES.items()))

@@ -411,19 +411,55 @@ def main() -> None:
     # late GC/shutdown warning would land after (or inside) the JSON line
     # the driver parses
     spark.stop()
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "families": families,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        ),
-        flush=True,
-    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "families": families,
+        "sf": sf_val,
+    }
+    # The harness that records this run keeps only the LAST ~2,000 chars
+    # of stdout, and the full per-query dict is ~4k chars — so the full
+    # record goes to a file + the FIRST stdout line, and stdout ENDS with
+    # a compact line (total + families + the perf-tracked headline
+    # queries) that is guaranteed to fit the tail window intact.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+        "w",
+    ) as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(full), flush=True)
+    headline_subset = [
+        "dedup_index_incremental",
+        "sim_ann_index_search",
+        "sim_semantic_dedup",
+        "sim_mmr_rerank",
+        "graph_pagerank",
+        "a1_pricing_summary",
+        "q9_product_profit",
+        "events_funnel",
+        "dedup_minhash_lsh",
+        "dedup_components",
+        "text_bm25_topk",
+        "a9_sketch_bench",
+        "write_zorder",
+        "write_snapshot_merge",
+        "write_upsert_merge",
+    ]
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: timings[k] for k in headline_subset if k in timings},
+        "families": families,
+        "sf": sf_val,
+        "full": "BENCH_FULL.json",
+    }
+    line = json.dumps(compact)
+    assert len(line) <= 1900, f"compact bench line too long: {len(line)}"
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -22,14 +22,26 @@ the property that makes fuzzy dedup sustainable when the corpus is
 100 TB and the daily batch is 0.1% of it.  Admission semantics are
 deterministic and order-defined: earlier batches win, and within a
 batch the min doc_id of each collision component wins.
+
+When one physical load splits into several priority-ordered admission
+batches, :meth:`MinHashDedupIndex.deferred_commits` coalesces their
+index appends into ONE snapshot commit: each ingest still probes the
+committed index PLUS the earlier batches' pending admitted bands (so
+admission semantics are bit-identical to per-batch commits), but the
+commit protocol's fixed cost — stage write, footer-stats read, atomic
+manifest create — is paid once per load instead of once per batch.
 """
 
 from __future__ import annotations
+
+import contextlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..runtime.snapshots import SnapshotTable
+
+_BAND_COLS = ["doc_id", "band_id", "band"]
 
 
 class MinHashDedupIndex:
@@ -48,6 +60,10 @@ class MinHashDedupIndex:
         self.table = SnapshotTable(spark, root)
         self.n_hashes = n_hashes or N_MINHASH
         self.n_bands = n_bands or N_BANDS
+        #: (batch_id | None, admitted band frame) accumulated under
+        #: :meth:`deferred_commits`, flushed as one snapshot commit
+        self._pending: list[tuple[int | None, DataFrame]] = []
+        self._defer = False
 
     def _bands(self, docs: DataFrame, with_count: bool = False):
         from ..queries.llm_ops import minhash_bands
@@ -69,26 +85,59 @@ class MinHashDedupIndex:
     BAND_ROWS_PER_PARTITION = 1 << 19
 
     def _index_bytes(self) -> int:
-        """On-disk size of the live index dirs, from the snapshot
-        manifest's dir list — a handful of driver FS calls, no scan;
-        memoized per table version (manifests are immutable)."""
+        """On-disk size of the live index dirs — a PURE manifest-metadata
+        read when the manifest carries per-dir byte totals (recorded at
+        commit time, ``SnapshotTable._merge_stats``); only dirs a legacy
+        manifest lacks totals for fall back to one recursive FS walk
+        each, once, because the result is memoized per table version
+        (manifests are immutable).  On HDFS the old always-walk was a
+        recursive NameNode ``getContentSummary`` per live dir per
+        version — an O(live dirs) driver stall re-paid after every
+        commit."""
         v = self.table.latest_version()
         cached = getattr(self, "_size_cache", None)
         if cached and cached[0] == v:
             return cached[1]
-        total = 0
         m = self.table.manifest(v)
-        fs = self.table.fs
-        jvm = fs._jvm
-        for d in m["live"]:
-            p = jvm.org.apache.hadoop.fs.Path(f"{self.table.data_dir}/{d}")
-            total += p.getFileSystem(fs._conf).getContentSummary(p).getLength()
+        bmap = m.get("bytes") or {}
+        total = sum(bmap[d] for d in m["live"] if d in bmap)
+        missing = [d for d in m["live"] if d not in bmap]
+        if missing:
+            total += self._walk_bytes(missing)
         self._size_cache = (v, total)
         return total
 
-    def _probe_hits(self, bands: DataFrame) -> DataFrame:
+    def _walk_bytes(self, dirs: list[str]) -> int:
+        """Legacy-manifest fallback: recursive FS size per dir."""
+        fs = self.table.fs
+        jvm = fs._jvm
+        total = 0
+        for d in dirs:
+            p = jvm.org.apache.hadoop.fs.Path(f"{self.table.data_dir}/{d}")
+            total += (
+                p.getFileSystem(fs._conf).getContentSummary(p).getLength()
+            )
+        return total
+
+    def _index_view(self) -> DataFrame | None:
+        """The probe side: the committed index plus any pending
+        (deferred, not-yet-flushed) admitted bands — deferred ingests
+        see earlier batches' admissions exactly as if each had
+        committed.  None when the index is empty (first batch)."""
+        parts = []
+        if self.table.latest_version():
+            parts.append(self.table.read().select(*_BAND_COLS))
+        parts.extend(f.select(*_BAND_COLS) for _, f in self._pending)
+        if not parts:
+            return None
+        view = parts[0]
+        for p in parts[1:]:
+            view = view.unionByName(p)
+        return view
+
+    def _probe_hits(self, bands: DataFrame, view: DataFrame) -> DataFrame:
         """doc_ids of batch rows whose (band_id, band) collides with the
-        persistent index — WITHOUT ever shuffling the index.
+        index view — WITHOUT ever shuffling the index.
 
         The naive shape ``bands left_semi index`` is a scale-killer: a
         LeftSemi join can only build/broadcast its RIGHT side, which here
@@ -98,26 +147,30 @@ class MinHashDedupIndex:
         contract of this module.  Size-adaptive, both regimes index-
         shuffle-free:
 
-        - small index (on-disk bytes from the manifest below
-          ``SMALL_INDEX_BYTES``): direct ``left_semi`` with an EXPLICIT
-          broadcast of the index — one scan, one join, the cheap plan
-          while the corpus is young;
+        - small index (committed on-disk bytes from the manifest below
+          ``SMALL_INDEX_BYTES``; pending deferred bands are batch-sized
+          by construction and don't change the regime): direct
+          ``left_semi`` with an EXPLICIT broadcast of the view — one
+          scan, one join, the cheap plan while the corpus is young;
         - otherwise :meth:`_probe_hits_scale` — two broadcast steps
           bounded by the batch's distinct band keys.
         """
-        if self._index_bytes() <= self.SMALL_INDEX_BYTES:
+        committed = (
+            self._index_bytes() if self.table.latest_version() else 0
+        )
+        if committed <= self.SMALL_INDEX_BYTES:
             return (
                 bands.join(
-                    F.broadcast(self.table.read()),
-                    ["band_id", "band"],
-                    "left_semi",
+                    F.broadcast(view), ["band_id", "band"], "left_semi"
                 )
                 .select("doc_id")
                 .distinct()
             )
-        return self._probe_hits_scale(bands)
+        return self._probe_hits_scale(bands, view)
 
-    def _probe_hits_scale(self, bands: DataFrame) -> DataFrame:
+    def _probe_hits_scale(
+        self, bands: DataFrame, view: DataFrame
+    ) -> DataFrame:
         """Large-index probe, two broadcast steps each bounded by the
         BATCH:
 
@@ -137,7 +190,7 @@ class MinHashDedupIndex:
         """
         batch_keys = bands.select("band_id", "band").distinct()
         present = (
-            self.table.read()
+            view
             .join(F.broadcast(batch_keys), ["band_id", "band"], "left_semi")
             .select("band_id", "band")
             .distinct()
@@ -147,6 +200,61 @@ class MinHashDedupIndex:
             .select("doc_id")
             .distinct()
         )
+
+    @contextlib.contextmanager
+    def deferred_commits(self):
+        """Coalesce the index appends of several priority-ordered
+        ``ingest`` calls into ONE snapshot commit (on context exit).
+
+        Admission semantics are unchanged — each deferred ingest probes
+        the committed index PLUS the earlier pending admitted bands
+        (``_index_view``), which is exactly what a per-batch commit
+        would have made visible.  What changes is the commit protocol's
+        fixed cost (stage write + footer-stats read + atomic manifest
+        create, ~0.4 s of FS constants per commit on a local run,
+        NameNode round-trips on HDFS): paid once per load instead of
+        once per admission batch.  On an exception nothing is committed
+        and pending state is dropped — the table is exactly as before
+        the context."""
+        if self._defer:
+            raise RuntimeError("deferred_commits() does not nest")
+        self._defer = True
+        try:
+            yield self
+            self.flush()
+        finally:
+            self._defer = False
+            self._pending.clear()
+
+    def flush(self) -> None:
+        """Commit all pending deferred batches as one snapshot version.
+        The manifest records the coalesced batch-id range: ``batch_id``
+        (= max, which advances the stream's replay guard past every
+        coalesced batch) plus the full ``batch_ids`` list for
+        introspection."""
+        if not self._pending:
+            return
+        frames = [f for _, f in self._pending]
+        union = frames[0]
+        for f in frames[1:]:
+            union = union.unionByName(f)
+        bids = sorted(int(b) for b, _ in self._pending if b is not None)
+        extra = None
+        if bids:
+            last = self.table.last_committed_batch()
+            if last is not None and last >= bids[-1]:
+                self._pending.clear()
+                return  # full replay of an already-committed range
+            extra = {
+                "batch_id": bids[-1],
+                "batch_ids": bids,
+                "stream_key": "stream",
+            }
+        if not self.table.latest_version():
+            self.table.overwrite(union, extra=extra)
+        else:
+            self.table.append(union, extra=extra)
+        self._pending.clear()
 
     def ingest(
         self,
@@ -172,6 +280,30 @@ class MinHashDedupIndex:
         from ..queries.llm_ops import _lsh_capped_pairs
         from .components import label_propagation_components
 
+        # Replay guard FIRST — before any probe.  On a checkpoint-restart
+        # replay AFTER this batch's index commit already landed (crash
+        # window between ingest's commit and a downstream sink), probing
+        # now would collide with the batch's OWN just-committed bands,
+        # admit nothing, and permanently drop the docs from any
+        # downstream admitted-corpus append.  Reconstruct instead: only
+        # admitted docs are ever indexed, and a doc is only ever offered
+        # in its own batch, so this batch's admitted set is exactly
+        # (docs ∩ indexed doc_ids) ∪ its bandless docs.
+        if batch_id is not None:
+            last = self.table.last_committed_batch()
+            if last is not None and int(batch_id) <= last:
+                if bands is None:
+                    bands = self._bands(docs)
+                indexed = docs.select("doc_id").join(
+                    self.table.read().select("doc_id").distinct(),
+                    "doc_id",
+                    "left_semi",
+                )
+                bandless = docs.select("doc_id").join(
+                    bands.select("doc_id").distinct(), "doc_id", "left_anti"
+                )
+                return indexed.unionByName(bandless)
+
         # ``minhash_bands(with_count=True)`` materializes the signature
         # table (the CPU-heavy fold) at cluster width with a COUNT as
         # the materializing action — one job does both, and the exact
@@ -192,8 +324,9 @@ class MinHashDedupIndex:
         target = max(1, -(-n_band_rows // self.BAND_ROWS_PER_PARTITION))
         bands = bands.coalesce(target)
 
-        if self.table.latest_version():
-            hit_ids = self._probe_hits(bands)
+        view = self._index_view()
+        if view is not None:
+            hit_ids = self._probe_hits(bands, view)
             surv_bands = bands.join(hit_ids, "doc_id", "left_anti")
         else:
             surv_bands = bands
@@ -227,7 +360,20 @@ class MinHashDedupIndex:
         # extra job)
         admitted_bands = surv_bands.join(dropped, "doc_id", "left_anti")
 
-        if not self.table.latest_version():
+        if self._defer:
+            # DEFERRED mode gets an eager checkpoint after all: a pending
+            # frame is evaluated by every later batch's probe view, the
+            # flush write AND the returned-ids union — left lazy, each of
+            # those re-runs the anti-join (a broadcast-build job per
+            # consumer; measured +4-7 jobs per lifecycle).  One ckpt job
+            # per batch makes every later consumer a cache read.  The
+            # non-deferred path keeps the lazy shape (single consumer
+            # pair, the r7 measurement stands).
+            admitted_bands = admitted_bands.localCheckpoint(eager=True)
+            self._pending.append(
+                (None if batch_id is None else int(batch_id), admitted_bands)
+            )
+        elif not self.table.latest_version():
             # record the batch id on the CREATE commit too, or a replayed
             # first batch (restart before the stream checkpoint lands)
             # would double-ingest

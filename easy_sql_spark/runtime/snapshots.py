@@ -678,6 +678,22 @@ class SnapshotTable:
         }
         rows.update(counts)
         m["rows"] = rows
+        # per-dir on-disk byte totals: parent entries carry forward for
+        # still-live dirs; staged dirs get one listStatus each while the
+        # commit's listing is warm.  Size consumers (e.g.
+        # MinHashDedupIndex._index_bytes) then read table size as pure
+        # manifest metadata — no per-read FS walk, which on HDFS would be
+        # a recursive NameNode getContentSummary per live dir.
+        nbytes = {
+            d: b
+            for d, b in ((parent or {}).get("bytes", {})).items()
+            if d in live
+        }
+        for d in staged_dirs:
+            nbytes[d] = sum(
+                sz for _, sz in self.fs.list_files(f"{self.data_dir}/{d}")
+            )
+        m["bytes"] = nbytes
         ext = {
             d: b
             for d, b in ((parent or {}).get("external", {})).items()

@@ -812,6 +812,18 @@ def export_snapshot_to_delta(
     }
 
 
+#: Delta PROTOCOL.md legacy-to-table-features mapping: features implied
+#: by each legacy minWriterVersion step (cumulative — a (1, 6) table
+#: implies the union of rows 2..6).  mw 7 lists its features explicitly.
+_LEGACY_WRITER_FEATURES: dict[int, frozenset[str]] = {
+    2: frozenset({"appendOnly", "invariants"}),
+    3: frozenset({"checkConstraints"}),
+    4: frozenset({"changeDataFeed", "generatedColumns"}),
+    5: frozenset({"columnMapping"}),
+    6: frozenset({"identityColumns"}),
+}
+
+
 def _checkpoint_protocol(
     replayed: dict | None, has_dv: bool, v2: bool
 ) -> tuple[int, int, list[str] | None, list[str] | None]:
@@ -835,12 +847,22 @@ def _checkpoint_protocol(
         mw = int(replayed.get("minWriterVersion") or 2)
         rfeats |= set(replayed.get("readerFeatures") or [])
         wfeats |= set(replayed.get("writerFeatures") or [])
-        # legacy column-mapping gate: bumping a (2, x) table to the
-        # feature protocol must carry the implied feature explicitly
-        # (mr == 3 already lists its features; only legacy 2 implies one)
-        if mr == 2 and (rfeats or wfeats):
-            rfeats.add("columnMapping")
-            wfeats.add("columnMapping")
+        if rfeats or wfeats:
+            # legacy column-mapping gate: bumping a (2, x) table to the
+            # feature protocol must carry the implied feature explicitly
+            # (mr 3 already lists its features; only legacy 2 implies one)
+            if mr == 2:
+                rfeats.add("columnMapping")
+                wfeats.add("columnMapping")
+            # legacy minWriterVersion 2-6 each imply a cumulative feature
+            # set (Delta PROTOCOL.md legacy-to-table-features table);
+            # bumping to (3, 7) without unioning them lets external
+            # readers that reconstruct protocol FROM the checkpoint lose
+            # those declarations after log cleanup — the exact downgrade
+            # class this function exists to prevent (ADVICE r8 #2)
+            for legacy_mw, implied in _LEGACY_WRITER_FEATURES.items():
+                if mw >= legacy_mw and mw < 7:
+                    wfeats |= implied
     if rfeats or wfeats:
         return max(mr, 3), max(mw, 7), sorted(rfeats), sorted(wfeats)
     return max(mr, 1), max(mw, 2), None, None

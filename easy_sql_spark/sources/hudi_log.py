@@ -34,8 +34,17 @@ Block types handled (ordinals from ``HoodieLogBlockType``):
   the pure-Python subset codec in ``kryo_lite.py`` — orderingVal
   classes outside {null, Integer, Long, Float, Double, String} refuse
   loudly by class name;
+* ``PARQUET_DATA_BLOCK`` (5) — content: a complete parquet file
+  (``hoodie.logfile.data.block.format=parquet``,
+  ``HoodieParquetDataBlock.serializeRecords`` streams a parquet writer
+  into the block body); decoded with pyarrow inside the executor task,
+  records surface through the same list[dict] interface as avro blocks;
 * ``COMMAND_BLOCK`` (0) — empty content; header ``TARGET_INSTANT_TIME``
   names the instant whose earlier blocks a rollback invalidates.
+
+``HFILE_DATA_BLOCK`` (4, metadata-table HFile payloads) and
+``CDC_DATA_BLOCK`` (6) remain the refusal surface — they raise
+:class:`HudiLogUnsupportedError` by ordinal.
 
 Header metadata ordinals (``HeaderMetadataType``): INSTANT_TIME 0,
 TARGET_INSTANT_TIME 1, SCHEMA 2, COMMAND_BLOCK_TYPE 3.
@@ -61,6 +70,9 @@ COMMAND_BLOCK = 0
 DELETE_BLOCK = 1
 CORRUPT_BLOCK = 2
 AVRO_DATA_BLOCK = 3
+HFILE_DATA_BLOCK = 4
+PARQUET_DATA_BLOCK = 5
+CDC_DATA_BLOCK = 6
 
 # HeaderMetadataType ordinals
 INSTANT_TIME = 0
@@ -166,10 +178,22 @@ def _decode_content(btype: int, header: dict[int, str], content: bytes):
             (r["recordKey"], r["partitionPath"] or "")
             for r in datum["deleteRecordList"]
         ]
+    if btype == PARQUET_DATA_BLOCK:
+        # hoodie.logfile.data.block.format=parquet
+        # (HoodieParquetDataBlock): the block content IS a complete
+        # parquet file — serializeRecords streams a parquet writer into
+        # the block body — so the existing parquet machinery applies.
+        # Decoded records match the avro-block interface (list[dict]);
+        # pyarrow runs INSIDE the executor task that parses the file
+        # group, same as the rest of the decoder.
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        return _pq.read_table(_pa.BufferReader(content)).to_pylist()
     if btype == CORRUPT_BLOCK:
         raise HudiLogError("corrupt block in hudi log file")
     raise HudiLogUnsupportedError(
-        f"hudi log block type ordinal {btype} (HFILE/PARQUET/CDC data "
+        f"hudi log block type ordinal {btype} (HFILE and CDC data "
         "blocks are not supported)"
     )
 
@@ -242,6 +266,56 @@ def write_data_block(schema: dict, records: list[dict], instant: str) -> bytes:
         content += struct.pack(">i", len(datum)) + datum
     header = {INSTANT_TIME: instant, SCHEMA: json.dumps(schema)}
     return _frame(AVRO_DATA_BLOCK, header, content)
+
+
+#: avro primitive → pyarrow type for the parquet-block fixture writer;
+#: explicit types matter because an all-NULL column would otherwise
+#: infer pa.null() and poison the parquet schema
+_AVRO_TO_ARROW = {
+    "string": "string",
+    "long": "int64",
+    "int": "int32",
+    "double": "float64",
+    "float": "float32",
+    "boolean": "bool_",
+    "bytes": "binary",
+}
+
+
+def write_parquet_data_block(
+    schema: dict, records: list[dict], instant: str
+) -> bytes:
+    """One framed PARQUET_DATA_BLOCK (fixture/export helper for tables
+    written with ``hoodie.logfile.data.block.format=parquet``): the
+    block content is a complete parquet file of ``records``; ``schema``
+    is the avro record schema and rides the SCHEMA header exactly as on
+    avro blocks (Hudi writes it for every data-block format)."""
+    import io
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    arrays, names = [], []
+    for f in schema["fields"]:
+        t = f["type"]
+        if isinstance(t, list):  # ["null", X] union
+            t = next(x for x in t if x != "null")
+        if not isinstance(t, str) or t not in _AVRO_TO_ARROW:
+            raise HudiLogUnsupportedError(
+                f"parquet data block fixture: avro type {t!r}"
+            )
+        names.append(f["name"])
+        arrays.append(
+            pa.array(
+                [r.get(f["name"]) for r in records],
+                type=getattr(pa, _AVRO_TO_ARROW[t])(),
+            )
+        )
+    buf = io.BytesIO()
+    pq.write_table(pa.table(arrays, names=names), buf)
+    header = {INSTANT_TIME: instant, SCHEMA: json.dumps(schema)}
+    return _frame(PARQUET_DATA_BLOCK, header, buf.getvalue())
 
 
 def write_delete_block(

@@ -368,7 +368,11 @@ def _log_delta_frame(
         first_path = plans[0][1][0][1]
         with open(first_path, "rb") as fh:
             blocks = hl.read_log_blocks(fh.read())
-        data_blocks = [b for b in blocks if b.type == hl.AVRO_DATA_BLOCK]
+        data_blocks = [
+            b
+            for b in blocks
+            if b.type in (hl.AVRO_DATA_BLOCK, hl.PARQUET_DATA_BLOCK)
+        ]
         if not data_blocks:
             raise ValueError("log-only hudi group with no data block")
         out_schema = _avro_to_spark(
@@ -404,7 +408,7 @@ def _log_delta_frame(
                     continue
                 if instant not in live_f:
                     continue  # inflight/failed delta, invisible
-                if b.type == hl.AVRO_DATA_BLOCK:
+                if b.type in (hl.AVRO_DATA_BLOCK, hl.PARQUET_DATA_BLOCK):
                     for rec in b.records:
                         key = rec.get("_hoodie_record_key")
                         if key is None:

@@ -37,8 +37,11 @@ kryo-shaded 4.0.3 in Spark's JVM — see tests/test_hudi_log.py):
 
 Scope (loud beyond it): element classes ``*.HoodieKey`` /
 ``*.DeleteRecord``; orderingVal in {null, Integer, Long, Float, Double,
-String}.  Anything else (e.g. avro Utf8 ordering values, custom
-payload classes) raises :class:`KryoUnsupportedError` naming the class.
+String, org.apache.avro.util.Utf8 (both the modern 4-field and the
+pre-avro-1.10 3-field FieldSerializer layouts — see
+:func:`_read_avro_utf8`)}.  Anything else (custom payload classes,
+zero-length Utf8) raises :class:`KryoUnsupportedError` naming the
+class.
 """
 
 from __future__ import annotations
@@ -81,6 +84,28 @@ class KryoReader:
 
     def zigzag_int(self) -> int:
         v = self.var_int()
+        return (v >> 1) ^ -(v & 1)
+
+    def var_long(self) -> int:
+        """Kryo writeVarLong: at most 9 bytes — bytes 1-8 are LEB128
+        (7 payload bits + continuation bit), the 9th byte carries bits
+        56-63 RAW with no continuation semantics.  A plain LEB128 loop
+        mis-reads any |value| >= 2^62 (zigzag sets bit 63, so the raw
+        9th byte has its high bit set)."""
+        out = shift = 0
+        for _ in range(8):
+            b = self.buf[self.pos]
+            self.pos += 1
+            out |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return out
+            shift += 7
+        b = self.buf[self.pos]
+        self.pos += 1
+        return out | b << 56
+
+    def zigzag_long(self) -> int:
+        v = self.var_long()
         return (v >> 1) ^ -(v & 1)
 
     def fixed_double(self) -> float:
@@ -203,6 +228,63 @@ def _read_hoodie_key(r: KryoReader) -> tuple[str | None, str | None]:
     return record_key, partition_path
 
 
+def _read_avro_utf8(r: KryoReader) -> str:
+    """FieldSerializer body of ``org.apache.avro.util.Utf8`` — the
+    common non-wrapper orderingVal class on pre-v3 Hudi tables whose
+    ordering field is an avro string.  Two layouts exist in the wild,
+    by avro version (fields alphabetical, as FieldSerializer orders
+    them):
+
+    * modern (avro >= 1.10, AVRO-2663 hash cache): ``bytes`` (byte[],
+      tracked), ``hash`` (int zigzag), ``length`` (int zigzag, BYTE
+      length), ``string`` (cached String, writeObjectOrNull) —
+      validated byte-for-byte against kryo-shaded 4.0.3 + Spark's
+      bundled avro (tests/test_hudi_log.py);
+    * legacy (avro <= 1.9): the same without ``hash``.
+
+    Layout detection: a fresh Utf8's hash cache is 0 and a populated
+    one virtually never equals the byte length, while the legacy
+    layout's first int is ALWAYS the byte length — so first-int ==
+    nbytes selects legacy, anything else selects modern (whose length
+    field is then asserted).  The string cache, when present, must
+    decode to the same text.  Zero-length values are refused loudly
+    (both layouts emit indistinguishable zero streams there).
+    """
+    def read_byte_array():
+        n = r.var_int() - 1
+        raw = r.buf[r.pos : r.pos + n]
+        r.pos += n
+        return raw
+
+    raw = r.read_tracked(read_byte_array, may_be_null=True)
+    if raw is None:
+        raise KryoUnsupportedError("avro Utf8 with null bytes field")
+    nbytes = len(raw)
+    text = raw.decode("utf-8")
+    if nbytes == 0:
+        raise KryoUnsupportedError(
+            "empty avro Utf8 orderingVal (zero-length streams are "
+            "wire-ambiguous across avro versions)"
+        )
+    first = r.zigzag_int()
+    if first != nbytes:
+        # modern layout: ``first`` was the hash cache
+        if r.zigzag_int() != nbytes:
+            raise KryoFormatError("avro Utf8 length/bytes mismatch")
+    cached = r.read_tracked(r.read_string, may_be_null=True)
+    if cached is not None and cached != text:
+        raise KryoFormatError("avro Utf8 cached string/bytes mismatch")
+    return text
+
+
+class AvroUtf8(str):
+    """Fixture marker: serialize this orderingVal as
+    ``org.apache.avro.util.Utf8``.  ``legacy=True`` selects the
+    pre-avro-1.10 3-field layout (no hash cache)."""
+
+    legacy: bool = False
+
+
 def _read_ordering_val(r: KryoReader):
     """DeleteRecord.orderingVal: a non-final Comparable field —
     writeClassAndObject of whatever the writer held."""
@@ -212,16 +294,18 @@ def _read_ordering_val(r: KryoReader):
     if cls == "int":
         return r.zigzag_int()
     if cls == "long":
-        return r.zigzag_int()
+        return r.zigzag_long()
     if cls == "double":
         return r.fixed_double()
     if cls == "float":
         return r.fixed_float()
     if cls == "java.lang.String":
         return r.read_tracked(r.read_string, may_be_null=False)
+    if cls == "org.apache.avro.util.Utf8":
+        return r.read_tracked(lambda: _read_avro_utf8(r), may_be_null=False)
     raise KryoUnsupportedError(
         f"DeleteRecord orderingVal class {cls!r} (supported: null, "
-        "Integer, Long, Float, Double, String)"
+        "Integer, Long, Float, Double, String, avro Utf8)"
     )
 
 
@@ -307,7 +391,23 @@ class KryoWriter:
                 return
 
     def zigzag_int(self, v: int) -> None:
-        self.var_int((v << 1) ^ (v >> 63))
+        self.var_int((v << 1) ^ (v >> 31))
+
+    def var_long(self, v: int) -> None:
+        """Kryo writeVarLong semantics: at most 9 bytes; after 8
+        continuation bytes the 9th carries bits 56-63 RAW.  A plain
+        LEB128 emit would produce a 10-byte stream for |value| >= 2^62
+        that real Kryo cannot read."""
+        v &= (1 << 64) - 1
+        n = 0
+        while n < 8 and v >> 7:
+            self.out.append((v & 0x7F) | 0x80)
+            v >>= 7
+            n += 1
+        self.out.append(v)  # ≤7 payload bits, or the raw 9th byte
+
+    def zigzag_long(self, v: int) -> None:
+        self.var_long((v << 1) ^ (v >> 63))
 
     def write_string(self, s: str | None) -> None:
         if s is None:
@@ -436,9 +536,25 @@ def write_delete_records(
                     w.var_int(0)  # writeClassAndObject(null)
                 elif isinstance(ov, bool):
                     raise KryoUnsupportedError("boolean orderingVal")
+                elif isinstance(ov, AvroUtf8):
+                    w.write_class("org.apache.avro.util.Utf8")
+
+                    def utf8_body():
+                        raw = str(ov).encode("utf-8")
+                        # bytes field (byte[] is reference-tracked)
+                        w.track_unique(
+                            lambda: (w.var_int(len(raw) + 1),
+                                     w.out.extend(raw))
+                        )
+                        if not ov.legacy:
+                            w.zigzag_int(0)  # hash cache, fresh
+                        w.zigzag_int(len(raw))  # BYTE length
+                        w.var_int(0)  # cached string: null (fresh Utf8)
+
+                    w.track_unique(utf8_body)
                 elif isinstance(ov, int):
                     w.write_class("long")
-                    w.zigzag_int(ov)
+                    w.zigzag_long(ov)
                 elif isinstance(ov, float):
                     w.write_class("double")
                     w.out += struct.pack(">d", ov)

@@ -203,3 +203,41 @@ def test_cdf_stream_tolerates_empty_part_files(spark, root, tmp_path):
     rows = {(r.id, r._change_type, r.p)
             for r in spark.read.parquet(str(out)).collect()}
     assert rows == {(i, "insert", "p1") for i in range(4)}
+
+
+def test_cdf_stream_date_bool_decimal_partition_columns(spark, root, tmp_path):
+    """date / boolean / decimal partition columns — including an
+    all-NULL (__HIVE_DEFAULT_PARTITION__-style absent) value — must get
+    their arrow type from the Spark field type, not a partial hand
+    dict that let them infer pa.null() and poison the stream schema
+    (r8-close ADVICE #3)."""
+    spark.dataSource.register(SnapshotChangeFeedDataSource)
+    t = SnapshotTable(spark, root)
+    t.create(
+        spark.createDataFrame(
+            [
+                (1, "a", "2024-03-01", True, "1.50"),
+                (2, "b", "2024-03-02", False, "2.25"),
+                (3, "c", None, True, "1.50"),
+            ],
+            "id int, v string, d string, flag boolean, amt string",
+        ).selectExpr(
+            "id", "v", "cast(d as date) d", "flag",
+            "cast(amt as decimal(10,2)) amt",
+        ),
+        ["d", "flag", "amt"],
+    )
+    out, ckpt = tmp_path / "do", tmp_path / "dc"
+    _drain(spark, root, out, ckpt, starting_version=0)
+    got = spark.read.parquet(str(out))
+    import datetime
+    from decimal import Decimal
+
+    rows = {(r.id, r.d, r.flag, r.amt) for r in got.collect()}
+    assert rows == {
+        (1, datetime.date(2024, 3, 1), True, Decimal("1.50")),
+        (2, datetime.date(2024, 3, 2), False, Decimal("2.25")),
+        (3, None, True, Decimal("1.50")),
+    }
+    assert dict(got.dtypes)["d"] == "date"
+    assert dict(got.dtypes)["amt"] == "decimal(10,2)"

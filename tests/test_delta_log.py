@@ -1076,6 +1076,28 @@ def test_checkpoint_preserves_declared_protocol_features(spark, tmp_path):
         ["deletionVectors", "v2Checkpoint"],
         ["deletionVectors", "v2Checkpoint"],
     )
+    # legacy minWriterVersion 2-6: bumping to (3, 7) must union the
+    # legacy-implied features (Delta PROTOCOL.md legacy mapping), or
+    # checkpoint-reconstructing readers lose them after log cleanup
+    legacy6 = {"minReaderVersion": 2, "minWriterVersion": 6}
+    mr, mw, rf, wf = _checkpoint_protocol(legacy6, has_dv=False, v2=True)
+    assert (mr, mw) == (3, 7)
+    assert set(wf) == {
+        "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+        "generatedColumns", "columnMapping", "identityColumns",
+        "v2Checkpoint",
+    }
+    assert set(rf) == {"columnMapping", "v2Checkpoint"}
+    legacy3 = {"minReaderVersion": 1, "minWriterVersion": 3}
+    _, _, rf3, wf3 = _checkpoint_protocol(legacy3, has_dv=True, v2=False)
+    assert set(wf3) == {
+        "appendOnly", "invariants", "checkConstraints", "deletionVectors",
+    }
+    assert rf3 == ["deletionVectors"]
+    # no feature trigger -> legacy protocol passes through untouched
+    assert _checkpoint_protocol(legacy3, has_dv=False, v2=False) == (
+        1, 3, None, None,
+    )
 
     root = str(tmp_path / "sproto")
     t = SnapshotTable(spark, root)

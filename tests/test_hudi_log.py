@@ -96,6 +96,31 @@ def test_kryo_delete_block_roundtrip():
         ("a", "pt"), ("b", "pt"), ("c", "pt"), ("d", "pt"), ("e", "pt")
     ]
 
+    # avro-Utf8 orderingVals, both FieldSerializer layouts: modern
+    # (bytes/hash/length/string) and legacy pre-avro-1.10 (no hash)
+    from easy_sql_spark.sources.kryo_lite import AvroUtf8
+
+    legacy = AvroUtf8("seq-legacy")
+    legacy.legacy = True
+    raw = write_delete_block_kryo(
+        [("u1", ""), ("u2", ""), ("u3", "")],
+        "0012",
+        version=2,
+        ordering_vals=[AvroUtf8("seq-7"), legacy, AvroUtf8("βγ-9")],
+    )
+    (blk,) = read_log_blocks(raw)
+    assert blk.records == [("u1", ""), ("u2", ""), ("u3", "")]
+
+    # boundary longs survive the varlong 9-byte encoding end-to-end
+    raw = write_delete_block_kryo(
+        [("L1", ""), ("L2", "")],
+        "0013",
+        version=2,
+        ordering_vals=[(1 << 62) + 5, -(1 << 62)],
+    )
+    (blk,) = read_log_blocks(raw)
+    assert blk.records == [("L1", ""), ("L2", "")]
+
     # the v3 avro path still decodes
     good = write_delete_block([("k", "")], "0010")
     assert read_log_blocks(good)[0].records == [("k", "")]
@@ -103,8 +128,8 @@ def test_kryo_delete_block_roundtrip():
 
 def test_kryo_exotic_ordering_val_refused():
     """orderingVal classes outside the supported set refuse loudly BY
-    NAME (e.g. avro Utf8, which Hudi registers a custom serializer
-    for) — never a silent wrong decode."""
+    NAME (e.g. BigDecimal or custom payload classes) — never a silent
+    wrong decode.  (avro Utf8 moved INTO the supported set in r9.)"""
     from easy_sql_spark.sources.hudi_log import _frame  # noqa: PLC2701
     from easy_sql_spark.sources.kryo_lite import (
         KryoWriter,
@@ -122,11 +147,11 @@ def test_kryo_exotic_ordering_val_refused():
     w.track_new()
     w.track_unique(lambda: w.write_string("p"))
     w.track_unique(lambda: w.write_string("k"))
-    w.write_class("org.apache.avro.util.Utf8")  # unsupported orderingVal
+    w.write_class("java.math.BigDecimal")  # unsupported orderingVal
     payload = bytes(w.out)
     content = struct.pack(">ii", 2, len(payload)) + payload
     raw = _frame(DELETE_BLOCK, {INSTANT_TIME: "0010"}, content)
-    with pytest.raises(NotImplementedError, match="Utf8"):
+    with pytest.raises(NotImplementedError, match="BigDecimal"):
         read_log_blocks(raw)
 
     # unknown element classes refuse too
@@ -209,13 +234,116 @@ def test_kryo_codec_matches_real_kryo(spark):
         assert r.zigzag_int() == py
         assert r.pos == len(r.buf)
 
+    # Kryo varlong semantics (9-byte cap, raw bits 56-63 in byte 9):
+    # real-Kryo Long streams around/beyond the 2^62 zigzag boundary
+    # must decode, and our writer must emit byte-identical streams
+    from easy_sql_spark.sources.kryo_lite import KryoWriter
+
+    # values beyond int range only: py4j auto-converts smaller Python
+    # ints to java.lang.Integer (and unboxes constructed Longs back)
+    for v in [1 << 31, 1 << 55, (1 << 62), -(1 << 62),
+              (1 << 62) + 12345, -((1 << 62) + 7),
+              (1 << 63) - 1, -(1 << 63)]:
+        raw = ser(v)
+        r = KryoReader(raw)
+        assert r.read_class() == "long"
+        assert r.zigzag_long() == v, v
+        assert r.pos == len(r.buf)
+        w = KryoWriter()
+        w.zigzag_long(v)
+        assert bytes(w.out) == raw[1:], v  # strip the class tag
+    # small values: pure-Python symmetry (JVM side auto-boxes to int)
+    for v in [0, -1, 7, -(1 << 30), (1 << 31) - 1]:
+        w = KryoWriter()
+        w.zigzag_long(v)
+        r = KryoReader(bytes(w.out))
+        assert r.zigzag_long() == v and r.pos == len(r.buf)
+
+
+def test_kryo_avro_utf8_ordering_val_matches_real_kryo(spark):
+    """avro Utf8 orderingVals (pre-v3 Hudi tables whose ordering field
+    is an avro string): decode streams produced by the REAL kryo-shaded
+    4.0.3 over Spark's bundled avro — fresh instances, instances with a
+    populated string cache, and instances with a populated hash cache
+    (the layout-detection hazard)."""
+    from easy_sql_spark.sources.kryo_lite import (
+        KryoReader,
+        KryoUnsupportedError,
+        _read_avro_utf8,  # noqa: PLC2701
+    )
+
+    jvm = spark.sparkContext._jvm
+
+    def ser(obj):
+        kryo = jvm.com.esotericsoftware.kryo.Kryo()
+        kryo.setRegistrationRequired(False)
+        out = jvm.com.esotericsoftware.kryo.io.Output(1 << 20, -1)
+        kryo.writeClassAndObject(out, obj)
+        return bytes(out.toBytes())
+
+    def decode(raw):
+        r = KryoReader(raw)
+        assert r.read_class() == "org.apache.avro.util.Utf8"
+        got = r.read_tracked(lambda: _read_avro_utf8(r), may_be_null=False)
+        assert r.pos == len(r.buf)
+        return got
+
+    for text in ["seq-42", "a", "añ-βγ", "x" * 100]:
+        u = jvm.org.apache.avro.util.Utf8(text)
+        assert decode(ser(u)) == text
+        u.hashCode()  # populate the hash cache, if this avro caches it
+        assert decode(ser(u)) == text
+
+    # zero-length Utf8 is the documented wire-ambiguous refusal
+    with pytest.raises((KryoUnsupportedError, AssertionError)):
+        decode(ser(jvm.org.apache.avro.util.Utf8("")))
+
 
 def test_unknown_block_type_refused():
     from easy_sql_spark.sources.hudi_log import _frame  # noqa: PLC2701
 
-    raw = _frame(7, {INSTANT_TIME: "0010"}, b"")  # PARQUET_DATA_BLOCK
+    raw = _frame(7, {INSTANT_TIME: "0010"}, b"")  # past the enum's end
     with pytest.raises(HudiLogUnsupportedError, match="ordinal 7"):
         read_log_blocks(raw)
+    # HFILE data blocks (metadata table) stay the documented refusal
+    raw = _frame(4, {INSTANT_TIME: "0010"}, b"")
+    with pytest.raises(HudiLogUnsupportedError, match="ordinal 4"):
+        read_log_blocks(raw)
+
+
+def test_parquet_data_block_roundtrip():
+    """hoodie.logfile.data.block.format=parquet: the block content is a
+    complete parquet file; decoded records surface through the same
+    list[dict] interface as avro blocks.  Includes an all-NULL column
+    (the arrow null-inference trap) and a null in a union field."""
+    from easy_sql_spark.sources.hudi_log import (
+        PARQUET_DATA_BLOCK,
+        write_parquet_data_block,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "_hoodie_record_key", "type": "string"},
+            {"name": "k", "type": "long"},
+            {"name": "v", "type": ["null", "string"]},
+            {"name": "w", "type": ["null", "double"]},  # all NULL
+        ],
+    }
+    recs = [
+        {"_hoodie_record_key": "1", "k": 1, "v": "a", "w": None},
+        {"_hoodie_record_key": "2", "k": 2, "v": None, "w": None},
+    ]
+    raw = write_parquet_data_block(schema, recs, "0020")
+    # content really is a parquet file: magic at both ends of the body
+    assert b"PAR1" in raw
+    blocks = read_log_blocks(raw)
+    assert len(blocks) == 1
+    b = blocks[0]
+    assert b.type == PARQUET_DATA_BLOCK
+    assert b.header[INSTANT_TIME] == "0020"
+    assert b.records == recs
 
 
 def test_frame_length_bookkeeping():

@@ -283,8 +283,9 @@ def test_dedup_index_probe_never_shuffles_index(spark, tmp_path):
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        scale_plan = plan_of(idx._probe_hits_scale(bands))
-        small_plan = plan_of(idx._probe_hits(bands))
+        view = idx._index_view()
+        scale_plan = plan_of(idx._probe_hits_scale(bands, view))
+        small_plan = plan_of(idx._probe_hits(bands, view))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 

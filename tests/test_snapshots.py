@@ -299,6 +299,136 @@ def test_dedup_index_idempotent_replay_and_bandless(spark, root):
     assert {r.doc_id for r in idx.indexed_docs().collect()} == {1, 2, 11}
 
 
+def test_dedup_index_replay_reconstructs_admitted_set(spark, root):
+    """A replayed batch (checkpoint restart AFTER its index commit landed
+    but before a downstream admitted-corpus append) must return the SAME
+    admitted set as the original run — NOT probe, which would collide
+    with the batch's own just-committed bands and admit nothing,
+    permanently losing the docs downstream (r8-close ADVICE #1)."""
+    from easy_sql_spark.operators.dedup_index import MinHashDedupIndex
+
+    idx = MinHashDedupIndex(spark, root)
+    idx.ingest(
+        spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        ),
+        batch_id=0,
+    )
+    b1 = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+         (11, "completely novel content never seen before today"),
+         (12, "completely novel content never seen before today"),  # intra dup
+         (13, "hi")],  # bandless
+        "doc_id long, text string",
+    )
+    adm = {r.doc_id for r in idx.ingest(b1, batch_id=1).collect()}
+    assert adm == {11, 13}
+    v = idx.table.latest_version()
+    # replay: identical admitted set, no new commit, no probe-vs-self
+    replay = {r.doc_id for r in idx.ingest(b1, batch_id=1).collect()}
+    assert replay == adm
+    assert idx.table.latest_version() == v
+
+
+def test_dedup_index_deferred_commits_one_version_same_admissions(
+    spark, tmp_path
+):
+    """deferred_commits(): N priority-ordered ingests → ONE snapshot
+    commit whose manifest records the coalesced batch-id range, with
+    admission decisions BIT-IDENTICAL to per-batch commits (each
+    deferred ingest probes committed ∪ pending bands)."""
+    from easy_sql_spark.operators.dedup_index import MinHashDedupIndex
+
+    batches = [
+        spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "pyspark analytics engines shuffle partitioned data")],
+            "doc_id long, text string",
+        ),
+        spark.createDataFrame(
+            [(10, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+             (11, "completely novel content never seen before today")],
+            "doc_id long, text string",
+        ),
+        spark.createDataFrame(
+            [(20, "completely novel content never seen before today"),  # dup of 11
+             (21, "another fresh document with unique words entirely")],
+            "doc_id long, text string",
+        ),
+    ]
+
+    per = MinHashDedupIndex(spark, str(tmp_path / "per_batch"))
+    want = [
+        {r.doc_id for r in per.ingest(b, batch_id=i).collect()}
+        for i, b in enumerate(batches)
+    ]
+    assert per.table.latest_version() == 3
+
+    idx = MinHashDedupIndex(spark, str(tmp_path / "deferred"))
+    with idx.deferred_commits():
+        got = [
+            {r.doc_id for r in idx.ingest(b, batch_id=i).collect()}
+            for i, b in enumerate(batches)
+        ]
+    assert got == want
+    assert idx.table.latest_version() == 1  # ONE coalesced commit
+    m = idx.table.manifest(1)
+    assert m["batch_ids"] == [0, 1, 2] and m["batch_id"] == 2
+    # replay guard advanced past every coalesced batch
+    assert idx.table.last_committed_batch() == 2
+    # both indexes hold the same admitted bands
+    assert {r.doc_id for r in idx.indexed_docs().collect()} == {
+        r.doc_id for r in per.indexed_docs().collect()
+    }
+    # a replayed coalesced batch reconstructs, commits nothing
+    assert {
+        r.doc_id for r in idx.ingest(batches[1], batch_id=1).collect()
+    } == want[1]
+    assert idx.table.latest_version() == 1
+
+
+def test_index_bytes_is_pure_manifest_metadata(spark, root):
+    """On a warm table (manifests written with per-dir byte totals) the
+    index-size regime check must be a pure metadata read — zero
+    filesystem walks (r9 ask #4: on HDFS getContentSummary is a
+    recursive NameNode walk per live dir, re-paid every version)."""
+    from easy_sql_spark.operators.dedup_index import MinHashDedupIndex
+
+    idx = MinHashDedupIndex(spark, root)
+    idx.ingest(
+        spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+    )
+    m = idx.table.manifest(idx.table.latest_version())
+    assert set(m["bytes"]) == set(m["live"])
+    assert all(b > 0 for b in m["bytes"].values())
+
+    idx2 = MinHashDedupIndex(spark, root)  # fresh instance: cold memo
+    idx2._walk_bytes = lambda dirs: (_ for _ in ()).throw(
+        AssertionError(f"FS walk on a warm table: {dirs}")
+    )
+    total = idx2._index_bytes()
+    assert total == sum(m["bytes"].values()) > 0
+
+    # legacy manifest (no byte totals): falls back to the walk, once
+    legacy = dict(m)
+    legacy.pop("bytes")
+    idx3 = MinHashDedupIndex(spark, root)
+    idx3.table.manifest = lambda v: legacy
+    walked = []
+    real_walk = MinHashDedupIndex._walk_bytes
+    idx3._walk_bytes = lambda dirs: walked.append(list(dirs)) or real_walk(
+        idx3, dirs
+    )
+    assert idx3._index_bytes() == total
+    assert walked == [m["live"]]
+    idx3._index_bytes()  # memoized: no second walk
+    assert len(walked) == 1
+
+
 def test_compact_collapses_commit_dirs(spark, root):
     t = SnapshotTable(spark, root)
     t.create(_df(spark, [(0, "a", "x")], "id int, v string, p string"), ["p"])
