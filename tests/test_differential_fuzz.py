@@ -810,3 +810,221 @@ def test_random_mixture_weights_agree(spark, ducks, docs, src_ids):
         ).fetchall()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------- events/asof
+# r8-close ask #7: property-fuzz the events/asof family against
+# independent DuckDB formulations (correlated-subquery as-of, plain
+# theta-join overlap, last-observed-hour gap-fill) — the r8 mixture
+# fuzzer found a real ANSI-divide bug on its first run, so the
+# technique earns its keep on this family too.
+
+_asof_left = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 20)),  # (key, t)
+    min_size=1,
+    max_size=12,
+)
+_asof_right = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 20)),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(left=_asof_left, right=_asof_right)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_asof_join_agrees(spark, ducks, left, right):
+    """The SHIPPED as-of operator (operators/asof.py union+window plan,
+    the one asof_events_orders ships) must agree with an independent
+    DuckDB correlated-subquery formulation (latest right row with
+    r.t <= l.t per key) on random streams — duplicate left timestamps,
+    keys with no right rows, equal-timestamp (<=) matches."""
+    from easy_sql_spark.operators.asof import asof_join
+
+    # unique (key, t) on the right and value-deterministic payloads so
+    # tie-breaking among equal right rows cannot differ by engine
+    rmap = {kt: kt[0] * 1000 + kt[1] for kt in dict.fromkeys(right)}
+    lrows = [(i, k, t) for i, (k, t) in enumerate(left)]
+    rrows = [(k, t, v) for (k, t), v in sorted(rmap.items())]
+
+    l = spark.createDataFrame(lrows, "id long, k long, t long")
+    if rrows:
+        r = spark.createDataFrame(rrows, "k long, t long, rv long")
+    else:
+        r = spark.createDataFrame([], "k long, t long, rv long")
+    got = {
+        (row.id, row.rv)
+        for row in asof_join(
+            l, r, "k", "k", "t", "t", right_values=["rv"]
+        ).collect()
+    }
+
+    lvals = ", ".join(f"({i}, {k}, {t})" for i, k, t in lrows)
+    rvals = (
+        ", ".join(f"({k}, {t}, {v})" for k, t, v in rrows)
+        or "(NULL, NULL, NULL)"
+    )
+    want = {
+        (r0, r1)
+        for r0, r1 in ducks.execute(
+            f"""
+            WITH l(id, k, t) AS (VALUES {lvals}),
+                 r(k, t, rv) AS (VALUES {rvals})
+            SELECT l.id,
+                   (SELECT r.rv FROM r
+                    WHERE r.k = l.k AND r.t <= l.t
+                    ORDER BY r.t DESC LIMIT 1)
+            FROM l
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+_intervals = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 12)),  # (start, length)
+    min_size=0,
+    max_size=10,
+)
+
+
+@given(
+    li=_intervals,
+    ri=_intervals,
+    width=st.integers(1, 15),
+    how=st.sampled_from(["inner", "left"]),
+)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_interval_join_agrees(spark, ducks, li, ri, width, how):
+    """The SHIPPED bucketed interval-overlap join (operators/
+    intervals.py — cell explode + canonical-cell equi-join, the plan
+    interval_overlap_join ships) must agree with DuckDB's plain theta
+    join for EVERY bucket width — the canonical-cell dedup and the
+    left-outer anti-join union are exactly the pieces a width change
+    could silently break."""
+    from easy_sql_spark.operators.intervals import interval_join
+
+    lrows = [(i, s, s + n) for i, (s, n) in enumerate(li)]
+    rrows = [(100 + j, s, s + n) for j, (s, n) in enumerate(ri)]
+    l = spark.createDataFrame(lrows or [], "id long, s long, e long")
+    r = spark.createDataFrame(rrows or [], "jd long, s2 long, e2 long")
+    if not lrows:
+        return  # empty left: nothing to compare
+    got = sorted(
+        (row.id, row.jd)
+        for row in interval_join(
+            l, r, "s", "e", "s2", "e2", bucket_width=width, how=how
+        ).collect()
+    )
+
+    lvals = ", ".join(f"({i}, {s}, {e})" for i, s, e in lrows)
+    rvals = (
+        ", ".join(f"({j}, {s}, {e})" for j, s, e in rrows)
+        or "(NULL, NULL, NULL)"
+    )
+    join_kw = "JOIN" if how == "inner" else "LEFT JOIN"
+    want = sorted(
+        (r0, r1)
+        for r0, r1 in ducks.execute(
+            f"""
+            WITH l(id, s, e) AS (VALUES {lvals}),
+                 r(jd, s2, e2) AS (VALUES {rvals})
+            SELECT l.id, r.jd FROM l {join_kw} r
+              ON l.s <= r.e2 AND r.s2 <= l.e
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 3),     # user_id
+            st.integers(0, 30),    # hour offset
+            st.integers(0, 59),    # minute
+            st.integers(-20, 20),  # value quarter-steps
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_resample_ffill_agrees(spark, ducks, events):
+    """The SHIPPED events_resample_ffill query (per-user hourly grid +
+    forward fill) must agree with an independent DuckDB formulation
+    that computes each grid cell's fill as the LAST OBSERVED HOUR'S sum
+    via correlated subqueries (no window ffill at all) on random sparse
+    streams — single-event users, multi-hour gaps, duplicate hours.
+    Values are quarter-steps so every sum and ROUND(_, 2) is
+    float-exact in both engines."""
+    import datetime
+    import tempfile
+
+    from easy_sql_spark.queries.llm_ops4 import events_resample_ffill
+
+    base = datetime.datetime(2024, 5, 1, 0, 0, 0)
+    rows = [
+        (u, base + datetime.timedelta(hours=h, minutes=m), q * 0.25)
+        for u, h, m, q in events
+    ]
+    d = tempfile.mkdtemp(prefix="ffill_fuzz_")
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    got = [
+        (r.user_id, r.bucket, r.v_filled, r.n_events, r.gap)
+        for r in events_resample_ffill(spark, d).collect()
+    ]
+
+    want = [
+        tuple(r)
+        for r in ducks.execute(
+            f"""
+            WITH ev AS (
+                SELECT user_id, ts, value
+                FROM '{d}/events.parquet/*.parquet' WHERE user_id <= 20),
+            bounds AS (
+                SELECT user_id, date_trunc('hour', MIN(ts)) AS h0,
+                       date_trunc('hour', MAX(ts)) AS h1
+                FROM ev GROUP BY user_id),
+            grid AS (
+                SELECT user_id, CAST(h AS TIMESTAMP) AS bucket
+                FROM bounds,
+                     UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) t(h)),
+            cells AS (
+                SELECT g.user_id, g.bucket,
+                       (SELECT ROUND(SUM(e.value), 2) FROM ev e
+                        WHERE e.user_id = g.user_id
+                          AND date_trunc('hour', e.ts) = (
+                              SELECT MAX(date_trunc('hour', e2.ts))
+                              FROM ev e2
+                              WHERE e2.user_id = g.user_id
+                                AND date_trunc('hour', e2.ts) <= g.bucket)
+                       ) AS v_filled,
+                       (SELECT COUNT(*) FROM ev e
+                        WHERE e.user_id = g.user_id
+                          AND date_trunc('hour', e.ts) = g.bucket) AS n
+                FROM grid g)
+            SELECT CAST(user_id AS BIGINT),
+                   strftime(bucket, '%Y-%m-%d %H:00'),
+                   CAST(v_filled AS DOUBLE), CAST(n AS BIGINT),
+                   CAST(CASE WHEN n = 0 THEN 1 ELSE 0 END AS INT)
+            FROM cells ORDER BY user_id, bucket
+            """
+        ).fetchall()
+    ]
+    assert got == want
