@@ -108,6 +108,28 @@ FAMILIES: dict[str, list[str]] = {
 }
 HEADLINE = [q for fam in FAMILIES.values() for q in fam]
 
+#: the perf-tracked queries the compact final stdout line carries (the
+#: harness keeps only ~2,000 chars of stdout tail; these are the
+#: queries rounds' perf asks have been about) — tests/test_bench_artifact.py
+#: pins that the rendered line always fits the window
+COMPACT_SUBSET = [
+    "dedup_index_incremental",
+    "sim_ann_index_search",
+    "sim_semantic_dedup",
+    "sim_mmr_rerank",
+    "graph_pagerank",
+    "a1_pricing_summary",
+    "q9_product_profit",
+    "events_funnel",
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "text_bm25_topk",
+    "a9_sketch_bench",
+    "write_zorder",
+    "write_snapshot_merge",
+    "write_upsert_merge",
+]
+
 
 def write_benches(spark, sf_dir):
     """The `write` family: output-step saves, the hottest op in a real ETL.
@@ -431,28 +453,11 @@ def main() -> None:
     ) as f:
         json.dump(full, f, indent=1)
     print(json.dumps(full), flush=True)
-    headline_subset = [
-        "dedup_index_incremental",
-        "sim_ann_index_search",
-        "sim_semantic_dedup",
-        "sim_mmr_rerank",
-        "graph_pagerank",
-        "a1_pricing_summary",
-        "q9_product_profit",
-        "events_funnel",
-        "dedup_minhash_lsh",
-        "dedup_components",
-        "text_bm25_topk",
-        "a9_sketch_bench",
-        "write_zorder",
-        "write_snapshot_merge",
-        "write_upsert_merge",
-    ]
     compact = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": {k: timings[k] for k in headline_subset if k in timings},
+        "queries": {k: timings[k] for k in COMPACT_SUBSET if k in timings},
         "families": families,
         "sf": sf_val,
         "full": "BENCH_FULL.json",

@@ -1,0 +1,63 @@
+"""The bench artifact contract: the harness that records a bench run
+keeps only the LAST ~2,000 chars of stdout, so the line bench.py prints
+LAST must be a complete JSON record that fits the tail window — with
+the perf-tracked headline queries in it (r8 adjudication ran on local
+re-runs for two rounds because the single ~4k-char line was truncated
+to unparseable garbage)."""
+
+import importlib.util
+import json
+import os
+
+_BENCH = os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py")
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location("bench_mod", _BENCH)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_compact_bench_line_fits_harness_tail_window():
+    bench = _load_bench()
+    # worst-case rendering: every headline query at a 4-digit+3-decimal
+    # timing, every family total likewise
+    timings = {q: 9999.999 for q in bench.HEADLINE}
+    # the write-family names bench.py adds at runtime
+    for w in (
+        "write_partitioned_overwrite", "write_bucketed_ctas",
+        "bucketed_join_zero_shuffle", "write_upsert_merge",
+        "write_scd2_merge", "write_zorder", "zorder_scan_2dim",
+        "write_snapshot_commit", "write_snapshot_merge",
+    ):
+        timings[w] = 9999.999
+    families = {f: 99999.999 for f in list(bench.FAMILIES) + ["write"]}
+    # every subset name must exist (a renamed query must fail HERE, not
+    # silently drop out of the driver artifact)
+    missing = [k for k in bench.COMPACT_SUBSET if k not in timings]
+    assert not missing, missing
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": 99999.999,
+        "unit": "sec",
+        "queries": {k: timings[k] for k in bench.COMPACT_SUBSET},
+        "families": families,
+        "sf": 0.1,
+        "full": "BENCH_FULL.json",
+    }
+    line = json.dumps(compact)
+    assert len(line) <= 1900, len(line)
+    assert json.loads(line)["queries"]["dedup_index_incremental"]
+
+
+def test_headline_families_consistent():
+    bench = _load_bench()
+    seen = set()
+    for fam, qs in bench.FAMILIES.items():
+        for q in qs:
+            assert q not in seen, f"{q} in two families"
+            seen.add(q)
+    assert list(bench.HEADLINE) == [
+        q for fam in bench.FAMILIES.values() for q in fam
+    ]

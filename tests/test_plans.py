@@ -301,6 +301,58 @@ def test_dedup_index_probe_never_shuffles_index(spark, tmp_path):
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin", small_plan)) == 1
 
 
+def test_dedup_index_deferred_probe_never_shuffles_index(spark, tmp_path):
+    """Deferred-commit mode: the probe view unions the committed index
+    with PENDING (in-memory checkpointed) admitted bands — the union
+    must not change the join shape: index side still broadcast/streamed,
+    never a SortMergeJoin that re-shuffles it (same contract as the
+    non-deferred plan test above)."""
+    import re
+
+    from easy_sql_spark.operators.dedup_index import MinHashDedupIndex
+
+    idx = MinHashDedupIndex(spark, str(tmp_path / "dprobe_idx"))
+    idx.ingest(
+        spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+    )
+    with idx.deferred_commits():
+        idx.ingest(
+            spark.createDataFrame(
+                [(2, "an entirely different document about spark shuffles")],
+                "doc_id long, text string",
+            )
+        )
+        assert len(idx._pending) == 1
+        bands = idx._bands(
+            spark.createDataFrame(
+                [(10, "completely novel content never seen before today")],
+                "doc_id long, text string",
+            )
+        ).localCheckpoint(eager=True)
+        view = idx._index_view()  # committed ∪ pending
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            small_plan = plan_of(idx._probe_hits(bands, view))
+            scale_plan = plan_of(idx._probe_hits_scale(bands, view))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    for plan in (small_plan, scale_plan):
+        assert "SortMergeJoin" not in plan
+        assert "ShuffledHashJoin" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", small_plan)) == 1
+    # the present-keys semi-join pushes BELOW the union (one BHJ per
+    # view branch, same shared broadcast) + the hit_ids join: 3 total.
+    # Every Exchange is a batch-bounded distinct aggregate (keys /
+    # present / hit ids); nothing index-sized moves — the index side
+    # cannot shuffle with SMJ/ShuffledHash asserted absent above.
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", scale_plan)) == 3
+    assert len(re.findall(r"\(\d+\) Exchange", scale_plan)) <= 4
+
+
 def test_lateral_decorrelates_without_cartesian(spark):
     """j9_lateral_topk: Catalyst must decorrelate the LATERAL top-k into
     windowed joins — a cartesian or BNLJ here would be per-outer-row
