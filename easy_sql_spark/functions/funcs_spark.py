@@ -774,22 +774,63 @@ def build(processor):
         processor.log(f"snapshot_row_count({root}): {n}")
         return n
 
-    def dedup_index_ingest(root: str, view: str, out_view: str, batch_id: str = ""):
+    #: open deferred-commit contexts per index root: (index, context
+    #: manager) — a multi-batch load's ingests share one index object so
+    #: `func.dedup_index_flush` commits them as ONE snapshot version
+    _didx_deferred: dict[str, tuple] = {}
+
+    def dedup_index_ingest(
+        root: str,
+        view: str,
+        out_view: str,
+        batch_id: str = "",
+        defer: str = "",
+    ):
         """Incremental fuzzy dedup against the persistent LSH band index
         at ``root`` (operators/dedup_index.py): `func.dedup_index_ingest(
         /w/didx, batch_docs, admitted, 7)` — admits the non-duplicate
         part of the (doc_id, text) view, indexes it, and registers the
         admitted doc_ids as ``out_view``.  ``batch_id`` makes streaming
-        replays idempotent."""
+        replays idempotent.
+
+        ``defer=1``: the ingest joins an open deferred-commit context
+        for ``root`` (``MinHashDedupIndex.deferred_commits``) — several
+        priority-ordered ingest steps of ONE load coalesce into a
+        single snapshot commit at `func.dedup_index_flush(root)`, with
+        identical admission semantics (later ingests probe committed ∪
+        pending bands).  An ETL failure before the flush commits
+        nothing."""
         from ..operators.dedup_index import MinHashDedupIndex
 
-        idx = MinHashDedupIndex(spark, root)
+        if defer not in ("", "0", "false"):
+            if root not in _didx_deferred:
+                idx = MinHashDedupIndex(spark, root)
+                cm = idx.deferred_commits()
+                cm.__enter__()
+                _didx_deferred[root] = (idx, cm)
+            idx = _didx_deferred[root][0]
+        else:
+            idx = MinHashDedupIndex(spark, root)
         admitted = idx.ingest(
             spark.table(view),
             batch_id=int(batch_id) if batch_id != "" else None,
         )
         backend.create_temp_view(admitted, out_view)
         processor.log(f"dedup_index_ingest({root}, {view}) -> {out_view}")
+
+    def dedup_index_flush(root: str):
+        """Close the deferred-commit context opened by
+        ``dedup_index_ingest(..., defer=1)`` for ``root``: all pending
+        admitted bands commit as ONE snapshot version (manifest records
+        the coalesced batch ids)."""
+        if root not in _didx_deferred:
+            raise ValueError(
+                f"dedup_index_flush({root}): no open deferred ingest "
+                "context (did you pass defer=1 to dedup_index_ingest?)"
+            )
+        _idx, cm = _didx_deferred.pop(root)
+        cm.__exit__(None, None, None)
+        processor.log(f"dedup_index_flush({root}): committed")
 
     def ann_index_create(root: str, view: str, k: str = "16", iters: str = "2"):
         """Train + seed the persistent IVF ANN index

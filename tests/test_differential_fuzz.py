@@ -1028,3 +1028,78 @@ def test_random_resample_ffill_agrees(spark, ducks, events):
         ).fetchall()
     ]
     assert got == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 3),        # user_id
+            st.integers(0, 200),      # minute offset (spans to force
+        ),                            # multi-session splits at 30-min gap)
+        min_size=1,
+        max_size=18,
+    )
+)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_sessionize_agrees(spark, ducks, events):
+    """The SHIPPED gap sessionization (lag-flag-cumsum,
+    events_sessionize_batch) must agree with an independent DuckDB
+    formulation that finds session STARTS by non-existence of a
+    predecessor within the gap and numbers sessions by counting starts
+    — no window functions at all.  Random streams include duplicate
+    timestamps (gap 0) and exact-gap boundaries (same session under the
+    strict-> semantics)."""
+    import datetime
+    import tempfile
+
+    from easy_sql_spark.queries.llm_ops3 import (
+        SESSION_GAP_S,
+        events_sessionize_batch,
+    )
+
+    base = datetime.datetime(2024, 5, 1, 0, 0, 0)
+    rows = [
+        (u, base + datetime.timedelta(minutes=m), 1.0) for u, m in events
+    ]
+    d = tempfile.mkdtemp(prefix="sess_fuzz_")
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    got = [
+        tuple(r)
+        for r in events_sessionize_batch(spark, d).collect()
+    ]
+
+    want = [
+        tuple(r)
+        for r in ducks.execute(
+            f"""
+            WITH e AS (
+                SELECT user_id AS u, epoch_us(ts) // 1000000 AS t
+                FROM '{d}/events.parquet/*.parquet'),
+            dt AS (SELECT DISTINCT u, t FROM e),
+            starts AS (
+                SELECT u, t FROM dt a
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM dt b
+                    WHERE b.u = a.u AND b.t < a.t
+                      AND b.t >= a.t - {SESSION_GAP_S})),
+            sess AS (
+                SELECT e.u, e.t,
+                       (SELECT COUNT(*) FROM starts s
+                        WHERE s.u = e.u AND s.t <= e.t) AS session_no
+                FROM e)
+            SELECT CAST(u AS BIGINT), CAST(session_no AS BIGINT),
+                   CAST(MIN(t) AS BIGINT), CAST(MAX(t) AS BIGINT),
+                   CAST(COUNT(*) AS BIGINT)
+            FROM sess GROUP BY u, session_no
+            ORDER BY u, session_no
+            """
+        ).fetchall()
+    ]
+    assert got == want

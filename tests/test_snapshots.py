@@ -880,6 +880,44 @@ select cast(1 as long) as query_id,
     assert [r.rank for r in sorted(nn, key=lambda r: r.rank)] == [1, 2, 3, 4, 5]
 
 
+def test_dedup_index_deferred_step_functions(spark, tmp_path):
+    """`func.dedup_index_ingest(..., defer=1)` + `func.dedup_index_flush`
+    from the step language: a 2-batch load commits ONE snapshot version,
+    the second batch's probe sees the first's pending admissions, and
+    flushing without an open context is loud."""
+    import pytest as _pytest
+
+    from easy_sql_spark.runtime.processor import SqlProcessor
+    from easy_sql_spark.runtime.snapshots import SnapshotTable
+
+    didx = str(tmp_path / "didx_def")
+    etl = f"""-- target=temp.b1
+select 1L as doc_id, 'the quick brown fox jumps over the lazy dog' as text
+union all select 2L, 'an entirely different document about spark shuffles'
+
+-- target=func.dedup_index_ingest({didx}, b1, adm1, 0, 1)
+
+-- target=temp.b2
+select 10L as doc_id, 'the quick brown fox jumps over the lazy dog' as text
+union all select 11L, 'completely novel content never seen before today'
+
+-- target=func.dedup_index_ingest({didx}, b2, adm2, 1, 1)
+
+-- target=func.dedup_index_flush({didx})
+"""
+    SqlProcessor(spark, etl, logger=lambda m: None).run()
+    assert {r.doc_id for r in spark.table("adm1").collect()} == {1, 2}
+    # doc 10 duplicates PENDING doc 1 — rejected before any commit
+    assert {r.doc_id for r in spark.table("adm2").collect()} == {11}
+    t = SnapshotTable(spark, didx)
+    assert t.latest_version() == 1  # ONE coalesced commit
+    assert t.manifest(1)["batch_ids"] == [0, 1]
+
+    bad = f"-- target=func.dedup_index_flush({didx})\n"
+    with _pytest.raises(Exception, match="no open deferred"):
+        SqlProcessor(spark, bad, logger=lambda m: None).run()
+
+
 def test_write_audit_publish(spark, root):
     """WAP: a failed audit leaves NO trace (no version, staged dirs
     reaped); a passing audit publishes atomically."""
