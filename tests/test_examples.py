@@ -465,3 +465,45 @@ def test_streaming_dedup_index(spark, tmp_path):
     # every processed doc is in seen exactly once (no retries)
     seen = [r.doc_id for r in SnapshotTable(spark, roots["seen"]).read().collect()]
     assert sorted(seen) == [0, 1, 2, 3, 6, 7, 8]
+
+
+def test_batched_dedup_load(spark, tmp_path):
+    """Priority-tier batch load (examples/batched_dedup_load.sql):
+    defer=1 ingests + dedup_index_flush produce ONE snapshot commit
+    whose admissions equal the per-tier-commit run of the same tiers."""
+    from easy_sql_spark.runtime.snapshots import SnapshotTable
+
+    register_views(spark, "/root/testdata/sf0.001", ("documents",))
+    with open(os.path.join(EXAMPLES, "batched_dedup_load.sql")) as f:
+        sql = f.read()
+    didx = str(tmp_path / "didx_load")
+    p = SqlProcessor(
+        spark, sql, base_dir=EXAMPLES, logger=lambda m: None,
+        variables={"didx": didx},
+    )
+    p.run(dry_run=True)
+
+    admitted = {
+        (r.doc_id, r.tier) for r in spark.table("admitted_corpus").collect()
+    }
+    assert admitted
+    t = SnapshotTable(spark, didx)
+    assert t.latest_version() == 1  # the whole load is one commit
+    assert t.manifest(1)["batch_ids"] == [1, 2, 3]
+
+    # reference run: identical tiers through per-batch commits
+    from easy_sql_spark.operators.dedup_index import MinHashDedupIndex
+    from pyspark.sql import functions as F
+
+    ref = MinHashDedupIndex(spark, str(tmp_path / "didx_ref"))
+    docs = spark.table("documents").select("doc_id", "text")
+    want = set()
+    for tier, (lo, hi) in enumerate([(-1, 80), (80, 160), (160, 240)], 1):
+        adm = ref.ingest(
+            docs.where((F.col("doc_id") > lo) & (F.col("doc_id") <= hi)),
+            batch_id=tier,
+        )
+        want |= {(r.doc_id, tier) for r in adm.collect()}
+    assert admitted == want
+    assert ref.table.latest_version() == 3  # per-tier commits, for contrast
+    p.backend.clean_temp_views()
