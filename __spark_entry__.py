@@ -32,6 +32,9 @@ _ROUND9_FRONT = (
     "hudi_mor_parquet_block_read",  # NEW — PARQUET-format Hudi log data blocks
     "dedup_index_incremental",      # re-planned: deferred one-commit lifecycle
     "hudi_mor_kryo_delete_read",    # kryo_lite decode path: varlong cap, Utf8
+    "events_funnel",                # both sides: explicit NULL on an empty
+                                    # funnel stage (ANSI 0-div, found by the
+                                    # r9 funnel fuzzer)
     # stalest (last driver verdict r4), registry order:
     "a1_pricing_summary", "a2_global_agg", "a3_distinct_agg", "a5_rollup",
     "a5_cube", "a5_grouping_sets", "a6_having", "j1_inner_equi",

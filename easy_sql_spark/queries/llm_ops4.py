@@ -427,8 +427,12 @@ def text_stratified_sample(spark, sf_dir):
     SELECT CAST(COUNT(a) AS BIGINT) AS n_viewed,
            CAST(COUNT(b) AS BIGINT) AS n_clicked,
            CAST(COUNT(c) AS BIGINT) AS n_purchased,
-           ROUND(CAST(COUNT(b) AS DOUBLE) / COUNT(a), 4) AS conv_view_click,
-           ROUND(CAST(COUNT(c) AS DOUBLE) / COUNT(b), 4) AS conv_click_buy
+           CASE WHEN COUNT(a) > 0
+                THEN ROUND(CAST(COUNT(b) AS DOUBLE) / COUNT(a), 4) END
+               AS conv_view_click,
+           CASE WHEN COUNT(b) > 0
+                THEN ROUND(CAST(COUNT(c) AS DOUBLE) / COUNT(b), 4) END
+               AS conv_click_buy
     FROM per_user
     """,
 )
@@ -461,16 +465,23 @@ def events_funnel(spark, sf_dir):
     per_user = step.groupBy("user_id").agg(
         F.max("a").alias("a"), F.max("b").alias("b"), F.max("c").alias("c")
     )
+    # an EXPLICIT NULL when a funnel stage is empty, on BOTH sides: a
+    # zero-view (or zero-click) corpus is an ANSI divide-by-zero crash
+    # here while DuckDB silently emits NULL — the same cross-engine
+    # 0-denominator class the r8 mixture fuzzer caught; found by the r9
+    # funnel fuzzer (test_differential_fuzz.test_random_funnel_agrees)
     return per_user.agg(
         F.count("a").alias("n_viewed"),
         F.count("b").alias("n_clicked"),
         F.count("c").alias("n_purchased"),
-        F.round(F.count("b").cast("double") / F.count("a"), 4).alias(
-            "conv_view_click"
-        ),
-        F.round(F.count("c").cast("double") / F.count("b"), 4).alias(
-            "conv_click_buy"
-        ),
+        F.when(
+            F.count("a") > 0,
+            F.round(F.count("b").cast("double") / F.count("a"), 4),
+        ).alias("conv_view_click"),
+        F.when(
+            F.count("b") > 0,
+            F.round(F.count("c").cast("double") / F.count("b"), 4),
+        ).alias("conv_click_buy"),
     )
 
 

@@ -1103,3 +1103,82 @@ def test_random_sessionize_agrees(spark, ducks, events):
         ).fetchall()
     ]
     assert got == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 3),                            # user_id
+            st.sampled_from(["view", "click", "purchase"]),
+            st.integers(0, 50),                           # minute offset
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_funnel_agrees(spark, ducks, events):
+    """The SHIPPED ordered funnel (events_funnel — chained conditional-min
+    windows) must agree with an independent DuckDB correlated-subquery
+    cascade on random streams — INCLUDING corpora with an empty funnel
+    stage: its first run caught a REAL bug, the ANSI divide-by-zero on a
+    zero-view (or zero-click) corpus where DuckDB silently emits NULL
+    (the same 0-denominator class the r8 mixture fuzzer found)."""
+    import datetime
+    import tempfile
+
+    from easy_sql_spark.queries.llm_ops4 import events_funnel
+
+    base = datetime.datetime(2024, 5, 1, 0, 0, 0)
+    rows = [
+        (u, typ, base + datetime.timedelta(minutes=m)) for u, typ, m in events
+    ]
+    d = tempfile.mkdtemp(prefix="funnel_fuzz_")
+    spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    got = [tuple(r) for r in events_funnel(spark, d).collect()]
+
+    want = [
+        tuple(r)
+        for r in ducks.execute(
+            f"""
+            WITH e AS (
+                SELECT user_id AS u, event_type AS typ, ts AS t
+                FROM '{d}/events.parquet/*.parquet'),
+            users AS (SELECT DISTINCT u FROM e),
+            pu AS (
+                SELECT u,
+                       (SELECT MIN(t) FROM e
+                        WHERE e.u = users.u AND typ = 'view') AS a
+                FROM users),
+            pu2 AS (
+                SELECT u, a,
+                       (SELECT MIN(t) FROM e
+                        WHERE e.u = pu.u AND typ = 'click'
+                          AND t > pu.a) AS b
+                FROM pu),
+            pu3 AS (
+                SELECT u, a, b,
+                       (SELECT MIN(t) FROM e
+                        WHERE e.u = pu2.u AND typ = 'purchase'
+                          AND t > pu2.b) AS c
+                FROM pu2)
+            SELECT CAST(COUNT(a) AS BIGINT), CAST(COUNT(b) AS BIGINT),
+                   CAST(COUNT(c) AS BIGINT),
+                   CASE WHEN COUNT(a) > 0
+                        THEN ROUND(CAST(COUNT(b) AS DOUBLE) / COUNT(a), 4)
+                   END,
+                   CASE WHEN COUNT(b) > 0
+                        THEN ROUND(CAST(COUNT(c) AS DOUBLE) / COUNT(b), 4)
+                   END
+            FROM pu3
+            """
+        ).fetchall()
+    ]
+    assert got == want
