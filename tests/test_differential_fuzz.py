@@ -1182,3 +1182,75 @@ def test_random_funnel_agrees(spark, ducks, events):
         ).fetchall()
     ]
     assert got == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 4),      # user_id
+            st.integers(0, 45),     # day offset (spans week boundaries)
+            st.integers(0, 23),     # hour
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+    base_dow=st.integers(0, 6),     # start on every weekday
+)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_retention_cohorts_agree(spark, ducks, events, base_dow):
+    """The SHIPPED weekly retention cohorts (window first-seen +
+    date_trunc-week cohort + day-diff//7 offset) must agree with an
+    independent DuckDB formulation that computes first-seen via a
+    correlated MIN and the Monday via day-of-week arithmetic (no
+    date_trunc at all) — week-truncation boundary semantics are a
+    classic engine-divergence spot, so streams start on every weekday
+    and span multiple week boundaries."""
+    import datetime
+    import tempfile
+
+    from easy_sql_spark.queries.llm_ops4 import events_retention_cohorts
+
+    base = datetime.datetime(2024, 4, 1) + datetime.timedelta(days=base_dow)
+    rows = [
+        (u, base + datetime.timedelta(days=d, hours=h))
+        for u, d, h in events
+    ]
+    d = tempfile.mkdtemp(prefix="cohort_fuzz_")
+    spark.createDataFrame(rows, "user_id long, ts timestamp").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/events.parquet")
+
+    got = [tuple(r) for r in events_retention_cohorts(spark, d).collect()]
+
+    want = [
+        tuple(r)
+        for r in ducks.execute(
+            f"""
+            WITH e AS (
+                SELECT user_id AS u, ts FROM '{d}/events.parquet/*.parquet'),
+            f AS (
+                SELECT u, ts,
+                       (SELECT MIN(ts) FROM e i WHERE i.u = e.u) AS first_ts
+                FROM e),
+            m AS (
+                SELECT u,
+                       -- Monday via day-of-week arithmetic (Sunday = 0)
+                       strftime(first_ts::DATE
+                                - CAST((dayofweek(first_ts) + 6) % 7
+                                       AS INTEGER),
+                                '%Y-%m-%d') AS cohort,
+                       CAST((ts::DATE - first_ts::DATE) // 7 AS INT)
+                           AS week_offset
+                FROM f)
+            SELECT cohort, week_offset,
+                   CAST(COUNT(DISTINCT u) AS BIGINT) AS active_users
+            FROM m GROUP BY cohort, week_offset
+            ORDER BY cohort, week_offset
+            """
+        ).fetchall()
+    ]
+    assert got == want
