@@ -35,6 +35,10 @@ _ROUND9_FRONT = (
     "events_funnel",                # both sides: explicit NULL on an empty
                                     # funnel stage (ANSI 0-div, found by the
                                     # r9 funnel fuzzer)
+    "sim_mmr_rerank",               # both sides: MMR score combination in
+                                    # exact DECIMAL (5th-decimal half ties
+                                    # were engine-dependent; found by the
+                                    # r9 sf0.001 tri-SF sweep)
     # stalest (last driver verdict r4), registry order:
     "a1_pricing_summary", "a2_global_agg", "a3_distinct_agg", "a5_rollup",
     "a5_cube", "a5_grouping_sets", "a6_having", "j1_inner_equi",

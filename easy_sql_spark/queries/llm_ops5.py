@@ -636,7 +636,18 @@ def _mmr_oracle(k: int = 8, pool: int = 16, lam: float = 0.7) -> str:
     dedup oracle's unrolled batches): each pick is a one-row CTE
     selecting the argmax of lambda*rel - (1-lambda)*max-sim-to-picked,
     all similarities quantized to 4 dp on both engines before any
-    comparison so the argmax is decided by identical doubles."""
+    comparison so the argmax is decided by identical doubles.
+
+    The linear combination itself runs in DECIMAL: rel/penalty are
+    exact 4-dp values, so ``0.7*rel - 0.3*penalty`` frequently lands
+    EXACTLY on a 5th-decimal half, where double ROUND ties are decided
+    by engine rounding mode + 1-ulp representation luck (found at
+    sf0.001: 0.7×0.3345 = 0.23415 → 0.2341 vs 0.2342).  Recovering the
+    4-dp decimals, combining exactly, and rounding half-away in decimal
+    makes the tie deterministic; the Python side mirrors it with the
+    decimal module (ROUND_HALF_UP)."""
+    lam_d = f"CAST({lam} AS DECIMAL(6,4))"
+    mu_d = f"CAST({round(1 - lam, 10)} AS DECIMAL(6,4))"
     ctes = [
         f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
@@ -652,7 +663,9 @@ def _mmr_oracle(k: int = 8, pool: int = 16, lam: float = 0.7) -> str:
                ROUND(list_cosine_similarity(a.v, b.v), 4) AS s
         FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
     p1 AS MATERIALIZED (
-        SELECT vec_id, ROUND({lam} * rel, 4) AS score FROM pool
+        SELECT vec_id,
+               ROUND({lam_d} * CAST(rel AS DECIMAL(10,4)), 4) AS score
+        FROM pool
         ORDER BY score DESC, vec_id LIMIT 1)"""
     ]
     picked_union = "SELECT vec_id FROM p1"
@@ -660,8 +673,8 @@ def _mmr_oracle(k: int = 8, pool: int = 16, lam: float = 0.7) -> str:
         ctes.append(
             f"""p{i} AS MATERIALIZED (
         SELECT p.vec_id,
-               ROUND({lam} * p.rel - {round(1 - lam, 10)} * (
-                   SELECT MAX(s.s) FROM sims s
+               ROUND({lam_d} * CAST(p.rel AS DECIMAL(10,4)) - {mu_d} * (
+                   SELECT CAST(MAX(s.s) AS DECIMAL(10,4)) FROM sims s
                    WHERE s.a = p.vec_id
                      AND s.b IN ({picked_union})), 4) AS score
         FROM pool p WHERE p.vec_id NOT IN ({picked_union})
@@ -752,6 +765,16 @@ def sim_mmr_rerank(spark, sf_dir):
         (r["vec_id"], r["b_id"]): r["s"]
         for r in sims_df.collect()  # bounded-driver: pool self-join <= 16*15 rows
     }
+    # the linear combination runs in exact DECIMAL on both engines:
+    # rel/penalty are 4-dp quantized, so lam*rel - (1-lam)*penalty often
+    # lands EXACTLY on a 5th-decimal half where double round() ties are
+    # engine-dependent (found at sf0.001: 0.7*0.3345 = 0.23415 → Python
+    # banker's 0.2341 vs DuckDB 0.2342).  Recover the decimals, combine
+    # exactly, round half-away — mirroring the oracle's DECIMAL ROUND.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    lam_d, mu_d = Decimal("0.7"), Decimal("0.3")
+    q4 = Decimal("0.0001")
     picked: list[tuple[int, int, float]] = []
     chosen: list[int] = []
     for rank in range(1, k + 1):
@@ -760,7 +783,12 @@ def sim_mmr_rerank(spark, sf_dir):
             if vid in chosen:
                 continue
             penalty = max((sims[(vid, c)] for c in chosen), default=0.0)
-            score = round(lam * rels[vid] - (1 - lam) * penalty, 4)
+            score = float(
+                (
+                    lam_d * Decimal(f"{rels[vid]:.4f}")
+                    - mu_d * Decimal(f"{penalty:.4f}")
+                ).quantize(q4, ROUND_HALF_UP)
+            )
             if best is None or score > best[1]:
                 best = (vid, score)
         picked.append((rank, best[0], best[1]))
