@@ -36,3 +36,16 @@ def test_every_query_matches_its_oracle(spark):
 
     declared = sorted(set(se.queries()) - set(se.oracle_sql()))
     assert rows_only == declared
+
+
+def test_registry_fully_oracle_backed():
+    """r10 closed the last 3 ``no_oracle`` gaps (generated VALUES-literal
+    oracles) — every registry entry must now carry oracle SQL.  Also
+    catches a silent regression to the ``_oracle_literals`` ImportError
+    bootstrap (oracle=None would drop entries from ORACLES)."""
+    import __spark_entry__ as se
+
+    missing = sorted(set(se.queries()) - set(se.oracle_sql()))
+    assert missing == [], f"registry entries without oracle SQL: {missing}"
+    for name in ("emb_pca_project", "text_bpe_merges", "text_bpe_token_count"):
+        assert "VALUES" in se.oracle_sql()[name]
