@@ -779,6 +779,26 @@ def build(processor):
     #: `func.dedup_index_flush` commits them as ONE snapshot version
     _didx_deferred: dict[str, tuple] = {}
 
+    def _didx_all_flushed():
+        """End-of-run guard (ADVICE r9): a load that passed ``defer=1``
+        but never reached ``func.dedup_index_flush`` would otherwise
+        complete "successfully" while committing NOTHING to the index —
+        the admitted views were consumed downstream and the next load
+        would re-admit the same docs.  Failing the run here turns that
+        silent index loss into a loud ETL failure (nothing was
+        committed, so the rerun-with-flush is safe)."""
+        if _didx_deferred:
+            roots = sorted(_didx_deferred)
+            _didx_deferred.clear()  # abandon (uncommitted by design)
+            raise RuntimeError(
+                "dedup_index_ingest(defer=1) context(s) never flushed "
+                f"for index root(s) {roots}: add a "
+                "func.dedup_index_flush(<root>) step after the last "
+                "deferred ingest — no pending admission was committed"
+            )
+
+    processor.run_end_checks.append(_didx_all_flushed)
+
     def dedup_index_ingest(
         root: str,
         view: str,

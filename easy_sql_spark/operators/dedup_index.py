@@ -64,6 +64,12 @@ class MinHashDedupIndex:
         #: :meth:`deferred_commits`, flushed as one snapshot commit
         self._pending: list[tuple[int | None, DataFrame]] = []
         self._defer = False
+        #: conservative upper bound on pending band ROWS (each deferred
+        #: ingest adds its pre-probe band-row count — free, already
+        #: computed for partition sizing); feeds the probe's broadcast
+        #: regime choice so a load coalescing many large batches cannot
+        #: broadcast a view far above SMALL_INDEX_BYTES (ADVICE r9)
+        self._pending_rows = 0
 
     def _bands(self, docs: DataFrame, with_count: bool = False):
         from ..queries.llm_ops import minhash_bands
@@ -83,6 +89,11 @@ class MinHashDedupIndex:
     #: 10⁹-band-row daily batch still fans out to ~2000 partitions, a
     #: 400-row test batch collapses to 1
     BAND_ROWS_PER_PARTITION = 1 << 19
+
+    #: on-disk-equivalent bytes per pending band row (doc_id + band_id +
+    #: 64-bit band hash, compressed-parquet scale — the same units as
+    #: SMALL_INDEX_BYTES) for the pending-size estimate above
+    PENDING_BAND_ROW_BYTES = 64
 
     def _index_bytes(self) -> int:
         """On-disk size of the live index dirs — a PURE manifest-metadata
@@ -119,6 +130,52 @@ class MinHashDedupIndex:
             )
         return total
 
+    def _batch_committed_docs(self, batch_id: int) -> DataFrame | None:
+        """doc_ids committed by the commit that recorded ``batch_id`` —
+        the scoped source for replay reconstruction (see ``ingest``).
+
+        Walks manifests newest-first for a ``batch_id``/``batch_ids``
+        match and reads only that version's ``added`` dirs.  A deferred
+        flush coalesces several batch ids into one commit, so its dirs
+        cover all SIBLING batches of the same load — within one load the
+        producer slices a single band table, so a doc_id appearing in
+        two sibling slices stays under the documented
+        unique-per-load precondition; across loads the scoping is exact
+        (the re-crawl case of ADVICE r9).
+        Returns None when the commit is no longer reconstructable
+        (vacuumed manifest, compacted-away dirs) — caller falls back to
+        the whole-index join."""
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        t = self.table
+        for v in sorted(t.existing_versions(), reverse=True):
+            try:
+                m = t.manifest(v)
+            except Exception:
+                return None
+            ids = m.get("batch_ids") or (
+                [m["batch_id"]] if m.get("batch_id") is not None else []
+            )
+            if batch_id not in {int(b) for b in ids}:
+                continue
+            added = m.get("added") or []
+            if not added:
+                return None
+            try:
+                schema = StructType.fromJson(_json.loads(m["schema"]))
+                frame = t._read_state(m, added, schema)
+                # materialize NOW: if the dirs were vacuumed the failure
+                # must surface here (-> fallback), not mid-join later
+                frame = frame.select("doc_id").distinct().localCheckpoint(
+                    eager=True
+                )
+            except Exception:
+                return None
+            return frame
+        return None
+
     def _index_view(self) -> DataFrame | None:
         """The probe side: the committed index plus any pending
         (deferred, not-yet-flushed) admitted bands — deferred ingests
@@ -147,18 +204,21 @@ class MinHashDedupIndex:
         contract of this module.  Size-adaptive, both regimes index-
         shuffle-free:
 
-        - small index (committed on-disk bytes from the manifest below
-          ``SMALL_INDEX_BYTES``; pending deferred bands are batch-sized
-          by construction and don't change the regime): direct
-          ``left_semi`` with an EXPLICIT broadcast of the view — one
-          scan, one join, the cheap plan while the corpus is young;
+        - small index (committed on-disk bytes from the manifest PLUS a
+          conservative estimate of pending deferred bands — a load
+          coalescing many batches must not broadcast a view far above
+          the threshold just because none of it is committed yet —
+          below ``SMALL_INDEX_BYTES``): direct ``left_semi`` with an
+          EXPLICIT broadcast of the view — one scan, one join, the
+          cheap plan while the corpus is young;
         - otherwise :meth:`_probe_hits_scale` — two broadcast steps
           bounded by the batch's distinct band keys.
         """
         committed = (
             self._index_bytes() if self.table.latest_version() else 0
         )
-        if committed <= self.SMALL_INDEX_BYTES:
+        pending_est = self._pending_rows * self.PENDING_BAND_ROW_BYTES
+        if committed + pending_est <= self.SMALL_INDEX_BYTES:
             return (
                 bands.join(
                     F.broadcast(view), ["band_id", "band"], "left_semi"
@@ -225,6 +285,7 @@ class MinHashDedupIndex:
         finally:
             self._defer = False
             self._pending.clear()
+            self._pending_rows = 0
 
     def flush(self) -> None:
         """Commit all pending deferred batches as one snapshot version.
@@ -244,6 +305,7 @@ class MinHashDedupIndex:
             last = self.table.last_committed_batch()
             if last is not None and last >= bids[-1]:
                 self._pending.clear()
+                self._pending_rows = 0
                 return  # full replay of an already-committed range
             extra = {
                 "batch_id": bids[-1],
@@ -255,6 +317,7 @@ class MinHashDedupIndex:
         else:
             self.table.append(union, extra=extra)
         self._pending.clear()
+        self._pending_rows = 0
 
     def ingest(
         self,
@@ -286,18 +349,28 @@ class MinHashDedupIndex:
         # now would collide with the batch's OWN just-committed bands,
         # admit nothing, and permanently drop the docs from any
         # downstream admitted-corpus append.  Reconstruct instead: only
-        # admitted docs are ever indexed, and a doc is only ever offered
-        # in its own batch, so this batch's admitted set is exactly
-        # (docs ∩ indexed doc_ids) ∪ its bandless docs.
+        # admitted docs are ever indexed, so this batch's admitted set is
+        # (docs ∩ doc_ids committed BY THIS BATCH's commit) ∪ its
+        # bandless docs.  Scoping the join to the batch's own committed
+        # dirs (manifest ``added`` + recorded batch ids) keeps the
+        # reconstruction exact even when a doc_id is re-offered in a
+        # LATER batch (re-crawl): the original run rejected it as a
+        # duplicate of the earlier batch, and the earlier batch's bands
+        # are not in this batch's dirs (ADVICE r9).  Only when the
+        # batch's commit history is gone (vacuumed manifests / compacted
+        # dirs) does it widen to the whole index — under the documented
+        # precondition that a doc_id is offered at most once per index
+        # lifetime.
         if batch_id is not None:
             last = self.table.last_committed_batch()
             if last is not None and int(batch_id) <= last:
                 if bands is None:
                     bands = self._bands(docs)
+                committed = self._batch_committed_docs(int(batch_id))
+                if committed is None:
+                    committed = self.table.read().select("doc_id").distinct()
                 indexed = docs.select("doc_id").join(
-                    self.table.read().select("doc_id").distinct(),
-                    "doc_id",
-                    "left_semi",
+                    committed, "doc_id", "left_semi"
                 )
                 bandless = docs.select("doc_id").join(
                     bands.select("doc_id").distinct(), "doc_id", "left_anti"
@@ -373,6 +446,9 @@ class MinHashDedupIndex:
             self._pending.append(
                 (None if batch_id is None else int(batch_id), admitted_bands)
             )
+            # pre-probe band rows: a free (already-computed) upper bound
+            # on this batch's pending contribution to the probe view
+            self._pending_rows += int(n_band_rows)
         elif not self.table.latest_version():
             # record the batch id on the CREATE commit too, or a replayed
             # first batch (restart before the stream checkpoint lands)

@@ -116,6 +116,10 @@ class SqlProcessor:
         self._output_views: dict[str, str] = {}  # table name -> dry-run view
 
         self.sql_collector: list[str] = []  # executed-SQL audit (ref step.py:189-220)
+        #: end-of-run invariant checks (e.g. "every deferred dedup-index
+        #: ingest was flushed") — run AFTER the last step succeeds; a
+        #: failing check fails the run instead of silently dropping state
+        self.run_end_checks: list[Callable[[], None]] = []
 
         from ..functions import build_registry
 
@@ -177,6 +181,8 @@ class SqlProcessor:
         try:
             for step in self.steps:
                 self._run_step(step, dry_run)
+            for check in self.run_end_checks:
+                check()
         finally:
             self.log(self.report.render())
             for sink in self.report_sinks:

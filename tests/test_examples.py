@@ -467,6 +467,105 @@ def test_streaming_dedup_index(spark, tmp_path):
     assert sorted(seen) == [0, 1, 2, 3, 6, 7, 8]
 
 
+def test_batched_dedup_load_missing_flush_fails_run(spark, tmp_path):
+    """Crash-window contract #1 (r10 ask #6 + ADVICE r9 medium): a load
+    that passes defer=1 but never reaches dedup_index_flush must FAIL
+    the run (end-of-run guard) — not complete 'successfully' while
+    silently committing nothing — and the index must be bit-identical
+    to never-ran (no versions)."""
+    import pytest
+
+    from easy_sql_spark.runtime.snapshots import SnapshotTable
+
+    register_views(spark, "/root/testdata/sf0.001", ("documents",))
+    didx = str(tmp_path / "didx_noflush")
+    etl = """-- backend: spark
+-- target=temp.b1
+select doc_id, text from documents where doc_id <= 40
+
+-- target=func.dedup_index_ingest(${didx}, b1, adm1, 1, 1)
+
+-- target=temp.downstream
+select count(*) as n from adm1
+"""
+    p = SqlProcessor(
+        spark, etl, logger=lambda m: None, variables={"didx": didx}
+    )
+    with pytest.raises(RuntimeError, match="never flushed"):
+        p.run(dry_run=True)
+    assert SnapshotTable(spark, didx).existing_versions() == []
+    p.backend.clean_temp_views()
+
+
+def test_batched_dedup_load_failure_before_flush_commits_nothing(
+    spark, tmp_path
+):
+    """Crash-window contract #2: an ETL failure BETWEEN a deferred
+    ingest and the flush leaves the index bit-identical to never-ran
+    (the documented 'a failure anywhere before the flush commits
+    nothing')."""
+    import pytest
+
+    from easy_sql_spark.runtime.snapshots import SnapshotTable
+
+    register_views(spark, "/root/testdata/sf0.001", ("documents",))
+    didx = str(tmp_path / "didx_crash")
+    etl = """-- backend: spark
+-- target=temp.b1
+select doc_id, text from documents where doc_id <= 40
+
+-- target=func.dedup_index_ingest(${didx}, b1, adm1, 1, 1)
+
+-- the crash window: a failing check before the flush
+-- target=check.boom
+select 1 as actual, 2 as expected
+
+-- target=func.dedup_index_flush(${didx})
+"""
+    p = SqlProcessor(
+        spark, etl, logger=lambda m: None, variables={"didx": didx}
+    )
+    with pytest.raises(Exception) as exc:
+        p.run(dry_run=True)
+    assert not isinstance(exc.value, RuntimeError) or "never flushed" not in str(
+        exc.value
+    )  # the CHECK failed the run, not the guard
+    assert SnapshotTable(spark, didx).existing_versions() == []
+    p.backend.clean_temp_views()
+
+
+def test_batched_dedup_load_restart_after_flush_replays(spark, tmp_path):
+    """Crash-window contract #3: rerunning the WHOLE load after its
+    flush committed (restart before a downstream sink checkpoint) must
+    commit nothing new and reconstruct identical admitted views."""
+    from easy_sql_spark.runtime.snapshots import SnapshotTable
+
+    register_views(spark, "/root/testdata/sf0.001", ("documents",))
+    with open(os.path.join(EXAMPLES, "batched_dedup_load.sql")) as f:
+        sql = f.read()
+    didx = str(tmp_path / "didx_replay")
+
+    def run():
+        p = SqlProcessor(
+            spark, sql, base_dir=EXAMPLES, logger=lambda m: None,
+            variables={"didx": didx},
+        )
+        p.run(dry_run=True)
+        got = {
+            (r.doc_id, r.tier)
+            for r in spark.table("admitted_corpus").collect()
+        }
+        p.backend.clean_temp_views()
+        return got
+
+    first = run()
+    t = SnapshotTable(spark, didx)
+    assert t.latest_version() == 1
+    replay = run()
+    assert replay == first  # reconstructed, not re-probed-vs-self
+    assert t.latest_version() == 1  # and nothing re-committed
+
+
 def test_batched_dedup_load(spark, tmp_path):
     """Priority-tier batch load (examples/batched_dedup_load.sql):
     defer=1 ingests + dedup_index_flush produce ONE snapshot commit

@@ -331,6 +331,33 @@ def test_dedup_index_replay_reconstructs_admitted_set(spark, root):
     assert idx.table.latest_version() == v
 
 
+def test_dedup_index_replay_scoped_to_batch_commit(spark, root):
+    """Replay reconstruction joins only the batch's OWN committed dirs
+    (manifest ``added`` + recorded batch ids): a doc_id admitted in an
+    EARLIER batch and re-offered in a later one (re-crawl) was rejected
+    by the later batch's original run — its replay must reject it too.
+    A whole-index join would wrongly re-admit it (ADVICE r9)."""
+    from easy_sql_spark.operators.dedup_index import MinHashDedupIndex
+
+    idx = MinHashDedupIndex(spark, root)
+    crawl = (1, "the quick brown fox jumps over the lazy dog")
+    idx.ingest(
+        spark.createDataFrame([crawl], "doc_id long, text string"),
+        batch_id=0,
+    )
+    b1 = spark.createDataFrame(
+        [crawl,  # re-crawl: same doc_id, rejected vs batch 0's bands
+         (5, "completely novel content never seen before today")],
+        "doc_id long, text string",
+    )
+    adm = {r.doc_id for r in idx.ingest(b1, batch_id=1).collect()}
+    assert adm == {5}
+    v = idx.table.latest_version()
+    replay = {r.doc_id for r in idx.ingest(b1, batch_id=1).collect()}
+    assert replay == {5}  # NOT {1, 5}: doc 1 is indexed, but not by batch 1
+    assert idx.table.latest_version() == v
+
+
 def test_dedup_index_deferred_commits_one_version_same_admissions(
     spark, tmp_path
 ):
