@@ -977,3 +977,217 @@ def hudi_mor_parquet_block_read(spark, sf_dir):
         .orderBy("snap")
         .localCheckpoint(eager=True)
     )
+
+
+@query(
+    "hudi_cdc_block_read",
+    oracle="""
+    WITH seed AS (
+        SELECT o_orderkey AS k,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey <= 300),
+    upd AS (
+        SELECT k, cents AS before_c, cents + 1000 AS after_c
+        FROM seed WHERE k <= 10),
+    ins AS (
+        SELECT 900001 + i AS k, CAST(5000 + i AS BIGINT) AS after_c
+        FROM (SELECT UNNEST([0, 1, 2]) AS i)),
+    v2 AS (
+        SELECT k, CASE WHEN k <= 10 THEN cents + 1000 ELSE cents END AS cents
+        FROM seed
+        UNION ALL SELECT k, after_c FROM ins),
+    dels AS (SELECT k, cents FROM v2 WHERE k % 9 = 0),
+    fin AS (SELECT * FROM v2 WHERE k % 9 <> 0)
+    SELECT kind, CAST(n AS BIGINT) AS n,
+           CAST(sum_before AS BIGINT) AS sum_before,
+           CAST(sum_after AS BIGINT) AS sum_after
+    FROM (
+        SELECT 'cdc:002:i' AS kind, (SELECT COUNT(*) FROM ins) AS n,
+               NULL AS sum_before, (SELECT SUM(after_c) FROM ins) AS sum_after
+        UNION ALL SELECT 'cdc:002:u', (SELECT COUNT(*) FROM upd),
+               (SELECT SUM(before_c) FROM upd), (SELECT SUM(after_c) FROM upd)
+        UNION ALL SELECT 'cdc:003:d', (SELECT COUNT(*) FROM dels),
+               (SELECT SUM(cents) FROM dels), NULL
+        UNION ALL SELECT 'snapshot', (SELECT COUNT(*) FROM fin),
+               NULL, (SELECT SUM(cents) FROM fin)
+    ) ORDER BY kind
+    """,
+)
+def hudi_cdc_block_read(spark, sf_dir):
+    """Hudi CHANGE-DATA-CAPTURE read (RFC-51,
+    ``hoodie.table.cdc.enabled=true``): the writer lands every change
+    twice — regular data/delete log blocks for the snapshot state, and
+    a supplemental ``-cdc`` log file of CDC_DATA_BLOCKs
+    (data_before_after logging mode: op + ts_ms + before/after images)
+    that ``read_hudi_cdc`` (sources/hudi_meta.py) decodes into the
+    Debezium-shaped change feed.  The fixture also plants an INFLIGHT
+    cdc instant (004, no timeline entry) the feed must treat as
+    invisible, and the final ``snapshot`` row proves the snapshot merge
+    SKIPS the supplemental cdc file (its records carry no
+    ``_hoodie_record_key`` — double-consuming it would raise).  The
+    oracle replays the same update/insert/delete waves in SQL, so
+    what's value-checked is the CDC block decode, the image JSON, the
+    instant filtering and the cdc/data file separation.
+
+    Scale: cdc payloads decode inside executor tasks (one per cdc
+    file); image projections are ``get_json_object`` — JVM-side."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..sources.hudi_log import (
+        write_cdc_data_block,
+        write_data_block,
+        write_delete_block,
+    )
+    from ..sources.hudi_meta import read_hudi, read_hudi_cdc
+
+    t = _tempfile.mkdtemp(prefix="hudi_cdc_q_") + "/tbl"
+    _os.makedirs(t)
+    seed = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 300)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    base = seed.selectExpr(
+        "'001' as _hoodie_commit_time",
+        "cast(k as string) as _hoodie_record_key",
+        "'' as _hoodie_partition_path",
+        "k",
+        "cents",
+    )
+    base.coalesce(1).write.parquet(t + "/_s")
+    part = next(n for n in _os.listdir(t + "/_s") if n.endswith(".parquet"))
+    _os.replace(f"{t}/_s/{part}", f"{t}/f1_0-1-0_001.parquet")
+    _shutil.rmtree(t + "/_s")
+
+    rec_schema = {
+        "type": "record",
+        "name": "rec",
+        "fields": [
+            {"name": "_hoodie_commit_time", "type": "string"},
+            {"name": "_hoodie_record_key", "type": "string"},
+            {"name": "_hoodie_partition_path", "type": "string"},
+            {"name": "k", "type": "long"},
+            {"name": "cents", "type": "long"},
+        ],
+    }
+    img_schema = {
+        "type": "record",
+        "name": "img",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "cents", "type": "long"},
+        ],
+    }
+
+    upd = seed.where(F.col("k") <= 10).collect()  # bounded-driver: <=10 rows
+    ins = [(900001 + i, 5000 + i) for i in range(3)]
+    data_002 = [
+        {
+            "_hoodie_commit_time": "002",
+            "_hoodie_record_key": str(r.k),
+            "_hoodie_partition_path": "",
+            "k": r.k,
+            "cents": r.cents + 1000,
+        }
+        for r in upd
+    ] + [
+        {
+            "_hoodie_commit_time": "002",
+            "_hoodie_record_key": str(k),
+            "_hoodie_partition_path": "",
+            "k": k,
+            "cents": c,
+        }
+        for k, c in ins
+    ]
+    cdc_002 = [
+        {
+            "op": "u",
+            "ts_ms": "002",
+            "before": {"k": r.k, "cents": r.cents},
+            "after": {"k": r.k, "cents": r.cents + 1000},
+        }
+        for r in upd
+    ] + [
+        {"op": "i", "ts_ms": "002", "before": None,
+         "after": {"k": k, "cents": c}}
+        for k, c in ins
+    ]
+    # deletes act on the post-002 state: k % 9 == 0 (k=9 carries its
+    # UPDATED cents in the before image; inserted keys are never % 9)
+    live2 = {r.k: r.cents + 1000 for r in upd}
+    live2.update({r.k: r.cents for r in seed.collect() if r.k > 10})  # bounded-driver: <=300 rows
+    live2.update(dict(ins))
+    dels = sorted(k for k in live2 if k % 9 == 0)
+    cdc_003 = [
+        {
+            "op": "d",
+            "ts_ms": "003",
+            "before": {"k": k, "cents": live2[k]},
+            "after": None,
+        }
+        for k in dels
+    ]
+
+    with open(f"{t}/.f1_001.log.1_0-1-0", "wb") as fh:
+        fh.write(
+            write_data_block(rec_schema, data_002, "002")
+            + write_delete_block([(str(k), "") for k in dels], "003")
+        )
+    with open(f"{t}/.f1_001.log.1_0-1-0-cdc", "wb") as fh:
+        fh.write(
+            write_cdc_data_block(cdc_002, "002", "data_before_after",
+                                 img_schema)
+            + write_cdc_data_block(cdc_003, "003", "data_before_after",
+                                   img_schema)
+            # inflight instant: NOT in the timeline, must be invisible
+            + write_cdc_data_block(
+                [{"op": "i", "ts_ms": "004", "before": None,
+                  "after": {"k": 999999, "cents": 1}}],
+                "004", "data_before_after", img_schema,
+            )
+        )
+
+    _os.makedirs(f"{t}/.hoodie")
+    with open(f"{t}/.hoodie/hoodie.properties", "w") as fh:
+        fh.write(
+            "hoodie.table.name=qc\nhoodie.table.type=MERGE_ON_READ\n"
+            "hoodie.table.cdc.enabled=true\n"
+            "hoodie.table.cdc.supplemental.logging.mode=data_before_after\n"
+        )
+    for instant, action in (("001", "commit"), ("002", "deltacommit"),
+                            ("003", "deltacommit")):
+        with open(f"{t}/.hoodie/{instant}.{action}", "w") as fh:
+            fh.write("{}")
+
+    feed = read_hudi_cdc(spark, t)
+    cdc_agg = (
+        feed.groupBy(
+            F.concat_ws(":", F.lit("cdc"), F.col("commit_time"),
+                        F.col("op")).alias("kind")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.get_json_object("before", "$.cents").cast("bigint")
+            ).alias("sum_before"),
+            F.sum(
+                F.get_json_object("after", "$.cents").cast("bigint")
+            ).alias("sum_after"),
+        )
+    )
+    snap = read_hudi(spark, t).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.lit(None).cast("bigint").alias("sum_before"),
+        F.sum("cents").cast("bigint").alias("sum_after"),
+    ).select(F.lit("snapshot").alias("kind"), "n", "sum_before", "sum_after")
+    return (
+        cdc_agg.unionByName(snap).orderBy("kind").localCheckpoint(eager=True)
+    )

@@ -40,11 +40,24 @@ Block types handled (ordinals from ``HoodieLogBlockType``):
   into the block body); decoded with pyarrow inside the executor task,
   records surface through the same list[dict] interface as avro blocks;
 * ``COMMAND_BLOCK`` (0) — empty content; header ``TARGET_INSTANT_TIME``
-  names the instant whose earlier blocks a rollback invalidates.
+  names the instant whose earlier blocks a rollback invalidates;
+* ``CDC_DATA_BLOCK`` (6) — change-data-capture supplemental records
+  (RFC-51, ``hoodie.table.cdc.enabled=true``): the block extends the
+  avro data block WITHOUT overriding content serialization
+  (hudi-common ``HoodieCDCDataBlock`` — same int32 version / int32
+  count / per-record framing), so the decode branch is shared; the
+  header ``SCHEMA`` carries the mode-dependent CDC record schema
+  (``HoodieCDCUtils.schemaBySupplementalLoggingMode``: ``op`` +
+  ``record_key`` for op_key_only, plus a nullable ``before`` image for
+  data_before, or ``op``/``ts_ms``/``before``/``after`` for
+  data_before_after).  CDC blocks live in ``-cdc``-suffixed log files
+  that are SUPPLEMENTAL — the snapshot merge must skip them
+  (``hudi_meta._log_files``) and the change feed reads them
+  (``hudi_meta.read_hudi_cdc``).
 
-``HFILE_DATA_BLOCK`` (4, metadata-table HFile payloads) and
-``CDC_DATA_BLOCK`` (6) remain the refusal surface — they raise
-:class:`HudiLogUnsupportedError` by ordinal.
+``HFILE_DATA_BLOCK`` (4, metadata-table HFile payloads) remains the
+refusal surface — it raises :class:`HudiLogUnsupportedError` by
+ordinal.
 
 Header metadata ordinals (``HeaderMetadataType``): INSTANT_TIME 0,
 TARGET_INSTANT_TIME 1, SCHEMA 2, COMMAND_BLOCK_TYPE 3.
@@ -151,7 +164,9 @@ def _decode_content(btype: int, header: dict[int, str], content: bytes):
 
     if btype == COMMAND_BLOCK:
         return None
-    if btype == AVRO_DATA_BLOCK:
+    if btype in (AVRO_DATA_BLOCK, CDC_DATA_BLOCK):
+        # HoodieCDCDataBlock extends HoodieAvroDataBlock without
+        # overriding serialization — same framing, CDC schema in SCHEMA
         schema = json.loads(header[SCHEMA])
         version, count = struct.unpack_from(">ii", content, 0)
         pos = 8
@@ -189,12 +204,32 @@ def _decode_content(btype: int, header: dict[int, str], content: bytes):
         import pyarrow as _pa
         import pyarrow.parquet as _pq
 
-        return _pq.read_table(_pa.BufferReader(content)).to_pylist()
+        table = _pq.read_table(_pa.BufferReader(content))
+        # mirror the fixture writer's refusal surface at READ time
+        # (ADVICE r9): columns with parquet LOGICAL types
+        # (timestamp/date/decimal/...) decode to Python objects the
+        # avro-block path never produces and can mismatch the
+        # _avro_to_spark-derived output schema on real tables
+        allowed = {
+            "string", "large_string", "int64", "int32", "double",
+            "float", "bool", "binary", "large_binary",
+        }
+        bad = [
+            f"{f.name} {f.type}"
+            for f in table.schema
+            if str(f.type) not in allowed
+        ]
+        if bad:
+            raise HudiLogUnsupportedError(
+                "parquet data block columns with non-avro-primitive "
+                f"(logical) types: {bad}"
+            )
+        return table.to_pylist()
     if btype == CORRUPT_BLOCK:
         raise HudiLogError("corrupt block in hudi log file")
     raise HudiLogUnsupportedError(
-        f"hudi log block type ordinal {btype} (HFILE and CDC data "
-        "blocks are not supported)"
+        f"hudi log block type ordinal {btype} (HFILE data blocks are "
+        "not supported)"
     )
 
 
@@ -316,6 +351,84 @@ def write_parquet_data_block(
     pq.write_table(pa.table(arrays, names=names), buf)
     header = {INSTANT_TIME: instant, SCHEMA: json.dumps(schema)}
     return _frame(PARQUET_DATA_BLOCK, header, buf.getvalue())
+
+
+#: hoodie.table.cdc.supplemental.logging.mode values (RFC-51,
+#: hudi-common table/cdc/HoodieCDCSupplementalLoggingMode) and the
+#: field names of HoodieCDCUtils (CDC_OPERATION_TYPE "op",
+#: CDC_RECORD_KEY "record_key", CDC_COMMIT_TIMESTAMP "ts_ms",
+#: CDC_BEFORE_IMAGE "before", CDC_AFTER_IMAGE "after")
+CDC_MODES = ("op_key_only", "data_before", "data_before_after")
+
+
+def cdc_schema(mode: str, data_schema: dict | None = None) -> dict:
+    """The mode-dependent CDC record schema
+    (``HoodieCDCUtils.schemaBySupplementalLoggingMode``): op_key_only
+    carries (op, record_key); data_before adds a nullable ``before``
+    image of the DATA schema; data_before_after carries
+    (op, ts_ms, before, after) with both images nullable records."""
+    if mode not in CDC_MODES:
+        raise ValueError(f"unknown cdc logging mode {mode!r}")
+    if mode == "op_key_only":
+        return {
+            "type": "record",
+            "name": "Record",
+            "fields": [
+                {"name": "op", "type": "string"},
+                {"name": "record_key", "type": "string"},
+            ],
+        }
+    if data_schema is None:
+        raise ValueError(f"cdc mode {mode!r} needs the data schema")
+
+    def img(name: str, suffix: str) -> dict:
+        # a named avro schema may appear only once per datum — images
+        # re-nest the data schema under distinct names
+        nested = dict(data_schema)
+        nested["name"] = f"{data_schema.get('name', 'rec')}_{suffix}"
+        return {"name": name, "type": ["null", nested], "default": None}
+
+    if mode == "data_before":
+        return {
+            "type": "record",
+            "name": "Record",
+            "fields": [
+                {"name": "op", "type": "string"},
+                {"name": "record_key", "type": "string"},
+                img("before", "b"),
+            ],
+        }
+    return {
+        "type": "record",
+        "name": "Record",
+        "fields": [
+            {"name": "op", "type": "string"},
+            {"name": "ts_ms", "type": "string"},
+            img("before", "b"),
+            img("after", "a"),
+        ],
+    }
+
+
+def write_cdc_data_block(
+    changes: list[dict],
+    instant: str,
+    mode: str = "data_before_after",
+    data_schema: dict | None = None,
+) -> bytes:
+    """One framed CDC_DATA_BLOCK (fixture/export helper for tables
+    written with ``hoodie.table.cdc.enabled=true``): content framing is
+    identical to an avro data block (``HoodieCDCDataBlock`` does not
+    override serialization), records follow :func:`cdc_schema`."""
+    import json
+
+    schema = cdc_schema(mode, data_schema)
+    content = struct.pack(">ii", 3, len(changes))
+    for rec in changes:
+        datum = encode_datum(schema, rec)
+        content += struct.pack(">i", len(datum)) + datum
+    header = {INSTANT_TIME: instant, SCHEMA: json.dumps(schema)}
+    return _frame(CDC_DATA_BLOCK, header, content)
 
 
 def write_delete_block(

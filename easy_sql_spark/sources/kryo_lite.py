@@ -242,13 +242,19 @@ def _read_avro_utf8(r: KryoReader) -> str:
       bundled avro (tests/test_hudi_log.py);
     * legacy (avro <= 1.9): the same without ``hash``.
 
-    Layout detection: a fresh Utf8's hash cache is 0 and a populated
-    one virtually never equals the byte length, while the legacy
-    layout's first int is ALWAYS the byte length — so first-int ==
-    nbytes selects legacy, anything else selects modern (whose length
-    field is then asserted).  The string cache, when present, must
-    decode to the same text.  Zero-length values are refused loudly
-    (both layouts emit indistinguishable zero streams there).
+    Layout detection: the legacy layout's first int is ALWAYS the byte
+    length, while a modern hash cache only rarely equals it — so
+    first-int != nbytes selects modern outright (whose length field is
+    then asserted).  On the AMBIGUOUS first == nbytes case (a modern
+    Utf8 whose populated hash cache happens to equal the byte length
+    fits both readings), both continuations are parsed speculatively
+    and the unique one whose remaining fields validate (modern: length
+    == nbytes; both: cached string, when present, decodes to the same
+    text) wins; zero or two validating continuations raise a
+    KryoFormatError NAMING the ambiguity instead of a confusing
+    dangling-back-reference failure downstream (ADVICE r9).  Zero-
+    length values are refused loudly (both layouts emit
+    indistinguishable zero streams there).
     """
     def read_byte_array():
         n = r.var_int() - 1
@@ -268,9 +274,42 @@ def _read_avro_utf8(r: KryoReader) -> str:
         )
     first = r.zigzag_int()
     if first != nbytes:
-        # modern layout: ``first`` was the hash cache
+        # unambiguously modern: ``first`` was the hash cache
         if r.zigzag_int() != nbytes:
             raise KryoFormatError("avro Utf8 length/bytes mismatch")
+        cached = r.read_tracked(r.read_string, may_be_null=True)
+        if cached is not None and cached != text:
+            raise KryoFormatError("avro Utf8 cached string/bytes mismatch")
+        return text
+
+    # ambiguous: first == nbytes fits both a legacy length and a modern
+    # hash cache — speculatively parse each continuation with full
+    # rollback (position AND reference table), keep the unique survivor
+    def attempt(modern: bool) -> bool:
+        pos0, nrefs0 = r.pos, len(r.refs)
+        try:
+            if modern and r.zigzag_int() != nbytes:
+                raise KryoFormatError("length/bytes mismatch")
+            cached = r.read_tracked(r.read_string, may_be_null=True)
+            if cached is not None and cached != text:
+                raise KryoFormatError("cached string/bytes mismatch")
+            return True
+        except (KryoFormatError, UnicodeDecodeError, IndexError):
+            return False
+        finally:
+            r.pos = pos0
+            del r.refs[nrefs0:]
+
+    ok = [m for m in (False, True) if attempt(m)]
+    if len(ok) != 1:
+        raise KryoFormatError(
+            "avro Utf8 layout ambiguity: first int equals the byte "
+            f"length ({nbytes}) and "
+            + ("both legacy and modern continuations validate"
+               if ok else "neither continuation validates")
+        )
+    if ok[0]:  # modern: consume the asserted length field for real
+        r.zigzag_int()
     cached = r.read_tracked(r.read_string, may_be_null=True)
     if cached is not None and cached != text:
         raise KryoFormatError("avro Utf8 cached string/bytes mismatch")

@@ -353,3 +353,216 @@ def test_frame_length_bookkeeping():
     assert after_len == len(raw) - 14
     (total,) = struct.unpack_from(">q", raw, len(raw) - 8)
     assert total == len(raw)
+
+
+def test_cdc_data_block_roundtrip_all_modes():
+    """CDC_DATA_BLOCK (RFC-51): shares the avro data-block framing
+    (HoodieCDCDataBlock does not override serialization); the SCHEMA
+    header carries the mode-dependent record schema
+    (HoodieCDCUtils.schemaBySupplementalLoggingMode)."""
+    from easy_sql_spark.sources.hudi_log import (
+        CDC_DATA_BLOCK,
+        cdc_schema,
+        write_cdc_data_block,
+    )
+
+    img = {
+        "type": "record",
+        "name": "img",
+        "fields": [{"name": "k", "type": "long"},
+                   {"name": "v", "type": ["null", "string"]}],
+    }
+    # op_key_only
+    raw = write_cdc_data_block(
+        [{"op": "d", "record_key": "7"}], "0020", "op_key_only"
+    )
+    (b,) = read_log_blocks(raw)
+    assert b.type == CDC_DATA_BLOCK and b.header[INSTANT_TIME] == "0020"
+    assert b.records == [{"op": "d", "record_key": "7"}]
+    # data_before
+    raw = write_cdc_data_block(
+        [{"op": "u", "record_key": "7", "before": {"k": 7, "v": "x"}}],
+        "0021", "data_before", img,
+    )
+    (b,) = read_log_blocks(raw)
+    assert b.records[0]["before"] == {"k": 7, "v": "x"}
+    # data_before_after, delete + insert shapes
+    raw = write_cdc_data_block(
+        [
+            {"op": "d", "ts_ms": "0022", "before": {"k": 7, "v": "x"},
+             "after": None},
+            {"op": "i", "ts_ms": "0022", "before": None,
+             "after": {"k": 9, "v": None}},
+        ],
+        "0022", "data_before_after", img,
+    )
+    (b,) = read_log_blocks(raw)
+    assert b.records[0]["after"] is None
+    assert b.records[1] == {"op": "i", "ts_ms": "0022", "before": None,
+                            "after": {"k": 9, "v": None}}
+
+    with pytest.raises(ValueError, match="unknown cdc logging mode"):
+        cdc_schema("everything")
+    with pytest.raises(ValueError, match="needs the data schema"):
+        cdc_schema("data_before")
+
+
+def test_parquet_data_block_logical_types_refused_at_read():
+    """A parquet block whose columns carry LOGICAL types
+    (timestamp/date/decimal) decodes to Python objects the avro path
+    never produces — the READER must refuse as loudly as the fixture
+    writer does (ADVICE r9)."""
+    import datetime
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from easy_sql_spark.sources.hudi_log import _frame  # noqa: PLC2701
+    from easy_sql_spark.sources.hudi_log import PARQUET_DATA_BLOCK
+
+    buf = io.BytesIO()
+    pq.write_table(
+        pa.table(
+            {
+                "_hoodie_record_key": pa.array(["1"]),
+                "ts": pa.array([datetime.datetime(2024, 1, 1)],
+                               type=pa.timestamp("us")),
+            }
+        ),
+        buf,
+    )
+    raw = _frame(
+        PARQUET_DATA_BLOCK,
+        {INSTANT_TIME: "0020", SCHEMA: "{}"},
+        buf.getvalue(),
+    )
+    with pytest.raises(HudiLogUnsupportedError, match="logical"):
+        read_log_blocks(raw)
+
+
+def test_read_hudi_cdc_window_and_visibility(spark, tmp_path):
+    """read_hudi_cdc: (from, to] instant windowing, inflight-instant
+    invisibility, and the snapshot scan skipping -cdc files."""
+    import os
+
+    from easy_sql_spark.sources.hudi_log import (
+        write_cdc_data_block,
+        write_data_block,
+    )
+    from easy_sql_spark.sources.hudi_meta import read_hudi, read_hudi_cdc
+
+    t = str(tmp_path / "tbl")
+    os.makedirs(t)
+    spark.createDataFrame(
+        [("001", "1", "", 1, "a")],
+        "_hoodie_commit_time string, _hoodie_record_key string, "
+        "_hoodie_partition_path string, k long, v string",
+    ).coalesce(1).write.parquet(t + "/_s")
+    part = next(n for n in os.listdir(t + "/_s") if n.endswith(".parquet"))
+    os.replace(f"{t}/_s/{part}", f"{t}/f1_0-1-0_001.parquet")
+
+    img = {
+        "type": "record",
+        "name": "img",
+        "fields": [{"name": "k", "type": "long"},
+                   {"name": "v", "type": ["null", "string"]}],
+    }
+    rec_schema = {
+        "type": "record",
+        "name": "rec",
+        "fields": [
+            {"name": "_hoodie_commit_time", "type": "string"},
+            {"name": "_hoodie_record_key", "type": "string"},
+            {"name": "_hoodie_partition_path", "type": "string"},
+            {"name": "k", "type": "long"},
+            {"name": "v", "type": ["null", "string"]},
+        ],
+    }
+    with open(f"{t}/.f1_001.log.1_0-1-0", "wb") as fh:
+        fh.write(
+            write_data_block(
+                rec_schema,
+                [{"_hoodie_commit_time": "002", "_hoodie_record_key": "2",
+                  "_hoodie_partition_path": "", "k": 2, "v": "b"}],
+                "002",
+            )
+        )
+
+    def cdc(instant, k):
+        return write_cdc_data_block(
+            [{"op": "i", "ts_ms": instant, "before": None,
+              "after": {"k": k, "v": None}}],
+            instant, "data_before_after", img,
+        )
+
+    with open(f"{t}/.f1_001.log.1_0-1-0-cdc", "wb") as fh:
+        fh.write(cdc("002", 2) + cdc("003", 3) + cdc("009", 99))
+
+    os.makedirs(f"{t}/.hoodie")
+    with open(f"{t}/.hoodie/hoodie.properties", "w") as fh:
+        fh.write("hoodie.table.name=c\nhoodie.table.type=MERGE_ON_READ\n"
+                 "hoodie.table.cdc.enabled=true\n")
+    for instant, action in (("001", "commit"), ("002", "deltacommit"),
+                            ("003", "deltacommit")):
+        with open(f"{t}/.hoodie/{instant}.{action}", "w") as fh:
+            fh.write("{}")
+
+    feed = read_hudi_cdc(spark, t)
+    rows = {(r.commit_time, r.op) for r in feed.collect()}
+    assert rows == {("002", "i"), ("003", "i")}  # 009 inflight: invisible
+    windowed = read_hudi_cdc(spark, t, from_instant="002").collect()
+    assert [(r.commit_time) for r in windowed] == ["003"]
+    assert read_hudi_cdc(spark, t, from_instant="002",
+                         to_instant="002").count() == 0
+    # image JSON is canonical + atomic
+    (r3,) = [r for r in feed.collect() if r.commit_time == "003"]
+    assert r3.after == '{"k":3,"v":null}' and r3.before is None
+    # the snapshot merge never consumes the -cdc file (its records have
+    # no _hoodie_record_key; double-consumption would raise)
+    assert {r.k for r in read_hudi(spark, t).collect()} == {1, 2}
+
+
+def test_kryo_avro_utf8_ambiguous_hash_equals_length():
+    """A MODERN-layout Utf8 whose populated hash cache equals the byte
+    length used to be misparsed as legacy (the length int consumed as a
+    reference marker -> dangling back-reference); the speculative
+    dual-parse now resolves it, keeps plain legacy streams working, and
+    names a stream neither layout validates (ADVICE r9)."""
+    from easy_sql_spark.sources.kryo_lite import (
+        KryoFormatError,
+        KryoReader,
+        KryoWriter,
+    )
+    from easy_sql_spark.sources.kryo_lite import _read_avro_utf8  # noqa: PLC2701
+
+    def utf8_stream(text, hash_val=None, length=True, cached_null=True):
+        raw = text.encode("utf-8")
+        w = KryoWriter()
+        w.track_unique(lambda: (w.var_int(len(raw) + 1), w.out.extend(raw)))
+        if hash_val is not None:
+            w.zigzag_int(hash_val)  # modern hash cache
+        if length:
+            w.zigzag_int(len(raw))
+        if cached_null:
+            w.var_int(0)
+        return bytes(w.out)
+
+    # modern, hash cache == byte length (the formerly-misparsed case)
+    buf = utf8_stream("seq-9", hash_val=5)
+    r = KryoReader(buf)
+    assert _read_avro_utf8(r) == "seq-9" and r.pos == len(buf)
+
+    # plain legacy (first int IS the length) still parses
+    buf = utf8_stream("seq-9", hash_val=None)
+    r = KryoReader(buf)
+    assert _read_avro_utf8(r) == "seq-9" and r.pos == len(buf)
+
+    # first == nbytes but NEITHER continuation validates: named error
+    raw = b"seq-9"
+    w = KryoWriter()
+    w.track_unique(lambda: (w.var_int(len(raw) + 1), w.out.extend(raw)))
+    w.zigzag_int(len(raw))
+    w.var_int(8)  # legacy: dangling back-ref 6; modern: zigzag 4 != 5
+    with pytest.raises(KryoFormatError, match="ambiguity"):
+        _read_avro_utf8(KryoReader(bytes(w.out)))
