@@ -1,0 +1,450 @@
+"""Model-based randomized testing of the LAKEHOUSE READERS (r10 ask #5):
+the write-path model fuzzers (test_scd2_model, test_snapshots_model)
+keep finding real bugs, so the Delta and Hudi readers get the same
+treatment — a seeded random ACTION SEQUENCE is materialized as a
+spec-built table (JSON delta log / framed Hudi log blocks, the same
+byte-level fixture discipline as test_delta_log/test_hudi_log), then
+replayed by the production reader and, independently, by a pure-Python
+log-replay model; every historical version/instant must match.
+
+What each fuzzer randomizes:
+
+- Delta: add / remove / replace / inline-DV delete (including DV
+  widening re-adds) / metaData re-emit / classic checkpoint placement
+  followed by log cleanup — the reader must reconstruct every version
+  through any checkpoint/json mix.
+- Hudi MOR: avro upsert blocks / parquet insert blocks / v3 and legacy
+  Kryo delete blocks / INFLIGHT instants (written to the log, absent
+  from the timeline) / rollback command blocks targeting them — the
+  snapshot at every committed instant must equal the model's fold.
+"""
+
+import json
+import os
+import random
+
+import pytest
+
+SCHEMA_STR = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "val", "type": "string", "nullable": True, "metadata": {}},
+            {"name": "p", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    }
+)
+
+
+# ------------------------------------------------------------- delta side
+
+
+def _write_file(spark, table, rel, rows):
+    df = spark.createDataFrame(rows, "id long, val string")
+    tmp = os.path.join(table, "_tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(n for n in os.listdir(tmp) if n.endswith(".parquet"))
+    os.replace(os.path.join(tmp, part), os.path.join(table, rel))
+    import shutil
+
+    shutil.rmtree(tmp)
+
+
+def _commit(table, version, actions):
+    log = os.path.join(table, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    with open(os.path.join(log, f"{version:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+
+def _meta_action():
+    return {
+        "metaData": {
+            "id": "fuzz-1",
+            "schemaString": SCHEMA_STR,
+            "partitionColumns": ["p"],
+            "format": {"provider": "parquet"},
+        }
+    }
+
+
+def _dv_inline(positions):
+    from easy_sql_spark.sources.delta_dv import encode_bitmap_array, z85_encode
+
+    data = encode_bitmap_array(sorted(positions))
+    return {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(data),
+        "sizeInBytes": len(data),
+        "cardinality": len(positions),
+    }
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [13, 61])
+def test_delta_reader_matches_log_replay_model(spark, tmp_path, seed):
+    from easy_sql_spark.sources.delta_log import read_delta
+
+    rng = random.Random(seed)
+    t = str(tmp_path / f"dfz{seed}")
+    os.makedirs(t)
+
+    #: model: path -> (partition, [ordered rows], deleted position set)
+    files: dict[str, tuple[str, list, set]] = {}
+    live: set[str] = set()
+    history: list[set] = []  # visible (id, val, p) per version
+    next_id = 0
+    next_file = 0
+
+    def visible():
+        out = set()
+        for path in live:
+            p, rows, dv = files[path]
+            out |= {
+                (i, v, p) for pos, (i, v) in enumerate(rows) if pos not in dv
+            }
+        return out
+
+    def new_add(n_rows):
+        nonlocal next_id, next_file
+        p = rng.choice("ab")
+        rows = [(next_id + i, f"v{rng.randrange(100)}") for i in range(n_rows)]
+        next_id += n_rows
+        rel = f"f-{next_file}.parquet"
+        next_file += 1
+        _write_file(spark, t, rel, rows)
+        files[rel] = (p, rows, set())
+        live.add(rel)
+        return {
+            "add": {
+                "path": rel,
+                "partitionValues": {"p": p},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        }
+
+    ts = [1000]
+
+    def info(op):
+        ts[0] += 1000
+        return {"commitInfo": {"operation": op, "timestamp": ts[0]}}
+
+    _commit(
+        t,
+        0,
+        [
+            info("WRITE"),
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            },
+            _meta_action(),
+            new_add(3),
+            new_add(2),
+        ],
+    )
+    history.append(visible())
+    version = 0
+    checkpointed_at = None
+
+    for _step in range(8):
+        version += 1
+        op = rng.choice(
+            ["add", "remove", "replace", "dv", "meta", "checkpoint"]
+        )
+        if op == "add":
+            _commit(t, version, [info("WRITE"), new_add(rng.randrange(1, 4))])
+        elif op == "remove" and live:
+            path = rng.choice(sorted(live))
+            live.discard(path)
+            _commit(
+                t,
+                version,
+                [info("DELETE"), {"remove": {"path": path, "dataChange": True}}],
+            )
+        elif op == "replace" and live:
+            path = rng.choice(sorted(live))
+            live.discard(path)
+            _commit(
+                t,
+                version,
+                [
+                    info("MERGE"),
+                    {"remove": {"path": path, "dataChange": True}},
+                    new_add(rng.randrange(1, 3)),
+                ],
+            )
+        elif op == "dv" and live:
+            # inline-DV delete: re-add a live file with a (possibly
+            # widened) vector — the Delta DV update idiom
+            path = rng.choice(sorted(live))
+            p, rows, dv = files[path]
+            dv = dv | {rng.randrange(len(rows))}
+            files[path] = (p, rows, dv)
+            _commit(
+                t,
+                version,
+                [
+                    info("DELETE"),
+                    {"remove": {"path": path, "dataChange": True}},
+                    {
+                        "add": {
+                            "path": path,
+                            "partitionValues": {"p": p},
+                            "size": 1,
+                            "modificationTime": 0,
+                            "dataChange": True,
+                            "deletionVector": _dv_inline(dv),
+                        }
+                    },
+                ],
+            )
+        elif op == "meta":
+            # benign metaData + protocol re-emit mid-log
+            _commit(
+                t,
+                version,
+                [
+                    info("SET TBLPROPERTIES"),
+                    _meta_action(),
+                    {
+                        "protocol": {
+                            "minReaderVersion": 3,
+                            "minWriterVersion": 7,
+                            "readerFeatures": ["deletionVectors"],
+                            "writerFeatures": ["deletionVectors"],
+                        }
+                    },
+                ],
+            )
+        else:  # checkpoint placement: empty-ish commit + classic ckpt
+            _commit(t, version, [info("WRITE"), new_add(1)])
+            _write_classic_checkpoint(spark, t, version, files, live)
+            checkpointed_at = version
+        history.append(visible())
+
+        got = {
+            (r.id, r.val, r.p) for r in read_delta(spark, t).collect()
+        }
+        assert got == history[-1], f"seed={seed} v={version} latest mismatch"
+
+    # every historical version must replay (time travel is contract)
+    for v, want in enumerate(history):
+        got = {
+            (r.id, r.val, r.p)
+            for r in read_delta(spark, t, version=v).collect()
+        }
+        assert got == want, f"seed={seed} version {v} mismatch"
+
+    # log cleanup: drop every JSON at or below the last checkpoint —
+    # replay must reconstruct from the checkpoint alone
+    if checkpointed_at is not None:
+        log = os.path.join(t, "_delta_log")
+        for v in range(checkpointed_at + 1):
+            j = os.path.join(log, f"{v:020d}.json")
+            if os.path.exists(j):
+                os.remove(j)
+        for v in range(checkpointed_at, version + 1):
+            got = {
+                (r.id, r.val, r.p)
+                for r in read_delta(spark, t, version=v).collect()
+            }
+            assert got == history[v], (
+                f"seed={seed} post-cleanup version {v} mismatch"
+            )
+
+
+def _write_classic_checkpoint(spark, t, version, files, live):
+    """Single-part classic checkpoint of the CURRENT state, spec layout:
+    one parquet of action structs at {v}.checkpoint.parquet."""
+    cp_schema = (
+        "metaData struct<id string, schemaString string, "
+        "partitionColumns array<string>, format struct<provider string>>, "
+        "protocol struct<minReaderVersion int, minWriterVersion int, "
+        "readerFeatures array<string>, writerFeatures array<string>>, "
+        "add struct<path string, partitionValues map<string,string>, "
+        "size long, modificationTime long, dataChange boolean, "
+        "deletionVector struct<storageType string, pathOrInlineDv string, "
+        "offset int, sizeInBytes int, cardinality long>>"
+    )
+    md = _meta_action()["metaData"]
+    rows = [
+        (
+            (md["id"], md["schemaString"], md["partitionColumns"],
+             (md["format"]["provider"],)),
+            None,
+            None,
+        ),
+        (
+            None,
+            (3, 7, ["deletionVectors"], ["deletionVectors"]),
+            None,
+        ),
+    ]
+    for path in sorted(live):
+        p, _rows, dv = files[path]
+        dvs = None
+        if dv:
+            d = _dv_inline(dv)
+            dvs = (d["storageType"], d["pathOrInlineDv"], None,
+                   d["sizeInBytes"], d["cardinality"])
+        rows.append(
+            (None, None, (path, {"p": p}, 1, 0, False, dvs))
+        )
+    df = spark.createDataFrame(rows, cp_schema)
+    tmp = os.path.join(t, "_cpt")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(n for n in os.listdir(tmp) if n.endswith(".parquet"))
+    log = os.path.join(t, "_delta_log")
+    os.replace(
+        os.path.join(tmp, part),
+        os.path.join(log, f"{version:020d}.checkpoint.parquet"),
+    )
+    import shutil
+
+    shutil.rmtree(tmp)
+
+
+# -------------------------------------------------------------- hudi side
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [17, 43])
+def test_hudi_mor_reader_matches_timeline_replay_model(spark, tmp_path, seed):
+    from easy_sql_spark.sources import hudi_log as hl
+    from easy_sql_spark.sources.hudi_meta import read_hudi
+
+    rng = random.Random(seed)
+    t = str(tmp_path / f"hfz{seed}")
+    os.makedirs(t)
+
+    rec_schema = {
+        "type": "record",
+        "name": "rec",
+        "fields": [
+            {"name": "_hoodie_commit_time", "type": "string"},
+            {"name": "_hoodie_record_key", "type": "string"},
+            {"name": "_hoodie_partition_path", "type": "string"},
+            {"name": "k", "type": "long"},
+            {"name": "v", "type": ["null", "string"]},
+        ],
+    }
+
+    base_rows = [(k, f"b{k}") for k in range(6)]
+    spark.createDataFrame(
+        [("001", str(k), "", k, v) for k, v in base_rows],
+        "_hoodie_commit_time string, _hoodie_record_key string, "
+        "_hoodie_partition_path string, k long, v string",
+    ).coalesce(1).write.parquet(t + "/_s")
+    part = next(n for n in os.listdir(t + "/_s") if n.endswith(".parquet"))
+    os.replace(f"{t}/_s/{part}", f"{t}/f1_0-1-0_001.parquet")
+    import shutil
+
+    shutil.rmtree(t + "/_s")
+
+    #: pure-Python replay model: ordered event log of committed writes
+    events: list[tuple[str, str, int | None, str | None, bool]] = []
+    committed = ["001"]
+    payload = b""
+    next_key = 100
+    last_inflight = None
+
+    def state_at(instant):
+        st = {k: v for k, v in base_rows} if instant >= "001" else {}
+        for ins, kind, k, v, _ in events:
+            if ins > instant or ins not in committed:
+                continue
+            if kind == "del":
+                st.pop(k, None)
+            else:
+                st[k] = v
+        return {(k, v) for k, v in st.items()}
+
+    def recs(instant, pairs):
+        return [
+            {
+                "_hoodie_commit_time": instant,
+                "_hoodie_record_key": str(k),
+                "_hoodie_partition_path": "",
+                "k": k,
+                "v": v,
+            }
+            for k, v in pairs
+        ]
+
+    for step in range(6):
+        instant = f"{(step + 2):03d}"
+        op = rng.choice(
+            ["upsert", "insert_pq", "delete_v3", "delete_kryo",
+             "inflight", "rollback"]
+        )
+        live_keys = sorted({k for k, _ in state_at("999")})
+        if op == "upsert":
+            ups = [
+                (k, f"u{instant}")
+                for k in rng.sample(live_keys, min(2, len(live_keys)))
+            ] or [(next_key, f"u{instant}")]
+            payload += hl.write_data_block(rec_schema, recs(instant, ups),
+                                           instant)
+            committed.append(instant)
+            events.extend((instant, "up", k, v, True) for k, v in ups)
+        elif op == "insert_pq":
+            ins = [(next_key + i, f"i{instant}") for i in range(2)]
+            next_key += 10
+            payload += hl.write_parquet_data_block(
+                rec_schema, recs(instant, ins), instant
+            )
+            committed.append(instant)
+            events.extend((instant, "up", k, v, True) for k, v in ins)
+        elif op in ("delete_v3", "delete_kryo"):
+            dels = rng.sample(live_keys, min(2, len(live_keys)))
+            dels.append(999999)  # never-present key: no-op
+            keys = [(str(k), "") for k in dels]
+            if op == "delete_v3":
+                payload += hl.write_delete_block(keys, instant)
+            else:
+                payload += hl.write_delete_block_kryo(
+                    keys, instant, version=rng.choice([1, 2])
+                )
+            committed.append(instant)
+            events.extend((instant, "del", k, None, True) for k in dels)
+        elif op == "inflight":
+            # written to the log, NO timeline entry: invisible
+            payload += hl.write_data_block(
+                rec_schema, recs(instant, [(next_key, "ghost")]), instant
+            )
+            next_key += 10
+            events.append((instant, "up", next_key - 10, "ghost", False))
+            last_inflight = instant
+        else:  # rollback command block targeting an inflight instant
+            tgt = last_inflight or "000"
+            payload += hl.write_rollback_block(tgt, instant)
+            committed.append(instant)
+            last_inflight = None
+
+    with open(f"{t}/.f1_001.log.1_0-1-0", "wb") as fh:
+        fh.write(payload)
+    os.makedirs(f"{t}/.hoodie")
+    with open(f"{t}/.hoodie/hoodie.properties", "w") as fh:
+        fh.write("hoodie.table.name=fz\nhoodie.table.type=MERGE_ON_READ\n")
+    with open(f"{t}/.hoodie/001.commit", "w") as fh:
+        fh.write("{}")
+    for ins in committed[1:]:
+        with open(f"{t}/.hoodie/{ins}.deltacommit", "w") as fh:
+            fh.write("{}")
+
+    # the snapshot at EVERY committed instant equals the model's fold
+    for ins in committed:
+        want = state_at(ins)
+        got = {(r.k, r.v) for r in read_hudi(spark, t, as_of=ins).collect()}
+        assert got == want, f"seed={seed} as_of={ins} mismatch"
+    got = {(r.k, r.v) for r in read_hudi(spark, t).collect()}
+    assert got == state_at("999"), f"seed={seed} latest mismatch"
