@@ -21,58 +21,62 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["a1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-#: Round-9 driver-window front (VERDICT r8 ask #5): changed-this-round
-#: entries first, then the entries with the STALEST driver verdicts —
-#: every registry entry has been driver-green at least once (union
-#: r1–r8), but 49 entries' last verdict is r4 vintage (7+ rounds of code
-#: movement since); fronting them refreshes the oldest evidence.  The
-#: driver samples the first 50 ``queries()`` entries.
-_ROUND9_FRONT = (
-    # changed in r9:
-    "hudi_mor_parquet_block_read",  # NEW — PARQUET-format Hudi log data blocks
-    "dedup_index_incremental",      # re-planned: deferred one-commit lifecycle
-    "hudi_mor_kryo_delete_read",    # kryo_lite decode path: varlong cap, Utf8
-    "events_funnel",                # both sides: explicit NULL on an empty
-                                    # funnel stage (ANSI 0-div, found by the
-                                    # r9 funnel fuzzer)
-    "sim_mmr_rerank",               # both sides: MMR score combination in
-                                    # exact DECIMAL (5th-decimal half ties
-                                    # were engine-dependent; found by the
-                                    # r9 sf0.001 tri-SF sweep)
-    # stalest (last driver verdict r4), registry order:
-    "a1_pricing_summary", "a2_global_agg", "a3_distinct_agg", "a5_rollup",
-    "a5_cube", "a5_grouping_sets", "a6_having", "j1_inner_equi",
-    "j2_left_outer", "j3_full_outer", "j4_semi_anti", "j5_cross",
-    "j6_broadcast", "j7_range_theta", "j8_nullsafe", "w1_ranking",
-    "w2_analytic", "w3_framed", "s1_project_filter", "s2_topk",
-    "s3_limit_offset", "q6_forecast_revenue", "s4_union_all",
-    "s5_union_distinct", "s6_intersect_except", "s7_cte",
-    "s8_correlated_subquery", "s9_values_inline", "s10_explode",
-    "f1_string", "f2_datetime", "f3_math", "f4_json", "f5_hash",
-    "f6_array", "f7_conversion", "f8_conditional", "a7_percentiles",
-    "a8_derived_moments", "f9_string_agg", "w4_distribution", "s11_pivot",
-    "f10_map_ops", "f11_struct_ops", "f2b_date_arith", "s12_unpivot",
-    "dedup_exact_groups",
+#: Round-10 driver-window front (VERDICT r9 asks #1/#2): changed/new
+#: entries first (the three ex-``no_oracle`` entries now carry generated
+#: VALUES oracles and MUST be hash-adjudicated; the new Hudi CDC read;
+#: the dedup index whose probe/replay internals changed), then the four
+#: entries whose last driver verdict is r4 vintage, then the r5 vintage,
+#: then the oldest r6-vintage entries in registry order.  The driver
+#: samples the first 50 ``queries()`` entries.
+_ROUND10_FRONT = (
+    # changed/new in r10:
+    "hudi_cdc_block_read",      # NEW — RFC-51 CDC log blocks + change feed
+    "emb_pca_project",          # first-ever oracle (generated VALUES) +
+                                # 9 dp mean/cov rounding + vec_id scope
+    "text_bpe_merges",          # first-ever oracle (clean-room BPE VALUES)
+    "text_bpe_token_count",     # first-ever oracle (clean-room BPE VALUES)
+    "dedup_index_incremental",  # probe regime counts pending bytes;
+                                # replay scoped to the batch's own commit
+    # stalest (last driver verdict r4):
+    "s12_unpivot", "dedup_exact_groups", "dedup_exact_stats",
+    "dedup_fingerprint",
+    # r5 vintage:
+    "mm_wav_roundtrip_stats", "dedup_substring_spans",
+    "events_sessionize_batch", "emb_label_outliers", "contamination_ngram",
+    "upsert_keyed_merge", "scd2_history_merge", "global_row_number_order",
+    "text_lm_perplexity", "text_html_boilerplate", "text_stratified_sample",
+    # r6 vintage, registry order:
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "text_stats_by_lang",
+    "text_token_count", "text_quality", "sim_topk_bruteforce",
+    "sim_label_centroids", "dedup_simhash", "text_lang_id",
+    "sim_neardup_pairs", "sim_ivf_topk", "dedup_components",
+    "py_groupwise_mad", "asof_events_orders", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q13_customer_distribution",
+    "q10_returned_items", "q18_large_orders", "q14_promo_revenue",
+    "mm_decode_stats", "mm_hist_profile", "mm_jpeg_roundtrip_stats",
+    "mm_jpeg_progressive_stats", "mm_exif_orientation", "mm_frame_sample",
+    "mm_mp4_demux_stats", "mm_image_ahash", "mm_wav_dominant_freq",
+    "mm_mp3_id3_tags",
 )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    The driver's correctness gate samples the FIRST 50 entries.  Round-9
-    rotation: r9-changed entries then stalest-verdict entries
-    (``_ROUND9_FRONT``), then everything else newest-first.  An unknown
+    The driver's correctness gate samples the FIRST 50 entries.  Round-10
+    rotation: r10-changed/new entries, then stalest-verdict entries
+    (``_ROUND10_FRONT``), then everything else newest-first.  An unknown
     front name RAISES — a typo'd or renamed entry must not silently skip
     its re-adjudication (VERDICT r8 "what's wrong" #3).
     tests/test_oracle_all.py stays authoritative over ALL entries."""
     from easy_sql_spark.queries import QUERIES
 
-    unknown = [k for k in _ROUND9_FRONT if k not in QUERIES]
+    unknown = [k for k in _ROUND10_FRONT if k not in QUERIES]
     if unknown:
         raise KeyError(
-            f"_ROUND9_FRONT names not in the query registry: {unknown}"
+            f"_ROUND10_FRONT names not in the query registry: {unknown}"
         )
-    front = {k: QUERIES[k] for k in _ROUND9_FRONT}
+    front = {k: QUERIES[k] for k in _ROUND10_FRONT}
     rest = {
         k: v
         for k, v in reversed(list(QUERIES.items()))

@@ -573,6 +573,23 @@ def build(processor):
         )
         backend.create_temp_view(df, view_name)
 
+    def hudi_cdc_view(
+        path: str, view_name: str, from_instant: str = "", to_instant: str = ""
+    ):
+        """Hudi CHANGE-DATA-CAPTURE query (RFC-51 ``-cdc`` supplemental
+        log files) as a temp view — one row per change with
+        commit_time/op/record_key/before/after (images as JSON strings):
+        `func.hudi_cdc_view(/lake/t, changes, 20240101103000000)` —
+        instants bound the pull like the incremental query."""
+        from ..sources.hudi_meta import read_hudi_cdc
+
+        df = read_hudi_cdc(
+            spark, path,
+            from_instant=from_instant or None,
+            to_instant=to_instant or None,
+        )
+        backend.create_temp_view(df, view_name)
+
     def hudi_timeline_view(path: str, view_name: str):
         """Hudi timeline (completed instants, newest first) as a temp
         view."""

@@ -522,6 +522,17 @@ def test_read_hudi_cdc_window_and_visibility(spark, tmp_path):
     # no _hoodie_record_key; double-consumption would raise)
     assert {r.k for r in read_hudi(spark, t).collect()} == {1, 2}
 
+    # step-function surface: func.hudi_cdc_view with an instant floor
+    from easy_sql_spark.runtime.processor import SqlProcessor
+
+    etl = f"""-- target=func.hudi_cdc_view({t}, hcdc_v, 002)
+
+-- target=check.cdc_rows
+select (select count(*) from hcdc_v) as actual, 1 as expected
+"""
+    SqlProcessor(spark, etl, logger=lambda m: None).run()
+    assert [r.commit_time for r in spark.table("hcdc_v").collect()] == ["003"]
+
 
 def test_kryo_avro_utf8_ambiguous_hash_equals_length():
     """A MODERN-layout Utf8 whose populated hash cache equals the byte
