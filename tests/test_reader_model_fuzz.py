@@ -16,7 +16,10 @@ What each fuzzer randomizes:
 - Hudi MOR: avro upsert blocks / parquet insert blocks / v3 and legacy
   Kryo delete blocks / INFLIGHT instants (written to the log, absent
   from the timeline) / rollback command blocks targeting them — the
-  snapshot at every committed instant must equal the model's fold.
+  snapshot at every committed instant must equal the model's fold; a
+  supplemental -cdc file is co-fuzzed alongside every data instant and
+  read_hudi_cdc's feed must equal the generated change log restricted
+  to committed instants.
 """
 
 import json
@@ -354,8 +357,32 @@ def test_hudi_mor_reader_matches_timeline_replay_model(spark, tmp_path, seed):
     events: list[tuple[str, str, int | None, str | None, bool]] = []
     committed = ["001"]
     payload = b""
+    cdc_payload = b""  # supplemental -cdc file, co-fuzzed with the data
+    img_schema = {
+        "type": "record",
+        "name": "img",
+        "fields": [{"name": "k", "type": "long"},
+                   {"name": "v", "type": ["null", "string"]}],
+    }
     next_key = 100
     last_inflight = None
+
+    cdc_events: list[tuple[str, str, int]] = []  # (instant, op, key)
+
+    def cdc_block(instant, op, pairs):
+        cdc_events.extend((instant, op, k) for k, _ in pairs)
+        return hl.write_cdc_data_block(
+            [
+                {
+                    "op": op,
+                    "ts_ms": instant,
+                    "before": {"k": k, "v": v} if op == "d" else None,
+                    "after": None if op == "d" else {"k": k, "v": v},
+                }
+                for k, v in pairs
+            ],
+            instant, "data_before_after", img_schema,
+        )
 
     def state_at(instant):
         st = {k: v for k, v in base_rows} if instant >= "001" else {}
@@ -394,6 +421,7 @@ def test_hudi_mor_reader_matches_timeline_replay_model(spark, tmp_path, seed):
             ] or [(next_key, f"u{instant}")]
             payload += hl.write_data_block(rec_schema, recs(instant, ups),
                                            instant)
+            cdc_payload += cdc_block(instant, "u", ups)
             committed.append(instant)
             events.extend((instant, "up", k, v, True) for k, v in ups)
         elif op == "insert_pq":
@@ -402,6 +430,7 @@ def test_hudi_mor_reader_matches_timeline_replay_model(spark, tmp_path, seed):
             payload += hl.write_parquet_data_block(
                 rec_schema, recs(instant, ins), instant
             )
+            cdc_payload += cdc_block(instant, "i", ins)
             committed.append(instant)
             events.extend((instant, "up", k, v, True) for k, v in ins)
         elif op in ("delete_v3", "delete_kryo"):
@@ -414,6 +443,7 @@ def test_hudi_mor_reader_matches_timeline_replay_model(spark, tmp_path, seed):
                 payload += hl.write_delete_block_kryo(
                     keys, instant, version=rng.choice([1, 2])
                 )
+            cdc_payload += cdc_block(instant, "d", [(k, None) for k in dels])
             committed.append(instant)
             events.extend((instant, "del", k, None, True) for k in dels)
         elif op == "inflight":
@@ -422,6 +452,7 @@ def test_hudi_mor_reader_matches_timeline_replay_model(spark, tmp_path, seed):
                 rec_schema, recs(instant, [(next_key, "ghost")]), instant
             )
             next_key += 10
+            cdc_payload += cdc_block(instant, "i", [(next_key - 10, "ghost")])
             events.append((instant, "up", next_key - 10, "ghost", False))
             last_inflight = instant
         else:  # rollback command block targeting an inflight instant
@@ -432,6 +463,9 @@ def test_hudi_mor_reader_matches_timeline_replay_model(spark, tmp_path, seed):
 
     with open(f"{t}/.f1_001.log.1_0-1-0", "wb") as fh:
         fh.write(payload)
+    if cdc_payload:
+        with open(f"{t}/.f1_001.log.1_0-1-0-cdc", "wb") as fh:
+            fh.write(cdc_payload)
     os.makedirs(f"{t}/.hoodie")
     with open(f"{t}/.hoodie/hoodie.properties", "w") as fh:
         fh.write("hoodie.table.name=fz\nhoodie.table.type=MERGE_ON_READ\n")
@@ -448,3 +482,19 @@ def test_hudi_mor_reader_matches_timeline_replay_model(spark, tmp_path, seed):
         assert got == want, f"seed={seed} as_of={ins} mismatch"
     got = {(r.k, r.v) for r in read_hudi(spark, t).collect()}
     assert got == state_at("999"), f"seed={seed} latest mismatch"
+
+    # the CDC feed equals the generated change log restricted to
+    # committed instants (inflight cdc blocks invisible; deletes carry
+    # before images, writes after — key extracted from the right image)
+    import json as _json
+
+    from easy_sql_spark.sources.hudi_meta import read_hudi_cdc
+
+    want_feed = {(i, o, k) for i, o, k in cdc_events if i in committed}
+    got_feed = set()
+    for r in read_hudi_cdc(spark, t).collect():
+        img = r.before if r.op == "d" else r.after
+        assert (r.before is None) == (r.op != "d")
+        assert (r.after is None) == (r.op == "d")
+        got_feed.add((r.commit_time, r.op, _json.loads(img)["k"]))
+    assert got_feed == want_feed, f"seed={seed} cdc feed mismatch"
