@@ -356,6 +356,30 @@ def build(processor):
         )
         return m["version"]
 
+    def snapshot_apply_changes(
+        root: str, view: str, keys: str, op_col: str = "__op",
+        precombine: str = "", delete_op: str = "delete",
+    ):
+        """Apply a CHANGELOG view (CDC apply — the consume half of the
+        reference's Flink postgres-cdc pipelines, and of
+        ``func.hudi_cdc_view`` feeds): `func.snapshot_apply_changes(
+        /w/mirror, changes_view, id, op, ts_ms)` — rows whose
+        ``op_col`` equals ``delete_op`` delete their keys, everything
+        else upserts; ``precombine`` picks the latest change per key
+        inside the batch and guards against late events across batches
+        (SnapshotTable.apply_changes)."""
+        m = _snapshot(root).apply_changes(
+            spark.table(view),
+            keys=[k for k in keys.split("|") if k],
+            op_col=op_col,
+            precombine=precombine or None,
+            delete_op=delete_op,
+        )
+        processor.log(
+            f"snapshot_apply_changes({root}, {view}): v{m['version']}"
+        )
+        return m["version"]
+
     def snapshot_delete(root: str, where: str):
         """Copy-on-write DELETE: `func.snapshot_delete(/w/events,
         dt<=2024-01-01|status=F)` — conditions are ANDed, each
@@ -574,19 +598,24 @@ def build(processor):
         backend.create_temp_view(df, view_name)
 
     def hudi_cdc_view(
-        path: str, view_name: str, from_instant: str = "", to_instant: str = ""
+        path: str, view_name: str, from_instant: str = "",
+        to_instant: str = "", key_field: str = "",
     ):
         """Hudi CHANGE-DATA-CAPTURE query (RFC-51 ``-cdc`` supplemental
         log files) as a temp view — one row per change with
         commit_time/op/record_key/before/after (images as JSON strings):
         `func.hudi_cdc_view(/lake/t, changes, 20240101103000000)` —
-        instants bound the pull like the incremental query."""
+        instants bound the pull like the incremental query;
+        ``key_field`` derives record_key from the images when the
+        logging mode doesn't persist one (needed to drive a keyed
+        apply, e.g. ``func.snapshot_apply_changes``)."""
         from ..sources.hudi_meta import read_hudi_cdc
 
         df = read_hudi_cdc(
             spark, path,
             from_instant=from_instant or None,
             to_instant=to_instant or None,
+            key_field=key_field or None,
         )
         backend.create_temp_view(df, view_name)
 

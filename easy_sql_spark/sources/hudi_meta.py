@@ -322,6 +322,7 @@ def read_hudi_cdc(
     path: str,
     from_instant: str | None = None,
     to_instant: str | None = None,
+    key_field: str | None = None,
 ) -> DataFrame:
     """Hudi CHANGE-DATA-CAPTURE query (RFC-51) over the supplemental
     ``-cdc`` log files a ``hoodie.table.cdc.enabled=true`` writer
@@ -330,7 +331,11 @@ def read_hudi_cdc(
     mode carries it), ``before``/``after`` images as canonical JSON
     strings (Hudi's own Spark CDC relation surfaces the images as JSON
     strings too).  ``(from_instant, to_instant]`` bounds the pull the
-    same way the incremental query does.
+    same way the incremental query does.  ``key_field`` names an image
+    field to derive ``record_key`` from when the logging mode doesn't
+    persist one (data_before_after has no record_key column — without a
+    key the feed can't drive a keyed apply): deletes take it from the
+    before image, writes from the after image.
 
     Scale: CDC block payloads decode INSIDE executor tasks (one per cdc
     file — the same parallelism read_hudi uses for log merges); the
@@ -376,10 +381,21 @@ def read_hudi_cdc(
             ):
                 continue
             for rec in b.records:
+                key = rec.get("record_key")
+                if key is None and key_field:
+                    src = (
+                        rec.get("before")
+                        if rec.get("op") == "d"
+                        else rec.get("after")
+                    )
+                    if isinstance(src, str):
+                        src = _json.loads(src)
+                    if isinstance(src, dict) and src.get(key_field) is not None:
+                        key = str(src[key_field])
                 yield (
                     instant,
                     rec.get("op"),
-                    rec.get("record_key"),
+                    key,
                     img(rec.get("before")),
                     img(rec.get("after")),
                 )

@@ -748,3 +748,75 @@ def test_export_mor_bucket_config_is_table_state(spark, tmp_path):
     # matching explicit values still fine
     rep3 = export_snapshot_to_hudi_mor(t, key_col="k", n_buckets=8)
     assert rep3["mode"] == "delta"
+
+
+def test_hudi_cdc_feed_drives_snapshot_apply_changes(spark, tmp_path):
+    """End-to-end CDC consumption (the postgres-cdc shape over Hudi):
+    func.hudi_cdc_view with key_field derivation feeds
+    func.snapshot_apply_changes, and the mirror snapshot table
+    converges to the Hudi table's own snapshot state."""
+    from easy_sql_spark.runtime.processor import SqlProcessor
+    from easy_sql_spark.runtime.snapshots import SnapshotTable
+    from easy_sql_spark.sources.hudi_log import (
+        write_cdc_data_block,
+        write_data_block,
+        write_delete_block,
+    )
+    from easy_sql_spark.sources.hudi_meta import read_hudi
+
+    t = str(tmp_path / "cdc_apply")
+    _props(t, "MERGE_ON_READ")
+    base = [(1, "a"), (2, "b"), (3, "c")]
+    _mor_base_file(spark, t, "", "f1", "001", base)
+    _instant(t, "001", "commit")
+
+    img = {
+        "type": "record",
+        "name": "img",
+        "fields": [{"name": "id", "type": "long"},
+                   {"name": "val", "type": ["null", "string"]}],
+    }
+    # 002: update id=1, insert id=9; 003: delete id=2
+    data = write_data_block(
+        MOR_AVRO_SCHEMA, [_rec("002", 1, "a2"), _rec("002", 9, "i9")], "002"
+    ) + write_delete_block([("2", "")], "003")
+    _log_file(t, "", "f1", "001", 1, data)
+    cdc = write_cdc_data_block(
+        [{"op": "u", "ts_ms": "002", "before": {"id": 1, "val": "a"},
+          "after": {"id": 1, "val": "a2"}},
+         {"op": "i", "ts_ms": "002", "before": None,
+          "after": {"id": 9, "val": "i9"}}],
+        "002", "data_before_after", img,
+    ) + write_cdc_data_block(
+        [{"op": "d", "ts_ms": "003", "before": {"id": 2, "val": "b"},
+          "after": None}],
+        "003", "data_before_after", img,
+    )
+    dest = os.path.join(t, ".f1_001.log.1_0-1-0-cdc")
+    with open(dest, "wb") as f:
+        f.write(cdc)
+    _instant(t, "002", "deltacommit")
+    _instant(t, "003", "deltacommit")
+
+    mirror = str(tmp_path / "mirror")
+    SnapshotTable(spark, mirror).create(
+        spark.createDataFrame(base, "id long, val string")
+    )
+    etl = f"""-- target=func.hudi_cdc_view({t}, hcdc, 001, , id)
+
+-- target=temp.changes
+select cast(record_key as long) as id,
+       get_json_object(coalesce(after, before), '$.val') as val,
+       case op when 'd' then 'delete' else 'upsert' end as __op,
+       commit_time as ts
+from hcdc
+
+-- target=func.snapshot_apply_changes({mirror}, changes, id, __op, ts)
+"""
+    SqlProcessor(spark, etl, logger=lambda m: None).run()
+
+    want = {(r.id, r.val) for r in read_hudi(spark, t).collect()}
+    got = {
+        (r.id, r.val) for r in SnapshotTable(spark, mirror).read().collect()
+    }
+    assert got == want == {(1, "a2"), (3, "c"), (9, "i9")}
