@@ -29,4 +29,9 @@ def library_function_names() -> frozenset[str]:
         spark = backend = func_runner = vars_context = log = None
         base_dir = "."
 
+        def __init__(self):
+            # build() may register end-of-run invariant checks (e.g. the
+            # deferred dedup-index flush guard) at registration time
+            self.run_end_checks: list[Callable] = []
+
     return frozenset(build_registry(_Dummy()))
