@@ -498,3 +498,181 @@ def test_hudi_mor_reader_matches_timeline_replay_model(spark, tmp_path, seed):
         assert (r.after is None) == (r.op == "d")
         got_feed.add((r.commit_time, r.op, _json.loads(img)["k"]))
     assert got_feed == want_feed, f"seed={seed} cdc feed mismatch"
+
+
+# ----------------------------------------------------------- iceberg side
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [29, 83])
+def test_iceberg_reader_matches_snapshot_replay_model(spark, tmp_path, seed):
+    """Same discipline for the THIRD format: random snapshot sequences
+    (delta-manifest appends / full-state-collapse overwrites /
+    position-delete snapshots) built byte-by-byte to the v2 spec
+    (avro manifests + manifest lists via avro_lite), replayed by
+    read_iceberg at EVERY snapshot id against a pure-Python model; the
+    incremental append scan is checked over every all-append window
+    and must refuse windows containing an overwrite/delete snapshot."""
+    from tests.test_iceberg_meta import (
+        ICE_SCHEMA,
+        _data_file,
+        _entry,
+        _manifest,
+        _manifest_list,
+        _metadata,
+    )
+
+    from easy_sql_spark.sources.iceberg_meta import (
+        IcebergUnsupportedError,
+        read_iceberg,
+        read_iceberg_incremental,
+    )
+
+    rng = random.Random(seed)
+    t = str(tmp_path / f"ifz{seed}")
+
+    #: model: path -> (ordered rows, set of pos-deleted positions)
+    files: dict[str, tuple[list, set]] = {}
+    live: list[str] = []
+    history: dict[int, set] = {}  # snapshot id -> visible (id, val)
+    ops: dict[int, str] = {}
+    added_rows: dict[int, set] = {}  # append snapshots' own new rows
+    #: manifest stack carried forward: (path, content, added_snapshot_id)
+    stack: list[tuple[str, int, int]] = []
+    snapshots, log = [], []
+    next_id = 0
+    nf = 0
+
+    def visible():
+        out = set()
+        for p in live:
+            rows, dead = files[p]
+            out |= {
+                (i, v) for pos, (i, v) in enumerate(rows) if pos not in dead
+            }
+        return out
+
+    def new_file(n_rows):
+        nonlocal next_id, nf
+        rows = [(next_id + i, f"v{rng.randrange(100)}") for i in range(n_rows)]
+        next_id += n_rows
+        p = _data_file(spark, t, f"f{nf}.parquet", rows)
+        nf += 1
+        files[p] = (rows, set())
+        return p, rows
+
+    def commit(sid, op):
+        mls = _manifest_list(
+            t, f"sl{sid}.avro",
+            [m for m, _c, _a in stack],
+            contents=[c for _m, c, _a in stack],
+            added_snaps=[a for _m, _c, a in stack],
+        )
+        snapshots.append(
+            {"snapshot-id": sid, "timestamp-ms": sid * 1000,
+             "manifest-list": mls, "summary": {"operation": op}}
+        )
+        log.append({"timestamp-ms": sid * 1000, "snapshot-id": sid})
+        ops[sid] = op
+        history[sid] = visible()
+
+    # s1 always seeds with an append
+    p, rows = new_file(3)
+    live.append(p)
+    stack.append((_manifest(t, "m1.avro", [_entry(1, p)]), 0, 1))
+    added_rows[1] = set(rows)
+    commit(1, "append")
+
+    for sid in range(2, 8):
+        op = rng.choice(["append", "overwrite", "pos_delete"])
+        if op == "append":
+            p, rows = new_file(rng.randrange(1, 3))
+            live.append(p)
+            stack.append(
+                (_manifest(t, f"m{sid}.avro", [_entry(1, p)]), 0, sid)
+            )
+            added_rows[sid] = set(rows)
+            commit(sid, "append")
+        elif op == "overwrite":
+            # collapse to ONE full-state data manifest: victim deleted,
+            # survivors EXISTING, one new file added (delete manifests
+            # carry forward untouched)
+            victim = rng.choice(live)
+            live.remove(victim)
+            p, _rows = new_file(rng.randrange(1, 3))
+            entries = [_entry(0, q) for q in live] + [
+                _entry(2, victim), _entry(1, p),
+            ]
+            live.append(p)
+            stack[:] = [e for e in stack if e[1] == 1] + [
+                (_manifest(t, f"m{sid}.avro", entries), 0, sid)
+            ]
+            commit(sid, "overwrite")
+        else:
+            # position delete: kill one still-visible row of a live file
+            cands = [
+                (q, pos)
+                for q in live
+                for pos in range(len(files[q][0]))
+                if pos not in files[q][1]
+            ]
+            if not cands:
+                ops[sid] = "skipped"
+                continue
+            q, pos = rng.choice(cands)
+            files[q][1].add(pos)
+            dd = spark.createDataFrame(
+                [(q, pos)], "file_path string, pos long"
+            )
+            tmpd = os.path.join(t, f"_td{sid}")
+            dd.coalesce(1).write.parquet(tmpd)
+            part = next(
+                n for n in os.listdir(tmpd) if n.endswith(".parquet")
+            )
+            fdel = os.path.join(t, "data", f"del{sid}.parquet")
+            os.replace(os.path.join(tmpd, part), fdel)
+            import shutil
+
+            shutil.rmtree(tmpd)
+            stack.append(
+                (_manifest(t, f"md{sid}.avro",
+                           [_entry(1, fdel, content=1)]), 1, sid)
+            )
+            commit(sid, "delete")
+
+    sids = sorted(history)
+    _metadata(t, snapshots, current=sids[-1], log=log, schema=ICE_SCHEMA)
+
+    # every snapshot must replay (time travel is contract)
+    for sid in sids:
+        got = {
+            (r.id, r.val)
+            for r in read_iceberg(spark, t, snapshot_id=sid).collect()
+        }
+        assert got == history[sid], f"seed={seed} snapshot {sid} mismatch"
+    got = {(r.id, r.val) for r in read_iceberg(spark, t).collect()}
+    assert got == history[sids[-1]], f"seed={seed} current mismatch"
+
+    # incremental append scan over every ALL-APPEND window; any window
+    # containing an overwrite/delete snapshot must refuse loudly
+    for i, lo in enumerate(sids):
+        for hi in sids[i + 1:]:
+            window = [s for s in sids if lo < s <= hi]
+            if all(ops[s] == "append" for s in window):
+                want = set().union(
+                    *(added_rows[s] for s in window)
+                ) if window else set()
+                got = {
+                    (r.id, r.val)
+                    for r in read_iceberg_incremental(
+                        spark, t, lo, hi
+                    ).collect()
+                }
+                assert got == want, (
+                    f"seed={seed} incremental ({lo}, {hi}] mismatch"
+                )
+            else:
+                with pytest.raises(
+                    (IcebergUnsupportedError, ValueError)
+                ):
+                    read_iceberg_incremental(spark, t, lo, hi).collect()
