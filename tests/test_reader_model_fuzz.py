@@ -384,16 +384,20 @@ def test_hudi_mor_reader_matches_timeline_replay_model(spark, tmp_path, seed):
             instant, "data_before_after", img_schema,
         )
 
-    def state_at(instant):
-        st = {k: v for k, v in base_rows} if instant >= "001" else {}
+    def fold_to(instant):
+        # key -> (val, last write instant) after committed events <= instant
+        st = {k: (v, "001") for k, v in base_rows} if instant >= "001" else {}
         for ins, kind, k, v, _ in events:
             if ins > instant or ins not in committed:
                 continue
             if kind == "del":
                 st.pop(k, None)
             else:
-                st[k] = v
-        return {(k, v) for k, v in st.items()}
+                st[k] = (v, ins)
+        return st
+
+    def state_at(instant):
+        return {(k, v) for k, (v, _i) in fold_to(instant).items()}
 
     def recs(instant, pairs):
         return [
@@ -498,6 +502,26 @@ def test_hudi_mor_reader_matches_timeline_replay_model(spark, tmp_path, seed):
         assert (r.after is None) == (r.op == "d")
         got_feed.add((r.commit_time, r.op, _json.loads(img)["k"]))
     assert got_feed == want_feed, f"seed={seed} cdc feed mismatch"
+
+    # incremental pull over every committed window: the snapshot at
+    # `hi` restricted to keys last WRITTEN inside (lo, hi] — updates
+    # resolve to final state, deletes vanish, untouched keys stay out
+    from easy_sql_spark.sources.hudi_meta import read_hudi_incremental
+
+    for i, lo in enumerate(committed):
+        for hi in committed[i + 1:]:
+            want = {
+                (k, v)
+                for k, (v, ins) in fold_to(hi).items()
+                if lo < ins <= hi
+            }
+            got = {
+                (r.k, r.v)
+                for r in read_hudi_incremental(spark, t, lo, hi).collect()
+            }
+            assert got == want, (
+                f"seed={seed} incremental ({lo}, {hi}] mismatch"
+            )
 
 
 # ----------------------------------------------------------- iceberg side
