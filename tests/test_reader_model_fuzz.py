@@ -541,6 +541,7 @@ def test_iceberg_reader_matches_snapshot_replay_model(spark, tmp_path, seed):
         ICE_SCHEMA,
         _data_file,
         _entry,
+        _eq_delete_file,
         _manifest,
         _manifest_list,
         _metadata,
@@ -555,8 +556,10 @@ def test_iceberg_reader_matches_snapshot_replay_model(spark, tmp_path, seed):
     rng = random.Random(seed)
     t = str(tmp_path / f"ifz{seed}")
 
-    #: model: path -> (ordered rows, set of pos-deleted positions)
+    #: model: path -> (ordered rows, set of dead positions — pos- or
+    #: eq-deleted); file_seq: path -> data sequence (= adding snapshot)
     files: dict[str, tuple[list, set]] = {}
+    file_seq: dict[str, int] = {}
     live: list[str] = []
     history: dict[int, set] = {}  # snapshot id -> visible (id, val)
     ops: dict[int, str] = {}
@@ -585,11 +588,23 @@ def test_iceberg_reader_matches_snapshot_replay_model(spark, tmp_path, seed):
         files[p] = (rows, set())
         return p, rows
 
+    def eq_kill(target_id, sid):
+        # spec rule: an equality delete at data sequence `sid` kills
+        # matching rows ONLY in data files with sequence STRICTLY below
+        for q in live:
+            if file_seq[q] >= sid:
+                continue
+            rows, dead = files[q]
+            for pos, (i, _v) in enumerate(rows):
+                if i == target_id:
+                    dead.add(pos)
+
     def commit(sid, op):
         mls = _manifest_list(
             t, f"sl{sid}.avro",
             [m for m, _c, _a in stack],
             contents=[c for _m, c, _a in stack],
+            seqs=[a for _m, _c, a in stack],
             added_snaps=[a for _m, _c, a in stack],
         )
         snapshots.append(
@@ -603,15 +618,17 @@ def test_iceberg_reader_matches_snapshot_replay_model(spark, tmp_path, seed):
     # s1 always seeds with an append
     p, rows = new_file(3)
     live.append(p)
+    file_seq[p] = 1
     stack.append((_manifest(t, "m1.avro", [_entry(1, p)]), 0, 1))
     added_rows[1] = set(rows)
     commit(1, "append")
 
-    for sid in range(2, 8):
-        op = rng.choice(["append", "overwrite", "pos_delete"])
+    for sid in range(2, 9):
+        op = rng.choice(["append", "overwrite", "pos_delete", "eq_upsert"])
         if op == "append":
             p, rows = new_file(rng.randrange(1, 3))
             live.append(p)
+            file_seq[p] = sid
             stack.append(
                 (_manifest(t, f"m{sid}.avro", [_entry(1, p)]), 0, sid)
             )
@@ -619,18 +636,49 @@ def test_iceberg_reader_matches_snapshot_replay_model(spark, tmp_path, seed):
             commit(sid, "append")
         elif op == "overwrite":
             # collapse to ONE full-state data manifest: victim deleted,
-            # survivors EXISTING, one new file added (delete manifests
-            # carry forward untouched)
+            # survivors EXISTING (keeping their ORIGINAL data sequence —
+            # the spec's existing-entry rule, and what keeps later
+            # equality deletes applying correctly), one new file added
             victim = rng.choice(live)
             live.remove(victim)
             p, _rows = new_file(rng.randrange(1, 3))
-            entries = [_entry(0, q) for q in live] + [
-                _entry(2, victim), _entry(1, p),
+            entries = [
+                _entry(0, q, seq=file_seq[q]) for q in live
+            ] + [
+                _entry(2, victim, seq=file_seq[victim]), _entry(1, p),
             ]
             live.append(p)
+            file_seq[p] = sid
             stack[:] = [e for e in stack if e[1] == 1] + [
                 (_manifest(t, f"m{sid}.avro", entries), 0, sid)
             ]
+            commit(sid, "overwrite")
+        elif op == "eq_upsert":
+            # the upsert pattern: equality-delete an id and re-add it in
+            # the SAME snapshot — the re-added file (seq == sid) must
+            # survive its own delete (strictly-below rule)
+            vis = sorted({i for i, _v in visible()})
+            if not vis:
+                ops[sid] = "skipped"
+                continue
+            k = rng.choice(vis)
+            eq_kill(k, sid)
+            fe = _eq_delete_file(
+                spark, t, f"eq{sid}.parquet", [(k,)], "id long"
+            )
+            rows = [(k, f"u{sid}")]
+            p = _data_file(spark, t, f"f{nf}.parquet", rows)
+            nf += 1
+            files[p] = (rows, set())
+            file_seq[p] = sid
+            live.append(p)
+            stack.append(
+                (_manifest(t, f"m{sid}.avro", [_entry(1, p)]), 0, sid)
+            )
+            stack.append(
+                (_manifest(t, f"me{sid}.avro",
+                           [_entry(1, fe, content=2, eq_ids=[1])]), 1, sid)
+            )
             commit(sid, "overwrite")
         else:
             # position delete: kill one still-visible row of a live file
@@ -645,7 +693,7 @@ def test_iceberg_reader_matches_snapshot_replay_model(spark, tmp_path, seed):
                 continue
             q, pos = rng.choice(cands)
             files[q][1].add(pos)
-            dd = spark.createDataFrame(
+            dd = spark.createDataFrame(  # noqa: position-delete payload
                 [(q, pos)], "file_path string, pos long"
             )
             tmpd = os.path.join(t, f"_td{sid}")
