@@ -228,9 +228,14 @@ def test_delta_reader_matches_log_replay_model(spark, tmp_path, seed):
                     },
                 ],
             )
-        else:  # checkpoint placement: empty-ish commit + classic ckpt
+        else:  # checkpoint placement: empty-ish commit + classic ckpt,
+            # randomly single-part or 2-part multipart (the large-table
+            # form), exercising the reader's checkpoint selection
             _commit(t, version, [info("WRITE"), new_add(1)])
-            _write_classic_checkpoint(spark, t, version, files, live)
+            _write_classic_checkpoint(
+                spark, t, version, files, live,
+                parts=rng.choice([1, 2]),
+            )
             checkpointed_at = version
         history.append(visible())
 
@@ -248,9 +253,28 @@ def test_delta_reader_matches_log_replay_model(spark, tmp_path, seed):
         assert got == want, f"seed={seed} version {v} mismatch"
 
     # log cleanup: drop every JSON at or below the last checkpoint —
-    # replay must reconstruct from the checkpoint alone
+    # replay must reconstruct from the checkpoint alone; an ABORTED
+    # multipart set at the latest version (1 of 2 parts) must be
+    # ignored by checkpoint selection
     if checkpointed_at is not None:
         log = os.path.join(t, "_delta_log")
+        if version > checkpointed_at:
+            # orphan 1-of-2 part at a LATER version than the complete
+            # checkpoint: selection must skip the incomplete set
+            import shutil as _sh
+
+            src_part = next(
+                os.path.join(log, n)
+                for n in sorted(os.listdir(log))
+                if ".checkpoint." in n
+            )
+            _sh.copyfile(
+                src_part,
+                os.path.join(
+                    log,
+                    f"{version:020d}.checkpoint.{1:010d}.{2:010d}.parquet",
+                ),
+            )
         for v in range(checkpointed_at + 1):
             j = os.path.join(log, f"{v:020d}.json")
             if os.path.exists(j):
@@ -265,9 +289,10 @@ def test_delta_reader_matches_log_replay_model(spark, tmp_path, seed):
             )
 
 
-def _write_classic_checkpoint(spark, t, version, files, live):
-    """Single-part classic checkpoint of the CURRENT state, spec layout:
-    one parquet of action structs at {v}.checkpoint.parquet."""
+def _write_classic_checkpoint(spark, t, version, files, live, parts=1):
+    """Classic checkpoint of the CURRENT state, spec layout: one parquet
+    of action structs at {v}.checkpoint.parquet, or `parts` files at
+    {v}.checkpoint.{i}.{n}.parquet (the multipart form)."""
     cp_schema = (
         "metaData struct<id string, schemaString string, "
         "partitionColumns array<string>, format struct<provider string>>, "
@@ -302,18 +327,26 @@ def _write_classic_checkpoint(spark, t, version, files, live):
         rows.append(
             (None, None, (path, {"p": p}, 1, 0, False, dvs))
         )
-    df = spark.createDataFrame(rows, cp_schema)
-    tmp = os.path.join(t, "_cpt")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    part = next(n for n in os.listdir(tmp) if n.endswith(".parquet"))
     log = os.path.join(t, "_delta_log")
-    os.replace(
-        os.path.join(tmp, part),
-        os.path.join(log, f"{version:020d}.checkpoint.parquet"),
+    chunks = (
+        [rows]
+        if parts == 1
+        else [rows[: len(rows) // 2], rows[len(rows) // 2:]]
     )
-    import shutil
+    for i, chunk in enumerate(chunks, 1):
+        df = spark.createDataFrame(chunk, cp_schema)
+        tmp = os.path.join(t, "_cpt")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(n for n in os.listdir(tmp) if n.endswith(".parquet"))
+        name = (
+            f"{version:020d}.checkpoint.parquet"
+            if parts == 1
+            else f"{version:020d}.checkpoint.{i:010d}.{parts:010d}.parquet"
+        )
+        os.replace(os.path.join(tmp, part), os.path.join(log, name))
+        import shutil
 
-    shutil.rmtree(tmp)
+        shutil.rmtree(tmp)
 
 
 # -------------------------------------------------------------- hudi side
