@@ -49,3 +49,37 @@ def test_registry_fully_oracle_backed():
     assert missing == [], f"registry entries without oracle SQL: {missing}"
     for name in ("emb_pca_project", "text_bpe_merges", "text_bpe_token_count"):
         assert "VALUES" in se.oracle_sql()[name]
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
+def test_generated_oracle_fingerprints_cover_current_testdata():
+    """The generated VALUES oracles dispatch per scale factor on a
+    corpus fingerprint; a REGENERATED testdata drop would miss every
+    branch and fail the three entries with an opaque 0-row mismatch.
+    Catch it here with the actionable message instead."""
+    import re
+
+    import duckdb
+
+    from easy_sql_spark.queries import _oracle_literals as ol
+
+    embedded = {
+        int(x)
+        for x in re.findall(r"\((\d{4,})[,)]", ol.BPE_MERGES_ORACLE)
+    }
+    for sf_dir in (
+        "/root/testdata/sf0.001", SF_DIR, "/root/testdata/sf0.1"
+    ):
+        if not os.path.isdir(sf_dir):
+            continue
+        con = duckdb.connect()
+        (fp,) = con.execute(
+            "SELECT SUM(LENGTH(text)) FROM read_parquet(?)",
+            [f"{sf_dir}/documents.parquet"],
+        ).fetchone()
+        con.close()
+        assert int(fp) in embedded, (
+            f"{sf_dir} fingerprint {fp} not covered by the generated "
+            "oracle literals — testdata was regenerated; rerun "
+            "`python tools/gen_independent_oracles.py --check`"
+        )
