@@ -802,18 +802,15 @@ def test_hudi_cdc_feed_drives_snapshot_apply_changes(spark, tmp_path):
     SnapshotTable(spark, mirror).create(
         spark.createDataFrame(base, "id long, val string")
     )
-    etl = f"""-- target=func.hudi_cdc_view({t}, hcdc, 001, , id)
-
--- target=temp.changes
-select cast(record_key as long) as id,
-       get_json_object(coalesce(after, before), '$.val') as val,
-       case op when 'd' then 'delete' else 'upsert' end as __op,
-       commit_time as ts
-from hcdc
-
--- target=func.snapshot_apply_changes({mirror}, changes, id, __op, ts)
-"""
-    SqlProcessor(spark, etl, logger=lambda m: None).run()
+    examples = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "examples"
+    )
+    with open(os.path.join(examples, "hudi_cdc_mirror.sql")) as f:
+        etl = f.read()
+    SqlProcessor(
+        spark, etl, logger=lambda m: None,
+        variables={"hudi_table": t, "mirror": mirror, "from_instant": "001"},
+    ).run()
 
     want = {(r.id, r.val) for r in read_hudi(spark, t).collect()}
     got = {
