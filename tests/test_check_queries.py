@@ -112,3 +112,39 @@ def test_oracle_connection_registers_views(tmp_path):
     c = oracle_connection(str(tmp_path))
     assert c.execute("SELECT a FROM lineitem").fetchall() == [(1,)]
     c.close()
+
+
+def test_spark_round_emulation_matches_engine(spark):
+    """tools/gen_independent_oracles.spark_round claims Spark's
+    round(double, scale) semantics (HALF_UP over the shortest decimal
+    representation, BigDecimal.valueOf). Cross-validate bit-for-bit
+    against the engine over a wide deterministic sample — magnitudes
+    from 1e-8 to 1e6, negatives, exact half-ties at each scale, and
+    float32-originated values (the embedding path)."""
+    import random
+    import struct as st
+
+    from pyspark.sql import functions as F
+
+    from tools.gen_independent_oracles import spark_round
+
+    rng = random.Random(7)
+    vals = []
+    for _ in range(1500):
+        m = rng.choice([1e-8, 1e-4, 1e-2, 1.0, 1e2, 1e6])
+        vals.append(rng.uniform(-m, m))
+    # exact half-ties (representable ones round deterministically)
+    vals += [1.5e-6, -1.5e-6, 0.0005, -0.0005, 2.5, -2.5, 1234.4995]
+    # float32-originated doubles (embedding decode path)
+    vals += [
+        float(st.unpack("<f", st.pack("<f", rng.uniform(-2, 2)))[0])
+        for _ in range(500)
+    ]
+    for scale in (3, 6):
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        got = [
+            r.r for r in df.select(F.round("x", scale).alias("r")).collect()
+        ]
+        for v, g in zip(vals, got):
+            e = spark_round(v, scale)
+            assert (g == e) or (g != g and e != e), (v, scale, g, e)
