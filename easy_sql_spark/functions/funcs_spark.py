@@ -851,6 +851,7 @@ def build(processor):
         out_view: str,
         batch_id: str = "",
         defer: str = "",
+        strict_replay: str = "",
     ):
         """Incremental fuzzy dedup against the persistent LSH band index
         at ``root`` (operators/dedup_index.py): `func.dedup_index_ingest(
@@ -865,18 +866,24 @@ def build(processor):
         single snapshot commit at `func.dedup_index_flush(root)`, with
         identical admission semantics (later ingests probe committed ∪
         pending bands).  An ETL failure before the flush commits
-        nothing."""
+        nothing.
+
+        ``strict_replay=1``: a replayed batch whose commit history has
+        been vacuumed FAILS the step instead of reconstructing via the
+        whole-index join (which is exact only when a doc_id is offered
+        at most once per index lifetime)."""
         from ..operators.dedup_index import MinHashDedupIndex
 
+        vr = "raise" if strict_replay not in ("", "0", "false") else "fallback"
         if defer not in ("", "0", "false"):
             if root not in _didx_deferred:
-                idx = MinHashDedupIndex(spark, root)
+                idx = MinHashDedupIndex(spark, root, vacuumed_replay=vr)
                 cm = idx.deferred_commits()
                 cm.__enter__()
                 _didx_deferred[root] = (idx, cm)
             idx = _didx_deferred[root][0]
         else:
-            idx = MinHashDedupIndex(spark, root)
+            idx = MinHashDedupIndex(spark, root, vacuumed_replay=vr)
         admitted = idx.ingest(
             spark.table(view),
             batch_id=int(batch_id) if batch_id != "" else None,

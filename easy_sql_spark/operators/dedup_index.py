@@ -53,13 +53,29 @@ class MinHashDedupIndex:
         root: str,
         n_hashes: int | None = None,
         n_bands: int | None = None,
+        vacuumed_replay: str = "fallback",
     ) -> None:
         from ..queries.llm_ops import N_BANDS, N_MINHASH
 
+        if vacuumed_replay not in ("fallback", "raise"):
+            raise ValueError(
+                "vacuumed_replay must be 'fallback' or 'raise', got "
+                f"{vacuumed_replay!r}"
+            )
         self.spark = spark
         self.table = SnapshotTable(spark, root)
         self.n_hashes = n_hashes or N_MINHASH
         self.n_bands = n_bands or N_BANDS
+        #: what a replayed ingest does when the batch's own commit
+        #: history is gone (vacuumed manifests / compacted dirs):
+        #: ``"fallback"`` widens the reconstruction join to the whole
+        #: index — exact ONLY under the documented unique-doc_id-per-
+        #: index-lifetime precondition; ``"raise"`` refuses instead,
+        #: the right setting when vacuum retention is allowed to be
+        #: shorter than the streaming checkpoint replay horizon and
+        #: doc_ids may be re-offered across loads (ADVICE r9, kept
+        #: open at r10: an approximate reconstruction must be opt-in)
+        self.vacuumed_replay = vacuumed_replay
         #: (batch_id | None, admitted band frame) accumulated under
         #: :meth:`deferred_commits`, flushed as one snapshot commit
         self._pending: list[tuple[int | None, DataFrame]] = []
@@ -360,7 +376,8 @@ class MinHashDedupIndex:
         # batch's commit history is gone (vacuumed manifests / compacted
         # dirs) does it widen to the whole index — under the documented
         # precondition that a doc_id is offered at most once per index
-        # lifetime.
+        # lifetime; ``vacuumed_replay='raise'`` refuses that widening
+        # for deployments where the precondition cannot be guaranteed.
         if batch_id is not None:
             last = self.table.last_committed_batch()
             if last is not None and int(batch_id) <= last:
@@ -368,6 +385,21 @@ class MinHashDedupIndex:
                     bands = self._bands(docs)
                 committed = self._batch_committed_docs(int(batch_id))
                 if committed is None:
+                    if self.vacuumed_replay == "raise":
+                        raise RuntimeError(
+                            f"dedup index replay of batch {batch_id} at "
+                            f"{self.table.root}: the commit that recorded "
+                            "this batch id is no longer reconstructable "
+                            "(vacuumed manifest or compacted-away dirs) "
+                            "and vacuumed_replay='raise' forbids the "
+                            "whole-index reconstruction, which is exact "
+                            "only when a doc_id is offered at most once "
+                            "per index lifetime.  Either extend vacuum "
+                            "retention past the streaming checkpoint "
+                            "replay horizon, or construct the index with "
+                            "vacuumed_replay='fallback' if the unique-"
+                            "doc_id precondition holds for this corpus"
+                        )
                     committed = self.table.read().select("doc_id").distinct()
                 indexed = docs.select("doc_id").join(
                     committed, "doc_id", "left_semi"

@@ -358,6 +358,56 @@ def test_dedup_index_replay_scoped_to_batch_commit(spark, root):
     assert idx.table.latest_version() == v
 
 
+def test_dedup_index_vacuumed_replay_strict_raises(spark, root):
+    """ADVICE r10 (low): when the commit that recorded a replayed batch
+    id has been vacuumed, the whole-index reconstruction is exact only
+    under the unique-doc_id-per-index-lifetime precondition.
+    ``vacuumed_replay='raise'`` must refuse the approximation; the
+    default ``'fallback'`` performs it (and this test pins exactly the
+    wrong-readmission the strict mode exists to prevent)."""
+    from easy_sql_spark.operators.dedup_index import MinHashDedupIndex
+
+    idx = MinHashDedupIndex(spark, root)
+    crawl = (1, "the quick brown fox jumps over the lazy dog")
+    idx.ingest(
+        spark.createDataFrame([crawl], "doc_id long, text string"),
+        batch_id=0,
+    )
+    b1 = spark.createDataFrame(
+        [crawl,  # re-crawl: rejected by batch 1's original run
+         (5, "completely novel content never seen before today")],
+        "doc_id long, text string",
+    )
+    assert {r.doc_id for r in idx.ingest(b1, batch_id=1).collect()} == {5}
+    idx.ingest(
+        spark.createDataFrame(
+            [(9, "another fresh document with unique words entirely")],
+            "doc_id long, text string",
+        ),
+        batch_id=2,
+    )
+    # vacuum keeps only the newest manifest: batch 1's commit history
+    # (its manifest, hence its ``added`` scoping) is gone
+    assert (
+        idx.table.vacuum(retain_versions=1, min_age_seconds=0)[
+            "deleted_manifests"
+        ]
+        >= 2
+    )
+
+    strict = MinHashDedupIndex(spark, root, vacuumed_replay="raise")
+    with pytest.raises(RuntimeError, match="no longer reconstructable"):
+        strict.ingest(b1, batch_id=1)
+    # strict refusal commits nothing and leaves the table readable
+    assert idx.table.last_committed_batch() == 2
+
+    # the default widens to the whole index: doc 1 IS indexed (by batch
+    # 0), so the approximate replay re-admits it — only sound when a
+    # doc_id is offered at most once per index lifetime
+    relaxed = {r.doc_id for r in idx.ingest(b1, batch_id=1).collect()}
+    assert relaxed == {1, 5}
+
+
 def test_dedup_index_deferred_commits_one_version_same_admissions(
     spark, tmp_path
 ):
