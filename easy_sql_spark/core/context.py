@@ -26,9 +26,18 @@ from .sql_text import substitute_outside_comments
 
 VAR_PATTERN = re.compile(r"\$\{([^${}]+)\}")
 FUNC_CALL_PATTERN = re.compile(r"^(\w+)\((.*)\)$", re.DOTALL)
+# the reference's whole-text fast path (context.py:55-68): a text that IS a
+# single plain variable reference returns the variable's value directly,
+# stripped of surrounding whitespace — differential-fuzzed parity
+WHOLE_TEXT_VAR_PATTERN = re.compile(r"\$\{\s*(\w+)\s*\}")
 # template args may contain ${var} references (templates expand BEFORE
-# variables, step.py:289-292), so the arg body admits balanced ${...} chunks
-TEMPLATE_PATTERN = re.compile(r"@\{(\w+)(?:\(((?:[^{}()]|\$\{[^}]*\})*)\))?\}")
+# variables, step.py:289-292), so the arg body admits balanced ${...} chunks.
+# Spaces are legal around the name and after the arg list but NOT between
+# name and "(" — the reference's with-arg pattern requires them adjacent
+# (context.py:144-145, differential-fuzzed parity)
+TEMPLATE_PATTERN = re.compile(
+    r"@\{\s*(\w+)(?:\(((?:[^{}()]|\$\{[^}]*\})*)\))?\s*\}"
+)
 TEMPLATE_PARAM_PATTERN = re.compile(r"#\{(\w+)\}")
 
 MAX_RESOLVE_PASSES = 16
@@ -80,7 +89,28 @@ class VarsContext:
 
     # -- substitution -----------------------------------------------------
     def replace_variables(self, text: str) -> str:
-        """Resolve ``${...}`` references to a fixpoint, comments shielded."""
+        """Resolve ``${...}`` references to a fixpoint, comments shielded.
+
+        Whole-text fast path (reference context.py:55-68, verified by the
+        differential fuzzer): a text that is exactly ONE plain variable
+        reference — optionally surrounded by whitespace — resolves to the
+        variable's rendered value with the surrounding whitespace dropped
+        (the reference returns the raw object there; every caller of ours
+        consumes strings, so the rendered form is the parity surface).
+        The reference's fast path also fires for ``${name:default}`` and
+        ``${func(...)}`` whole-texts but crashes on the former and yields
+        ``None`` for the latter (context.py:58-62 slices the already-
+        truncated name; funcs are never dispatched) — those fall through
+        to the general path here instead of replicating the crash."""
+        depth = 0
+        m = WHOLE_TEXT_VAR_PATTERN.fullmatch(text.strip())
+        while m and self.has_var(m.group(1)) and depth < MAX_RESOLVE_PASSES:
+            rendered = self._render(self.get_var(m.group(1)))
+            if "${" not in rendered:
+                return rendered
+            text = rendered
+            depth += 1
+            m = WHOLE_TEXT_VAR_PATTERN.fullmatch(text.strip())
         return substitute_outside_comments(text, self._resolve_to_fixpoint)
 
     def _resolve_to_fixpoint(self, text: str) -> str:
@@ -121,16 +151,44 @@ class VarsContext:
 
 
 class TemplatesContext:
-    """Named SQL fragments with ``#{param}`` placeholders."""
+    """Named SQL fragments with ``#{param}`` placeholders.
+
+    Reference-parity points, each pinned by the differential fuzzer
+    (tests/test_reference_differential.py) against the reference's
+    TemplatesContext (context.py:133-205):
+
+    - template NAMES are lowercased at definition time but looked up
+      verbatim at the use site — ``@{T}`` over a template defined as
+      ``T`` (stored ``t``) is an error, while ``@{t}`` resolves;
+    - ``#{param}`` substitution is case-insensitive on both sides;
+      parameters the call does not provide stay literal in the output;
+    - bodies are stripped, and a body whose LAST line carries a comment
+      gets a trailing newline so the splice cannot comment out the text
+      that follows the use site (context.py:158-161);
+    - template bodies may reference other templates: the reference
+      re-scans after every splice until no reference remains — we
+      expand to a fixpoint with a pass cap, so a CYCLE raises loudly
+      where the reference would loop forever;
+    - comments are re-shielded between passes: a ``@{...}`` inside a
+      comment line that an earlier expansion spliced in stays literal.
+    """
 
     def __init__(self) -> None:
         self.templates: dict[str, str] = {}
 
     def add_template(self, name: str, body: str) -> None:
-        self.templates[name] = body
+        self.templates[name.lower()] = body
 
     def replace_templates(self, text: str) -> str:
-        return substitute_outside_comments(text, self._expand_all)
+        for _ in range(MAX_RESOLVE_PASSES):
+            new = substitute_outside_comments(text, self._expand_all)
+            if new == text:
+                return new
+            text = new
+        raise ValueError(
+            "template expansion did not converge in "
+            f"{MAX_RESOLVE_PASSES} passes (cyclic template reference?)"
+        )
 
     def _expand_all(self, text: str) -> str:
         return TEMPLATE_PATTERN.sub(self._expand_one, text)
@@ -139,7 +197,12 @@ class TemplatesContext:
         name, arg_text = m.group(1), m.group(2)
         if name not in self.templates:
             raise KeyError(f"undefined template: @{{{name}}}")
-        body = self.templates[name]
+        body = self.templates[name].strip()
+        from .sql_text import _scan_comment_spans
+
+        last_line = body.rsplit("\n", 1)[-1]
+        if _scan_comment_spans(last_line):
+            body += "\n"
         params: dict[str, str] = {}
         if arg_text:
             for part in arg_text.split(","):
@@ -148,9 +211,9 @@ class TemplatesContext:
                         f"template argument must be k=v: {part!r} in @{{{name}}}"
                     )
                 k, v = part.split("=", 1)
-                params[k.strip()] = v.strip()
+                params[k.strip().lower()] = v.strip()
         return TEMPLATE_PARAM_PATTERN.sub(
-            lambda pm: params.get(pm.group(1), pm.group(0)), body
+            lambda pm: params.get(pm.group(1).lower(), pm.group(0)), body
         )
 
 

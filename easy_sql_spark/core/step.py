@@ -19,7 +19,10 @@ from dataclasses import dataclass, field
 
 from .sql_text import strip_trailing_semicolon
 
-TARGET_RE = re.compile(r"^--\s*target\s*=\s*(\S.*)$")
+# exactly "-- target" (one space, case-insensitive): the reference's header
+# pattern (step.py:73) treats "--target=..." / "--  target=..." as plain
+# comment lines, not step headers — differential-fuzzed parity
+TARGET_RE = re.compile(r"^-- target\s*=\s*(\S.*)$", re.IGNORECASE)
 INCLUDE_RE = re.compile(r"^--\s*include\s*=\s*(\S+)\s*$")
 IF_FUNC_RE = re.compile(r"^(\w+)\((.*)\)$")
 
