@@ -1,0 +1,236 @@
+"""END-TO-END differential fuzz: our SqlProcessor vs the reference's,
+both executing the SAME generated ETL on the SAME SparkSession.
+
+The reference's Spark backend is plain PySpark, so its full processor
+runs in this container with no extra dependencies.  Each case generates
+a random step-language ETL (variables capture, templates with params,
+temp/cache/broadcast steps chained over a shared ``diff_base`` view,
+var/func/template references inside the SQL, log and check steps,
+``if=`` conditions with generator-known truth), runs it through the
+REFERENCE SqlProcessor, snapshots every view it creates, tears the
+views down, runs OUR SqlProcessor on the same text, and compares
+per-view column names and sorted row multisets.
+
+This is step-language parity measured against the reference ENGINE, not
+against our reading of it — the strongest end-to-end evidence SURVEY
+§2A/§2B can get.  The text-layer differential (test_reference_
+differential.py) pins the macro semantics; this pins what the steps DO.
+
+Grammar stays inside behavior both engines define deliberately:
+conditions use bool-returning funcs (the reference treats a func
+returning the STRING 'false' as truthy — ours skips; documented
+divergence, not generated), and ``__skip_all__`` values stay in the
+reference's exact accepted list.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import random
+import sys
+
+import pytest
+
+REF_ROOT = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF_ROOT, "easy_sql")),
+    reason="reference checkout absent",
+)
+
+WORDS = ["alpha", "beta", "gamma", "delta"]
+
+
+@pytest.fixture(scope="module")
+def ref_processor_cls():
+    sys.path.insert(0, REF_ROOT)
+    try:
+        logging.getLogger("easy_sql").setLevel(logging.CRITICAL)
+        from easy_sql.sql_processor import SqlProcessor as RefSqlProcessor
+
+        yield RefSqlProcessor
+    finally:
+        sys.path.remove(REF_ROOT)
+
+
+@pytest.fixture(scope="module")
+def base_view(spark):
+    rows = [(i, i * 3 % 7, WORDS[i % len(WORDS)]) for i in range(1, 9)]
+    spark.createDataFrame(rows, "id int, val int, grp string")\
+        .createOrReplaceTempView("diff_base")
+    yield "diff_base"
+    spark.catalog.dropTempView("diff_base")
+
+
+class EtlCase:
+    """One generated ETL + the view names it creates (skips accounted)."""
+
+    def __init__(self, rng: random.Random):
+        self.rng = rng
+        self.lines: list[str] = []
+        self.created: list[str] = []
+        self.vars_defined = False
+        self.templates: list[str] = []
+        self._build()
+
+    def _build(self) -> None:
+        rng = self.rng
+        if rng.random() < 0.7:
+            self.vars_defined = True
+            self.lines += [
+                "-- target=variables",
+                f"select {rng.randint(1, 5)} as va, "
+                f"'{rng.choice(WORDS)}' as vb",
+                "",
+            ]
+        if rng.random() < 0.6:
+            self.templates.append("wflt")
+            self.lines += [
+                "-- target=template.wflt",
+                "where #{c} >= #{m}",
+                "",
+            ]
+        prev = "diff_base"
+        prev_cols = ["id", "val", "grp"]
+        n_steps = rng.randint(1, 4)
+        for i in range(n_steps):
+            name = f"dstep{i}"
+            kind = rng.choice(["temp", "temp", "cache", "broadcast"])
+            header = f"-- target={kind}.{name}"
+            skipped = False
+            if rng.random() < 0.25:
+                truth = rng.random() < 0.5
+                header += f", if=equal(1, {1 if truth else 2})"
+                skipped = not truth
+            self.lines.append(header)
+            self.lines.append(self._select(prev, prev_cols))
+            self.lines.append("")
+            if not skipped:
+                self.created.append(name)
+                prev = name
+                prev_cols = self._last_cols
+        if rng.random() < 0.3:
+            self.lines += [
+                f"-- target=log.row_count",
+                f"select count(1) as cnt from {prev}",
+                "",
+            ]
+        if rng.random() < 0.2:
+            self.lines += ["-- target=check.equal(1, 1)", ""]
+
+    def _select(self, prev: str, cols: list[str]) -> str:
+        rng = self.rng
+        if "val" in cols and "grp" in cols and rng.random() < 0.3:
+            self._last_cols = ["grp", "s", "c"]
+            return (
+                f"select grp, sum(val) as s, count(1) as c from {prev} "
+                "group by grp"
+            )
+        exprs = []
+        out_cols = []
+        for c in cols:
+            if rng.random() < 0.75:
+                exprs.append(c)
+                out_cols.append(c)
+        if not exprs:
+            exprs, out_cols = [cols[0]], [cols[0]]
+        if (
+            self.vars_defined
+            and "val" in cols
+            and "comp" not in out_cols
+            and rng.random() < 0.5
+        ):
+            exprs.append("val + ${va} as comp")
+            out_cols.append("comp")
+        if self.vars_defined and "tag" not in out_cols and rng.random() < 0.3:
+            exprs.append("'${vb}' as tag")
+            out_cols.append("tag")
+        if "grp" in cols and "ugrp" not in out_cols and rng.random() < 0.3:
+            exprs.append("upper(grp) as ugrp")
+            out_cols.append("ugrp")
+        sql = f"select {', '.join(exprs)} from {prev}"
+        r = rng.random()
+        if r < 0.3 and "val" in cols:
+            if "wflt" in self.templates:
+                sql += f" @{{wflt(c=val, m={rng.randint(0, 4)})}}"
+            else:
+                sql += f" where val >= {rng.randint(0, 4)}"
+        elif r < 0.4 and "id" in cols and self.vars_defined:
+            sql += " where id > ${va}"
+        self._last_cols = out_cols
+        return sql
+
+    @property
+    def etl(self) -> str:
+        return "\n".join(self.lines)
+
+
+def _snapshot(spark, views: list[str]) -> dict:
+    out = {}
+    for v in views:
+        df = spark.table(v)
+        out[v] = (tuple(df.columns), sorted(map(tuple, df.collect())))
+    return out
+
+
+def _teardown(spark, views: list[str]) -> None:
+    for v in views:
+        spark.catalog.dropTempView(v)
+    spark.catalog.clearCache()
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_processor_end_to_end_matches_reference(
+    spark, ref_processor_cls, base_view, seed
+):
+    from easy_sql_spark.runtime.processor import SqlProcessor
+
+    rng = random.Random(31_000 + seed)
+    for case_no in range(3):
+        case = EtlCase(rng)
+        etl = case.etl
+
+        ref_proc = ref_processor_cls(spark, etl)
+        try:
+            ref_proc.run(dry_run=False)
+        except Exception as ex:  # noqa: BLE001 — generator escape hatch
+            pytest.fail(
+                f"seed={seed} case={case_no}: REFERENCE run failed "
+                f"({type(ex).__name__}: {ex})\netl=\n{etl}"
+            )
+        ref_views = _snapshot(spark, case.created)
+        _teardown(spark, case.created)
+
+        SqlProcessor(spark, etl).run()
+        our_views = _snapshot(spark, case.created)
+        _teardown(spark, case.created)
+
+        for v in case.created:
+            assert our_views[v][0] == ref_views[v][0], (
+                f"seed={seed} case={case_no} view={v}: column mismatch\n"
+                f"etl=\n{etl}\nref={ref_views[v][0]}\nours={our_views[v][0]}"
+            )
+            assert our_views[v][1] == ref_views[v][1], (
+                f"seed={seed} case={case_no} view={v}: row mismatch\n"
+                f"etl=\n{etl}\nref={ref_views[v][1]}\nours={our_views[v][1]}"
+            )
+
+
+def test_skipped_step_creates_no_view_in_either_engine(
+    spark, ref_processor_cls, base_view
+):
+    from easy_sql_spark.runtime.processor import SqlProcessor
+
+    etl = (
+        "-- target=temp.kept\nselect id from diff_base\n"
+        "-- target=temp.dropped, if=equal(1, 2)\nselect val from diff_base\n"
+    )
+    for runner in (
+        lambda: ref_processor_cls(spark, etl).run(dry_run=False),
+        lambda: SqlProcessor(spark, etl).run(),
+    ):
+        runner()
+        assert spark.catalog.tableExists("kept")
+        assert not spark.catalog.tableExists("dropped")
+        _teardown(spark, ["kept"])
