@@ -217,6 +217,126 @@ def test_processor_end_to_end_matches_reference(
             )
 
 
+class OutputCase:
+    """One generated output-step scenario over a pre-created parquet
+    table (the harness creates the table so the reference's
+    Hive-format CTAS path — unavailable without Hive support — is never
+    taken; insert semantics are what this fuzz compares)."""
+
+    def __init__(self, rng: random.Random, table: str):
+        self.rng = rng
+        self.table = table
+        self.partitioned = rng.random() < 0.7
+        self.dynamic = self.partitioned and rng.random() < 0.4
+        self.no_partition_var = self.partitioned and (
+            not self.dynamic and rng.random() < 0.25
+        )
+        self.save_mode = rng.choice([None, "overwrite", "append"])
+        self.preload = rng.random() < 0.6
+        self.permute = rng.random() < 0.4
+        self.extra_col = rng.random() < 0.3
+
+    @property
+    def ddl(self) -> str:
+        if self.partitioned:
+            return (
+                f"create table {self.table} (id int, val int, dt string) "
+                "using parquet partitioned by (dt)"
+            )
+        return f"create table {self.table} (id int, val int) using parquet"
+
+    def prepare(self, spark) -> None:
+        spark.sql(f"drop table if exists {self.table}")
+        spark.sql(self.ddl)
+        if self.preload:
+            if self.partitioned:
+                spark.sql(
+                    f"insert into {self.table} partition (dt='2026-01-01') "
+                    "values (100, 100), (101, 101)"
+                )
+                spark.sql(
+                    f"insert into {self.table} partition (dt='2026-01-02') "
+                    "values (200, 200)"
+                )
+            else:
+                spark.sql(f"insert into {self.table} values (100, 100)")
+
+    @property
+    def etl(self) -> str:
+        var_selects = []
+        if self.partitioned and not self.no_partition_var:
+            value = "" if self.dynamic else "2026-01-02"
+            var_selects.append(f"'{value}' as __partition__dt")
+        if self.save_mode:
+            var_selects.append(f"'{self.save_mode}' as __save_mode__")
+        lines = []
+        if var_selects:
+            lines += ["-- target=variables",
+                      f"select {', '.join(var_selects)}", ""]
+        cols = ["id", "val + 1 as val"]
+        if self.partitioned and (self.dynamic or self.no_partition_var):
+            # dynamic partition: the partition column comes from the data
+            cols.append(
+                "case when id % 2 = 0 then '2026-01-02' "
+                "else '2026-01-03' end as dt"
+            )
+        if self.permute:
+            self.rng.shuffle(cols)
+        if self.extra_col:
+            cols.insert(self.rng.randrange(len(cols) + 1),
+                        "val * 10 as dropped_extra")
+        lines += [
+            "-- target=temp.out_src",
+            f"select {', '.join(cols)} from diff_base where id <= 4",
+            "",
+            f"-- target=output.{self.table}",
+            "select * from out_src",
+        ]
+        return "\n".join(lines)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_output_step_matches_reference(
+    spark, ref_processor_cls, base_view, seed
+):
+    from easy_sql_spark.runtime.processor import SqlProcessor
+
+    spark.sql("create database if not exists diff_out")
+    rng = random.Random(64_000 + seed)
+    for case_no in range(3):
+        table = f"diff_out.tgt_{seed}_{case_no}"
+        case = OutputCase(rng, table)
+        etl = case.etl
+
+        results = {}
+        for engine, run in (
+            ("ref", lambda: ref_processor_cls(spark, etl).run(dry_run=False)),
+            ("ours", lambda: SqlProcessor(spark, etl).run()),
+        ):
+            case.prepare(spark)
+            try:
+                run()
+            except Exception as ex:  # noqa: BLE001
+                results[engine] = ("raise", type(ex).__name__)
+            else:
+                df = spark.sql(f"select * from {table}")
+                results[engine] = (
+                    "ok",
+                    tuple(df.columns),
+                    sorted(map(tuple, df.collect())),
+                )
+            spark.catalog.dropTempView("out_src")
+        spark.sql(f"drop table if exists {table}")
+        assert results["ours"] == results["ref"], (
+            f"seed={seed} case={case_no}: output mismatch\n"
+            f"scenario: partitioned={case.partitioned} "
+            f"dynamic={case.dynamic} no_var={case.no_partition_var} "
+            f"mode={case.save_mode} preload={case.preload} "
+            f"permute={case.permute} extra={case.extra_col}\n"
+            f"etl=\n{etl}\nref={results['ref']!r}\nours={results['ours']!r}"
+        )
+
+
 def test_skipped_step_creates_no_view_in_either_engine(
     spark, ref_processor_cls, base_view
 ):
