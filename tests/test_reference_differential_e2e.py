@@ -70,6 +70,7 @@ class EtlCase:
         self.rng = rng
         self.lines: list[str] = []
         self.created: list[str] = []
+        self.skipped_views: list[str] = []
         self.vars_defined = False
         self.templates: list[str] = []
         self._build()
@@ -118,6 +119,26 @@ class EtlCase:
             ]
         if rng.random() < 0.2:
             self.lines += ["-- target=check.equal(1, 1)", ""]
+        if rng.random() < 0.2:
+            # named check with an actual/expected body (passing)
+            k = rng.randint(1, 9)
+            self.lines += [
+                "-- target=check.rows_balance",
+                f"select {k} as actual, {k} as expected",
+                "",
+            ]
+        if rng.random() < 0.25:
+            # __skip_all__ kills every later step in BOTH engines; the
+            # trailing step must not be created
+            self.lines += [
+                "-- target=variables",
+                f"select '{rng.choice(['true', '1'])}' as __skip_all__",
+                "",
+                "-- target=temp.after_skip_all",
+                f"select id from {prev}",
+                "",
+            ]
+            self.skipped_views.append("after_skip_all")
 
     def _select(self, prev: str, cols: list[str]) -> str:
         rng = self.rng
@@ -149,6 +170,11 @@ class EtlCase:
         if "grp" in cols and "ugrp" not in out_cols and rng.random() < 0.3:
             exprs.append("upper(grp) as ugrp")
             out_cols.append("ugrp")
+        if self.vars_defined and "m" not in out_cols and rng.random() < 0.2:
+            # builtin func macro: both engines auto-register Python
+            # builtins and pass string args — max('2', va) is a STRING max
+            exprs.append("${max(2, ${va})} as m")
+            out_cols.append("m")
         sql = f"select {', '.join(exprs)} from {prev}"
         r = rng.random()
         if r < 0.3 and "val" in cols:
@@ -200,10 +226,18 @@ def test_processor_end_to_end_matches_reference(
                 f"({type(ex).__name__}: {ex})\netl=\n{etl}"
             )
         ref_views = _snapshot(spark, case.created)
+        for v in case.skipped_views:
+            assert not spark.catalog.tableExists(v), (
+                f"reference created skipped view {v}\netl=\n{etl}"
+            )
         _teardown(spark, case.created)
 
         SqlProcessor(spark, etl).run()
         our_views = _snapshot(spark, case.created)
+        for v in case.skipped_views:
+            assert not spark.catalog.tableExists(v), (
+                f"we created skipped view {v}\netl=\n{etl}"
+            )
         _teardown(spark, case.created)
 
         for v in case.created:
