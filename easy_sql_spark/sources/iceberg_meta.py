@@ -801,13 +801,15 @@ def export_snapshot_to_iceberg(table) -> dict:
     Each export appends ONE new snapshot whose single manifest lists the
     full live file set (existing Iceberg readers handle full manifests
     fine; incremental manifest reuse is the growth path).  Live
-    DELETION VECTORS on an unpartitioned table export zero-copy as v2
-    POSITION DELETE files — the snapshot's DV parquets already carry
-    the spec's (file_path, pos) delete schema, a content=1 manifest
-    references them in place; partitioned tables with live DVs refuse
-    (position-delete records are per-partition) with compact()/Delta
-    guidance.  Returns {"snapshot_id", "files", "dv_files",
-    "metadata_file"}."""
+    DELETION VECTORS export as v2 POSITION DELETE files: zero-copy on
+    an unpartitioned table (the snapshot's DV parquets already carry
+    the spec's (file_path, pos) delete schema; a content=1 manifest
+    references them in place), REWRITTEN per partition on a partitioned
+    table (the spec binds each position-delete file to one partition
+    tuple, so DV rows re-bucket by the target file's partition-path
+    segments — executor-side, O(deleted rows), sorted by
+    (file_path, pos) within each file).  Returns {"snapshot_id",
+    "files", "dv_files", "metadata_file"}."""
     import time as _time
 
     from .avro_lite import write_avro_file
@@ -818,14 +820,6 @@ def export_snapshot_to_iceberg(table) -> dict:
         raise ValueError(f"no committed versions at {root}")
     m = table.manifest(snap_v)
     dvs = m.get("dvs") or []
-    if dvs and m["partition_cols"]:
-        raise ValueError(
-            "snapshot has live deletion vectors on a PARTITIONED table: "
-            "iceberg position-delete records are per-partition and the "
-            "DV files span partitions — run compact() first (it applies "
-            "and clears DVs), or export via Delta (DV descriptors are "
-            "partition-agnostic)"
-        )
     ext = m.get("external") or {}
 
     import json as _json
@@ -862,15 +856,16 @@ def export_snapshot_to_iceberg(table) -> dict:
         if isinstance(f["type"], str)
     }
     ids_by_name = {f["name"]: f["id"] for f in ice_schema["fields"]}
+    # unescape Spark's escapePathName encoding (space, ':', '%', …) so
+    # exported partition records carry the logical value (data files
+    # below and rewritten position-delete files further down)
+    from urllib.parse import unquote as _unquote
+
     entries = []
     n_files = 0
     for d in sorted(m["live"]):
         base = ext.get(d)
         abs_dir = f"{base}/{d}" if base else f"{table.data_dir}/{d}"
-        # unescape Spark's escapePathName encoding (space, ':', '%', …)
-        # so the exported partition record carries the logical value
-        from urllib.parse import unquote as _unquote
-
         segs = {
             k: _unquote(v)
             for k, v in (
@@ -918,47 +913,122 @@ def export_snapshot_to_iceberg(table) -> dict:
         )
     manifests = [(manifest_path, 0)]
 
-    # live deletion vectors export ZERO-COPY as Iceberg v2 POSITION
-    # DELETE files: the snapshot's DV parquets already carry the spec's
-    # (file_path, pos) delete-file schema, so a content=1 manifest just
-    # references them in place.  Position deletes apply to data files
-    # with sequence <= the delete's (equal allowed), so listing both in
-    # the same exported snapshot is spec-correct.
+    # live deletion vectors export as Iceberg v2 POSITION DELETE files.
+    # UNPARTITIONED tables go ZERO-COPY: the snapshot's DV parquets
+    # already carry the spec's (file_path, pos) delete-file schema, so a
+    # content=1 manifest just references them in place.  PARTITIONED
+    # tables REWRITE: a DV parquet spans partitions, but the spec binds
+    # each position-delete file to ONE partition tuple (strict readers
+    # match delete files to data files by partition), so the rows are
+    # re-bucketed by the target file's partition-path segments — one
+    # Spark job over O(deleted rows), executor-side, each output file
+    # pure in one partition and sorted by (file_path, pos) as the spec
+    # asks of writers.  Position deletes apply to data files with
+    # sequence <= the delete's (equal allowed), so listing both in the
+    # same exported snapshot is spec-correct.
     n_dv_files = 0
     if dvs:
         del_entries = []
+        dv_dirs = []
         for d in sorted({dv["dir"] for dv in dvs}):
             base2 = ext.get(d)
-            abs_dir = f"{base2}/{d}" if base2 else f"{table.data_dir}/{d}"
-            for name, size in table.fs.list_files(abs_dir):
-                if not name.endswith(".parquet"):
-                    continue
-                fpath = f"{abs_dir}/{name}"
-                n_dv_files += 1
-                del_entries.append(
-                    {
-                        "status": 1,
-                        "data_file": {
-                            "content": 1,
-                            "file_path": fpath,
-                            "file_format": "PARQUET",
-                            "record_count": int(
-                                _pq.ParquetFile(fpath).metadata.num_rows
-                            ),
-                            "file_size_in_bytes": size,
-                            "lower_bounds": {},
-                            "upper_bounds": {},
-                            "partition": {},
-                        },
-                    }
+            dv_dirs.append(f"{base2}/{d}" if base2 else f"{table.data_dir}/{d}")
+        if part_cols:
+            from pyspark.sql import functions as F
+
+            # the partition-path segment chain between the commit dir
+            # and the filename, kept in its ESCAPED on-disk form so the
+            # round trip through partitionBy's escaping is lossless
+            seg_re = r"/commit=[^/]+/(.+)/[^/]*$"
+            df = (
+                table.spark.read.schema("file_path string, pos long")
+                .parquet(*dv_dirs)
+                .withColumn(
+                    "__pdir", F.regexp_extract("file_path", seg_re, 1)
                 )
+            )
+            out_dir = f"{root}/deletes/snap-{snapshot_id}"
+            (
+                df.repartition("__pdir")
+                .sortWithinPartitions("__pdir", "file_path", "pos")
+                .write.mode("overwrite")
+                .partitionBy("__pdir")
+                .parquet(out_dir)
+            )
+            for pdir_name in sorted(table.fs.list_names(out_dir)):
+                if not pdir_name.startswith("__pdir="):
+                    continue
+                raw_segs = _unquote(pdir_name[len("__pdir=") :])
+                segs2 = {
+                    k: _unquote(v)
+                    for k, v in (
+                        s.split("=", 1)
+                        for s in raw_segs.split("/")
+                        if "=" in s
+                    )
+                }
+                if sorted(segs2) != sorted(part_cols):
+                    raise ValueError(
+                        "deletion-vector rewrite could not derive the "
+                        f"partition tuple from {raw_segs!r} (expected "
+                        f"columns {part_cols}) — a DV target file path "
+                        "does not carry the table's partition segments"
+                    )
+                pv2 = {c: segs2[c] for c in part_cols}
+                pdir_path = f"{out_dir}/{pdir_name}"
+                for name, size in table.fs.list_files(pdir_path):
+                    if not name.endswith(".parquet"):
+                        continue
+                    fpath = f"{pdir_path}/{name}"
+                    n_dv_files += 1
+                    del_entries.append(
+                        {
+                            "status": 1,
+                            "data_file": {
+                                "content": 1,
+                                "file_path": fpath,
+                                "file_format": "PARQUET",
+                                "record_count": int(
+                                    _pq.ParquetFile(fpath).metadata.num_rows
+                                ),
+                                "file_size_in_bytes": size,
+                                "lower_bounds": {},
+                                "upper_bounds": {},
+                                "partition": pv2,
+                            },
+                        }
+                    )
+            del_schema = _entry_schema_for(part_cols)
+        else:
+            for abs_dir in dv_dirs:
+                for name, size in table.fs.list_files(abs_dir):
+                    if not name.endswith(".parquet"):
+                        continue
+                    fpath = f"{abs_dir}/{name}"
+                    n_dv_files += 1
+                    del_entries.append(
+                        {
+                            "status": 1,
+                            "data_file": {
+                                "content": 1,
+                                "file_path": fpath,
+                                "file_format": "PARQUET",
+                                "record_count": int(
+                                    _pq.ParquetFile(fpath).metadata.num_rows
+                                ),
+                                "file_size_in_bytes": size,
+                                "lower_bounds": {},
+                                "upper_bounds": {},
+                                "partition": {},
+                            },
+                        }
+                    )
+            del_schema = _entry_schema_for([])
         del_manifest = os.path.join(
             meta_dir, f"manifest-del-{snapshot_id}.avro"
         )
         with open(del_manifest, "wb") as f:
-            f.write(
-                write_avro_file(_entry_schema_for([]), del_entries, "deflate")
-            )
+            f.write(write_avro_file(del_schema, del_entries, "deflate"))
         manifests.append((del_manifest, 1))
 
     mlist_path = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")

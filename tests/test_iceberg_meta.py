@@ -742,18 +742,68 @@ def test_export_snapshot_to_iceberg_with_deletion_vectors(spark, tmp_path):
         ).collect()
     } == got
 
-    # partitioned + live DVs: refuse with guidance
-    root2 = str(tmp_path / "sidv_p")
-    t2 = SnapshotTable(spark, root2)
-    t2.create(
+
+def test_export_partitioned_snapshot_with_dvs_rewrites_per_partition(
+    spark, tmp_path
+):
+    """Partitioned table + live DVs: the export re-buckets the DV rows
+    into one position-delete file per partition (the spec binds each
+    delete file to one partition tuple), every delete entry's partition
+    record matches the partitions of the rows inside its file, and the
+    independent replay sees exactly the snapshot's visible rows."""
+    import pyarrow.parquet as pq
+
+    from easy_sql_spark.runtime.snapshots import SnapshotTable
+    from easy_sql_spark.sources.avro_lite import read_avro_file
+    from easy_sql_spark.sources.iceberg_meta import export_snapshot_to_iceberg
+
+    root = str(tmp_path / "sidv_p")
+    t = SnapshotTable(spark, root)
+    t.create(
         spark.createDataFrame(
-            [(1, "a", "p1"), (2, "b", "p2")], "id int, v string, pt string"
+            [(i, f"v{i}", f"p{i % 3}") for i in range(1, 10)],
+            "id int, v string, pt string",
         ),
         partition_by=["pt"],
     )
-    t2.delete_where_dv([("id", "=", 1)])
-    with pytest.raises(ValueError, match="compact"):
-        export_snapshot_to_iceberg(t2)
+    # DV rows across two partitions (ids 1,4 -> p1; 2 -> p2)
+    t.delete_where_dv([("id", "<=", 2)])
+    t.delete_where_dv([("id", "=", 4)])
+    rep = export_snapshot_to_iceberg(t)
+    assert rep["dv_files"] >= 2  # at least one delete file per partition
+
+    got = {(r.id, r.v, r.pt) for r in read_iceberg(spark, root).collect()}
+    assert got == {(i, f"v{i}", f"p{i % 3}") for i in (3, 5, 6, 7, 8, 9)}
+    assert got == {(r.id, r.v, r.pt) for r in t.read().collect()}
+
+    # delete manifest entries: partition record == partitions of the
+    # rows inside each file, rows sorted by (file_path, pos)
+    import glob as _glob
+
+    del_manifest = _glob.glob(
+        os.path.join(root, "metadata", "manifest-del-*.avro")
+    )
+    assert del_manifest
+    _meta, entries = read_avro_file(open(sorted(del_manifest)[-1], "rb").read())
+    assert entries
+    seen_parts = set()
+    for e in entries:
+        df = e["data_file"]
+        assert df["content"] == 1
+        pt = df["partition"]["pt"]
+        seen_parts.add(pt)
+        tbl = pq.read_table(df["file_path"])
+        rows = list(
+            zip(
+                tbl.column("file_path").to_pylist(),
+                tbl.column("pos").to_pylist(),
+            )
+        )
+        assert rows == sorted(rows)
+        assert int(df["record_count"]) == len(rows)
+        for fp, _pos in rows:
+            assert f"/pt={pt}/" in fp
+    assert seen_parts == {"p1", "p2"}
 
 
 def test_iceberg_incremental_append_scan(spark, tmp_path):
