@@ -1191,3 +1191,68 @@ def hudi_cdc_block_read(spark, sf_dir):
     return (
         cdc_agg.unionByName(snap).orderBy("kind").localCheckpoint(eager=True)
     )
+
+
+@query(
+    "iceberg_export_dv_partitioned",
+    oracle="""
+    WITH seed AS (
+        SELECT o_orderkey AS k,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderstatus AS part
+        FROM orders WHERE o_orderkey <= 600),
+    visible AS (
+        SELECT * FROM seed
+        WHERE NOT (k <= 150) AND NOT (cents > 30000000))
+    SELECT part, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM visible GROUP BY part ORDER BY part
+    """,
+)
+def iceberg_export_dv_partitioned(spark, sf_dir):
+    """PARTITIONED snapshot + deletion vectors -> Iceberg v2 export
+    with per-partition POSITION DELETE files (sources/iceberg_meta.py
+    ``export_snapshot_to_iceberg``): an orders slice becomes a snapshot
+    table partitioned by order status, two DV deletes land rows across
+    every partition, the export re-buckets the DV rows into one delete
+    file per partition (the spec binds each position-delete file to one
+    partition tuple), and ``read_iceberg`` — the independent
+    manifest-replaying reader — must see exactly the visible rows.  The
+    oracle replays the same deletes in SQL, so what's checked is the
+    rewrite's partition bucketing and the delete/data sequence ordering.
+
+    Scale: the rewrite is one executor-side job over O(deleted rows)
+    (DV parquets are tiny relative to data); data files still export
+    zero-copy.  Reads stay ordinary parquet scans + a broadcast
+    anti-join of the delete rows."""
+    import tempfile
+
+    from ..runtime.snapshots import SnapshotTable
+    from ..sources.iceberg_meta import export_snapshot_to_iceberg, read_iceberg
+
+    seed = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 600)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            F.col("o_orderstatus").alias("part"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    root = tempfile.mkdtemp(prefix="ice_dvp_") + "/tbl"
+    t = SnapshotTable(spark, root)
+    t.create(seed, partition_by=["part"])
+    t.delete_where_dv([("k", "<=", 150)])
+    t.delete_where_dv([("cents", ">", 30_000_000)])
+    export_snapshot_to_iceberg(t)
+    return (
+        read_iceberg(spark, root)
+        .groupBy("part")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy("part")
+        .localCheckpoint(eager=True)
+    )

@@ -1868,8 +1868,10 @@ class SnapshotTable:
         anti-joins it.  Cost is O(matched rows) written and a broadcast
         anti-join per read — on a 100 TB table a one-in-a-million
         delete costs kilobytes, not a dir rewrite.  ``compact()``
-        applies and clears DVs (the materialize step); exports require
-        that first (they would otherwise resurrect deleted rows).
+        applies and clears DVs (the materialize step); the Delta and
+        Iceberg exports carry live DVs through (as real Delta DVs /
+        Iceberg position-delete files), the Hudi export requires a
+        compact() first.
 
         Serializable like :meth:`delete_where`: an intervening commit
         raises :class:`SnapshotConflictError`."""
