@@ -806,6 +806,74 @@ def test_export_partitioned_snapshot_with_dvs_rewrites_per_partition(
     assert seen_parts == {"p1", "p2"}
 
 
+@pytest.mark.parametrize("seed", [0, 1])
+def test_export_dv_lifecycle_fuzz(spark, tmp_path, seed):
+    """Randomized partitioned-snapshot lifecycle (appends, DV deletes,
+    COW deletes, compaction) with an Iceberg export after every few
+    ops: the independent manifest replay must equal the snapshot read
+    at EVERY exported state, including re-exports (snapshot
+    carry-forward) and exports whose DVs span several partitions."""
+    import random as _random
+
+    from easy_sql_spark.runtime.snapshots import SnapshotTable
+    from easy_sql_spark.sources.iceberg_meta import (
+        export_snapshot_to_iceberg,
+        read_iceberg,
+    )
+
+    rng = _random.Random(424_200 + seed)
+    root = str(tmp_path / "fuzz")
+    t = SnapshotTable(spark, root)
+    next_id = [0]
+
+    def batch(n):
+        rows = [
+            (next_id[0] + i, rng.randint(0, 99), f"p{rng.randint(0, 2)}")
+            for i in range(n)
+        ]
+        next_id[0] += n
+        return spark.createDataFrame(rows, "id int, val int, pt string")
+
+    t.create(batch(rng.randint(6, 12)), partition_by=["pt"])
+    exports = 0
+    for _op in range(rng.randint(6, 9)):
+        r = rng.random()
+        if r < 0.4:
+            t.append(batch(rng.randint(2, 6)))
+        elif r < 0.75:
+            col, op = rng.choice(
+                [("id", "<="), ("id", "="), ("val", ">"), ("val", "<")]
+            )
+            val = (
+                rng.randint(0, next_id[0])
+                if col == "id"
+                else rng.randint(10, 90)
+            )
+            t.delete_where_dv([(col, op, val)])
+        elif r < 0.9:
+            t.delete_where([("val", ">=", rng.randint(50, 99))])
+        else:
+            t.compact()
+        if rng.random() < 0.5:
+            export_snapshot_to_iceberg(t)
+            exports += 1
+            want = sorted(
+                (r.id, r.val, r.pt) for r in t.read().collect()
+            )
+            got = sorted(
+                (r.id, r.val, r.pt)
+                for r in read_iceberg(spark, root).collect()
+            )
+            assert got == want, f"export {exports} diverged (seed={seed})"
+    if not exports:
+        export_snapshot_to_iceberg(t)
+        want = sorted((r.id, r.val, r.pt) for r in t.read().collect())
+        got = sorted(
+            (r.id, r.val, r.pt) for r in read_iceberg(spark, root).collect()
+        )
+        assert got == want
+
+
 def test_iceberg_incremental_append_scan(spark, tmp_path):
     """Incremental read over (from, to]: append snapshots contribute
     ONLY the entries their own manifests added (EXISTING entries never
