@@ -637,6 +637,12 @@ def export_snapshot_to_hudi(
       rewrites the current state with partition columns embedded
       (partition dirs via duplicated write-columns, renamed back),
       and each such export fully replaces the previous one.
+    - snapshots with live DELETION VECTORS also export under
+      ``materialize=True``: the rewrite reads through the snapshot's
+      DV-applying path, so deleted rows never reach the export (COW
+      base files cannot carry positional deletes, and without a record
+      key there is no key-based translation — the honest alternative
+      to silently resurrecting rows).
 
     Compatibility scope (stated, not implied): the export carries no
     ``_hoodie_*`` meta columns and no metadata table — readable by
@@ -657,11 +663,15 @@ def export_snapshot_to_hudi(
     if not snap_v:
         raise ValueError(f"no committed versions at {root}")
     m = table.manifest(snap_v)
-    if m.get("dvs"):
+    if m.get("dvs") and not materialize:
         raise ValueError(
-            "snapshot has live deletion vectors; exporting would "
-            "resurrect deleted rows — run compact() first (it applies "
-            "and clears DVs)"
+            "snapshot has live deletion vectors; the ZERO-COPY export "
+            "would resurrect deleted rows (hudi COW base files cannot "
+            "carry positional deletes, and without a record key there "
+            "is no key-based translation) — pass materialize=True (one "
+            "distributed rewrite that reads through the DV-applying "
+            "path), run compact() first, or use the Delta/Iceberg "
+            "exports (both carry DVs natively)"
         )
     part_cols = m["partition_cols"]
     if part_cols and not materialize:
@@ -715,7 +725,7 @@ def export_snapshot_to_hudi(
     adds: dict[str, list[str]] = {}
     current_fids: dict[str, str] = {}
 
-    if not part_cols:
+    if not part_cols and not materialize:
         ext = m.get("external") or {}
         for d in m["live"]:
             base = ext.get(d)

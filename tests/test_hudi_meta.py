@@ -396,7 +396,13 @@ def test_export_snapshot_to_hudi_partitioned_materialize(spark, tmp_path):
             } == got
 
 
-def test_export_snapshot_to_hudi_refuses_live_dvs(spark, tmp_path):
+def test_export_snapshot_to_hudi_dvs_refuse_zero_copy_materialize_applies(
+    spark, tmp_path
+):
+    """Live DVs refuse the ZERO-COPY export (base files would resurrect
+    deleted rows; no record key -> no key-based translation) but export
+    under materialize=True, whose rewrite reads through the DV-applying
+    path — on unpartitioned AND partitioned tables."""
     from easy_sql_spark.runtime.snapshots import SnapshotTable
     from easy_sql_spark.sources.hudi_meta import export_snapshot_to_hudi
 
@@ -404,8 +410,26 @@ def test_export_snapshot_to_hudi_refuses_live_dvs(spark, tmp_path):
     t = SnapshotTable(spark, root)
     t.create(spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"))
     t.delete_where_dv([("id", "=", 1)])
-    with pytest.raises(ValueError, match="deletion vectors"):
+    with pytest.raises(ValueError, match="materialize=True"):
         export_snapshot_to_hudi(t)
+    rep = export_snapshot_to_hudi(t, materialize=True)
+    got = {(r.id, r.v) for r in read_hudi(spark, rep["dest"]).collect()}
+    assert got == {(2, "b")}
+
+    root2 = str(tmp_path / "snap_dv_p")
+    t2 = SnapshotTable(spark, root2)
+    t2.create(
+        spark.createDataFrame(
+            [(1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2")],
+            "id int, v string, pt string",
+        ),
+        partition_by=["pt"],
+    )
+    t2.delete_where_dv([("id", "<=", 2)])
+    rep2 = export_snapshot_to_hudi(t2, materialize=True)
+    got2 = {(r.id, r.v, r.pt) for r in read_hudi(spark, rep2["dest"]).collect()}
+    assert got2 == {(3, "c", "p2")}
+    assert got2 == {(r.id, r.v, r.pt) for r in t2.read().collect()}
 
 
 def test_export_hudi_step_function(spark, tmp_path):
