@@ -51,6 +51,16 @@ MANIFEST_ENTRY_SCHEMA = {
                         "name": "equality_ids",
                         "type": ["null", {"type": "array", "items": "int"}],
                     },
+                    # v3 deletion-vector fields (field-ids 143/144/145)
+                    {
+                        "name": "referenced_data_file",
+                        "type": ["null", "string"],
+                    },
+                    {"name": "content_offset", "type": ["null", "long"]},
+                    {
+                        "name": "content_size_in_bytes",
+                        "type": ["null", "long"],
+                    },
                 ],
             },
         },
@@ -81,7 +91,17 @@ def _data_file(spark, table, rel, rows):
     return dest
 
 
-def _entry(status, path, content=0, fmt="PARQUET", seq=None, eq_ids=None):
+def _entry(
+    status,
+    path,
+    content=0,
+    fmt="PARQUET",
+    seq=None,
+    eq_ids=None,
+    ref=None,
+    offset=None,
+    size=None,
+):
     return {
         "status": status,
         "snapshot_id": 1,
@@ -93,6 +113,9 @@ def _entry(status, path, content=0, fmt="PARQUET", seq=None, eq_ids=None):
             "record_count": 1,
             "file_size_in_bytes": 1,
             "equality_ids": eq_ids,
+            "referenced_data_file": ref,
+            "content_offset": offset,
+            "content_size_in_bytes": size,
         },
     }
 
@@ -127,9 +150,9 @@ def _manifest_list(
     return p
 
 
-def _metadata(table, snapshots, current, log, schema=None):
+def _metadata(table, snapshots, current, log, schema=None, fv=2):
     meta = {
-        "format-version": 2,
+        "format-version": fv,
         "table-uuid": "0000",
         "location": table,
         "schemas": [schema or ICE_SCHEMA],
@@ -257,6 +280,79 @@ def _eq_delete_file(spark, table, rel, rows, schema):
 
     shutil.rmtree(tmp)
     return dest
+
+
+def test_iceberg_v3_deletion_vectors_apply(spark, tmp_path):
+    """Iceberg v3 DELETION VECTORS: content=1 manifest entries with
+    file_format=PUFFIN resolve their deletion-vector-v1 blob by
+    (content_offset, content_size_in_bytes) — the spec's footer-free
+    path — decode executor-side, and anti-join alongside ordinary v2
+    position-delete files.  A puffin entry missing the v3 fields
+    refuses loudly."""
+    from easy_sql_spark.sources.puffin import encode_dv_blob, write_puffin
+
+    t = str(tmp_path / "icev3")
+    fa = _data_file(spark, t, "fa.parquet", [(1, "x"), (2, "y"), (3, "z")])
+    fb = _data_file(spark, t, "fb.parquet", [(4, "p"), (5, "q")])
+    # one puffin file holding TWO DVs: rows {0,2} of fa, row {1} of fb
+    blob_a = encode_dv_blob([0, 2])
+    blob_b = encode_dv_blob([1])
+    data, metas = write_puffin(
+        [
+            ("deletion-vector-v1", blob_a,
+             {"referenced-data-file": fa, "cardinality": "2"}),
+            ("deletion-vector-v1", blob_b,
+             {"referenced-data-file": fb, "cardinality": "1"}),
+        ]
+    )
+    puf = os.path.join(t, "data", "dvs.puffin")
+    with open(puf, "wb") as f:
+        f.write(data)
+
+    m1 = _manifest(t, "m1.avro", [_entry(1, fa), _entry(1, fb)])
+    md = _manifest(
+        t,
+        "md.avro",
+        [
+            _entry(1, puf, content=1, fmt="PUFFIN", ref=fa,
+                   offset=metas[0]["offset"], size=metas[0]["length"]),
+            _entry(1, puf, content=1, fmt="PUFFIN", ref=fb,
+                   offset=metas[1]["offset"], size=metas[1]["length"]),
+        ],
+    )
+    ml = _manifest_list(t, "snap-1.avro", [m1, md], contents=[0, 1])
+    _metadata(
+        t,
+        snapshots=[{"snapshot-id": 1, "timestamp-ms": 1,
+                    "manifest-list": ml, "summary": {"operation": "delete"}}],
+        current=1,
+        log=[{"timestamp-ms": 1, "snapshot-id": 1}],
+        fv=3,
+    )
+    got = {(r.id, r.val) for r in read_iceberg(spark, t).collect()}
+    assert got == {(2, "y"), (4, "p")}
+
+    # malformed: puffin entry without referenced_data_file/offset/size
+    t2 = str(tmp_path / "icev3_bad")
+    fa2 = _data_file(spark, t2, "fa.parquet", [(1, "x")])
+    puf2 = os.path.join(t2, "data", "dvs.puffin")
+    with open(puf2, "wb") as f:
+        f.write(data)
+    m1b = _manifest(t2, "m1.avro", [_entry(1, fa2)])
+    mdb = _manifest(t2, "md.avro",
+                    [_entry(1, puf2, content=1, fmt="PUFFIN")])
+    mlb = _manifest_list(t2, "snap-1.avro", [m1b, mdb], contents=[0, 1])
+    _metadata(
+        t2,
+        snapshots=[{"snapshot-id": 1, "timestamp-ms": 1,
+                    "manifest-list": mlb,
+                    "summary": {"operation": "delete"}}],
+        current=1,
+        log=[{"timestamp-ms": 1, "snapshot-id": 1}],
+        fv=3,
+    )
+    with pytest.raises(IcebergUnsupportedError, match="deletion"):
+        read_iceberg(spark, t2).collect()
 
 
 def test_iceberg_applies_equality_deletes_with_sequence_ordering(
@@ -679,11 +775,14 @@ def test_iceberg_distributed_manifest_parsing(spark, tmp_path):
     meta = im.load_table_metadata(t)
     snap = im._pick_snapshot(meta, None, None)
     assert len(mpaths) > im.DIST_MANIFEST_THRESHOLD
-    dist_files, dist_dels, dist_eq = im._live_files(t, snap, 2, spark=spark)
-    drv_files, drv_dels, drv_eq = im._live_files(t, snap, 2, spark=None)
+    dist_files, dist_dels, dist_eq, dist_dv = im._live_files(
+        t, snap, 2, spark=spark
+    )
+    drv_files, drv_dels, drv_eq, drv_dv = im._live_files(t, snap, 2, spark=None)
     assert dist_files == drv_files  # order-identical, slim tuples equal
     assert dist_dels == drv_dels
     assert dist_eq == drv_eq
+    assert dist_dv == drv_dv == []
     assert len(dist_files) == 80
 
     # whole-table read agrees (80 duplicate-entry scans of 2 files)
