@@ -656,8 +656,15 @@ def test_iceberg_reader_matches_snapshot_replay_model(spark, tmp_path, seed):
     added_rows[1] = set(rows)
     commit(1, "append")
 
+    #: path -> its current v3 DV manifest (the spec allows at most ONE
+    #: deletion vector per data file; a new DV REPLACES the old one)
+    dv_manifest_for: dict[str, str] = {}
+    used_v3 = False
+
     for sid in range(2, 9):
-        op = rng.choice(["append", "overwrite", "pos_delete", "eq_upsert"])
+        op = rng.choice(
+            ["append", "overwrite", "pos_delete", "eq_upsert", "dv_delete"]
+        )
         if op == "append":
             p, rows = new_file(rng.randrange(1, 3))
             live.append(p)
@@ -713,6 +720,57 @@ def test_iceberg_reader_matches_snapshot_replay_model(spark, tmp_path, seed):
                            [_entry(1, fe, content=2, eq_ids=[1])]), 1, sid)
             )
             commit(sid, "overwrite")
+        elif op == "dv_delete":
+            # v3 deletion vector: kill one still-visible row via a
+            # puffin deletion-vector-v1 blob.  The new DV carries ALL
+            # dead positions of the target file and REPLACES any prior
+            # DV for it (spec: at most one DV per data file).
+            from easy_sql_spark.sources.puffin import (
+                encode_dv_blob,
+                write_puffin,
+            )
+
+            cands = [
+                (q, pos)
+                for q in live
+                for pos in range(len(files[q][0]))
+                if pos not in files[q][1]
+            ]
+            if not cands:
+                ops[sid] = "skipped"
+                continue
+            q, pos = rng.choice(cands)
+            files[q][1].add(pos)
+            used_v3 = True
+            dead_sorted = sorted(files[q][1])
+            data, metas = write_puffin(
+                [
+                    (
+                        "deletion-vector-v1",
+                        encode_dv_blob(dead_sorted),
+                        {"referenced-data-file": q,
+                         "cardinality": str(len(dead_sorted))},
+                    )
+                ]
+            )
+            puf = os.path.join(t, "data", f"dv{sid}.puffin")
+            with open(puf, "wb") as fh:
+                fh.write(data)
+            old = dv_manifest_for.get(q)
+            if old:
+                stack[:] = [e for e in stack if e[0] != old]
+            md = _manifest(
+                t,
+                f"mdv{sid}.avro",
+                [
+                    _entry(1, puf, content=1, fmt="PUFFIN", ref=q,
+                           offset=metas[0]["offset"],
+                           size=metas[0]["length"])
+                ],
+            )
+            dv_manifest_for[q] = md
+            stack.append((md, 1, sid))
+            commit(sid, "delete")
         else:
             # position delete: kill one still-visible row of a live file
             cands = [
@@ -746,7 +804,10 @@ def test_iceberg_reader_matches_snapshot_replay_model(spark, tmp_path, seed):
             commit(sid, "delete")
 
     sids = sorted(history)
-    _metadata(t, snapshots, current=sids[-1], log=log, schema=ICE_SCHEMA)
+    _metadata(
+        t, snapshots, current=sids[-1], log=log, schema=ICE_SCHEMA,
+        fv=3 if used_v3 else 2,
+    )
 
     # every snapshot must replay (time travel is contract)
     for sid in sids:
