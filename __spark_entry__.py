@@ -32,6 +32,8 @@ _ROUND10_FRONT = (
     # changed/new in r10:
     "iceberg_export_dv_partitioned",  # NEW — per-partition position-
                                 # delete rewrite for partitioned DV export
+    "iceberg_v3_dv_read",       # NEW — puffin deletion-vector-v1 blobs
+                                # (JVM-cross-validated roaring64)
     "hudi_cdc_block_read",      # NEW — RFC-51 CDC log blocks + change feed
     "emb_pca_project",          # first-ever oracle (generated VALUES) +
                                 # 9 dp mean/cov rounding + vec_id scope
@@ -57,10 +59,12 @@ _ROUND10_FRONT = (
     "q10_returned_items", "q18_large_orders", "q14_promo_revenue",
     "mm_decode_stats", "mm_hist_profile", "mm_jpeg_roundtrip_stats",
     "mm_jpeg_progressive_stats", "mm_exif_orientation", "mm_frame_sample",
-    "mm_mp4_demux_stats", "mm_image_ahash", "mm_wav_dominant_freq",
-    # (mm_mp3_id3_tags rotated out to keep the 50-entry window exact
-    # when iceberg_export_dv_partitioned fronted; it stays covered by
-    # the full-registry gate in tests/test_oracle_all.py)
+    "mm_mp4_demux_stats", "mm_image_ahash",
+    # (mm_mp3_id3_tags and mm_wav_dominant_freq rotated out to keep the
+    # 50-entry window exact when the two new iceberg DV entries fronted;
+    # both stay covered by the full-registry gate in
+    # tests/test_oracle_all.py, and their verdicts are r6 — within the
+    # no-older-than-r6 bar this window establishes)
 )
 
 
