@@ -276,15 +276,10 @@ class FuncRunner:
         if name not in self.funcs:
             raise KeyError(f"unregistered function: {name}")
         args = self.split_args(arg_text, vars_context)
-        resolved_args = [
-            self._expand_list_var(a, vars_context) if isinstance(a, str) else a
-            for a in args
-        ]
-        return self.funcs[name](*resolved_args)
-
-    @staticmethod
-    def _expand_list_var(arg: str, vars_context: VarsContext):
-        """List variables are usable only as function args (context.py:126-130)."""
-        if arg.lower() in vars_context.list_vars:
-            return vars_context.list_vars[arg.lower()]
-        return arg
+        # NOTE list variables are deliberately NOT auto-expanded here:
+        # the reference passes generic func args as plain strings
+        # (funcs.py:234-247, probed: ${len(ml)} is len("ml") even when
+        # ml is a list var) — funcs that consume list variables look
+        # them up from the processor context by name, exactly like the
+        # reference's update_json_local (funcs_spark.py:117-120)
+        return self.funcs[name](*args)

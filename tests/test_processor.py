@@ -57,14 +57,19 @@ def test_sample_etl_end_to_end(spark):
 
 
 def test_variables_and_list_variables(spark):
+    """List vars are captured, but a generic func arg naming one stays
+    a plain STRING — reference parity (probed: the reference's
+    ${len(xs)} is len("xs") even when xs is a list variable; funcs
+    that consume lists look them up from the processor context by
+    name, like update_json_local)."""
     sql = """-- target=variables
 select 2 as a, 'x' as b
 
 -- target=list_variables
 select explode(array(1, 2, 3)) as xs
 
--- target=check.len_is_3, if=equal(${b}, x)
-select ${len(xs)} as actual, 3 as expected
+-- target=check.len_is_2, if=equal(${b}, x)
+select ${len(xs)} as actual, 2 as expected
 """
     p = SqlProcessor(spark, sql, logger=lambda m: None)
     report = p.run()

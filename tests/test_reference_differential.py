@@ -87,10 +87,10 @@ FUZZ_FUNCS = {
 }
 
 
-def ref_expand(ref, text, vars_, templates):
+def ref_expand(ref, text, vars_, templates, list_vars=None):
     tc = ref["TemplatesContext"]()
     tc.add_templates(templates)
-    vc = ref["VarsContext"](vars=dict(vars_))
+    vc = ref["VarsContext"](vars=dict(vars_), list_vars=dict(list_vars or {}))
     vc.init(ref["FuncRunner"](dict(FUZZ_FUNCS)))
     try:
         out = vc.replace_variables(tc.replace_templates(text))
@@ -99,7 +99,7 @@ def ref_expand(ref, text, vars_, templates):
     return ("ok", out)
 
 
-def our_expand(text, vars_, templates):
+def our_expand(text, vars_, templates, list_vars=None):
     from easy_sql_spark.core.context import (
         FuncRunner,
         TemplatesContext,
@@ -109,7 +109,7 @@ def our_expand(text, vars_, templates):
     tc = TemplatesContext()
     for k, v in templates.items():
         tc.add_template(k, v)
-    vc = VarsContext(vars=dict(vars_))
+    vc = VarsContext(vars=dict(vars_), list_vars=dict(list_vars or {}))
     vc.func_runner = FuncRunner(dict(FUZZ_FUNCS))
     try:
         out = vc.replace_variables(tc.replace_templates(text))
@@ -141,6 +141,12 @@ class MacroGen:
         tmpl_count = rng.randint(0, 3)
         for i in range(tmpl_count):
             self.templates[f"t{i}"] = self.template_body(i)
+        # list vars exist in the env; a generic func arg naming one must
+        # stay a plain STRING (the reference never auto-expands list
+        # vars in func args — funcs that want lists do context lookups)
+        self.list_vars = (
+            {"ml": [1, 2, 3]} if rng.random() < 0.5 else {}
+        )
 
     def rand_case(self, s: str) -> str:
         return (
@@ -179,8 +185,11 @@ class MacroGen:
         n_args = {"cat": 2, "up": 1, "first": 2, "wrap": 1}[fname]
         args = []
         for _ in range(n_args):
-            if self.rng.random() < 0.5:
+            r = self.rng.random()
+            if r < 0.5:
                 args.append(self.var_ref())
+            elif r < 0.6 and self.list_vars:
+                args.append("ml")  # a list var NAME: stays a string
             else:
                 args.append(self.rng.choice(WORDS))
         return f"${{{fname}({', '.join(args)})}}"
@@ -267,8 +276,8 @@ def test_macro_layer_matches_reference(ref, seed):
     for case in range(60):
         gen = MacroGen(rng)
         text = gen.text()
-        r_out = ref_expand(ref, text, gen.vars, gen.templates)
-        o_out = our_expand(text, gen.vars, gen.templates)
+        r_out = ref_expand(ref, text, gen.vars, gen.templates, gen.list_vars)
+        o_out = our_expand(text, gen.vars, gen.templates, gen.list_vars)
         if r_out[0] == "raise":
             skipped_ref_raise += 1
             continue

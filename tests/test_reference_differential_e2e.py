@@ -73,18 +73,26 @@ class EtlCase:
         self.skipped_views: list[str] = []
         self.vars_defined = False
         self.templates: list[str] = []
+        self.includes: dict[str, str] = {}
         self._build()
 
     def _build(self) -> None:
         rng = self.rng
         if rng.random() < 0.7:
             self.vars_defined = True
-            self.lines += [
+            var_step = [
                 "-- target=variables",
                 f"select {rng.randint(1, 5)} as va, "
                 f"'{rng.choice(WORDS)}' as vb",
                 "",
             ]
+            if rng.random() < 0.3:
+                # route the variables step through -- include= so the
+                # full-processor include resolution is compared too
+                self.includes["vars.sql"] = "\n".join(var_step)
+                self.lines += ["-- include=vars.sql", ""]
+            else:
+                self.lines += var_step
         if rng.random() < 0.6:
             self.templates.append("wflt")
             self.lines += [
@@ -217,7 +225,7 @@ def test_processor_end_to_end_matches_reference(
         case = EtlCase(rng)
         etl = case.etl
 
-        ref_proc = ref_processor_cls(spark, etl)
+        ref_proc = ref_processor_cls(spark, etl, includes=dict(case.includes))
         try:
             ref_proc.run(dry_run=False)
         except Exception as ex:  # noqa: BLE001 — generator escape hatch
@@ -232,7 +240,7 @@ def test_processor_end_to_end_matches_reference(
             )
         _teardown(spark, case.created)
 
-        SqlProcessor(spark, etl).run()
+        SqlProcessor(spark, etl, includes=dict(case.includes)).run()
         our_views = _snapshot(spark, case.created)
         for v in case.skipped_views:
             assert not spark.catalog.tableExists(v), (
