@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -838,7 +839,7 @@ def _name_mapping(fields: list[dict]) -> list[dict]:
     return out
 
 
-def export_snapshot_to_iceberg(table) -> dict:
+def export_snapshot_to_iceberg(table, dv_format: str = "parquet") -> dict:
     """Expose a snapshot table's CURRENT version as an Iceberg v2 table:
     metadata JSON + Avro manifest/manifest-list written from the
     manifest state — ZERO data copied (data files referenced in place,
@@ -868,8 +869,22 @@ def export_snapshot_to_iceberg(table) -> dict:
     table (the spec binds each position-delete file to one partition
     tuple, so DV rows re-bucket by the target file's partition-path
     segments — executor-side, O(deleted rows), sorted by
-    (file_path, pos) within each file).  Returns {"snapshot_id",
-    "files", "dv_files", "metadata_file"}."""
+    (file_path, pos) within each file).
+
+    ``dv_format="puffin"`` exports the DVs as FORMAT VERSION 3
+    deletion vectors instead: one merged deletion-vector-v1 blob per
+    referenced data file inside a single Puffin file (sources/puffin),
+    tracked by content=1 PUFFIN manifest entries with field-ids
+    143/144/145 and the referenced file's partition record; the
+    metadata stamps format-version 3.  Blob assembly collects the
+    per-file position lists to the driver (O(deleted rows) driver
+    memory, refused above ~50M positions — use the default v2 parquet
+    deletes beyond that).  Returns {"snapshot_id", "files",
+    "dv_files", "metadata_file"}."""
+    if dv_format not in ("parquet", "puffin"):
+        raise ValueError(
+            f"dv_format must be 'parquet' or 'puffin', got {dv_format!r}"
+        )
     import time as _time
 
     from .avro_lite import write_avro_file
@@ -987,13 +1002,111 @@ def export_snapshot_to_iceberg(table) -> dict:
     # sequence <= the delete's (equal allowed), so listing both in the
     # same exported snapshot is spec-correct.
     n_dv_files = 0
+    used_v3_dvs = False
     if dvs:
         del_entries = []
         dv_dirs = []
         for d in sorted({dv["dir"] for dv in dvs}):
             base2 = ext.get(d)
             dv_dirs.append(f"{base2}/{d}" if base2 else f"{table.data_dir}/{d}")
-        if part_cols:
+        if dv_format == "puffin":
+            from pyspark.sql import functions as F
+
+            from .puffin import encode_dv_blob, write_puffin
+
+            used_v3_dvs = True
+            grouped = (
+                table.spark.read.schema("file_path string, pos long")
+                .parquet(*dv_dirs)
+                .groupBy("file_path")
+                .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+                .collect()
+            )
+            total = sum(len(r.positions) for r in grouped)
+            if total > 50_000_000:
+                raise ValueError(
+                    f"{total} deleted positions is past the puffin "
+                    "export's driver-memory bound (~50M) — export with "
+                    "the default dv_format='parquet' (executor-side "
+                    "rewrite) instead"
+                )
+            seg_re = re.compile(r"/commit=[^/]+/(.+)/[^/]*$")
+            blobs = []
+            ref_parts: list[dict] = []
+            for r in sorted(grouped, key=lambda r: r.file_path):
+                if part_cols:
+                    m2 = seg_re.search(r.file_path)
+                    segs2 = {
+                        k: _unquote(v)
+                        for k, v in (
+                            s.split("=", 1)
+                            for s in (m2.group(1) if m2 else "").split("/")
+                            if "=" in s
+                        )
+                    }
+                    if sorted(segs2) != sorted(part_cols):
+                        raise ValueError(
+                            "puffin DV export could not derive the "
+                            f"partition tuple from {r.file_path!r} "
+                            f"(expected columns {part_cols})"
+                        )
+                    ref_parts.append({c: segs2[c] for c in part_cols})
+                else:
+                    ref_parts.append({})
+                blobs.append(
+                    (
+                        "deletion-vector-v1",
+                        encode_dv_blob(list(r.positions)),
+                        {
+                            "referenced-data-file": r.file_path,
+                            "cardinality": str(len(r.positions)),
+                        },
+                    )
+                )
+            puffin_bytes, blob_metas = write_puffin(
+                blobs, snapshot_id=snapshot_id, sequence_number=snapshot_id
+            )
+            del_dir = f"{root}/deletes"
+            os.makedirs(del_dir, exist_ok=True)
+            puf = f"{del_dir}/snap-{snapshot_id}.puffin"
+            with open(puf, "wb") as f:
+                f.write(puffin_bytes)
+            for r, bm, pv2 in zip(
+                sorted(grouped, key=lambda r: r.file_path),
+                blob_metas,
+                ref_parts,
+            ):
+                n_dv_files += 1
+                del_entries.append(
+                    {
+                        "status": 1,
+                        "data_file": {
+                            "content": 1,
+                            "file_path": puf,
+                            "file_format": "PUFFIN",
+                            "record_count": len(r.positions),
+                            "file_size_in_bytes": bm["length"],
+                            "lower_bounds": {},
+                            "upper_bounds": {},
+                            "partition": pv2,
+                            "referenced_data_file": r.file_path,
+                            "content_offset": bm["offset"],
+                            "content_size_in_bytes": bm["length"],
+                        },
+                    }
+                )
+            import copy as _copy
+
+            del_schema = _copy.deepcopy(_entry_schema_for(part_cols))
+            del_schema["fields"][1]["type"]["fields"] += [
+                {"name": "referenced_data_file",
+                 "type": ["null", "string"], "field-id": 143},
+                {"name": "content_offset", "type": ["null", "long"],
+                 "field-id": 144},
+                {"name": "content_size_in_bytes",
+                 "type": ["null", "long"], "field-id": 145},
+            ]
+        elif part_cols:
             from pyspark.sql import functions as F
 
             # the partition-path segment chain between the commit dir
@@ -1118,8 +1231,13 @@ def export_snapshot_to_iceberg(table) -> dict:
     # carry forward earlier exported snapshots (re-export = new snapshot)
     prior_snaps: list[dict] = []
     prior_log: list[dict] = []
+    prior_fv = 2
     try:
         prev = load_table_metadata(root)
+        # format-version is sticky: once a puffin-DV export stamped v3,
+        # later exports must not downgrade snapshots readers can still
+        # time-travel to
+        prior_fv = int(prev.get("format-version", 2))
         prior_snaps = [
             s for s in prev.get("snapshots", [])
             if s["snapshot-id"] != snapshot_id
@@ -1134,7 +1252,7 @@ def export_snapshot_to_iceberg(table) -> dict:
     except (ValueError, FileNotFoundError, OSError):
         version_n = 1
     meta = {
-        "format-version": 2,
+        "format-version": max(prior_fv, 3 if used_v3_dvs else 2),
         "table-uuid": f"snapshot-{os.path.basename(root)}",
         "location": root,
         "last-updated-ms": ts,

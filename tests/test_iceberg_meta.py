@@ -905,6 +905,77 @@ def test_export_partitioned_snapshot_with_dvs_rewrites_per_partition(
     assert seen_parts == {"p1", "p2"}
 
 
+def test_export_dvs_as_puffin_v3(spark, tmp_path):
+    """dv_format='puffin': the export writes ONE merged
+    deletion-vector-v1 blob per referenced data file into a single
+    puffin file, tracked by content=1 PUFFIN entries carrying the
+    referenced file's partition record, metadata stamped
+    format-version 3 (sticky across later exports) — and the
+    independent replay sees exactly the snapshot's visible rows, on
+    unpartitioned AND partitioned tables."""
+    from easy_sql_spark.runtime.snapshots import SnapshotTable
+    from easy_sql_spark.sources.avro_lite import read_avro_file
+    from easy_sql_spark.sources.iceberg_meta import (
+        export_snapshot_to_iceberg,
+        load_table_metadata,
+    )
+    from easy_sql_spark.sources.puffin import read_puffin_footer
+
+    import glob as _glob
+
+    root = str(tmp_path / "puf_u")
+    t = SnapshotTable(spark, root)
+    t.create(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(1, 7)], "id int, v string"
+        )
+    )
+    t.delete_where_dv([("id", "<=", 2)])
+    rep = export_snapshot_to_iceberg(t, dv_format="puffin")
+    assert rep["dv_files"] >= 1
+    got = {(r.id, r.v) for r in read_iceberg(spark, root).collect()}
+    assert got == {(i, f"v{i}") for i in (3, 4, 5, 6)}
+    meta = load_table_metadata(root)
+    assert meta["format-version"] == 3
+    pufs = _glob.glob(os.path.join(root, "deletes", "*.puffin"))
+    assert pufs
+    footer = read_puffin_footer(open(pufs[0], "rb").read())
+    assert all(
+        b["type"] == "deletion-vector-v1" for b in footer["blobs"]
+    )
+    # a later parquet-DV export must NOT downgrade the format version
+    t.append(spark.createDataFrame([(9, "v9")], "id int, v string"))
+    export_snapshot_to_iceberg(t)
+    assert load_table_metadata(root)["format-version"] == 3
+    got2 = {(r.id, r.v) for r in read_iceberg(spark, root).collect()}
+    assert got2 == got | {(9, "v9")}
+
+    root2 = str(tmp_path / "puf_p")
+    t2 = SnapshotTable(spark, root2)
+    t2.create(
+        spark.createDataFrame(
+            [(i, f"v{i}", f"p{i % 2}") for i in range(1, 9)],
+            "id int, v string, pt string",
+        ),
+        partition_by=["pt"],
+    )
+    t2.delete_where_dv([("id", "<=", 3)])  # spans both partitions
+    export_snapshot_to_iceberg(t2, dv_format="puffin")
+    got3 = {(r.id, r.v, r.pt) for r in read_iceberg(spark, root2).collect()}
+    assert got3 == {(i, f"v{i}", f"p{i % 2}") for i in (4, 5, 6, 7, 8)}
+    assert got3 == {(r.id, r.v, r.pt) for r in t2.read().collect()}
+    # each DV entry's partition record matches its referenced file's
+    del_manifest = sorted(
+        _glob.glob(os.path.join(root2, "metadata", "manifest-del-*.avro"))
+    )[-1]
+    _m, entries = read_avro_file(open(del_manifest, "rb").read())
+    assert entries
+    for e in entries:
+        df = e["data_file"]
+        assert df["file_format"] == "PUFFIN"
+        assert f"/pt={df['partition']['pt']}/" in df["referenced_data_file"]
+
+
 @pytest.mark.parametrize("seed", [0, 1])
 def test_export_dv_lifecycle_fuzz(spark, tmp_path, seed):
     """Randomized partitioned-snapshot lifecycle (appends, DV deletes,
@@ -954,7 +1025,9 @@ def test_export_dv_lifecycle_fuzz(spark, tmp_path, seed):
         else:
             t.compact()
         if rng.random() < 0.5:
-            export_snapshot_to_iceberg(t)
+            export_snapshot_to_iceberg(
+                t, dv_format=rng.choice(["parquet", "puffin"])
+            )
             exports += 1
             want = sorted(
                 (r.id, r.val, r.pt) for r in t.read().collect()
