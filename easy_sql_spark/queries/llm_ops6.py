@@ -1327,7 +1327,10 @@ def iceberg_v3_dv_read(spark, sf_dir):
         dest = _os.path.join(t, "data", name)
         _os.replace(_os.path.join(tmp, part), dest)
         _shutil.rmtree(tmp)
-        keys = [r.k for r in df.select("k").orderBy("k").collect()]
+        rows = df.select("k").orderBy(
+            "k"
+        ).collect()  # bounded-driver: fixture builder, <=400 keys (k<=400)
+        keys = [r.k for r in rows]
         return dest, keys
 
     fa, keys_a = data_file("fa.parquet", seed.where(F.col("k") <= 200))
