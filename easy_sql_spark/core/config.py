@@ -18,8 +18,13 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
+# the reference's header patterns require the literal "-- " prefix (one
+# space) and no space before the colon (sql_config.py:24,38,131) —
+# "--backend: x" / "-- backend : x" are plain comments there, and a
+# reference ETL may rely on that to DISABLE a header, so we must not
+# activate them (differential-fuzzed parity, same class as -- target)
 HEADER_RE = re.compile(
-    r"^--\s*(backend|config|inputs|outputs|prepare-sql|owner|schedule)\s*:\s*(.*)$"
+    r"^-- \s*(backend|config|inputs|outputs|prepare-sql|owner|schedule):\s*(.*)$"
 )
 
 
@@ -35,6 +40,7 @@ class EtlConfig:
     udf_file_path: str | None = None
     func_file_path: str | None = None
     scala_udf_initializer: str | None = None
+    skip_duplicate_include: bool = False
     # set by the CLI / test_run_etl when the ETL came from a file; lets
     # funcs resolve sibling ETL paths (reference EasySqlConfig.abs_sql_file_path)
     abs_sql_file_path: str | None = None
@@ -42,13 +48,21 @@ class EtlConfig:
     @classmethod
     def parse(cls, sql: str) -> "EtlConfig":
         cfg = cls()
+        backend_seen = False
         for line in sql.split("\n"):
-            m = HEADER_RE.match(line.strip())
+            # UNSTRIPPED: an indented header is a plain comment in the
+            # reference (its patterns anchor at column 0)
+            m = HEADER_RE.match(line)
             if not m:
                 continue
             key, value = m.group(1), m.group(2).strip()
             if key == "backend":
-                cfg.backend = value
+                # FIRST backend line wins (reference parse_backend
+                # breaks on the first match), first space-token only
+                # ("spark cluster-extras" selects "spark")
+                if not backend_seen:
+                    cfg.backend = value.split(" ")[0]
+                    backend_seen = True
             elif key == "prepare-sql":
                 cfg.prepare_sql.append(value)
             elif key == "inputs":
@@ -71,6 +85,12 @@ class EtlConfig:
                         cfg.func_file_path = v
                     elif short == "scala_udf_initializer":
                         cfg.scala_udf_initializer = v
+                    elif short == "skip_duplicate_include":
+                        # reference truthy set: "1"/"true" (lowered)
+                        cfg.skip_duplicate_include = v.lower() in (
+                            "1",
+                            "true",
+                        )
                 else:
                     cfg.engine_conf[k] = v
         return cfg

@@ -172,7 +172,10 @@ class SqlProcessor:
             )
 
         resolver = IncludeResolver(includes=includes or {}, base_dir=base_dir)
-        self.steps: list[Step] = parse_steps(sql, resolver)
+        self.steps: list[Step] = parse_steps(
+            sql, resolver,
+            skip_duplicate_include=self.config.skip_duplicate_include,
+        )
 
     # ---------------------------------------------------------------- public
     def run(self, dry_run: bool = False) -> RunReport:

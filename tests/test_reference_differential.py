@@ -505,6 +505,112 @@ def test_template_parity_pins(ref):
     assert our_expand("@{T3}", {}, templates)[0] == "raise"
 
 
+def _ref_config(sql):
+    from easy_sql.config.sql_config import EasySqlConfig
+
+    try:
+        c = EasySqlConfig.from_sql(sql=sql)
+    except Exception as ex:  # noqa: BLE001
+        return ("raise", type(ex).__name__)
+    return (
+        "ok",
+        c.backend,
+        [t.strip() for t in c.input_tables if t.strip()],
+        [t.strip() for t in c.output_tables if t.strip()],
+        c.scala_udf_initializer,
+        bool(c.skip_duplicate_include),
+    )
+
+
+def _our_config(sql):
+    from easy_sql_spark.core.config import EtlConfig
+
+    try:
+        c = EtlConfig.parse(sql)
+    except Exception as ex:  # noqa: BLE001
+        return ("raise", type(ex).__name__)
+    return (
+        "ok",
+        c.backend,
+        list(c.inputs),
+        list(c.outputs),
+        c.scala_udf_initializer,
+        bool(c.skip_duplicate_include),
+    )
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_config_headers_match_reference(ref, seed):
+    """ETL config headers (`-- backend:` / `-- config:` / `-- inputs:`
+    / `-- outputs:`): random header mixes — incl. disabled-looking
+    variants ("--backend:", "-- backend :", indented headers) that the
+    reference treats as PLAIN COMMENTS — must parse to the same
+    backend / table lists / easy_sql settings."""
+    rng = random.Random(55_000 + seed)
+    compared = 0
+    for case in range(40):
+        lines = []
+        for _ in range(rng.randint(1, 6)):
+            r = rng.random()
+            if r < 0.2:
+                b = rng.choice(["spark", "flink", "postgres"])
+                tail = " cluster-extra" if rng.random() < 0.3 else ""
+                lines.append(f"-- backend: {b}{tail}")
+            elif r < 0.35:
+                lines.append(
+                    f"-- inputs: db.t{rng.randint(0, 9)}, "
+                    f"db.t{rng.randint(0, 9)}"
+                )
+            elif r < 0.45:
+                lines.append(f"-- outputs: db.out{rng.randint(0, 9)}")
+            elif r < 0.6:
+                # NOTE udf_file_path/func_file_path are not generated:
+                # the reference RESOLVES them eagerly and asserts the
+                # file exists (EasySqlConfig.__init__), which is an
+                # environment check, not header grammar
+                lines.append(
+                    "-- config: easy_sql."
+                    + rng.choice(
+                        [
+                            f"scala_udf_initializer=udf.Init{rng.randint(0, 9)}",
+                            "skip_duplicate_include="
+                            + rng.choice(["1", "true", "0", "false"]),
+                            f"etl_type={rng.choice(['batch', 'streaming'])}",
+                        ]
+                    )
+                )
+            elif r < 0.75:
+                lines.append(
+                    f"-- config: spark.sql.shuffle.partitions="
+                    f"{rng.randint(1, 64)}"
+                )
+            elif r < 0.85:
+                # disabled-looking variants: plain comments in BOTH
+                lines.append(
+                    rng.choice(
+                        [
+                            "--backend: flink",
+                            "-- backend : flink",
+                            "  -- backend: flink",
+                            "--config: spark.x=1",
+                        ]
+                    )
+                )
+            else:
+                lines.append("select 1  -- not a header")
+        sql = "\n".join(lines) + "\n-- target=temp.t\nselect 1"
+        r_out = _ref_config(sql)
+        o_out = _our_config(sql)
+        if r_out[0] == "raise":
+            continue
+        assert o_out == r_out, (
+            f"seed={seed} case={case}: config mismatch\nsql=\n{sql}\n"
+            f"ref={r_out!r}\nours={o_out!r}"
+        )
+        compared += 1
+    assert compared >= 36
+
+
 def test_spaced_equals_header_divergence_pin(ref):
     """"-- target = x" (spaces around '='): the reference matches the
     header pattern but then fails its own config parse (the leading
