@@ -7,9 +7,20 @@
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Self-locating: the driver may load this file by path from any cwd
+# (importlib / spark-submit --py-files); ``easy_sql_spark`` lives next to
+# it, so put our own directory on sys.path before the package imports
+# below.  Executor workers are covered separately by
+# easy_sql_spark.session.ship_package (sc.addPyFile of a package zip).
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -9,6 +9,8 @@ dynamic-partition nonstrict — re-expressed with Spark 3/4-native conf names
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -83,8 +85,54 @@ def build_session(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
     register_data_sources(spark)
     return spark
+
+
+def ship_package(spark: SparkSession) -> str | None:
+    """Make ``easy_sql_spark`` importable on executor Python workers.
+
+    Executor-side code paths — hudi log-block decode
+    (``sources/hudi_log.py``), puffin DV slicing (``sources/puffin.py``),
+    distributed manifest parsing (``sources/iceberg_meta.py``), the
+    codec mapInPandas operators — are cloudpickled BY REFERENCE, so the
+    worker process must be able to ``import easy_sql_spark.…`` itself.
+    When the driver's cwd is the repo root that works by accident (cwd
+    is on ``sys.path`` and workers inherit it); from any other cwd the
+    tasks die with ModuleNotFoundError.  The reference solves this by
+    being pip-installed (reference ``pyproject.toml``); we ship a zip of
+    the package through ``sc.addPyFile`` at session build — the
+    canonical Spark mechanism, it reaches every current AND
+    later-joining executor, and ``addPyFile`` also prepends the zip to
+    the driver's own ``sys.path``.
+
+    Idempotent per SparkContext; returns the zip path (None if already
+    shipped or the context is unavailable).
+    """
+    try:
+        sc = spark.sparkContext
+    except Exception:  # pragma: no cover - session without a live context
+        return None
+    if getattr(sc, "_easy_sql_spark_shipped", False):
+        return None
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.mkdtemp(prefix="easy_sql_spark_ship_"), "easy_sql_spark.zip"
+    )
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, dirnames, filenames in os.walk(pkg_root):
+            dirnames[:] = sorted(d for d in dirnames if d != "__pycache__")
+            rel_dir = os.path.relpath(dirpath, os.path.dirname(pkg_root))
+            for fname in sorted(filenames):
+                if not fname.endswith(".py"):
+                    continue
+                zf.write(
+                    os.path.join(dirpath, fname), os.path.join(rel_dir, fname)
+                )
+    sc.addPyFile(zip_path)
+    sc._easy_sql_spark_shipped = True
+    return zip_path
 
 
 def tune_session(spark: SparkSession) -> SparkSession:
@@ -96,6 +144,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, SESSION_DEFAULTS[k])
         except Exception:  # pragma: no cover - conf locked down
             pass
+    ship_package(spark)
     register_data_sources(spark)
     return spark
 

@@ -1,0 +1,146 @@
+"""Executor shipping: the driver contract must work from ANY cwd.
+
+The reference is pip-installable (reference pyproject.toml), so its
+executor-side code resolves through site-packages everywhere.  We are a
+repo, not a wheel — before r11 the executor Python workers resolved
+``easy_sql_spark`` only because the driver's cwd happened to be
+/root/repo.  ``session.ship_package`` closes that: a zip of the package
+is ``sc.addPyFile``'d at session build (build_session AND
+tune_session — the library-mode path the driver's verify harness uses),
+so cloudpickled-by-reference executor code (hudi log-block decode,
+puffin DV slicing, manifest parsing, codec mapInPandas) imports on
+workers regardless of where the driver process started.
+
+The proof here is a SUBPROCESS driver with cwd=/tmp and a PYTHONPATH
+scrubbed of the repo, loading ``__spark_entry__.py`` by file path and
+running the two queries whose decode work happens INSIDE executor
+tasks: ``hudi_cdc_block_read`` (log-block bytes decoded in tasks) and
+``iceberg_v3_dv_read`` (puffin DV descriptors sliced+roaring-decoded in
+a parallelize/flatMap).  Without ship_package both die with
+ModuleNotFoundError in the Python worker.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import tempfile
+import zipfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_DRIVER_SCRIPT = r"""
+import importlib.util, json, os, sys
+
+assert os.getcwd() != {repo!r}, "test must run outside the repo"
+assert not any(
+    os.path.abspath(p or os.getcwd()) == {repo!r} for p in sys.path
+), "repo leaked into sys.path before entry load: %r" % (sys.path,)
+
+spec = importlib.util.spec_from_file_location(
+    "__spark_entry__", os.path.join({repo!r}, "__spark_entry__.py")
+)
+mod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(mod)
+
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("pkg_ship_test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+
+# entry() routes through tune_session -> ship_package
+df = mod.entry(spark)
+n_entry = df.count()
+
+queries = mod.queries()
+out = {{"entry_rows": n_entry}}
+for name in ("hudi_cdc_block_read", "iceberg_v3_dv_read"):
+    out[name] = queries[name](spark, "/root/testdata/sf0.001").count()
+print("RESULT:" + json.dumps(out))
+spark.stop()
+"""
+
+
+def _scrubbed_env() -> dict[str, str]:
+    env = dict(os.environ)
+    parts = [
+        p
+        for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and os.path.abspath(p) != REPO
+    ]
+    env["PYTHONPATH"] = os.pathsep.join(parts)
+    env.pop("SPARK_GRAFT_SF_DIR", None)
+    return env
+
+
+def test_contract_runs_with_cwd_outside_repo(tmp_path):
+    script = tmp_path / "driver.py"
+    script.write_text(_DRIVER_SCRIPT.format(repo=REPO))
+    proc = subprocess.run(
+        [sys.executable, str(script)],
+        cwd=str(tmp_path),
+        env=_scrubbed_env(),
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT:")]
+    assert line, proc.stdout[-2000:]
+    import json
+
+    out = json.loads(line[0][len("RESULT:") :])
+    assert out["entry_rows"] > 0
+    assert out["hudi_cdc_block_read"] > 0
+    assert out["iceberg_v3_dv_read"] > 0
+
+
+def test_ship_package_zip_contents_and_idempotence():
+    from easy_sql_spark.session import build_session, ship_package
+
+    spark = build_session("ship_pkg_unit", master="local[2]",
+                          shuffle_partitions=2)
+    try:
+        # build_session already shipped; a second call is a no-op
+        assert ship_package(spark) is None
+        sc = spark.sparkContext
+        sc._easy_sql_spark_shipped = False
+        zip_path = ship_package(spark)
+        assert zip_path and os.path.exists(zip_path)
+        with zipfile.ZipFile(zip_path) as zf:
+            names = zf.namelist()
+        assert "easy_sql_spark/session.py" in names
+        assert "easy_sql_spark/sources/puffin.py" in names
+        assert "easy_sql_spark/sources/hudi_log.py" in names
+        assert not [n for n in names if "__pycache__" in n]
+        assert not [n for n in names if not n.endswith(".py")]
+    finally:
+        spark.stop()
+
+
+def test_executor_import_resolves_from_shipped_zip():
+    """A task that imports an executor-side decode module must succeed
+    even when the worker's cwd/path lack the repo — simulated by
+    importing through the shipped zip path explicitly."""
+    from easy_sql_spark.session import build_session
+
+    spark = build_session("ship_pkg_exec", master="local[2]",
+                          shuffle_partitions=2)
+    try:
+        def probe(_):
+            import easy_sql_spark.sources.puffin as p
+
+            return [os.path.basename(p.__file__)]
+
+        got = spark.sparkContext.parallelize([1], 1).flatMap(probe).collect()
+        assert got == ["puffin.py"]
+    finally:
+        spark.stop()
