@@ -146,6 +146,7 @@ def write_puffin(
     properties: dict | None = None,
     snapshot_id: int = 1,
     sequence_number: int = 1,
+    compress_footer: bool = False,
 ) -> tuple[bytes, list[dict]]:
     """(blob_type, blob_bytes, blob_properties) -> (file bytes, blob
     metadata dicts with offset/length as written)."""
@@ -169,29 +170,43 @@ def write_puffin(
     payload = json.dumps(
         {"blobs": metas, "properties": properties or {}}
     ).encode()
+    flags = b"\x00\x00\x00\x00"
+    if compress_footer:
+        from .lz4_lite import lz4_frame_compress
+
+        payload = lz4_frame_compress(payload)
+        flags = b"\x01\x00\x00\x00"
     out += [
         MAGIC,
         payload,
         struct.pack("<i", len(payload)),
-        b"\x00\x00\x00\x00",
+        flags,
         MAGIC,
     ]
     return b"".join(out), metas
 
 
 def read_puffin_footer(data: bytes) -> dict:
-    """FileMetadata JSON out of a Puffin file's footer."""
+    """FileMetadata JSON out of a Puffin file's footer.
+
+    Compressed footers (flags bit 0 of byte 0 — the spec's only footer
+    codec, "lz4: single LZ4 compression frame with content size
+    present") decode through the pure-Python frame reader in
+    ``lz4_lite`` (JVM-cross-validated against ``net.jpountz.lz4``).
+    """
     if data[:4] != MAGIC or data[-4:] != MAGIC:
         raise PuffinError("not a puffin file (bad magic)")
     flags = data[-8:-4]
-    if flags[0] & 0x01:
-        raise PuffinError(
-            "puffin footer payload is lz4-compressed (not supported "
-            "by this stdlib reader); rewrite with an uncompressed "
-            "footer"
-        )
     (psize,) = struct.unpack_from("<i", data, len(data) - 12)
     pstart = len(data) - 12 - psize
     if pstart < 8 or data[pstart - 4 : pstart] != MAGIC:
         raise PuffinError("puffin footer framing corrupt")
-    return json.loads(data[pstart : pstart + psize])
+    payload = data[pstart : pstart + psize]
+    if flags[0] & 0x01:
+        from .lz4_lite import Lz4Error, lz4_frame_decompress
+
+        try:
+            payload = lz4_frame_decompress(payload)
+        except Lz4Error as e:
+            raise PuffinError("puffin footer lz4 payload corrupt: %s" % e)
+    return json.loads(payload)
