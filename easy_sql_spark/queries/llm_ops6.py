@@ -1445,3 +1445,148 @@ def iceberg_v3_dv_read(spark, sf_dir):
         .orderBy("bucket")
         .localCheckpoint(eager=True)
     )
+
+
+@query(
+    "hudi_hfile_block_read",
+    oracle="""
+    WITH seed AS (
+        SELECT o_orderkey AS k,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey <= 350),
+    ups AS (
+        SELECT k, cents + 1000 AS cents FROM seed WHERE k <= 12
+        UNION ALL
+        SELECT 900001 + i AS k, CAST(7000 + i AS BIGINT) AS cents
+        FROM (SELECT UNNEST([0, 1, 2, 3]) AS i)),
+    v2 AS (
+        SELECT k, CASE WHEN k <= 12 THEN cents + 1000 ELSE cents END AS cents
+        FROM seed
+        UNION ALL
+        SELECT k, cents FROM ups WHERE k > 900000),
+    v3 AS (SELECT * FROM v2 WHERE k % 8 <> 0)
+    SELECT snap, CAST(n AS BIGINT) AS n, CAST(sum_cents AS BIGINT) AS sum_cents
+    FROM (
+        SELECT 1 AS snap, COUNT(*) AS n, SUM(cents) AS sum_cents FROM seed
+        UNION ALL SELECT 2, COUNT(*), SUM(cents) FROM v2
+        UNION ALL SELECT 3, COUNT(*), SUM(cents) FROM v3
+    ) ORDER BY snap
+    """,
+)
+def hudi_hfile_block_read(spark, sf_dir):
+    """Hudi MOR read over an HFILE data block (``HoodieLogBlockType``
+    ordinal 4 — the metadata-table payload format, closing the LAST
+    Hudi log refusal): the delta upserts+inserts ride an
+    HFILE_DATA_BLOCK whose content is a complete HBase HFile
+    (sources/hfile_lite.py — v3 trailer, gz-compressed blocks, CRC32C
+    per-block checksums, mvcc vlongs, i.e. the whole RFC-84 surface),
+    row key = record key, cell value = a bare Avro datum.  A v3 delete
+    block follows, and the MOR snapshot merge must produce identical
+    per-key latest-wins state at each instant.  The oracle replays the
+    same upsert/insert/delete waves in SQL, so what's value-checked is
+    the HFile decode itself (trailer/protobuf/KeyValue/checksum/gzip
+    layers) plus commit filtering and the merge.
+
+    Scale: identical to every MOR read here — the HFile payload decodes
+    INSIDE the executor task that parses the file group (hfile_lite is
+    picklable pure Python over bytes); the driver never touches block
+    bytes."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..sources.hudi_log import write_delete_block, write_hfile_data_block
+    from ..sources.hudi_meta import read_hudi
+
+    t = _tempfile.mkdtemp(prefix="hudi_hfblk_q_") + "/tbl"
+    _os.makedirs(t)
+    seed = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 350)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    base = seed.selectExpr(
+        "'001' as _hoodie_commit_time",
+        "cast(k as string) as _hoodie_record_key",
+        "'' as _hoodie_partition_path",
+        "k",
+        "cents",
+    )
+    base.coalesce(1).write.parquet(t + "/_s")
+    part = next(n for n in _os.listdir(t + "/_s") if n.endswith(".parquet"))
+    _os.replace(f"{t}/_s/{part}", f"{t}/f1_0-1-0_001.parquet")
+    _shutil.rmtree(t + "/_s")
+
+    rec_schema = {
+        "type": "record",
+        "name": "rec",
+        "fields": [
+            {"name": "_hoodie_commit_time", "type": "string"},
+            {"name": "_hoodie_record_key", "type": "string"},
+            {"name": "_hoodie_partition_path", "type": "string"},
+            {"name": "k", "type": "long"},
+            {"name": "cents", "type": "long"},
+        ],
+    }
+    ups = [
+        {
+            "_hoodie_commit_time": "002",
+            "_hoodie_record_key": str(r.k),
+            "_hoodie_partition_path": "",
+            "k": r.k,
+            "cents": r.cents + 1000,
+        }
+        for r in seed.where(F.col("k") <= 12).collect()  # bounded-driver: <=12 rows (k<=12 cap)
+    ] + [
+        {
+            "_hoodie_commit_time": "002",
+            "_hoodie_record_key": str(900001 + i),
+            "_hoodie_partition_path": "",
+            "k": 900001 + i,
+            "cents": 7000 + i,
+        }
+        for i in range(4)
+    ]
+    del_keys = [
+        (str(r.k), "")
+        for r in seed.where(F.col("k") % 8 == 0).collect()  # bounded-driver: <=43 rows (k<=350 cap)
+    ] + [(str(900001 + i), "") for i in range(4) if (900001 + i) % 8 == 0]
+    payload = write_hfile_data_block(
+        rec_schema,
+        ups,
+        "002",
+        key_field="_hoodie_record_key",
+        compression="gz",
+        block_size=2048,
+        include_mvcc=True,
+    ) + write_delete_block(del_keys, "003")
+    with open(f"{t}/.f1_001.log.1_0-1-0", "wb") as fh:
+        fh.write(payload)
+
+    _os.makedirs(f"{t}/.hoodie")
+    with open(f"{t}/.hoodie/hoodie.properties", "w") as fh:
+        fh.write("hoodie.table.name=qh\nhoodie.table.type=MERGE_ON_READ\n")
+    for instant, action in (("001", "commit"), ("002", "deltacommit"),
+                            ("003", "deltacommit")):
+        with open(f"{t}/.hoodie/{instant}.{action}", "w") as fh:
+            fh.write("{}")
+
+    outs = [
+        read_hudi(spark, t, as_of=as_of)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .select(F.lit(snap).alias("snap"), "n", "sum_cents")
+        for snap, as_of in ((1, "001"), (2, "002"), (3, None))
+    ]
+    return (
+        outs[0].unionByName(outs[1]).unionByName(outs[2])
+        .orderBy("snap")
+        .localCheckpoint(eager=True)
+    )

@@ -55,9 +55,15 @@ Block types handled (ordinals from ``HoodieLogBlockType``):
   (``hudi_meta._log_files``) and the change feed reads them
   (``hudi_meta.read_hudi_cdc``).
 
-``HFILE_DATA_BLOCK`` (4, metadata-table HFile payloads) remains the
-refusal surface — it raises :class:`HudiLogUnsupportedError` by
-ordinal.
+* ``HFILE_DATA_BLOCK`` (4) — content: a complete HBase HFile
+  (``HoodieHFileDataBlock.serializeRecords``, the metadata-table
+  payload shape): row key = record key, cell value = bare binary Avro
+  datum of the header's ``SCHEMA``.  Decoded via the pure-Python HFile
+  v2/v3 subset codec (``hfile_lite.py``; RFC-84 surface — none/gz
+  compression, no block encoding, no encryption; encoded-data blocks
+  and exotic codecs refuse loudly by name).  With this the Hudi log
+  refusal surface is EMPTY — every ``HoodieLogBlockType`` ordinal
+  0-6 decodes.
 
 Header metadata ordinals (``HeaderMetadataType``): INSTANT_TIME 0,
 TARGET_INSTANT_TIME 1, SCHEMA 2, COMMAND_BLOCK_TYPE 3.
@@ -225,12 +231,22 @@ def _decode_content(btype: int, header: dict[int, str], content: bytes):
                 f"(logical) types: {bad}"
             )
         return table.to_pylist()
+    if btype == HFILE_DATA_BLOCK:
+        # content = a complete HBase HFile (HoodieHFileDataBlock
+        # .serializeRecords streams an HFile writer into the block
+        # body): row key = record key, cell value = a bare binary Avro
+        # datum of the header's SCHEMA — the metadata-table payload
+        # shape.  Decoded via the pure-Python HFile v2/v3 subset codec
+        # (hfile_lite.py, RFC-84 surface: none/gz compression, no
+        # encoding/encryption), sequentially inside the executor task
+        # like every other block type.
+        from .hfile_lite import read_hfile_kv
+
+        schema = json.loads(header[SCHEMA])
+        return [decode_datum(schema, v) for _k, v in read_hfile_kv(content)]
     if btype == CORRUPT_BLOCK:
         raise HudiLogError("corrupt block in hudi log file")
-    raise HudiLogUnsupportedError(
-        f"hudi log block type ordinal {btype} (HFILE data blocks are "
-        "not supported)"
-    )
+    raise HudiLogUnsupportedError(f"hudi log block type ordinal {btype}")
 
 
 def read_log_blocks(data: bytes) -> list[LogBlock]:
@@ -301,6 +317,34 @@ def write_data_block(schema: dict, records: list[dict], instant: str) -> bytes:
         content += struct.pack(">i", len(datum)) + datum
     header = {INSTANT_TIME: instant, SCHEMA: json.dumps(schema)}
     return _frame(AVRO_DATA_BLOCK, header, content)
+
+
+def write_hfile_data_block(
+    schema: dict,
+    records: list[dict],
+    instant: str,
+    key_field: str = "key",
+    **hfile_kwargs,
+) -> bytes:
+    """One framed HFILE_DATA_BLOCK (fixture/export helper, the
+    metadata-table payload shape): records are sorted by ``key_field``
+    (HoodieHFileDataBlock requires sorted HFile keys), each stored as
+    row key = the record key, value = bare binary Avro datum of
+    ``schema``.  ``hfile_kwargs`` pass through to
+    :func:`hfile_lite.write_hfile` (compression, block_size,
+    include_mvcc, checksum_type…) so tests can exercise the whole
+    RFC-84 surface."""
+    import json
+
+    from .hfile_lite import write_hfile
+
+    pairs = sorted(
+        (str(rec[key_field]).encode(), encode_datum(schema, rec))
+        for rec in records
+    )
+    content = write_hfile(pairs, **hfile_kwargs)
+    header = {INSTANT_TIME: instant, SCHEMA: json.dumps(schema)}
+    return _frame(HFILE_DATA_BLOCK, header, content)
 
 
 #: avro primitive → pyarrow type for the parquet-block fixture writer;

@@ -35,10 +35,12 @@ log deltas take the per-key merge window (delta keys are broadcast for
 the split), so a lightly-updated 100 TB MOR table pays the merge only
 on the updated slice.
 
-Refused loudly: Kryo-serialized delete blocks (pre-0.13 JVM-only
-payload), HFILE/PARQUET/CDC log blocks, bootstrap/externally-referenced
-base files, and base files missing the populated ``_hoodie_record_key``
-meta column (virtual-key tables) when a merge is required.
+Every ``HoodieLogBlockType`` ordinal 0-6 decodes (avro/parquet/HFILE
+data blocks, v1-v3 delete blocks including the Kryo wire forms, CDC,
+command blocks) — the log refusal surface is empty as of r11.  Refused
+loudly: bootstrap/externally-referenced base files, and base files
+missing the populated ``_hoodie_record_key`` meta column (virtual-key
+tables) when a merge is required.
 
 The WRITE side lives here too: ``export_snapshot_to_hudi`` (COW —
 zero-copy hardlinks, incremental re-export, replacecommit retirement)
@@ -480,7 +482,8 @@ def _log_delta_frame(
         data_blocks = [
             b
             for b in blocks
-            if b.type in (hl.AVRO_DATA_BLOCK, hl.PARQUET_DATA_BLOCK)
+            if b.type in (hl.AVRO_DATA_BLOCK, hl.PARQUET_DATA_BLOCK,
+                          hl.HFILE_DATA_BLOCK)
         ]
         if not data_blocks:
             raise ValueError("log-only hudi group with no data block")
@@ -517,7 +520,8 @@ def _log_delta_frame(
                     continue
                 if instant not in live_f:
                     continue  # inflight/failed delta, invisible
-                if b.type in (hl.AVRO_DATA_BLOCK, hl.PARQUET_DATA_BLOCK):
+                if b.type in (hl.AVRO_DATA_BLOCK, hl.PARQUET_DATA_BLOCK,
+                              hl.HFILE_DATA_BLOCK):
                     for rec in b.records:
                         key = rec.get("_hoodie_record_key")
                         if key is None:

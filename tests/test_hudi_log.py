@@ -305,9 +305,19 @@ def test_unknown_block_type_refused():
     raw = _frame(7, {INSTANT_TIME: "0010"}, b"")  # past the enum's end
     with pytest.raises(HudiLogUnsupportedError, match="ordinal 7"):
         read_log_blocks(raw)
-    # HFILE data blocks (metadata table) stay the documented refusal
-    raw = _frame(4, {INSTANT_TIME: "0010"}, b"")
-    with pytest.raises(HudiLogUnsupportedError, match="ordinal 4"):
+    # HFILE data blocks decode since r11 (hfile_lite) — garbage content
+    # must fail the hfile framing, not pass silently
+    import json
+
+    from easy_sql_spark.sources.hfile_lite import HFileError
+
+    raw = _frame(
+        4,
+        {INSTANT_TIME: "0010", 2: json.dumps({"type": "record",
+                                              "name": "R", "fields": []})},
+        b"not an hfile",
+    )
+    with pytest.raises(HFileError):
         read_log_blocks(raw)
 
 
