@@ -460,7 +460,11 @@ def read_iceberg(
             (p, pv, e, sq)
             for p, pv, e, sq in files
             if all(
-                (
+                # a file written under an OLDER spec that lacks the
+                # field can hold any value — it must survive pruning
+                # (superset guarantee; the caller re-filters rows)
+                c not in pv
+                or (
                     None
                     if pv.get(c) is None
                     else str(_typed_partition_value(pv.get(c), ptypes[c]))
@@ -506,25 +510,40 @@ def read_iceberg(
         out = scan(schema, [p for p, _, _, _ in files])
         cols = [f.name for f in schema.fields]
     else:
-        data_schema = T.StructType(
-            [f for f in schema.fields if f.name not in id_parts]
-        )
         types = {f.name: f.dataType for f in schema.fields}
+        # PARTITION EVOLUTION (r11): each manifest's partition record
+        # follows the spec the manifest was written under, so a file
+        # from an OLDER spec may lack some of the default spec's
+        # identity fields entirely.  Constants are attached only for
+        # the identity columns a file's own manifest record carries;
+        # the rest are read from the data file itself (pinned-schema
+        # scan — a file genuinely lacking the column reads as NULL,
+        # the Iceberg contract for pre-evolution data).  A field
+        # PRESENT in the record with a null value still attaches the
+        # NULL constant (hive-migration behavior, unchanged).
         groups: dict[tuple, list[str]] = {}
         for p, pv, _e, _sq in files:
+            names = tuple(c for c in id_parts if c in pv)
             # typed conversion BEFORE grouping: raw Avro physical values
             # (epoch-days ints, unscaled decimal bytes) become logical
             # Python values, so both the group key and the attached
             # literal are exact
-            key = tuple(
-                _typed_partition_value(pv.get(c), types[c])
-                for c in id_parts
+            key = (
+                names,
+                tuple(
+                    _typed_partition_value(pv[c], types[c]) for c in names
+                ),
             )
             groups.setdefault(key, []).append(p)
         parts = []
-        for key, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
+        for (names, vals), paths in sorted(
+            groups.items(), key=lambda kv: str(kv[0])
+        ):
+            data_schema = T.StructType(
+                [f for f in schema.fields if f.name not in names]
+            )
             df = scan(data_schema, paths)
-            for c, val in zip(id_parts, key):
+            for c, val in zip(names, vals):
                 df = df.withColumn(c, F.lit(val).cast(types[c]))
             parts.append(
                 df.select(*[f.name for f in schema.fields], *extra)
@@ -582,6 +601,18 @@ def read_iceberg(
         out = _apply_equality_deletes(
             spark, out, meta, schema, files, eq_delete_files
         )
+    if partitions:
+        # exact-result guarantee under partition evolution: files from
+        # older specs survive manifest pruning (they carry no constant
+        # for the column), so re-apply the partition predicate at row
+        # level for any column some surviving file lacked
+        unprunable = [
+            c
+            for c in partitions
+            if any(c not in pv for _p, pv, _e, _sq in files)
+        ]
+        for c in unprunable:
+            out = out.where(F.col(c).isin(list(partitions[c])))
     return out.select(*cols)
 
 

@@ -1113,3 +1113,184 @@ def test_iceberg_incremental_append_scan(spark, tmp_path):
 select (select count(*) from ice_inc_v) as actual, 2 as expected
 """
     SqlProcessor(spark, etl, logger=lambda m: None).run()
+
+
+# ------------------------------------------------------ partition evolution
+
+
+def _pe_entry_schema(with_partition: bool):
+    fields = [
+        {"name": "content", "type": "int"},
+        {"name": "file_path", "type": "string"},
+        {"name": "file_format", "type": "string"},
+    ]
+    if with_partition:
+        fields.append(
+            {
+                "name": "partition",
+                "type": {
+                    "type": "record",
+                    "name": "r102",
+                    "fields": [{"name": "pt", "type": ["null", "string"]}],
+                },
+            }
+        )
+    fields += [
+        {"name": "record_count", "type": "long"},
+        {"name": "file_size_in_bytes", "type": "long"},
+    ]
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "sequence_number", "type": ["null", "long"]},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "data_file_r",
+                    "fields": fields,
+                },
+            },
+        ],
+    }
+
+
+def test_partition_evolution_read(spark, tmp_path):
+    """A table that evolved unpartitioned -> identity(pt): the OLD
+    manifest's partition records lack the pt field entirely (written
+    under spec 0), so pt must be read from the old data files; the NEW
+    manifest (spec 1, hive-layout files without the column) supplies pt
+    as a manifest constant.  Iceberg spec: each manifest follows the
+    spec it was written under; readers resolve per manifest."""
+    t = str(tmp_path / "pe")
+    # old files: pt physically present in the data
+    dfa = spark.createDataFrame(
+        [(1, "x", "p0"), (2, "y", "p1")], "id long, val string, pt string"
+    )
+    tmp = os.path.join(t, "_tmp")
+    dfa.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(n for n in os.listdir(tmp) if n.endswith(".parquet"))
+    os.makedirs(os.path.join(t, "data"), exist_ok=True)
+    old_path = os.path.join(t, "data", "old.parquet")
+    os.replace(os.path.join(tmp, part), old_path)
+    # new files: hive layout, column NOT in the file
+    dfb = spark.createDataFrame([(3, "z")], "id long, val string")
+    dfb.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(n for n in os.listdir(tmp) if n.endswith(".parquet"))
+    os.makedirs(os.path.join(t, "data", "pt=p1"), exist_ok=True)
+    new_path = os.path.join(t, "data", "pt=p1", "new.parquet")
+    os.replace(os.path.join(tmp, part), new_path)
+    import shutil
+
+    shutil.rmtree(tmp)
+
+    def entry(path, pv=None, with_partition=False):
+        df = {
+            "content": 0,
+            "file_path": path,
+            "file_format": "PARQUET",
+            "record_count": 1,
+            "file_size_in_bytes": 1,
+        }
+        if with_partition:
+            df["partition"] = pv
+        return {
+            "status": 1,
+            "snapshot_id": 1,
+            "sequence_number": 1,
+            "data_file": df,
+        }
+
+    os.makedirs(os.path.join(t, "metadata"), exist_ok=True)
+    m_old = os.path.join(t, "metadata", "m-old.avro")
+    with open(m_old, "wb") as f:
+        f.write(
+            write_avro_file(
+                _pe_entry_schema(False), [entry(old_path)]
+            )
+        )
+    m_new = os.path.join(t, "metadata", "m-new.avro")
+    with open(m_new, "wb") as f:
+        f.write(
+            write_avro_file(
+                _pe_entry_schema(True),
+                [entry(new_path, {"pt": "p1"}, with_partition=True)],
+            )
+        )
+    ml = os.path.join(t, "metadata", "snap-1.avro")
+    rows = [
+        {
+            "manifest_path": mp,
+            "manifest_length": os.path.getsize(mp),
+            "partition_spec_id": sid,
+            "content": 0,
+            "sequence_number": 1,
+            "added_snapshot_id": 1,
+        }
+        for mp, sid in ((m_old, 0), (m_new, 1))
+    ]
+    with open(ml, "wb") as f:
+        f.write(write_avro_file(MANIFEST_FILE_SCHEMA, rows))
+
+    schema = {
+        "schema-id": 0,
+        "type": "struct",
+        "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "val", "required": False, "type": "string"},
+            {"id": 3, "name": "pt", "required": False, "type": "string"},
+        ],
+    }
+    meta = {
+        "format-version": 2,
+        "table-uuid": "0000",
+        "location": t,
+        "schemas": [schema],
+        "current-schema-id": 0,
+        "partition-specs": [
+            {"spec-id": 0, "fields": []},
+            {
+                "spec-id": 1,
+                "fields": [
+                    {
+                        "name": "pt",
+                        "transform": "identity",
+                        "source-id": 3,
+                        "field-id": 1000,
+                    }
+                ],
+            },
+        ],
+        "default-spec-id": 1,
+        "snapshots": [
+            {
+                "snapshot-id": 1,
+                "timestamp-ms": 1,
+                "manifest-list": ml,
+                "summary": {"operation": "append"},
+            }
+        ],
+        "current-snapshot-id": 1,
+        "snapshot-log": [{"timestamp-ms": 1, "snapshot-id": 1}],
+    }
+    with open(os.path.join(t, "metadata", "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+
+    got = {(r.id, r.val, r.pt) for r in read_iceberg(spark, t).collect()}
+    assert got == {(1, "x", "p0"), (2, "y", "p1"), (3, "z", "p1")}
+
+    # partition pruning stays EXACT: old-spec files cannot be pruned by
+    # manifest constants, so rows are re-filtered
+    got_p1 = {
+        (r.id, r.pt)
+        for r in read_iceberg(spark, t, partitions={"pt": ["p1"]}).collect()
+    }
+    assert got_p1 == {(2, "p1"), (3, "p1")}
+    got_p0 = {
+        (r.id, r.pt)
+        for r in read_iceberg(spark, t, partitions={"pt": ["p0"]}).collect()
+    }
+    assert got_p0 == {(1, "p0")}
