@@ -32,70 +32,61 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["a1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-#: Round-10 driver-window front (VERDICT r9 asks #1/#2): changed/new
-#: entries first (the three ex-``no_oracle`` entries now carry generated
-#: VALUES oracles and MUST be hash-adjudicated; the new Hudi CDC read;
-#: the dedup index whose probe/replay internals changed), then the four
-#: entries whose last driver verdict is r4 vintage, then the r5 vintage,
-#: then the oldest r6-vintage entries in registry order.  The driver
-#: samples the first 50 ``queries()`` entries.
-_ROUND10_FRONT = (
-    # changed/new in r10:
-    "iceberg_export_dv_partitioned",  # NEW — per-partition position-
-                                # delete rewrite for partitioned DV export
-    "iceberg_v3_dv_read",       # NEW — puffin deletion-vector-v1 blobs
-                                # (JVM-cross-validated roaring64)
-    "hudi_cdc_block_read",      # NEW — RFC-51 CDC log blocks + change feed
-    "emb_pca_project",          # first-ever oracle (generated VALUES) +
-                                # 9 dp mean/cov rounding + vec_id scope
-    "text_bpe_merges",          # first-ever oracle (clean-room BPE VALUES)
-    "text_bpe_token_count",     # first-ever oracle (clean-room BPE VALUES)
-    "dedup_index_incremental",  # probe regime counts pending bytes;
-                                # replay scoped to the batch's own commit
-    # stalest (last driver verdict r4):
-    "s12_unpivot", "dedup_exact_groups", "dedup_exact_stats",
-    "dedup_fingerprint",
-    # r5 vintage:
-    "mm_wav_roundtrip_stats", "dedup_substring_spans",
-    "events_sessionize_batch", "emb_label_outliers", "contamination_ngram",
-    "upsert_keyed_merge", "scd2_history_merge", "global_row_number_order",
-    "text_lm_perplexity", "text_html_boilerplate", "text_stratified_sample",
-    # r6 vintage, registry order:
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "text_stats_by_lang",
-    "text_token_count", "text_quality", "sim_topk_bruteforce",
-    "sim_label_centroids", "dedup_simhash", "text_lang_id",
-    "sim_neardup_pairs", "sim_ivf_topk", "dedup_components",
-    "py_groupwise_mad", "asof_events_orders", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q13_customer_distribution",
-    "q10_returned_items", "q18_large_orders", "q14_promo_revenue",
-    "mm_decode_stats", "mm_hist_profile", "mm_jpeg_roundtrip_stats",
-    "mm_jpeg_progressive_stats", "mm_exif_orientation", "mm_frame_sample",
-    "mm_mp4_demux_stats", "mm_image_ahash",
-    # (mm_mp3_id3_tags and mm_wav_dominant_freq rotated out to keep the
-    # 50-entry window exact when the two new iceberg DV entries fronted;
-    # both stay covered by the full-registry gate in
-    # tests/test_oracle_all.py, and their verdicts are r6 — within the
-    # no-older-than-r6 bar this window establishes)
+#: Round-11 driver-window front: the one NEW entry first (the Hudi
+#: HFILE data-block read, closing the last Hudi log refusal via the
+#: pure-Python HFile codec), then ALL 21 entries whose last driver
+#: verdict is r6 vintage, then the 8 r7-vintage entries, then the 20
+#: oldest r8-vintage entries in registry order — after this window no
+#: entry's last driver verdict is older than r8 (the r10 bar was r6;
+#: the ask was r7).  The driver samples the first 50 ``queries()``
+#: entries.
+_ROUND11_FRONT = (
+    # new in r11:
+    "hudi_hfile_block_read",    # NEW — HFILE_DATA_BLOCK (hfile_lite:
+                                # v2/v3 trailers, gz, CRC32C, mvcc)
+                                # through the MOR snapshot merge
+    # r6 vintage (all 21):
+    "mm_wav_dominant_freq", "mm_mp3_id3_tags", "mm_mp3_demux_stats",
+    "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "q11_important_stock",
+    "q12_shipping_lag", "q15_top_supplier", "q16_supplier_part_cnt",
+    "q17_small_qty_revenue", "q19_discounted_revenue",
+    "q20_part_promotion", "q21_waiting_suppliers",
+    "q22_global_sales_opportunity", "sim_lsh_topk", "text_winnow_pairs",
+    "text_source_cap", "text_repetition_filter",
+    # r7 vintage (all 8):
+    "sim_quantize_int8", "s6b_setops_all", "text_pii_redact",
+    "data_shard_split", "seq_pack_bins", "a9_approx_quantiles",
+    "mm_gif_frames_stats", "dedup_incremental",
+    # r8 vintage, registry order (first 20):
+    "a4_approx_distinct", "events_retention_cohorts",
+    "text_gopher_filter", "events_daily_anomaly", "interval_overlap_join",
+    "scd2_point_in_time_join", "text_unicode_nfc", "snapshot_time_travel",
+    "snapshot_merge_delete", "text_weighted_sample",
+    "text_paragraph_dedup", "snapshot_change_feed", "sim_semantic_dedup",
+    "text_warc_roundtrip", "sim_ann_index_search", "s13_recursive_cte",
+    "j9_lateral_topk", "f12_higher_order", "a10_kmv_distinct",
+    "graph_pagerank",
 )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    The driver's correctness gate samples the FIRST 50 entries.  Round-10
-    rotation: r10-changed/new entries, then stalest-verdict entries
-    (``_ROUND10_FRONT``), then everything else newest-first.  An unknown
+    The driver's correctness gate samples the FIRST 50 entries.  Round-11
+    rotation: the r11-new entry, then stalest-verdict entries
+    (``_ROUND11_FRONT``), then everything else newest-first.  An unknown
     front name RAISES — a typo'd or renamed entry must not silently skip
     its re-adjudication (VERDICT r8 "what's wrong" #3).
     tests/test_oracle_all.py stays authoritative over ALL entries."""
     from easy_sql_spark.queries import QUERIES
 
-    unknown = [k for k in _ROUND10_FRONT if k not in QUERIES]
+    unknown = [k for k in _ROUND11_FRONT if k not in QUERIES]
     if unknown:
         raise KeyError(
-            f"_ROUND10_FRONT names not in the query registry: {unknown}"
+            f"_ROUND11_FRONT names not in the query registry: {unknown}"
         )
-    front = {k: QUERIES[k] for k in _ROUND10_FRONT}
+    front = {k: QUERIES[k] for k in _ROUND11_FRONT}
     rest = {
         k: v
         for k, v in reversed(list(QUERIES.items()))
