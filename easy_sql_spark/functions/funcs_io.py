@@ -151,18 +151,54 @@ def build(processor):
             writer = writer.option("truncate", truncate)
         writer.save()
 
-    def update_json_local(attr: str, path: str):
-        """Merge current vars/list-vars into one attribute of a JSON file."""
-        data = {}
-        if os.path.exists(path):
-            with open(path, encoding="utf-8") as f:
-                data = json.load(f)
-        data[attr] = {
-            "vars": dict(processor.vars_context.vars),
-            "list_vars": dict(processor.vars_context.list_vars),
+    def update_json_local(
+        context, vars: str, list_vars: str, json_attr: str, output_file: str
+    ):
+        """Merge the NAMED vars and list-vars into the (dot-path)
+        ``json_attr`` of a local JSON file — reference-exact signature
+        and semantics (funcs_spark.py:117-135 + utils/object_utils
+        ``get_attr``): the ETL passes ``${__context__}`` first exactly
+        as the reference requires (its FuncRunner injects nothing —
+        sql_processor.py:162 registers the live context as a var),
+        missing path segments are created as dicts, unknown var names
+        merge as null, output is indent-4 non-ascii-preserving JSON.
+        r11: the previous 2-arg form here ((attr, path),
+        dump-everything) was a parity bug — an ETL calling
+        ``func.update_json_local(${__context__}, a, xs, s.r, out.json)``
+        against the reference would break on this engine; caught while
+        extending the e2e differential grammar to func steps."""
+        vars_value = {
+            v.strip(): context.vars_context.vars.get(v.strip())
+            for v in vars.split(",")
+            if v.strip()
         }
-        with open(path, "w", encoding="utf-8") as f:
-            json.dump(data, f, default=str)
+        list_vars_value = {
+            v.strip(): context.vars_context.list_vars.get(v.strip())
+            for v in list_vars.split(",")
+            if v.strip()
+        }
+        data = {}
+        if os.path.exists(output_file):
+            with open(output_file, encoding="utf-8") as f:
+                data = json.load(f)
+        current = data
+        if json_attr:
+            for part in json_attr.split("."):
+                if part == "":
+                    raise ValueError(
+                        "neither part of json_attr may be empty: "
+                        f"`{json_attr}`"
+                    )
+                if part not in current:
+                    current[part] = {}
+                current = current[part]
+        current.update(vars_value)
+        current.update(list_vars_value)
+        with open(output_file, "w", encoding="utf-8") as f:
+            f.write(
+                json.dumps(data, ensure_ascii=False, indent=4,
+                           sort_keys=False, default=str)
+            )
 
     return {
         k: v
