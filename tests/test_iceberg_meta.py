@@ -976,24 +976,36 @@ def test_export_dvs_as_puffin_v3(spark, tmp_path):
         assert f"/pt={df['partition']['pt']}/" in df["referenced_data_file"]
 
 
-@pytest.mark.parametrize("seed", [0, 1])
+#: lifecycle count is env-scalable: the suite default keeps pytest
+#: affordable; the r11 campaign ran EASY_SQL_DV_FUZZ_SEEDS=200 (one
+#: lifecycle per seed, results recorded in COVERAGE.md)
+_DV_FUZZ_SEEDS = int(os.environ.get("EASY_SQL_DV_FUZZ_SEEDS", "4"))
+
+
+@pytest.mark.parametrize("seed", range(_DV_FUZZ_SEEDS))
 def test_export_dv_lifecycle_fuzz(spark, tmp_path, seed):
-    """Randomized partitioned-snapshot lifecycle (appends, DV deletes,
-    COW deletes, compaction) with an Iceberg export after every few
-    ops: the independent manifest replay must equal the snapshot read
-    at EVERY exported state, including re-exports (snapshot
-    carry-forward) and exports whose DVs span several partitions."""
+    """Randomized snapshot lifecycle (appends, DV deletes, COW deletes,
+    keyed merges, compaction; partitioned AND unpartitioned shapes)
+    with an Iceberg export after every few ops under ALTERNATING
+    dv_format (v2 parquet position deletes / v3 puffin deletion
+    vectors): the independent manifest replay must equal the snapshot
+    read at EVERY exported state, including re-exports (snapshot
+    carry-forward), exports whose DVs span several partitions, and the
+    r10 sticky-format-version rule — once any export stamped v3 the
+    metadata must NEVER regress to v2 (iceberg_meta.py:1268-1286)."""
     import random as _random
 
     from easy_sql_spark.runtime.snapshots import SnapshotTable
     from easy_sql_spark.sources.iceberg_meta import (
         export_snapshot_to_iceberg,
+        load_table_metadata,
         read_iceberg,
     )
 
     rng = _random.Random(424_200 + seed)
     root = str(tmp_path / "fuzz")
     t = SnapshotTable(spark, root)
+    partitioned = rng.random() < 0.6
     next_id = [0]
 
     def batch(n):
@@ -1004,13 +1016,39 @@ def test_export_dv_lifecycle_fuzz(spark, tmp_path, seed):
         next_id[0] += n
         return spark.createDataFrame(rows, "id int, val int, pt string")
 
-    t.create(batch(rng.randint(6, 12)), partition_by=["pt"])
+    t.create(
+        batch(rng.randint(6, 12)),
+        partition_by=["pt"] if partitioned else [],
+    )
     exports = 0
+    used_puffin = False
+
+    def check_export():
+        nonlocal exports, used_puffin
+        fmt = rng.choice(["parquet", "puffin"])
+        export_snapshot_to_iceberg(t, dv_format=fmt)
+        exports += 1
+        want = sorted((r.id, r.val, r.pt) for r in t.read().collect())
+        got = sorted(
+            (r.id, r.val, r.pt) for r in read_iceberg(spark, root).collect()
+        )
+        assert got == want, f"export {exports} diverged (seed={seed})"
+        meta = load_table_metadata(root)
+        fv = int(meta.get("format-version", 2))
+        # v3 stamps only when live DVs actually shipped as puffin
+        if fv >= 3:
+            used_puffin = True
+        if used_puffin:
+            assert fv >= 3, (
+                f"seed={seed}: format-version regressed to {fv} after a "
+                "v3 export (stickiness violated)"
+            )
+
     for _op in range(rng.randint(6, 9)):
         r = rng.random()
-        if r < 0.4:
+        if r < 0.35:
             t.append(batch(rng.randint(2, 6)))
-        elif r < 0.75:
+        elif r < 0.65:
             col, op = rng.choice(
                 [("id", "<="), ("id", "="), ("val", ">"), ("val", "<")]
             )
@@ -1020,30 +1058,31 @@ def test_export_dv_lifecycle_fuzz(spark, tmp_path, seed):
                 else rng.randint(10, 90)
             )
             t.delete_where_dv([(col, op, val)])
-        elif r < 0.9:
+        elif r < 0.8:
             t.delete_where([("val", ">=", rng.randint(50, 99))])
+        elif r < 0.9:
+            # keyed merge: update half the live keys, insert two new
+            live = [r.id for r in t.read().select("id").collect()]
+            ups = rng.sample(live, min(3, len(live)))
+            rows = [
+                (i, rng.randint(100, 199), f"p{rng.randint(0, 2)}")
+                for i in ups
+            ] + [
+                (next_id[0], rng.randint(100, 199), f"p{rng.randint(0, 2)}"),
+                (next_id[0] + 1, rng.randint(100, 199),
+                 f"p{rng.randint(0, 2)}"),
+            ]
+            next_id[0] += 2
+            t.merge(
+                spark.createDataFrame(rows, "id int, val int, pt string"),
+                keys=["id"],
+            )
         else:
             t.compact()
         if rng.random() < 0.5:
-            export_snapshot_to_iceberg(
-                t, dv_format=rng.choice(["parquet", "puffin"])
-            )
-            exports += 1
-            want = sorted(
-                (r.id, r.val, r.pt) for r in t.read().collect()
-            )
-            got = sorted(
-                (r.id, r.val, r.pt)
-                for r in read_iceberg(spark, root).collect()
-            )
-            assert got == want, f"export {exports} diverged (seed={seed})"
+            check_export()
     if not exports:
-        export_snapshot_to_iceberg(t)
-        want = sorted((r.id, r.val, r.pt) for r in t.read().collect())
-        got = sorted(
-            (r.id, r.val, r.pt) for r in read_iceberg(spark, root).collect()
-        )
-        assert got == want
+        check_export()
 
 
 def test_iceberg_incremental_append_scan(spark, tmp_path):
