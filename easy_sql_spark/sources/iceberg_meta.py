@@ -143,11 +143,25 @@ def schema_to_spark(meta: dict) -> T.StructType:
 
 # ------------------------------------------------------------- snapshots
 def _pick_snapshot(
-    meta: dict, snapshot_id: int | None, as_of_ms: int | None
+    meta: dict, snapshot_id: int | None, as_of_ms: int | None,
+    ref: str | None = None,
 ) -> dict:
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
     if not snaps:
         raise ValueError("iceberg table has no snapshots")
+    if ref is not None:
+        # named BRANCH/TAG heads from the metadata refs map (spec
+        # §"Snapshot references"; "main" aliases current-snapshot-id)
+        refs = meta.get("refs") or {}
+        if ref in refs:
+            snapshot_id = refs[ref]["snapshot-id"]
+        elif ref == "main":
+            snapshot_id = meta["current-snapshot-id"]
+        else:
+            raise ValueError(
+                f"unknown iceberg ref {ref!r}; known: "
+                f"{sorted(refs) + ['main']}"
+            )
     if as_of_ms is not None:
         log = sorted(
             meta.get("snapshot-log", []), key=lambda e: e["timestamp-ms"]
@@ -428,6 +442,7 @@ def read_iceberg(
     as_of_ms: int | None = None,
     partitions: dict[str, list] | None = None,
     where: list[tuple] | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """The iceberg table at a snapshot (default: current) as a
     DataFrame: pinned-schema parquet scans over the snapshot's live
@@ -442,7 +457,7 @@ def read_iceberg(
 
     meta = load_table_metadata(path)
     fv = int(meta.get("format-version", 1))
-    snap = _pick_snapshot(meta, snapshot_id, as_of_ms)
+    snap = _pick_snapshot(meta, snapshot_id, as_of_ms, ref=ref)
     schema = schema_to_spark(meta)
     files, delete_files, eq_delete_files, dv_deletes = _live_files(
         path, snap, fv, spark=spark

@@ -1333,3 +1333,29 @@ def test_partition_evolution_read(spark, tmp_path):
         for r in read_iceberg(spark, t, partitions={"pt": ["p0"]}).collect()
     }
     assert got_p0 == {(1, "p0")}
+
+
+def test_read_iceberg_named_refs(spark, tmp_path):
+    """Branch/tag refs (spec §Snapshot references): ``ref=`` resolves
+    the metadata refs map — a tag pinned at snapshot 100, a branch at
+    200, the implicit "main" alias — and unknown names raise with the
+    known set."""
+    t = _mk_table(spark, tmp_path / "refs")
+    meta_path = os.path.join(t, "metadata", "v3.metadata.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["refs"] = {
+        "audit-tag": {"snapshot-id": 100, "type": "tag"},
+        "dev": {"snapshot-id": 200, "type": "branch"},
+    }
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+
+    tag = {(r.id, r.val) for r in read_iceberg(spark, t, ref="audit-tag").collect()}
+    assert tag == {(1, "x"), (2, "y"), (3, "z")}
+    dev = {(r.id, r.val) for r in read_iceberg(spark, t, ref="dev").collect()}
+    assert dev == {(1, "x"), (2, "y"), (9, "w")}
+    main = {(r.id, r.val) for r in read_iceberg(spark, t, ref="main").collect()}
+    assert main == dev
+    with pytest.raises(ValueError, match="unknown iceberg ref"):
+        read_iceberg(spark, t, ref="nope")
