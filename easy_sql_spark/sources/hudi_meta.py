@@ -137,9 +137,12 @@ def _base_files(path: str, mor: bool):
                         f"log file {n} under a COPY_ON_WRITE table"
                     )
                 continue
-            if not n.endswith(".parquet") or n.startswith("."):
+            ext = next(
+                (e for e in (".parquet", ".hfile") if n.endswith(e)), None
+            )
+            if ext is None or n.startswith("."):
                 continue
-            parts = n[: -len(".parquet")].split("_")
+            parts = n[: -len(ext)].split("_")
             if len(parts) != 3:
                 continue  # not a hudi base file (e.g. stray parquet)
             file_id, _token, instant = parts
@@ -185,6 +188,58 @@ def _cdc_files(path: str):
         for n in files:
             if n.startswith(".") and ".log." in n and n.endswith("-cdc"):
                 yield rel, os.path.join(cur, n)
+
+
+def _hfile_base_frame(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Base files in HFILE format — the METADATA TABLE file-group shape
+    (``.hoodie/metadata``; Hudi's HoodieAvroHFileWriter): row key =
+    record key, cell value = an Avro datum of the writer schema the
+    file carries in its ``schema`` file-info entry.  Decode runs INSIDE
+    executor tasks (hfile_lite + avro_lite are picklable pure Python);
+    the driver opens one file only to learn the schema."""
+    from .avro_lite import decode_datum
+    from .hfile_lite import read_hfile
+
+    with open(paths[0], "rb") as fh:
+        _cells, info, _trailer = read_hfile(fh.read())
+    schema_json = info.get(b"schema")
+    if schema_json is None:
+        raise HudiUnsupportedError(
+            "hfile base file carries no 'schema' file-info entry "
+            f"({paths[0]})"
+        )
+    avro_schema = json.loads(schema_json.decode())
+    out_schema = _avro_to_spark(avro_schema)
+    names = [f.name for f in out_schema.fields]
+
+    def parse(p):
+        from .hfile_lite import read_hfile_kv
+
+        with open(p, "rb") as fh:
+            kvs = read_hfile_kv(fh.read())
+        for _k, v in kvs:
+            rec = decode_datum(avro_schema, v)
+            yield tuple(rec.get(n) for n in names)
+
+    rdd = spark.sparkContext.parallelize(
+        sorted(paths), max(1, len(paths))
+    ).flatMap(parse)
+    return spark.createDataFrame(rdd, out_schema)
+
+
+def _base_frame(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Scan base files, branching parquet / HFILE per extension."""
+    pq = sorted(p for p in paths if p.endswith(".parquet"))
+    hf = sorted(p for p in paths if p.endswith(".hfile"))
+    frames = []
+    if pq:
+        frames.append(spark.read.parquet(*pq))
+    if hf:
+        frames.append(_hfile_base_frame(spark, hf))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
 
 
 def read_hudi(
@@ -237,9 +292,9 @@ def read_hudi(
                 # nothing changed after the floor: empty frame with the
                 # table schema (schema from any base file, zero rows)
                 any_base = next(iter(_base_files(path, mor)))[3]
-                df = spark.read.parquet(any_base).limit(0)
+                df = _base_frame(spark, [any_base]).limit(0)
                 return df if keep_meta else _drop_meta(df)
-        df = spark.read.parquet(*sorted(p for _, p in newest.values()))
+        df = _base_frame(spark, [p for _, p in newest.values()])
         return df if keep_meta else _drop_meta(df)
 
     # ----------------------------------------------------------- MOR
@@ -269,7 +324,7 @@ def read_hudi(
         raise ValueError(f"no committed file slices under {path}")
 
     base = (
-        spark.read.parquet(*sorted(p for _, p in newest.values()))
+        _base_frame(spark, [p for _, p in newest.values()])
         if newest
         else None
     )
@@ -442,6 +497,19 @@ def _avro_to_spark(avro_schema: dict) -> T.StructType:
         t = s if isinstance(s, str) else s.get("type")
         if t in prim:
             return prim[t]
+        # complex types (r11: the metadata-table payload schema —
+        # HoodieMetadataRecord nests maps of records)
+        if t == "record":
+            return T.StructType(
+                [
+                    T.StructField(f["name"], conv(f["type"]), True)
+                    for f in s["fields"]
+                ]
+            )
+        if t == "map":
+            return T.MapType(T.StringType(), conv(s["values"]), True)
+        if t == "array":
+            return T.ArrayType(conv(s["items"]), True)
         raise HudiUnsupportedError(f"avro type {t!r} in log schema")
 
     return T.StructType(

@@ -841,3 +841,139 @@ def test_hudi_cdc_feed_drives_snapshot_apply_changes(spark, tmp_path):
         (r.id, r.val) for r in SnapshotTable(spark, mirror).read().collect()
     }
     assert got == want == {(1, "a2"), (3, "c"), (9, "i9")}
+
+
+def test_read_hudi_hfile_base_files_metadata_table_shape(spark, tmp_path):
+    """HFile BASE files (r11) — the `.hoodie/metadata` file-group
+    layout: base files named {fileId}_{token}_{instant}.hfile whose
+    cells carry Avro datums of the writer schema stored in the file's
+    'schema' file-info entry (HoodieAvroHFileWriter).  The payload
+    schema nests a map of records (HoodieMetadataRecord shape), so this
+    also pins the complex-type branch of _avro_to_spark."""
+    import struct
+
+    from easy_sql_spark.sources.avro_lite import encode_datum
+    from easy_sql_spark.sources.hfile_lite import write_hfile
+    from easy_sql_spark.sources.hudi_meta import read_hudi
+
+    t = str(tmp_path / "mdt")
+    os.makedirs(t + "/files")
+    schema = {
+        "type": "record",
+        "name": "HoodieMetadataRecord",
+        "fields": [
+            {"name": "key", "type": "string"},
+            {"name": "type", "type": "int"},
+            {
+                "name": "filesystemMetadata",
+                "type": [
+                    "null",
+                    {
+                        "type": "map",
+                        "values": {
+                            "type": "record",
+                            "name": "HoodieMetadataFileInfo",
+                            "fields": [
+                                {"name": "size", "type": "long"},
+                                {"name": "isDeleted", "type": "boolean"},
+                            ],
+                        },
+                    },
+                ],
+            },
+        ],
+    }
+    recs = [
+        {"key": "p0", "type": 2,
+         "filesystemMetadata": {"f1.parquet": {"size": 10, "isDeleted": False},
+                                 "f2.parquet": {"size": 20, "isDeleted": True}}},
+        {"key": "p1", "type": 2,
+         "filesystemMetadata": {"f3.parquet": {"size": 30, "isDeleted": False}}},
+        {"key": "__all_partitions__", "type": 1, "filesystemMetadata": None},
+    ]
+    pairs = sorted(
+        (r["key"].encode(), encode_datum(schema, r)) for r in recs
+    )
+    blob = write_hfile(
+        pairs,
+        compression="gz",
+        file_info_extra={b"schema": json.dumps(schema).encode()},
+    )
+    with open(f"{t}/files/files-0000_0-1-0_001.hfile", "wb") as fh:
+        fh.write(blob)
+    os.makedirs(f"{t}/.hoodie")
+    with open(f"{t}/.hoodie/hoodie.properties", "w") as fh:
+        fh.write("hoodie.table.name=mdt\nhoodie.table.type=MERGE_ON_READ\n")
+    with open(f"{t}/.hoodie/001.deltacommit", "w") as fh:
+        fh.write("{}")
+
+    df = read_hudi(spark, t)
+    rows = {r.key: r for r in df.collect()}
+    assert set(rows) == {"p0", "p1", "__all_partitions__"}
+    assert rows["p0"].filesystemMetadata["f1.parquet"].size == 10
+    assert rows["p0"].filesystemMetadata["f2.parquet"].isDeleted is True
+    assert rows["__all_partitions__"].filesystemMetadata is None
+
+
+def test_read_hudi_hfile_base_with_log_merge(spark, tmp_path):
+    """A MOR file slice whose BASE is an HFile and whose log carries an
+    avro upsert + delete block: the merge semantics must be identical
+    to a parquet-based slice (latest-wins by record key)."""
+    from easy_sql_spark.sources.avro_lite import encode_datum
+    from easy_sql_spark.sources.hfile_lite import write_hfile
+    from easy_sql_spark.sources.hudi_log import (
+        write_data_block,
+        write_delete_block,
+    )
+    from easy_sql_spark.sources.hudi_meta import read_hudi
+
+    t = str(tmp_path / "hfmor")
+    os.makedirs(t)
+    schema = {
+        "type": "record",
+        "name": "rec",
+        "fields": [
+            {"name": "_hoodie_commit_time", "type": "string"},
+            {"name": "_hoodie_record_key", "type": "string"},
+            {"name": "_hoodie_partition_path", "type": "string"},
+            {"name": "k", "type": "long"},
+            {"name": "v", "type": ["null", "string"]},
+        ],
+    }
+
+    def rec(instant, k, v):
+        return {
+            "_hoodie_commit_time": instant,
+            "_hoodie_record_key": str(k),
+            "_hoodie_partition_path": "",
+            "k": k,
+            "v": v,
+        }
+
+    base_recs = [rec("001", k, f"b{k}") for k in range(5)]
+    pairs = sorted(
+        (r["_hoodie_record_key"].encode(), encode_datum(schema, r))
+        for r in base_recs
+    )
+    blob = write_hfile(
+        pairs, file_info_extra={b"schema": json.dumps(schema).encode()}
+    )
+    with open(f"{t}/f1_0-1-0_001.hfile", "wb") as fh:
+        fh.write(blob)
+    payload = write_data_block(
+        schema, [rec("002", 1, "u1"), rec("002", 9, "i9")], "002"
+    ) + write_delete_block([("0", "")], "003")
+    with open(f"{t}/.f1_001.log.1_0-1-0", "wb") as fh:
+        fh.write(payload)
+    os.makedirs(f"{t}/.hoodie")
+    with open(f"{t}/.hoodie/hoodie.properties", "w") as fh:
+        fh.write("hoodie.table.name=hm\nhoodie.table.type=MERGE_ON_READ\n")
+    for ins, act in (("001", "commit"), ("002", "deltacommit"),
+                     ("003", "deltacommit")):
+        with open(f"{t}/.hoodie/{ins}.{act}", "w") as fh:
+            fh.write("{}")
+
+    got = {(r.k, r.v) for r in read_hudi(spark, t).collect()}
+    assert got == {(1, "u1"), (2, "b2"), (3, "b3"), (4, "b4"), (9, "i9")}
+    at_001 = {(r.k, r.v) for r in read_hudi(spark, t, as_of="001").collect()}
+    assert at_001 == {(k, f"b{k}") for k in range(5)}
