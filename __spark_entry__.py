@@ -32,9 +32,10 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["a1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-#: Round-11 driver-window front: the one NEW entry first (the Hudi
-#: HFILE data-block read, closing the last Hudi log refusal via the
-#: pure-Python HFile codec), then ALL 21 entries whose last driver
+#: Round-11 driver-window front: the three NEW entries first (the
+#: Hudi HFILE data-block read closing the last log refusal, the
+#: partition-evolution iceberg read, the HFile-base metadata-table
+#: read), then ALL 21 entries whose last driver
 #: verdict is r6 vintage, then the 8 r7-vintage entries, then the 20
 #: oldest r8-vintage entries in registry order — after this window no
 #: entry's last driver verdict is older than r8 (the r10 bar was r6;
@@ -45,6 +46,10 @@ _ROUND11_FRONT = (
     "hudi_hfile_block_read",    # NEW — HFILE_DATA_BLOCK (hfile_lite:
                                 # v2/v3 trailers, gz, CRC32C, mvcc)
                                 # through the MOR snapshot merge
+    "iceberg_partition_evolution_read",  # NEW — per-manifest identity
+                                # constants across evolved specs
+    "hudi_metadata_table_read",  # NEW — HFile BASE files (metadata
+                                # table layout) + complex-avro mapping
     # r6 vintage (all 21):
     "mm_wav_dominant_freq", "mm_mp3_id3_tags", "mm_mp3_demux_stats",
     "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
@@ -65,8 +70,10 @@ _ROUND11_FRONT = (
     "snapshot_merge_delete", "text_weighted_sample",
     "text_paragraph_dedup", "snapshot_change_feed", "sim_semantic_dedup",
     "text_warc_roundtrip", "sim_ann_index_search", "s13_recursive_cte",
-    "j9_lateral_topk", "f12_higher_order", "a10_kmv_distinct",
-    "graph_pagerank",
+    "j9_lateral_topk", "f12_higher_order",
+    # (a10_kmv_distinct and graph_pagerank dropped to keep the window
+    # at exactly 50 when the two extra r11-new entries fronted; both
+    # remain r8-vintage and covered by the full gate)
 )
 
 

@@ -1590,3 +1590,303 @@ def hudi_hfile_block_read(spark, sf_dir):
         .orderBy("snap")
         .localCheckpoint(eager=True)
     )
+
+
+@query(
+    "iceberg_partition_evolution_read",
+    oracle="""
+    WITH seed AS (
+        SELECT o_orderkey AS k,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               'p' || CAST(o_orderkey % 3 AS VARCHAR) AS pt
+        FROM orders WHERE o_orderkey <= 240),
+    old_files AS (SELECT * FROM seed WHERE k <= 120),
+    new_files AS (SELECT * FROM seed WHERE k > 120)
+    SELECT pt, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM (SELECT * FROM old_files UNION ALL SELECT * FROM new_files)
+    GROUP BY pt ORDER BY pt
+    """,
+)
+def iceberg_partition_evolution_read(spark, sf_dir):
+    """Iceberg PARTITION EVOLUTION read (spec §Partition Evolution,
+    r11): the table evolved unpartitioned -> identity(pt), so the OLD
+    manifest's partition records lack the pt field entirely (spec 0)
+    and pt lives in the old data files, while the NEW manifest (spec 1)
+    covers hive-layout files WITHOUT the column, supplying pt as
+    manifest constants.  A reader that applies only the default spec
+    misreads one half; ours resolves identity constants PER MANIFEST
+    (iceberg_meta.py read path).  The oracle replays both halves in
+    SQL, so what's value-checked is exactly the per-spec constant
+    attachment and the in-data fallback.
+
+    Scale: identical to every iceberg read — driver parses metadata +
+    two Avro hops, data files scan as pinned-schema parquet; evolution
+    adds one extra scan group per distinct attached-column set."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..sources.avro_lite import write_avro_file
+    from ..sources.iceberg_meta import read_iceberg
+
+    t = _tempfile.mkdtemp(prefix="ice_pe_q_") + "/tbl"
+    _os.makedirs(t + "/metadata")
+    seed = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 240)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            F.concat(F.lit("p"), (F.col("o_orderkey") % 3).cast("string")).alias("pt"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def land(df, rel):
+        tmp = f"{t}/_s"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(n for n in _os.listdir(tmp) if n.endswith(".parquet"))
+        dest = f"{t}/data/{rel}"
+        _os.makedirs(_os.path.dirname(dest), exist_ok=True)
+        _os.replace(f"{tmp}/{part}", dest)
+        _shutil.rmtree(tmp)
+        return dest
+
+    # old-spec file: pt IN the data, no partition field in the manifest
+    old_path = land(seed.where(F.col("k") <= 120), "old.parquet")
+    # new-spec files: hive layout per pt, column absent from the files
+    new_side = seed.where(F.col("k") > 120)
+    pts = sorted(r.pt for r in new_side.select("pt").distinct().collect())  # bounded-driver: <=3 rows (pt domain)
+    new_paths = [
+        (land(new_side.where(F.col("pt") == p).drop("pt"),
+              f"pt={p}/new.parquet"), p)
+        for p in pts
+    ]
+
+    def entry_schema(with_partition):
+        fields = [
+            {"name": "content", "type": "int"},
+            {"name": "file_path", "type": "string"},
+            {"name": "file_format", "type": "string"},
+        ]
+        if with_partition:
+            fields.append({
+                "name": "partition",
+                "type": {"type": "record", "name": "r102",
+                         "fields": [{"name": "pt",
+                                     "type": ["null", "string"]}]},
+            })
+        fields += [
+            {"name": "record_count", "type": "long"},
+            {"name": "file_size_in_bytes", "type": "long"},
+        ]
+        return {
+            "type": "record", "name": "manifest_entry",
+            "fields": [
+                {"name": "status", "type": "int"},
+                {"name": "snapshot_id", "type": ["null", "long"]},
+                {"name": "sequence_number", "type": ["null", "long"]},
+                {"name": "data_file",
+                 "type": {"type": "record", "name": "data_file_r",
+                          "fields": fields}},
+            ],
+        }
+
+    def entry(path, pv=None, with_partition=False):
+        df = {"content": 0, "file_path": path, "file_format": "PARQUET",
+              "record_count": 1, "file_size_in_bytes": 1}
+        if with_partition:
+            df["partition"] = pv
+        return {"status": 1, "snapshot_id": 1, "sequence_number": 1,
+                "data_file": df}
+
+    m_old = f"{t}/metadata/m-old.avro"
+    with open(m_old, "wb") as fh:
+        fh.write(write_avro_file(entry_schema(False), [entry(old_path)]))
+    m_new = f"{t}/metadata/m-new.avro"
+    with open(m_new, "wb") as fh:
+        fh.write(write_avro_file(
+            entry_schema(True),
+            [entry(p, {"pt": pt}, True) for p, pt in new_paths],
+        ))
+    mf_schema = {
+        "type": "record", "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "partition_spec_id", "type": "int"},
+            {"name": "content", "type": "int"},
+            {"name": "sequence_number", "type": ["null", "long"]},
+            {"name": "added_snapshot_id", "type": "long"},
+        ],
+    }
+    ml = f"{t}/metadata/snap-1.avro"
+    with open(ml, "wb") as fh:
+        fh.write(write_avro_file(mf_schema, [
+            {"manifest_path": mp, "manifest_length": _os.path.getsize(mp),
+             "partition_spec_id": sid, "content": 0, "sequence_number": 1,
+             "added_snapshot_id": 1}
+            for mp, sid in ((m_old, 0), (m_new, 1))
+        ]))
+    meta = {
+        "format-version": 2,
+        "table-uuid": "0000",
+        "location": t,
+        "schemas": [{
+            "schema-id": 0, "type": "struct",
+            "fields": [
+                {"id": 1, "name": "k", "required": False, "type": "long"},
+                {"id": 2, "name": "cents", "required": False,
+                 "type": "long"},
+                {"id": 3, "name": "pt", "required": False,
+                 "type": "string"},
+            ],
+        }],
+        "current-schema-id": 0,
+        "partition-specs": [
+            {"spec-id": 0, "fields": []},
+            {"spec-id": 1, "fields": [
+                {"name": "pt", "transform": "identity", "source-id": 3,
+                 "field-id": 1000}]},
+        ],
+        "default-spec-id": 1,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1,
+                       "manifest-list": ml,
+                       "summary": {"operation": "append"}}],
+        "current-snapshot-id": 1,
+        "snapshot-log": [{"timestamp-ms": 1, "snapshot-id": 1}],
+    }
+    with open(f"{t}/metadata/v1.metadata.json", "w") as fh:
+        _json.dump(meta, fh)
+
+    return (
+        read_iceberg(spark, t)
+        .groupBy("pt")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy("pt")
+        .localCheckpoint(eager=True)
+    )
+
+
+@query(
+    "hudi_metadata_table_read",
+    oracle="""
+    WITH seed AS (
+        SELECT 'p' || CAST(o_orderkey % 4 AS VARCHAR) AS pt,
+               'f' || CAST(o_orderkey AS VARCHAR) || '.parquet' AS fname,
+               CAST(ROUND(o_totalprice) AS BIGINT) AS fsize,
+               o_orderkey % 7 = 0 AS deleted
+        FROM orders WHERE o_orderkey <= 200)
+    SELECT pt AS key,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN deleted THEN 0 ELSE fsize END) AS BIGINT)
+               AS live_bytes,
+           CAST(SUM(CASE WHEN deleted THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_deleted
+    FROM seed GROUP BY pt ORDER BY key
+    """,
+)
+def hudi_metadata_table_read(spark, sf_dir):
+    """Hudi METADATA TABLE read (r11): the `.hoodie/metadata` files
+    partition is a MOR table whose BASE files are HFILES
+    (HoodieAvroHFileWriter) keyed by partition path, each value a
+    HoodieMetadataRecord avro datum nesting a map<file -> (size,
+    isDeleted)>.  The fixture lands the file listings for 4 partitions
+    as a gz-compressed HFile base (schema in the file-info `schema`
+    entry, exactly the writer's layout), reads it back through
+    read_hudi's hfile-base path, EXPLODES the filesystemMetadata map
+    JVM-side and aggregates per-partition live bytes — the file-listing
+    query a metadata-table-backed planner runs.  The oracle replays the
+    same listing arithmetic in SQL, so what's value-checked is the
+    HFile base decode + complex-avro mapping + map explosion.
+
+    Scale: one executor task per hfile base file (the real metadata
+    table shards partitions across file groups); the map explosion and
+    aggregation are JVM-side; the driver opens one file for schema
+    only."""
+    import json as _json
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..sources.avro_lite import encode_datum
+    from ..sources.hfile_lite import write_hfile
+    from ..sources.hudi_meta import read_hudi
+
+    t = _tempfile.mkdtemp(prefix="hudi_mdt_q_") + "/metadata"
+    _os.makedirs(t + "/files")
+
+    seed = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 200)
+        .select(
+            F.concat(F.lit("p"), (F.col("o_orderkey") % 4).cast("string")).alias("pt"),
+            F.concat(F.lit("f"), F.col("o_orderkey").cast("string"),
+                     F.lit(".parquet")).alias("fname"),
+            F.round(F.col("o_totalprice")).cast("bigint").alias("fsize"),
+            (F.col("o_orderkey") % 7 == 0).alias("deleted"),
+        )
+    )
+    listings: dict[str, dict] = {}
+    for r in seed.collect():  # bounded-driver: <=200 rows (orderkey cap)
+        listings.setdefault(r.pt, {})[r.fname] = {
+            "size": r.fsize, "isDeleted": r.deleted,
+        }
+    schema = {
+        "type": "record",
+        "name": "HoodieMetadataRecord",
+        "fields": [
+            {"name": "key", "type": "string"},
+            {"name": "type", "type": "int"},
+            {"name": "filesystemMetadata", "type": ["null", {
+                "type": "map",
+                "values": {"type": "record",
+                           "name": "HoodieMetadataFileInfo",
+                           "fields": [
+                               {"name": "size", "type": "long"},
+                               {"name": "isDeleted", "type": "boolean"},
+                           ]}}]},
+        ],
+    }
+    pairs = sorted(
+        (pt.encode(),
+         encode_datum(schema, {"key": pt, "type": 2,
+                               "filesystemMetadata": files}))
+        for pt, files in listings.items()
+    )
+    blob = write_hfile(
+        pairs, compression="gz",
+        file_info_extra={b"schema": _json.dumps(schema).encode()},
+    )
+    with open(f"{t}/files/files-0000_0-1-0_001.hfile", "wb") as fh:
+        fh.write(blob)
+    _os.makedirs(f"{t}/.hoodie")
+    with open(f"{t}/.hoodie/hoodie.properties", "w") as fh:
+        fh.write("hoodie.table.name=mdt\nhoodie.table.type=MERGE_ON_READ\n")
+    with open(f"{t}/.hoodie/001.deltacommit", "w") as fh:
+        fh.write("{}")
+
+    df = read_hudi(spark, t)
+    exploded = df.select(
+        F.col("key"),
+        F.explode(F.col("filesystemMetadata")).alias("fname", "finfo"),
+    )
+    return (
+        exploded.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum(
+                F.when(F.col("finfo.isDeleted"), F.lit(0))
+                .otherwise(F.col("finfo.size"))
+            ).cast("bigint").alias("live_bytes"),
+            F.sum(
+                F.when(F.col("finfo.isDeleted"), F.lit(1)).otherwise(F.lit(0))
+            ).cast("bigint").alias("n_deleted"),
+        )
+        .orderBy("key")
+        .localCheckpoint(eager=True)
+    )
