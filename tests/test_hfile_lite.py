@@ -330,3 +330,47 @@ def test_hfile_log_block_multiblock_mvcc_gz():
     assert sorted(r["key"] for r in block.records) == sorted(
         r["key"] for r in recs
     )
+
+
+# ------------------------------------------------------------- hypothesis
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        kvs=st.lists(
+            st.tuples(st.binary(min_size=1, max_size=40),
+                      st.binary(max_size=200)),
+            max_size=60,
+        ),
+        major=st.sampled_from([2, 3]),
+        compression=st.sampled_from(["none", "gz"]),
+        block_size=st.sampled_from([256, 4096, 65536]),
+        checksum=st.sampled_from([0, CHECKSUM_CRC32, CHECKSUM_CRC32C]),
+        mvcc=st.booleans(),
+    )
+    def test_hfile_roundtrip_property(kvs, major, compression, block_size,
+                                      checksum, mvcc):
+        # unique sorted keys (hfile contract)
+        pairs = sorted({k: v for k, v in kvs}.items())
+        data = write_hfile(
+            pairs, major_version=major, compression=compression,
+            block_size=block_size, checksum_type=checksum,
+            include_mvcc=mvcc,
+        )
+        assert read_hfile_kv(data) == pairs
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+    def test_vlong_roundtrip_property(v):
+        buf = write_vlong(v)
+        got, pos = read_vlong(buf, 0)
+        assert got == v and pos == len(buf)

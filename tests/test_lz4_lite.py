@@ -213,3 +213,42 @@ def test_puffin_corrupt_compressed_footer_raises():
     body[len(MAGIC) + 1 + 6] ^= 0xFF
     with pytest.raises(PuffinError):
         read_puffin_footer(bytes(body))
+
+
+# ------------------------------------------------------------- hypothesis
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        data=st.one_of(
+            st.binary(max_size=3000),
+            # repetitive payloads exercise real matches + overlaps
+            st.builds(
+                lambda w, n, tail: w * n + tail,
+                st.binary(min_size=1, max_size=12),
+                st.integers(min_value=0, max_value=400),
+                st.binary(max_size=50),
+            ),
+        ),
+        code=st.sampled_from([4, 5, 6, 7]),
+        checksum=st.booleans(),
+    )
+    def test_frame_roundtrip_property(data, code, checksum):
+        frame = lz4_frame_compress(
+            data, block_max_code=code, content_checksum=checksum
+        )
+        assert lz4_frame_decompress(frame) == data
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.binary(max_size=5000))
+    def test_block_roundtrip_property(data):
+        assert lz4_block_decompress(lz4_block_compress(data)) == data
