@@ -150,12 +150,15 @@ def tune_session(spark: SparkSession) -> SparkSession:
 
 
 def register_data_sources(spark: SparkSession) -> None:
-    """Idempotently register format("warc") and format("snapshot_cdf")."""
+    """Idempotently register format("warc"), format("snapshot_cdf"),
+    and format("hudi_cdc")."""
     try:
         from .sources.warc_source import WarcDataSource
         from .streaming.cdf_source import SnapshotChangeFeedDataSource
+        from .streaming.hudi_cdc_source import HudiCdcDataSource
 
         spark.dataSource.register(WarcDataSource)
         spark.dataSource.register(SnapshotChangeFeedDataSource)
+        spark.dataSource.register(HudiCdcDataSource)
     except Exception:  # pragma: no cover - API absent on old runtimes
         pass

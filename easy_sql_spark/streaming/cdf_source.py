@@ -104,6 +104,15 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
         mvpb = options.get("max_versions_per_batch")
         self._max_versions = int(mvpb) if mvpb is not None else None
         self._committed = self._start
+        # the Python DataSource API never hands the source the RESTORED
+        # checkpoint offset directly, but MicroBatchExecution always
+        # re-plans the restored batch (partitions(restored, restored))
+        # before asking for new offsets, so partitions() is where a
+        # restarted source learns its true position — without that
+        # update a restart with a backlog larger than the cap would
+        # compute latestOffset BELOW the restored offset and the stream
+        # would read it as "no new data" forever (r11 fix, shared with
+        # the hudi_cdc source)
         self.schema = schema
 
     def initialOffset(self) -> dict:
@@ -117,6 +126,7 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         v0, v1 = int(start["version"]), int(end["version"])
+        self._committed = max(self._committed, v0)
         if v1 <= v0:
             return []
         if not self.allow_rewrites:
