@@ -241,3 +241,50 @@ def test_cdf_stream_date_bool_decimal_partition_columns(spark, root, tmp_path):
     }
     assert dict(got.dtypes)["d"] == "date"
     assert dict(got.dtypes)["amt"] == "decimal(10,2)"
+
+
+def test_cdf_bounded_backlog_survives_checkpointed_restart(spark, root, tmp_path):
+    """r11 regression: with max_versions_per_batch set, a RESTARTED
+    query whose backlog exceeds the cap must keep draining.  The source
+    learns its restored position from the engine's re-plan of the
+    restored batch (partitions(restored, restored)); before the fix the
+    cap was computed from the stream-start version, latestOffset fell
+    below the restored offset, and the stream read it as 'no new data'
+    forever."""
+    spark.dataSource.register(SnapshotChangeFeedDataSource)
+    t = SnapshotTable(spark, root)
+    t.create(_df(spark, [(1, "a", "x")]), ["p"])
+    for i in range(2, 8):
+        t.append(_df(spark, [(i, f"v{i}", "x")]))
+
+    out, ckpt = tmp_path / "bo", tmp_path / "bc"
+
+    def drain():
+        q = (
+            spark.readStream.format("snapshot_cdf")
+            .option("root", root)
+            .option("starting_version", "0")
+            .option("max_versions_per_batch", "2")
+            .load()
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(240)
+        q.stop()
+        return {
+            (r.id, r._commit_version)
+            for r in spark.read.parquet(str(out)).collect()
+        }
+
+    # 7 versions of backlog at 2/batch; each availableNow run of a
+    # Python source executes ONE batch, so every restart must advance
+    prev = set()
+    for _ in range(4):
+        got = drain()
+        assert len(got) > len(prev), "restarted stream failed to advance"
+        prev = got
+    assert {i for i, _v in prev} == set(range(1, 8))
