@@ -189,9 +189,20 @@ def build(processor):
                         "neither part of json_attr may be empty: "
                         f"`{json_attr}`"
                     )
+                if not isinstance(current, dict):
+                    raise ValueError(
+                        f"json_attr `{json_attr}` conflicts with a "
+                        f"non-object value already at `{part}` in "
+                        f"{output_file}"
+                    )
                 if part not in current:
                     current[part] = {}
                 current = current[part]
+        if not isinstance(current, dict):
+            raise ValueError(
+                f"json_attr `{json_attr}` points at a non-object value "
+                f"in {output_file}; cannot merge vars into it"
+            )
         current.update(vars_value)
         current.update(list_vars_value)
         with open(output_file, "w", encoding="utf-8") as f:

@@ -117,19 +117,36 @@ def ship_package(spark: SparkSession) -> str | None:
     if getattr(sc, "_easy_sql_spark_shipped", False):
         return None
     pkg_root = os.path.dirname(os.path.abspath(__file__))
+    # deterministic content-addressed path: many sessions on one host
+    # reuse ONE zip per package state instead of leaking a temp dir per
+    # SparkContext (r11 review fix); the hash covers file names, sizes
+    # and mtimes, so editing the package produces a fresh zip
+    import hashlib
+
+    entries = []
+    for dirpath, dirnames, filenames in os.walk(pkg_root):
+        dirnames[:] = sorted(d for d in dirnames if d != "__pycache__")
+        rel_dir = os.path.relpath(dirpath, os.path.dirname(pkg_root))
+        for fname in sorted(filenames):
+            if not fname.endswith(".py"):
+                continue
+            full = os.path.join(dirpath, fname)
+            st = os.stat(full)
+            entries.append(
+                (full, os.path.join(rel_dir, fname), st.st_size, st.st_mtime_ns)
+            )
+    digest = hashlib.sha256(
+        repr([(e[1], e[2], e[3]) for e in entries]).encode()
+    ).hexdigest()[:16]
     zip_path = os.path.join(
-        tempfile.mkdtemp(prefix="easy_sql_spark_ship_"), "easy_sql_spark.zip"
+        tempfile.gettempdir(), f"easy_sql_spark_ship_{digest}.zip"
     )
-    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
-        for dirpath, dirnames, filenames in os.walk(pkg_root):
-            dirnames[:] = sorted(d for d in dirnames if d != "__pycache__")
-            rel_dir = os.path.relpath(dirpath, os.path.dirname(pkg_root))
-            for fname in sorted(filenames):
-                if not fname.endswith(".py"):
-                    continue
-                zf.write(
-                    os.path.join(dirpath, fname), os.path.join(rel_dir, fname)
-                )
+    if not os.path.exists(zip_path):
+        tmp = zip_path + f".{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for full, arc, _sz, _mt in entries:
+                zf.write(full, arc)
+        os.replace(tmp, zip_path)  # atomic vs concurrent sessions
     sc.addPyFile(zip_path)
     sc._easy_sql_spark_shipped = True
     return zip_path

@@ -254,6 +254,14 @@ def read_trailer(data: bytes) -> HFileTrailer:
     minor = version_word >> 24
     if major < 2:
         raise HFileUnsupportedError("hfile major version %d (v1)" % major)
+    if major == 2 and minor < 1:
+        # pre-checksum minor versions use 24-byte block headers; parsing
+        # them under the 33-byte checksummed layout would misread the
+        # first data bytes as checksum fields (r11 review fix)
+        raise HFileUnsupportedError(
+            "hfile v2 minor version %d (pre-checksum block headers)"
+            % minor
+        )
     tsize = trailer_size(major)
     tstart = len(data) - tsize
     if tstart < 0 or data[tstart : tstart + 8] != TRAILER_MAGIC:

@@ -243,14 +243,34 @@ def _decode_content(btype: int, header: dict[int, str], content: bytes):
         from .hfile_lite import read_hfile_kv
 
         schema = json.loads(header[SCHEMA])
-        return [decode_datum(schema, v) for _k, v in read_hfile_kv(content)]
+        out = []
+        for k, v in read_hfile_kv(content):
+            rec = decode_datum(schema, v)
+            # the HFile ROW KEY is the record key (HoodieHFileDataBlock
+            # keys cells by it); metadata-table payloads
+            # (HoodieMetadataRecord) carry no _hoodie_record_key field,
+            # so surface the row key under that name for the MOR merge
+            # — virtual-key HFILE blocks merge exactly like meta-column
+            # blocks (r11 review fix)
+            rec.setdefault("_hoodie_record_key", k.decode())
+            out.append(rec)
+        return out
     if btype == CORRUPT_BLOCK:
         raise HudiLogError("corrupt block in hudi log file")
     raise HudiLogUnsupportedError(f"hudi log block type ordinal {btype}")
 
 
-def read_log_blocks(data: bytes) -> list[LogBlock]:
-    """Decode every framed block in one log file, in file order."""
+def read_log_blocks(
+    data: bytes, only_instants: "set[str] | None" = None
+) -> list[LogBlock]:
+    """Decode every framed block in one log file, in file order.
+
+    ``only_instants`` skips CONTENT decode for data-bearing blocks whose
+    ``INSTANT_TIME`` header is not in the set (their ``records`` stay
+    None; type/header still surface) — frame walking only costs header
+    bytes, so a tailing consumer (streaming/hudi_cdc_source.py) pays
+    O(new instants), not O(file history), per batch.  COMMAND blocks
+    always decode (they carry no records and affect replay ordering)."""
     blocks: list[LogBlock] = []
     pos = 0
     n = len(data)
@@ -280,8 +300,17 @@ def read_log_blocks(data: bytes) -> list[LogBlock]:
         pos += 8
         if pos != block_end or total_len != pos - start:
             raise HudiLogError("log block length bookkeeping mismatch")
+        skip = (
+            only_instants is not None
+            and btype != COMMAND_BLOCK
+            and header.get(INSTANT_TIME) not in only_instants
+        )
         blocks.append(
-            LogBlock(btype, header, _decode_content(btype, header, content))
+            LogBlock(
+                btype,
+                header,
+                None if skip else _decode_content(btype, header, content),
+            )
         )
     return blocks
 

@@ -37,10 +37,13 @@ on the updated slice.
 
 Every ``HoodieLogBlockType`` ordinal 0-6 decodes (avro/parquet/HFILE
 data blocks, v1-v3 delete blocks including the Kryo wire forms, CDC,
-command blocks) — the log refusal surface is empty as of r11.  Refused
-loudly: bootstrap/externally-referenced base files, and base files
+command blocks) — the log refusal surface is empty as of r11.  HFile
+bases and HFILE log blocks surface their ROW KEY as
+``_hoodie_record_key`` (the metadata table's virtual-key convention),
+so metadata-table file groups merge end-to-end.  Refused loudly:
+bootstrap/externally-referenced base files, and PARQUET base files
 missing the populated ``_hoodie_record_key`` meta column (virtual-key
-tables) when a merge is required.
+data tables) when a merge is required.
 
 The WRITE side lives here too: ``export_snapshot_to_hudi`` (COW —
 zero-copy hardlinks, incremental re-export, replacecommit retirement)
@@ -211,15 +214,26 @@ def _hfile_base_frame(spark: SparkSession, paths: list[str]) -> DataFrame:
     avro_schema = json.loads(schema_json.decode())
     out_schema = _avro_to_spark(avro_schema)
     names = [f.name for f in out_schema.fields]
+    # virtual-key tables (the metadata table): the HFile ROW KEY is the
+    # record key and the payload schema has no meta columns — surface it
+    # as _hoodie_record_key so the MOR merge path works end-to-end;
+    # _drop_meta removes it from user-facing output (r11 review fix)
+    synth_key = "_hoodie_record_key" not in names
+    if synth_key:
+        out_schema = T.StructType(
+            list(out_schema.fields)
+            + [T.StructField("_hoodie_record_key", T.StringType(), True)]
+        )
 
     def parse(p):
         from .hfile_lite import read_hfile_kv
 
         with open(p, "rb") as fh:
             kvs = read_hfile_kv(fh.read())
-        for _k, v in kvs:
+        for k, v in kvs:
             rec = decode_datum(avro_schema, v)
-            yield tuple(rec.get(n) for n in names)
+            row = tuple(rec.get(n) for n in names)
+            yield row + (k.decode(),) if synth_key else row
 
     rdd = spark.sparkContext.parallelize(
         sorted(paths), max(1, len(paths))
@@ -374,6 +388,59 @@ def read_hudi_incremental(
     return out if keep_meta else _drop_meta(out)
 
 
+def shape_cdc_file(path, live, key_field=None, lo=None, hi=None):
+    """Debezium-shaped rows (instant, op, record_key, before, after)
+    from one ``-cdc`` log file — SHARED by the batch change feed
+    (:func:`read_hudi_cdc`) and the streaming source
+    (streaming/hudi_cdc_source.py), so the two can never diverge.
+    Pure picklable Python: runs inside executor tasks.  Blocks whose
+    instant is outside ``live`` (or the (lo, hi] window) are skipped
+    WITHOUT decoding their content (``only_instants``), so tailing
+    consumers pay O(new instants), not O(file history)."""
+    import json as _json
+
+    from . import hudi_log as hl
+
+    want = {
+        i
+        for i in live
+        if (lo is None or i > lo) and (hi is None or i <= hi)
+    }
+
+    def img(v):
+        if v is None or isinstance(v, str):
+            return v  # a string-image writer passes through
+        return _json.dumps(v, sort_keys=True, separators=(",", ":"))
+
+    with open(path, "rb") as fh:
+        blocks = hl.read_log_blocks(fh.read(), only_instants=want)
+    for b in blocks:
+        if b.type != hl.CDC_DATA_BLOCK or b.records is None:
+            continue
+        instant = b.header.get(hl.INSTANT_TIME)
+        if instant not in want:
+            continue  # inflight/failed write, or outside window
+        for rec in b.records:
+            key = rec.get("record_key")
+            if key is None and key_field:
+                src = (
+                    rec.get("before")
+                    if rec.get("op") == "d"
+                    else rec.get("after")
+                )
+                if isinstance(src, str):
+                    src = _json.loads(src)
+                if isinstance(src, dict) and src.get(key_field) is not None:
+                    key = str(src[key_field])
+            yield (
+                instant,
+                rec.get("op"),
+                key,
+                img(rec.get("before")),
+                img(rec.get("after")),
+            )
+
+
 def read_hudi_cdc(
     spark: SparkSession,
     path: str,
@@ -419,43 +486,8 @@ def read_hudi_cdc(
         ]
     )
 
-    def img(v):
-        if v is None or isinstance(v, str):
-            return v  # a string-image writer passes through
-        return _json.dumps(v, sort_keys=True, separators=(",", ":"))
-
     def parse(p):
-        with open(p, "rb") as fh:
-            blocks = hl.read_log_blocks(fh.read())
-        for b in blocks:
-            if b.type != hl.CDC_DATA_BLOCK:
-                continue
-            instant = b.header.get(hl.INSTANT_TIME)
-            if instant not in live:
-                continue  # inflight/failed write, invisible
-            if (lo is not None and instant <= lo) or (
-                hi is not None and instant > hi
-            ):
-                continue
-            for rec in b.records:
-                key = rec.get("record_key")
-                if key is None and key_field:
-                    src = (
-                        rec.get("before")
-                        if rec.get("op") == "d"
-                        else rec.get("after")
-                    )
-                    if isinstance(src, str):
-                        src = _json.loads(src)
-                    if isinstance(src, dict) and src.get(key_field) is not None:
-                        key = str(src[key_field])
-                yield (
-                    instant,
-                    rec.get("op"),
-                    key,
-                    img(rec.get("before")),
-                    img(rec.get("after")),
-                )
+        yield from shape_cdc_file(p, live, key_field, lo=lo, hi=hi)
 
     if not plans:
         return spark.createDataFrame([], schema)
@@ -634,10 +666,16 @@ def _merge_slices(base: DataFrame | None, delta: DataFrame) -> DataFrame:
                 "MOR merge needs populated _hoodie_record_key meta "
                 "columns in base files (virtual-key tables unsupported)"
             )
-        keyed = base.withColumn(
-            _KEY, F.col("_hoodie_record_key")
-        ).withColumn(
-            _PART, F.coalesce(F.col("_hoodie_partition_path"), F.lit(""))
+        keyed = base.withColumn(_KEY, F.col("_hoodie_record_key"))
+        # hfile bases synthesize _hoodie_record_key from row keys but
+        # carry no partition meta column (virtual-key metadata tables
+        # are unpartitioned within a file group) — key on "" like the
+        # log side does for such records
+        keyed = keyed.withColumn(
+            _PART,
+            F.coalesce(F.col("_hoodie_partition_path"), F.lit(""))
+            if "_hoodie_partition_path" in base.columns
+            else F.lit(""),
         )
         delta_keys = delta.select(_KEY, _PART).distinct()
         untouched = keyed.join(

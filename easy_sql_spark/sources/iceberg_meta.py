@@ -151,7 +151,17 @@ def _pick_snapshot(
         raise ValueError("iceberg table has no snapshots")
     if ref is not None:
         # named BRANCH/TAG heads from the metadata refs map (spec
-        # §"Snapshot references"; "main" aliases current-snapshot-id)
+        # §"Snapshot references"; "main" aliases current-snapshot-id).
+        # ref is EXCLUSIVE with snapshot_id/as_of_ms: we only track the
+        # main snapshot-log lineage, so silently resolving time travel
+        # against main while the caller believes they pinned a branch
+        # would hand back the wrong snapshot (r11 review fix)
+        if snapshot_id is not None or as_of_ms is not None:
+            raise ValueError(
+                "ref cannot be combined with snapshot_id/as_of_ms: "
+                "per-ref snapshot lineage is not tracked, so time "
+                "travel would silently resolve against the main branch"
+            )
         refs = meta.get("refs") or {}
         if ref in refs:
             snapshot_id = refs[ref]["snapshot-id"]

@@ -271,6 +271,8 @@ def lz4_frame_decompress(data: bytes) -> bytes:
         block = data[i : i + bsize]
         i += bsize
         if block_checksum:
+            if i + 4 > len(data):
+                raise Lz4Error("truncated block checksum")
             (bchk,) = struct.unpack_from("<I", data, i)
             i += 4
             if bchk != xxh32(block):

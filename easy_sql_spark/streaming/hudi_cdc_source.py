@@ -66,25 +66,17 @@ SCHEMA = StructType(
 
 
 def _completed(path: str) -> list[str]:
-    td = os.path.join(path, ".hoodie")
-    if not os.path.isdir(td):
-        raise ValueError(f"not a hudi table (no .hoodie under {path})")
-    out = []
-    for n in os.listdir(td):
-        stem, _, ext = n.partition(".")
-        if ext in ("commit", "deltacommit", "replacecommit") and stem.isdigit():
-            out.append(stem)
-    return sorted(out)
+    # shared with the batch reader (hudi_meta._completed_instants) so
+    # the two CDC surfaces can never diverge on timeline semantics
+    from ..sources.hudi_meta import _completed_instants
+
+    return list(_completed_instants(path, mor=True))
 
 
 def _cdc_files(path: str) -> list[str]:
-    out = []
-    for cur, dirs, files in os.walk(path):
-        dirs[:] = [d for d in dirs if d != ".hoodie"]
-        for n in files:
-            if n.startswith(".") and ".log." in n and n.endswith("-cdc"):
-                out.append(os.path.join(cur, n))
-    return sorted(out)
+    from ..sources.hudi_meta import _cdc_files as _meta_cdc_files
+
+    return sorted(p for _rel, p in _meta_cdc_files(path))
 
 
 class _CdcFilePartition(InputPartition):
@@ -148,37 +140,18 @@ class HudiCdcStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: _CdcFilePartition):
-        # executor-side: pure-Python block decode, no SparkSession
-        from ..sources import hudi_log as hl
+        # executor-side: the SAME row shaper as the batch change feed
+        # (hudi_meta.shape_cdc_file — pure picklable Python, no
+        # SparkSession); blocks outside the window skip content decode
+        # entirely (only_instants), so a long-lived tail pays O(new
+        # instants) per batch, not O(file history)
+        from ..sources.hudi_meta import shape_cdc_file
 
-        live = set(partition.live)
-        key_field = partition.key_field
-        with open(partition.file_path, "rb") as fh:
-            blocks = hl.read_log_blocks(fh.read())
-        for b in blocks:
-            if b.type != hl.CDC_DATA_BLOCK:
-                continue
-            instant = b.header.get(hl.INSTANT_TIME)
-            if instant not in live:
-                continue  # outside window, or inflight/failed write
-            for rec in b.records:
-                key = rec.get("record_key")
-                before, after = rec.get("before"), rec.get("after")
-                if not isinstance(before, (str, type(None))):
-                    before = json.dumps(
-                        before, sort_keys=True, separators=(",", ":")
-                    )
-                if not isinstance(after, (str, type(None))):
-                    after = json.dumps(
-                        after, sort_keys=True, separators=(",", ":")
-                    )
-                if key is None and key_field:
-                    src = before if rec.get("op") == "d" else after
-                    if isinstance(src, str):
-                        src = json.loads(src)
-                    if isinstance(src, dict) and src.get(key_field) is not None:
-                        key = str(src[key_field])
-                yield (instant, rec.get("op"), key, before, after)
+        yield from shape_cdc_file(
+            partition.file_path,
+            set(partition.live),
+            partition.key_field,
+        )
 
     def commit(self, end: dict) -> None:
         if str(end["instant"]) > self._committed:

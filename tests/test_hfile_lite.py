@@ -294,8 +294,15 @@ def test_hfile_log_block_roundtrip(compression):
     blocks = read_log_blocks(blob)
     assert len(blocks) == 1
     assert blocks[0].type == HFILE_DATA_BLOCK
-    # records come back sorted by key (HFile ordering) — same content
-    assert sorted(blocks[0].records, key=lambda r: r["key"]) == sorted(
+    # records come back sorted by key (HFile ordering) with the HFile
+    # ROW KEY surfaced as _hoodie_record_key (the virtual-key merge
+    # contract) — content otherwise identical
+    got = []
+    for r in blocks[0].records:
+        r = dict(r)
+        assert r.pop("_hoodie_record_key") == r["key"]
+        got.append(r)
+    assert sorted(got, key=lambda r: r["key"]) == sorted(
         recs, key=lambda r: r["key"]
     )
 
@@ -374,3 +381,12 @@ if _HYP:
         buf = write_vlong(v)
         got, pos = read_vlong(buf, 0)
         assert got == v and pos == len(buf)
+
+
+def test_pre_checksum_minor_version_refused():
+    """v2 minor 0 files use 24-byte headers; must refuse, not misparse."""
+    data = bytearray(write_hfile(_pairs(n=3), major_version=2))
+    word = (2 & 0x00FFFFFF) | (0 << 24)
+    struct.pack_into(">I", data, len(data) - 4, word)
+    with pytest.raises(HFileUnsupportedError, match="pre-checksum"):
+        read_trailer(bytes(data))

@@ -977,3 +977,47 @@ def test_read_hudi_hfile_base_with_log_merge(spark, tmp_path):
     assert got == {(1, "u1"), (2, "b2"), (3, "b3"), (4, "b4"), (9, "i9")}
     at_001 = {(r.k, r.v) for r in read_hudi(spark, t, as_of="001").collect()}
     assert at_001 == {(k, f"b{k}") for k in range(5)}
+
+
+def test_metadata_table_hfile_base_with_hfile_log_merge(spark, tmp_path):
+    """The FULL metadata-table shape (r11 review finding): HFile BASE +
+    HFILE log blocks whose records carry NO meta columns — the HFile
+    ROW KEY is the record key on both sides (surfaced as
+    _hoodie_record_key by the base frame and the block decode), so the
+    latest-wins merge works on virtual-key tables."""
+    from easy_sql_spark.sources.avro_lite import encode_datum
+    from easy_sql_spark.sources.hfile_lite import write_hfile
+    from easy_sql_spark.sources.hudi_log import write_hfile_data_block
+    from easy_sql_spark.sources.hudi_meta import read_hudi
+
+    t = str(tmp_path / "mdt2")
+    os.makedirs(t)
+    schema = {
+        "type": "record",
+        "name": "HoodieMetadataRecord",
+        "fields": [
+            {"name": "key", "type": "string"},
+            {"name": "type", "type": "int"},
+        ],
+    }
+    base_recs = [{"key": f"p{i}", "type": 1} for i in range(4)]
+    pairs = sorted(
+        (r["key"].encode(), encode_datum(schema, r)) for r in base_recs
+    )
+    with open(f"{t}/files-0000_0-1-0_001.hfile", "wb") as fh:
+        fh.write(write_hfile(
+            pairs, file_info_extra={b"schema": json.dumps(schema).encode()}
+        ))
+    # HFILE log block: update p1's type, insert p9 — keyed by row key
+    ups = [{"key": "p1", "type": 2}, {"key": "p9", "type": 3}]
+    with open(f"{t}/.files-0000_001.log.1_0-1-0", "wb") as fh:
+        fh.write(write_hfile_data_block(schema, ups, "002"))
+    os.makedirs(f"{t}/.hoodie")
+    with open(f"{t}/.hoodie/hoodie.properties", "w") as fh:
+        fh.write("hoodie.table.name=m2\nhoodie.table.type=MERGE_ON_READ\n")
+    for ins, act in (("001", "commit"), ("002", "deltacommit")):
+        with open(f"{t}/.hoodie/{ins}.{act}", "w") as fh:
+            fh.write("{}")
+
+    got = {(r.key, r.type) for r in read_hudi(spark, t).collect()}
+    assert got == {("p0", 1), ("p1", 2), ("p2", 1), ("p3", 1), ("p9", 3)}

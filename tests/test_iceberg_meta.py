@@ -1359,3 +1359,14 @@ def test_read_iceberg_named_refs(spark, tmp_path):
     assert main == dev
     with pytest.raises(ValueError, match="unknown iceberg ref"):
         read_iceberg(spark, t, ref="nope")
+
+
+def test_ref_exclusive_with_time_travel(spark, tmp_path):
+    """ref + snapshot_id/as_of_ms must raise: per-ref lineage is not
+    tracked, so resolving time travel against main while the caller
+    pinned a branch would silently return the wrong snapshot."""
+    t = _mk_table(spark, tmp_path / "refx")
+    with pytest.raises(ValueError, match="ref cannot be combined"):
+        read_iceberg(spark, t, ref="main", snapshot_id=100)
+    with pytest.raises(ValueError, match="ref cannot be combined"):
+        read_iceberg(spark, t, ref="main", as_of_ms=1500)

@@ -252,3 +252,26 @@ if _HYP:
     @given(st.binary(max_size=5000))
     def test_block_roundtrip_property(data):
         assert lz4_block_decompress(lz4_block_compress(data)) == data
+
+
+def test_truncated_block_checksum_raises_lz4error():
+    """r11 review fix: a frame cut inside a trailing block checksum must
+    raise Lz4Error (not struct.error) so PuffinError wrapping holds."""
+    import struct as _struct
+
+    from easy_sql_spark.sources.lz4_lite import FRAME_MAGIC
+
+    body = b"hello world, hello world"
+    comp = lz4_block_compress(body)
+    flg = (0b01 << 6) | 0x20 | 0x10  # block checksums, no content size
+    header = bytes([flg, 6 << 4])
+    frame = (
+        _struct.pack("<I", FRAME_MAGIC)
+        + header
+        + bytes([(xxh32(header) >> 8) & 0xFF])
+        + _struct.pack("<I", len(comp))
+        + comp
+        + _struct.pack("<I", xxh32(comp))[:2]  # TRUNCATED checksum
+    )
+    with pytest.raises(Lz4Error, match="truncated block checksum"):
+        lz4_frame_decompress(frame)
