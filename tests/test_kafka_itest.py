@@ -43,7 +43,8 @@ def kspark():
         .getOrCreate()
     )
     yield spark
-    spark.stop()
+    # do NOT spark.stop(): getOrCreate() returns the suite-shared local
+    # session, and stopping it kills Spark for every later test file
 
 
 def test_kafka_source_to_kafka_sink_roundtrip(kspark, tmp_path):

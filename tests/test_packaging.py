@@ -103,47 +103,43 @@ def test_contract_runs_with_cwd_outside_repo(tmp_path):
     assert out["iceberg_v3_dv_read"] > 0
 
 
-def test_ship_package_zip_contents_and_idempotence():
-    from easy_sql_spark.session import build_session, ship_package
+def test_ship_package_zip_contents_and_idempotence(spark):
+    # IMPORTANT: use the shared session fixture — getOrCreate() returns
+    # the suite-wide session in local mode, so building "our own" here
+    # and stopping it would kill Spark for every later test file (the
+    # exact 184-failure cascade this round debugged)
+    from easy_sql_spark.session import ship_package
 
-    spark = build_session("ship_pkg_unit", master="local[2]",
-                          shuffle_partitions=2)
+    sc = spark.sparkContext
+    # build_session already shipped on this context; a repeat is a no-op
+    assert ship_package(spark) is None
+    sc._easy_sql_spark_shipped = False
     try:
-        # build_session already shipped; a second call is a no-op
-        assert ship_package(spark) is None
-        sc = spark.sparkContext
-        sc._easy_sql_spark_shipped = False
         zip_path = ship_package(spark)
-        assert zip_path and os.path.exists(zip_path)
-        with zipfile.ZipFile(zip_path) as zf:
-            names = zf.namelist()
-        assert "easy_sql_spark/session.py" in names
-        assert "easy_sql_spark/sources/puffin.py" in names
-        assert "easy_sql_spark/sources/hudi_log.py" in names
-        assert not [n for n in names if "__pycache__" in n]
-        assert not [n for n in names if not n.endswith(".py")]
     finally:
-        spark.stop()
+        sc._easy_sql_spark_shipped = True
+    assert zip_path and os.path.exists(zip_path)
+    with zipfile.ZipFile(zip_path) as zf:
+        names = zf.namelist()
+    assert "easy_sql_spark/session.py" in names
+    assert "easy_sql_spark/sources/puffin.py" in names
+    assert "easy_sql_spark/sources/hudi_log.py" in names
+    assert not [n for n in names if "__pycache__" in n]
+    assert not [n for n in names if not n.endswith(".py")]
 
 
-def test_executor_import_resolves_from_shipped_zip():
+def test_executor_import_resolves_from_shipped_zip(spark):
     """A task that imports an executor-side decode module must succeed
     even when the worker's cwd/path lack the repo — simulated by
     importing through the shipped zip path explicitly."""
-    from easy_sql_spark.session import build_session
 
-    spark = build_session("ship_pkg_exec", master="local[2]",
-                          shuffle_partitions=2)
-    try:
-        def probe(_):
-            import easy_sql_spark.sources.puffin as p
+    def probe(_):
+        import easy_sql_spark.sources.puffin as p
 
-            return [os.path.basename(p.__file__)]
+        return [os.path.basename(p.__file__)]
 
-        got = spark.sparkContext.parallelize([1], 1).flatMap(probe).collect()
-        assert got == ["puffin.py"]
-    finally:
-        spark.stop()
+    got = spark.sparkContext.parallelize([1], 1).flatMap(probe).collect()
+    assert got == ["puffin.py"]
 
 
 def test_pyproject_declares_the_package():
