@@ -177,3 +177,44 @@ def test_hudi_cdc_stream_fresh_start_sees_only_new(spark, tmp_path):
     _commit(root, "003")
     _drain(spark, root, out, ckpt)
     assert _rows(spark, out) == {("003", "i", "2")}
+
+
+def test_hudi_cdc_as_yaml_streaming_source(spark, tmp_path):
+    """The step-language streaming surface routes formats generically,
+    so an ETL can declare the Hudi change feed as a YAML source — the
+    reference's Flink-Hudi streaming-source config, re-expressed."""
+    from easy_sql_spark.streaming.tables import StreamingTables
+
+    spark.dataSource.register(HudiCdcDataSource)
+    root = str(tmp_path / "ytbl")
+    _mk_table(root)
+    _commit(root, "001", "commit")
+    with open(f"{root}/.f1_001.log.1_0-1-0-cdc", "wb") as fh:
+        fh.write(_cdc_block("002", "i", [(1, "a"), (2, "b")]))
+    _commit(root, "002")
+
+    config = {
+        "sources": [{
+            "name": "hudi_feed",
+            "format": "hudi_cdc",
+            "options": {"path": root, "starting_instant": "001",
+                        "key_field": "k"},
+        }],
+        "sinks": [{
+            "name": "out",
+            "format": "parquet",
+            "trigger": "availableNow",
+            "checkpoint": str(tmp_path / "yck"),
+            "options": {"path": str(tmp_path / "yout")},
+        }],
+    }
+    st = StreamingTables(spark, config)
+    st.register_sources()
+    q = st.start_insert(spark.table("hudi_feed"), "out")
+    assert q.awaitTermination(240), "query still running"
+    q.stop()
+    rows = {
+        (r.commit_time, r.op, r.record_key)
+        for r in spark.read.parquet(str(tmp_path / "yout")).collect()
+    }
+    assert rows == {("002", "i", "1"), ("002", "i", "2")}
