@@ -168,14 +168,16 @@ def tune_session(spark: SparkSession) -> SparkSession:
 
 def register_data_sources(spark: SparkSession) -> None:
     """Idempotently register format("warc"), format("snapshot_cdf"),
-    and format("hudi_cdc")."""
+    format("hudi_cdc"), and format("delta_cdf")."""
     try:
         from .sources.warc_source import WarcDataSource
         from .streaming.cdf_source import SnapshotChangeFeedDataSource
+        from .streaming.delta_cdf_source import DeltaChangeFeedDataSource
         from .streaming.hudi_cdc_source import HudiCdcDataSource
 
         spark.dataSource.register(WarcDataSource)
         spark.dataSource.register(SnapshotChangeFeedDataSource)
         spark.dataSource.register(HudiCdcDataSource)
+        spark.dataSource.register(DeltaChangeFeedDataSource)
     except Exception:  # pragma: no cover - API absent on old runtimes
         pass
