@@ -35,8 +35,31 @@ def build(processor):
         os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
         shutil.move(src, dst)
 
-    def write_json_local(table: str, path: str):
-        rows = [r.asDict(recursive=True) for r in spark.table(table).collect()]
+    def write_json_local(table: str, path: str, max_rows: str = "100000"):
+        """Dump a table to a local JSON file (reference
+        funcs_spark.py:109-115).  The reference collects unbounded; this
+        is a driver-side funnel, so a default 100k-row bound refuses
+        loudly instead of OOMing the driver at scale.  Pass an explicit
+        larger ``max_rows`` (or ``max_rows=0`` for unbounded,
+        reference-parity) to override.  ``default=str`` is a deliberate
+        divergence so date/timestamp columns serialize instead of
+        raising."""
+        bound = int(max_rows)
+        df = spark.table(table)
+        if bound > 0:
+            rows = [
+                r.asDict(recursive=True)
+                for r in df.limit(bound + 1).collect()
+            ]
+            if len(rows) > bound:
+                raise RuntimeError(
+                    f"write_json_local({table}): more than {bound} rows "
+                    "would be collected to the driver; pass a larger "
+                    "max_rows (or max_rows=0 for unbounded) if this is "
+                    "intentional"
+                )
+        else:
+            rows = [r.asDict(recursive=True) for r in df.collect()]
         with open(path, "w", encoding="utf-8") as f:
             json.dump(rows, f, default=str)
 
@@ -206,9 +229,11 @@ def build(processor):
         current.update(vars_value)
         current.update(list_vars_value)
         with open(output_file, "w", encoding="utf-8") as f:
+            # no default=str: a non-JSON-serializable var value must raise
+            # TypeError exactly as the reference does (funcs_spark.py:136)
             f.write(
                 json.dumps(data, ensure_ascii=False, indent=4,
-                           sort_keys=False, default=str)
+                           sort_keys=False)
             )
 
     return {

@@ -334,7 +334,27 @@ class SqlProcessor:
                     {k: self._stringify(v) for k, v in row.asDict().items()}
                 )
         elif t == "list_variables":
-            rows = df.collect()
+            # reference parity is an unbounded collect
+            # (sql_processor/step.py list-vars capture); that is a
+            # driver-side funnel, so refuse loudly past a default bound
+            # instead of silently OOMing — override via the
+            # __list_variables_max_rows__ var (0 = unbounded).
+            bound_var = self.vars_context.get_var(
+                "__list_variables_max_rows__", "10000"
+            )
+            bound = int(str(bound_var))
+            if bound > 0:
+                rows = df.limit(bound + 1).collect()
+                if len(rows) > bound:
+                    raise StepFailedError(
+                        f"list_variables step `{step.target_name}` would "
+                        f"collect more than {bound} rows to the driver; "
+                        "set __list_variables_max_rows__ to a larger "
+                        "value (or 0 for unbounded) if this is "
+                        "intentional"
+                    )
+            else:
+                rows = df.collect()
             lists: dict[str, list] = {c: [] for c in df.columns}
             for r in rows:
                 d = r.asDict()

@@ -637,7 +637,16 @@ def read_iceberg(
             if any(c not in pv for _p, pv, _e, _sq in files)
         ]
         for c in unprunable:
-            out = out.where(F.col(c).isin(list(partitions[c])))
+            # isin() never matches NULL (SQL ternary logic); a None in
+            # the caller's value list means "null partition value", which
+            # the manifest-pruning path already treats as a match — keep
+            # the row-level re-filter consistent with it.
+            vals = list(partitions[c])
+            non_null = [v for v in vals if v is not None]
+            cond = F.col(c).isin(non_null) if non_null else F.lit(False)
+            if any(v is None for v in vals):
+                cond = cond | F.col(c).isNull()
+            out = out.where(cond)
     return out.select(*cols)
 
 

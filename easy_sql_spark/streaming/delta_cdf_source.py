@@ -66,6 +66,24 @@ from ..sources.delta_log import (
 )
 
 
+def _part_values_from_path(rel_path: str) -> dict:
+    """Recover partitionValues from a hive-style relative file path
+    (``col=value/.../part-*.parquet``).  A ``remove`` action written
+    without extendedFileMetadata (legal per the Delta PROTOCOL.md) has
+    no partitionValues field; most writers still lay files out
+    hive-style, so the path carries them.  Values are path-unescaped;
+    ``__HIVE_DEFAULT_PARTITION__`` is the null sentinel."""
+    from urllib.parse import unquote
+
+    out: dict = {}
+    for seg in rel_path.split("/")[:-1]:
+        if "=" not in seg:
+            continue
+        k, v = seg.split("=", 1)
+        out[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+    return out
+
+
 def _latest_metadata_sessionless(path: str) -> tuple[dict, dict | None]:
     """(metaData, protocol) from the newest JSON commit that carries
     them — no SparkSession (DataSource.schema() runs without one).
@@ -215,9 +233,27 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
                         f"({action['path']}): vacuumed history cannot "
                         "stream deletes"
                     )
+                pvals = dict(action.get("partitionValues") or {})
+                if self._part_cols and not pvals:
+                    # a remove written without extendedFileMetadata is
+                    # legal per the Delta protocol and carries no
+                    # partitionValues; recover them from the hive-style
+                    # path rather than streaming NULL partition columns
+                    pvals = _part_values_from_path(action["path"])
+                    missing = [
+                        c for c in self._part_cols
+                        if self._phys_of.get(c, c) not in pvals
+                    ]
+                    if missing:
+                        raise ValueError(
+                            f"commit {v} {kind} action for "
+                            f"{action['path']} carries no partitionValues "
+                            f"and the path is not hive-style for "
+                            f"partition column(s) {missing}; refusing to "
+                            "stream NULL partition values"
+                        )
                 return _DeltaCdfPartition(
-                    fp, kind, v, ts,
-                    dict(action.get("partitionValues") or {}),
+                    fp, kind, v, ts, pvals,
                     self._schema.json(), self._part_cols, self._phys_of,
                 )
 

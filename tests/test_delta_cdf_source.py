@@ -211,3 +211,47 @@ def test_delta_cdf_bounded_backlog_across_restarts(spark, tmp_path):
                extra={"max_versions_per_batch": "2"})
         got = {r.id for r in spark.read.parquet(str(out)).collect()}
         assert got == set(range(1, hi + 1))
+
+
+def test_delta_cdf_remove_without_partition_values(spark, tmp_path):
+    """A `remove` written without extendedFileMetadata (legal per the
+    Delta protocol) carries no partitionValues: hive-style paths must
+    recover them; a flat path must refuse loudly, never stream NULLs."""
+    import pytest
+
+    spark.dataSource.register(DeltaChangeFeedDataSource)
+    t = str(tmp_path / "dtp")
+    _write_data(spark, t, "p=a%20b/f1.parquet", [(1, "x")])
+    _commit(t, 0, [
+        {"commitInfo": {"operation": "WRITE", "timestamp": 1000}},
+        _meta(),
+        {"add": {"path": "p=a%20b/f1.parquet",
+                 "partitionValues": {"p": "a b"}, "size": 1,
+                 "modificationTime": 1, "dataChange": True}},
+    ])
+    # bare remove: no partitionValues at all — recovered from the path
+    # (including the unescape: %20 -> space)
+    _commit(t, 1, [
+        {"commitInfo": {"operation": "DELETE", "timestamp": 2000}},
+        {"remove": {"path": "p=a%20b/f1.parquet", "dataChange": True}},
+    ])
+    out, ckpt = tmp_path / "o", tmp_path / "c"
+    _drain(spark, t, out, ckpt, starting_version=0)
+    assert _rows(spark, out) == {(1, "x", "a b", "delete", 1)}
+
+    # flat-path remove on a partitioned table: loud refusal
+    t2 = str(tmp_path / "dtp2")
+    _write_data(spark, t2, "f1.parquet", [(1, "x")])
+    _commit(t2, 0, [
+        {"commitInfo": {"operation": "WRITE", "timestamp": 1000}},
+        _meta(),
+        {"add": {"path": "f1.parquet", "partitionValues": {"p": "a"},
+                 "size": 1, "modificationTime": 1, "dataChange": True}},
+    ])
+    _commit(t2, 1, [
+        {"commitInfo": {"operation": "DELETE", "timestamp": 2000}},
+        {"remove": {"path": "f1.parquet", "dataChange": True}},
+    ])
+    out2, ckpt2 = tmp_path / "o2", tmp_path / "c2"
+    with pytest.raises(Exception, match="partitionValues"):
+        _drain(spark, t2, out2, ckpt2, starting_version=0)

@@ -45,6 +45,51 @@ select id, id * 10 as v from range(5)
     p.backend.clean_temp_views()
 
 
+def test_write_json_local_row_bound_guard(spark, tmp_path):
+    """write_json_local is a driver collect: the default bound refuses
+    loudly; an explicit max_rows (or 0 = unbounded reference parity)
+    overrides."""
+    f1 = str(tmp_path / "bounded.json")
+    sql = f"""-- target=temp.big
+select id from range(50)
+
+-- target=func.write_json_local(big, {f1}, 10)
+"""
+    p = SqlProcessor(spark, sql, logger=lambda m: None)
+    with pytest.raises(Exception, match="max_rows"):
+        p.run()
+    f2 = str(tmp_path / "unbounded.json")
+    sql_ok = f"""-- target=temp.big
+select id from range(50)
+
+-- target=func.write_json_local(big, {f2}, 0)
+"""
+    p2 = SqlProcessor(spark, sql_ok, logger=lambda m: None)
+    p2.run()
+    with open(f2) as f:
+        assert len(json.load(f)) == 50
+    p2.backend.clean_temp_views()
+
+
+def test_update_json_local_non_serializable_raises(spark, tmp_path):
+    """Reference parity (funcs_spark.py:136): a non-JSON-serializable
+    var value must raise TypeError, not silently stringify."""
+    import datetime
+
+    out = str(tmp_path / "u.json")
+    sql = (
+        "-- target=func.update_json_local(${__context__}, dt, , , "
+        f"{out})"
+    )
+    p = SqlProcessor(
+        spark, sql,
+        variables={"dt": datetime.date(2024, 1, 2)},
+        logger=lambda m: None,
+    )
+    with pytest.raises(TypeError):
+        p.run()
+
+
 def test_column_expr_functions(spark):
     spark.createDataFrame(
         [(1, "a", 2.0)], "id int, name string, score double"

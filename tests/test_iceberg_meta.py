@@ -1207,7 +1207,8 @@ def test_partition_evolution_read(spark, tmp_path):
     t = str(tmp_path / "pe")
     # old files: pt physically present in the data
     dfa = spark.createDataFrame(
-        [(1, "x", "p0"), (2, "y", "p1")], "id long, val string, pt string"
+        [(1, "x", "p0"), (2, "y", "p1"), (4, "w", None)],
+        "id long, val string, pt string",
     )
     tmp = os.path.join(t, "_tmp")
     dfa.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -1319,7 +1320,9 @@ def test_partition_evolution_read(spark, tmp_path):
         json.dump(meta, f)
 
     got = {(r.id, r.val, r.pt) for r in read_iceberg(spark, t).collect()}
-    assert got == {(1, "x", "p0"), (2, "y", "p1"), (3, "z", "p1")}
+    assert got == {
+        (1, "x", "p0"), (2, "y", "p1"), (3, "z", "p1"), (4, "w", None)
+    }
 
     # partition pruning stays EXACT: old-spec files cannot be pruned by
     # manifest constants, so rows are re-filtered
@@ -1333,6 +1336,17 @@ def test_partition_evolution_read(spark, tmp_path):
         for r in read_iceberg(spark, t, partitions={"pt": ["p0"]}).collect()
     }
     assert got_p0 == {(1, "p0")}
+
+    # None in the filter list means "null partition value": the
+    # row-level re-filter over old-spec files must match it (isin alone
+    # never matches NULL), consistent with manifest pruning
+    got_null = {
+        (r.id, r.pt)
+        for r in read_iceberg(
+            spark, t, partitions={"pt": ["p1", None]}
+        ).collect()
+    }
+    assert got_null == {(2, "p1"), (3, "p1"), (4, None)}
 
 
 def test_read_iceberg_named_refs(spark, tmp_path):

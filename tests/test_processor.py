@@ -78,6 +78,32 @@ select ${len(xs)} as actual, 2 as expected
     assert report.steps[-1].status.value == "SUCCEEDED"
 
 
+def test_list_variables_row_bound_guard(spark):
+    """list_variables is a driver-side collect; past the default 10k
+    bound it must refuse loudly (reference collects unbounded — the
+    guard is this repo's scale-safety divergence), and the
+    __list_variables_max_rows__ var overrides (0 = unbounded)."""
+    from easy_sql_spark.runtime.processor import StepFailedError
+
+    sql = """-- target=list_variables
+select id as xs from range(50)
+"""
+    p = SqlProcessor(
+        spark, sql,
+        variables={"__list_variables_max_rows__": "10"},
+        logger=lambda m: None,
+    )
+    with pytest.raises(StepFailedError, match="list_variables"):
+        p.run()
+    ok = SqlProcessor(
+        spark, sql,
+        variables={"__list_variables_max_rows__": "0"},
+        logger=lambda m: None,
+    )
+    ok.run()
+    assert len(ok.vars_context.list_vars["xs"]) == 50
+
+
 def test_failing_check_raises(spark):
     sql = "-- target=check.bad\nselect 1 as actual, 2 as expected"
     p = SqlProcessor(spark, sql, logger=lambda m: None)
