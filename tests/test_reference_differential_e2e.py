@@ -576,7 +576,11 @@ def _run_ext_case(spark, ref_processor_cls, case) -> tuple[dict, dict]:
 
 
 _EXT_SEEDS = 16
-_EXT_CASES = int(os.environ.get("EASY_SQL_E2E_CASES_PER_SEED", "32"))
+# Default kept small so the default suite stays under the wall-time
+# budget (r11 verdict ask #7: the 512-case campaign alone cost ~13 min).
+# The FULL campaign (EASY_SQL_E2E_CASES_PER_SEED=32 -> 512 cases) runs
+# once per round at close and is recorded in COVERAGE.md.
+_EXT_CASES = int(os.environ.get("EASY_SQL_E2E_CASES_PER_SEED", "4"))
 
 
 @pytest.mark.parametrize("seed", range(_EXT_SEEDS))
