@@ -1478,14 +1478,17 @@ def hudi_hfile_block_read(spark, sf_dir):
     ordinal 4 — the metadata-table payload format, closing the LAST
     Hudi log refusal): the delta upserts+inserts ride an
     HFILE_DATA_BLOCK whose content is a complete HBase HFile
-    (sources/hfile_lite.py — v3 trailer, gz-compressed blocks, CRC32C
-    per-block checksums, mvcc vlongs, i.e. the whole RFC-84 surface),
-    row key = record key, cell value = a bare Avro datum.  A v3 delete
-    block follows, and the MOR snapshot merge must produce identical
-    per-key latest-wins state at each instant.  The oracle replays the
-    same upsert/insert/delete waves in SQL, so what's value-checked is
-    the HFile decode itself (trailer/protobuf/KeyValue/checksum/gzip
-    layers) plus commit filtering and the merge.
+    (sources/hfile_lite.py — v3 trailer, SNAPPY-compressed blocks
+    (Hadoop block framing over raw snappy, sources/snappy_lite.py,
+    r12), CRC32C per-block checksums, mvcc vlongs, i.e. the whole
+    RFC-84 surface), row key = record key, cell value = a bare Avro
+    datum.  A v3 delete block follows, and the MOR snapshot merge must
+    produce identical per-key latest-wins state at each instant.  The
+    oracle replays the same upsert/insert/delete waves in SQL, so
+    what's value-checked is the HFile decode itself (trailer/protobuf/
+    KeyValue/checksum/snappy layers) plus commit filtering and the
+    merge.  gz-compressed blocks stay pinned by
+    hudi_metadata_table_read and tests/test_hfile_lite.py.
 
     Scale: identical to every MOR read here — the HFile payload decodes
     INSIDE the executor task that parses the file group (hfile_lite is
@@ -1561,7 +1564,7 @@ def hudi_hfile_block_read(spark, sf_dir):
         ups,
         "002",
         key_field="_hoodie_record_key",
-        compression="gz",
+        compression="snappy",
         block_size=2048,
         include_mvcc=True,
     ) + write_delete_block(del_keys, "003")

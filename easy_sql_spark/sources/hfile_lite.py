@@ -342,7 +342,24 @@ def _read_block(data: bytes, offset: int, compression: str):
     body = checked[HEADER_SIZE:]
     if compression == "gz":
         body = gzip.decompress(body)
+    elif compression == "snappy":
+        # HBase snappy = Hadoop SnappyCodec = block framing over raw
+        # snappy chunks (sources/snappy_lite.py, JVM-cross-checked)
+        from .snappy_lite import hadoop_block_decompress
+
+        body = hadoop_block_decompress(bytes(body))
+    elif compression == "lz4":
+        # HBase lz4 = Hadoop Lz4Codec = the SAME block framing over raw
+        # lz4 block chunks (lz4_lite supplies the chunk codec)
+        from .lz4_lite import lz4_block_decompress
+        from .snappy_lite import hadoop_block_decompress
+
+        body = hadoop_block_decompress(
+            bytes(body), chunk_codec=lz4_block_decompress
+        )
     elif compression != "none":
+        # zstd/lzo/bzip2 stay loud refusals: no stdlib codec exists and
+        # guessing bytes is exactly what this module refuses to do
         raise HFileUnsupportedError(
             "hfile compression codec %r" % compression
         )
@@ -413,9 +430,9 @@ def read_file_info(data: bytes, trailer: HFileTrailer) -> dict[bytes, bytes]:
 def read_hfile(data: bytes) -> tuple[list[HFileCell], dict[bytes, bytes], HFileTrailer]:
     """Sequential full scan -> (cells, file info map, trailer)."""
     trailer = read_trailer(data)
-    if trailer.compression not in ("none", "gz"):
+    if trailer.compression not in ("none", "gz", "snappy", "lz4"):
         raise HFileUnsupportedError(
-            "hfile compression %r (RFC-84 subset is none/gz)"
+            "hfile compression %r (supported: none/gz/snappy/lz4)"
             % trailer.compression
         )
     info = read_file_info(data, trailer)
@@ -481,7 +498,21 @@ def _build_block(
     checksum_type: int,
     bytes_per_checksum: int,
 ) -> bytes:
-    stored = gzip.compress(body, mtime=0) if compression == "gz" else body
+    if compression == "gz":
+        stored = gzip.compress(body, mtime=0)
+    elif compression == "snappy":
+        from .snappy_lite import hadoop_block_compress
+
+        stored = hadoop_block_compress(body)
+    elif compression == "lz4":
+        from .lz4_lite import lz4_block_compress
+        from .snappy_lite import hadoop_block_compress
+
+        stored = hadoop_block_compress(
+            body, chunk_codec=lz4_block_compress
+        )
+    else:
+        stored = body
     on_disk_data_with_header = HEADER_SIZE + len(stored)
     n_chunks = (
         on_disk_data_with_header + bytes_per_checksum - 1
@@ -520,7 +551,7 @@ def write_hfile(
     HFile with a single-level root index — the Hudi writer shape."""
     if major_version not in (2, 3):
         raise HFileUnsupportedError("write major version %d" % major_version)
-    if compression not in ("none", "gz"):
+    if compression not in ("none", "gz", "snappy", "lz4"):
         raise HFileUnsupportedError("write compression %r" % compression)
     keys = [k for k, _ in kv_pairs]
     if keys != sorted(keys):

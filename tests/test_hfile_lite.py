@@ -225,7 +225,7 @@ def test_unsupported_codec_and_encoding_refuse_by_name():
     # corrupt the compression_codec trailer field is fiddly; instead
     # check the two refusal fronts directly
     with pytest.raises(HFileUnsupportedError):
-        write_hfile(_pairs(n=3), compression="snappy")
+        write_hfile(_pairs(n=3), compression="zstd")
     # an ENCODED_DATA block in the scanned section refuses
     data[:8] = b"DATABLKE"
     # fix the checksum over the mutated header so the refusal we hit is
@@ -279,7 +279,7 @@ def _records(n=40):
     ]
 
 
-@pytest.mark.parametrize("compression", ["none", "gz"])
+@pytest.mark.parametrize("compression", ["none", "gz", "snappy", "lz4"])
 def test_hfile_log_block_roundtrip(compression):
     from easy_sql_spark.sources.hudi_log import (
         HFILE_DATA_BLOCK,
@@ -359,7 +359,7 @@ if _HYP:
             max_size=60,
         ),
         major=st.sampled_from([2, 3]),
-        compression=st.sampled_from(["none", "gz"]),
+        compression=st.sampled_from(["none", "gz", "snappy", "lz4"]),
         block_size=st.sampled_from([256, 4096, 65536]),
         checksum=st.sampled_from([0, CHECKSUM_CRC32, CHECKSUM_CRC32C]),
         mvcc=st.booleans(),

@@ -1,0 +1,200 @@
+"""snappy_lite: raw-Snappy block codec + Hadoop block framing, the
+lz4_lite discipline — stdlib round-trips, malformed-input rejection,
+hypothesis fuzz, and BOTH-DIRECTION cross-checks against the real
+implementations inside Spark's JVM (org.xerial.snappy for the raw
+format; Hadoop SnappyCodec / Lz4Codec for the framing HBase writes)."""
+
+import random
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from easy_sql_spark.sources.snappy_lite import (
+    SnappyError,
+    hadoop_block_compress,
+    hadoop_block_decompress,
+    snappy_compress,
+    snappy_decompress,
+)
+
+
+def _corpus():
+    rng = random.Random(0x5A4A)
+    return [
+        b"",
+        b"a",
+        b"abcd" * 3,
+        b"x" * 100_000,  # long RLE run (overlapping copies)
+        bytes(rng.randbytes(1)),
+        bytes(rng.randbytes(100)),
+        bytes(rng.randbytes(70_000)),  # incompressible, > one 64K block
+        (b"the quick brown fox jumps over the lazy dog. " * 2000),
+        bytes(rng.randrange(4) for _ in range(50_000)),
+        b"".join(
+            rng.choice([b"alpha", b"beta", b"gamma", b"delta"])
+            for _ in range(20_000)
+        ),
+    ]
+
+
+def test_raw_roundtrip():
+    for data in _corpus():
+        assert snappy_decompress(snappy_compress(data)) == data
+
+
+def test_hadoop_framing_roundtrip():
+    for data in _corpus():
+        assert hadoop_block_decompress(hadoop_block_compress(data)) == data
+    # multi-block framing: force a small block size
+    big = bytes(random.Random(7).randbytes(300_000))
+    framed = hadoop_block_compress(big, block_size=64 * 1024)
+    assert hadoop_block_decompress(framed) == big
+
+
+def test_raw_rejects_corruption():
+    good = snappy_compress(b"abcdefgh" * 100)
+    with pytest.raises(SnappyError):
+        snappy_decompress(good[:-3])  # truncated
+    with pytest.raises(SnappyError):
+        # copy before any output: offset outside window
+        snappy_decompress(bytes([8, 0b00000101, 1]))
+    with pytest.raises(SnappyError):
+        snappy_decompress(b"\xff\xff\xff\xff\xff\xff")  # varint runs off
+
+
+def test_framing_rejects_corruption():
+    framed = hadoop_block_compress(b"hello world" * 50)
+    with pytest.raises(SnappyError):
+        hadoop_block_decompress(framed[:-2])
+    with pytest.raises(SnappyError):
+        hadoop_block_decompress(b"\x00\x00\x00\x05")  # block, no chunks
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=4096))
+def test_raw_roundtrip_fuzz(data):
+    assert snappy_decompress(snappy_compress(data)) == data
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from([b"ab", b"abcabc", b"x" * 40, b"q", b"zzzzzzzz"]),
+        max_size=200,
+    )
+)
+def test_raw_roundtrip_fuzz_repetitive(parts):
+    data = b"".join(parts)
+    assert snappy_decompress(snappy_compress(data)) == data
+
+
+# ------------------------------------------------------ JVM cross-checks
+
+
+def test_raw_matches_xerial_snappy(spark):
+    """Both directions vs snappy-java (bundled with Spark): its raw
+    blocks decode here; our raw blocks decode there."""
+    Snappy = spark.sparkContext._jvm.org.xerial.snappy.Snappy
+    for data in _corpus():
+        if not data:
+            continue  # xerial raw compress of empty is fine but trivial
+        theirs = bytes(Snappy.compress(data))
+        assert snappy_decompress(theirs) == data
+        ours = snappy_compress(data)
+        assert bytes(Snappy.uncompress(ours)) == data
+
+
+def _hadoop_codec(spark, cls_name):
+    jvm = spark.sparkContext._jvm
+    conf = jvm.org.apache.hadoop.conf.Configuration()
+    codec = getattr(jvm.org.apache.hadoop.io.compress, cls_name)()
+    codec.setConf(conf)
+    return jvm, codec
+
+
+def _jvm_codec_compress(jvm, codec, data: bytes) -> bytes:
+    baos = jvm.java.io.ByteArrayOutputStream()
+    out = codec.createOutputStream(baos)
+    out.write(data)
+    out.close()
+    return bytes(baos.toByteArray())
+
+
+def _jvm_codec_decompress(jvm, codec, data: bytes) -> bytes:
+    bais = jvm.java.io.ByteArrayInputStream(data)
+    inp = codec.createInputStream(bais)
+    return bytes(inp.readAllBytes())  # Java 9+; avoids py4j copy-back
+
+
+def test_framing_matches_hadoop_snappy_codec(spark):
+    """The exact byte format HBase writes for snappy HFile blocks:
+    Hadoop SnappyCodec streams decode here, ours decode there."""
+    jvm, codec = _hadoop_codec(spark, "SnappyCodec")
+    for data in _corpus():
+        if not data:
+            continue
+        theirs = _jvm_codec_compress(jvm, codec, data)
+        assert hadoop_block_decompress(theirs) == data
+        ours = hadoop_block_compress(data)
+        assert _jvm_codec_decompress(jvm, codec, ours) == data
+
+
+def test_framing_matches_hadoop_lz4_codec(spark):
+    """Same framing, lz4 chunks (HBase lz4 HFiles): Hadoop Lz4Codec
+    streams decode here via lz4_lite, and vice versa."""
+    from easy_sql_spark.sources.lz4_lite import (
+        lz4_block_compress,
+        lz4_block_decompress,
+    )
+
+    jvm, codec = _hadoop_codec(spark, "Lz4Codec")
+    for data in _corpus():
+        if not data:
+            continue
+        theirs = _jvm_codec_compress(jvm, codec, data)
+        assert (
+            hadoop_block_decompress(
+                theirs, chunk_codec=lz4_block_decompress
+            )
+            == data
+        )
+        ours = hadoop_block_compress(data, chunk_codec=lz4_block_compress)
+        assert _jvm_codec_decompress(jvm, codec, ours) == data
+
+
+# ------------------------------------------------- HFile integration
+
+
+def test_hfile_snappy_and_lz4_blocks_roundtrip():
+    from easy_sql_spark.sources.hfile_lite import (
+        read_hfile_kv,
+        write_hfile,
+    )
+
+    kvs = [
+        (b"k%06d" % i, b"value-%d" % i * (i % 5 + 1)) for i in range(500)
+    ]
+    for comp in ("snappy", "lz4"):
+        data = write_hfile(kvs, compression=comp, block_size=4096)
+        assert read_hfile_kv(data) == kvs
+
+
+def test_hfile_zstd_still_refuses_loudly():
+    from easy_sql_spark.sources.hfile_lite import (
+        HFileUnsupportedError,
+        read_hfile,
+        write_hfile,
+    )
+
+    data = bytearray(write_hfile([(b"k", b"v")], compression="none"))
+    # trailer compression ordinal lives in the protobuf tail; easiest
+    # honest check: the writer refuses zstd, and a trailer claiming
+    # zstd (ordinal 6) refuses on read
+    with pytest.raises(HFileUnsupportedError):
+        write_hfile([(b"k", b"v")], compression="zstd")
+    idx = bytes(data).rfind(bytes([0x60, 2]))  # field 12 varint, none(2)
+    assert idx != -1
+    data[idx + 1] = 6  # zstd ordinal
+    with pytest.raises(HFileUnsupportedError, match="zstd"):
+        read_hfile(bytes(data))
