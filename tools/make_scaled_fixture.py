@@ -76,7 +76,11 @@ def scale_fixture(src: str, k: int, out: str) -> None:
 
     for table, cols in KEY_COLS.items():
         base = pq.read_table(f"{src}/{table}.parquet")
-        replicas = []
+        # stream replicas straight to the writer: memory stays O(one
+        # replica) whatever k is (sf10 = k=100 would otherwise hold
+        # ~60M lineitem rows in arrow buffers at once)
+        writer = pq.ParquetWriter(f"{out}/{table}.parquet", base.schema)
+        n_rows = 0
         for i in range(k):
             t = base
             for col, domain in cols.items():
@@ -92,10 +96,10 @@ def scale_fixture(src: str, k: int, out: str) -> None:
                     t["text"], pa.scalar(f" r{i:02d}"), ""
                 )
                 t = t.set_column(idx, t.schema.field(idx), tagged)
-            replicas.append(t)
-        full = pa.concat_tables(replicas)
-        pq.write_table(full, f"{out}/{table}.parquet", row_group_size=131072)
-        print(f"{table}: {base.num_rows} -> {full.num_rows} rows")
+            writer.write_table(t, row_group_size=131072)
+            n_rows += t.num_rows
+        writer.close()
+        print(f"{table}: {base.num_rows} -> {n_rows} rows")
 
 
 if __name__ == "__main__":
