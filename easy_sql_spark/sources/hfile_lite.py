@@ -78,6 +78,11 @@ HEADER_SIZE = 33  # minor version >= 1 (with per-block checksums)
 COMPRESSION = {0: "lzo", 1: "gz", 2: "none", 3: "snappy", 4: "lz4",
                5: "bzip2", 6: "zstd"}
 
+# DataBlockEncoding ids (HBase DataBlockEncoding enum) — decoded only
+# to NAME the refusal; NONE-encoded blocks use the DATA_MAGIC path
+DATA_BLOCK_ENCODING = {0: "NONE", 2: "PREFIX", 4: "DIFF",
+                       8: "FAST_DIFF", 7: "ROW_INDEX_V1"}
+
 CHECKSUM_NULL, CHECKSUM_CRC32, CHECKSUM_CRC32C = 0, 1, 2
 
 KEYVALUE_TYPE_PUT = 4
@@ -448,8 +453,17 @@ def read_hfile(data: bytes) -> tuple[list[HFileCell], dict[bytes, bytes], HFileT
         if magic == DATA_MAGIC:
             cells.extend(_parse_cells(body, includes_mvcc))
         elif magic == ENCODED_DATA_MAGIC:
+            # refuse BY NAME: an encoded block's body leads with the
+            # 2-byte big-endian DataBlockEncoding id (HBase
+            # HFileDataBlockEncoderImpl), so the error can say which
+            # encoding the writer used instead of a generic shrug
+            enc_id = struct.unpack_from(">H", body, 0)[0] if len(body) >= 2 else -1
             raise HFileUnsupportedError(
-                "encoded data block (DATA_BLOCK_ENCODING != NONE)"
+                "encoded data block: DATA_BLOCK_ENCODING=%s (id %d) — "
+                "only NONE-encoded hfiles decode; rewrite with "
+                "hbase.io.encoding=NONE (Hudi metadata tables default "
+                "to NONE)" % (DATA_BLOCK_ENCODING.get(enc_id, "unknown"),
+                              enc_id)
             )
         elif magic in (LEAF_INDEX_MAGIC, BLOOM_CHUNK_MAGIC,
                        INTERMEDIATE_INDEX_MAGIC, META_MAGIC):

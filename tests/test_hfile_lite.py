@@ -235,8 +235,18 @@ def test_unsupported_codec_and_encoding_refuse_by_name():
     on_disk_data_with_header = struct.unpack_from(">ii", bytes(data), 25)[1]
     fixed = _chunk_checksum(CHECKSUM_CRC32C, bytes(data[:on_disk_data_with_header]))
     struct.pack_into(">I", data, on_disk_data_with_header, fixed)
-    with pytest.raises(HFileUnsupportedError, match="encoded"):
+    with pytest.raises(HFileUnsupportedError, match="DATA_BLOCK_ENCODING="):
         read_hfile(bytes(data))
+    # the refusal names the writer's encoding from the block body's
+    # 2-byte id (HBase DataBlockEncoding enum) — map pinned here so a
+    # future HBase id drift is a visible test change, not a silent
+    # "unknown"
+    from easy_sql_spark.sources.hfile_lite import DATA_BLOCK_ENCODING
+
+    assert DATA_BLOCK_ENCODING == {
+        0: "NONE", 2: "PREFIX", 4: "DIFF", 8: "FAST_DIFF",
+        7: "ROW_INDEX_V1",
+    }
 
 
 def test_v1_version_refused():

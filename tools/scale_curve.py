@@ -36,6 +36,11 @@ SF_DIRS = [
     ("0.1", "/root/testdata/sf0.1"),
     ("1", os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")),
 ]
+# optional 4th point (r12 ask #4): another order of magnitude for the
+# honest data-volume families.  Enabled only when the fixture env var
+# is set (tools/make_scaled_fixture.py sf0.1 x100 -> ~60M lineitem).
+if os.environ.get("SPARK_GRAFT_SF10_DIR"):
+    SF_DIRS.append(("10", os.environ["SPARK_GRAFT_SF10_DIR"]))
 
 #: family -> representative registry queries (write uses bench thunks)
 REPS = {
@@ -49,6 +54,7 @@ WRITE_REPS = ["write_zorder", "write_upsert_merge"]
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     from bench import write_benches
     from easy_sql_spark.queries import QUERIES
     from easy_sql_spark.session import build_session
@@ -68,6 +74,8 @@ def main() -> None:
     rows = []
     for fam, names in {**REPS, "write": WRITE_REPS}.items():
         for name in names:
+            if only is not None and name not in only:
+                continue
             medians = {}
             for sf, d in SF_DIRS:
                 if not os.path.isdir(d):
@@ -103,6 +111,11 @@ def main() -> None:
                 "exp_0.1_to_1": round(b2, 2),
                 "super_linear": b2 > 1.05,
             }
+            if "10" in medians:
+                b3 = math.log10(medians["10"] / medians["1"])
+                row["t_sf10"] = medians["10"]
+                row["exp_1_to_10"] = round(b3, 2)
+                row["super_linear"] = row["super_linear"] or b3 > 1.05
             rows.append(row)
             print(json.dumps(row), flush=True)
             print(
