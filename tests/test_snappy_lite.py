@@ -140,6 +140,20 @@ def test_framing_matches_hadoop_snappy_codec(spark):
         assert _jvm_codec_decompress(jvm, codec, ours) == data
 
 
+def test_framing_matches_hadoop_snappy_multiblock(spark):
+    """Force the JVM codec's internal buffer small so its stream carries
+    MULTIPLE framed blocks — the path our single-block-emitting encoder
+    never produces but real long streams contain."""
+    jvm = spark.sparkContext._jvm
+    conf = jvm.org.apache.hadoop.conf.Configuration()
+    conf.set("io.compression.codec.snappy.buffersize", "4096")
+    codec = jvm.org.apache.hadoop.io.compress.SnappyCodec()
+    codec.setConf(conf)
+    data = bytes(random.Random(11).randbytes(50_000)) + b"tail" * 5_000
+    theirs = _jvm_codec_compress(jvm, codec, data)
+    assert hadoop_block_decompress(theirs) == data
+
+
 def test_framing_matches_hadoop_lz4_codec(spark):
     """Same framing, lz4 chunks (HBase lz4 HFiles): Hadoop Lz4Codec
     streams decode here via lz4_lite, and vice versa."""
