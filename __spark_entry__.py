@@ -32,56 +32,55 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["a1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-#: Round-12 driver-window front: the one r12-CHANGED entry first
-#: (hudi_hfile_block_read now exercises the new snappy HFile codec),
-#: then ALL 27 entries whose last driver verdict is r8 vintage, then
-#: the 22 alphabetically-first r9-vintage entries — after this window
-#: no entry's last driver verdict is older than r9 (the r11 bar was
-#: r8).  Vintages computed from the union of CORRECTNESS_r01..r11.
-#: The driver samples the first 50 ``queries()`` entries.
-_ROUND12_FRONT = (
-    # changed in r12 (snappy-compressed HFILE payload):
-    "hudi_hfile_block_read",
-    # r8 vintage (all 27):
-    "a10_kmv_distinct", "data_mixture_weights",
-    "dedup_edit_distance_verify", "dedup_url_exact",
-    "delta_interop_read", "events_markov_transitions",
-    "events_resample_ffill", "f13_variant_json", "graph_pagerank",
-    "hudi_export_mor_roundtrip", "hudi_export_roundtrip",
-    "hudi_mor_interop_read", "iceberg_interop_read",
-    "seq_chunk_windows", "sim_recall_at_k", "snapshot_branch_lifecycle",
-    "snapshot_dv_delete", "snapshot_incremental_rollup", "text_bm25_topk",
-    "text_compression_ratio", "text_domain_rollup", "text_dsir_weights",
-    "text_fix_mojibake", "text_minhash_containment",
-    "text_repetition_signals", "text_url_canonicalize",
-    "tokenizer_oov_rate",
-    # r9 vintage (alphabetically first 22 of 49):
-    "a1_pricing_summary", "a2_global_agg", "a3_distinct_agg",
-    "a5_cube", "a5_grouping_sets", "a5_rollup", "a6_having",
-    "a7_percentiles", "a8_derived_moments", "events_funnel",
-    "f10_map_ops", "f11_struct_ops", "f1_string", "f2_datetime",
-    "f2b_date_arith", "f3_math", "f4_json", "f5_hash", "f6_array",
-    "f7_conversion", "f8_conditional", "f9_string_agg",
+#: Round-13 driver-window front: the one r13-CHANGED entry first
+#: (dedup_index_incremental — registry-entry fixed-overhead cut), then
+#: ALL 27 entries whose last driver verdict is r9 vintage, then the 22
+#: alphabetically-next r10-vintage entries — after this window no
+#: entry's last driver verdict is older than r10 (the r12 bar was r9).
+#: Vintages computed from the union of CORRECTNESS_r01..r12
+#: (r9×27, r10×50, r11×49, r12×50).  The driver samples the first 50
+#: ``queries()`` entries.
+_ROUND13_FRONT = (
+    # changed in r13 (commit-overhead cut; semantics oracle-pinned):
+    "dedup_index_incremental",
+    # r9 vintage (all 27):
+    "hudi_mor_kryo_delete_read", "hudi_mor_parquet_block_read",
+    "j1_inner_equi", "j2_left_outer", "j3_full_outer", "j4_semi_anti",
+    "j5_cross", "j6_broadcast", "j7_range_theta", "j8_nullsafe",
+    "q6_forecast_revenue", "s10_explode", "s11_pivot",
+    "s1_project_filter", "s2_topk", "s3_limit_offset", "s4_union_all",
+    "s5_union_distinct", "s6_intersect_except", "s7_cte",
+    "s8_correlated_subquery", "s9_values_inline", "sim_mmr_rerank",
+    "w1_ranking", "w2_analytic", "w3_framed", "w4_distribution",
+    # r10 vintage (alphabetically first 22 of the remaining 49):
+    "asof_events_orders", "contamination_ngram", "dedup_components",
+    "dedup_exact_groups", "dedup_exact_stats", "dedup_fingerprint",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_substring_spans", "emb_label_outliers", "emb_pca_project",
+    "events_sessionize_batch", "global_row_number_order",
+    "hudi_cdc_block_read", "iceberg_export_dv_partitioned",
+    "iceberg_v3_dv_read", "mm_decode_stats", "mm_exif_orientation",
+    "mm_frame_sample", "mm_hist_profile", "mm_image_ahash",
 )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    The driver's correctness gate samples the FIRST 50 entries.  Round-12
-    rotation: the r12-changed entry, then stalest-verdict entries
-    (``_ROUND12_FRONT``), then everything else newest-first.  An unknown
+    The driver's correctness gate samples the FIRST 50 entries.  Round-13
+    rotation: the r13-changed entry, then stalest-verdict entries
+    (``_ROUND13_FRONT``), then everything else newest-first.  An unknown
     front name RAISES — a typo'd or renamed entry must not silently skip
     its re-adjudication (VERDICT r8 "what's wrong" #3).
     tests/test_oracle_all.py stays authoritative over ALL entries."""
     from easy_sql_spark.queries import QUERIES
 
-    unknown = [k for k in _ROUND12_FRONT if k not in QUERIES]
+    unknown = [k for k in _ROUND13_FRONT if k not in QUERIES]
     if unknown:
         raise KeyError(
-            f"_ROUND12_FRONT names not in the query registry: {unknown}"
+            f"_ROUND13_FRONT names not in the query registry: {unknown}"
         )
-    front = {k: QUERIES[k] for k in _ROUND12_FRONT}
+    front = {k: QUERIES[k] for k in _ROUND13_FRONT}
     rest = {
         k: v
         for k, v in reversed(list(QUERIES.items()))

@@ -131,6 +131,51 @@ COMPACT_SUBSET = [
 ]
 
 
+def control_timings(spark, sf_dir) -> dict[str, float]:
+    """Two pinned CONTROL timings that never change round-over-round, so
+    a bench artifact carries its own environment evidence (VERDICT r12
+    "Next round" #1: the r10 and r12 driver benches both overstated
+    byte-identical code under host load, and each cost a round of
+    adjudication).  Both are single-shot on purpose — a control must
+    REFLECT instantaneous load, not average it away:
+
+    - ``ctl_pyworker_fold``: the Python/Arrow worker round-trip (the
+      same shape as the warmup) — sensitive to CPU contention on the
+      32 worker processes.
+    - ``ctl_scan_agg``: a pinned parquet scan + global agg over
+      lineitem — sensitive to IO + JVM scheduling pressure.
+
+    Reading a BENCH_r{N}: if the controls at start/end sit inside their
+    BENCH_LOCAL.md bands, query movement is code; if the controls are
+    inflated too, the run was load-contaminated and per-query deltas
+    are environmental.
+    """
+    import time as _t
+
+    timings = {}
+    t0 = _t.time()
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
+    timings["ctl_pyworker_fold"] = round(_t.time() - t0, 3)
+
+    from pyspark.sql import functions as F
+
+    t0 = _t.time()
+    (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        .agg(
+            F.sum("l_extendedprice").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    timings["ctl_scan_agg"] = round(_t.time() - t0, 3)
+    return timings
+
+
 def write_benches(spark, sf_dir):
     """The `write` family: output-step saves, the hottest op in a real ETL.
 
@@ -378,7 +423,10 @@ def main() -> None:
     # run-to-run timing variance (documented in VERDICT r1/r2), and the
     # minimum is the standard variance-robust estimator for "what the plan
     # costs" — regressions in BENCH_r{N} comparisons stay real, noise doesn't
-    runs = int(os.environ.get("BENCH_RUNS", "2"))
+    # 3 (was 2 through r12): min-of-runs only sheds noise if at least one
+    # run lands in a quiet window; with 2 runs a busy minute inflates the
+    # minimum permanently (BENCH_r10/r12 lesson)
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
 
     # bench-only variants run under their OWN names (a9's registry entry
     # runs the sketch in its EXACT regime for the oracle gate; the bench
@@ -410,6 +458,11 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # environment evidence (after warmup so controls measure load, not
+    # cold caches); repeated at the END so load arriving mid-run shows
+    loadavg_start = list(os.getloadavg())
+    controls_start = control_timings(spark, sf_dir)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         timings[name] = round(run(name), 3)
@@ -422,6 +475,14 @@ def main() -> None:
             fn()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+
+    controls_end = control_timings(spark, sf_dir)
+    loadavg_end = list(os.getloadavg())
+    controls = {"start": controls_start, "end": controls_end}
+    loadavg = {
+        "start": [round(x, 2) for x in loadavg_start],
+        "end": [round(x, 2) for x in loadavg_end],
+    }
 
     total = round(sum(timings.values()), 3)
     families = {
@@ -441,6 +502,9 @@ def main() -> None:
         "queries": timings,
         "families": families,
         "sf": sf_val,
+        "runs": runs,
+        "controls": controls,
+        "loadavg": loadavg,
     }
     # The harness that records this run keeps only the LAST ~2,000 chars
     # of stdout, and the full per-query dict is ~4k chars — so the full
@@ -460,6 +524,9 @@ def main() -> None:
         "queries": {k: timings[k] for k in COMPACT_SUBSET if k in timings},
         "families": families,
         "sf": sf_val,
+        "runs": runs,
+        "controls": controls,
+        "loadavg": loadavg,
         "full": "BENCH_FULL.json",
     }
     line = json.dumps(compact)

@@ -168,6 +168,46 @@ def _local_components(spark, rows, u_type) -> DataFrame:
 LOCAL_COMPONENT_EDGE_ROWS = 200_000
 
 
+def local_non_min_ids(
+    edges: DataFrame,
+    local_threshold: int = LOCAL_COMPONENT_EDGE_ROWS,
+) -> list | None:
+    """Driver-side shortcut for the commonest components CONSUMER: the
+    ids that are NOT their component's minimum (the "dropped" side of a
+    min-wins dedup).  ``edges`` may be ONE-directional (u < v pairs) —
+    union-find needs no symmetrization, unlike label propagation.
+
+    Returns the dropped ids as a plain list when the graph fits under
+    ``local_threshold`` edge rows (one bounded limit-collect job — the
+    same probe ``label_propagation_components`` runs), else ``None`` and
+    the caller takes the distributed path.  The payoff over collecting
+    ``label_propagation_components``'s local result frame: the caller
+    can apply a list this small as a NARROW ``isin`` filter over an
+    already-materialized frame — zero further Spark jobs — where a
+    label frame costs a broadcast-build job per consumer."""
+    head = edges.limit(
+        local_threshold + 1
+    ).collect()  # bounded-driver: ≤ local_threshold+1 narrow rows
+    if len(head) > local_threshold:
+        return None
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in head:
+        a, b = r["u"], r["v"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return [n for n in parent if find(n) != n]
+
+
 def label_propagation_components(
     edges: DataFrame,
     max_rounds: int = 20,

@@ -44,6 +44,38 @@ from ..runtime.snapshots import SnapshotTable
 _BAND_COLS = ["doc_id", "band_id", "band"]
 
 
+def _local_bucket_drops(rows) -> list:
+    """Driver-side intra-batch clustering over a COLLECTED band table:
+    union-find where every (band_id, band) bucket's members join one
+    component, keep the min doc_id per component, return the rest.
+
+    Component-identical to ``_lsh_capped_pairs`` + connected components
+    (two docs are connected iff they share a bucket, transitively — the
+    pair expansion and its star cap only exist to materialize that
+    relation as distributed edges), and union-find attaches the larger
+    root under the smaller, so every root is its component's minimum —
+    the same min-wins admission the distributed path computes."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    first: dict = {}
+    for r in rows:
+        d = r["doc_id"]
+        k = (r["band_id"], r["band"])
+        parent.setdefault(d, d)
+        anchor = first.setdefault(k, d)
+        if anchor != d:
+            ra, rb = find(anchor), find(d)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    return [n for n in parent if find(n) != n]
+
+
 class MinHashDedupIndex:
     """Persistent LSH band index at a snapshot-table root."""
 
@@ -80,6 +112,13 @@ class MinHashDedupIndex:
         #: :meth:`deferred_commits`, flushed as one snapshot commit
         self._pending: list[tuple[int | None, DataFrame]] = []
         self._defer = False
+        #: admitted (band_id, band) keys of the pending deferred batches
+        #: — maintained while EVERY pending batch took the local ingest
+        #: path, so later small batches can probe pending admissions on
+        #: the driver instead of broadcasting the pending frames; None
+        #: once any pending batch went distributed (keys unknowable
+        #: without a job) or outside deferred mode
+        self._pending_local_keys: set | None = None
         #: conservative upper bound on pending band ROWS (each deferred
         #: ingest adds its pre-probe band-row count — free, already
         #: computed for partition sizing); feeds the probe's broadcast
@@ -110,6 +149,13 @@ class MinHashDedupIndex:
     #: 64-bit band hash, compressed-parquet scale — the same units as
     #: SMALL_INDEX_BYTES) for the pending-size estimate above
     PENDING_BAND_ROW_BYTES = 64
+
+    #: dropped-id lists at/below this ride an ``isin`` literal in the
+    #: admitted filter (narrow — zero extra jobs, and in deferred mode
+    #: no per-batch checkpoint); larger local results build a driver
+    #: frame and broadcast-anti-join instead (a 100k-literal predicate
+    #: bloats the plan tree and codegen far past the join's cost)
+    ISIN_DROP_MAX = 4096
 
     def _index_bytes(self) -> int:
         """On-disk size of the live index dirs — a PURE manifest-metadata
@@ -235,13 +281,14 @@ class MinHashDedupIndex:
         )
         pending_est = self._pending_rows * self.PENDING_BAND_ROW_BYTES
         if committed + pending_est <= self.SMALL_INDEX_BYTES:
-            return (
-                bands.join(
-                    F.broadcast(view), ["band_id", "band"], "left_semi"
-                )
-                .select("doc_id")
-                .distinct()
-            )
+            # no distinct on the hit ids: the only consumer is a
+            # left_anti join, which is duplicate-insensitive on its
+            # build side — the dedup exchange was one AQE stage job per
+            # ingest of pure scheduler constant (r13), and the
+            # duplicated build rows are bounded by the batch band table
+            return bands.join(
+                F.broadcast(view), ["band_id", "band"], "left_semi"
+            ).select("doc_id")
         return self._probe_hits_scale(bands, view)
 
     def _probe_hits_scale(
@@ -271,11 +318,11 @@ class MinHashDedupIndex:
             .select("band_id", "band")
             .distinct()
         )
-        return (
-            bands.join(F.broadcast(present), ["band_id", "band"], "left_semi")
-            .select("doc_id")
-            .distinct()
-        )
+        # no final distinct — the anti-join consumer is duplicate-
+        # insensitive (see _probe_hits) and the rows are batch-bounded
+        return bands.join(
+            F.broadcast(present), ["band_id", "band"], "left_semi"
+        ).select("doc_id")
 
     @contextlib.contextmanager
     def deferred_commits(self):
@@ -295,6 +342,7 @@ class MinHashDedupIndex:
         if self._defer:
             raise RuntimeError("deferred_commits() does not nest")
         self._defer = True
+        self._pending_local_keys = set()
         try:
             yield self
             self.flush()
@@ -302,6 +350,7 @@ class MinHashDedupIndex:
             self._defer = False
             self._pending.clear()
             self._pending_rows = 0
+            self._pending_local_keys = None
 
     def flush(self) -> None:
         """Commit all pending deferred batches as one snapshot version.
@@ -322,6 +371,8 @@ class MinHashDedupIndex:
             if last is not None and last >= bids[-1]:
                 self._pending.clear()
                 self._pending_rows = 0
+                if self._defer:
+                    self._pending_local_keys = set()
                 return  # full replay of an already-committed range
             extra = {
                 "batch_id": bids[-1],
@@ -334,6 +385,10 @@ class MinHashDedupIndex:
             self.table.append(union, extra=extra)
         self._pending.clear()
         self._pending_rows = 0
+        if self._defer:
+            # flushed mid-context: pending admissions are committed now,
+            # so later batches probe them via the committed index
+            self._pending_local_keys = set()
 
     def ingest(
         self,
@@ -356,8 +411,7 @@ class MinHashDedupIndex:
         whole load ONCE, slice the band table per batch, and each
         ingest skips the per-batch signature job.  Signatures are
         per-row, so slicing cannot change admission semantics."""
-        from ..queries.llm_ops import _lsh_capped_pairs
-        from .components import label_propagation_components
+        from .components import LOCAL_COMPONENT_EDGE_ROWS
 
         # Replay guard FIRST — before any probe.  On a checkpoint-restart
         # replay AFTER this batch's index commit already landed (crash
@@ -429,52 +483,43 @@ class MinHashDedupIndex:
         target = max(1, -(-n_band_rows // self.BAND_ROWS_PER_PARTITION))
         bands = bands.coalesce(target)
 
-        view = self._index_view()
-        if view is not None:
-            hit_ids = self._probe_hits(bands, view)
-            surv_bands = bands.join(hit_ids, "doc_id", "left_anti")
+        # LOCAL fast path (r13): a batch whose band table fits on the
+        # driver — the daily-ingest norm — runs the ENTIRE admission
+        # (probe + intra-batch clustering) over one bounded collect:
+        # ~1 Spark job per ingest instead of the distributed shape's
+        # 4-6, which at daily-batch sizes are pure scheduler constant
+        # (the job durations sum to <1s of a 3.4s lifecycle; the rest
+        # was driver-side planning between jobs).  Requires the pending
+        # admitted band keys to be driver-known when batches are
+        # deferred (``_pending_local_keys`` — maintained while every
+        # pending batch took this path); a committed index of any size
+        # is still probed DISTRIBUTED via ``_probe_hits`` (the index is
+        # never collected, only the batch-bounded hit ids are).
+        local_path = n_band_rows <= LOCAL_COMPONENT_EDGE_ROWS and (
+            not self._pending or self._pending_local_keys is not None
+        )
+        if local_path:
+            admitted_bands, defer_needs_ckpt = self._ingest_local(bands)
         else:
-            surv_bands = bands
-        # the ONE materialization of the survivor band table, shared by
-        # every downstream consumer (LSH self-join, component edges, the
-        # admitted frame, the returned ids).  Without it each consumer
-        # re-derives the probe anti-join — re-reading the INDEX parquet
-        # per consumer (measured 0.4-1.3 s/batch of repeated index scans
-        # when this was left lazy); with it the index is read once per
-        # ingest, which is the module's O(batch + matched bands) claim.
-        surv_bands = surv_bands.localCheckpoint(eager=True)
-
-        # intra-batch near-dup clustering among survivors;
-        # pre_materialized: surv_bands IS the checkpoint, so the pairs
-        # helper skips its own (formerly duplicate) materialization
-        pairs = _lsh_capped_pairs(surv_bands, pre_materialized=True)
-        edges = pairs.selectExpr("doc_a as u", "doc_b as v").unionAll(
-            pairs.selectExpr("doc_b as u", "doc_a as v")
-        )
-        labels = label_propagation_components(edges, max_rounds=20)
-        dropped = labels.where(F.col("label") < F.col("u")).select(
-            F.col("u").alias("doc_id")
-        )
-        # NO checkpoint here: both consumers (the commit write and the
-        # returned-ids frame) derive it narrowly from the surv_bands
-        # cache plus the tiny ``dropped`` side — re-deriving is cheaper
-        # than a materialization barrier, and stability is inherited
-        # from the immutable checkpoint blocks (r7's read-back variant
-        # re-scanned the committed parquet and was rejected on
-        # measurement; this keeps its stability argument without the
-        # extra job)
-        admitted_bands = surv_bands.join(dropped, "doc_id", "left_anti")
+            admitted_bands, defer_needs_ckpt = self._ingest_distributed(
+                bands, n_band_rows
+            )
+            if self._defer:
+                # a distributed batch's admitted keys are not driver-
+                # known: later deferred batches must probe the pending
+                # frames through _index_view, not the local key set
+                self._pending_local_keys = None
 
         if self._defer:
-            # DEFERRED mode gets an eager checkpoint after all: a pending
-            # frame is evaluated by every later batch's probe view, the
-            # flush write AND the returned-ids union — left lazy, each of
-            # those re-runs the anti-join (a broadcast-build job per
-            # consumer; measured +4-7 jobs per lifecycle).  One ckpt job
-            # per batch makes every later consumer a cache read.  The
-            # non-deferred path keeps the lazy shape (single consumer
-            # pair, the r7 measurement stands).
-            admitted_bands = admitted_bands.localCheckpoint(eager=True)
+            if defer_needs_ckpt:
+                # a JOIN-shaped pending frame is evaluated by every
+                # later batch's probe view, the flush write AND the
+                # returned-ids union — left lazy, each re-runs the
+                # anti-join (a broadcast-build job per consumer;
+                # measured +4-7 jobs per lifecycle), so checkpoint it
+                # once.  ``isin``-filtered frames skip this: consumers
+                # re-apply a narrow predicate over cached blocks free.
+                admitted_bands = admitted_bands.localCheckpoint(eager=True)
             self._pending.append(
                 (None if batch_id is None else int(batch_id), admitted_bands)
             )
@@ -505,12 +550,156 @@ class MinHashDedupIndex:
         bandless = docs.select("doc_id").join(
             bands.select("doc_id").distinct(), "doc_id", "left_anti"
         )
+        # distinct WITHOUT a dedup exchange: admitted_bands carries
+        # exactly one row per (doc, band_id) — minhash_bands posexplodes
+        # every band_id from the doc's single signature row, and every
+        # drop above filters whole doc_ids — so band_id = 0 selects
+        # each admitted doc exactly once as a narrow filter
         return (
-            admitted_bands.select("doc_id")
-            .distinct()
+            admitted_bands.where(F.col("band_id") == 0)
+            .select("doc_id")
             .unionByName(bandless)
         )
 
+    def _ingest_local(self, bands: DataFrame):
+        """Driver-side admission of one small batch (see ``ingest``).
+
+        Collects the batch band table ONCE (bounded by the caller's
+        ``n_band_rows ≤ LOCAL_COMPONENT_EDGE_ROWS`` guard; the collect
+        doubles as the materializing action of the lazy checkpoint, so
+        later consumers of the returned frame read cached blocks), then:
+
+        - committed-index probe: DISTRIBUTED (``_probe_hits`` — the
+          index is never collected); only the batch-bounded hit ids
+          come back to the driver;
+        - pending-batch probe: against ``_pending_local_keys``, the
+          driver-held admitted band keys of earlier deferred batches;
+        - intra-batch clustering: ``_local_bucket_drops`` union-find.
+
+        Returns ``(admitted_bands, defer_needs_ckpt)``; the admitted
+        frame is a narrow ``isin`` filter over the checkpointed bands
+        whenever the dropped set fits plan literals."""
+        bands = bands.localCheckpoint(eager=False)
+        rows = bands.collect()  # bounded-driver: ≤ n_band_rows narrow rows
+        hit: set = set()
+        if self.table.latest_version():
+            committed = self.table.read().select(*_BAND_COLS)
+            hit = {
+                r["doc_id"]
+                for r in self._probe_hits(
+                    bands, committed
+                ).collect()  # bounded-driver: hit rows ⊆ batch band rows
+            }
+        if self._pending_local_keys:
+            hit |= {
+                r["doc_id"]
+                for r in rows
+                if (r["band_id"], r["band"]) in self._pending_local_keys
+            }
+        drops = _local_bucket_drops(
+            [r for r in rows if r["doc_id"] not in hit]
+        )
+        bad = hit.union(drops)
+        needs_ckpt = False
+        if not bad:
+            admitted_bands = bands
+        elif len(bad) <= self.ISIN_DROP_MAX:
+            admitted_bands = bands.where(
+                ~F.col("doc_id").isin(sorted(bad))
+            )
+        else:
+            dropped = self.spark.createDataFrame(
+                [(d,) for d in sorted(bad)],
+                bands.select("doc_id").schema,
+            )
+            admitted_bands = bands.join(
+                F.broadcast(dropped), "doc_id", "left_anti"
+            )
+            needs_ckpt = True
+        if self._defer and self._pending_local_keys is not None:
+            self._pending_local_keys |= {
+                (r["band_id"], r["band"])
+                for r in rows
+                if r["doc_id"] not in bad
+            }
+        return admitted_bands, needs_ckpt
+
+    def _ingest_distributed(self, bands: DataFrame, n_band_rows: int):
+        """Cluster-side admission of one batch (see ``ingest``): the
+        index/pending probe as anti-join over ``_index_view``, then
+        intra-batch clustering in the cheapest regime that fits —
+        pair-graph union-find on the driver (``local_non_min_ids``,
+        one bounded limit-collect) or full distributed label
+        propagation.  Returns ``(admitted_bands, defer_needs_ckpt)``."""
+        from ..queries.llm_ops import _lsh_capped_pairs
+        from .components import (
+            label_propagation_components,
+            local_non_min_ids,
+        )
+
+        view = self._index_view()
+        if view is not None:
+            hit_ids = self._probe_hits(bands, view)
+            surv_bands = bands.join(hit_ids, "doc_id", "left_anti")
+        else:
+            surv_bands = bands
+        # the ONE materialization of the survivor band table, shared by
+        # every downstream consumer (LSH self-join, component edges, the
+        # admitted frame, the returned ids).  Without it each consumer
+        # re-derives the probe anti-join — re-reading the INDEX parquet
+        # per consumer (measured 0.4-1.3 s/batch of repeated index scans
+        # when this was left lazy); with it the index is read once per
+        # ingest, which is the module's O(batch + matched bands) claim.
+        surv_bands = surv_bands.localCheckpoint(eager=True)
+
+        pairs = _lsh_capped_pairs(surv_bands, pre_materialized=True)
+        dropped_ids = local_non_min_ids(
+            pairs.selectExpr("doc_a as u", "doc_b as v")
+        )
+        if dropped_ids is not None and len(dropped_ids) <= self.ISIN_DROP_MAX:
+            return (
+                surv_bands.where(~F.col("doc_id").isin(sorted(dropped_ids)))
+                if dropped_ids
+                else surv_bands
+            ), False
+        if dropped_ids is not None:
+            # local result but too many ids for plan literals: one
+            # broadcast anti-join against a driver-built frame
+            dropped = self.spark.createDataFrame(
+                [(d,) for d in sorted(dropped_ids)],
+                surv_bands.select("doc_id").schema,
+            )
+            return surv_bands.join(
+                F.broadcast(dropped), "doc_id", "left_anti"
+            ), True
+        edges = pairs.selectExpr("doc_a as u", "doc_b as v").unionAll(
+            pairs.selectExpr("doc_b as u", "doc_a as v")
+        )
+        labels = label_propagation_components(
+            edges, max_rounds=20, local_threshold=None
+        )
+        dropped = labels.where(F.col("label") < F.col("u")).select(
+            F.col("u").alias("doc_id")
+        )
+        # NO checkpoint here: both consumers (the commit write and the
+        # returned-ids frame) derive it narrowly from the surv_bands
+        # cache plus the tiny ``dropped`` side — re-deriving is cheaper
+        # than a materialization barrier, and stability is inherited
+        # from the immutable checkpoint blocks (r7's read-back variant
+        # re-scanned the committed parquet and was rejected on
+        # measurement; this keeps its stability argument without the
+        # extra job)
+        return surv_bands.join(dropped, "doc_id", "left_anti"), True
+
     def indexed_docs(self) -> DataFrame:
-        """doc_ids currently in the index (latest version)."""
-        return self.table.read().select("doc_id").distinct()
+        """doc_ids currently in the index (latest version), distinct.
+
+        Distinct WITHOUT a dedup exchange: the band table carries
+        exactly one row per (doc, band_id) — ``minhash_bands``
+        posexplodes every band_id from the doc's single signature row,
+        and admission filters by whole doc_id — so ``band_id = 0``
+        selects each indexed doc exactly once as a narrow filter the
+        parquet scan can push down."""
+        return (
+            self.table.read().where(F.col("band_id") == 0).select("doc_id")
+        )

@@ -72,7 +72,13 @@ def _part_values_from_path(rel_path: str) -> dict:
     without extendedFileMetadata (legal per the Delta PROTOCOL.md) has
     no partitionValues field; most writers still lay files out
     hive-style, so the path carries them.  Values are path-unescaped;
-    ``__HIVE_DEFAULT_PARTITION__`` is the null sentinel."""
+    ``__HIVE_DEFAULT_PARTITION__`` is the null sentinel.
+
+    Paths are assumed Hive-escaped (Spark/Hive ``escapePathName``
+    always %-escapes ``%`` itself): a literal ``%`` in a partition
+    value must arrive as ``%25``.  A non-escaping foreign writer whose
+    raw value contains ``%`` followed by hex digits would be
+    mis-decoded here — out of contract (ADVICE r12)."""
     from urllib.parse import unquote
 
     out: dict = {}
@@ -235,10 +241,21 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
                     )
                 pvals = dict(action.get("partitionValues") or {})
                 if self._part_cols and not pvals:
-                    # a remove written without extendedFileMetadata is
-                    # legal per the Delta protocol and carries no
-                    # partitionValues; recover them from the hive-style
-                    # path rather than streaming NULL partition columns
+                    # ONLY a remove written without extendedFileMetadata
+                    # is legal per the Delta protocol without
+                    # partitionValues; add/cdc actions on a partitioned
+                    # table MUST carry them, so a missing dict there is
+                    # a malformed writer — refuse loudly instead of
+                    # silently recovering from the path (ADVICE r12)
+                    if kind != "delete":
+                        raise ValueError(
+                            f"commit {v} {kind} action for "
+                            f"{action['path']} carries no partitionValues "
+                            "on a partitioned table; the Delta protocol "
+                            "only permits the omission for remove "
+                            "actions without extendedFileMetadata — "
+                            "malformed writer, refusing to guess"
+                        )
                     pvals = _part_values_from_path(action["path"])
                     missing = [
                         c for c in self._part_cols

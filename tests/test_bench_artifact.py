@@ -37,6 +37,10 @@ def test_compact_bench_line_fits_harness_tail_window():
     # silently drop out of the driver artifact)
     missing = [k for k in bench.COMPACT_SUBSET if k not in timings]
     assert not missing, missing
+    # worst-case environment-evidence fields (r13: the artifact carries
+    # its own load controls so a judge can adjudicate environment vs
+    # code from the JSON alone)
+    ctl = {"ctl_pyworker_fold": 9999.999, "ctl_scan_agg": 9999.999}
     compact = {
         "metric": "headline_queries_total_wall",
         "value": 99999.999,
@@ -44,11 +48,15 @@ def test_compact_bench_line_fits_harness_tail_window():
         "queries": {k: timings[k] for k in bench.COMPACT_SUBSET},
         "families": families,
         "sf": 0.1,
+        "runs": 3,
+        "controls": {"start": ctl, "end": ctl},
+        "loadavg": {"start": [99.99] * 3, "end": [99.99] * 3},
         "full": "BENCH_FULL.json",
     }
     line = json.dumps(compact)
     assert len(line) <= 1900, len(line)
     assert json.loads(line)["queries"]["dedup_index_incremental"]
+    assert json.loads(line)["controls"]["end"]["ctl_scan_agg"]
 
 
 def test_headline_families_consistent():

@@ -255,3 +255,30 @@ def test_delta_cdf_remove_without_partition_values(spark, tmp_path):
     out2, ckpt2 = tmp_path / "o2", tmp_path / "c2"
     with pytest.raises(Exception, match="partitionValues"):
         _drain(spark, t2, out2, ckpt2, starting_version=0)
+
+
+def test_delta_cdf_add_without_partition_values_refuses(spark, tmp_path):
+    """An `add` (or cdc) action on a partitioned table MUST carry
+    partitionValues per the Delta protocol — only a bare `remove`
+    without extendedFileMetadata may omit them.  Recovering an add's
+    values from the path would silently mask a malformed writer, so
+    the source refuses loudly instead (ADVICE r12)."""
+    import pytest
+
+    spark.dataSource.register(DeltaChangeFeedDataSource)
+    t = str(tmp_path / "dta")
+    # hive-style path, so path recovery WOULD succeed if attempted —
+    # the refusal must fire on the action kind, not on path shape
+    _write_data(spark, t, "p=a/f1.parquet", [(1, "x")])
+    _commit(t, 0, [
+        {"commitInfo": {"operation": "CREATE", "timestamp": 500}},
+        _meta(),
+    ])
+    _commit(t, 1, [
+        {"commitInfo": {"operation": "WRITE", "timestamp": 1000}},
+        {"add": {"path": "p=a/f1.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 1, "dataChange": True}},
+    ])
+    out, ckpt = tmp_path / "o", tmp_path / "c"
+    with pytest.raises(Exception, match="malformed writer"):
+        _drain(spark, t, out, ckpt, starting_version=0)

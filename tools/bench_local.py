@@ -29,7 +29,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import HEADLINE, write_benches  # noqa: E402  (driver workload)
+from bench import (  # noqa: E402  (driver workload)
+    HEADLINE,
+    control_timings,
+    write_benches,
+)
 
 
 def main() -> None:
@@ -65,6 +69,13 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     samples: dict[str, list[float]] = {}
+    # the two bench.py controls FIRST: their bands are what makes a
+    # BENCH_r{N} self-adjudicating (controls inside band = quiet run;
+    # controls inflated = environmental, per-query deltas suspect)
+    ctl_samples: dict[str, list[float]] = {}
+    for _ in range(n):
+        for cname, secs in control_timings(spark, sf_dir).items():
+            ctl_samples.setdefault(cname, []).append(secs)
     for name in HEADLINE:
         fn = bench_variants.get(name) or QUERIES[name]
         samples[name] = [
@@ -91,6 +102,22 @@ def main() -> None:
         "(bench.py HEADLINE + write benches).  `median ± IQR` is the noise",
         "band: a BENCH_r{N} value outside it is real movement.  bench.py",
         "itself reports min-of-runs; `min` here is directly comparable.",
+        "",
+        "**Control bands** (bench.py `control_timings`; a BENCH_r{N}'s",
+        "`controls.start`/`controls.end` outside these bands means the run",
+        "was load-contaminated and its per-query deltas are environmental):",
+        "",
+        "| control | median (s) | IQR (s) | min (s) | max (s) |",
+        "|---|---|---|---|---|",
+    ]
+    for name, ts in ctl_samples.items():
+        med = statistics.median(ts)
+        qs = statistics.quantiles(ts, n=4) if len(ts) >= 2 else [ts[0]] * 3
+        lines.append(
+            f"| {name} | {med:.3f} | {qs[2] - qs[0]:.3f} "
+            f"| {min(ts):.3f} | {max(ts):.3f} |"
+        )
+    lines += [
         "",
         "| query | median (s) | IQR (s) | min (s) |",
         "|---|---|---|---|",
