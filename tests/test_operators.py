@@ -417,3 +417,123 @@ def test_iter_checkpoint_reliable_mode(spark, tmp_path):
             sc._jvm.scala.Option.apply(None)
         )
         assert not sc.getCheckpointDir()
+
+
+def test_local_non_min_ids_matches_union_find(spark):
+    """r13: the driver-side dropped-id shortcut must agree with the
+    distributed component labeling — random one-directional pair lists
+    cross-checked against union-find, plus the over-threshold None."""
+    import random
+
+    from easy_sql_spark.operators.components import local_non_min_ids
+
+    rng = random.Random(13)
+    edges = [
+        (rng.randrange(200), rng.randrange(200)) for _ in range(150)
+    ]
+    edges = [(min(a, b), max(a, b)) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "u long, v long")
+    labels = _union_find_labels(edges)
+    want = sorted(n for n, lab in labels.items() if lab != n)
+    got = local_non_min_ids(df)
+    assert got is not None and sorted(got) == want
+    # over the threshold: the caller must take the distributed path
+    assert local_non_min_ids(df, local_threshold=10) is None
+
+
+def test_local_bucket_drops_matches_pair_expansion():
+    """r13: union-find over band buckets (dedup_index's fully-local
+    clustering) is component-identical to the capped pair expansion +
+    components — random band tables cross-checked against union-find
+    over the expanded pair list.  Pure Python, no session."""
+    import random
+
+    from pyspark.sql import Row
+
+    from easy_sql_spark.operators.dedup_index import _local_bucket_drops
+
+    rng = random.Random(131)
+    for trial in range(20):
+        rows = [
+            Row(doc_id=rng.randrange(40), band_id=rng.randrange(2),
+                band=f"b{rng.randrange(12)}")
+            for _ in range(rng.randrange(0, 60))
+        ]
+        # expand every bucket pairwise, union-find the pairs
+        buckets: dict = {}
+        for r in rows:
+            buckets.setdefault((r.band_id, r.band), set()).add(r.doc_id)
+        pairs = [
+            (a, b)
+            for members in buckets.values()
+            for a in members
+            for b in members
+            if a < b
+        ]
+        labels = _union_find_labels(pairs)
+        # docs with bands but no partner are their own component min
+        for r in rows:
+            labels.setdefault(r.doc_id, r.doc_id)
+        want = sorted(n for n, lab in labels.items() if lab != n)
+        assert sorted(_local_bucket_drops(rows)) == want, f"trial {trial}"
+
+
+def test_dedup_index_local_keys_invalidation(spark, tmp_path):
+    """r13: under deferred_commits the driver-held pending band keys are
+    only trusted while EVERY pending batch took the local path — a
+    distributed batch invalidates them (later batches must probe the
+    pending frames), and a mid-context flush resets them (admissions
+    now committed).  Admission results must be identical either way."""
+    from pyspark.sql import functions as F
+
+    from easy_sql_spark.operators.dedup_index import MinHashDedupIndex
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "an entirely different document about spark shuffle planning",
+        "completely novel content never seen before in this corpus",
+    ]
+    docs = spark.createDataFrame(
+        [(i, texts[(i - 1) % 3]) for i in range(1, 7)],
+        "doc_id long, text string",
+    )
+
+    def admitted_ids(idx):
+        with idx.deferred_commits():
+            out = []
+            for lo, hi in ((0, 3), (3, 6)):
+                adm = idx.ingest(
+                    docs.where(
+                        (F.col("doc_id") > lo) & (F.col("doc_id") <= hi)
+                    )
+                )
+                out.append(adm)
+            rows = sorted(
+                r.doc_id
+                for frame in out
+                for r in frame.collect()
+            )
+            assert idx._pending_local_keys, "local path did not engage"
+        return rows
+
+    idx_local = MinHashDedupIndex(spark, str(tmp_path / "loc"))
+    local_result = admitted_ids(idx_local)
+    # doc 1/2/3 define the three texts; 4/5/6 are exact dups -> rejected
+    assert local_result == [1, 2, 3]
+
+    # force the distributed path for batch 1 by dropping the band-row
+    # threshold, then verify keys invalidate and batch 2 still admits
+    # identically through the _index_view probe
+    import easy_sql_spark.operators.components as comps
+
+    idx_dist = MinHashDedupIndex(spark, str(tmp_path / "dist"))
+    orig = comps.LOCAL_COMPONENT_EDGE_ROWS
+    with idx_dist.deferred_commits():
+        try:
+            comps.LOCAL_COMPONENT_EDGE_ROWS = 0
+            idx_dist.ingest(docs.where(F.col("doc_id") <= 3))
+            assert idx_dist._pending_local_keys is None
+        finally:
+            comps.LOCAL_COMPONENT_EDGE_ROWS = orig
+        adm2 = idx_dist.ingest(docs.where(F.col("doc_id") > 3))
+        assert sorted(r.doc_id for r in adm2.collect()) == []

@@ -10,9 +10,31 @@ query/operator source.
 import contextlib
 import io
 
+import pytest
+
 from easy_sql_spark.queries import QUERIES
 
 SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def query_plans(spark):
+    """(schema, formatted plan) for every registry query, built ONCE.
+
+    Construction is the expensive part — lifecycle queries (snapshot
+    tables, index ingests) run real fixture jobs before returning their
+    frame — and r12's suite paid it twice (plan sweep + schema sweep,
+    ~86 s each).  One shared pass restores the schema test to the
+    "schema-only, seconds" cost its docstring claims and halves this
+    module's wall time; every assertion below is unchanged."""
+    plans = {}
+    for name, fn in QUERIES.items():
+        df = fn(spark, SF)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plans[name] = (df.schema, buf.getvalue())
+    return plans
 
 # BroadcastNestedLoopJoin is the CORRECT plan exactly here:
 BNLJ_OK = {
@@ -34,13 +56,9 @@ BNLJ_OK = {
 }
 
 
-def test_no_cartesian_or_unexpected_bnlj_anywhere(spark):
+def test_no_cartesian_or_unexpected_bnlj_anywhere(query_plans):
     flagged = {}
-    for name, fn in QUERIES.items():
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            fn(spark, SF).explain("formatted")
-        plan = buf.getvalue()
+    for name, (_schema, plan) in query_plans.items():
         if "CartesianProduct" in plan:
             flagged[name] = "CartesianProduct"
         elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
@@ -48,31 +66,27 @@ def test_no_cartesian_or_unexpected_bnlj_anywhere(spark):
     assert not flagged, f"scale-killing plans: {flagged}"
 
 
-def test_every_query_schema_is_atomic(spark):
+def test_every_query_schema_is_atomic(query_plans):
     """Driver-canon contract: no query's FINAL schema may contain a
     top-level Array/Map/Struct column — the driver's correctness gate
     sorts result cells with pandas and crashes on them
     (CORRECTNESS_r06: sim_quantize_int8, `unhashable type: 'list'`).
-    Flatten with array_join / to_json per the f6_array convention.
-    Schema-only (lazy), so this sweeps all ~160 queries in seconds."""
+    Flatten with array_join / to_json per the f6_array convention."""
     from tools.check_queries import nonatomic_columns
 
     flagged = {
         name: bad
-        for name, fn in QUERIES.items()
-        if (bad := nonatomic_columns(fn(spark, SF).schema))
+        for name, (schema, _plan) in query_plans.items()
+        if (bad := nonatomic_columns(schema))
     }
     assert not flagged, f"non-atomic output columns: {flagged}"
 
 
-def test_bnlj_whitelist_is_not_stale(spark):
+def test_bnlj_whitelist_is_not_stale(query_plans):
     """Every whitelisted query must still NEED its entry — a stale
     whitelist hides a future regression behind an old exemption."""
     for name in sorted(BNLJ_OK):
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            QUERIES[name](spark, SF).explain("formatted")
-        assert "BroadcastNestedLoopJoin" in buf.getvalue(), (
+        assert "BroadcastNestedLoopJoin" in query_plans[name][1], (
             f"{name} no longer produces a BNLJ; drop it from BNLJ_OK"
         )
 

@@ -2,12 +2,18 @@
 (r11 verdict ask #1): randomized lifecycles for ``snapshot_cdf``,
 ``hudi_cdc`` and ``delta_cdf`` — random source-table commit sequences,
 random backlog caps (changing across restarts), random kill points
-(a checkpointed restart between every drain; plus simulated crashes
-*after the sink commit but before the source checkpoint commit*, by
-deleting the newest ``commits/<batchId>`` file so the engine replays
-the batch), interleaved maintenance (compaction / vacuum for the
-snapshot source; inflight instants for Hudi) — asserted EXACTLY-ONCE
-against a pure-Python replay model.
+(a checkpointed restart between every drain; plus three simulated
+crash shapes: *after the sink commit but before the source checkpoint
+commit* — newest ``commits/<batchId>`` deleted so the engine replays
+the batch against a sink that already has it; *after the source
+offsets commit but before the sink finalizes* (r12 ask #6) — newest
+``commits/<id>`` AND sink ``_spark_metadata/<id>`` deleted, orphan
+part files left behind, so the replay must re-commit exactly one copy;
+and *mid-write* — a truncated never-committed part file planted in the
+sink dir, which the metadata-log reader must keep ignoring),
+interleaved maintenance (compaction / vacuum for the snapshot source;
+inflight instants for Hudi) — asserted EXACTLY-ONCE against a
+pure-Python replay model.
 
 The model never trusts the source's batching behavior: executed batch
 windows are recovered from the checkpoint's ``offsets/`` files (the
@@ -82,6 +88,57 @@ def _crash_before_source_commit(ckpt):
     crc = os.path.join(d, f".{ids[0]}.crc")
     if os.path.exists(crc):
         os.remove(crc)
+    return True
+
+
+def _crash_before_sink_finalize(out, ckpt):
+    """Simulate a crash AFTER the source offsets commit but BEFORE the
+    sink finalizes the batch (r12 verdict ask #6): ``offsets/<id>`` is
+    on disk, the batch's part files may be too, but neither the sink's
+    ``_spark_metadata/<id>`` entry nor the engine's ``commits/<id>``
+    exists.  Manufactured from a completed batch by deleting BOTH
+    trailing records; the already-written part files are left behind
+    exactly as a real crash leaves them — orphans invisible to the
+    metadata-log reader.  On restart the engine replays the batch from
+    the surviving offsets: the source must reproduce the window and the
+    sink must commit exactly one copy (the replay's files), never
+    surfacing the orphans."""
+    d = os.path.join(str(ckpt), "commits")
+    if not os.path.isdir(d):
+        return False
+    ids = sorted((int(n) for n in os.listdir(d) if n.isdigit()),
+                 reverse=True)
+    if not ids:
+        return False
+    i = ids[0]
+    sink_meta = os.path.join(str(out), "_spark_metadata", str(i))
+    if not os.path.isfile(sink_meta):
+        # the newest sink entry is a .compact (or missing): deleting it
+        # would drop prior batches' history, which no crash does — skip
+        return False
+    for p in (
+        os.path.join(d, str(i)),
+        os.path.join(d, f".{i}.crc"),
+        sink_meta,
+        os.path.join(str(out), "_spark_metadata", f".{i}.crc"),
+    ):
+        if os.path.exists(p):
+            os.remove(p)
+    return True
+
+
+def _plant_partial_sink_file(out, rng):
+    """Simulate a crash mid-write (r12 verdict ask #6): a truncated,
+    never-committed part file left in the sink dir.  The sink's
+    metadata-log reader must keep ignoring it across restarts — if any
+    path ever falls back to directory listing, the corrupt footer
+    fails the final read loudly."""
+    d = str(out)
+    if not os.path.isdir(d):
+        return False
+    name = f"part-00000-{rng.randint(0, 10**9):09d}-crash.snappy.parquet"
+    with open(os.path.join(d, name), "wb") as f:
+        f.write(b"PAR1\x13\x37truncated-by-crash")
     return True
 
 
@@ -210,6 +267,10 @@ def test_snapshot_cdf_lifecycle_fuzz(spark, tmp_path, seed):
         drain(rng.choice([None, 1, 2, 3]))
         if rng.random() < 0.35 and _crash_before_source_commit(ckpt):
             drain(rng.choice([None, 1, 2]))  # replayed batch, deduped
+        if rng.random() < 0.25 and _crash_before_sink_finalize(out, ckpt):
+            drain(rng.choice([None, 1, 2]))  # replay re-commits the batch
+        if rng.random() < 0.2:
+            _plant_partial_sink_file(out, rng)
         if rng.random() < 0.25:
             # vacuum only history at-or-below the consumed position:
             # every version from the last drained offset onward stays
@@ -347,6 +408,10 @@ def test_hudi_cdc_lifecycle_fuzz(spark, tmp_path, seed):
         drain(rng.choice([None, 1, 2]))
         if rng.random() < 0.35 and _crash_before_source_commit(ckpt):
             drain(rng.choice([None, 1]))
+        if rng.random() < 0.25 and _crash_before_sink_finalize(out, ckpt):
+            drain(rng.choice([None, 1]))
+        if rng.random() < 0.2:
+            _plant_partial_sink_file(out, rng)
 
     for _ in range(12):
         n_off = len(_ckpt_windows(ckpt, {"instant": "000"}))
@@ -526,6 +591,10 @@ def test_delta_cdf_lifecycle_fuzz(spark, tmp_path, seed):
         drain(rng.choice([None, 1, 2]))
         if rng.random() < 0.35 and _crash_before_source_commit(ckpt):
             drain(rng.choice([None, 1]))
+        if rng.random() < 0.25 and _crash_before_sink_finalize(out, ckpt):
+            drain(rng.choice([None, 1]))
+        if rng.random() < 0.2:
+            _plant_partial_sink_file(out, rng)
 
     for _ in range(12):
         n_off = len(_ckpt_windows(ckpt, {"version": 0}))
