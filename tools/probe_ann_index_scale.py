@@ -10,10 +10,16 @@ quantizer sizing, and the probe measures BOTH regimes honestly:
    corpus, so a fixed (queries, nprobe) search scans nprobe/K of the
    corpus — expected b ~ 1 with a small constant.  This is the
    documented non-scale regime, measured so the claim is a number.
-2. ``K scaled`` (the production contract, same as SemDeDup's K ∝ n
-   sizing): K grows with the corpus so expected CELL SIZE stays
-   bounded; per-query cost follows cell size, not corpus size.  With
-   K ∝ sqrt(n), per-query cost is expected b ~ 0.5.
+2. ``K scaled`` (K ∝ sqrt(n), capped): keeps expected CELL SIZE
+   bounded so per-query cost follows cell size, not corpus size —
+   the regime that matters once a cell outgrows a task-sized file.
+   MEASURED NEGATIVE at these corpus sizes (first run, kept in
+   SCALE.md): at 2k-20k vectors the per-cell file/partition overhead
+   and the queries x K centroid scoring dominate, so scaling K
+   PESSIMIZES search 2-5x and the one-time lloyd build goes
+   O(n x K) (231 s at 20k x 565).  The cap below keeps the probe's
+   build budget sane; production guidance is frozen K until cells
+   approach ``files.maxPartitionBytes``, then K ∝ corpus/cell_target.
 
 Also measured per index size: one fixed 1,000-vector ``ingest`` batch
 (expected ~flat — a narrow frozen-centroid assignment + partitioned
@@ -56,7 +62,10 @@ def main() -> None:
         "ann_index_scale", extra_conf={"spark.ui.enabled": "false"}
     )
     for sf_dir in sys.argv[1:]:
-        vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", "v")
+        vecs = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        )
         n = vecs.count()
         vecs = vecs.localCheckpoint(eager=True)
 
@@ -77,10 +86,13 @@ def main() -> None:
             .localCheckpoint(eager=True)
         )
 
-        for regime, k in (
-            ("frozen", 16),
-            ("scaled", max(16, int(4 * math.sqrt(n)))),
-        ):
+        regimes = [("frozen", 16)]
+        scaled_k = max(16, min(512, int(math.sqrt(n))))
+        if os.environ.get("ANN_PROBE_SCALED"):
+            # off by default: measured to pessimize below ~1M vectors
+            # (see module docstring) and the lloyd build is O(n x K)
+            regimes.append(("scaled", scaled_k))
+        for regime, k in regimes:
             idx = IVFIndex(spark, tempfile.mkdtemp(prefix="ivf_probe_"))
             t0 = time.time()
             idx.create(vecs, k=k, iters=2)
