@@ -272,11 +272,21 @@ def test_snapshot_cdf_lifecycle_fuzz(spark, tmp_path, seed):
         if rng.random() < 0.2:
             _plant_partial_sink_file(out, rng)
         if rng.random() < 0.25:
-            # vacuum only history at-or-below the consumed position:
-            # every version from the last drained offset onward stays
-            pos = max((b["version"] for _a, b in
-                       _ckpt_windows(ckpt, {"version": 0})), default=0)
-            retain = max(1, t.latest_version() - int(pos) + 1)
+            # vacuum only history strictly below the REPLAY HORIZON —
+            # the START of the newest planned window, not its end: a
+            # crash between the sink commit and the source checkpoint
+            # commit (either simulated shape) rewinds the committed
+            # position to that start, and the replay then needs the
+            # start version's manifest.  r13 campaign seed 34 caught
+            # the looser end-of-window rule: vacuum dropped the start
+            # manifest, and the engine refused the replay LOUDLY
+            # (correct behavior — the operational contract is that
+            # vacuum retention must exceed the checkpoint replay
+            # horizon, which is one uncommitted batch beyond the
+            # committed position).
+            wins = _ckpt_windows(ckpt, {"version": 0})
+            pos = int(wins[-1][0]["version"]) if wins else 0
+            retain = max(1, t.latest_version() - pos + 1)
             t.vacuum(retain_versions=retain, min_age_seconds=0)
 
     # final catch-up: uncapped drains until no new window appears
