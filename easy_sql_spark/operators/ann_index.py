@@ -81,6 +81,69 @@ class IVFIndex:
         else:
             self.table.append(assigned)
 
+    #: probe batches at/below this re-emit as a parsed literal (~0.15s
+    #: per evaluation); larger ones go through Arrow ``createDataFrame``
+    #: (~0.25s for 50k rows) to bound plan size.  The PICKLED-row
+    #: ``createDataFrame`` path is never used: measured 4-6s PER
+    #: EVALUATION for a 15-row array<double> frame on this machine
+    #: (driver-side row verification + per-row py4j conversion).
+    _PROBE_LITERAL_MAX = 1024
+
+    def _probe_frame(self, rows, qv_type) -> DataFrame:
+        """Collected probe rows re-emitted as a SINGLE-partition local
+        frame whose every evaluation is cheap: the candidate join's
+        broadcast build AND the scan's dynamic-pruning subquery each
+        re-evaluate this frame, so a driver-row ``createDataFrame``
+        (pickled rows through a Python worker per evaluation) is the
+        wrong vehicle.  Small batches become one parsed
+        ``inline(named_struct(...))`` literal over a single-row range;
+        ``repr(float)`` is shortest-round-trip, so the parsed doubles
+        are bit-identical to the collected ones.  Large batches build a
+        pandas frame (Arrow serialization — no row pickling) coalesced
+        to one partition."""
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        schema = StructType(
+            [
+                StructField("query_id", LongType()),
+                StructField("qv", qv_type),
+                StructField("qnrm", DoubleType()),
+                StructField("cell", IntegerType()),
+            ]
+        )
+        if rows and len(rows) <= self._PROBE_LITERAL_MAX:
+            def d(x: float) -> str:
+                return f"{float(x)!r}D"
+
+            structs = ",".join(
+                "named_struct("
+                f"'query_id', {int(r['query_id'])}L,"
+                "'qv', array(" + ",".join(d(x) for x in r["qv"]) + "),"
+                f"'qnrm', {d(r['qnrm'])},"
+                f"'cell', cast({int(r['cell'])} as int))"
+                for r in rows
+            )
+            return self.spark.range(0, 1, 1, 1).select(
+                F.expr(f"inline(array({structs}))")
+            )
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "query_id": [r["query_id"] for r in rows],
+                "qv": [list(r["qv"]) for r in rows],
+                "qnrm": [r["qnrm"] for r in rows],
+                "cell": [int(r["cell"]) for r in rows],
+            }
+        )
+        return self.spark.createDataFrame(pdf, schema).coalesce(1)
+
     # -------------------------------------------------------------- search
     def search(
         self, queries: DataFrame, topk: int = 10, nprobe: int = 4,
@@ -130,14 +193,19 @@ class IVFIndex:
             .select("query_id", "qv", norm("qv").alias("qnrm"), "cell")
         )
 
-        # static partition pruning: the probed cell set is bounded by
-        # |queries| x nprobe, so collecting it costs nothing and turns
-        # the scan filter into a PartitionFilter Spark applies BEFORE
-        # listing any unprobed cell's files (no reliance on runtime DPP)
-        cells = sorted(
-            r.cell
-            for r in probe.select("cell").distinct().collect()  # bounded-driver: <= |queries| x nprobe cells
-        )
+        # ONE bounded collect of the whole probe (|queries| x nprobe
+        # rows — the same bound the cells-only collect always had, plus
+        # the qv payload the candidate join broadcasts anyway): it
+        # yields BOTH the static partition-pruning cell list AND the
+        # probe rows themselves, re-emitted by ``_probe_frame`` as a
+        # single-partition local frame.  The old shape collected only
+        # the cells and left ``probe`` lazy, so the cross-join + window
+        # subtree ran TWICE — once for this collect and again inside
+        # the candidate join's broadcast build (4 scheduler jobs of
+        # pure replay per search).
+        rows = probe.collect()  # bounded-driver: <= |queries| x nprobe probe rows
+        cells = sorted({r.cell for r in rows})
+        probe = self._probe_frame(rows, queries.schema["qv"].dataType)
         corpus = (
             self.table.read(partitions={"cell": cells})
             .where(F.col("cell").isin(cells))

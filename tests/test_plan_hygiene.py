@@ -44,7 +44,10 @@ BNLJ_OK = {
     "sim_topk_bruteforce",  # brute-force baseline: query set broadcast
     "sim_neardup_pairs",  # ditto (threshold variant)
     "sim_ivf_topk",  # probe list broadcast against pruned cells
-    "sim_ann_index_search",  # queries x K centroids, K tiny + broadcast
+    # sim_ann_index_search left the list in r14: the queries x K
+    # centroids cross-join now runs ONCE inside the search's bounded
+    # probe collect, so the returned plan is a plain broadcast hash
+    # join against the pruned cells — no BNLJ survives
     "q11_important_stock",  # 1-row scalar threshold crossJoin-broadcast
     "q22_global_sales_opportunity",  # ditto
     "a10_kmv_distinct",  # 1-row sketch x 1-row exact-count join
