@@ -138,6 +138,8 @@ def _local_components(spark, rows, u_type) -> DataFrame:
     dependence (min is commutative over any union order)."""
     from pyspark.sql.types import StructField, StructType
 
+    from ..datasets import arrow_frame
+
     parent: dict = {}
 
     def find(x):
@@ -156,9 +158,12 @@ def _local_components(spark, rows, u_type) -> DataFrame:
     schema = StructType(
         [StructField("u", u_type), StructField("label", u_type)]
     )
-    return spark.createDataFrame(
-        [(n, find(n)) for n in parent], schema
-    )
+    # arrow_frame, not createDataFrame: the label table can be up to
+    # ~2x LOCAL_COMPONENT_EDGE_ROWS rows, and the pickled-row path costs
+    # seconds PER EVALUATION at that size (measured r14) while Arrow is
+    # ~0.25s — and downstream consumers (joins, the final sort) may
+    # evaluate this frame more than once
+    return arrow_frame(spark, [(n, find(n)) for n in parent], schema)
 
 
 #: edge rows at/below this finish on the driver (~200k rows ≈ tens of

@@ -608,7 +608,10 @@ class MinHashDedupIndex:
                 ~F.col("doc_id").isin(sorted(bad))
             )
         else:
-            dropped = self.spark.createDataFrame(
+            from ..datasets import arrow_frame
+
+            dropped = arrow_frame(
+                self.spark,
                 [(d,) for d in sorted(bad)],
                 bands.select("doc_id").schema,
             )
@@ -664,8 +667,13 @@ class MinHashDedupIndex:
             ), False
         if dropped_ids is not None:
             # local result but too many ids for plan literals: one
-            # broadcast anti-join against a driver-built frame
-            dropped = self.spark.createDataFrame(
+            # broadcast anti-join against a driver-built frame (Arrow —
+            # the pickled-row path costs seconds per evaluation at
+            # >ISIN_DROP_MAX rows, measured r14)
+            from ..datasets import arrow_frame
+
+            dropped = arrow_frame(
+                self.spark,
                 [(d,) for d in sorted(dropped_ids)],
                 surv_bands.select("doc_id").schema,
             )

@@ -235,7 +235,11 @@ def first_occurrence_flag(
     hot_rows = counts.where(F.col("__n_focc") >= cut).select(key_col).collect()  # bounded-driver: <= rows/cut keys clear the threshold
     if not hot_rows:  # no heavy hitters: single-scan window plan
         return df.withColumn(flag_col, F.row_number().over(w) == 1)
-    hot_keys = df.sparkSession.createDataFrame(hot_rows, hot_schema)
+    from ..datasets import arrow_frame
+
+    hot_keys = arrow_frame(
+        df.sparkSession, [tuple(r) for r in hot_rows], hot_schema
+    )
 
     marked = df.join(
         F.broadcast(hot_keys.withColumn("__hot_focc", F.lit(True))),

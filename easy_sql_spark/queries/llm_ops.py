@@ -267,7 +267,11 @@ def dedup_minhash_lsh(spark, sf_dir):
     production scale path is exactly what the gate verifies.
     """
     bands = minhash_bands(load_table(spark, sf_dir, "documents"))
-    return _lsh_capped_pairs(bands)
+    # pre_materialized: bands is a narrow posexplode over the signature
+    # checkpoint minhash_bands already materialized — the former second
+    # checkpoint here was one more barrier job per run, and the sized
+    # window's self-join sides share one exchange via ReuseExchange
+    return _lsh_capped_pairs(bands, pre_materialized=True)
 
 
 @query(
@@ -818,15 +822,34 @@ def dedup_components(spark, sf_dir):
     escalates to the alternating large-star/small-star algorithm
     (O(log n) rounds, operators/components.py).
     """
-    from ..operators.components import label_propagation_components
-
-    pairs = dedup_minhash_lsh(spark, sf_dir)
-    edges = pairs.selectExpr("doc_a as u", "doc_b as v").unionAll(
-        pairs.selectExpr("doc_b as u", "doc_a as v")
+    from ..operators.components import (
+        LOCAL_COMPONENT_EDGE_ROWS,
+        _local_components,
+        label_propagation_components,
     )
-    # diameter-bound propagation; a pathological graph escalates to the
-    # O(log n) large-star/small-star algorithm (operators/components.py)
-    labels = label_propagation_components(edges, max_rounds=20)
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).selectExpr(
+        "doc_a as u", "doc_b as v"
+    )
+    # size-probe the ONE-directional pair list (union-find needs no
+    # symmetrization): the old shape probed the unionAll of the pairs
+    # with their flip, so the bounded limit-collect evaluated the whole
+    # LSH window+self-join subplan TWICE — one evaluation of pure
+    # replay per run.  Oversized graphs symmetrize and take the
+    # distributed rounds exactly as before.
+    head = pairs.limit(
+        LOCAL_COMPONENT_EDGE_ROWS + 1
+    ).collect()  # bounded-driver: <= threshold+1 narrow pair rows
+    if len(head) <= LOCAL_COMPONENT_EDGE_ROWS:
+        labels = _local_components(spark, head, pairs.schema["u"].dataType)
+    else:
+        edges = pairs.unionAll(
+            pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        # diameter-bound propagation; a pathological graph escalates to
+        # the O(log n) large-star/small-star algorithm
+        # (operators/components.py)
+        labels = label_propagation_components(edges, max_rounds=20)
 
     return labels.select(
         F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..datasets import SPREAD_MODERATE, load_table, spread
+from ..datasets import SPREAD_MODERATE, inline_frame, load_table, spread
 from . import query
 
 #: The portable tokenizer every cross-engine text query in this repo
@@ -716,8 +716,8 @@ def hudi_export_mor_roundtrip(spark, sf_dir):
     upd = seed.where(F.col("k") <= 10).select(
         "k", (F.col("cents") + 1000).alias("cents")
     )
-    ins = spark.createDataFrame(
-        [(900001 + i, 5000 + i) for i in range(4)], "k long, cents long"
+    ins = inline_frame(
+        spark, [(900001 + i, 5000 + i) for i in range(4)], "k long, cents long"
     )
     t.merge(upd.unionByName(ins), keys=["k"])
     t.delete_where([("k", ">=", 11), ("k", "<=", 14)])

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..datasets import load_table
+from ..datasets import inline_frame, load_table
 from . import query
 
 
@@ -823,7 +823,8 @@ def s8_correlated_subquery(spark, sf_dir):
 def s9_values_inline(spark, sf_dir):
     """S9: inline VALUES relation joined to a fact (broadcast — it's tiny)."""
     o = load_table(spark, sf_dir, "orders")
-    tiers = spark.createDataFrame(
+    tiers = inline_frame(
+        spark,
         [
             ("1-URGENT", "hot"),
             ("2-HIGH", "hot"),
@@ -831,7 +832,7 @@ def s9_values_inline(spark, sf_dir):
             ("4-NOT SPECIFIED", "cold"),
             ("5-LOW", "cold"),
         ],
-        ["prio", "tier"],
+        "prio string, tier string",
     )
     return (
         o.join(F.broadcast(tiers), o.o_orderpriority == tiers.prio)

@@ -799,7 +799,10 @@ class SparkBackend:
                 k, _, v = seg.partition("=")
                 vals[k] = unquote(v)
             rows.append(tuple(vals.get(c) for c in part_cols))
-        sel = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in part_cols))
+        from ..datasets import arrow_frame, inline_frame
+
+        mk = inline_frame if len(rows) <= 256 else arrow_frame
+        sel = mk(spark, rows, ", ".join(f"{c} string" for c in part_cols))
         cond = [df[c].cast("string") == sel[c] for c in part_cols]
         scoped = (
             df.alias("t")
