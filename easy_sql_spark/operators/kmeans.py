@@ -163,14 +163,15 @@ def semantic_dedup(
     quadratic; tests/SCALE.md measure exactly that cliff.  Norms are
     computed once per vector before the join.
 
-    ``arrow=True`` runs the pairwise stage as one BLAS matmul per
-    cluster inside ``applyInPandas`` (~50x the interpreted JVM fold
-    chain; memory per task is cluster_size^2 floats, bounded by the
-    k ~ n/500 sizing).  BLAS may reorder float summations, so a cosine
-    EXACTLY at ``tau`` could flip relative to the fold path — use the
-    default fold path when a bit-pinned oracle replay matters, arrow
-    for production scale (flag-equality between the paths is pinned on
-    the fixture in tests/test_operators.py)."""
+    The default path is BIT-PINNED: the per-cluster kernel reproduces
+    the JVM fold chain's IEEE op sequence exactly (see the comment at
+    ``_cluster_flags``), so a DuckDB oracle replay matches to the last
+    ulp.  ``arrow=True`` runs the pairwise stage as one BLAS matmul per
+    cluster instead (fastest; memory per task is cluster_size^2 floats,
+    bounded by the k ~ n/500 sizing) — BLAS may reorder float
+    summations, so a cosine EXACTLY at ``tau`` could flip relative to
+    the default path (flag-equality between the paths is pinned on the
+    fixture in tests/test_operators.py)."""
     norm = F.sqrt(F.expr(
         f"aggregate(transform({vec_col}, t -> t * t), 0D, (acc, z) -> acc + z)"
     ))
@@ -178,20 +179,12 @@ def semantic_dedup(
         df, k, iters, id_col=id_col, vec_col=vec_col, arrow=arrow
     )
     assign = assign_clusters_arrow if arrow else assign_clusters
-    af = (
-        assign(df, cents, vec_col=vec_col)
-        .withColumn("nrm", norm)
-        .transform(iter_checkpoint)
-    )
-    x = af.select(
-        F.col(id_col).alias("xid"), F.col(vec_col).alias("xv"),
-        F.col("nrm").alias("xnrm"), "cluster",
-    )
-    y = af.select(
-        F.col(id_col).alias("yid"), F.col(vec_col).alias("yv"),
-        F.col("nrm").alias("ynrm"), "cluster",
-    )
+    # no checkpoint: each branch below consumes ``af`` exactly once
+    # (the default branch no longer joins the drop set back), so a
+    # materialization barrier would only add a job
+    af = assign(df, cents, vec_col=vec_col).withColumn("nrm", norm)
     if arrow:
+        af = af.transform(iter_checkpoint)  # consumed twice below
         tau_f = float(tau)
 
         def _cluster_dropped(pdf):
@@ -213,23 +206,60 @@ def semantic_dedup(
             .groupBy("cluster")
             .applyInPandas(_cluster_dropped, f"{id_col} long")
         )
-    else:
-        dot = F.expr(
-            "aggregate(zip_with(xv, yv, (a, b) -> a * b), 0D, (acc, z) -> acc + z)"
+        return (
+            af.join(dropped.withColumn("__dropped", F.lit(1)), id_col, "left")
+            .select(
+                id_col,
+                "cluster",
+                F.when(F.col("__dropped").isNull(), 1).otherwise(0)
+                .cast("int").alias("kept"),
+            )
         )
-        dropped = (
-            x.join(y, "cluster")
-            .where(F.col("xid") > F.col("yid"))
-            .where(dot / (F.col("xnrm") * F.col("ynrm")) > float(tau))
-            .select(F.col("xid").alias(id_col))
-            .distinct()
+
+    # Default (bit-pinned) pairwise stage: ONE applyInPandas per cluster
+    # computing the kept flag directly, replacing the former
+    # x JOIN y ON cluster + distinct + LEFT JOIN chain (three exchanges
+    # and their AQE stage jobs) AND its interpreted per-pair JVM folds
+    # (|cluster|^2 x dim lambda evaluations).  Bit-identical to that
+    # fold chain BY CONSTRUCTION, not by accident: the dot accumulates
+    # with one elementwise product + one add per dimension in ascending
+    # order (exactly aggregate(zip_with(xv, yv, *)) left-folding +), the
+    # norms are the JVM-computed ``nrm`` column carried through, and the
+    # cosine is dot / (nrm_x * nrm_y) with the same operand order; every
+    # numpy elementwise op is a separately rounded IEEE double op, so
+    # the comparison against tau sees the identical bits the fold path
+    # produced (pinned by test_semantic_dedup_pairwise_kernel_exact).
+    # Memory per task is cluster_size^2 doubles — bounded by the
+    # K ~ n/500 sizing exactly like the arrow path above.
+    tau_f = float(tau)
+
+    def _cluster_flags(pdf):
+        import numpy as np
+        import pandas as _pd
+
+        order = np.argsort(pdf[id_col].to_numpy())
+        ids = pdf[id_col].to_numpy()[order]
+        V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)[order]
+        nrm = pdf["nrm"].to_numpy()[order]
+        n = len(ids)
+        acc = np.zeros((n, n))
+        for d in range(V.shape[1]):
+            col = V[:, d]
+            acc += col[:, None] * col[None, :]
+        cos = acc / (nrm[:, None] * nrm[None, :])
+        iu, ju = np.triu_indices(n, k=1)  # ids[ju] > ids[iu]
+        dropped = np.zeros(n, dtype=bool)
+        dropped[ju[cos[iu, ju] > tau_f]] = True
+        return _pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster": pdf["cluster"].to_numpy()[order],
+                "kept": (~dropped).astype("int32"),
+            }
         )
+
     return (
-        af.join(dropped.withColumn("__dropped", F.lit(1)), id_col, "left")
-        .select(
-            id_col,
-            "cluster",
-            F.when(F.col("__dropped").isNull(), 1).otherwise(0)
-            .cast("int").alias("kept"),
-        )
+        af.select(id_col, vec_col, "nrm", "cluster")
+        .groupBy("cluster")
+        .applyInPandas(_cluster_flags, f"{id_col} long, cluster int, kept int")
     )

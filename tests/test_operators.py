@@ -372,6 +372,70 @@ def test_semantic_dedup_arrow_path_matches_fold_path(spark):
     assert any(kept == 0 for _, _, kept in fold)  # drops something
 
 
+def test_semantic_dedup_pairwise_kernel_exact(spark):
+    """The default pairwise kernel (_cluster_flags: dim-ordered numpy
+    accumulation inside applyInPandas, r14) must be BIT-identical to
+    the JVM fold chain it replaced — not merely set-equal: the kernel's
+    claim is that it performs the identical IEEE op sequence, so the
+    kept flags must match the explicit
+    x JOIN y ON cluster / aggregate(zip_with(...)) / nrm-product
+    formulation on the fixture, including every near-threshold pair."""
+    from pyspark.sql import functions as F
+
+    from easy_sql_spark.operators.kmeans import (
+        assign_clusters,
+        lloyd_kmeans,
+        semantic_dedup,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    k, iters, tau = 4, 2, 0.30
+    got = {(r.vec_id, r.cluster, r.kept)
+           for r in semantic_dedup(emb, k, iters, tau).collect()}
+
+    # the pre-r14 fold chain, verbatim
+    norm = F.sqrt(F.expr(
+        "aggregate(transform(v, t -> t * t), 0D, (acc, z) -> acc + z)"
+    ))
+    cents = lloyd_kmeans(emb, k, iters)
+    af = assign_clusters(emb, cents).withColumn("nrm", norm)
+    x = af.select(F.col("vec_id").alias("xid"), F.col("v").alias("xv"),
+                  F.col("nrm").alias("xnrm"), "cluster")
+    y = af.select(F.col("vec_id").alias("yid"), F.col("v").alias("yv"),
+                  F.col("nrm").alias("ynrm"), "cluster")
+    dot = F.expr(
+        "aggregate(zip_with(xv, yv, (a, b) -> a * b), 0D, (acc, z) -> acc + z)"
+    )
+    dropped = (
+        x.join(y, "cluster")
+        .where(F.col("xid") > F.col("yid"))
+        .where(dot / (F.col("xnrm") * F.col("ynrm")) > float(tau))
+        .select(F.col("xid").alias("vec_id"))
+        .distinct()
+    )
+    want = {
+        (r.vec_id, r.cluster, r.kept)
+        for r in af.join(
+            dropped.withColumn("__dropped", F.lit(1)), "vec_id", "left"
+        )
+        .select(
+            "vec_id",
+            "cluster",
+            F.when(F.col("__dropped").isNull(), 1).otherwise(0)
+            .cast("int").alias("kept"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_iter_checkpoint_reliable_mode(spark, tmp_path):
     """iter_checkpoint (operators/iterate.py) picks RELIABLE
     DataFrame.checkpoint when the session has a checkpoint dir (the
