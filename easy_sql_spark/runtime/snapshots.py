@@ -1234,17 +1234,38 @@ class SnapshotTable:
                 .where(F.col("__pc_rn") == 1)
                 .drop("__pc_rn")
             )
-        else:
-            dup = (
-                source.groupBy(*keys).count().where(F.col("count") > 1)
-                .limit(1).count()
+            source = source.localCheckpoint(eager=True)
+            src_keys = (
+                source.select(*keys).distinct().localCheckpoint(eager=True)
             )
-            if dup:
+            n_keys = src_keys.count()
+        else:
+            # ONE key-grouped pass answers all three guard questions —
+            # duplicate keys?, how many keys?, and the key set itself —
+            # where the old shape paid a dedicated dup-check aggregate,
+            # an eager source checkpoint, an eager distinct checkpoint
+            # AND a count (5 scheduler jobs of guards before any real
+            # work).  Lazy checkpoints materialize inside the one
+            # full-scan stats aggregate.
+            source = source.localCheckpoint(eager=False)
+            key_counts = (
+                source.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("__kn"))
+                .localCheckpoint(eager=False)
+            )
+            stats_row = key_counts.agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.coalesce(
+                    F.sum((F.col("__kn") > 1).cast("long")), F.lit(0)
+                ).alias("n_dup"),
+            ).first()
+            if int(stats_row["n_dup"]):
                 raise ValueError(
                     f"merge source has duplicate rows per key {keys}; "
                     "pass precombine to resolve them"
                 )
-        source = source.localCheckpoint(eager=True)
+            n_keys = int(stats_row["n_keys"])
+            src_keys = key_counts.select(*keys)
         if op_col:
             # delete keys participate in the probe (their dirs must be
             # rewritten without those rows) but contribute no output rows
@@ -1253,12 +1274,10 @@ class SnapshotTable:
             ).drop(op_col)
         else:
             upserts = source
-        src_keys = source.select(*keys).distinct().localCheckpoint(eager=True)
         # broadcast the key set only while it plausibly fits an executor;
         # a bulk backfill merge beyond that degrades to a shuffled
         # semi/anti join — slower but correct, never an OOM (same
         # regime split Delta's merge makes)
-        n_keys = src_keys.count()
         key_side = (
             F.broadcast(src_keys) if n_keys <= 5_000_000 else src_keys
         )

@@ -180,3 +180,61 @@ from range(10000)
     t = spark.table("zmnt.grid")
     assert t.count() == 10000
     assert t.agg({"payload": "sum"}).first()[0] == sum(range(10000))
+
+
+def test_murmur3_token_partitioning_matches_spark(spark):
+    """_murmur3_int must be Spark's own partitioning hash (F.hash,
+    murmur3-32 seed 42) — write_zordered picks per-group shuffle tokens
+    with it, so drift would silently scatter the contiguous-per-file
+    layout.  Also pins the end property: every group token lands in its
+    intended partition."""
+    from pyspark.sql import functions as F
+
+    from easy_sql_spark.operators.zorder import _group_tokens, _murmur3_int
+
+    vals = list(range(200)) + [2**31 - 1, -1, -(2**31)]
+    got = [
+        r[0]
+        for r in spark.createDataFrame(
+            [(v,) for v in vals], "v int"
+        ).select(F.hash("v")).collect()
+    ]
+    assert got == [_murmur3_int(v) for v in vals]
+
+    n_groups, n_parts = 64, 48
+    tokens = _group_tokens(n_groups, n_parts)
+    for g, t in enumerate(tokens):
+        assert _murmur3_int(t) % n_parts == g * n_parts // n_groups
+
+
+def test_write_zordered_contiguous_files(spark, tmp_path):
+    """Every output file covers a contiguous, non-overlapping Morton
+    range (the property the sampled range partitioner used to provide
+    and the token map must preserve), and the file count is n_files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from easy_sql_spark.operators.zorder import write_zordered, zorder_value
+
+    df = spark.range(20000).selectExpr(
+        "cast(id % 100 as double) as x",
+        "cast(cast(id / 100 as int) as double) as y",
+    )
+    path = str(tmp_path / "ztok")
+    write_zordered(df, path, ["x", "y"], n_files=16)
+    files = sorted(glob.glob(path + "/part-*.parquet"))
+    assert len(files) == 16
+    # global (x, y) -> z map from the same quantile probe the write ran
+    zmap = {
+        (r["x"], r["y"]): r["__zvalue"]
+        for r in zorder_value(df, ["x", "y"]).collect()
+    }
+    spans = []
+    for f in files:
+        t = pq.read_table(f).to_pandas()
+        vals = [zmap[(x, y)] for x, y in zip(t["x"], t["y"])]
+        spans.append((min(vals), max(vals)))
+    spans.sort()
+    for (_lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, (hi1, lo2)
