@@ -495,11 +495,19 @@ class MinHashDedupIndex:
         # pending batch took this path); a committed index of any size
         # is still probed DISTRIBUTED via ``_probe_hits`` (the index is
         # never collected, only the batch-bounded hit ids are).
-        local_path = n_band_rows <= LOCAL_COMPONENT_EDGE_ROWS and (
+        # the n_band_rows gate is only a CANDIDACY check — callers may
+        # pass an approximation (dedup_index_incremental slices one load
+        # by doc_id and claims n_total // 3 per slice); _ingest_local
+        # itself collects through limit(threshold+1) and returns None
+        # when the batch turns out oversized, so the documented driver
+        # bound holds on the EXACT row count, not the claim (ADVICE r13)
+        local_result = None
+        if n_band_rows <= LOCAL_COMPONENT_EDGE_ROWS and (
             not self._pending or self._pending_local_keys is not None
-        )
-        if local_path:
-            admitted_bands, defer_needs_ckpt = self._ingest_local(bands)
+        ):
+            local_result = self._ingest_local(bands)
+        if local_result is not None:
+            admitted_bands, defer_needs_ckpt = local_result
         else:
             admitted_bands, defer_needs_ckpt = self._ingest_distributed(
                 bands, n_band_rows
@@ -548,7 +556,9 @@ class MinHashDedupIndex:
         # checkpoint, so the frame is cheap to evaluate and adding a
         # barrier per ingest only pays job-latency tax.
         bandless = docs.select("doc_id").join(
-            bands.select("doc_id").distinct(), "doc_id", "left_anti"
+            bands.where(F.col("band_id") == 0).select("doc_id"),
+            "doc_id",
+            "left_anti",
         )
         # distinct WITHOUT a dedup exchange: admitted_bands carries
         # exactly one row per (doc, band_id) — minhash_bands posexplodes
@@ -564,10 +574,15 @@ class MinHashDedupIndex:
     def _ingest_local(self, bands: DataFrame):
         """Driver-side admission of one small batch (see ``ingest``).
 
-        Collects the batch band table ONCE (bounded by the caller's
-        ``n_band_rows ≤ LOCAL_COMPONENT_EDGE_ROWS`` guard; the collect
-        doubles as the materializing action of the lazy checkpoint, so
-        later consumers of the returned frame read cached blocks), then:
+        Collects the batch band table ONCE through a
+        ``limit(LOCAL_COMPONENT_EDGE_ROWS + 1)`` — the EXACT driver
+        bound, independent of the caller's ``n_band_rows`` claim (which
+        may be a slice approximation); an oversized batch returns None
+        and the caller takes the distributed path (ADVICE r13).  No
+        checkpoint: ``bands`` is always a narrow derivation of the
+        signature checkpoint (``minhash_bands`` materializes the
+        CPU-heavy fold), so later consumers of the returned frame
+        re-apply narrow filters over cached signature blocks.  Then:
 
         - committed-index probe: DISTRIBUTED (``_probe_hits`` — the
           index is never collected); only the batch-bounded hit ids
@@ -576,11 +591,16 @@ class MinHashDedupIndex:
           driver-held admitted band keys of earlier deferred batches;
         - intra-batch clustering: ``_local_bucket_drops`` union-find.
 
-        Returns ``(admitted_bands, defer_needs_ckpt)``; the admitted
-        frame is a narrow ``isin`` filter over the checkpointed bands
+        Returns ``(admitted_bands, defer_needs_ckpt)`` or None; the
+        admitted frame is a narrow ``isin`` filter over the bands
         whenever the dropped set fits plan literals."""
-        bands = bands.localCheckpoint(eager=False)
-        rows = bands.collect()  # bounded-driver: ≤ n_band_rows narrow rows
+        from .components import LOCAL_COMPONENT_EDGE_ROWS
+
+        rows = bands.limit(
+            LOCAL_COMPONENT_EDGE_ROWS + 1
+        ).collect()  # bounded-driver: ≤ threshold+1 narrow band rows
+        if len(rows) > LOCAL_COMPONENT_EDGE_ROWS:
+            return None
         hit: set = set()
         if self.table.latest_version():
             committed = self.table.read().select(*_BAND_COLS)
@@ -707,7 +727,15 @@ class MinHashDedupIndex:
         posexplodes every band_id from the doc's single signature row,
         and admission filters by whole doc_id — so ``band_id = 0``
         selects each indexed doc exactly once as a narrow filter the
-        parquet scan can push down."""
+        parquet scan can push down.
+
+        HARD CONTRACT (shared with ``ingest``'s replay fallback): a
+        doc_id is offered to the index at most once per index lifetime.
+        Admission already rejects any REOFFERED doc_id whose bands
+        collide with its first admission, but a changed-text re-offer
+        under the same id could be admitted again and would then appear
+        here twice; deployments that cannot guarantee unique ids per
+        lifetime must dedup downstream (ADVICE r13)."""
         return (
             self.table.read().where(F.col("band_id") == 0).select("doc_id")
         )

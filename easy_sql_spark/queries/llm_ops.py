@@ -429,13 +429,16 @@ def sim_topk_bruteforce(spark, sf_dir):
     per partition then a k-row-per-query shuffle.  Dot products run JVM-side
     via zip_with/aggregate (no Python in the hot path).
     """
-    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+    base = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
     )
     norm = F.sqrt(F.expr("aggregate(transform(v, x -> x * x), 0D, (acc, z) -> acc + z)"))
-    corpus = emb.withColumn("nrm", norm)
+    # spread only the corpus side (it does the |corpus| x |queries| dot
+    # folds); the 5-row broadcast query side inheriting the round-robin
+    # exchange was a pure-overhead stage per run
+    corpus = spread(base).withColumn("nrm", norm)
     queries = (
-        corpus.where(F.col("vec_id") < 5)
+        base.where(F.col("vec_id") < 5).withColumn("nrm", norm)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),

@@ -111,14 +111,20 @@ def sim_lsh_topk(spark, sf_dir):
     scaled-long accumulation so bucket assignment is bit-identical
     cross-engine.  Docstring refs: reference has no ANN operator — this is
     a brief-mandated extension (SURVEY.md §2 LLM-ops)."""
-    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+    # spread ONLY the signature-fold input (16 interpreted plane folds
+    # per row — the CPU-heavy stage): the cosine re-rank sides below are
+    # a 5-row query set and a broadcast-built corpus projection, where
+    # the inherited round-robin exchange was one pure-overhead stage
+    # each (plan r14: two RoundRobinPartitioning exchanges feeding
+    # BroadcastExchange builds)
+    emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
     )
     # materialized before the bucket posexplode: Generate re-evaluates its
     # generator per emitted element, which would run all 16 plane folds
     # once per table row emitted (4×)
-    sigs = emb.select(
+    sigs = spread(emb).select(
         "vec_id",
         *[F.expr(_sig_expr(p)).alias(f"s{p}") for p in range(LSH_PLANES)],
     ).localCheckpoint(eager=True)

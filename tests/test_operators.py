@@ -601,3 +601,36 @@ def test_dedup_index_local_keys_invalidation(spark, tmp_path):
             comps.LOCAL_COMPONENT_EDGE_ROWS = orig
         adm2 = idx_dist.ingest(docs.where(F.col("doc_id") > 3))
         assert sorted(r.doc_id for r in adm2.collect()) == []
+
+
+def test_dedup_index_local_gate_is_exact_not_claimed(spark, tmp_path, monkeypatch):
+    """ADVICE r13: the local-path gate must hold on the EXACT band-row
+    count, not the caller-supplied n_band_rows claim (slices of one load
+    pass approximations).  A batch claiming to be small but actually
+    exceeding the threshold must fall back to the distributed path and
+    produce identical admissions."""
+    from pyspark.sql import functions as F
+
+    import easy_sql_spark.operators.components as comp
+    from easy_sql_spark.operators.dedup_index import MinHashDedupIndex
+    from easy_sql_spark.queries.llm_ops import minhash_bands
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .where(F.col("doc_id") <= 120)
+        .select("doc_id", "text")
+    )
+    bands, n_rows = minhash_bands(docs, with_count=True)
+    assert n_rows > 8  # the patched threshold below is really exceeded
+
+    def run(root, threshold, claim):
+        monkeypatch.setattr(comp, "LOCAL_COMPONENT_EDGE_ROWS", threshold)
+        idx = MinHashDedupIndex(spark, str(root))
+        out = idx.ingest(docs, bands=bands, n_band_rows=claim)
+        return {r.doc_id for r in out.collect()}
+
+    # lying claim (tiny) + tiny threshold -> exact probe must reject the
+    # local path; result equals the honest large-threshold run
+    got = run(tmp_path / "a", 8, claim=1)
+    want = run(tmp_path / "b", 10**6, claim=n_rows)
+    assert got == want and len(got) > 0
