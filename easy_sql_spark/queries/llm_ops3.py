@@ -503,9 +503,11 @@ def dedup_incremental(spark, sf_dir):
     corp = docs.where(~is_new).select(
         F.col("doc_id").alias("c_id"), F.md5("text").alias("th")
     )
-    exact_hit = (
-        newb.join(corp, "th", "left_semi").select("doc_id").distinct()
-    )
+    # no distinct: newb carries one row per doc_id (doc_id is unique) and
+    # a left_semi join emits each left row at most once, so the hit set
+    # is already duplicate-free — the distinct was one dedup exchange of
+    # pure constant
+    exact_hit = newb.join(corp, "th", "left_semi").select("doc_id")
     ne = e.where(F.col("doc_id") % INC_MOD == 7)
     ce = e.where(F.col("doc_id") % INC_MOD != 7).select(
         F.col("doc_id").alias("c_id"), "fp"

@@ -194,7 +194,10 @@ def dsir_weight_frame(docs, target_lang: str = "en"):
         )
         .groupBy("doc_id", "lang", F.substring(F.md5("w"), 1, 2).alias("bk"))
         .agg(F.count("*").alias("cnt"))
-        .localCheckpoint(eager=True)
+        # lazy: all three consumers live inside the ONE final action
+        # (the bucket-stats broadcast build is the materializing full
+        # scan), so the eager form's dedicated job was pure constant
+        .localCheckpoint(eager=False)
     )
     # 256-row bucket stats: raw and target counts in ONE aggregate
     bkstats = per.groupBy("bk").agg(
@@ -287,7 +290,10 @@ def text_bm25_topk(spark, sf_dir):
         .select("doc_id", F.expr(_TOKENIZE).alias("ws"))
         .where(F.size("ws") > 0)
         .select("doc_id", F.size("ws").alias("dl"), *tf_cols)
-        .localCheckpoint(eager=True)
+        # lazy: every consumer lives inside the one final action (the
+        # small-side broadcast build is the materializing full scan), so
+        # the eager form's dedicated job was pure scheduler constant
+        .localCheckpoint(eager=False)
     )
     stats = d.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
@@ -428,9 +434,10 @@ def mixture_weight_frame(docs, budget_frac: float = 0.5):
             F.count("*").cast("bigint").alias("n_docs"),
             F.sum("n_toks").cast("bigint").alias("n_tokens"),
         )
-        # one row per SOURCE — materialized so its two consumers (the
-        # budget total and the final select) tokenize the corpus once
-        .localCheckpoint(eager=True)
+        # one row per SOURCE — checkpointed so its two consumers (the
+        # budget total and the final select) tokenize the corpus once;
+        # lazy: the total's broadcast build is the materializing scan
+        .localCheckpoint(eager=False)
     )
     tot = per.agg(F.sum("n_tokens").alias("t"), F.count("*").alias("k"))
     # zero-token sources take rate 1.0 explicitly — dividing would raise
@@ -567,7 +574,10 @@ def tokenizer_oov_rate(spark, sf_dir):
         .select("doc_id", F.explode(F.expr(_TOKENIZE)).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("cnt"))
-        .localCheckpoint(eager=True)
+        # lazy: every consumer lives inside the one final action (the
+        # small-side broadcast build is the materializing full scan), so
+        # the eager form's dedicated job was pure scheduler constant
+        .localCheckpoint(eager=False)
     )
     wc = per.groupBy("w").agg(F.sum("cnt").alias("c"))
     vocab = (
