@@ -189,6 +189,13 @@ class SnapshotTable:
     """A versioned parquet table at a filesystem root.  See module
     docstring for the commit protocol and layout."""
 
+    #: single-column merge key sets at/below this ride an ``isin``
+    #: literal in the probe/survivor filters (narrow — zero broadcast
+    #: -build jobs); larger batches keep the broadcast/shuffled
+    #: semi/anti joins.  Mirrors MinHashDedupIndex.ISIN_DROP_MAX: a
+    #: bigger literal list bloats the plan tree past the join's cost.
+    ISIN_KEYS_MAX = 4096
+
     def __init__(self, spark: SparkSession, root: str) -> None:
         self.spark = spark
         self.root = root.rstrip("/")
@@ -1239,6 +1246,7 @@ class SnapshotTable:
                 source.select(*keys).distinct().localCheckpoint(eager=True)
             )
             n_keys = src_keys.count()
+            key_lits = None
         else:
             # ONE key-grouped pass answers all three guard questions —
             # duplicate keys?, how many keys?, and the key set itself —
@@ -1253,18 +1261,41 @@ class SnapshotTable:
                 .agg(F.count(F.lit(1)).alias("__kn"))
                 .localCheckpoint(eager=False)
             )
-            stats_row = key_counts.agg(
-                F.count(F.lit(1)).alias("n_keys"),
-                F.coalesce(
-                    F.sum((F.col("__kn") > 1).cast("long")), F.lit(0)
-                ).alias("n_dup"),
-            ).first()
-            if int(stats_row["n_dup"]):
-                raise ValueError(
-                    f"merge source has duplicate rows per key {keys}; "
-                    "pass precombine to resolve them"
-                )
-            n_keys = int(stats_row["n_keys"])
+            key_lits = None
+            if len(keys) == 1:
+                # daily-batch fast path (the dedup_index ISIN idiom): a
+                # key set that fits plan literals turns the probe
+                # semi-join and the survivor anti-join into NARROW
+                # filters — no broadcast-build job per consumer.  The
+                # limit-collect is the exact bound; an oversized batch
+                # falls through to the stats aggregate (which also
+                # finishes materializing the lazy checkpoints).
+                head = key_counts.limit(
+                    self.ISIN_KEYS_MAX + 1
+                ).collect()  # bounded-driver: ≤ ISIN_KEYS_MAX+1 narrow key rows
+                if len(head) <= self.ISIN_KEYS_MAX and all(
+                    r[keys[0]] is not None for r in head
+                ):
+                    if any(int(r["__kn"]) > 1 for r in head):
+                        raise ValueError(
+                            f"merge source has duplicate rows per key "
+                            f"{keys}; pass precombine to resolve them"
+                        )
+                    key_lits = sorted(r[keys[0]] for r in head)
+                    n_keys = len(key_lits)
+            if key_lits is None:
+                stats_row = key_counts.agg(
+                    F.count(F.lit(1)).alias("n_keys"),
+                    F.coalesce(
+                        F.sum((F.col("__kn") > 1).cast("long")), F.lit(0)
+                    ).alias("n_dup"),
+                ).first()
+                if int(stats_row["n_dup"]):
+                    raise ValueError(
+                        f"merge source has duplicate rows per key {keys}; "
+                        "pass precombine to resolve them"
+                    )
+                n_keys = int(stats_row["n_keys"])
             src_keys = key_counts.select(*keys)
         if op_col:
             # delete keys participate in the probe (their dirs must be
@@ -1316,11 +1347,16 @@ class SnapshotTable:
             ],
             F.lit(""),
         )
+        probed = target.withColumn("__dir", dir_expr)
+        if key_lits is not None:
+            # narrow literal filter — no broadcast-build job; NULL target
+            # keys yield NULL isin, filtered exactly like the semi-join
+            probed = probed.where(F.col(keys[0]).isin(key_lits))
+        else:
+            probed = probed.join(key_side, keys, "left_semi")
         hit_dirs = sorted(
             r["__dir"]
-            for r in target.withColumn("__dir", dir_expr)
-            .join(key_side, keys, "left_semi")
-            .select("__dir").distinct().collect()
+            for r in probed.select("__dir").distinct().collect()
         )
         survivors = self._read_dirs(
             hit_dirs, schema0, parent0["partition_cols"], ext0,
@@ -1331,7 +1367,14 @@ class SnapshotTable:
                 F.broadcast(dv0), ["__snap_fp", "__snap_ri"], "left_anti"
             )
         surv_rows = survivors.drop("__snap_fp", "__snap_ri")
-        survivors = surv_rows.join(key_side, keys, "left_anti")
+        if key_lits is not None:
+            # anti-join semantics on literals: NULL-keyed target rows
+            # survive (an anti join keeps them — NULL matches nothing)
+            survivors = surv_rows.where(
+                F.coalesce(~F.col(keys[0]).isin(key_lits), F.lit(True))
+            )
+        else:
+            survivors = surv_rows.join(key_side, keys, "left_anti")
         stale_guard = (
             drop_stale
             and precombine is not None
