@@ -127,14 +127,15 @@ def write_hilbert(
     n_files: int = 16,
     bits: int = 6,
 ) -> None:
-    """Hilbert-clustered parquet write: one range shuffle on the curve
-    position, sorted within partitions, helper column dropped (the
-    layout IS the artifact — any reader's stats pruning benefits)."""
-    hdf = hilbert_value(df, cols, bits).localCheckpoint(eager=True)
-    (
-        hdf.repartitionByRange(n_files, "__hvalue")
-        .sortWithinPartitions("__hvalue")
-        .drop("__hvalue")
-        .write.mode("overwrite")
-        .parquet(path)
+    """Hilbert-clustered parquet write: ONE hash shuffle on the
+    token-mapped curve prefix (see zorder.write_curve_clustered — same
+    sampled-range-layout reproduction without the range partitioner's
+    sampling pass or its guarding checkpoint), sorted within partitions
+    on the full curve position, helper column dropped (the layout IS
+    the artifact — any reader's stats pruning benefits)."""
+    from .zorder import write_curve_clustered
+
+    write_curve_clustered(
+        hilbert_value(df, cols, bits), "__hvalue", path, n_files,
+        bits * len(cols),
     )

@@ -167,19 +167,36 @@ def write_zordered(
     count, same contiguous per-file Morton ranges, same row-group
     stats-tightness — without sampling (write bench: 6 jobs -> 4,
     ~2x wall)."""
-    zdf = zorder_value(df, cols, bits)
-    total_bits = bits * len(cols)
+    write_curve_clustered(
+        zorder_value(df, cols, bits), "__zvalue", path, n_files,
+        bits * len(cols),
+    )
+
+
+def write_curve_clustered(
+    vdf: DataFrame,
+    value_col: str,
+    path: str,
+    n_files: int,
+    total_bits: int,
+) -> None:
+    """Shared single-shuffle clustered write for curve-valued frames
+    (Morton here, Hilbert in operators/hilbert.py): partition by the
+    token-mapped high-bit prefix of ``value_col``, sort within
+    partitions on the full value, drop the helper column.  See
+    :func:`write_zordered` for why this replaces checkpoint +
+    ``repartitionByRange`` exactly."""
     group_bits = min(total_bits, max(1, (n_files - 1).bit_length()))
     n_groups = 1 << group_bits
     tokens = _group_tokens(n_groups, n_files)
-    grp = F.shiftright(F.col("__zvalue"), total_bits - group_bits)
+    grp = F.shiftright(F.col(value_col), total_bits - group_bits)
     token = F.element_at(
         F.array(*[F.lit(t) for t in tokens]), grp.cast("int") + 1
     )
     (
-        zdf.repartition(n_files, token)
-        .sortWithinPartitions("__zvalue")
-        .drop("__zvalue")
+        vdf.repartition(n_files, token)
+        .sortWithinPartitions(value_col)
+        .drop(value_col)
         .write.mode("overwrite")
         .parquet(path)
     )
