@@ -32,55 +32,62 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["a1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-#: Round-13 driver-window front: the one r13-CHANGED entry first
-#: (dedup_index_incremental — registry-entry fixed-overhead cut), then
-#: ALL 27 entries whose last driver verdict is r9 vintage, then the 22
-#: alphabetically-next r10-vintage entries — after this window no
-#: entry's last driver verdict is older than r10 (the r12 bar was r9).
-#: Vintages computed from the union of CORRECTNESS_r01..r12
-#: (r9×27, r10×50, r11×49, r12×50).  The driver samples the first 50
-#: ``queries()`` entries.
-_ROUND13_FRONT = (
-    # changed in r13 (commit-overhead cut; semantics oracle-pinned):
-    "dedup_index_incremental",
-    # r9 vintage (all 27):
-    "hudi_mor_kryo_delete_read", "hudi_mor_parquet_block_read",
-    "j1_inner_equi", "j2_left_outer", "j3_full_outer", "j4_semi_anti",
-    "j5_cross", "j6_broadcast", "j7_range_theta", "j8_nullsafe",
-    "q6_forecast_revenue", "s10_explode", "s11_pivot",
-    "s1_project_filter", "s2_topk", "s3_limit_offset", "s4_union_all",
-    "s5_union_distinct", "s6_intersect_except", "s7_cte",
-    "s8_correlated_subquery", "s9_values_inline", "sim_mmr_rerank",
-    "w1_ranking", "w2_analytic", "w3_framed", "w4_distribution",
-    # r10 vintage (alphabetically first 22 of the remaining 49):
-    "asof_events_orders", "contamination_ngram", "dedup_components",
-    "dedup_exact_groups", "dedup_exact_stats", "dedup_fingerprint",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_substring_spans", "emb_label_outliers", "emb_pca_project",
-    "events_sessionize_batch", "global_row_number_order",
-    "hudi_cdc_block_read", "iceberg_export_dv_partitioned",
-    "iceberg_v3_dv_read", "mm_decode_stats", "mm_exif_orientation",
-    "mm_frame_sample", "mm_hist_profile", "mm_image_ahash",
+#: Round-14 driver-window front: every registry entry whose execution
+#: path changed in the r14 optimization round FIRST (plan/kernel changes
+#: must be driver re-adjudicated the round they land), then ALL
+#: remaining r10-vintage entries — after this window no entry's last
+#: driver verdict is older than r11 (the r13 bar was r10) — then one
+#: alphabetical r11-vintage fill to reach exactly 50.  Vintages computed
+#: from the union of CORRECTNESS_r01..r13 (r10×27, r11×49, r12×50,
+#: r13×50).  The driver samples the first 50 ``queries()`` entries.
+_ROUND14_FRONT = (
+    # changed in r14 (optimization round; semantics oracle-pinned —
+    # see OPTIMIZATION_r14.md per-item notes), incl. the six that are
+    # ALSO r10 vintage (sim_ivf_topk, sim_topk_bruteforce,
+    # text_bpe_merges, text_stratified_sample, scd2_history_merge,
+    # upsert_keyed_merge):
+    "graph_pagerank", "sim_ann_index_search", "sim_ivf_topk",
+    "sim_mmr_rerank", "sim_lsh_topk", "sim_topk_bruteforce",
+    "sim_recall_at_k", "sim_semantic_dedup", "dedup_components",
+    "dedup_minhash_lsh", "dedup_incremental", "dedup_index_incremental",
+    "s9_values_inline", "text_dsir_weights", "tokenizer_oov_rate",
+    "text_bm25_topk", "data_mixture_weights", "text_paragraph_dedup",
+    "text_stratified_sample", "text_bpe_merges", "text_source_cap",
+    "snapshot_branch_lifecycle", "snapshot_merge_delete",
+    "snapshot_incremental_rollup", "hudi_export_roundtrip",
+    "hudi_export_mor_roundtrip", "upsert_keyed_merge",
+    "scd2_history_merge",
+    # r10 vintage, the 21 not already fronted above (retires r10):
+    "mm_jpeg_progressive_stats", "mm_jpeg_roundtrip_stats",
+    "mm_mp4_demux_stats", "mm_wav_roundtrip_stats", "py_groupwise_mad",
+    "q10_returned_items", "q13_customer_distribution",
+    "q14_promo_revenue", "q18_large_orders", "q3_shipping_priority",
+    "q5_local_supplier_volume", "s12_unpivot", "sim_label_centroids",
+    "sim_neardup_pairs", "text_bpe_token_count",
+    "text_html_boilerplate", "text_lang_id", "text_lm_perplexity",
+    "text_quality", "text_stats_by_lang", "text_token_count",
+    # r11 vintage, alphabetical fill to 50:
+    "a4_approx_distinct",
 )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    The driver's correctness gate samples the FIRST 50 entries.  Round-13
-    rotation: the r13-changed entry, then stalest-verdict entries
-    (``_ROUND13_FRONT``), then everything else newest-first.  An unknown
+    The driver's correctness gate samples the FIRST 50 entries.  Round-14
+    rotation: the r14-changed entries, then stalest-verdict entries
+    (``_ROUND14_FRONT``), then everything else newest-first.  An unknown
     front name RAISES — a typo'd or renamed entry must not silently skip
     its re-adjudication (VERDICT r8 "what's wrong" #3).
     tests/test_oracle_all.py stays authoritative over ALL entries."""
     from easy_sql_spark.queries import QUERIES
 
-    unknown = [k for k in _ROUND13_FRONT if k not in QUERIES]
+    unknown = [k for k in _ROUND14_FRONT if k not in QUERIES]
     if unknown:
         raise KeyError(
-            f"_ROUND13_FRONT names not in the query registry: {unknown}"
+            f"_ROUND14_FRONT names not in the query registry: {unknown}"
         )
-    front = {k: QUERIES[k] for k in _ROUND13_FRONT}
+    front = {k: QUERIES[k] for k in _ROUND14_FRONT}
     rest = {
         k: v
         for k, v in reversed(list(QUERIES.items()))
