@@ -223,6 +223,20 @@ class SparkBackend:
                 f"CREATE TABLE IF NOT EXISTS {table.name} USING PARQUET"
                 f"{partitioned} AS SELECT {col_list} FROM {view} WHERE 1=0"
             )
+        except Exception as e:
+            # IF NOT EXISTS checks the catalog, but CTAS validates the
+            # LOCATION separately — a creator that lost a create race (the
+            # winner registered the table between our check and our
+            # validation) surfaces LOCATION_ALREADY_EXISTS instead of the
+            # intended no-op.  Honor the no-op when the table IS registered
+            # by now; an unregistered stale directory stays a hard error
+            # (adopting orphaned files silently would hide data).
+            if "LOCATION_ALREADY_EXISTS" in str(e) and self.table_exists(
+                table
+            ):
+                pass
+            else:
+                raise
         finally:
             self.spark.catalog.dropTempView(view)
 

@@ -896,3 +896,66 @@ select 6 as id, 60.0 as amount
 """
     SqlProcessor(spark, plain, logger=lambda m: None).run()
     assert {r.id for r in spark.table("qdb.clean").collect()} == {1, 4, 6}
+
+
+def test_create_table_ctas_lost_race_is_noop(spark):
+    """CREATE TABLE IF NOT EXISTS semantics survive the CTAS location
+    race: IF NOT EXISTS checks the catalog but CTAS validates the
+    LOCATION separately, so a creator that loses a concurrent create
+    surfaces LOCATION_ALREADY_EXISTS instead of the intended no-op.
+    create_table_like_query treats that as the no-op when the table IS
+    registered by then, and keeps it fatal when the location is a stale
+    unregistered directory (orphaned files are never silently adopted)."""
+    import pytest
+
+    from easy_sql_spark.runtime.backend import SparkBackend, TableMeta
+
+    spark.sql("create database if not exists racedb")
+    spark.sql("drop table if exists racedb.t")
+    df = spark.range(3).selectExpr("id", "id * 2 as v")
+    meta = TableMeta.parse("racedb.t")
+
+    class RacingSession:
+        """Forwards to the real session, but the first CTAS both runs the
+        winner's create AND raises the loser's error."""
+
+        def __init__(self, real):
+            self._real = real
+            self.catalog = real.catalog
+            self._raced = False
+
+        def sql(self, q, *a, **kw):
+            if (
+                q.lstrip().upper().startswith("CREATE TABLE IF NOT EXISTS")
+                and not self._raced
+            ):
+                self._raced = True
+                self._real.sql(q, *a, **kw)  # the race's winner
+                raise RuntimeError(
+                    "[LOCATION_ALREADY_EXISTS] Cannot name the managed "
+                    "table as `racedb`.`t`, as its associated location "
+                    "already exists."
+                )
+            return self._real.sql(q, *a, **kw)
+
+    backend = SparkBackend(spark)
+    backend.spark = RacingSession(spark)
+    backend.create_table_like_query(df, meta)  # lost race -> no-op
+    assert spark.catalog.tableExists("racedb.t")
+
+    class StaleSession(RacingSession):
+        """The stale-directory shape: CTAS fails and NOBODY registered."""
+
+        def sql(self, q, *a, **kw):
+            if q.lstrip().upper().startswith("CREATE TABLE IF NOT EXISTS"):
+                raise RuntimeError(
+                    "[LOCATION_ALREADY_EXISTS] stale unregistered dir"
+                )
+            return self._real.sql(q, *a, **kw)
+
+    spark.sql("drop table if exists racedb.t")
+    backend2 = SparkBackend(spark)
+    backend2.spark = StaleSession(spark)
+    with pytest.raises(RuntimeError, match="LOCATION_ALREADY_EXISTS"):
+        backend2.create_table_like_query(df, meta)
+    spark.sql("drop database if exists racedb cascade")

@@ -10,6 +10,22 @@ import pytest
 from easy_sql_spark.runtime.processor import SqlProcessor
 
 
+def fresh_db(spark, name: str) -> None:
+    """DROP + recreate a test database AND its warehouse directory.
+
+    ``DROP DATABASE CASCADE`` only removes what the in-memory catalog
+    knows about — files left by an interrupted earlier attempt (e.g. a
+    CTAS that wrote before registering) survive it and fail the next
+    managed CREATE with LOCATION_ALREADY_EXISTS (the conftest/bench.py
+    stale-dir idiom, applied per test)."""
+    from urllib.parse import urlparse
+
+    spark.sql(f"drop database if exists {name} cascade")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(os.path.join(wh, f"{name}.db"), ignore_errors=True)
+    spark.sql(f"create database {name}")
+
+
 @pytest.fixture()
 def stream_dirs(tmp_path):
     src = tmp_path / "src"
@@ -430,8 +446,7 @@ def test_foreach_batch_streaming_upsert_with_restart(spark, stream_dirs):
     only the new batch — no replays, no duplicate keys."""
     import time
 
-    spark.sql("drop database if exists sdbup cascade")
-    spark.sql("create database sdbup")
+    fresh_db(spark, "sdbup")
     etl = """-- target=variables
 select true as __create_output_table__, 'upsert' as __save_mode__, 'id' as __merge_keys__
 
@@ -502,8 +517,7 @@ def test_foreach_batch_streaming_scd2(spark, stream_dirs):
     streaming upsert."""
     import time
 
-    spark.sql("drop database if exists sdbs2 cascade")
-    spark.sql("create database sdbs2")
+    fresh_db(spark, "sdbs2")
     etl = """-- target=variables
 select true as __create_output_table__, 'scd2' as __save_mode__,
        'id' as __merge_keys__, 'ts' as __scd2_ts__
@@ -668,8 +682,7 @@ def test_foreach_batch_medallion_rollup(spark, tmp_path):
                 + "\n"
             )
 
-    spark.sql("drop database if exists med cascade")
-    spark.sql("create database med")
+    fresh_db(spark, "med")
     etl = """-- target=variables
 select true as __create_output_table__, 'append' as __save_mode__
 
