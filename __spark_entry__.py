@@ -34,18 +34,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Round-14 driver-window front: every registry entry whose execution
 #: path changed in the r14 optimization round FIRST (plan/kernel changes
-#: must be driver re-adjudicated the round they land), then ALL
-#: remaining r10-vintage entries — after this window no entry's last
-#: driver verdict is older than r11 (the r13 bar was r10) — then one
-#: alphabetical r11-vintage fill to reach exactly 50.  Vintages computed
-#: from the union of CORRECTNESS_r01..r13 (r10×27, r11×49, r12×50,
-#: r13×50).  The driver samples the first 50 ``queries()`` entries.
+#: must be driver re-adjudicated the round they land), then the
+#: remaining r10-vintage entries.  33 changed entries leave room for 17
+#: of the 20 non-changed r10 vintages: changed-entry re-adjudication
+#: takes precedence over vintage retirement, so the three alphabetically
+#: last non-changed r10 entries (text_quality, text_stats_by_lang,
+#: text_token_count) defer to the r15 window — after this window those
+#: three are the only entries whose last driver verdict predates r11.
+#: Vintages computed from the union of CORRECTNESS_r01..r13 (r10×27,
+#: r11×49, r12×50, r13×50).  The driver samples the first 50
+#: ``queries()`` entries.
 _ROUND14_FRONT = (
     # changed in r14 (optimization round; semantics oracle-pinned —
-    # see OPTIMIZATION_r14.md per-item notes), incl. the six that are
+    # see OPTIMIZATION_r14.md per-item notes), incl. the seven that are
     # ALSO r10 vintage (sim_ivf_topk, sim_topk_bruteforce,
     # text_bpe_merges, text_stratified_sample, scd2_history_merge,
-    # upsert_keyed_merge):
+    # upsert_keyed_merge, text_lm_perplexity):
     "graph_pagerank", "sim_ann_index_search", "sim_ivf_topk",
     "sim_mmr_rerank", "sim_lsh_topk", "sim_topk_bruteforce",
     "sim_recall_at_k", "sim_semantic_dedup", "dedup_components",
@@ -56,18 +60,17 @@ _ROUND14_FRONT = (
     "snapshot_branch_lifecycle", "snapshot_merge_delete",
     "snapshot_incremental_rollup", "hudi_export_roundtrip",
     "hudi_export_mor_roundtrip", "upsert_keyed_merge",
-    "scd2_history_merge",
-    # r10 vintage, the 21 not already fronted above (retires r10):
+    "scd2_history_merge", "text_lm_perplexity", "text_winnow_pairs",
+    "dedup_substring_spans", "contamination_ngram",
+    "global_row_number_order",
+    # r10 vintage, the 17 of 20 not already fronted above (see note):
     "mm_jpeg_progressive_stats", "mm_jpeg_roundtrip_stats",
     "mm_mp4_demux_stats", "mm_wav_roundtrip_stats", "py_groupwise_mad",
     "q10_returned_items", "q13_customer_distribution",
     "q14_promo_revenue", "q18_large_orders", "q3_shipping_priority",
     "q5_local_supplier_volume", "s12_unpivot", "sim_label_centroids",
     "sim_neardup_pairs", "text_bpe_token_count",
-    "text_html_boilerplate", "text_lang_id", "text_lm_perplexity",
-    "text_quality", "text_stats_by_lang", "text_token_count",
-    # r11 vintage, alphabetical fill to 50:
-    "a4_approx_distinct",
+    "text_html_boilerplate", "text_lang_id",
 )
 
 

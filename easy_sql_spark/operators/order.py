@@ -36,7 +36,11 @@ def global_row_number(
     base = (
         df.repartitionByRange(n, *cols)
         .sortWithinPartitions(*cols)
-        .localCheckpoint(eager=True)
+        # checkpointed so both passes see identical partitioning; lazy:
+        # the per-partition count below is the materializing FULL scan
+        # (every partition computes inside its job), so the eager form's
+        # dedicated job was pure scheduler constant
+        .localCheckpoint(eager=False)
     )
     counts = (
         base.groupBy(F.spark_partition_id().alias("pid"))

@@ -123,11 +123,14 @@ def sim_lsh_topk(spark, sf_dir):
     )
     # materialized before the bucket posexplode: Generate re-evaluates its
     # generator per emitted element, which would run all 16 plane folds
-    # once per table row emitted (4×)
+    # once per table row emitted (4×).  Lazy: the query-bucket broadcast
+    # build inside the final action is the materializing full scan (its
+    # vec_id filter prunes rows, not partitions), so the eager form's
+    # dedicated job was pure scheduler constant
     sigs = spread(emb).select(
         "vec_id",
         *[F.expr(_sig_expr(p)).alias(f"s{p}") for p in range(LSH_PLANES)],
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     bucket_cols = [
         sum(
             F.when(F.col(f"s{t * LSH_BITS + i}") >= 0, 1 << i).otherwise(0)
@@ -242,8 +245,11 @@ def text_winnow_pairs(spark, sf_dir):
     # expression per emitted element, turning the O(len) derivation into
     # O(len² · md5) — measured 23s vs 0.2s at sf0.01.  The checkpoint also
     # feeds both self-join sides from one materialization (same rationale
-    # as _lsh_capped_pairs' band table).
-    e = fps.localCheckpoint(eager=True).select(
+    # as _lsh_capped_pairs' band table).  Lazy: both consumers live inside
+    # the one final action (the self-join's first exchange is the
+    # materializing full scan), so the eager form's dedicated job was
+    # pure scheduler constant.
+    e = fps.localCheckpoint(eager=False).select(
         "doc_id", F.explode("fps").alias("fp")
     )
     a = e.select(F.col("doc_id").alias("doc_a"), "fp")

@@ -495,7 +495,10 @@ def dedup_incremental(spark, sf_dir):
                 " j -> array_min(slice(h, j, 4))))"
             ).alias("fps"),
         )
-        .localCheckpoint(eager=True)
+        # lazy: both fingerprint consumers (ne/ce join sides) live inside
+        # the one final action, so the eager form's dedicated
+        # materialization job was pure scheduler constant
+        .localCheckpoint(eager=False)
     )
     e = fps.select("doc_id", F.explode("fps").alias("fp"))
     is_new = F.col("doc_id") % INC_MOD == 7
@@ -656,7 +659,10 @@ def dedup_substring_spans(spark, sf_dir):
             f" i -> md5(substring(text, i * {SPAN_STRIDE} + 1, {SPAN_W}))))"
         ).alias("hs"),
     )
-    e = hashes.localCheckpoint(eager=True).select(
+    # lazy: both self-join sides live inside the one final action (the
+    # join's first exchange is the materializing full scan), so the
+    # eager form's dedicated job was pure scheduler constant
+    e = hashes.localCheckpoint(eager=False).select(
         "doc_id", F.explode("hs").alias("h")
     )
     a = e.select(F.col("doc_id").alias("doc_a"), "h")
@@ -876,8 +882,11 @@ def contamination_ngram(spark, sf_dir):
     )
     # materialize narrow arrays before explode (Generate re-evaluates its
     # generator per element otherwise — same pathology text_winnow_pairs
-    # measured at 23s vs 0.2s)
-    e = grams.localCheckpoint(eager=True).select(
+    # measured at 23s vs 0.2s).  Lazy: the eval-side broadcast build
+    # inside the final action is the materializing full scan (its mod
+    # filter prunes rows, not partitions), so the eager form's dedicated
+    # job was pure scheduler constant
+    e = grams.localCheckpoint(eager=False).select(
         "doc_id", F.explode("gs").alias("g")
     )
     ev = e.where(F.col("doc_id") % EVAL_MOD == 0).select(
