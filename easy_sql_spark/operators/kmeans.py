@@ -22,10 +22,29 @@ corpus size.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .iterate import iter_checkpoint
+
+#: assignment dispatch (r14, guide §4.2): at/above this many centroid
+#: CELLS (K x dim) the interpreted JVM fold — K aggregates x dim lambda
+#: steps PER ROW — is replaced by ``_assign_fold_kernel``, a numpy
+#: kernel that performs the IDENTICAL IEEE op sequence per Arrow batch
+#: (bit-exact; pinned by test_assign_clusters_kernel_bit_exact).
+#: Measured on local[32], dim=64, interleaved A/B min-of-2
+#: (tools/probe_assign_scale.py): at 512 cells (k=8, the semdedup
+#: fixture) the kernel's Python-stage constant loses at every n
+#: (0.97→1.82 s at n=200k); at 2048 cells (k=32) it wins from n=20k up
+#: (0.39→0.31 s) and costs ~0.02 s at n=2k; at 16384 cells (k=256) it
+#: wins 2.6-4.8x (21.8→8.3 s at n=200k).  Production K follows the
+#: corpus (k ~ n/500 — see semantic_dedup), so large-K IS the
+#: at-scale regime; fixture-sized K (8/16 → 512/1024 cells) stays on
+#: the fold path with a byte-identical plan.  Override via
+#: ``EASY_SQL_ASSIGN_KERNEL_MIN_CELLS``.
+ASSIGN_KERNEL_MIN_CELLS = 2048
 
 
 def assign_clusters(
@@ -34,7 +53,27 @@ def assign_clusters(
 ) -> DataFrame:
     """Add ``out_col``: the 0-based index of the nearest centroid
     (squared L2, sequential fold, first-min tie-break).  Pure narrow
-    projection — centroids ride as a literal, nothing shuffles.
+    projection — centroids ride as a literal (small K) or inside an
+    Arrow kernel reproducing the same bits (large K); nothing shuffles
+    either way, and the two paths are bit-identical (same IEEE op
+    sequence — see ``_assign_fold_kernel``), so the dispatch threshold
+    can never change a result."""
+    cells = len(centroids) * (len(centroids[0]) if centroids else 0)
+    gate = int(
+        os.environ.get(
+            "EASY_SQL_ASSIGN_KERNEL_MIN_CELLS", ASSIGN_KERNEL_MIN_CELLS
+        )
+    )
+    if cells >= gate:
+        return _assign_fold_kernel(df, centroids, vec_col, out_col)
+    return _assign_fold(df, centroids, vec_col, out_col)
+
+
+def _assign_fold(
+    df: DataFrame, centroids: list[list[float]], vec_col: str,
+    out_col: str,
+) -> DataFrame:
+    """The JVM fold formulation (the oracle-replay reference).
 
     The K x dim literal is built as ONE parsed SQL expression, not
     K*dim nested ``F.lit`` Column objects: each Column constructor is a
@@ -63,6 +102,52 @@ def assign_clusters(
         )
         .drop("__cents", "__d")
     )
+
+
+def _assign_fold_kernel(
+    df: DataFrame, centroids: list[list[float]], vec_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Ordered-exact Arrow kernel: BIT-identical to ``_assign_fold``
+    by construction, not by accident (the ``_cluster_flags``
+    discipline).  Per dimension d in ascending order the fold computes
+    ``z = (x_d - c_d) * (x_d - c_d)`` (one rounded subtract, one
+    rounded multiply) and ``acc = acc + z`` (one rounded add); the
+    kernel performs the same three ops per (row, centroid, dim) cell as
+    numpy elementwise ops — each a separately rounded IEEE double op —
+    accumulating over d in the same ascending order, so every distance
+    carries the identical bits and ``argmin`` (first minimum) picks the
+    index ``array_position(__d, array_min(__d)) - 1`` picked.  Same
+    preconditions as the fold's oracle replay: finite non-null doubles,
+    vectors sized to the centroid dim.
+
+    Cost: the fold evaluates K interpreted Catalyst lambdas x dim steps
+    per row; the kernel does 3 vectorized passes per dim over an
+    (arrow_batch x K) matrix — measured 2.6-4.8x faster at
+    production-sized K (see ASSIGN_KERNEL_MIN_CELLS) at the price of
+    one ArrowEvalPython stage."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    C = np.asarray(centroids, dtype=np.float64)
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.IntegerType())]
+    )
+
+    def _assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            acc = np.zeros((len(V), len(C)))
+            for d in range(C.shape[1]):
+                diff = V[:, d][:, None] - C[None, :, d]
+                acc += diff * diff
+            pdf = pdf.copy()
+            pdf[out_col] = acc.argmin(axis=1).astype("int32")
+            yield pdf
+
+    return df.mapInPandas(_assign, out_schema)
 
 
 def assign_clusters_arrow(

@@ -347,6 +347,89 @@ def test_interval_join_left_outer(spark):
         interval_join(left, right, "ls", "le", "rs", "re", 8, how="full")
 
 
+def test_assign_clusters_kernel_bit_exact(spark):
+    """_assign_fold_kernel (r14's scale path for production-sized K)
+    must be BIT-identical to _assign_fold — same IEEE op sequence per
+    (row, centroid, dim) cell, same first-min tie-break — so the
+    ASSIGN_KERNEL_MIN_CELLS dispatch can never change a result.
+    Includes adversarial exact ties: a duplicated centroid gives EVERY
+    row a bitwise-tied distance pair (first index must win), and
+    exactly-representable vectors make whole distance computations
+    exact so equidistant centroids tie bitwise."""
+    import random
+
+    from easy_sql_spark.operators.kmeans import (
+        _assign_fold,
+        _assign_fold_kernel,
+    )
+
+    rng = random.Random(14)
+    dim = 7
+    rows = [
+        (i, [rng.uniform(-4, 4) for _ in range(dim)], f"t{i % 3}")
+        for i in range(400)
+    ]
+    # exactly-representable rows: every fold op is exact, so the
+    # equidistant centroids below tie on identical bits
+    rows += [
+        (1000 + i, [float(rng.randint(-8, 8)) for _ in range(dim)], "x")
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, v array<double>, tag string"
+    ).localCheckpoint(eager=True)
+    cents = [[rng.uniform(-4, 4) for _ in range(dim)] for _ in range(5)]
+    cents += [list(cents[0])]  # duplicate: bitwise tie for every row
+    cents += [[float(rng.randint(-8, 8)) for _ in range(dim)]]
+
+    fold = sorted(
+        tuple(r) for r in _assign_fold(df, cents, "v", "cluster").collect()
+    )
+    kern = sorted(
+        tuple(r)
+        for r in _assign_fold_kernel(df, cents, "v", "cluster").collect()
+    )
+    assert fold == kern and len(fold) == 500
+    # the duplicated centroid (index 5 == index 0) must never win
+    assert all(r[-1] != 5 for r in fold)
+    assert len({r[-1] for r in fold}) > 1  # assignment is non-trivial
+
+
+def test_assign_clusters_kernel_gate(spark, monkeypatch):
+    """assign_clusters dispatches on K x dim cells: below
+    ASSIGN_KERNEL_MIN_CELLS the plan is the pure JVM fold projection
+    (no Python boundary — the fixture/oracle-replay shape); at/above
+    it (env-overridable) the assignment rides ONE MapInPandas node.
+    Results are identical either way (bit-exactness pinned above)."""
+    from pyspark.sql import functions as F
+
+    from easy_sql_spark.operators.kmeans import assign_clusters
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cents = [r["v"] for r in emb.orderBy("vec_id").limit(4).collect()]
+
+    monkeypatch.delenv("EASY_SQL_ASSIGN_KERNEL_MIN_CELLS", raising=False)
+    fold_df = assign_clusters(emb, cents)  # 4 x 64 = 256 cells < 2048
+    fold_plan = fold_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "MapInPandas" not in fold_plan and "Python" not in fold_plan
+
+    monkeypatch.setenv("EASY_SQL_ASSIGN_KERNEL_MIN_CELLS", "256")
+    kern_df = assign_clusters(emb, cents)
+    kern_plan = kern_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "MapInPandas" in kern_plan
+
+    fold = {(r.vec_id, r.cluster) for r in fold_df.collect()}
+    kern = {(r.vec_id, r.cluster) for r in kern_df.collect()}
+    assert fold == kern and len(fold) == 500
+
+
 def test_semantic_dedup_arrow_path_matches_fold_path(spark):
     """semantic_dedup(arrow=True) — BLAS matmul pairwise + vectorized
     assignment — must produce the identical (id, cluster, kept) set as
