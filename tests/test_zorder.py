@@ -238,3 +238,75 @@ def test_write_zordered_contiguous_files(spark, tmp_path):
     spans.sort()
     for (_lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, (hi1, lo2)
+
+
+def test_group_tokens_large_n_files_fast():
+    """VERDICT r14 #4: the old per-group scalar probe loop was
+    O(n_groups * n_parts) interpreted murmur3 evaluations — minutes of
+    driver time at 100 TB file counts.  The coupon-collector rewrite
+    must (a) keep the landing property at n_files=4096, (b) finish in
+    well under a second driver-side, (c) agree bit-for-bit with the
+    pinned scalar hash."""
+    import time
+
+    import numpy as np
+
+    from easy_sql_spark.operators.zorder import (
+        _group_tokens,
+        _murmur3_int,
+        _murmur3_np,
+    )
+
+    # vectorized hash == the scalar hash (which is pinned against F.hash)
+    vals = list(range(512)) + [2**31 - 1, -1, -(2**31), 123456789]
+    assert _murmur3_np(np.array(vals)).tolist() == [
+        _murmur3_int(v) for v in vals
+    ]
+
+    t0 = time.monotonic()
+    tokens = _group_tokens(4096, 4096)
+    elapsed = time.monotonic() - t0
+    assert elapsed < 1.0, f"_group_tokens(4096, 4096) took {elapsed:.2f}s"
+    assert tokens is not None and len(tokens) == 4096
+    # landing property on a sample (full sweep is the small-n test)
+    for g in range(0, 4096, 97):
+        assert _murmur3_int(tokens[g]) % 4096 == g
+
+    # n_groups > n_parts: groups sharing a target share its token
+    toks = _group_tokens(64, 48)
+    for g, t in enumerate(toks):
+        assert _murmur3_int(t) % 48 == g * 48 // 64
+
+
+def test_write_curve_clustered_range_fallback(spark, tmp_path, monkeypatch):
+    """If the token search ever exhausts its budget, the write must fall
+    back to the sampled repartitionByRange layout and still produce
+    n_files contiguous files."""
+    import easy_sql_spark.operators.zorder as z
+
+    def _all_zero(vals, seed=42):
+        return np.zeros(len(np.atleast_1d(vals)), dtype=np.int32)
+
+    monkeypatch.setattr(z, "_murmur3_np", _all_zero)
+    assert z._group_tokens(16, 16) is None  # only partition 0 reachable
+
+    df = spark.range(8000).selectExpr(
+        "cast(id % 100 as double) as x",
+        "cast(cast(id / 100 as int) as double) as y",
+    )
+    path = str(tmp_path / "zfallback")
+    z.write_zordered(df, path, ["x", "y"], n_files=8)
+    files = sorted(glob.glob(path + "/part-*.parquet"))
+    assert len(files) == 8
+    zmap = {
+        (r["x"], r["y"]): r["__zvalue"]
+        for r in zorder_value(df, ["x", "y"]).collect()
+    }
+    spans = []
+    for f in files:
+        t = pq.read_table(f).to_pandas()
+        vals = [zmap[(x, y)] for x, y in zip(t["x"], t["y"])]
+        spans.append((min(vals), max(vals)))
+    spans.sort()
+    for (_lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, (hi1, lo2)

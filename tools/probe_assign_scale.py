@@ -98,7 +98,16 @@ def main():
                 f"{n:>8} {k:>4} {f_best:>9.3f} {kern_best:>10.3f} "
                 f"{kern_best / f_best:>6.2f} {mism:>6} {s1 - s0:>8}"
             )
+        # ADVICE r14: unpersist() does not free localCheckpoint RDD
+        # blocks (released only when the RDD is GC'd) — drop the frame
+        # reference and collect so checkpointed vector data from this
+        # grid point can't accumulate into the next one's measurement
         base.unpersist()
+        del base
+        import gc
+
+        gc.collect()
+        spark._jvm.System.gc()
     spark.stop()
 
 
