@@ -157,6 +157,17 @@ class MinHashDedupIndex:
     #: bloats the plan tree and codegen far past the join's cost)
     ISIN_DROP_MAX = 4096
 
+    #: driver-held pending admitted band keys above this trigger an
+    #: automatic mid-context :meth:`flush` (VERDICT r13 #4): a long
+    #: deferred load of many small batches otherwise grows
+    #: ``_pending_local_keys`` without bound (each key is a ~100 B
+    #: tuple — the default caps driver state at ~400 MB).  Admission
+    #: semantics are unchanged: flush commits the pending batches, so
+    #: later batches probe the same admissions via the committed index
+    #: instead of the driver set; the only visible difference is more
+    #: than one snapshot version for that load.
+    PENDING_LOCAL_KEYS_MAX = 4_000_000
+
     def _index_bytes(self) -> int:
         """On-disk size of the live index dirs — a PURE manifest-metadata
         read when the manifest carries per-dir byte totals (recorded at
@@ -534,6 +545,13 @@ class MinHashDedupIndex:
             # pre-probe band rows: a free (already-computed) upper bound
             # on this batch's pending contribution to the probe view
             self._pending_rows += int(n_band_rows)
+            if (
+                self._pending_local_keys is not None
+                and len(self._pending_local_keys) > self.PENDING_LOCAL_KEYS_MAX
+            ):
+                # bound driver state on long deferred loads (see
+                # PENDING_LOCAL_KEYS_MAX); flush resets the key set
+                self.flush()
         elif not self.table.latest_version():
             # record the batch id on the CREATE commit too, or a replayed
             # first batch (restart before the stream checkpoint lands)

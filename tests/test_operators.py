@@ -802,3 +802,57 @@ def test_env_int_malformed_is_descriptive():
         assert _env_int("EASY_SQL_ASSIGN_KERNEL_MIN_CELLS", 2048) == 2048
     finally:
         del _os.environ["EASY_SQL_ASSIGN_KERNEL_MIN_CELLS"]
+
+
+def test_dedup_index_pending_keys_auto_flush(spark, tmp_path):
+    """VERDICT r13 #4 (carried through r14): a long deferred load must
+    not grow the driver-held pending key set without bound — crossing
+    PENDING_LOCAL_KEYS_MAX triggers an automatic mid-context flush
+    (keys reset, admissions committed), and admissions must be
+    IDENTICAL to an unbudgeted run."""
+    from pyspark.sql import functions as F
+
+    from easy_sql_spark.operators.dedup_index import MinHashDedupIndex
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "an entirely different document about spark shuffle planning",
+        "completely novel content never seen before in this corpus",
+        "a fourth text with its own unrepeated vocabulary entirely",
+    ]
+    docs = spark.createDataFrame(
+        [(i, texts[(i - 1) % 4]) for i in range(1, 9)],
+        "doc_id long, text string",
+    )
+
+    def admitted_ids(idx):
+        out = []
+        with idx.deferred_commits():
+            for lo, hi in ((0, 2), (2, 4), (4, 6), (6, 8)):
+                out.append(
+                    idx.ingest(
+                        docs.where(
+                            (F.col("doc_id") > lo) & (F.col("doc_id") <= hi)
+                        )
+                    )
+                )
+            rows = sorted(r.doc_id for f in out for r in f.collect())
+        return rows
+
+    ref = MinHashDedupIndex(spark, str(tmp_path / "nolimit"))
+    want = admitted_ids(ref)
+    assert want == [1, 2, 3, 4]  # 5-8 are exact dups of 1-4
+    assert ref.table.latest_version() == 1  # one commit, no auto-flush
+
+    capped = MinHashDedupIndex(spark, str(tmp_path / "capped"))
+    capped.PENDING_LOCAL_KEYS_MAX = 1  # every batch crosses the budget
+    got = admitted_ids(capped)
+    assert got == want
+    # the budget forced mid-context flushes -> multiple snapshot versions
+    assert capped.table.latest_version() > 1
+    # read-back state identical: the same admitted docs are indexed
+    ids = lambda t: sorted(  # noqa: E731
+        r.doc_id
+        for r in t.read().select("doc_id").distinct().collect()
+    )
+    assert ids(capped.table) == ids(ref.table)
