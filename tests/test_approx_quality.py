@@ -81,17 +81,20 @@ def test_exact_mode_quantile_rank_convention_matches_duckdb(spark):
         assert list(s) == list(d), (vals, list(s), list(d))
 
 
-def _pairs(name, spark):
-    return {
-        (r.query_id, r.neighbor_id) for r in QUERIES[name](spark, SF).collect()
-    }
+def _rows(name, spark):
+    return QUERIES[name](spark, SF).collect()
 
 
 def test_ann_recall_floors(spark):
-    bf = _pairs("sim_topk_bruteforce", spark)
+    # each query is evaluated ONCE and both checks (recall + cosine
+    # bounds) read the same collected rows — a second evaluation per
+    # query bought nothing and re-ran the full index/LSH lifecycle
+    bf = {(r.query_id, r.neighbor_id) for r in _rows("sim_topk_bruteforce", spark)}
     assert len(bf) == 50  # 10 query vectors x top-5, the exact ground truth
-    ivf = _pairs("sim_ivf_topk", spark)
-    lsh = _pairs("sim_lsh_topk", spark)
+    ivf_rows = _rows("sim_ivf_topk", spark)
+    lsh_rows = _rows("sim_lsh_topk", spark)
+    ivf = {(r.query_id, r.neighbor_id) for r in ivf_rows}
+    lsh = {(r.query_id, r.neighbor_id) for r in lsh_rows}
     ivf_recall = len(bf & ivf) / len(bf)
     lsh_recall = len(bf & lsh) / len(bf)
     # measured 0.30 / 0.44 on the uniform fixtures (see module docstring)
@@ -99,7 +102,5 @@ def test_ann_recall_floors(spark):
     assert lsh_recall >= 0.3, f"LSH recall@5 collapsed: {lsh_recall}"
     # and every reported neighbor must carry a correct exact re-ranked
     # cosine: the approximate part is CANDIDATE SELECTION only
-    for name in ("sim_ivf_topk", "sim_lsh_topk"):
-        df = QUERIES[name](spark, SF)
-        assert df.where(F.col("cos_sim") > 1.0001).count() == 0
-        assert df.where(F.col("cos_sim") < -1.0001).count() == 0
+    for rows in (ivf_rows, lsh_rows):
+        assert all(-1.0001 <= r.cos_sim <= 1.0001 for r in rows)

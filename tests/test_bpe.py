@@ -8,6 +8,8 @@ from collections import Counter
 
 import pytest
 
+import _depth
+
 from easy_sql_spark.operators.bpe import (
     bpe_encode_expr,
     bpe_train,
@@ -121,7 +123,7 @@ try:
         ),
         n=st.integers(1, 6),
     )
-    @settings(max_examples=10, deadline=None)
+    @settings(max_examples=_depth.examples(10, 3), deadline=None)
     def test_bpe_property_crosscheck(spark_session_for_hypothesis, texts, n):
         spark = spark_session_for_hypothesis
         docs = spark.createDataFrame([(t,) for t in texts], "text string")

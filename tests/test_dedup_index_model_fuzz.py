@@ -23,6 +23,8 @@ sequence.
 import random
 
 import pytest
+
+import _depth
 from pyspark.sql import functions as F
 
 
@@ -80,7 +82,7 @@ TEXT_POOL = [
 ]
 
 
-@pytest.mark.parametrize("seed", [3, 17])
+@pytest.mark.parametrize("seed", _depth.seeds([3, 17]))
 def test_dedup_index_admission_matches_model(spark, tmp_path, seed):
     import easy_sql_spark.operators.components as comps
     from easy_sql_spark.operators.dedup_index import MinHashDedupIndex

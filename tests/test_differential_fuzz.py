@@ -16,6 +16,8 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
+import _depth
+
 SF_DIR = "/root/testdata/sf0.001"
 PARQUET = os.path.join(SF_DIR, "lineitem.parquet")
 
@@ -50,7 +52,7 @@ def ducks():
     agg_col=st.sampled_from(INT_COLS),
 )
 @settings(
-    max_examples=25,
+    max_examples=_depth.examples(25),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -103,7 +105,7 @@ def test_random_filter_group_agg_agree(spark, ducks, preds, conj, group, agg_col
     pred=predicate,
 )
 @settings(
-    max_examples=15,
+    max_examples=_depth.examples(15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -137,7 +139,7 @@ def test_random_window_prefix_sums_agree(spark, ducks, part, val, frame_rows, pr
     agg_col=st.sampled_from(["l_suppkey", "l_linenumber"]),
 )
 @settings(
-    max_examples=15,
+    max_examples=_depth.examples(15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -188,7 +190,7 @@ _STRING_FNS = [
     min_chars=st.integers(0, 900),
 )
 @settings(
-    max_examples=15,
+    max_examples=_depth.examples(15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -241,7 +243,7 @@ _DATE_EXPRS_SPARK = [
     lo=st.integers(0, 140_000),
 )
 @settings(
-    max_examples=18,
+    max_examples=_depth.examples(18),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -296,7 +298,7 @@ _HOF_EXPRS = [
     mod=st.integers(3, 9),
 )
 @settings(
-    max_examples=12, deadline=None,
+    max_examples=_depth.examples(12), deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 def test_random_array_hof_agree(spark, ducks, expr_ids, mod):
@@ -362,7 +364,7 @@ def _raw_url(parts):
 
 @given(urls=st.lists(url_parts, min_size=1, max_size=8))
 @settings(
-    max_examples=20,
+    max_examples=_depth.examples(20),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -428,7 +430,7 @@ def _paths_of(doc, prefix="$"):
 
 @given(docs=st.lists(_json_doc, min_size=1, max_size=6))
 @settings(
-    max_examples=15,
+    max_examples=_depth.examples(15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -485,7 +487,7 @@ def test_random_variant_json_extraction_agrees(spark, ducks, docs):
     )
 )
 @settings(
-    max_examples=25,
+    max_examples=_depth.examples(25),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -559,7 +561,7 @@ def test_random_repetition_topgram_scan_agrees(spark, ducks, docs):
     )
 )
 @settings(
-    max_examples=20,
+    max_examples=_depth.examples(20),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -656,7 +658,7 @@ def _write_docs(spark, docs, langs=None, sources=None):
     lang_bits=st.lists(st.booleans(), min_size=8, max_size=8),
 )
 @settings(
-    max_examples=20,
+    max_examples=_depth.examples(20),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -713,7 +715,7 @@ def test_random_dsir_weights_agree(spark, ducks, docs, lang_bits):
     )
 )
 @settings(
-    max_examples=20,
+    max_examples=_depth.examples(20),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -767,7 +769,7 @@ def test_random_oov_rate_agrees(spark, ducks, docs):
     src_ids=st.lists(st.integers(0, 3), min_size=10, max_size=10),
 )
 @settings(
-    max_examples=20,
+    max_examples=_depth.examples(20),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -833,7 +835,7 @@ _asof_right = st.lists(
 
 @given(left=_asof_left, right=_asof_right)
 @settings(
-    max_examples=25,
+    max_examples=_depth.examples(25),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -899,7 +901,7 @@ _intervals = st.lists(
     how=st.sampled_from(["inner", "left"]),
 )
 @settings(
-    max_examples=25,
+    max_examples=_depth.examples(25),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -958,7 +960,7 @@ def test_random_interval_join_agrees(spark, ducks, li, ri, width, how):
     )
 )
 @settings(
-    max_examples=20,
+    max_examples=_depth.examples(20),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1041,7 +1043,7 @@ def test_random_resample_ffill_agrees(spark, ducks, events):
     )
 )
 @settings(
-    max_examples=20,
+    max_examples=_depth.examples(20),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1117,7 +1119,7 @@ def test_random_sessionize_agrees(spark, ducks, events):
     )
 )
 @settings(
-    max_examples=20,
+    max_examples=_depth.examples(20),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1197,7 +1199,7 @@ def test_random_funnel_agrees(spark, ducks, events):
     base_dow=st.integers(0, 6),     # start on every weekday
 )
 @settings(
-    max_examples=20,
+    max_examples=_depth.examples(20),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

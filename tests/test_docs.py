@@ -116,11 +116,16 @@ def test_testing_page_matches_cli(tmp_path):
     }]
     tf = tmp_path / "some_etl.json"
     tf.write_text(json.dumps(case))
+    # the CLI builds its own SparkSession; pin it to 2 cores so the
+    # 2-row doc example doesn't pay a local[32]/32-shuffle-partition
+    # session (same code path, ~3x faster test)
+    env = dict(os.environ, SPARK_GRAFT_CPUS="2")
     r = subprocess.run(
         [sys.executable, "-m", "easy_sql_spark.sql_test", "run-test",
          "-f", str(tf)],
         capture_output=True, text=True,
         cwd=os.path.dirname(DOCS),
+        env=env,
     )
     assert r.returncode == 0, r.stdout + r.stderr
     assert "1 passed, 0 failed" in r.stdout

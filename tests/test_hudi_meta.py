@@ -7,6 +7,8 @@ import os
 
 import pytest
 
+import _depth
+
 from easy_sql_spark.sources.hudi_meta import (
     HudiUnsupportedError,
     hudi_history,
@@ -641,7 +643,7 @@ select (select count(*) from via_mor) as actual, 3 as expected
     }
 
 
-@pytest.mark.parametrize("seed", [7, 23])
+@pytest.mark.parametrize("seed", _depth.seeds([7, 23]))
 def test_export_snapshot_to_hudi_mor_random_walk(spark, tmp_path, seed):
     """Randomized op walk: a seeded sequence of merge/delete/append
     commits, exported after EVERY commit, must read back equal to the

@@ -28,6 +28,8 @@ import random
 
 import pytest
 
+import _depth
+
 SCHEMA_STR = json.dumps(
     {
         "type": "struct",
@@ -86,7 +88,7 @@ def _dv_inline(positions):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("seed", [13, 61])
+@pytest.mark.parametrize("seed", _depth.seeds([13, 61]))
 def test_delta_reader_matches_log_replay_model(spark, tmp_path, seed):
     from easy_sql_spark.sources.delta_log import read_delta
 
@@ -353,7 +355,7 @@ def _write_classic_checkpoint(spark, t, version, files, live, parts=1):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("seed", [17, 43])
+@pytest.mark.parametrize("seed", _depth.seeds([17, 43]))
 def test_hudi_mor_reader_matches_timeline_replay_model(spark, tmp_path, seed):
     from easy_sql_spark.sources import hudi_log as hl
     from easy_sql_spark.sources.hudi_meta import read_hudi
@@ -561,7 +563,7 @@ def test_hudi_mor_reader_matches_timeline_replay_model(spark, tmp_path, seed):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("seed", [29, 83])
+@pytest.mark.parametrize("seed", _depth.seeds([29, 83]))
 def test_iceberg_reader_matches_snapshot_replay_model(spark, tmp_path, seed):
     """Same discipline for the THIRD format: random snapshot sequences
     (delta-manifest appends / full-state-collapse overwrites /
@@ -848,7 +850,9 @@ def test_iceberg_reader_matches_snapshot_replay_model(spark, tmp_path, seed):
 
 #: lifecycle count is env-scalable (suite default 4; the r11 campaign
 #: ran EASY_SQL_HUDI_FUZZ_SEEDS=200, results in COVERAGE.md)
-_HUDI_CC_SEEDS = int(os.environ.get("EASY_SQL_HUDI_FUZZ_SEEDS", "4"))
+_HUDI_CC_SEEDS = int(
+    os.environ.get("EASY_SQL_HUDI_FUZZ_SEEDS", "4" if _depth.FULL else "2")
+)
 
 
 @pytest.mark.parametrize("seed", range(_HUDI_CC_SEEDS))

@@ -32,6 +32,8 @@ import sys
 
 import pytest
 
+import _depth
+
 REF_ROOT = "/root/reference"
 
 pytestmark = pytest.mark.skipif(
@@ -214,7 +216,7 @@ def _teardown(spark, views: list[str]) -> None:
     spark.catalog.clearCache()
 
 
-@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("seed", _depth.seeds(range(4)))
 def test_processor_end_to_end_matches_reference(
     spark, ref_processor_cls, base_view, seed
 ):
@@ -337,7 +339,7 @@ class OutputCase:
         return "\n".join(lines)
 
 
-@pytest.mark.parametrize("seed", range(3))
+@pytest.mark.parametrize("seed", _depth.seeds(range(3)))
 def test_output_step_matches_reference(
     spark, ref_processor_cls, base_view, seed
 ):
@@ -583,7 +585,7 @@ _EXT_SEEDS = 16
 _EXT_CASES = int(os.environ.get("EASY_SQL_E2E_CASES_PER_SEED", "4"))
 
 
-@pytest.mark.parametrize("seed", range(_EXT_SEEDS))
+@pytest.mark.parametrize("seed", _depth.seeds(range(_EXT_SEEDS), quick=3))
 def test_extended_grammar_end_to_end(
     spark, ref_processor_cls, base_view, seed, tmp_path
 ):

@@ -10,6 +10,8 @@ batches, attribute flapping A→B→A, duplicate keys within a batch)."""
 
 import itertools
 
+import _depth
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -50,7 +52,7 @@ def _model(batches):
 
 @given(batches=_batches)
 @settings(
-    max_examples=12,
+    max_examples=_depth.examples(12),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -99,7 +101,7 @@ _upsert_batches = st.lists(
 
 @given(batches=_upsert_batches)
 @settings(
-    max_examples=10,
+    max_examples=_depth.examples(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -1,6 +1,8 @@
 """Tests for the salted-join / skewed-aggregation operators."""
 
 import pytest
+
+import _depth
 from pyspark.sql import functions as F
 
 from easy_sql_spark.operators.skew import (
@@ -174,7 +176,7 @@ try:
         offset=st.integers(0, 10_000),
     )
     @settings(
-        max_examples=12,
+        max_examples=_depth.examples(12),
         deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )

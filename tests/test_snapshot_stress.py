@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import pytest
 
+import _depth
+
 from easy_sql_spark.queries import QUERIES
 from easy_sql_spark.runtime.snapshots import SnapshotTable
 
@@ -79,7 +81,8 @@ def test_lifecycle_survives_commit_rebase(spark, name, steal_first_version):
 
 @pytest.mark.parametrize(
     "name,repeats",
-    [("snapshot_dv_delete", 20)] + [(n, 5) for n in LIFECYCLE[1:]],
+    [("snapshot_dv_delete", _depth.repeats(20, 5))]
+    + [(n, _depth.repeats(5, 2)) for n in LIFECYCLE[1:]],
 )
 def test_lifecycle_hot_session_repeats(spark, name, repeats):
     q = QUERIES[name]

@@ -10,6 +10,8 @@ import shutil
 
 import pytest
 
+import _depth
+
 from easy_sql_spark.runtime.snapshots import SnapshotTable
 
 
@@ -29,7 +31,7 @@ def _read(t, version=None):
     return {(r.id, r.v, r.p) for r in t.read(version=version).collect()}
 
 
-@pytest.mark.parametrize("seed", [11, 23, 47])
+@pytest.mark.parametrize("seed", _depth.seeds([11, 23, 47]))
 def test_random_op_sequences_match_model(spark, root, seed):
     rng = random.Random(seed)
     t = SnapshotTable(spark, root + str(seed))

@@ -38,7 +38,11 @@ import shutil
 
 import pytest
 
-_SEEDS = int(os.environ.get("EASY_SQL_STREAM_FUZZ_SEEDS", "2"))
+import _depth
+
+_SEEDS = int(
+    os.environ.get("EASY_SQL_STREAM_FUZZ_SEEDS", "2" if _depth.FULL else "1")
+)
 
 
 # ------------------------------------------------------------ shared
