@@ -32,65 +32,61 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["a1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-#: Round-14 driver-window front: every registry entry whose execution
-#: path changed in the r14 optimization round FIRST (plan/kernel changes
-#: must be driver re-adjudicated the round they land), then the
-#: remaining r10-vintage entries.  33 changed entries leave room for 17
-#: of the 20 non-changed r10 vintages: changed-entry re-adjudication
-#: takes precedence over vintage retirement, so the three alphabetically
-#: last non-changed r10 entries (text_quality, text_stats_by_lang,
-#: text_token_count) defer to the r15 window — after this window those
-#: three are the only entries whose last driver verdict predates r11.
-#: Vintages computed from the union of CORRECTNESS_r01..r13 (r10×27,
-#: r11×49, r12×50, r13×50).  The driver samples the first 50
+#: Round-15 driver-window front: stalest-driver-verdict entries first.
+#: No registry entry's EXECUTION PATH changed in r15 (the round's
+#: engine work was measurement/protocol + test-gate tiering — see
+#: OPTIMIZATION_r15.md), so the whole 50-slot window goes to vintage
+#: retirement: the three r10-vintage entries deferred from the r14
+#: window (text_quality, text_stats_by_lang, text_token_count — the
+#: r14 front-list promise), then all 41 remaining r11-vintage entries,
+#: then the six alphabetically first r12-vintage entries.  After this
+#: window no entry's last driver verdict predates r12.  Vintages
+#: computed from the union of CORRECTNESS_r01..r14 (r10×3, r11×41,
+#: r12×40, r13×42, r14×50).  The driver samples the first 50
 #: ``queries()`` entries.
-_ROUND14_FRONT = (
-    # changed in r14 (optimization round; semantics oracle-pinned —
-    # see OPTIMIZATION_r14.md per-item notes), incl. the seven that are
-    # ALSO r10 vintage (sim_ivf_topk, sim_topk_bruteforce,
-    # text_bpe_merges, text_stratified_sample, scd2_history_merge,
-    # upsert_keyed_merge, text_lm_perplexity):
-    "graph_pagerank", "sim_ann_index_search", "sim_ivf_topk",
-    "sim_mmr_rerank", "sim_lsh_topk", "sim_topk_bruteforce",
-    "sim_recall_at_k", "sim_semantic_dedup", "dedup_components",
-    "dedup_minhash_lsh", "dedup_incremental", "dedup_index_incremental",
-    "s9_values_inline", "text_dsir_weights", "tokenizer_oov_rate",
-    "text_bm25_topk", "data_mixture_weights", "text_paragraph_dedup",
-    "text_stratified_sample", "text_bpe_merges", "text_source_cap",
-    "snapshot_branch_lifecycle", "snapshot_merge_delete",
-    "snapshot_incremental_rollup", "hudi_export_roundtrip",
-    "hudi_export_mor_roundtrip", "upsert_keyed_merge",
-    "scd2_history_merge", "text_lm_perplexity", "text_winnow_pairs",
-    "dedup_substring_spans", "contamination_ngram",
-    "global_row_number_order",
-    # r10 vintage, the 17 of 20 not already fronted above (see note):
-    "mm_jpeg_progressive_stats", "mm_jpeg_roundtrip_stats",
-    "mm_mp4_demux_stats", "mm_wav_roundtrip_stats", "py_groupwise_mad",
-    "q10_returned_items", "q13_customer_distribution",
-    "q14_promo_revenue", "q18_large_orders", "q3_shipping_priority",
-    "q5_local_supplier_volume", "s12_unpivot", "sim_label_centroids",
-    "sim_neardup_pairs", "text_bpe_token_count",
-    "text_html_boilerplate", "text_lang_id",
+_ROUND15_FRONT = (
+    # r10 vintage (the r14 deferral — MUST front this round):
+    "text_quality", "text_stats_by_lang", "text_token_count",
+    # r11 vintage, all 41, alphabetical:
+    "a4_approx_distinct", "a9_approx_quantiles", "data_shard_split",
+    "events_daily_anomaly", "events_retention_cohorts",
+    "f12_higher_order", "hudi_metadata_table_read",
+    "iceberg_partition_evolution_read", "interval_overlap_join",
+    "j9_lateral_topk", "mm_gif_frames_stats", "mm_mp3_demux_stats",
+    "mm_mp3_id3_tags", "mm_wav_dominant_freq", "q11_important_stock",
+    "q12_shipping_lag", "q15_top_supplier", "q16_supplier_part_cnt",
+    "q17_small_qty_revenue", "q19_discounted_revenue",
+    "q20_part_promotion", "q21_waiting_suppliers",
+    "q22_global_sales_opportunity", "q2_min_cost_supplier",
+    "q4_order_priority", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "s13_recursive_cte", "s6b_setops_all",
+    "scd2_point_in_time_join", "seq_pack_bins", "sim_quantize_int8",
+    "snapshot_change_feed", "snapshot_time_travel",
+    "text_gopher_filter", "text_pii_redact", "text_repetition_filter",
+    "text_unicode_nfc", "text_warc_roundtrip", "text_weighted_sample",
+    # r12 vintage, the six alphabetically first (fill to 50):
+    "a10_kmv_distinct", "a1_pricing_summary", "a2_global_agg",
+    "a3_distinct_agg", "a5_cube", "a5_grouping_sets",
 )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    The driver's correctness gate samples the FIRST 50 entries.  Round-14
-    rotation: the r14-changed entries, then stalest-verdict entries
-    (``_ROUND14_FRONT``), then everything else newest-first.  An unknown
+    The driver's correctness gate samples the FIRST 50 entries.  Round-15
+    rotation: stalest-driver-verdict entries first
+    (``_ROUND15_FRONT``), then everything else newest-first.  An unknown
     front name RAISES — a typo'd or renamed entry must not silently skip
     its re-adjudication (VERDICT r8 "what's wrong" #3).
     tests/test_oracle_all.py stays authoritative over ALL entries."""
     from easy_sql_spark.queries import QUERIES
 
-    unknown = [k for k in _ROUND14_FRONT if k not in QUERIES]
+    unknown = [k for k in _ROUND15_FRONT if k not in QUERIES]
     if unknown:
         raise KeyError(
-            f"_ROUND14_FRONT names not in the query registry: {unknown}"
+            f"_ROUND15_FRONT names not in the query registry: {unknown}"
         )
-    front = {k: QUERIES[k] for k in _ROUND14_FRONT}
+    front = {k: QUERIES[k] for k in _ROUND15_FRONT}
     rest = {
         k: v
         for k, v in reversed(list(QUERIES.items()))

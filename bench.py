@@ -131,6 +131,20 @@ COMPACT_SUBSET = [
 ]
 
 
+def steal_ticks() -> int:
+    """Cumulative hypervisor steal ticks (summed over CPUs) — the host
+    is a VM with documented 0-25% bursty steal; recording the delta
+    around every timed region makes each BENCH artifact carry per-query
+    contamination evidence instead of only the start/end controls
+    (VERDICT r14 #2: "auto-record controls + steal per slot").  Returns
+    0 when /proc/stat is unavailable so the bench runs anywhere."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[9])
+    except Exception:
+        return 0
+
+
 def control_timings(spark, sf_dir) -> dict[str, float]:
     """Two pinned CONTROL timings that never change round-over-round, so
     a bench artifact carries its own environment evidence (VERDICT r12
@@ -441,14 +455,21 @@ def main() -> None:
         "text_deflate_bench": text_deflate_bench,
     }
 
+    #: per-query steal-tick deltas (one entry per run, same order the
+    #: runs executed) — contamination evidence alongside each timing;
+    #: written to BENCH_FULL.json (the compact stdout line carries only
+    #: the whole-bench total, to stay inside its size budget)
+    steal_q: dict[str, list[int]] = {}
+
     def run(name: str) -> float:
         fn = bench_variants.get(name) or QUERIES[name]
         best = float("inf")
         for _ in range(runs):
-            t0 = time.time()
+            s0, t0 = steal_ticks(), time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
+            steal_q.setdefault(name, []).append(steal_ticks() - s0)
         return best
 
     run("a1_pricing_summary")  # warmup: JVM/codegen/parquet footer caches
@@ -461,6 +482,7 @@ def main() -> None:
     # environment evidence (after warmup so controls measure load, not
     # cold caches); repeated at the END so load arriving mid-run shows
     loadavg_start = list(os.getloadavg())
+    steal_bench_start = steal_ticks()
     controls_start = control_timings(spark, sf_dir)
 
     timings: dict[str, float] = {}
@@ -471,12 +493,14 @@ def main() -> None:
     for name, fn in writes.items():
         best = float("inf")
         for _ in range(runs):  # both writes are idempotent re-runs
-            t0 = time.time()
+            s0, t0 = steal_ticks(), time.time()
             fn()
             best = min(best, time.time() - t0)
+            steal_q.setdefault(name, []).append(steal_ticks() - s0)
         timings[name] = round(best, 3)
 
     controls_end = control_timings(spark, sf_dir)
+    steal_total = steal_ticks() - steal_bench_start
     loadavg_end = list(os.getloadavg())
     controls = {"start": controls_start, "end": controls_end}
     loadavg = {
@@ -505,6 +529,8 @@ def main() -> None:
         "runs": runs,
         "controls": controls,
         "loadavg": loadavg,
+        "steal_ticks_total": steal_total,
+        "steal_ticks_per_query": steal_q,
     }
     # The harness that records this run keeps only the LAST ~2,000 chars
     # of stdout, and the full per-query dict is ~4k chars — so the full
@@ -527,6 +553,7 @@ def main() -> None:
         "runs": runs,
         "controls": controls,
         "loadavg": loadavg,
+        "steal_ticks_total": steal_total,
         "full": "BENCH_FULL.json",
     }
     line = json.dumps(compact)

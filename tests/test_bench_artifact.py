@@ -51,6 +51,7 @@ def test_compact_bench_line_fits_harness_tail_window():
         "runs": 3,
         "controls": {"start": ctl, "end": ctl},
         "loadavg": {"start": [99.99] * 3, "end": [99.99] * 3},
+        "steal_ticks_total": 99_999_999,
         "full": "BENCH_FULL.json",
     }
     line = json.dumps(compact)
