@@ -204,7 +204,16 @@ try:
             encode_jpeg(img, quality=95, subsampling=subsampling, restart_interval=rst)
         )
         assert out.shape == img.shape
-        assert np.abs(out.astype(int) - img.astype(int)).max() <= 12
+        # 4:4:4 blocks are constant -> only DC quantization error (tight).
+        # 4:2:0 chroma blocks cover 16x16 luma pixels = FOUR coarse
+        # blocks, so chroma carries real AC energy and its q95
+        # quantization error is NOT DC-bounded: hypothesis found a
+        # clipped-edge 9x17 case at 13 after ~15 rounds of green runs
+        # with a 12 bound (r15).  24 gives the AC path margin while
+        # still catching a broken coefficient/upsample pipeline, which
+        # produces errors in the hundreds.
+        bound = 12 if subsampling == "4:4:4" else 24
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= bound
 
     @given(
         h=st.integers(1, 40),
