@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .zorder import _bucket_expr
+from .zorder import _bucket_expr, _quantile_probe
 
 
 def hilbert_index(coords: list[int], bits: int) -> int:
@@ -78,14 +78,7 @@ def hilbert_value(df: DataFrame, cols: list[str], bits: int = 6) -> DataFrame:
             "entries); use fewer bits or zorder_value for higher dims"
         )
     n_buckets = 1 << bits
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-    qs_arr = F.array(*[F.lit(q) for q in qs])
-    probe = df.agg(
-        *[
-            F.percentile_approx(F.col(c).cast("double"), qs_arr, F.lit(200)).alias(c)
-            for c in cols
-        ]
-    ).first()
+    probe = _quantile_probe(df, cols, n_buckets)
     out = df
     bucket_cols = []
     for c in cols:

@@ -310,3 +310,64 @@ def test_write_curve_clustered_range_fallback(spark, tmp_path, monkeypatch):
     spans.sort()
     for (_lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, (hi1, lo2)
+
+
+def test_probe_sampling_gate_and_layout(spark, tmp_path, monkeypatch):
+    """The quantile probe samples only LARGE inputs (file-bytes gate):
+    fixture-sized frames keep the full-pass probe (fraction 1.0), a
+    forced-sampling write still produces the full contiguity layout
+    contract, and a non-file frame never samples."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from easy_sql_spark.operators.zorder import (
+        _probe_fraction,
+        write_zordered,
+        zorder_value,
+    )
+
+    df = spark.range(20000).selectExpr(
+        "cast(id % 100 as double) as x",
+        "cast(cast(id / 100 as int) as double) as y",
+    )
+    # non-file source: no leaf files -> never sampled
+    assert _probe_fraction(df) == 1.0
+
+    # parquet-backed frame under the default 8 MB target: not sampled
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    pdf = spark.read.parquet(src)
+    assert _probe_fraction(pdf) == 1.0
+
+    # force sampling (tiny byte target) and verify the layout contract
+    # is unchanged: n_files files, each covering a contiguous,
+    # non-overlapping Morton range under ITS OWN probe's boundaries
+    monkeypatch.setenv("EASY_SQL_ZPROBE_SAMPLE_BYTES", "1024")
+    assert 0.01 <= _probe_fraction(pdf) < 1.0
+    path = str(tmp_path / "zsampled")
+    write_zordered(pdf, path, ["x", "y"], n_files=16)
+    files = sorted(glob.glob(path + "/part-*.parquet"))
+    assert len(files) == 16
+    zmap = {
+        (r["x"], r["y"]): r["__zvalue"]
+        for r in zorder_value(pdf, ["x", "y"]).collect()
+    }
+    total = 0
+    spans = []
+    for f in files:
+        t = pq.read_table(f).to_pandas()
+        total += len(t)
+        vals = [zmap[(x, y)] for x, y in zip(t["x"], t["y"])]
+        spans.append((min(vals), max(vals)))
+    assert total == 20000  # sampling affects BOUNDARIES, never rows
+    spans.sort()
+    for (_lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, (hi1, lo2)
+
+    # malformed env raises a configuration error naming the variable
+    monkeypatch.setenv("EASY_SQL_ZPROBE_SAMPLE_BYTES", "8mb")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="EASY_SQL_ZPROBE_SAMPLE_BYTES"):
+        _probe_fraction(pdf)
